@@ -1,0 +1,223 @@
+"""Vectorized geometry kernels (pure numpy — no GEOS dependency).
+
+Implements the subset of JTS predicates the reference evaluates
+post-index (intersects/contains/dwithin — evaluated in
+KryoLazyFilterTransformIterator, see SURVEY.md §2.2) as numpy
+batch kernels suitable for pandas/Arrow UDFs. No per-row Python.
+
+Also a minimal WKT parser (POINT / LINESTRING / POLYGON /
+MULTIPOLYGON) for fixture and layer ingestion — the reference's
+geometry transport is WKT too (GeoMesaSparkSql.scala:293-301
+converts Geometry -> WKT string for Spark rows).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# WKT
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Geometry:
+    """Parsed geometry: kind + list of rings/paths as (N,2) float arrays.
+
+    - POINT: one array of shape (1, 2)
+    - LINESTRING: one array (N, 2)
+    - POLYGON: rings[0] = shell, rings[1:] = holes
+    - MULTIPOLYGON: rings flattened; `poly_starts` marks which ring
+      index begins each polygon (ring 0 of each member is its shell)
+    """
+
+    kind: str
+    rings: list = field(default_factory=list)
+    poly_starts: list = field(default_factory=list)
+
+    @property
+    def bounds(self) -> tuple[float, float, float, float]:
+        pts = np.vstack(self.rings)
+        return (
+            float(pts[:, 0].min()),
+            float(pts[:, 1].min()),
+            float(pts[:, 0].max()),
+            float(pts[:, 1].max()),
+        )
+
+
+_NUM = r"[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"
+
+
+def _parse_coords(body: str) -> np.ndarray:
+    pts = []
+    for pair in body.split(","):
+        xy = pair.split()
+        pts.append((float(xy[0]), float(xy[1])))
+    return np.asarray(pts, dtype=np.float64)
+
+
+def parse_wkt(wkt: str) -> Geometry:
+    s = wkt.strip()
+    up = s.upper()
+    if up.startswith("POINT"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        return Geometry("POINT", [_parse_coords(body)])
+    if up.startswith("LINESTRING"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        return Geometry("LINESTRING", [_parse_coords(body)])
+    if up.startswith("MULTIPOLYGON"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        rings: list[np.ndarray] = []
+        starts: list[int] = []
+        for poly in re.findall(r"\(\s*(\([^()]*\)(?:\s*,\s*\([^()]*\))*)\s*\)", body):
+            starts.append(len(rings))
+            for ring in re.findall(r"\(([^()]*)\)", poly):
+                rings.append(_parse_coords(ring))
+        return Geometry("MULTIPOLYGON", rings, starts)
+    if up.startswith("POLYGON"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        rings = [_parse_coords(r) for r in re.findall(r"\(([^()]*)\)", body)]
+        return Geometry("POLYGON", rings, [0])
+    raise ValueError(f"unsupported WKT: {wkt[:60]}")
+
+
+def point_wkt(lon: float, lat: float) -> str:
+    return f"POINT ({lon} {lat})"
+
+
+def box_wkt(xmin: float, ymin: float, xmax: float, ymax: float) -> str:
+    return (
+        f"POLYGON (({xmin} {ymin}, {xmax} {ymin}, {xmax} {ymax}, "
+        f"{xmin} {ymax}, {xmin} {ymin}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# vectorized predicates
+# ---------------------------------------------------------------------------
+
+
+def _ring_contains(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Ray-casting point-in-ring, vectorized over points.
+
+    Crossing-number with the standard half-open edge rule; boundary
+    points may land either way (same as JTS `contains` being exact
+    on boundary only up to tolerance — fixtures avoid boundary pts).
+    """
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    px = px[:, None]
+    py = py[:, None]
+    cond = (y0 > py) != (y1 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
+    crossing = cond & (px < xint)
+    return (crossing.sum(axis=1) % 2).astype(bool)
+
+
+def contains(geom: Geometry, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """point-in-polygon for POLYGON / MULTIPOLYGON (holes honored)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    if geom.kind == "POLYGON":
+        out = _ring_contains(px, py, geom.rings[0])
+        for hole in geom.rings[1:]:
+            out &= ~_ring_contains(px, py, hole)
+        return out
+    if geom.kind == "MULTIPOLYGON":
+        out = np.zeros(len(px), dtype=bool)
+        starts = list(geom.poly_starts) + [len(geom.rings)]
+        for i in range(len(geom.poly_starts)):
+            shell, holes = geom.rings[starts[i]], geom.rings[starts[i] + 1 : starts[i + 1]]
+            inside = _ring_contains(px, py, shell)
+            for hole in holes:
+                inside &= ~_ring_contains(px, py, hole)
+            out |= inside
+        return out
+    raise ValueError(f"contains: unsupported {geom.kind}")
+
+
+def seg_dist2(
+    px: np.ndarray, py: np.ndarray, x0, y0, x1, y1
+) -> np.ndarray:
+    """Squared distance from points to segments: (P,) x (S,) -> (P,S)."""
+    dx, dy = x1 - x0, y1 - y0
+    seg_len2 = dx * dx + dy * dy
+    seg_len2 = np.where(seg_len2 == 0.0, 1.0, seg_len2)
+    t = ((px[:, None] - x0) * dx + (py[:, None] - y0) * dy) / seg_len2
+    t = np.clip(t, 0.0, 1.0)
+    cx = x0 + t * dx
+    cy = y0 + t * dy
+    ddx = px[:, None] - cx
+    ddy = py[:, None] - cy
+    return ddx * ddx + ddy * ddy
+
+
+def dwithin(
+    geom: Geometry, px: np.ndarray, py: np.ndarray, dist_deg: float
+) -> np.ndarray:
+    """True where point is within `dist_deg` (degrees) of geometry.
+
+    The reference rewrites dwithin-meters to degrees before
+    evaluation (FilterHelper.scala:104-116); callers do the same via
+    :func:`meters_to_degrees`.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    d2 = dist_deg * dist_deg
+    if geom.kind == "POINT":
+        gx, gy = geom.rings[0][0]
+        ddx, ddy = px - gx, py - gy
+        return ddx * ddx + ddy * ddy <= d2
+    # distance to boundary segments
+    near = np.zeros(len(px), dtype=bool)
+    for ring in geom.rings:
+        if len(ring) < 2:
+            gx, gy = ring[0]
+            ddx, ddy = px - gx, py - gy
+            near |= ddx * ddx + ddy * ddy <= d2
+            continue
+        md = seg_dist2(px, py, ring[:-1, 0], ring[:-1, 1], ring[1:, 0], ring[1:, 1])
+        near |= md.min(axis=1) <= d2
+    if geom.kind in ("POLYGON", "MULTIPOLYGON"):
+        near |= contains(geom, px, py)
+    return near
+
+
+def intersects(geom: Geometry, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Point-vs-geometry intersects (point layer on the left)."""
+    if geom.kind in ("POLYGON", "MULTIPOLYGON"):
+        return contains(geom, px, py)
+    return dwithin(geom, px, py, 0.0)
+
+
+def meters_to_degrees(meters: float, lat: float = 0.0) -> float:
+    """Conservative meters->degrees conversion at given latitude.
+
+    Parity with the reference's GeoTools-based rewrite
+    (FilterHelper.scala:104-116): uses the larger of the lon/lat
+    degree lengths shrunk by cos(lat), yielding a superset buffer
+    that the exact refine then trims.
+    """
+    deg_lat_m = 110574.0
+    deg_lon_m = 111320.0 * max(math.cos(math.radians(lat)), 1e-9)
+    return meters / min(deg_lat_m, deg_lon_m)
+
+
+# ---------------------------------------------------------------------------
+# antimeridian (IDL) handling — GeohashUtils.scala:721-773
+# ---------------------------------------------------------------------------
+
+
+def idl_safe_boxes(
+    xmin: float, ymin: float, xmax: float, ymax: float
+) -> list[tuple[float, float, float, float]]:
+    """Split a bbox that crosses ±180 into in-range boxes."""
+    if xmin <= xmax:
+        return [(max(xmin, -180.0), ymin, min(xmax, 180.0), ymax)]
+    return [(xmin, ymin, 180.0, ymax), (-180.0, ymin, xmax, ymax)]

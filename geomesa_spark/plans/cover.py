@@ -1,0 +1,217 @@
+"""Geometry → Z-curve cell covers and ranges (driver-side planner).
+
+Replaces the reference's key planning:
+- `Z3.zranges` octree recursion with litmax/bigmin + MergeQueue
+  coalescing (geomesa-z3/.../curve/Z3.scala:111-168,
+  .../curve/MergeQueue.scala:10-134) → :func:`zranges_2d` /
+  :func:`zranges_3d` (BFS prefix recursion + :func:`merge_ranges`).
+- polygon decomposition with a cell budget
+  (geomesa-utils/.../geohash/GeohashUtils.scala:637-701, budget of
+  ≤100 cells at stepped resolutions) → :func:`polyfill` (budgeted
+  resolution selection + boundary dilation so the cover is always a
+  superset; exact refine trims false positives downstream).
+
+Catalyst cannot derive cell ranges from geometry — this pre-pass is
+the one genuinely custom planning rule of the engine (SURVEY.md §4).
+Everything here runs on the driver in O(budget) and emits plain
+column predicates, so the scan itself stays fully pushed down.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geomesa_spark.functions import cells as C
+from geomesa_spark.functions import geometry as G
+
+# recursion budget parity: Z3.scala:115 uses maxRecurse 5-7; each
+# level splits into 4 (2D) / 8 (3D), so cap emitted ranges instead.
+DEFAULT_MAX_RANGES = 200
+DEFAULT_POLYFILL_BUDGET = 256
+
+
+def merge_ranges(ranges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Coalesce overlapping/adjacent [lo,hi] ranges (MergeQueue analog)."""
+    if not ranges:
+        return []
+    ranges = sorted(ranges)
+    out = [list(ranges[0])]
+    for lo, hi in ranges[1:]:
+        if lo <= out[-1][1] + 1:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return [(lo, hi) for lo, hi in out]
+
+
+def _zranges(
+    mins: list[int],
+    maxs: list[int],
+    bits: int,
+    dims: int,
+    max_ranges: int,
+) -> list[tuple[int, int]]:
+    """Ranges of z-values whose cells intersect the index-space box.
+
+    BFS over z-prefix cubes. A cube fully inside the box emits one
+    exact range; a partially-overlapping cube at the level budget
+    emits an over-approximate range (false positives are refined by
+    the exact predicate downstream — same contract as the
+    reference's post-index filter iterators).
+    """
+    full_shift = dims * bits
+    out: list[tuple[int, int]] = []
+    # (level, zprefix): zprefix has `dims*level` meaningful bits
+    frontier: list[tuple[int, int]] = [(0, 0)]
+    while frontier:
+        next_frontier: list[tuple[int, int]] = []
+        for level, prefix in frontier:
+            rem = bits - level
+            # decode per-dim prefix coordinates
+            if dims == 2:
+                cx, cy = C.z2_decode_np(np.asarray([prefix]))
+                coords = [int(cx[0]), int(cy[0])]
+            else:
+                cx, cy, ct = C.z3_decode_np(np.asarray([prefix]))
+                coords = [int(cx[0]), int(cy[0]), int(ct[0])]
+            contained = True
+            disjoint = False
+            for d in range(dims):
+                clo = coords[d] << rem
+                chi = ((coords[d] + 1) << rem) - 1
+                if chi < mins[d] or clo > maxs[d]:
+                    disjoint = True
+                    break
+                if clo < mins[d] or chi > maxs[d]:
+                    contained = False
+            if disjoint:
+                continue
+            zlo = prefix << (dims * rem)
+            zhi = ((prefix + 1) << (dims * rem)) - 1
+            if contained or rem == 0:
+                out.append((zlo, zhi))
+            elif len(out) + len(frontier) + len(next_frontier) >= max_ranges:
+                out.append((zlo, zhi))  # budget hit: over-approximate
+            else:
+                for q in range(1 << dims):
+                    next_frontier.append((level + 1, (prefix << dims) | q))
+        frontier = next_frontier
+    return merge_ranges(out)
+
+
+def zranges_2d(
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+    bits: int = C.XY_BITS,
+    max_ranges: int = DEFAULT_MAX_RANGES,
+) -> list[tuple[int, int]]:
+    """lon/lat bbox -> Z2 cell-id ranges at `bits` resolution."""
+    out: list[tuple[int, int]] = []
+    for bx in G.idl_safe_boxes(xmin, ymin, xmax, ymax):
+        mins = [int(C.lon_to_x_np(np.asarray([bx[0]]), bits)[0]),
+                int(C.lat_to_y_np(np.asarray([bx[1]]), bits)[0])]
+        maxs = [int(C.lon_to_x_np(np.asarray([bx[2]]), bits)[0]),
+                int(C.lat_to_y_np(np.asarray([bx[3]]), bits)[0])]
+        out.extend(_zranges(mins, maxs, bits, 2, max_ranges))
+    return merge_ranges(out)
+
+
+def zranges_3d(
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+    t_lo_sec: int,
+    t_hi_sec: int,
+    max_ranges: int = DEFAULT_MAX_RANGES,
+) -> list[tuple[int, int]]:
+    """bbox + seconds-in-week interval -> Z3 ranges (one week)."""
+    mins = [
+        int(C.lon_to_x_np(np.asarray([xmin]))[0]),
+        int(C.lat_to_y_np(np.asarray([ymin]))[0]),
+        int(C.time_to_t_np(np.asarray([t_lo_sec]))[0]),
+    ]
+    maxs = [
+        int(C.lon_to_x_np(np.asarray([xmax]))[0]),
+        int(C.lat_to_y_np(np.asarray([ymax]))[0]),
+        int(C.time_to_t_np(np.asarray([t_hi_sec]))[0]),
+    ]
+    return _zranges(mins, maxs, C.XY_BITS, 3, max_ranges)
+
+
+def polyfill(
+    geom: G.Geometry,
+    bits: int,
+    budget: int = DEFAULT_POLYFILL_BUDGET,
+) -> tuple[np.ndarray, int]:
+    """Polygon -> superset cell cover at the finest resolution whose
+    cell count fits `budget`. Returns (cell_ids:int64[], used_bits).
+
+    Cover = cells whose center/corners fall inside ∪ cells the
+    boundary passes through (DDA walk), dilated by one cell so the
+    cover is provably a superset of all intersecting cells.
+    """
+    xmin, ymin, xmax, ymax = geom.bounds
+    use_bits = bits
+    while use_bits > 1:
+        nx = int(C.lon_to_x_np(np.asarray([xmax]), use_bits)[0]) - int(
+            C.lon_to_x_np(np.asarray([xmin]), use_bits)[0]
+        ) + 1
+        ny = int(C.lat_to_y_np(np.asarray([ymax]), use_bits)[0]) - int(
+            C.lat_to_y_np(np.asarray([ymin]), use_bits)[0]
+        ) + 1
+        if nx * ny <= budget:
+            break
+        use_bits -= 1
+
+    ix0 = int(C.lon_to_x_np(np.asarray([xmin]), use_bits)[0])
+    ix1 = int(C.lon_to_x_np(np.asarray([xmax]), use_bits)[0])
+    iy0 = int(C.lat_to_y_np(np.asarray([ymin]), use_bits)[0])
+    iy1 = int(C.lat_to_y_np(np.asarray([ymax]), use_bits)[0])
+    gx, gy = np.meshgrid(
+        np.arange(ix0, ix1 + 1, dtype=np.int64),
+        np.arange(iy0, iy1 + 1, dtype=np.int64),
+    )
+    gx = gx.ravel()
+    gy = gy.ravel()
+    lon_lo, lon_hi = C.x_to_lon_range(gx, use_bits)
+    lat_lo, lat_hi = C.y_to_lat_range(gy, use_bits)
+    cx = (lon_lo + lon_hi) * 0.5
+    cy = (lat_lo + lat_hi) * 0.5
+
+    if geom.kind in ("POLYGON", "MULTIPOLYGON"):
+        keep = G.contains(geom, cx, cy)
+        for qx, qy in ((lon_lo, lat_lo), (lon_lo, lat_hi), (lon_hi, lat_lo), (lon_hi, lat_hi)):
+            keep |= G.contains(geom, qx, qy)
+    else:
+        keep = np.zeros(len(gx), dtype=bool)
+
+    # boundary DDA walk, then 3x3 dilation
+    n_per_dim = 1 << use_bits
+    cw = 360.0 / n_per_dim  # cell width in lon-deg
+    boundary = set()
+    for ring in geom.rings:
+        seg = ring if len(ring) > 1 else np.vstack([ring, ring])
+        for i in range(len(seg) - 1):
+            (x0, y0), (x1, y1) = seg[i], seg[i + 1]
+            steps = max(
+                2, int(max(abs(x1 - x0), abs(y1 - y0) * 2.0) / (cw * 0.25)) + 2
+            )
+            ts = np.linspace(0.0, 1.0, steps)
+            sx = C.lon_to_x_np(x0 + (x1 - x0) * ts, use_bits)
+            sy = C.lat_to_y_np(y0 + (y1 - y0) * ts, use_bits)
+            boundary.update(zip(sx.tolist(), sy.tolist()))
+    if boundary:
+        bx, by = np.array(sorted(boundary), dtype=np.int64).T
+        ox, oy = np.meshgrid(np.arange(-1, 2), np.arange(-1, 2))
+        allx = (bx[:, None] + ox.ravel()[None, :]).ravel()
+        ally = (by[:, None] + oy.ravel()[None, :]).ravel()
+        mask = (allx >= 0) & (allx < n_per_dim) & (ally >= 0) & (ally < n_per_dim)
+        bcells = C.z2_encode_np(allx[mask], ally[mask])
+    else:
+        bcells = np.empty(0, dtype=np.int64)
+
+    inner = C.z2_encode_np(gx[keep], gy[keep])
+    return np.unique(np.concatenate([inner, bcells])), use_bits

@@ -148,24 +148,43 @@ def polyfill(
 ) -> tuple[np.ndarray, int]:
     """Polygon -> superset cell cover at the finest resolution whose
     cell count fits `budget`. Returns (cell_ids:int64[], used_bits).
+    """
+    cells_, interior, use_bits = polyfill_detail(geom, bits, budget)
+    return cells_, use_bits
 
-    Cover = cells whose center/corners fall inside ∪ cells the
+
+def _members(geom: G.Geometry) -> list[G.Geometry]:
+    """Decompose MULTIPOLYGON into member POLYGONs (own bbox each)."""
+    if geom.kind != "MULTIPOLYGON":
+        return [geom]
+    out = []
+    starts = list(geom.poly_starts) + [len(geom.rings)]
+    for i in range(len(geom.poly_starts)):
+        out.append(G.Geometry("POLYGON", geom.rings[starts[i] : starts[i + 1]], [0]))
+    return out
+
+
+def _bbox_grid_size(geom: G.Geometry, use_bits: int) -> int:
+    xmin, ymin, xmax, ymax = geom.bounds
+    nx = int(C.lon_to_x_np(np.asarray([xmax]), use_bits)[0]) - int(
+        C.lon_to_x_np(np.asarray([xmin]), use_bits)[0]
+    ) + 1
+    ny = int(C.lat_to_y_np(np.asarray([ymax]), use_bits)[0]) - int(
+        C.lat_to_y_np(np.asarray([ymin]), use_bits)[0]
+    ) + 1
+    return nx * ny
+
+
+def _polyfill_single(
+    geom: G.Geometry, use_bits: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """One POLYGON/LINESTRING/POINT -> (cells, interior_cells) at fixed bits.
+
+    Cover = cells whose center/corners fall inside + cells the
     boundary passes through (DDA walk), dilated by one cell so the
     cover is provably a superset of all intersecting cells.
     """
     xmin, ymin, xmax, ymax = geom.bounds
-    use_bits = bits
-    while use_bits > 1:
-        nx = int(C.lon_to_x_np(np.asarray([xmax]), use_bits)[0]) - int(
-            C.lon_to_x_np(np.asarray([xmin]), use_bits)[0]
-        ) + 1
-        ny = int(C.lat_to_y_np(np.asarray([ymax]), use_bits)[0]) - int(
-            C.lat_to_y_np(np.asarray([ymin]), use_bits)[0]
-        ) + 1
-        if nx * ny <= budget:
-            break
-        use_bits -= 1
-
     ix0 = int(C.lon_to_x_np(np.asarray([xmin]), use_bits)[0])
     ix1 = int(C.lon_to_x_np(np.asarray([xmax]), use_bits)[0])
     iy0 = int(C.lat_to_y_np(np.asarray([ymin]), use_bits)[0])
@@ -181,12 +200,19 @@ def polyfill(
     cx = (lon_lo + lon_hi) * 0.5
     cy = (lat_lo + lat_hi) * 0.5
 
-    if geom.kind in ("POLYGON", "MULTIPOLYGON"):
-        keep = G.contains(geom, cx, cy)
+    if geom.kind == "POLYGON":
+        center_in = G.contains(geom, cx, cy)
+        all_corners = np.ones(len(gx), dtype=bool)
+        any_in = center_in.copy()
         for qx, qy in ((lon_lo, lat_lo), (lon_lo, lat_hi), (lon_hi, lat_lo), (lon_hi, lat_hi)):
-            keep |= G.contains(geom, qx, qy)
+            c = G.contains(geom, qx, qy)
+            all_corners &= c
+            any_in |= c
+        keep = any_in
     else:
         keep = np.zeros(len(gx), dtype=bool)
+        all_corners = np.zeros(len(gx), dtype=bool)
+        center_in = all_corners
 
     # boundary DDA walk, then 3x3 dilation
     n_per_dim = 1 << use_bits
@@ -214,4 +240,49 @@ def polyfill(
         bcells = np.empty(0, dtype=np.int64)
 
     inner = C.z2_encode_np(gx[keep], gy[keep])
-    return np.unique(np.concatenate([inner, bcells])), use_bits
+    interior_cells = C.z2_encode_np(
+        gx[keep & all_corners & center_in], gy[keep & all_corners & center_in]
+    )
+    all_cells = np.unique(np.concatenate([inner, bcells]))
+    # boundary-touched cells are never interior
+    iset = np.setdiff1d(interior_cells, bcells, assume_unique=False)
+    return all_cells, iset
+
+
+def polyfill_detail(
+    geom: G.Geometry,
+    bits: int,
+    budget: int = DEFAULT_POLYFILL_BUDGET,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Like :func:`polyfill` but also flags *interior* cells.
+
+    Returns (cell_ids, interior_mask, used_bits). A cell flagged
+    interior lies entirely inside the polygon — joins can skip the
+    exact-geometry refine for points in such cells (the analog of
+    the reference's "covering index" fast path where whole geohash
+    prefixes inside the query polygon skip JTS evaluation,
+    GeohashUtils.scala:779-794).
+
+    MULTIPOLYGONs are decomposed member-by-member (each member fills
+    its own bbox grid — a multi spanning hemispheres doesn't pay for
+    the space between members). Resolution coarsens until the summed
+    member grid sizes fit `budget` (GeohashUtils.scala:637-701
+    budget-stepping analog).
+    """
+    members = _members(geom)
+    use_bits = bits
+    while use_bits > 1:
+        if sum(_bbox_grid_size(m, use_bits) for m in members) <= budget:
+            break
+        use_bits -= 1
+
+    all_parts = []
+    int_parts = []
+    for m in members:
+        cells_, iset = _polyfill_single(m, use_bits)
+        all_parts.append(cells_)
+        int_parts.append(iset)
+    all_cells = np.unique(np.concatenate(all_parts))
+    interior_union = np.unique(np.concatenate(int_parts)) if int_parts else np.empty(0, np.int64)
+    interior_mask = np.isin(all_cells, interior_union)
+    return all_cells, interior_mask, use_bits

@@ -9,8 +9,40 @@ DuckDB oracle bit-for-bit.
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def package_zip(dest_dir: str = "/tmp") -> str:
+    """Zip this package for `spark-submit --py-files` / addPyFile.
+
+    Executors (local Python workers or remote) import the engine from
+    this archive — the packaging story required by north_rule.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(dest_dir, "geomesa_spark_pkg.zip")
+    # rebuild if any source is newer than the archive
+    latest = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(pkg_dir)
+        for f in fs
+        if f.endswith(".py")
+    )
+    if os.path.exists(out) and os.path.getmtime(out) >= latest:
+        return out
+    tmp = out + ".tmp"
+    with zipfile.ZipFile(tmp, "w") as z:
+        for root, _, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "geomesa_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    z.write(full, rel)
+    os.replace(tmp, out)
+    return out
 
 
 def get_spark(
@@ -48,4 +80,11 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # ship the engine to executors (spark-submit --py-files analog);
+    # idempotent — addPyFile of the same path is a no-op
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # e.g. Connect-only sessions; driver-side import still works
+    return spark

@@ -1,0 +1,246 @@
+"""Aggregation analytics: density, temporal density, unique, map-agg,
+BIN export, point2point.
+
+All reference aggregations are partial (per-tablet iterator) + final
+(client merge) — exactly Spark's partial/final HashAggregate model
+(SURVEY.md §2.4), so every operator here is built-in `groupBy().agg()`
+with zero Python in the aggregation path. Only the BIN byte-packer
+uses a (vectorized numpy) mapInPandas stage, because its output is a
+binary format.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def density(
+    df: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    weight_col: str | None = None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """2-D heatmap: snap each point to a W×H grid pixel, sum weights.
+
+    Reference: Z3DensityIterator.scala:129-187 (per-tablet partial
+    grids) + client merge (:251-297); grid snapping GridSnap.scala:
+    21-100. Here: one `groupBy(i, j).sum(weight)` — Catalyst plans
+    partial+final hash aggregation, the exact same execution shape,
+    with whole-stage codegen instead of per-key Scala callbacks.
+
+    Returns (i:int, j:int, weight) — i column, j row, like GridSnap.
+    """
+    xmin, ymin, xmax, ymax = bbox
+    dx = (xmax - xmin) / width
+    dy = (ymax - ymin) / height
+    i = F.least(
+        F.lit(width - 1),
+        F.greatest(F.lit(0), F.floor((F.col(lon_col) - F.lit(xmin)) / F.lit(dx))),
+    ).cast("int")
+    j = F.least(
+        F.lit(height - 1),
+        F.greatest(F.lit(0), F.floor((F.col(lat_col) - F.lit(ymin)) / F.lit(dy))),
+    ).cast("int")
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    return (
+        df.filter(
+            F.col(lon_col).between(F.lit(xmin), F.lit(xmax))
+            & F.col(lat_col).between(F.lit(ymin), F.lit(ymax))
+        )
+        .groupBy(i.alias("i"), j.alias("j"))
+        .agg(F.sum(w).alias("weight"))
+    )
+
+
+def temporal_density(
+    df: DataFrame,
+    t0_epoch: int,
+    t1_epoch: int,
+    buckets: int,
+    dtg_col: str = "dtg",
+) -> DataFrame:
+    """Time-series histogram: bucket dtg into `buckets` over [t0,t1).
+
+    Reference: TemporalDensityIterator.scala:63-78,125-131 (TimeSnap
+    buckets per tablet, client merges the series). Returns
+    (bucket:int, n:long).
+    """
+    span = t1_epoch - t0_epoch
+    es = F.unix_timestamp(F.col(dtg_col))
+    b = F.floor((es - F.lit(t0_epoch)) * F.lit(buckets) / F.lit(span)).cast("int")
+    return (
+        df.filter((es >= F.lit(t0_epoch)) & (es < F.lit(t1_epoch)))
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def unique_values(
+    df: DataFrame,
+    attr: str,
+    histogram: bool = True,
+    sort_by: str | None = None,
+    descending: bool = False,
+) -> DataFrame:
+    """Distinct values of an attribute, optional counts and sort.
+
+    Reference: UniqueProcess.scala:33-127 (+ index row-skipping
+    UniqueAttributeIterator — obsolete here: Parquet column pruning
+    reads just the one column, and partial aggregation dedups
+    map-side before the shuffle).
+    """
+    if histogram:
+        out = df.groupBy(F.col(attr).alias("value")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    else:
+        out = df.select(F.col(attr).alias("value")).distinct()
+    if sort_by:
+        c = F.col(sort_by)
+        out = out.orderBy(c.desc() if descending else c.asc())
+    return out
+
+
+def map_aggregate(df: DataFrame, map_col: str) -> DataFrame:
+    """Element-wise sum of a Map[K,Int] attribute across rows.
+
+    Reference: MapAggregatingIterator.scala:47-57,79-98 (per-tablet
+    partial map merge + client final merge). Spark form: explode →
+    partial/final sum per key. Returns (key, total).
+    """
+    return (
+        df.select(F.explode(F.col(map_col)).alias("key", "value"))
+        .groupBy("key")
+        .agg(F.sum("value").alias("total"))
+    )
+
+
+def map_aggregate_as_map(df: DataFrame, map_col: str) -> DataFrame:
+    """Single-row variant returning one MapType column (exact
+    reference output shape)."""
+    return map_aggregate(df, map_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("key"), F.col("total")))
+        ).alias("merged")
+    )
+
+
+BIN_SCHEMA = T.StructType([T.StructField("chunk", T.BinaryType())])
+
+
+def bin_export(
+    df: DataFrame,
+    track_col: str,
+    dtg_col: str = "dtg",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    label_col: str | None = None,
+    sort_within: bool = True,
+) -> DataFrame:
+    """Pack features into the 16-byte (24 with label) LE "BIN" format.
+
+    Record layout (Convert2ViewerFunction.scala:86-147):
+      int32 trackId-hash | int32 epoch-seconds | float32 lat | float32 lon
+      [| int64 label]
+    In-chunk time sort mirrors BinSorter (BinAggregatingIterator.scala:
+    172-174) via sortWithinPartitions — no global shuffle.
+    Returns one binary chunk per partition (the client concatenates).
+    """
+    cols = [
+        F.hash(F.col(track_col)).alias("tid"),
+        F.unix_timestamp(F.col(dtg_col)).cast("int").alias("secs"),
+        F.col(lat_col).cast("float").alias("blat"),
+        F.col(lon_col).cast("float").alias("blon"),
+    ]
+    if label_col:
+        cols.append(F.col(label_col).cast("long").alias("label"))
+    sel = df.select(*cols)
+    if sort_within:
+        sel = sel.sortWithinPartitions("secs")
+
+    labeled = label_col is not None
+
+    def pack(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            if labeled:
+                rec = np.zeros(
+                    n,
+                    dtype=np.dtype(
+                        [("tid", "<i4"), ("secs", "<i4"), ("lat", "<f4"),
+                         ("lon", "<f4"), ("label", "<i8")]
+                    ),
+                )
+                rec["label"] = pdf["label"].to_numpy()
+            else:
+                rec = np.zeros(
+                    n,
+                    dtype=np.dtype(
+                        [("tid", "<i4"), ("secs", "<i4"), ("lat", "<f4"),
+                         ("lon", "<f4")]
+                    ),
+                )
+            rec["tid"] = pdf["tid"].to_numpy()
+            rec["secs"] = pdf["secs"].to_numpy()
+            rec["lat"] = pdf["blat"].to_numpy()
+            rec["lon"] = pdf["blon"].to_numpy()
+            yield pd.DataFrame({"chunk": [rec.tobytes()]})
+
+    return sel.mapInPandas(pack, schema=BIN_SCHEMA)
+
+
+def bin_decode(chunks: list[bytes], labeled: bool = False) -> pd.DataFrame:
+    """Client-side decode of BIN chunks (test/export helper)."""
+    dt = (
+        np.dtype([("tid", "<i4"), ("secs", "<i4"), ("lat", "<f4"),
+                  ("lon", "<f4"), ("label", "<i8")])
+        if labeled
+        else np.dtype([("tid", "<i4"), ("secs", "<i4"), ("lat", "<f4"),
+                       ("lon", "<f4")])
+    )
+    arrs = [np.frombuffer(c, dtype=dt) for c in chunks if c]
+    rec = np.concatenate(arrs) if arrs else np.empty(0, dtype=dt)
+    return pd.DataFrame({k: rec[k] for k in rec.dtype.names})
+
+
+def point2point(
+    df: DataFrame,
+    group_col: str,
+    dtg_col: str = "dtg",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Convert ordered points to consecutive line segments per group.
+
+    Reference: Point2PointProcess.scala:112 (sliding pairs of
+    dtg-sorted points per group attribute). Spark: lead() over a
+    partitioned window — one shuffle on the group key.
+    """
+    w = Window.partitionBy(group_col).orderBy(dtg_col)
+    out = df.select(
+        F.col(group_col).alias("group"),
+        F.col(dtg_col).alias("t1"),
+        F.lead(dtg_col).over(w).alias("t2"),
+        F.col(lon_col).alias("x1"),
+        F.col(lat_col).alias("y1"),
+        F.lead(lon_col).over(w).alias("x2"),
+        F.lead(lat_col).over(w).alias("y2"),
+    )
+    return out.filter(F.col("t2").isNotNull())
+
+
+def count_by_day(df: DataFrame, dtg_col: str = "dtg") -> DataFrame:
+    """GeoMesaSpark demo aggregation (GeoMesaSpark.scala:156-166)."""
+    return (
+        df.groupBy(F.date_format(F.col(dtg_col), "yyyyMMdd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

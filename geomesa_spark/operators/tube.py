@@ -1,0 +1,141 @@
+"""Tube-select: spatio-temporal corridor join along a track.
+
+Reference (TubeSelectProcess.scala:144-187 + TubeBuilder.scala:
+108-185): bin the input track into time-ordered tube bins, buffer
+each bin's geometry, query `intersects(geom) AND dtg ∈ [t−Δ, t+Δ]`
+per bin, union + dedup. Gap-fill NOFILL keeps the raw points; LINE
+interpolates segments between consecutive track points
+(TubeBuilder.scala:166-181 `sliding(2)`).
+
+Spark re-expression: the per-bin query loop becomes ONE broadcast
+interval+spatial theta-join — tube bins are small (a track), so the
+bin table broadcasts; candidates pre-filter on (cell cover, time
+window) and refine with an exact vectorized segment-distance test.
+Dedup = dropDuplicates(doc_id) (DeDuplicatingIterator analog).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from geomesa_spark.functions import cells as C
+from geomesa_spark.functions import geometry as G
+
+TUBE_BITS = 8
+
+
+@pandas_udf(T.BooleanType())
+def _near_segment_rowwise(
+    x1: pd.Series, y1: pd.Series, x2: pd.Series, y2: pd.Series,
+    lon: pd.Series, lat: pd.Series, buf: pd.Series,
+) -> pd.Series:
+    """Per-row point-to-its-segment distance (vectorized elementwise)."""
+    px = lon.to_numpy(np.float64)
+    py = lat.to_numpy(np.float64)
+    ax = x1.to_numpy(np.float64)
+    ay = y1.to_numpy(np.float64)
+    bx = x2.to_numpy(np.float64)
+    by = y2.to_numpy(np.float64)
+    b = buf.to_numpy(np.float64)
+    dx = bx - ax
+    dy = by - ay
+    ln2 = dx * dx + dy * dy
+    ln2 = np.where(ln2 == 0.0, 1.0, ln2)
+    t = np.clip(((px - ax) * dx + (py - ay) * dy) / ln2, 0.0, 1.0)
+    cx = ax + t * dx
+    cy = ay + t * dy
+    d2 = (px - cx) ** 2 + (py - cy) ** 2
+    return pd.Series(d2 <= b * b)
+
+
+def build_tube(
+    track: list[tuple[int, float, float]],
+    buffer_deg: float,
+    gap_fill: str = "line",
+) -> pd.DataFrame:
+    """Track [(epoch_sec, lon, lat)] -> tube segment bins.
+
+    gap_fill='line' joins consecutive points into segments
+    (TubeBuilder LINE); 'nofill' degenerates each point to a
+    zero-length segment (NOFILL).
+    """
+    track = sorted(track)
+    rows = []
+    if gap_fill == "line" and len(track) > 1:
+        for (t1, lo1, la1), (t2, lo2, la2) in zip(track, track[1:]):
+            rows.append((t1, t2, lo1, la1, lo2, la2, buffer_deg))
+    else:
+        for t, lo, la in track:
+            rows.append((t, t, lo, la, lo, la, buffer_deg))
+    return pd.DataFrame(
+        rows, columns=["ts1", "ts2", "x1", "y1", "x2", "y2", "buf"]
+    )
+
+
+def tube_select(
+    points: DataFrame,
+    track: list[tuple[int, float, float]],
+    buffer_deg: float,
+    time_delta_sec: int,
+    gap_fill: str = "line",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    dtg_col: str = "dtg",
+    cell_col: str = "cell",
+    cell_bits: int = C.XY_BITS,
+    bits: int = TUBE_BITS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Docs within `buffer_deg` of the track AND within ±Δ of the
+    corresponding segment's time span. Dedup by id."""
+    spark = points.sparkSession
+    tube = build_tube(track, buffer_deg, gap_fill)
+
+    # cell cover per segment (bbox of segment + buffer)
+    seg_rows = []
+    for i, r in tube.iterrows():
+        xmin = min(r.x1, r.x2) - buffer_deg
+        xmax = max(r.x1, r.x2) + buffer_deg
+        ymin = max(min(r.y1, r.y2) - buffer_deg, -90.0)
+        ymax = min(max(r.y1, r.y2) + buffer_deg, 90.0)
+        box = G.parse_wkt(G.box_wkt(xmin, ymin, xmax, ymax))
+        from geomesa_spark.plans import cover as V
+
+        cells_, used = V.polyfill(box, bits)
+        seg_rows.append(
+            pd.DataFrame(
+                {
+                    "pcell": cells_,
+                    "seg_id": i,
+                    "ts1": int(r.ts1),
+                    "ts2": int(r.ts2),
+                    "x1": r.x1,
+                    "y1": r.y1,
+                    "x2": r.x2,
+                    "y2": r.y2,
+                    "buf": r.buf,
+                }
+            )
+        )
+    cov = F.broadcast(spark.createDataFrame(pd.concat(seg_rows, ignore_index=True)))
+
+    pts = points.withColumn("_pcell", C.cell_parent(F.col(cell_col), cell_bits, bits))
+    es = F.unix_timestamp(F.col(dtg_col))
+    joined = pts.join(cov, pts["_pcell"] == cov["pcell"], "inner").filter(
+        (es >= F.col("ts1") - F.lit(time_delta_sec))
+        & (es <= F.col("ts2") + F.lit(time_delta_sec))
+    )
+    refined = joined.filter(
+        _near_segment_rowwise(
+            F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"),
+            F.col(lon_col), F.col(lat_col), F.col("buf"),
+        )
+    )
+    return refined.drop(
+        "_pcell", "pcell", "seg_id", "ts1", "ts2", "x1", "y1", "x2", "y2", "buf"
+    ).dropDuplicates([id_col])

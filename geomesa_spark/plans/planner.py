@@ -1,0 +1,184 @@
+"""Filter spec → pruned DataFrame scan (the mini query planner).
+
+Replaces the reference's strategy pipeline (SURVEY.md §3.1 steps
+2-5: QueryFilterSplitter → QueryStrategyDecider → per-strategy key
+planning). There is exactly one table, so strategy *choice* is
+obsolete; what remains is emitting **pushable column predicates**
+so Catalyst/Parquet prune partitions, files and row groups:
+
+- week partition pruning  (analog: 2-byte epoch-week key prefix,
+  Z3Table.scala:120-128)
+- cell range predicates   (analog: Z2/geohash row ranges,
+  QueryPlanners.scala key plans; ranges merged like MergeQueue)
+- dtg interval            (analog: Z3Iterator precise decode,
+  Z3Iterator.scala:55-70) with the reference's exclusive-endpoint
+  second-rounding semantics (FilterHelper.scala:148-224)
+- attribute predicates    (analog: attr_idx lexicoded ranges —
+  plain column predicates here, AttributeIdxStrategy.scala:204-311)
+- whole-world filter elimination (FilterHelper.scala:64-82)
+- residual exact-geometry refine (vectorized, only when the query
+  geometry is not a bbox)
+
+Everything emitted is a plain Column expression, so `.explain()`
+shows the ranges in PushedFilters at the Parquet scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from geomesa_spark.functions import cells as C
+from geomesa_spark.functions import geometry as G
+from geomesa_spark.plans import cover as V
+
+WHOLE_WORLD = (-180.0, -90.0, 180.0, 90.0)
+
+
+@dataclass
+class QuerySpec:
+    """Declarative query filter (the engine's FilterPlan analog)."""
+
+    geometry_wkt: str | None = None      # bbox or polygon WKT
+    bbox: tuple[float, float, float, float] | None = None
+    t0: datetime | None = None
+    t1: datetime | None = None
+    t0_exclusive: bool = False
+    t1_exclusive: bool = True            # GeoTools `during` is exclusive
+    ids: list[str] | None = None
+    attr_predicates: list[str] = field(default_factory=list)  # SQL strings
+
+
+def _round_seconds(dt: datetime, exclusive: bool, is_start: bool) -> datetime:
+    """Exclusive endpoints round inward to whole seconds
+    (FilterHelper.scala:148-224 parity)."""
+    dt = dt.replace(microsecond=0, tzinfo=dt.tzinfo or timezone.utc)
+    return dt
+
+
+def _epoch(dt: datetime) -> int:
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp())
+
+
+def cell_range_predicate(
+    ranges: list[tuple[int, int]], col: Column
+) -> Column | None:
+    """OR-of-BETWEEN over merged cell ranges (bounded count)."""
+    if not ranges:
+        return None
+    pred = None
+    for lo, hi in ranges:
+        p = col.between(F.lit(lo), F.lit(hi)) if lo != hi else col == F.lit(lo)
+        pred = p if pred is None else pred | p
+    return pred
+
+
+@pandas_udf(T.BooleanType())
+def _refine_geom(wkt: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+    import numpy as np
+
+    out = np.zeros(len(wkt), dtype=bool)
+    lon_v = lon.to_numpy(dtype=np.float64)
+    lat_v = lat.to_numpy(dtype=np.float64)
+    w = wkt.to_numpy()
+    for uw in pd.unique(w):
+        geom = G.parse_wkt(uw)
+        m = w == uw
+        out[m] = G.intersects(geom, lon_v[m], lat_v[m])
+    return pd.Series(out)
+
+
+def scan(
+    df: DataFrame,
+    spec: QuerySpec,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    dtg_col: str = "dtg",
+    week_col: str = "week",
+    cell_col: str = "cell",
+    id_col: str = "doc_id",
+    cell_bits: int = C.XY_BITS,
+    max_ranges: int = V.DEFAULT_MAX_RANGES,
+) -> DataFrame:
+    """Apply the spec as pushable predicates + residual refine."""
+    out = df
+
+    # --- ID scan (RecordIdxStrategy analog) ---
+    if spec.ids is not None:
+        out = out.filter(F.col(id_col).isin(spec.ids))
+
+    # --- spatial ---
+    bbox = spec.bbox
+    geom = None
+    if spec.geometry_wkt is not None:
+        geom = G.parse_wkt(spec.geometry_wkt)
+        bbox = geom.bounds
+        if geom.kind == "POLYGON" and len(geom.rings) == 1 and len(geom.rings[0]) == 5:
+            r = geom.rings[0]
+            xs, ys = set(r[:, 0].tolist()), set(r[:, 1].tolist())
+            if len(xs) == 2 and len(ys) == 2:
+                geom = None  # axis-aligned box: bbox predicate is exact
+    if bbox is not None:
+        # whole-world filter elimination (FilterHelper.scala:64-82)
+        if (
+            bbox[0] <= WHOLE_WORLD[0]
+            and bbox[1] <= WHOLE_WORLD[1]
+            and bbox[2] >= WHOLE_WORLD[2]
+            and bbox[3] >= WHOLE_WORLD[3]
+        ):
+            bbox = None
+    if bbox is not None:
+        for i, bx in enumerate(G.idl_safe_boxes(*bbox)):
+            p = (
+                F.col(lon_col).between(F.lit(bx[0]), F.lit(bx[2]))
+                & F.col(lat_col).between(F.lit(bx[1]), F.lit(bx[3]))
+            )
+            box_pred = p if i == 0 else box_pred | p
+        out = out.filter(box_pred)
+        # cell ranges: redundant with lon/lat semantically, but they
+        # align with the table's cell sort order so Parquet row-group
+        # stats skip (the Z2 range-scan analog)
+        ranges = []
+        for bx in G.idl_safe_boxes(*bbox):
+            ranges.extend(V.zranges_2d(*bx, bits=cell_bits, max_ranges=max_ranges))
+        pred = cell_range_predicate(V.merge_ranges(ranges), F.col(cell_col))
+        if pred is not None:
+            out = out.filter(pred)
+
+    # --- temporal (week pruning + interval) ---
+    if spec.t0 is not None or spec.t1 is not None:
+        if spec.t0 is not None:
+            t0 = _round_seconds(spec.t0, spec.t0_exclusive, True)
+            e0 = _epoch(t0)
+            cmp0 = F.col(dtg_col) > F.lit(t0).cast("timestamp") if spec.t0_exclusive \
+                else F.col(dtg_col) >= F.lit(t0).cast("timestamp")
+            out = out.filter(cmp0)
+        if spec.t1 is not None:
+            t1 = _round_seconds(spec.t1, spec.t1_exclusive, False)
+            e1 = _epoch(t1)
+            cmp1 = F.col(dtg_col) < F.lit(t1).cast("timestamp") if spec.t1_exclusive \
+                else F.col(dtg_col) <= F.lit(t1).cast("timestamp")
+            out = out.filter(cmp1)
+        if spec.t0 is not None and spec.t1 is not None and week_col in df.columns:
+            w0 = _epoch(t0) // C.SECONDS_IN_WEEK
+            w1 = _epoch(t1) // C.SECONDS_IN_WEEK
+            out = out.filter(F.col(week_col).between(F.lit(w0), F.lit(w1)))
+
+    # --- attributes ---
+    for pred_sql in spec.attr_predicates:
+        out = out.filter(F.expr(pred_sql))
+
+    # --- residual exact geometry ---
+    if geom is not None:
+        out = out.filter(
+            _refine_geom(F.lit(spec.geometry_wkt), F.col(lon_col), F.col(lat_col))
+        )
+    return out

@@ -1,0 +1,118 @@
+"""Analytics operators vs numpy/pandas oracles (density grids, time
+series, BIN byte layout — the reference's iterator-test style,
+DensityIteratorTest / TemporalDensityIteratorTest /
+BinAggregatingIteratorTest analogs)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators import analytics as A
+from geomesa_spark.sources import docs as D
+
+
+@pytest.fixture(scope="module")
+def enriched(spark):
+    df = D.extract_geometry(D.synth_docs(spark, 3000, partitions=4)).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def pdf(enriched):
+    return enriched.select("doc_id", "lon", "lat", "dtg").toPandas()
+
+
+def test_density_matches_numpy(enriched, pdf):
+    bbox = (-180.0, -90.0, 180.0, 90.0)
+    W, H = 36, 18
+    out = A.density(enriched, bbox, W, H).toPandas()
+    i = np.clip(np.floor((pdf.lon.values + 180.0) / 10.0), 0, W - 1).astype(int)
+    j = np.clip(np.floor((pdf.lat.values + 90.0) / 10.0), 0, H - 1).astype(int)
+    exp = pd.DataFrame({"i": i, "j": j}).groupby(["i", "j"]).size()
+    got = out.set_index(["i", "j"])["weight"]
+    assert got.sort_index().to_dict() == exp.sort_index().to_dict()
+    assert got.sum() == len(pdf)
+
+
+def test_temporal_density(enriched, pdf):
+    out = A.temporal_density(enriched, D.T0_EPOCH, D.T1_EPOCH + 1, 24).toPandas()
+    es = pdf.dtg.astype("int64") // 10**9
+    b = ((es - D.T0_EPOCH) * 24 // (D.T1_EPOCH + 1 - D.T0_EPOCH)).astype(int)
+    exp = b.value_counts().sort_index()
+    got = out.set_index("bucket")["n"].sort_index()
+    assert got.to_dict() == exp.to_dict()
+
+
+def test_unique_values(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": ["a", "b", "a", "c", "a", "b"]})
+    )
+    out = A.unique_values(df, "v", sort_by="n", descending=True).toPandas()
+    assert out.iloc[0].to_list() == ["a", 3]
+    assert set(out.value) == {"a", "b", "c"}
+
+
+def test_map_aggregate(spark):
+    df = spark.createDataFrame(
+        [({"a": 1, "b": 2},), ({"a": 5, "c": 7},)], ["m"]
+    )
+    out = {r.key: r.total for r in A.map_aggregate(df, "m").collect()}
+    assert out == {"a": 6, "b": 2, "c": 7}
+    merged = A.map_aggregate_as_map(df, "m").collect()[0].merged
+    assert merged == {"a": 6, "b": 2, "c": 7}
+
+
+def test_bin_export_byte_layout(spark):
+    pdf_in = pd.DataFrame(
+        {
+            "track": ["t1", "t1", "t2"],
+            "dtg": pd.to_datetime(
+                ["2010-05-07 10:00:00", "2010-05-07 09:00:00", "2010-05-07 11:00:00"],
+                utc=True,
+            ),
+            "lon": [40.0, 41.0, 42.0],
+            "lat": [6.0, 7.0, 8.0],
+        }
+    )
+    df = spark.createDataFrame(pdf_in).coalesce(1)
+    chunks = [r.chunk for r in A.bin_export(df, "track").collect()]
+    dec = A.bin_decode(chunks)
+    assert len(dec) == 3
+    # 16-byte records, little-endian: verify against manual pack
+    assert len(chunks[0]) == 3 * 16
+    # within-chunk sort by secs (BinSorter parity)
+    assert list(dec.secs) == sorted(dec.secs)
+    assert set(dec.lon.astype(float).round(1)) == {40.0, 41.0, 42.0}
+    # labeled variant = 24 bytes
+    df2 = df.withColumn("lbl", F.lit(9).cast("long"))
+    chunks2 = [r.chunk for r in A.bin_export(df2, "track", label_col="lbl").collect()]
+    dec2 = A.bin_decode(chunks2, labeled=True)
+    assert len(chunks2[0]) == 3 * 24
+    assert (dec2.label == 9).all()
+
+
+def test_point2point(spark):
+    pdf_in = pd.DataFrame(
+        {
+            "track": ["a", "a", "a", "b"],
+            "dtg": pd.to_datetime(
+                ["2010-01-01", "2010-01-02", "2010-01-03", "2010-01-01"], utc=True
+            ),
+            "lon": [0.0, 1.0, 2.0, 5.0],
+            "lat": [0.0, 1.0, 2.0, 5.0],
+        }
+    )
+    df = spark.createDataFrame(pdf_in)
+    out = A.point2point(df, "track").toPandas()
+    a = out[out.group == "a"].sort_values("t1")
+    assert len(a) == 2 and len(out) == 2  # track b has no pair
+    assert a.iloc[0][["x1", "y1", "x2", "y2"]].to_list() == [0.0, 0.0, 1.0, 1.0]
+
+
+def test_count_by_day(enriched, pdf):
+    out = A.count_by_day(enriched).toPandas()
+    exp = pdf.dtg.dt.strftime("%Y%m%d").value_counts()
+    got = out.set_index("day")["n"]
+    assert got.to_dict() == exp.to_dict()

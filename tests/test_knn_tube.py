@@ -1,0 +1,85 @@
+"""kNN + tube-select correctness vs brute-force oracles (reference
+golden-result style: process tests under test/resources/process/knn,
+tubeselect)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geomesa_spark.operators import knn as K
+from geomesa_spark.operators import tube as TU
+from geomesa_spark.sources import docs as D
+
+
+@pytest.fixture(scope="module")
+def enriched(spark):
+    df = D.extract_geometry(D.synth_docs(spark, 3000, partitions=4)).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def pdf(enriched):
+    return enriched.select("doc_id", "lon", "lat", "dtg").toPandas()
+
+
+def _brute_knn(pdf, qlon, qlat, k):
+    d2 = (pdf.lon.values - qlon) ** 2 + (pdf.lat.values - qlat) ** 2
+    order = np.lexsort((pdf.lat.values, pdf.lon.values, d2))
+    return [pdf.doc_id.values[i] for i in order[:k]]
+
+
+def test_knn_matches_bruteforce(enriched, pdf):
+    queries = [
+        ("q_city", -73.98, 40.75),   # dense cluster: converges round 1
+        ("q_ocean", -140.0, -40.0),  # sparse: forces ring expansion
+        ("q_paris", 2.35, 48.86),
+    ]
+    k = 10
+    out = K.knn_join(enriched, queries, k=k).select("qid", "doc_id", "rank").toPandas()
+    for qid, qlon, qlat in queries:
+        got = out[out.qid == qid].sort_values("rank").doc_id.to_list()
+        exp = _brute_knn(pdf, qlon, qlat, k)
+        assert got == exp, f"{qid}: {got} != {exp}"
+
+
+def test_knn_k_larger_than_matches(spark):
+    small = D.extract_geometry(D.synth_docs(spark, 20, partitions=2))
+    out = K.knn_join(small, [("q", 0.0, 0.0)], k=50).toPandas()
+    assert len(out) == 20  # returns all available
+
+
+def test_tube_select_matches_bruteforce(enriched, pdf):
+    # track crossing the NYC cluster
+    track = [
+        (D.T0_EPOCH + 3 * 86400, -75.0, 40.0),
+        (D.T0_EPOCH + 4 * 86400, -73.5, 41.0),
+        (D.T0_EPOCH + 5 * 86400, -72.0, 41.5),
+    ]
+    buf = 0.8
+    delta = 2 * 86400
+    out = TU.tube_select(enriched, track, buf, delta)
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+
+    # oracle: point within buf of ANY segment with time in that
+    # segment's [ts1-delta, ts2+delta]
+    es = (pdf.dtg.astype("int64") // 10**9).values
+    exp = set()
+    for (t1, x1, y1), (t2, x2, y2) in zip(track, track[1:]):
+        dx, dy = x2 - x1, y2 - y1
+        ln2 = dx * dx + dy * dy
+        t = np.clip(((pdf.lon.values - x1) * dx + (pdf.lat.values - y1) * dy) / ln2, 0, 1)
+        d2 = (pdf.lon.values - (x1 + t * dx)) ** 2 + (pdf.lat.values - (y1 + t * dy)) ** 2
+        m = (d2 <= buf * buf) & (es >= t1 - delta) & (es <= t2 + delta)
+        exp.update(pdf.doc_id.values[m])
+    assert got == exp
+
+
+def test_tube_nofill(enriched, pdf):
+    track = [(D.T0_EPOCH + 86400, -73.98, 40.75)]
+    out = TU.tube_select(enriched, track, 0.5, 86400, gap_fill="nofill")
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    es = (pdf.dtg.astype("int64") // 10**9).values
+    d2 = (pdf.lon.values + 73.98) ** 2 + (pdf.lat.values - 40.75) ** 2
+    m = (d2 <= 0.25) & (np.abs(es - (D.T0_EPOCH + 86400)) <= 86400)
+    assert got == set(pdf.doc_id.values[m])

@@ -1,0 +1,126 @@
+"""Scan-planner parity tests.
+
+Fixture ports the reference's Z3IdxStrategyTest feature set
+(Z3IdxStrategyTest.scala:35-60): 30 points in 3 decades —
+POINT(40 6i) hourly on 2010-05-07; POINT(40 6(i-10)) daily across
+weeks; POINT(40 8(i-20)) — asserting exact ID sets per bbox+interval
+filter including whole-world and week-crossing cases (:81-119).
+"""
+
+from datetime import datetime, timezone
+
+import pandas as pd
+import pytest
+
+from geomesa_spark.plans import planner as P
+from geomesa_spark.sources import docs as D
+
+
+def _dt(s):
+    return datetime.strptime(s, "%Y-%m-%dT%H:%M:%S").replace(tzinfo=timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def fixture_df(spark):
+    rows = []
+    # decade 0: hourly on 2010-05-07, POINT(40, 6+i)
+    for i in range(10):
+        rows.append((f"f{i}", 40.0, 60.0 + i * 0.1, f"2010-05-07T{i:02d}:00:00"))
+    # decade 1: daily from 2010-05-03 (crosses week boundary), POINT(40, 6+(i-10))
+    for i in range(10, 20):
+        day = 3 + (i - 10)
+        rows.append((f"f{i}", 40.0, 60.0 + (i - 10) * 0.1, f"2010-05-{day:02d}T12:00:00"))
+    # decade 2: POINT(40, 8+(i-20)) on 2010-05-07
+    for i in range(20, 30):
+        rows.append((f"f{i}", 40.0, 80.0 + (i - 20) * 0.1, f"2010-05-07T{i-20:02d}:00:00"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lon", "lat", "iso"])
+    # reuse the doc enrichment path: build spans-equivalent columns directly
+    from pyspark.sql import functions as F
+    from geomesa_spark.functions import cells as C
+
+    df = (
+        spark.createDataFrame(pdf)
+        .withColumn("dtg", F.to_timestamp("iso", "yyyy-MM-dd'T'HH:mm:ss"))
+        .withColumn("week", C.week(F.col("dtg")))
+        .withColumn("cell", C.z2_cell(F.col("lon"), F.col("lat")))
+        .cache()
+    )
+    df.count()
+    return df
+
+
+def _ids(df):
+    return {r.doc_id for r in df.select("doc_id").collect()}
+
+
+def test_bbox_and_interval(fixture_df):
+    # analog of "whole world" filter: all 30
+    spec = P.QuerySpec(
+        bbox=(-180, -90, 180, 90),
+        t0=_dt("2010-05-01T00:00:00"),
+        t1=_dt("2010-05-31T23:59:59"),
+    )
+    assert len(_ids(P.scan(fixture_df, spec))) == 30
+
+    # bbox selecting decade 0+1 lat band, day of 2010-05-07
+    spec = P.QuerySpec(
+        bbox=(35.0, 55.0, 45.0, 75.0),
+        t0=_dt("2010-05-07T00:00:00"),
+        t1=_dt("2010-05-08T00:00:00"),
+    )
+    got = _ids(P.scan(fixture_df, spec))
+    assert got == {f"f{i}" for i in range(10)} | {"f14"}  # f14 = 2010-05-07 daily
+
+
+def test_exclusive_endpoint(fixture_df):
+    # t1 exclusive: hour-10 point excluded
+    spec = P.QuerySpec(
+        bbox=(35.0, 55.0, 45.0, 75.0),
+        t0=_dt("2010-05-07T00:00:00"),
+        t1=_dt("2010-05-07T05:00:00"),
+        t1_exclusive=True,
+    )
+    got = _ids(P.scan(fixture_df, spec))
+    assert got == {f"f{i}" for i in range(5)}
+    spec.t1_exclusive = False
+    got = _ids(P.scan(fixture_df, spec))
+    assert got == {f"f{i}" for i in range(6)}
+
+
+def test_week_crossing(fixture_df):
+    # week boundary falls within 2010-05-03..2010-05-12 (daily decade)
+    spec = P.QuerySpec(
+        bbox=(35.0, 55.0, 45.0, 75.0),
+        t0=_dt("2010-05-03T00:00:00"),
+        t1=_dt("2010-05-13T00:00:00"),
+    )
+    got = _ids(P.scan(fixture_df, spec))
+    assert {f"f{i}" for i in range(10, 20)} <= got
+
+
+def test_polygon_residual_refine(fixture_df):
+    # triangle catching only low-lat decade-0 points
+    spec = P.QuerySpec(
+        geometry_wkt="POLYGON ((39 59.5, 41 59.5, 40 60.45, 39 59.5))"
+    )
+    got = _ids(P.scan(fixture_df, spec))
+    # decade-0 AND decade-1 share lon 40 / lat 60.0..60.4 inside the apex
+    assert got == {f"f{i}" for i in range(5)} | {f"f{i}" for i in range(10, 15)}
+
+
+def test_id_scan(fixture_df):
+    spec = P.QuerySpec(ids=["f3", "f17", "f29"])
+    assert _ids(P.scan(fixture_df, spec)) == {"f3", "f17", "f29"}
+
+
+def test_attr_predicate(fixture_df):
+    spec = P.QuerySpec(attr_predicates=["lat >= 80.5"])
+    got = _ids(P.scan(fixture_df, spec))
+    assert got == {f"f{i}" for i in range(25, 30)}
+
+
+def test_whole_world_dropped(fixture_df):
+    """Whole-world bbox must not emit any lon/lat/cell predicates."""
+    spec = P.QuerySpec(bbox=(-180, -90, 180, 90))
+    plan = P.scan(fixture_df, spec)._jdf.queryExecution().optimizedPlan().toString()
+    assert "lon" not in plan.lower() or "Filter" not in plan

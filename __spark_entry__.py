@@ -3,36 +3,694 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The driver testdata has no geometry columns, so spatial queries
+derive deterministic lon/lat/time from ``events`` with *identical
+integer/double arithmetic* on both engines:
+
+    lon = (event_id*9973 % 36000)/100.0 - 180.0
+    lat = (event_id*7919 % 18000)/100.0 - 90.0
+    es  = floor(epoch seconds of ts)          (session TZ = UTC)
+
+Every float-valued output either comes from bit-identical double
+expressions on both sides or is aggregated in fixed-point int64
+(order-independent), so the value-hash comparison is exact by
+construction — no tolerance needed.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geomesa_spark.functions import cells as C
+from geomesa_spark.operators import analytics as A
+from geomesa_spark.operators import ann as N
+from geomesa_spark.operators import dedup as D
+from geomesa_spark.operators import text as X
+from geomesa_spark.operators.knn import knn_join
+from geomesa_spark.operators.spatial_join import (
+    pip_join_broadcast,
+    pip_join_partitioned,
+    proximity_join,
+)
+from geomesa_spark.operators.tube import tube_select
+from geomesa_spark.plans.planner import QuerySpec, scan
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# shared fixtures (identical constants on both engines)
+# ---------------------------------------------------------------------------
+
+T0 = 1704067200  # 2024-01-01T00:00:00Z
+T1 = 1706659200  # 2024-01-31T00:00:00Z
+
+# convex polygons with vertices off the derived 0.01-degree grid
+RECT = (10.005, 20.005, 80.005, 60.005)
+TRIANGLE = [(-120.005, -40.005), (-60.005, -40.005), (-90.005, 30.005)]
+PENTAGON = [
+    (100.005, -10.005),
+    (140.005, 0.005),
+    (130.005, 40.005),
+    (105.005, 45.005),
+    (90.005, 15.005),
+]
+SITES = [("s1", 2.345, 48.855, 3.0), ("s2", -73.985, 40.755, 5.0),
+         ("s3", 139.695, 35.685, 4.0)]
+KNN_QUERIES = [("q1", 0.0, 0.0), ("q2", 100.0, 45.0), ("q3", -150.0, -60.0)]
+KNN_K = 7
+TUBE_TRACK = [
+    (1704672000, 2.005, 48.005),
+    (1705276800, 10.005, 50.005),
+    (1705881600, 20.005, 52.005),
+]
+TUBE_BUF = 5.0
+TUBE_DELTA = 172800
+BBOX = (-30.005, -20.005, 40.005, 35.005)
+SCAN_T0 = datetime(2024, 1, 5, tzinfo=timezone.utc)
+SCAN_T1 = datetime(2024, 1, 20, tzinfo=timezone.utc)
+DOC_IDS = [3, 17, 42, 99, 123, 256]
+JACCARD_N = 2
+JACCARD_THRESHOLD = 0.2
+NEARDUP_COS = 0.45
+ANN_K = 10
+ANN_NQ = 5
+
+
+def _poly_wkt(verts: list[tuple[float, float]]) -> str:
+    pts = ", ".join(f"{x} {y}" for x, y in verts)
+    x0, y0 = verts[0]
+    return f"POLYGON (({pts}, {x0} {y0}))"
+
+
+def _rect_wkt(r) -> str:
+    xmin, ymin, xmax, ymax = r
+    return _poly_wkt([(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax)])
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def geo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + derived lon/lat/dtg/week/cell (see module docstring)."""
+    ev = _load(spark, sf_dir, "events")
+    lon = (F.col("event_id") * 9973 % 36000) / 100.0 - 180.0
+    lat = (F.col("event_id") * 7919 % 18000) / 100.0 - 90.0
+    return (
+        ev.withColumn("lon", lon)
+        .withColumn("lat", lat)
+        .withColumn("dtg", F.col("ts"))
+        .withColumn("week", C.week(F.col("dtg")))
+        .withColumn("cell", C.z2_cell(F.col("lon"), F.col("lat")))
+        .withColumn("wfp", F.floor(F.col("value") * F.lit(1000000.0)).cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders
+# ---------------------------------------------------------------------------
+
+PTS_CTE = """pts AS (
+  SELECT event_id, event_type, value,
+         (event_id*9973 % 36000)/100.0 - 180.0 AS lon,
+         (event_id*7919 % 18000)/100.0 - 90.0 AS lat,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         ts
+  FROM events
+)"""
+
+
+def _convex_cond(verts: list[tuple[float, float]]) -> str:
+    """Strict-interior test for a CCW convex polygon: every edge
+    cross product positive (constants pre-folded in Python so both
+    engines see identical literals)."""
+    conds = []
+    n = len(verts)
+    for i in range(n):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % n]
+        dx, dy = x2 - x1, y2 - y1
+        conds.append(
+            f"(({dx!r})*(lat-({y1!r})) - ({dy!r})*(lon-({x1!r})) > 0)"
+        )
+    return "(" + " AND ".join(conds) + ")"
+
+
+def _grid_xy_cols() -> str:
+    n = 1 << C.XY_BITS
+    return (
+        f"CAST(least({n - 1}, greatest(0, floor((lon+180.0)/360.0*{float(n)!r}))) AS BIGINT) AS x, "
+        f"CAST(least({n - 1}, greatest(0, floor((lat+90.0)/180.0*{float(n)!r}))) AS BIGINT) AS y"
+    )
+
+
+def _grid_xy_sql() -> str:
+    return f"SELECT event_id, es, {_grid_xy_cols()} FROM pts"
+
+
+def _spread_sql(inner: str, cols: list[str], steps, init_mask: int) -> str:
+    q = (
+        "SELECT event_id, es, "
+        + ", ".join(f"({c} & {init_mask}) AS {c}" for c in cols)
+        + f" FROM ({inner})"
+    )
+    for shift, mask in steps:
+        # (x | (x<<s)) & m  ==  (x | ((x & (m>>s)) << s)) & m, and the
+        # pre-mask keeps the shift below 2^63 (DuckDB checks overflow;
+        # the JVM wraps — results agree because wrapped bits are masked)
+        pre = mask >> shift
+        q = (
+            "SELECT event_id, es, "
+            + ", ".join(
+                f"(({c} | (({c} & {pre}) << {shift})) & {mask}) AS {c}" for c in cols
+            )
+            + f" FROM ({q})"
+        )
+    return q
+
+
+def _z2_cell_sql() -> str:
+    """Subquery: (event_id, es, cell) — Z2 encode in pure SQL."""
+    spread = _spread_sql(_grid_xy_sql(), ["x", "y"], C._SPREAD2, 0x7FFFFFFF)
+    return f"SELECT event_id, es, x | (y << 1) AS cell FROM ({spread})"
+
+
+def _z3_cell_sql() -> str:
+    n = 1 << C.T_BITS
+    inner = (
+        f"SELECT event_id, es, {_grid_xy_cols()}, "
+        f"CAST(least({n - 1}, greatest(0, floor(CAST(es % 604800 AS DOUBLE)/"
+        f"{float(C.SECONDS_IN_WEEK)!r}*{float(n)!r}))) AS BIGINT) AS t FROM pts"
+    )
+    spread = _spread_sql(inner, ["x", "y", "t"], C._SPREAD3, 0x1FFFFF)
+    return f"SELECT event_id, es, x | (y << 1) | (t << 2) AS z3 FROM ({spread})"
+
+
+def _hash32_sql(expr: str) -> str:
+    """uint32 from md5 prefix — mirrors dedup.shingle_hash."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+SHINGLES_CTE = f"""toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+{JACCARD_N - 1}], ' ') AS s
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-{JACCARD_N - 1})) AS i
+        FROM toks)
+),
+sz AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id)"""
+
+JACCARD_PAIRS_SQL = f"""inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b, ni / (x.ns + y.ns - ni) AS jaccard
+  FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+)"""
+
+
+def _minhash_cols_sql() -> str:
+    h = _hash32_sql("s")
+    cols = []
+    for j in range(D.NUM_HASHES):
+        cols.append(
+            f"CAST(min(({h} * {D._A[j]} + {D._B[j]}) % {D.MINHASH_P}) AS BIGINT) AS mh{j}"
+        )
+    return ", ".join(cols)
+
+
+def _band_selects() -> str:
+    parts = []
+    n_bands = D.NUM_HASHES // D.BAND_SIZE
+    for b in range(n_bands):
+        key = f"'{b}' || '_' || " + " || '_' || ".join(
+            f"mh{b * D.BAND_SIZE + j}" for j in range(D.BAND_SIZE)
+        )
+        parts.append(f"SELECT doc_id, {key} AS band FROM sig")
+    return " UNION ALL ".join(parts)
+
+
+_EMB_FIXED_CTE = """fx AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS fv
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, unnest(fv) AS v, unnest(generate_series(1, len(fv))) AS i FROM fx
+),
+nrm AS (SELECT vec_id, CAST(sum(v*v) AS BIGINT) AS n2 FROM ex GROUP BY vec_id)"""
+
+
+def _lang_case_sql() -> str:
+    score = {
+        lang: f"len(list_filter(string_split(text,' '), t -> t IN "
+        f"({', '.join(repr(w) for w in mk)})))"
+        for lang, mk in X.LANG_MARKERS
+    }
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    whens = "\n".join(
+        f"WHEN {best} > 0 AND {score[lang]} = {best} THEN '{lang}'"
+        for lang, _ in X.LANG_MARKERS
+    )
+    return f"CASE {whens} ELSE 'unk' END"
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: point-in-polygon spatial join (broadcast
+    strategy) over geo-enriched events at sf0.001."""
+    pts = geo_events(spark, SF_SMOKE)
+    polys = [
+        ("rect", _rect_wkt(RECT)),
+        ("tri", _poly_wkt(TRIANGLE)),
+        ("pent", _poly_wkt(PENTAGON)),
+    ]
+    return pip_join_broadcast(pts, polys).select("event_id", "poly_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- curve encoding parity (Z2 + Z3 + week) ---
+    def z_encode(spark, sf):
+        ge = geo_events(spark, sf)
+        return ge.select(
+            "event_id",
+            F.col("week"),
+            F.col("cell"),
+            C.z3_combine(
+                C.lon_to_x(F.col("lon")),
+                C.lat_to_y(F.col("lat")),
+                C.time_to_t(C.secs_in_week(F.col("dtg"))),
+            ).alias("z3"),
+        )
+
+    q["z_encode"] = z_encode
+
+    # --- planner: bbox + time-interval pruned scan ---
+    def bbox_scan(spark, sf):
+        ge = geo_events(spark, sf)
+        spec = QuerySpec(bbox=BBOX, t0=SCAN_T0, t1=SCAN_T1)
+        return scan(ge, spec).select("event_id")
+
+    q["bbox_scan"] = bbox_scan
+
+    # --- spatial joins: both physical strategies ---
+    _polys = [
+        ("rect", _rect_wkt(RECT)),
+        ("tri", _poly_wkt(TRIANGLE)),
+        ("pent", _poly_wkt(PENTAGON)),
+    ]
+
+    def pip_broadcast(spark, sf):
+        return pip_join_broadcast(geo_events(spark, sf), _polys).select(
+            "event_id", "poly_id"
+        )
+
+    def pip_partitioned(spark, sf):
+        polys_df = spark.createDataFrame(_polys, "poly_id string, geom_wkt string")
+        # continental-scale polygons -> coarse cover resolution
+        return pip_join_partitioned(geo_events(spark, sf), polys_df, bits=6).select(
+            "event_id", "poly_id"
+        )
+
+    q["pip_broadcast"] = pip_broadcast
+    q["pip_partitioned"] = pip_partitioned
+
+    def dwithin_proximity(spark, sf):
+        return proximity_join(geo_events(spark, sf), SITES).select(
+            "event_id", "site_id"
+        )
+
+    q["dwithin_proximity"] = dwithin_proximity
+
+    def knn(spark, sf):
+        out = knn_join(
+            geo_events(spark, sf), KNN_QUERIES, KNN_K, tiebreak_col="event_id"
+        )
+        return out.select("qid", "event_id", "dist2", "rank")
+
+    q["knn"] = knn
+
+    def tube(spark, sf):
+        out = tube_select(
+            geo_events(spark, sf),
+            TUBE_TRACK,
+            TUBE_BUF,
+            TUBE_DELTA,
+            gap_fill="nofill",
+            id_col="event_id",
+        )
+        return out.select("event_id")
+
+    q["tube_select"] = tube
+
+    def tile_assign(spark, sf):
+        ge = geo_events(spark, sf)
+        return ge.select(
+            "event_id", C.cell_parent(F.col("cell"), C.XY_BITS, 8).alias("tile")
+        )
+
+    q["tile_assign"] = tile_assign
+
+    # --- aggregations ---
+    def density(spark, sf):
+        return A.density(
+            geo_events(spark, sf), (-180.0, -90.0, 180.0, 90.0), 36, 18,
+            weight_col="wfp",
+        )
+
+    q["density"] = density
+
+    def temporal_density(spark, sf):
+        return A.temporal_density(geo_events(spark, sf), T0, T1, 60)
+
+    q["temporal_density"] = temporal_density
+
+    def unique_vals(spark, sf):
+        return A.unique_values(geo_events(spark, sf), "event_type", sort_by="value")
+
+    q["unique_values"] = unique_vals
+
+    def count_by_day(spark, sf):
+        return A.count_by_day(geo_events(spark, sf))
+
+    q["count_by_day"] = count_by_day
+
+    def map_agg(spark, sf):
+        ge = geo_events(spark, sf)
+        m = ge.select(F.create_map(F.col("event_type"), F.col("wfp")).alias("m"))
+        return A.map_aggregate(m, "m")
+
+    q["map_aggregate"] = map_agg
+
+    # --- planner: attribute + ID strategies ---
+    def attr_scan(spark, sf):
+        part = _load(spark, sf, "part")
+        spec = QuerySpec(
+            attr_predicates=["p_type LIKE 'S%'", "p_size BETWEEN 10 AND 30"]
+        )
+        return scan(part, spec).select("p_partkey", "p_type", "p_size")
+
+    q["attr_scan"] = attr_scan
+
+    def id_scan(spark, sf):
+        docs = _load(spark, sf, "documents")
+        return scan(docs, QuerySpec(ids=DOC_IDS), id_col="doc_id").select(
+            "doc_id", "lang", "source"
+        )
+
+    q["id_scan"] = id_scan
+
+    # --- text analysis ---
+    def text_profile(spark, sf):
+        return X.profile(_load(spark, sf, "documents"))
+
+    q["text_profile"] = text_profile
+
+    # --- dedup family ---
+    def dedup_exact(spark, sf):
+        return D.exact_dedup(_load(spark, sf, "documents"))
+
+    q["dedup_exact"] = dedup_exact
+
+    def ngram_jaccard(spark, sf):
+        return D.ngram_jaccard_pairs(
+            _load(spark, sf, "documents"), JACCARD_THRESHOLD, n=JACCARD_N
+        )
+
+    q["ngram_jaccard"] = ngram_jaccard
+
+    def minhash_lsh(spark, sf):
+        return D.minhash_lsh_pairs(
+            _load(spark, sf, "documents"), JACCARD_THRESHOLD, n=JACCARD_N
+        )
+
+    q["minhash_lsh"] = minhash_lsh
+
+    def simhash(spark, sf):
+        return D.simhash(_load(spark, sf, "documents"))
+
+    q["simhash"] = simhash
+
+    def emb_neardup(spark, sf):
+        return D.embedding_neardup_pairs(_load(spark, sf, "embeddings"), NEARDUP_COS)
+
+    q["embedding_neardup"] = emb_neardup
+
+    # --- similarity search ---
+    def ann_bruteforce(spark, sf):
+        emb = _load(spark, sf, "embeddings")
+        return N.cosine_topk(emb, emb.filter(F.col("vec_id") < ANN_NQ), ANN_K)
+
+    q["ann_bruteforce"] = ann_bruteforce
+
+    def ann_lsh(spark, sf):  # approximate: rows-only check (no oracle)
+        emb = _load(spark, sf, "embeddings")
+        return N.lsh_topk(
+            emb, emb.filter(F.col("vec_id") < ANN_NQ), ANN_K, dim=64, multiprobe=1
+        )
+
+    q["ann_lsh"] = ann_lsh
+
+    # --- BIN export (binary format: rows-only check) ---
+    def bin_export(spark, sf):
+        ge = geo_events(spark, sf)
+        return A.bin_export(ge, track_col="user_id")
+
+    q["bin_export"] = bin_export
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["z_encode"] = f"""
+WITH {PTS_CTE},
+z2 AS ({_z2_cell_sql()}), z3 AS ({_z3_cell_sql()})
+SELECT z2.event_id,
+       CAST(floor(z2.es/604800.0) AS INT) AS week,
+       z2.cell AS cell, z3.z3 AS z3
+FROM z2 JOIN z3 ON z2.event_id = z3.event_id
+"""
+
+    xmin, ymin, xmax, ymax = BBOX
+    e0, e1 = int(SCAN_T0.timestamp()), int(SCAN_T1.timestamp())
+    o["bbox_scan"] = f"""
+WITH {PTS_CTE}
+SELECT event_id FROM pts
+WHERE lon BETWEEN {xmin!r} AND {xmax!r} AND lat BETWEEN {ymin!r} AND {ymax!r}
+  AND es >= {e0} AND es < {e1}
+"""
+
+    rxmin, rymin, rxmax, rymax = RECT
+    rect_cond = (
+        f"(lon BETWEEN {rxmin!r} AND {rxmax!r} AND lat BETWEEN {rymin!r} AND {rymax!r})"
+    )
+    pip_sql = f"""
+WITH {PTS_CTE}
+SELECT event_id, 'rect' AS poly_id FROM pts WHERE {rect_cond}
+UNION ALL
+SELECT event_id, 'tri' AS poly_id FROM pts WHERE {_convex_cond(TRIANGLE)}
+UNION ALL
+SELECT event_id, 'pent' AS poly_id FROM pts WHERE {_convex_cond(PENTAGON)}
+"""
+    o["pip_broadcast"] = pip_sql
+    o["pip_partitioned"] = pip_sql
+
+    site_rows = ", ".join(
+        f"('{sid}', {slon!r}, {slat!r}, {rad!r})" for sid, slon, slat, rad in SITES
+    )
+    o["dwithin_proximity"] = f"""
+WITH {PTS_CTE}
+SELECT event_id, site_id
+FROM pts JOIN (VALUES {site_rows}) AS sites(site_id, sx, sy, r)
+  ON (lon-sx)*(lon-sx) + (lat-sy)*(lat-sy) <= r*r
+"""
+
+    knn_rows = ", ".join(
+        f"('{qid}', {qx!r}, {qy!r})" for qid, qx, qy in KNN_QUERIES
+    )
+    o["knn"] = f"""
+WITH {PTS_CTE},
+d AS (
+  SELECT qid, event_id,
+         (lon-qx)*(lon-qx) + (lat-qy)*(lat-qy) AS dist2, lon, lat
+  FROM pts, (VALUES {knn_rows}) AS q(qid, qx, qy)
+)
+SELECT qid, event_id, dist2, CAST(rk AS INT) AS "rank" FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY dist2, lon, lat, event_id) AS rk FROM d
+) WHERE rk <= {KNN_K}
+"""
+
+    tube_rows = ", ".join(
+        f"({tt}, {tx!r}, {ty!r})" for tt, tx, ty in TUBE_TRACK
+    )
+    o["tube_select"] = f"""
+WITH {PTS_CTE}
+SELECT DISTINCT event_id
+FROM pts JOIN (VALUES {tube_rows}) AS tube(tt, tx, ty)
+  ON (lon-tx)*(lon-tx) + (lat-ty)*(lat-ty) <= {TUBE_BUF * TUBE_BUF!r}
+ AND es >= tt - {TUBE_DELTA} AND es <= tt + {TUBE_DELTA}
+"""
+
+    o["tile_assign"] = f"""
+WITH {PTS_CTE}, z2 AS ({_z2_cell_sql()})
+SELECT event_id, cell >> {2 * (C.XY_BITS - 8)} AS tile FROM z2
+"""
+
+    o["density"] = f"""
+WITH {PTS_CTE}
+SELECT CAST(least(35, greatest(0, floor((lon - (-180.0))/10.0))) AS INT) AS i,
+       CAST(least(17, greatest(0, floor((lat - (-90.0))/10.0))) AS INT) AS j,
+       CAST(sum(CAST(floor(value*1000000.0) AS BIGINT)) AS BIGINT) AS weight
+FROM pts
+WHERE lon BETWEEN -180.0 AND 180.0 AND lat BETWEEN -90.0 AND 90.0
+GROUP BY 1, 2
+"""
+
+    o["temporal_density"] = f"""
+WITH {PTS_CTE}
+SELECT CAST(floor((es - {T0}) * 60 / {float(T1 - T0)!r}) AS INT) AS bucket,
+       count(*) AS n
+FROM pts WHERE es >= {T0} AND es < {T1}
+GROUP BY 1
+"""
+
+    o["unique_values"] = (
+        "SELECT event_type AS value, count(*) AS n FROM events GROUP BY 1"
+    )
+
+    o["count_by_day"] = (
+        "SELECT strftime(ts, '%Y%m%d') AS day, count(*) AS n FROM events GROUP BY 1"
+    )
+
+    o["map_aggregate"] = """
+SELECT event_type AS key,
+       CAST(sum(CAST(floor(value*1000000.0) AS BIGINT)) AS BIGINT) AS total
+FROM events GROUP BY 1
+"""
+
+    o["attr_scan"] = """
+SELECT p_partkey, p_type, p_size FROM part
+WHERE p_type LIKE 'S%' AND p_size BETWEEN 10 AND 30
+"""
+
+    o["id_scan"] = (
+        "SELECT doc_id, lang, source FROM documents WHERE doc_id IN ("
+        + ", ".join(str(i) for i in DOC_IDS)
+        + ")"
+    )
+
+    stop_in = ", ".join(repr(w) for w in X.STOPWORDS)
+    o["text_profile"] = f"""
+SELECT doc_id,
+  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_types,
+  CAST(len(text) AS BIGINT) AS n_chars,
+  len(list_filter(string_split(text,' '), t -> t IN ({stop_in})))
+    / len(string_split(text,' ')) AS stop_ratio,
+  len(list_distinct(string_split(text,' ')))
+    / len(string_split(text,' ')) AS ttr,
+  0.5 * least(len(string_split(text,' ')) / 100.0, 1.0)
+    + 0.3 * (len(list_distinct(string_split(text,' ')))
+             / len(string_split(text,' ')))
+    + 0.2 * (1.0 - len(list_filter(string_split(text,' '), t -> t IN ({stop_in})))
+             / len(string_split(text,' '))) AS quality,
+  {_lang_case_sql()} AS pred_lang,
+  md5(lower(trim(text))) AS fp
+FROM documents
+"""
+
+    o["dedup_exact"] = """
+SELECT md5(lower(trim(text))) AS fp,
+       min(doc_id) AS canonical_id, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+    o["ngram_jaccard"] = f"""
+WITH {SHINGLES_CTE},
+{JACCARD_PAIRS_SQL}
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD!r}
+"""
+
+    o["minhash_lsh"] = f"""
+WITH {SHINGLES_CTE},
+sig AS (SELECT doc_id, {_minhash_cols_sql()} FROM sh GROUP BY doc_id),
+bands AS ({_band_selects()}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
+),
+{JACCARD_PAIRS_SQL}
+SELECT c.doc_a, c.doc_b, jaccard
+FROM cand c JOIN jac ON jac.doc_a = c.doc_a AND jac.doc_b = c.doc_b
+WHERE jaccard >= {JACCARD_THRESHOLD!r}
+"""
+
+    bit_votes = ", ".join(
+        f"CAST(sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v{b}"
+        for b in range(D.SIMHASH_BITS)
+    )
+    bit_sum = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(D.SIMHASH_BITS)
+    )
+    o["simhash"] = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text,' '))) AS t
+  FROM documents
+),
+h AS (SELECT doc_id, {_hash32_sql('t')} AS hv FROM tok),
+agg AS (SELECT doc_id, {bit_votes} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({bit_sum} AS BIGINT) AS simhash FROM agg
+"""
+
+    o["embedding_neardup"] = f"""
+WITH {_EMB_FIXED_CTE},
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(sum(a.v*b.v) AS BIGINT) AS dot
+  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       dot / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)) AS cos
+FROM dots JOIN nrm x ON x.vec_id = id_a JOIN nrm y ON y.vec_id = id_b
+WHERE dot / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)) >= {NEARDUP_COS!r}
+"""
+
+    o["ann_bruteforce"] = f"""
+WITH {_EMB_FIXED_CTE},
+dots AS (
+  SELECT q.vec_id AS qid, c.vec_id AS vec_id, CAST(sum(q.v*c.v) AS BIGINT) AS dot
+  FROM ex q JOIN ex c ON q.i = c.i AND q.vec_id < {ANN_NQ} AND c.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid, dots.vec_id AS vec_id,
+         dot / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)) AS cos
+  FROM dots JOIN nrm x ON x.vec_id = qid JOIN nrm y ON y.vec_id = dots.vec_id
+)
+SELECT qid, vec_id, cos, CAST(rk AS INT) AS "rank" FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= {ANN_K}
+"""
+
+    return o

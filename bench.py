@@ -1,0 +1,111 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "throughput": {...}}
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] parallelism (default 32)
+  BENCH_QUERIES       comma-separated subset (default: headline set)
+
+Each query is forced end-to-end with the noop sink (all columns
+materialized, nothing collected to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "z_encode",
+    "bbox_scan",
+    "pip_broadcast",
+    "pip_partitioned",
+    "dwithin_proximity",
+    "knn",
+    "tube_select",
+    "tile_assign",
+    "density",
+    "temporal_density",
+    "text_profile",
+    "dedup_exact",
+    "minhash_lsh",
+    "simhash",
+    "ann_bruteforce",
+    "ann_lsh",
+]
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("geomesa_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    names = os.environ.get("BENCH_QUERIES")
+    names = names.split(",") if names else HEADLINE
+
+    import __spark_entry__ as E
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = E.queries()
+
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in names:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spatial = [k for k in ("pip_broadcast", "pip_partitioned", "knn", "tube_select")
+               if k in times]
+    spatial_sec = sum(times[k] for k in spatial) or 1e-9
+    out = {
+        "metric": "headline query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "throughput": {
+            "spatial_join_docs_per_sec": round(
+                n_events * len(spatial) / spatial_sec, 1
+            ),
+            "tile_assignments_per_sec": round(
+                n_events / max(times.get("tile_assign", 0), 1e-9), 1
+            ),
+            "docs_profiled_per_sec": round(
+                n_docs / max(times.get("text_profile", 0), 1e-9), 1
+            ),
+        },
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

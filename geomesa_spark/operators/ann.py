@@ -1,0 +1,184 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Extends the engine's kNN surface (operators/knn.py implements the
+reference's geographic kNN, KNNQuery.scala:56-81) to embedding
+space for training-data pipelines:
+
+- `cosine_topk`    — brute-force exact top-k (baseline/oracle): one
+  broadcast of the query set, narrow per-row dot products via
+  higher-order array functions (JVM codegen, zero Python), one
+  window top-k partitioned by query id.
+- `lsh_buckets` / `lsh_topk` — random-hyperplane LSH: deterministic
+  hyperplanes derived from splitmix64 counters, sign-bit bucket key,
+  candidates restricted to same/multi-probe buckets, exact re-rank
+  inside buckets. The scale path: at 10^12 vectors the bucket key
+  becomes the shuffle/partition key and each query touches only
+  ~n/2^bits of the corpus per probe.
+
+Dot products use fixed-point int64 arithmetic (dedup.FIXED_SCALE) so
+scores are exactly reproducible across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators.dedup import _dot, _fixed
+
+
+def _with_fixed(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(f"{prefix}id"), _fixed(F.col(vec_col)).alias(f"{prefix}fv")
+    ).withColumn(f"{prefix}nrm", _dot(F.col(f"{prefix}fv"), F.col(f"{prefix}fv")))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    `queries` is the small side (broadcast); the corpus is scanned
+    once, narrow, with partial top-k done by the window after one
+    shuffle on qid. Self-matches (same id) are excluded.
+    Returns (qid, vec_id, cos, rank).
+    """
+    c = _with_fixed(corpus, id_col, vec_col, "c_")
+    q = _with_fixed(queries, q_id_col, q_vec_col, "q_")
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col("c_id") != F.col("q_id"))
+    cos = (
+        _dot(F.col("c_fv"), F.col("q_fv"))
+        / F.sqrt(F.col("c_nrm").cast("double") * F.col("q_nrm").cast("double"))
+    ).alias("cos")
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        joined.select(F.col("q_id").alias("qid"), F.col("c_id").alias("vec_id"), cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplane / sign) — the 100 TB path
+# ---------------------------------------------------------------------------
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic pseudo-gaussian hyperplanes (counter-based, no
+    RNG state): sum of 4 uniforms − 2, from splitmix64 streams."""
+    idx = np.arange(dim * n_planes * 4, dtype=np.uint64) + np.uint64(seed * 1_000_003)
+    u = (_splitmix64(idx) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    g = u.reshape(n_planes, dim, 4).sum(axis=2) - 2.0
+    return g
+
+
+def lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Append the sign-bit LSH bucket id (0..2^n_planes-1).
+
+    The projection is a pure column expression: for each plane, an
+    `aggregate(zip_with(vec, plane_consts, *), +)` — JVM-side, no
+    Python, no shuffle. The bucket id is the natural partition key
+    for a bucketed/sorted corpus table at scale.
+    """
+    H = hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        consts = F.array(*[F.lit(float(c)) for c in H[p]])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), consts, lambda x, h: x.cast("double") * h),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0)
+        )
+    return df.withColumn(out_col, bucket)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 8,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's bucket, or any
+    bucket at hamming distance 1 when multiprobe>=1 flips each plane
+    bit. Exact fixed-point re-rank inside the candidate set.
+
+    Recall grows with multiprobe; the cost stays ~(1+n_planes)/2^p
+    of the brute-force join. Returns (qid, vec_id, cos, rank).
+    """
+    # buckets are computed on the *original* float vectors on both
+    # sides (fixed-point floor could flip signs of tiny components)
+    c = lsh_buckets(
+        _with_fixed(corpus, id_col, vec_col, "c_")
+        .join(corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("_raw")), "c_id")
+        ,
+        dim,
+        n_planes,
+        vec_col="_raw",
+        seed=seed,
+        out_col="c_bucket",
+    ).drop("_raw")
+    q = lsh_buckets(
+        _with_fixed(queries, q_id_col, q_vec_col, "q_")
+        .join(
+            queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("_raw")),
+            "q_id",
+        ),
+        dim,
+        n_planes,
+        vec_col="_raw",
+        seed=seed,
+        out_col="q_bucket",
+    ).drop("_raw")
+    # probe set: own bucket + hamming-1 neighbors (multiprobe)
+    probes = [F.col("q_bucket")]
+    if multiprobe >= 1:
+        for p in range(n_planes):
+            probes.append(
+                F.col("q_bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+            )
+    q = q.withColumn("probe", F.explode(F.array(*probes)))
+    joined = c.join(
+        F.broadcast(q),
+        (F.col("c_bucket") == F.col("probe")) & (F.col("c_id") != F.col("q_id")),
+    )
+    cos = (
+        _dot(F.col("c_fv"), F.col("q_fv"))
+        / F.sqrt(F.col("c_nrm").cast("double") * F.col("q_nrm").cast("double"))
+    ).alias("cos")
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        joined.select(F.col("q_id").alias("qid"), F.col("c_id").alias("vec_id"), cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

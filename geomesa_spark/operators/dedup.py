@@ -1,0 +1,287 @@
+"""Deduplication for training-data pipelines: exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Beyond the reference's operator set (its only dedup is by-feature-id
+after multi-range scans, DeDuplicatingIterator.scala:45 →
+`dropDuplicates`); these are the corpus-level near-dup operators a
+100 TB pipeline needs. All are pure DataFrame ops — higher-order
+array functions for shingling/hashing (JVM codegen, no Python), and
+the pair-generation joins are equi-joins on content keys
+(fingerprint / band bucket / shingle), which Spark executes as
+shuffle hash joins partitioned by that key.
+
+Scale notes (10^12 docs):
+- exact dedup: one shuffle on fingerprint — the canonical map-side
+  combinable groupBy.
+- MinHash LSH: cost is O(docs × shingles) narrow work + one shuffle
+  per band on the band bucket. Bucket keys are md5-derived so they
+  are uniformly distributed — no skew salting needed by design
+  (contrast with the spatial hot-cell problem).
+- all-pairs n-gram Jaccard is quadratic per shingle bucket; it is
+  the *oracle* / small-corpus path. LSH is the scale path; the two
+  agree above the LSH similarity threshold with high probability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators import text as X
+
+# MinHash parameters: h(shingle) = 32-bit integer from md5 prefix;
+# minhash_j = min((A_j * h + B_j) mod P). P prime > 2^32; A_j small
+# odd constants so A*h < 2^52 — no 64-bit overflow anywhere, and the
+# same arithmetic is expressible in any SQL engine (parity oracle).
+MINHASH_P = 4294967311
+NUM_HASHES = 16
+BAND_SIZE = 4  # -> 4 bands
+_A = [2 * j + 3 for j in range(NUM_HASHES)]  # 3,5,7,...
+_B = [(j * j + 1) * 7919 for j in range(NUM_HASHES)]
+
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles as an array column (JVM-side:
+    split + sequence + transform + array_distinct)."""
+    toks = F.split(text_col, " ")
+    count = F.size(toks) - (n - 1)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(sh)
+
+
+def shingle_hash(shingle_col):
+    """Shingle -> uint32 via md5 prefix (portable across engines)."""
+    return F.conv(F.substring(F.md5(shingle_col), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group identical (normalized) texts: returns one row per
+    distinct content with the canonical (min) id and the duplicate
+    count. Reference analog: dropDuplicates by content key."""
+    return (
+        df.select(
+            X.fingerprint(F.col(text_col)).alias("fp"), F.col(id_col)
+        )
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """All-pairs word-n-gram Jaccard similarity >= threshold.
+
+    Inverted-index join: explode distinct shingles, self-join on the
+    shingle (intersection counts arrive via one groupBy), then
+    |A∪B| = |A|+|B|−|A∩B|. Exact — the oracle for the LSH path.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    docs = _doc_shingles(df, text_col, id_col, n)
+    sizes = docs.select("doc", F.size("shingles").alias("n_sh"))
+    inv = docs.select("doc", F.explode("shingles").alias("sh"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: columns mh0..mh{NUM_HASHES-1}.
+
+    Entirely JVM-side: the min over shingles per hash function is
+    `array_min(transform(shingles, ...))` — narrow, no shuffle, no
+    Python. h(shingle) uses md5 so any engine reproduces it.
+    """
+    docs = _doc_shingles(df, text_col, id_col, n)
+    hs = docs.select(
+        "doc",
+        F.transform(F.col("shingles"), lambda s: shingle_hash(s)).alias("hv"),
+    )
+    def _mh(a, b):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+
+    cols = [F.col("doc")]
+    for j in range(NUM_HASHES):
+        cols.append(
+            F.array_min(F.transform(F.col("hv"), _mh(_A[j], _B[j]))).alias(f"mh{j}")
+        )
+    return hs.select(*cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + (optional) exact verify.
+
+    Bands of BAND_SIZE signature slots; docs sharing any full band
+    become candidates (equi-join on the band key — uniformly
+    distributed, skew-free). With verify=True candidates are checked
+    against exact n-gram Jaccard so output == brute force ∩ LSH
+    recall. Returns (doc_a, doc_b[, jaccard]).
+    """
+    sig = minhash_signature(df, text_col, id_col, n)
+    n_bands = NUM_HASHES // BAND_SIZE
+    bands = None
+    for b in range(n_bands):
+        key = F.concat_ws(
+            "_",
+            F.lit(b),
+            *[F.col(f"mh{b * BAND_SIZE + j}") for j in range(BAND_SIZE)],
+        )
+        part = sig.select(F.col("doc"), key.alias("band"))
+        bands = part if bands is None else bands.unionByName(part)
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    exact = ngram_jaccard_pairs(df, threshold, text_col, id_col, n)
+    return cand.join(exact, ["doc_a", "doc_b"], "inner")
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash over distinct tokens: bit b set iff the sum over
+    tokens of ±1 (sign of bit b of h(token)) is positive.
+
+    16 bits keeps the column expression compact while exercising the
+    full algorithm; widen SIMHASH_BITS for production use. All
+    JVM-side (aggregate over the token array — no explode shuffle).
+    Returns (doc_id, simhash:long).
+    """
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    hv = F.transform(toks, lambda t: shingle_hash(t))
+    def _vote(bit):
+        def step(acc, h):
+            return acc + F.when(
+                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return step
+
+    sh = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        vote = F.aggregate(hv, F.lit(0).cast("long"), _vote(b))
+        sh = sh + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return df.select(F.col(id_col), sh.alias("simhash"))
+
+
+def simhash_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Docs sharing an identical simhash (hamming-0 near-dup set)."""
+    return (
+        simhash(df, text_col, id_col)
+        .groupBy("simhash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (cosine) — fixed-point exact arithmetic
+# ---------------------------------------------------------------------------
+
+FIXED_SCALE = 1_000_000
+
+
+def _fixed(v):
+    """float array -> exact scaled int64 array: floor(x * 1e6).
+
+    Integer dot products are order-independent (exact), so results
+    are bit-identical across engines and partitionings — unlike
+    float sums, whose value depends on reduction order."""
+    return F.transform(v, lambda x: F.floor(x.cast("double") * F.lit(FIXED_SCALE)).cast("long"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, x: s + x
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine >= threshold over an embedding column.
+
+    Brute-force O(n²) — correct baseline / oracle path. At scale,
+    pre-bucket with ann.lsh_buckets and run this per bucket. Cosine
+    is computed from exact int64 fixed-point dots, then one double
+    division — deterministic to the last bit.
+    Returns (id_a, id_b, cos) with id_a < id_b.
+    """
+    v = emb.select(
+        F.col(id_col).alias("id"), _fixed(F.col(vec_col)).alias("fv")
+    ).withColumn("nrm", _dot(F.col("fv"), F.col("fv")))
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                _dot(F.col("a.fv"), F.col("b.fv"))
+                / F.sqrt(F.col("a.nrm").cast("double") * F.col("b.nrm").cast("double"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+    )

@@ -72,6 +72,7 @@ def knn_join(
     cell_col: str = "cell",
     cell_bits: int = C.XY_BITS,
     max_rounds: int = MAX_ROUNDS,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Top-k nearest data points per query point.
 
@@ -80,6 +81,9 @@ def knn_join(
     """
     spark = points.sparkSession
     cell_h = 180.0 / (1 << bits)  # smaller of the two cell extents
+    # deterministic total order even when distinct ids share a
+    # coordinate (ties broken identically by any oracle engine)
+    tiebreak = [F.col(tiebreak_col).asc()] if tiebreak_col else []
 
     pts = points.withColumn(
         "_pcell", C.cell_parent(F.col(cell_col), cell_bits, bits)
@@ -99,7 +103,7 @@ def knn_join(
             + (F.col(lat_col) - F.col("qlat")) * (F.col(lat_col) - F.col("qlat"))
         )
         w = Window.partitionBy("qid").orderBy(
-            d2.asc(), F.col(lon_col).asc(), F.col(lat_col).asc()
+            d2.asc(), F.col(lon_col).asc(), F.col(lat_col).asc(), *tiebreak
         )
         topk = (
             joined.withColumn("dist2", d2)
@@ -141,7 +145,7 @@ def knn_join(
             + (F.col(lat_col) - F.col("qlat")) * (F.col(lat_col) - F.col("qlat"))
         )
         w = Window.partitionBy("qid").orderBy(
-            d2.asc(), F.col(lon_col).asc(), F.col(lat_col).asc()
+            d2.asc(), F.col(lon_col).asc(), F.col(lat_col).asc(), *tiebreak
         )
         topk = (
             joined.withColumn("dist2", d2)

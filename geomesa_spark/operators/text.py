@@ -1,0 +1,126 @@
+"""Text analysis for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+These extend the engine beyond the reference's own operator set (the
+reference's converter DSL provides the scalar-function vocabulary —
+``length``, ``lowercase``, ``regexReplace``, ``md5`` etc.,
+geomesa-convert-common/src/main/scala/org/locationtech/geomesa/convert/Transformers.scala —
+but no corpus analytics). Everything here is **pure Spark column
+expressions** (split/filter/transform higher-order functions + md5),
+so the hot path stays inside whole-stage codegen with zero Python —
+at 100 TB these run at parquet-scan speed with full column pruning
+(only the text column is read).
+
+Design note for the 10^12-doc scale: every function is a *narrow*
+per-row transformation — no shuffle, no UDF, no driver collect. The
+only shuffles in this module's callers are the final groupBys of the
+dedup pipeline (dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic marker-token sets for the language heuristic —
+# checked in priority order; ties broken by the fixed order below
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "of", "and", "is"]),
+    ("fr", ["le", "la", "et", "les", "des"]),
+    ("de", ["der", "die", "und", "das", "ist"]),
+    ("es", ["el", "los", "las", "y", "es"]),
+    ("zh", ["de5", "shi4", "le5", "zai4", "he2"]),
+]
+
+STOPWORDS = ["the", "a", "of", "and", "is", "to", "in"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (single-space corpus convention)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text))).cast("long")
+
+
+def count_in_set(text: Column, words: list[str]) -> Column:
+    """How many tokens of `text` fall in `words` (vectorized set test)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(arr, t))).cast(
+        "long"
+    )
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or STOPWORDS
+    return count_in_set(text, sw) / token_count(text)
+
+
+def type_token_ratio(text: Column) -> Column:
+    return distinct_token_count(text) / token_count(text)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0,1]: favors length, vocabulary richness
+    and low stopword density. Deterministic closed form (no model)."""
+    n = token_count(text)
+    length_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    ttr = type_token_ratio(text)
+    stop = stopword_ratio(text)
+    return (
+        F.lit(0.5) * length_term + F.lit(0.3) * ttr + F.lit(0.2) * (F.lit(1.0) - stop)
+    )
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    return [(lang, count_in_set(text, mk)) for lang, mk in LANG_MARKERS]
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-token language heuristic: argmax of marker hits, first
+    language in LANG_MARKERS order wins ties; 'unk' when no marker
+    token occurs at all."""
+    scores = lang_scores(text)
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("unk")
+    # build the CASE from lowest priority upward so earlier languages
+    # override on ties
+    for lang, s in reversed(scores):
+        expr = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical content fingerprint: md5 of the lower-cased,
+    trimmed text (the converter DSL's `md5(stringToBytes(...))`,
+    Transformers.scala id functions)."""
+    return F.md5(F.lower(F.trim(text)))
+
+
+def fingerprint64(text: Column) -> Column:
+    """64-bit integer fingerprint: first 15 hex digits of the md5 (60
+    bits, always < 2^63 so it is portable across engines)."""
+    return F.conv(F.substring(fingerprint(text), 1, 15), 16, 10).cast("long")
+
+
+def profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One-pass per-document text profile (narrow, shuffle-free)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        distinct_token_count(t).alias("n_types"),
+        F.length(t).cast("long").alias("n_chars"),
+        stopword_ratio(t).alias("stop_ratio"),
+        type_token_ratio(t).alias("ttr"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("pred_lang"),
+        fingerprint(t).alias("fp"),
+    )

@@ -68,6 +68,28 @@ def _epoch(dt: datetime) -> int:
     return int(dt.timestamp())
 
 
+def _cell_is_stored(df: DataFrame, cell_col: str) -> bool:
+    """True iff `cell_col` is a physical column of a scan leaf (vs a
+    derived expression).
+
+    Range predicates on a *stored* cell column are cheap long
+    comparisons that reach the parquet reader and prune row groups
+    (the Z2 range-scan analog). On a *derived* cell column Catalyst
+    collapses the projection and inlines the full bit-interleave
+    expression into every OR term — hundreds of ranges then blow up
+    Janino codegen — and they can never prune I/O anyway, so we skip
+    them: the bbox predicate alone is semantically exact.
+    """
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            if cell_col in list(leaves.apply(i).schema().fieldNames()):
+                return True
+    except Exception:
+        pass
+    return False
+
+
 def cell_range_predicate(
     ranges: list[tuple[int, int]], col: Column
 ) -> Column | None:
@@ -107,9 +129,17 @@ def scan(
     id_col: str = "doc_id",
     cell_bits: int = C.XY_BITS,
     max_ranges: int = V.DEFAULT_MAX_RANGES,
+    cell_ranges: bool | None = None,
 ) -> DataFrame:
-    """Apply the spec as pushable predicates + residual refine."""
+    """Apply the spec as pushable predicates + residual refine.
+
+    `cell_ranges`: force cell-range predicates on/off; default None
+    auto-enables them only when `cell_col` is a stored column (see
+    `_cell_is_stored`).
+    """
     out = df
+    if cell_ranges is None:
+        cell_ranges = cell_col in df.columns and _cell_is_stored(df, cell_col)
 
     # --- ID scan (RecordIdxStrategy analog) ---
     if spec.ids is not None:
@@ -146,12 +176,15 @@ def scan(
         # cell ranges: redundant with lon/lat semantically, but they
         # align with the table's cell sort order so Parquet row-group
         # stats skip (the Z2 range-scan analog)
-        ranges = []
-        for bx in G.idl_safe_boxes(*bbox):
-            ranges.extend(V.zranges_2d(*bx, bits=cell_bits, max_ranges=max_ranges))
-        pred = cell_range_predicate(V.merge_ranges(ranges), F.col(cell_col))
-        if pred is not None:
-            out = out.filter(pred)
+        if cell_ranges:
+            ranges = []
+            for bx in G.idl_safe_boxes(*bbox):
+                ranges.extend(
+                    V.zranges_2d(*bx, bits=cell_bits, max_ranges=max_ranges)
+                )
+            pred = cell_range_predicate(V.merge_ranges(ranges), F.col(cell_col))
+            if pred is not None:
+                out = out.filter(pred)
 
     # --- temporal (week pruning + interval) ---
     if spec.t0 is not None or spec.t1 is not None:

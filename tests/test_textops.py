@@ -1,0 +1,181 @@
+"""Text analysis / dedup / ANN operators vs pure-python oracles."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators import ann as N
+from geomesa_spark.operators import dedup as D
+from geomesa_spark.operators import text as X
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog near the river bank "
+    "today while birds sing loudly overhead"
+)
+DOCS = [
+    (1, _BASE),
+    (2, _BASE),                               # exact dup of 1
+    (3, _BASE.replace("overhead", "changed")),  # near dup (j≈0.9)
+    (4, "alpha bravo charlie delta echo foxtrot golf hotel"),
+    (5, "le chat et la souris et le fromage"),
+    (6, "der hund und die katze und das haus"),
+    (7, "completely different words entirely here now"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def py_shingles(text, n):
+    toks = text.split(" ")
+    return set(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+
+
+def py_hash32(s):
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_profile_matches_python(docs_df):
+    rows = {r.doc_id: r for r in X.profile(docs_df).collect()}
+    for doc_id, text in DOCS:
+        toks = text.split(" ")
+        r = rows[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.n_types == len(set(toks))
+        assert r.n_chars == len(text)
+        sw = sum(1 for t in toks if t in X.STOPWORDS)
+        assert r.stop_ratio == pytest.approx(sw / len(toks))
+        assert r.fp == hashlib.md5(text.lower().encode()).hexdigest()
+
+
+def test_lang_id_markers(docs_df):
+    langs = {r.doc_id: r.pred_lang for r in X.profile(docs_df).collect()}
+    assert langs[1] == "en"
+    assert langs[5] == "fr"
+    assert langs[6] == "de"
+    assert langs[7] == "unk"
+
+
+def test_exact_dedup(docs_df):
+    out = {r.fp: r for r in D.exact_dedup(docs_df).collect()}
+    dup = [r for r in out.values() if r.n_docs == 2]
+    assert len(dup) == 1 and dup[0].canonical_id == 1
+    assert sum(r.n_docs for r in out.values()) == len(DOCS)
+
+
+def test_ngram_jaccard_vs_python(docs_df):
+    n, thr = 2, 0.3
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs_df, thr, n=n).collect()
+    }
+    want = {}
+    for i, (ida, ta) in enumerate(DOCS):
+        for idb, tb in DOCS[i + 1 :]:
+            sa, sb = py_shingles(ta, n), py_shingles(tb, n)
+            j = len(sa & sb) / len(sa | sb)
+            if j >= thr:
+                want[(min(ida, idb), max(ida, idb))] = j
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == pytest.approx(want[k])
+
+
+def test_minhash_signature_vs_python(docs_df):
+    sig = {r.doc: r for r in D.minhash_signature(docs_df, n=2).collect()}
+    for doc_id, text in DOCS:
+        sh = py_shingles(text, 2)
+        for j in range(D.NUM_HASHES):
+            want = min(
+                (py_hash32(s) * D._A[j] + D._B[j]) % D.MINHASH_P for s in sh
+            )
+            assert sig[doc_id][f"mh{j}"] == want
+
+
+def test_minhash_lsh_finds_dups(docs_df):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(docs_df, 0.3, n=2).collect()
+    }
+    assert (1, 2) in pairs      # exact dup always caught
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup
+    # LSH output is a subset of exact jaccard pairs
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(docs_df, 0.3, n=2).collect()
+    }
+    assert pairs <= exact
+
+
+def test_simhash_identical_for_dups(docs_df):
+    sh = {r.doc_id: r.simhash for r in D.simhash(docs_df).collect()}
+    assert sh[1] == sh[2]
+    assert 0 <= sh[1] < (1 << D.SIMHASH_BITS)
+    groups = D.simhash_dup_groups(docs_df).collect()
+    assert any(g.n_docs >= 2 for g in groups)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(4, 16))
+    rows = []
+    for i in range(40):
+        v = base[i % 4] + rng.normal(scale=0.05, size=16)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), rows
+
+
+def py_topk(rows, qids, k):
+    import numpy as np
+
+    fv = {i: np.floor(np.array(v, dtype=np.float64) * 1e6).astype(np.int64)
+          for i, v in rows}
+    out = {}
+    for q in qids:
+        scored = []
+        for i in fv:
+            if i == q:
+                continue
+            dot = int(np.sum(fv[q] * fv[i]))
+            cos = dot / np.sqrt(float(np.sum(fv[q] ** 2)) * float(np.sum(fv[i] ** 2)))
+            scored.append((cos, i))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        out[q] = [i for _, i in scored[:k]]
+    return out
+
+
+def test_cosine_topk_exact(emb_df):
+    df, rows = emb_df
+    got = {}
+    res = N.cosine_topk(df, df.filter(F.col("vec_id") < 3), 5).collect()
+    for r in sorted(res, key=lambda r: (r.qid, r.rank)):
+        got.setdefault(r.qid, []).append(r.vec_id)
+    assert got == py_topk(rows, [0, 1, 2], 5)
+
+
+def test_lsh_topk_recall(emb_df):
+    df, rows = emb_df
+    brute = py_topk(rows, [0, 1, 2], 5)
+    res = N.lsh_topk(
+        df, df.filter(F.col("vec_id") < 3), 5, dim=16, n_planes=6, multiprobe=1
+    ).collect()
+    got = {}
+    for r in sorted(res, key=lambda r: (r.qid, r.rank)):
+        got.setdefault(r.qid, []).append(r.vec_id)
+    # clustered data: same-cluster neighbors share buckets; demand
+    # high top-5 recall vs brute force
+    hits = sum(len(set(got.get(q, [])) & set(brute[q])) for q in brute)
+    assert hits >= 12  # >= 80% of 15
+
+
+def test_embedding_neardup(emb_df):
+    df, rows = emb_df
+    pairs = D.embedding_neardup_pairs(df, 0.99, id_col="vec_id").collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r.id_a < r.id_b and r.cos >= 0.99

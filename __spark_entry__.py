@@ -474,6 +474,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bin_export"] = bin_export
 
+    # --- streaming upsert semantics (replayed as a batch) ---
+    def stream_replay(spark, sf):
+        from geomesa_spark.streaming import replay_state
+
+        ev = _load(spark, sf, "events")
+        log = ev.select(
+            F.when(F.col("event_type") == "error", F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+            (F.col("user_id") % 500).cast("string").alias("doc_id"),
+            F.unix_timestamp(F.col("ts")).cast("double").alias("ts"),
+            F.col("event_id").alias("seq"),
+            F.col("event_type").alias("val"),
+        )
+        return replay_state(log)
+
+    q["stream_replay"] = stream_replay
+
+    # --- multimodal plumbing (deterministic fake decode: rows-only) ---
+    def media_decode(spark, sf):
+        from geomesa_spark.operators import media as M
+        from geomesa_spark.sources.docs import synth_docs
+
+        docs = synth_docs(spark, 2000)
+        return M.decode_media(M.extract_media_refs(docs))
+
+    q["media_decode"] = media_decode
+
     return q
 
 
@@ -691,6 +719,24 @@ SELECT qid, vec_id, cos, CAST(rk AS INT) AS "rank" FROM (
   SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
   FROM scored
 ) WHERE rk <= {ANN_K}
+"""
+
+    # upsert changelog replay: last-write-wins per key in (ts, seq)
+    # order, delete tombstones drop the key (upsert.apply_changelog)
+    o["stream_replay"] = """
+WITH log AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         CAST(user_id % 500 AS VARCHAR) AS doc_id,
+         CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) AS ts,
+         event_id AS seq,
+         event_type AS val
+  FROM events
+)
+SELECT doc_id, ts, seq, val FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY ts DESC, seq DESC) AS rn
+  FROM log
+) WHERE rn = 1 AND op <> 'delete'
 """
 
     return o

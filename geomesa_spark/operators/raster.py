@@ -1,0 +1,262 @@
+"""Raster ↔ vector alignment: resolution selection, tile cover scan,
+tile-assignment join, mosaic.
+
+Reference model: raster tiles are keyed `lexi(resolution)~geohash`
+(geomesa-raster/src/main/scala/org/locationtech/geomesa/raster/index/RasterEntry.scala:70-74);
+a query picks the best available resolution then scans the geohash
+cover of its bbox (…/raster/data/AccumuloRasterQueryPlanner.scala:49-93),
+and the client crops/assembles chunks into one mosaic grid
+(…/raster/util/RasterUtils.scala:101-189).
+
+Spark model: a tile table `(res_bits:int, cell:long, px:int, py:int,
+tile:array<double>)` — one row per tile, `cell` the Z2 id at
+`res_bits` per-dim resolution, `tile` a row-major px*py numeric grid
+covering the cell's lon/lat extent. Alignment to vectors is a pure
+equi-join on the parent cell (`cell_parent`), the same shape as the
+spatial joins — so Iceberg/parquet partitioning by (res_bits, cell)
+prunes tile scans exactly like the reference's row ranges. The
+mosaic is a per-query `applyInPandas` over the covering tiles
+(vectorized numpy crop + nearest-neighbor scale — no image libs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geomesa_spark.functions import cells as C
+
+TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("res_bits", T.IntegerType()),
+        T.StructField("cell", T.LongType()),
+        T.StructField("px", T.IntegerType()),
+        T.StructField("py", T.IntegerType()),
+        T.StructField("tile", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def select_resolution(suggested_bits: int, available_bits: list[int]) -> int:
+    """Pick the stored resolution for a query.
+
+    Parity with AccumuloRasterQueryPlanner.selectResolution
+    (:94-106): prefer the coarsest stored resolution that is at least
+    as fine as requested; if none is fine enough, take the finest
+    available. (The reference phrases this in degrees-per-pixel where
+    finer == smaller; with `bits` finer == larger, so the comparisons
+    flip.)
+    """
+    if not available_bits:
+        raise ValueError("no stored resolutions")
+    if len(available_bits) == 1:
+        return available_bits[0]
+    finer = [b for b in available_bits if b >= suggested_bits]
+    return min(finer) if finer else max(available_bits)
+
+
+def cell_bounds(cell: int, bits: int) -> tuple[float, float, float, float]:
+    """lon/lat extent of a Z2 cell at `bits` per-dim resolution."""
+    ix, iy = C.z2_decode_np(np.asarray([cell], dtype=np.int64))
+    lo_x, hi_x = C.x_to_lon_range(ix, bits)
+    lo_y, hi_y = C.y_to_lat_range(iy, bits)
+    return float(lo_x[0]), float(lo_y[0]), float(hi_x[0]), float(hi_y[0])
+
+
+def tile_cover_scan(
+    tiles: DataFrame, bbox: tuple[float, float, float, float], res_bits: int
+) -> DataFrame:
+    """Tiles of one resolution whose cells intersect the bbox.
+
+    Pure column predicates on (res_bits, cell-derived x/y range) so
+    the scan prunes partitions/row groups — the geohash-range scan
+    analog (AccumuloRasterQueryPlanner.scala:49-93).
+    """
+    n = 1 << res_bits
+    xmin, ymin, xmax, ymax = bbox
+    ix0 = max(0, int(np.floor((xmin + 180.0) / 360.0 * n)))
+    ix1 = min(n - 1, int(np.floor((xmax + 180.0) / 360.0 * n)))
+    iy0 = max(0, int(np.floor((ymin + 90.0) / 180.0 * n)))
+    iy1 = min(n - 1, int(np.floor((ymax + 90.0) / 180.0 * n)))
+    lo = int(C.z2_encode_np(np.asarray([ix0]), np.asarray([iy0]))[0])
+    hi = int(C.z2_encode_np(np.asarray([ix1]), np.asarray([iy1]))[0])
+    # z-range [lo,hi] is a superset pre-filter; the exact per-dim
+    # check below removes the z-curve's in-range excursions
+    out = tiles.filter(
+        (F.col("res_bits") == res_bits) & F.col("cell").between(lo, hi)
+    )
+    # exact: de-interleave via parent arithmetic on the column
+    ix = _deinterleave_x(F.col("cell"))
+    iy = _deinterleave_x(F.shiftrightunsigned(F.col("cell"), 1))
+    return out.filter(ix.between(ix0, ix1) & iy.between(iy0, iy1))
+
+
+def _deinterleave_x(z):
+    """Column form of squash2 (inverse bit spread), JVM-side."""
+    z = z.bitwiseAND(F.lit(0x5555555555555555))
+    for shift, mask in (
+        (1, 0x3333333333333333),
+        (2, 0x0F0F0F0F0F0F0F0F),
+        (4, 0x00FF00FF00FF00FF),
+        (8, 0x0000FFFF0000FFFF),
+        (16, 0x00000000FFFFFFFF),
+    ):
+        z = z.bitwiseOR(F.shiftrightunsigned(z, shift)).bitwiseAND(F.lit(mask))
+    return z
+
+
+def tile_assignments(
+    points: DataFrame,
+    res_bits: int,
+    cell_col: str = "cell",
+    cell_bits: int = C.XY_BITS,
+) -> DataFrame:
+    """Vector→tile alignment: each point mapped to its covering tile
+    cell at `res_bits` (the raster↔vector equi-join key)."""
+    return points.withColumn(
+        "tile_cell", C.cell_parent(F.col(cell_col), cell_bits, res_bits)
+    )
+
+
+def raster_vector_join(
+    points: DataFrame,
+    tiles: DataFrame,
+    res_bits: int,
+    cell_col: str = "cell",
+    cell_bits: int = C.XY_BITS,
+    broadcast_tiles: bool = True,
+) -> DataFrame:
+    """Join points to the tile covering them at `res_bits`.
+
+    Equi-join on the parent cell — broadcast when the tile layer for
+    the query region is small (typical: one resolution × region
+    cover), else a cell-partitioned shuffle join, same skew story as
+    the PIP join."""
+    t = tiles.filter(F.col("res_bits") == res_bits).select(
+        F.col("cell").alias("tile_cell"), "px", "py", "tile"
+    )
+    if broadcast_tiles:
+        t = F.broadcast(t)
+    pts = tile_assignments(points, res_bits, cell_col, cell_bits)
+    return pts.join(t, "tile_cell", "inner")
+
+
+def synth_tiles(
+    spark, res_bits: int, px: int = 16, py: int = 16, limit_cells: int | None = None
+) -> DataFrame:
+    """Deterministic synthetic tile pyramid level: value at pixel =
+    f(cell, i, j) via splitmix-style arithmetic (distributed, no
+    driver data)."""
+    n = 1 << res_bits
+    total = n * n if limit_cells is None else limit_cells
+
+    def gen(batches):
+        for pdf in batches:
+            cells = pdf["id"].to_numpy()
+            ix = cells % n
+            iy = cells // n
+            zc = C.z2_encode_np(ix, iy)
+            rows = []
+            for k, cell in enumerate(zc):
+                base = (np.uint64(cell) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+                grid = (
+                    float(base)
+                    + np.add.outer(np.arange(py) * 0.01, np.arange(px) * 0.0001)
+                ).ravel()
+                rows.append(
+                    (res_bits, int(cell), px, py, [float(v) for v in grid])
+                )
+            yield pd.DataFrame(
+                rows, columns=["res_bits", "cell", "px", "py", "tile"]
+            )
+
+    return spark.range(0, total, 1, max(spark.sparkContext.defaultParallelism, 4)).mapInPandas(
+        gen, schema=TILE_SCHEMA
+    )
+
+
+def mosaic(
+    tiles: DataFrame,
+    bbox: tuple[float, float, float, float],
+    res_bits: int,
+    out_w: int,
+    out_h: int,
+    tile_px: int = 16,
+    tile_py: int = 16,
+) -> np.ndarray:
+    """Assemble the tiles covering `bbox` into one out_h×out_w grid.
+
+    Parity with RasterUtils.mosaicChunks/cropRaster/scaleBufferedImage
+    (:101-189): crop each tile to the query envelope, place it at its
+    pixel offset, nearest-neighbor scale to the target size. The
+    heavy per-tile crop work runs distributed (mapInPandas producing
+    placed fragments); the final paste of <= out_w*out_h pixels
+    happens on the driver — same split as the reference (tablet scan
+    + client mosaic).
+    """
+    cov = tile_cover_scan(tiles, bbox, res_bits)
+    xmin, ymin, xmax, ymax = bbox
+
+    frag_schema = T.StructType(
+        [
+            T.StructField("ox", T.IntegerType()),
+            T.StructField("oy", T.IntegerType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("data", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def crop(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                cx0, cy0, cx1, cy1 = cell_bounds(int(r.cell), res_bits)
+                px, py = int(r.px), int(r.py)
+                rx = (cx1 - cx0) / px  # deg per pixel
+                ry = (cy1 - cy0) / py
+                # intersection of tile extent and query envelope
+                ix0, ix1 = max(cx0, xmin), min(cx1, xmax)
+                iy0, iy1 = max(cy0, ymin), min(cy1, ymax)
+                if ix1 <= ix0 or iy1 <= iy0:
+                    continue
+                # pixel window inside the tile (row 0 = top = max lat)
+                ul_x = max(int(np.floor((ix0 - cx0) / rx)), 0)
+                ul_y = max(int(np.floor((cy1 - iy1) / ry)), 0)
+                w = min(int(np.ceil((ix1 - ix0) / rx)), px - ul_x)
+                h = min(int(np.ceil((iy1 - iy0) / ry)), py - ul_y)
+                if w <= 0 or h <= 0:
+                    continue
+                grid = np.asarray(r.tile, dtype=np.float64).reshape(py, px)
+                sub = grid[ul_y : ul_y + h, ul_x : ul_x + w]
+                # placement offset in mosaic pixel space
+                ox = int(np.floor((ix0 - xmin) / rx))
+                oy = int(np.floor((ymax - iy1) / ry))
+                out.append((ox, oy, w, h, [float(v) for v in sub.ravel()]))
+            yield pd.DataFrame(out, columns=["ox", "oy", "w", "h", "data"])
+
+    frags = cov.mapInPandas(crop, schema=frag_schema).collect()
+    if not frags:
+        return np.zeros((out_h, out_w))
+    # native mosaic size: query extent at the level's deg-per-pixel
+    # (mosaicChunks: queryEnv.getSpan / chunk resolution, :126-128)
+    n = 1 << res_bits
+    rx = (360.0 / n) / tile_px
+    ry = (180.0 / n) / tile_py
+    mw = max(int(round((xmax - xmin) / rx)), 1)
+    mh = max(int(round((ymax - ymin) / ry)), 1)
+    canvas = np.zeros((mh, mw))
+    for f in frags:
+        h, w = int(f.h), int(f.w)
+        sub = np.asarray(f.data, dtype=np.float64).reshape(h, w)
+        y0, x0 = int(f.oy), int(f.ox)
+        y1, x1 = min(y0 + h, mh), min(x0 + w, mw)
+        if y1 > y0 and x1 > x0:
+            canvas[y0:y1, x0:x1] = sub[: y1 - y0, : x1 - x0]
+    # nearest-neighbor scale to the requested output size
+    yi = np.minimum((np.arange(out_h) * mh / out_h).astype(int), mh - 1)
+    xi = np.minimum((np.arange(out_w) * mw / out_w).astype(int), mw - 1)
+    return canvas[np.ix_(yi, xi)]

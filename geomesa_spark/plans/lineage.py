@@ -1,0 +1,164 @@
+"""Per-partition lineage records, metrics, and exact resume.
+
+The reference audits every query as a QueryStat row
+(geomesa-accumulo/geomesa-accumulo-datastore/src/main/scala/org/locationtech/geomesa/accumulo/stats/QueryStat.scala:23-30,
+written from AccumuloFeatureReader.scala:91-104). This module scales
+that idea to long-running batch jobs (north_rule: "per-partition
+lineage records and metrics enabling exact resume-from-checkpoint
+after failure"):
+
+- A job is a set of independent **work units** (one per logical
+  partition — epoch week, cell bucket, input split). Each unit's
+  output lands in its own directory; a lineage record (unit id,
+  input/output row counts, physical partition count, wall time,
+  status) is appended to the job's `_lineage` parquet table ONLY
+  after the output commit succeeds.
+- **Exact resume**: a restarted job lists committed lineage records
+  and re-runs only units without one. Unit outputs are written with
+  mode=overwrite, so a unit that crashed mid-write is re-done from
+  scratch — output-exactly-once without any distributed transaction
+  (the lineage append is the commit point).
+- **Metrics** ride on `pyspark.sql.Observation` — counted inside the
+  same action that writes the output, zero extra passes.
+
+At 100 TB this is the difference between "re-run the whole join"
+and "re-run week 2371 only".
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("job_id", T.StringType()),
+        T.StructField("unit_id", T.StringType()),
+        T.StructField("run_id", T.StringType()),
+        T.StructField("rows_out", T.LongType()),
+        T.StructField("n_partitions", T.IntegerType()),
+        T.StructField("started_at", T.DoubleType()),
+        T.StructField("finished_at", T.DoubleType()),
+        T.StructField("wall_sec", T.DoubleType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+class CheckpointedJob:
+    """Unit-at-a-time batch job with lineage-append commit protocol.
+
+    >>> job = CheckpointedJob(spark, "pip-2024w03", "/data/out")
+    >>> job.run({"week=2820": lambda: join_week(2820), ...})
+    Crash any time; re-running the same constructor + run() call
+    skips every committed unit.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        job_id: str,
+        out_dir: str,
+        lineage_dir: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.job_id = job_id
+        self.out_dir = out_dir.rstrip("/")
+        self.lineage_dir = (lineage_dir or f"{self.out_dir}/_lineage").rstrip("/")
+        self.run_id = uuid.uuid4().hex[:12]
+
+    # -- lineage table ------------------------------------------------------
+
+    def lineage(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.lineage_dir)
+        except Exception:
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+
+    def completed_units(self) -> set[str]:
+        rows = (
+            self.lineage()
+            .filter((F.col("job_id") == self.job_id) & (F.col("status") == "ok"))
+            .select("unit_id")
+            .distinct()
+            .collect()
+        )
+        return {r.unit_id for r in rows}
+
+    def _commit(self, record: tuple) -> None:
+        self.spark.createDataFrame([record], LINEAGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.lineage_dir)
+
+    # -- execution ----------------------------------------------------------
+
+    def unit_path(self, unit_id: str) -> str:
+        safe = unit_id.replace("/", "_").replace("=", "-")
+        return f"{self.out_dir}/unit={safe}"
+
+    def run_unit(self, unit_id: str, df_fn: Callable[[], DataFrame]) -> dict:
+        """Execute one unit: write its output, then commit lineage."""
+        started = time.time()
+        df = df_fn()
+        obs = Observation(f"lineage_{self.run_id}_{unit_id}")
+        observed = df.observe(obs, F.count(F.lit(1)).alias("rows_out"))
+        n_parts = observed.rdd.getNumPartitions()
+        observed.write.mode("overwrite").parquet(self.unit_path(unit_id))
+        rows_out = int(obs.get["rows_out"])
+        finished = time.time()
+        rec = (
+            self.job_id,
+            unit_id,
+            self.run_id,
+            rows_out,
+            int(n_parts),
+            started,
+            finished,
+            finished - started,
+            "ok",
+        )
+        self._commit(rec)
+        return {"unit_id": unit_id, "rows_out": rows_out, "wall_sec": finished - started}
+
+    def run(
+        self, units: dict[str, Callable[[], DataFrame]], verbose: bool = False
+    ) -> dict:
+        """Run all units not yet committed; return a summary with the
+        skipped (already-done) and executed unit lists."""
+        done = self.completed_units()
+        executed, skipped = [], []
+        for unit_id, fn in units.items():
+            if unit_id in done:
+                skipped.append(unit_id)
+                continue
+            info = self.run_unit(unit_id, fn)
+            executed.append(info)
+            if verbose:
+                print(f"[{self.job_id}] {unit_id}: {info['rows_out']} rows "
+                      f"in {info['wall_sec']:.1f}s")
+        return {"executed": executed, "skipped": skipped}
+
+    def result(self) -> DataFrame:
+        """The job's combined output across all committed units."""
+        return self.spark.read.parquet(f"{self.out_dir}/unit=*")
+
+    def metrics(self) -> DataFrame:
+        """Per-unit lineage/metrics rows for this job (all runs)."""
+        return self.lineage().filter(F.col("job_id") == self.job_id)
+
+
+def week_units(
+    points: DataFrame, weeks: list[int], op: Callable[[DataFrame], DataFrame],
+    week_col: str = "week",
+) -> dict[str, Callable[[], DataFrame]]:
+    """Partition a job by epoch week (the reference's natural chunk,
+    Z3Table.scala:40-51): one resumable unit per week."""
+    def make(w: int) -> Callable[[], DataFrame]:
+        return lambda: op(points.filter(F.col(week_col) == w))
+
+    return {f"week={w}": make(w) for w in weeks}

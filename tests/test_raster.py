@@ -1,0 +1,89 @@
+"""Raster ↔ vector alignment vs numpy oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.functions import cells as C
+from geomesa_spark.operators import raster as R
+
+
+def test_select_resolution_parity():
+    # coarsest stored level at least as fine as requested
+    assert R.select_resolution(6, [4, 6, 8]) == 6
+    assert R.select_resolution(5, [4, 6, 8]) == 6
+    # nothing fine enough -> finest available
+    assert R.select_resolution(10, [4, 6, 8]) == 8
+    # single level -> that level
+    assert R.select_resolution(10, [4]) == 4
+    with pytest.raises(ValueError):
+        R.select_resolution(5, [])
+
+
+def test_cell_bounds_roundtrip():
+    cell = int(C.z2_encode_np(np.asarray([5]), np.asarray([9]))[0])
+    x0, y0, x1, y1 = R.cell_bounds(cell, 4)
+    assert x1 - x0 == pytest.approx(360.0 / 16)
+    assert y1 - y0 == pytest.approx(180.0 / 16)
+    assert x0 == pytest.approx(-180 + 5 * 22.5)
+    assert y0 == pytest.approx(-90 + 9 * 11.25)
+
+
+@pytest.fixture(scope="module")
+def tiles(spark):
+    return R.synth_tiles(spark, res_bits=4).cache()
+
+
+def test_tile_cover_scan_exact(spark, tiles):
+    bbox = (-10.0, -10.0, 40.0, 30.0)
+    got = {r.cell for r in R.tile_cover_scan(tiles, bbox, 4).collect()}
+    want = set()
+    ix0, ix1 = int((bbox[0] + 180) // 22.5), int((bbox[2] + 180) // 22.5)
+    iy0, iy1 = int((bbox[1] + 90) // 11.25), int((bbox[3] + 90) // 11.25)
+    for ix in range(ix0, ix1 + 1):
+        for iy in range(iy0, iy1 + 1):
+            want.add(int(C.z2_encode_np(np.asarray([ix]), np.asarray([iy]))[0]))
+    assert got == want
+
+
+def test_raster_vector_join(spark, tiles):
+    pts = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, -170.0, -80.0)], "id long, lon double, lat double"
+    ).withColumn("cell", C.z2_cell(F.col("lon"), F.col("lat")))
+    out = {r.id: r for r in R.raster_vector_join(pts, tiles, 4).collect()}
+    for pid, lon, lat in [(1, 10.0, 20.0), (2, -170.0, -80.0)]:
+        ix = int((lon + 180) // 22.5)
+        iy = int((lat + 90) // 11.25)
+        want = int(C.z2_encode_np(np.asarray([ix]), np.asarray([iy]))[0])
+        assert out[pid].tile_cell == want
+        assert len(out[pid].tile) == 256
+
+
+def test_mosaic_values(spark, tiles):
+    # one full cell: mosaic at native size returns the tile itself
+    cell = int(C.z2_encode_np(np.asarray([8]), np.asarray([8]))[0])
+    x0, y0, x1, y1 = R.cell_bounds(cell, 4)
+    m = R.mosaic(tiles, (x0, y0, x1, y1), 4, 16, 16)
+    tile = [r.tile for r in tiles.filter(F.col("cell") == cell).collect()][0]
+    want = np.asarray(tile).reshape(16, 16)
+    assert m.shape == (16, 16)
+    np.testing.assert_allclose(m, want)
+
+
+def test_mosaic_multi_tile_and_scale(spark, tiles):
+    # 2x1 cells, downscaled 2x: nearest-neighbor of the stitched grid
+    cells = [
+        int(C.z2_encode_np(np.asarray([4]), np.asarray([8]))[0]),
+        int(C.z2_encode_np(np.asarray([5]), np.asarray([8]))[0]),
+    ]
+    x0, y0, _, _ = R.cell_bounds(cells[0], 4)
+    _, _, x1, y1 = R.cell_bounds(cells[1], 4)
+    m = R.mosaic(tiles, (x0, y0, x1, y1), 4, 16, 8)
+    grids = {
+        r.cell: np.asarray(r.tile).reshape(16, 16)
+        for r in tiles.filter(F.col("cell").isin(cells)).collect()
+    }
+    native = np.hstack([grids[cells[0]], grids[cells[1]]])  # 16 x 32
+    yi = np.minimum((np.arange(8) * 16 // 8), 15)
+    xi = np.minimum((np.arange(16) * 32 // 16), 31)
+    np.testing.assert_allclose(m, native[np.ix_(yi, xi)])

@@ -1,0 +1,124 @@
+"""Keyed upsert changelog: batch semantics + streaming materialization."""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geomesa_spark.streaming import (
+    apply_changelog,
+    expire_ttl,
+    replay_state,
+    upsert_stream,
+)
+from geomesa_spark.streaming.upsert import read_state
+
+SCHEMA = "op string, doc_id string, ts double, seq long, val string"
+
+
+def df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def state_dict(sdf):
+    return {r.doc_id: r.val for r in sdf.collect()}
+
+
+def test_upsert_last_write_wins(spark):
+    batch = df(spark, [
+        ("upsert", "a", 1.0, 1, "a1"),
+        ("upsert", "a", 2.0, 2, "a2"),
+        ("upsert", "b", 1.5, 3, "b1"),
+    ])
+    out = apply_changelog(None, batch)
+    assert state_dict(out) == {"a": "a2", "b": "b1"}
+
+
+def test_delete_and_clear(spark):
+    b1 = df(spark, [
+        ("upsert", "a", 1.0, 1, "a1"),
+        ("upsert", "b", 1.0, 2, "b1"),
+        ("delete", "a", 2.0, 3, None),
+    ])
+    s1 = apply_changelog(None, b1)
+    assert state_dict(s1) == {"b": "b1"}
+
+    b2 = df(spark, [
+        ("clear", None, 3.0, 4, None),
+        ("upsert", "c", 4.0, 5, "c1"),
+    ])
+    s2 = apply_changelog(s1, b2)
+    assert state_dict(s2) == {"c": "c1"}
+
+
+def test_state_precedes_batch_in_log_order(spark):
+    s1 = apply_changelog(None, df(spark, [("upsert", "a", 5.0, 1, "old")]))
+    # out-of-order event ts: batch still wins (log order, not ts order)
+    s2 = apply_changelog(s1, df(spark, [("upsert", "a", 3.0, 2, "new")]))
+    assert state_dict(s2) == {"a": "new"}
+
+
+def test_ttl_expiration(spark):
+    s = apply_changelog(None, df(spark, [
+        ("upsert", "a", 100.0, 1, "a"),
+        ("upsert", "b", 200.0, 2, "b"),
+    ]))
+    live = expire_ttl(s, now_epoch=250.0, ttl_sec=100.0)
+    assert state_dict(live) == {"b": "b"}
+
+
+def test_replay_as_of(spark):
+    log = df(spark, [
+        ("upsert", "a", 1.0, 1, "a1"),
+        ("upsert", "a", 2.0, 2, "a2"),
+        ("delete", "a", 3.0, 3, None),
+        ("upsert", "b", 4.0, 4, "b1"),
+    ])
+    assert state_dict(replay_state(log, as_of_ts=2.5)) == {"a": "a2"}
+    assert state_dict(replay_state(log, as_of_ts=3.5)) == {}
+    assert state_dict(replay_state(log, as_of_seq=1)) == {"a": "a1"}
+
+
+def _write_batch(dirpath, name, rows):
+    os.makedirs(dirpath, exist_ok=True)
+    tmp = os.path.join(dirpath, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.rename(tmp, os.path.join(dirpath, name))
+
+
+def test_streaming_materialization(spark, tmp_path):
+    src = str(tmp_path / "log")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([
+        T.StructField("op", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("ts", T.DoubleType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("val", T.StringType()),
+    ])
+
+    _write_batch(src, "b1.json", [
+        {"op": "upsert", "doc_id": "a", "ts": 1.0, "seq": 1, "val": "a1"},
+        {"op": "upsert", "doc_id": "b", "ts": 2.0, "seq": 2, "val": "b1"},
+    ])
+    stream = spark.readStream.schema(schema).json(src)
+    q = upsert_stream(stream, state, ckpt)
+    q.awaitTermination(120)
+    assert state_dict(read_state(spark, state)) == {"a": "a1", "b": "b1"}
+
+    # second increment: update + delete; restart query from checkpoint
+    _write_batch(src, "b2.json", [
+        {"op": "upsert", "doc_id": "a", "ts": 3.0, "seq": 3, "val": "a2"},
+        {"op": "delete", "doc_id": "b", "ts": 4.0, "seq": 4, "val": None},
+        {"op": "upsert", "doc_id": "c", "ts": 5.0, "seq": 5, "val": "c1"},
+    ])
+    stream2 = spark.readStream.schema(schema).json(src)
+    q2 = upsert_stream(stream2, state, ckpt)
+    q2.awaitTermination(120)
+    assert state_dict(read_state(spark, state)) == {"a": "a2", "c": "c1"}

@@ -130,19 +130,29 @@ def minhash_signature(
     Python. h(shingle) uses md5 so any engine reproduces it.
     """
     docs = _doc_shingles(df, text_col, id_col, n)
-    hs = docs.select(
-        "doc",
-        F.transform(F.col("shingles"), lambda s: shingle_hash(s)).alias("hv"),
-    )
-    def _mh(a, b):
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+    hv = F.transform(F.col("shingles"), lambda s: shingle_hash(s))
+    init = F.array(*[F.lit(MINHASH_P).cast("long") for _ in range(NUM_HASHES)])
 
-    cols = [F.col("doc")]
-    for j in range(NUM_HASHES):
-        cols.append(
-            F.array_min(F.transform(F.col("hv"), _mh(_A[j], _B[j]))).alias(f"mh{j}")
+    def merge(acc, h):
+        cands = F.array(
+            *[
+                (h * F.lit(_A[j]) + F.lit(_B[j])) % F.lit(MINHASH_P)
+                for j in range(NUM_HASHES)
+            ]
         )
-    return hs.select(*cols)
+        return F.zip_with(acc, cands, lambda a, c: F.least(a, c))
+
+    # one aggregate computes all 16 mins so the md5 per shingle is
+    # evaluated exactly once; the repartition is a materialization
+    # barrier — without it Catalyst collapses the projection and
+    # inlines the md5 pipeline into every mh{j}/band expression
+    # (16-64x recompute). At corpus scale this exchange is the band
+    # join's shuffle anyway.
+    sig = docs.select(F.col("doc"), F.aggregate(hv, init, merge).alias("mhs"))
+    sig = sig.repartition("doc")
+    return sig.select(
+        "doc", *[F.col("mhs")[j].alias(f"mh{j}") for j in range(NUM_HASHES)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -163,15 +173,17 @@ def minhash_lsh_pairs(
     """
     sig = minhash_signature(df, text_col, id_col, n)
     n_bands = NUM_HASHES // BAND_SIZE
-    bands = None
-    for b in range(n_bands):
-        key = F.concat_ws(
+    # one pass: explode the 4 band keys per doc (vs a 4-way union
+    # that re-executes the signature subplan per branch)
+    keys = [
+        F.concat_ws(
             "_",
             F.lit(b),
             *[F.col(f"mh{b * BAND_SIZE + j}") for j in range(BAND_SIZE)],
         )
-        part = sig.select(F.col("doc"), key.alias("band"))
-        bands = part if bands is None else bands.unionByName(part)
+        for b in range(n_bands)
+    ]
+    bands = sig.select(F.col("doc"), F.explode(F.array(*keys)).alias("band"))
     x = bands.alias("x")
     y = bands.alias("y")
     cand = (
@@ -185,8 +197,22 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    exact = ngram_jaccard_pairs(df, threshold, text_col, id_col, n)
-    return cand.join(exact, ["doc_a", "doc_b"], "inner")
+    # verify candidates only: join each pair to its two shingle sets
+    # and compute exact Jaccard via array set ops — O(candidates),
+    # not the all-pairs inverted-index join (that full join is the
+    # brute-force baseline `ngram_jaccard_pairs`, kept for oracles)
+    docs = _doc_shingles(df, text_col, id_col, n)
+    sa = docs.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("_sha"))
+    sb = docs.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("_shb"))
+    ni = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    nu = F.size(F.col("_sha")) + F.size(F.col("_shb")) - ni
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", ni / nu)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 SIMHASH_BITS = 16
@@ -205,19 +231,32 @@ def simhash(
     """
     toks = F.array_distinct(F.split(F.col(text_col), " "))
     hv = F.transform(toks, lambda t: shingle_hash(t))
-    def _vote(bit):
-        def step(acc, h):
-            return acc + F.when(
-                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
+    init = F.array(*[F.lit(0).cast("long") for _ in range(SIMHASH_BITS)])
 
-        return step
+    def merge(acc, h):
+        votes = F.array(
+            *[
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for b in range(SIMHASH_BITS)
+            ]
+        )
+        return F.zip_with(acc, votes, lambda a, v: a + v)
 
-    sh = F.lit(0).cast("long")
-    for b in range(SIMHASH_BITS):
-        vote = F.aggregate(hv, F.lit(0).cast("long"), _vote(b))
-        sh = sh + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
-    return df.select(F.col(id_col), sh.alias("simhash"))
+    def finish(acc):
+        sh = F.lit(0).cast("long")
+        for b in range(SIMHASH_BITS):
+            sh = sh + F.when(acc[b] > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0)
+            )
+        return sh
+
+    # single aggregate (+finish lambda) so the md5 per token runs
+    # once — per-bit aggregates would inline the hash pipeline 16x
+    return df.select(
+        F.col(id_col), F.aggregate(hv, init, merge, finish).alias("simhash")
+    )
 
 
 def simhash_dup_groups(

@@ -87,11 +87,17 @@ def knn_join(
 
     pts = points.withColumn(
         "_pcell", C.cell_parent(F.col(cell_col), cell_bits, bits)
-    )
+    ).persist()
+    n_pts = pts.count()  # materializes the cache for every round
 
     unresolved = list(queries)
     results: list[DataFrame] = []
-    radius = 1
+    # density-informed first ring: expect ~k candidates in round one
+    # (GeoHashSpiral seeds its geohash size from the estimated
+    # distance the same way, GeoHashSpiral.scala:41-51); overshoot is
+    # harmless (more candidates), undershoot just adds a round.
+    lam = max(n_pts, 1) / float(4 ** bits)
+    radius = int(min(max(1, np.ceil(0.5 * np.sqrt(k / max(lam, 1e-9)))), 8))
     for _ in range(max_rounds):
         if not unresolved:
             break
@@ -110,7 +116,7 @@ def knn_join(
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .drop("qcell", "qlon", "qlat")
-        )
+        ).persist()  # stats collect + final union reuse one computation
         # convergence: kth distance must beat the ring's inner radius
         inner = radius * cell_h
         stats = (

@@ -163,7 +163,12 @@ def _distributed_cover(
 
     Runs polyfill inside mapInPandas so the cover itself is computed
     in parallel across executors (no driver bottleneck at 10^6+
-    polygons)."""
+    polygons). The layer is repartitioned to ~its own row count so a
+    small layer doesn't fan out to one Python worker per core (the
+    per-worker startup would dwarf the work)."""
+    n_polys = polys.count()
+    par = max(1, min(polys.sparkSession.sparkContext.defaultParallelism, n_polys // 4 + 1))
+    polys = polys.repartition(par)
     schema = T.StructType(
         [
             T.StructField("pcell", T.LongType()),

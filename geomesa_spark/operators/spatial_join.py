@@ -28,17 +28,15 @@ is a provable superset, so results equal a brute-force theta join.
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
 
 from geomesa_spark.functions import cells as C
 from geomesa_spark.functions import geometry as G
+from geomesa_spark.functions import geometry_sql as GS
 from geomesa_spark.plans import cover as V
 
 DEFAULT_COVER_BITS = 12
@@ -47,47 +45,14 @@ HOT_CELL_THRESHOLD = 2_000_000  # rows per cell before salting kicks in
 MAX_SALT = 64
 
 
-@lru_cache(maxsize=4096)
-def _parse_cached(wkt: str) -> G.Geometry:
-    return G.parse_wkt(wkt)
-
-
-@pandas_udf(T.BooleanType())
-def _refine_contains(
-    interior: pd.Series, wkt: pd.Series, lon: pd.Series, lat: pd.Series
-) -> pd.Series:
-    """Exact PIP refine; `interior` rows short-circuit (no geometry
-    evaluation). Vectorized per unique polygon within each Arrow batch."""
-    out = interior.to_numpy(dtype=bool, na_value=False).copy()
-    need = ~out
-    if need.any():
-        lon_v = lon.to_numpy(dtype=np.float64)
-        lat_v = lat.to_numpy(dtype=np.float64)
-        w = wkt.to_numpy()
-        for uw in pd.unique(w[need]):
-            geom = _parse_cached(uw)
-            m = need & (w == uw)
-            out[m] = G.intersects(geom, lon_v[m], lat_v[m])
-    return pd.Series(out)
-
-
-@pandas_udf(T.BooleanType())
-def _refine_dwithin(
-    wkt: pd.Series, lon: pd.Series, lat: pd.Series, dist: pd.Series
-) -> pd.Series:
-    out = np.zeros(len(wkt), dtype=bool)
-    lon_v = lon.to_numpy(dtype=np.float64)
-    lat_v = lat.to_numpy(dtype=np.float64)
-    d_v = dist.to_numpy(dtype=np.float64)
-    w = wkt.to_numpy()
-    for uw in pd.unique(w):
-        geom = _parse_cached(uw)
-        m = w == uw
-        # distances constant per polygon row in practice, but honor per-row
-        for ud in np.unique(d_v[m]):
-            mm = m & (d_v == ud)
-            out[mm] = G.dwithin(geom, lon_v[mm], lat_v[mm], float(ud))
-    return pd.Series(out)
+def _refine_pip(lon_col: str, lat_col: str):
+    """Exact PIP refine predicate: interior cells short-circuit (the
+    covering-index fast path, IteratorTrigger.scala:66-76); boundary
+    cells run the even-odd edge aggregate — all JVM-side, zero
+    Python (GS.contains_col)."""
+    return F.col("interior") | GS.contains_col(
+        F.col("edges"), F.col(lon_col), F.col(lat_col)
+    )
 
 
 def _cover_pdf(polys: list[tuple[str, str]], bits: int, budget: int) -> pd.DataFrame:
@@ -106,7 +71,6 @@ def _cover_pdf(polys: list[tuple[str, str]], bits: int, budget: int) -> pd.DataF
                     "pbits": used,
                     "interior": interior,
                     "poly_id": pid,
-                    "geom_wkt": wkt,
                 }
             )
         )
@@ -132,22 +96,19 @@ def pip_join_broadcast(
     """
     spark = points.sparkSession
     cover = _cover_pdf(polys, bits, budget)
+    edges = F.broadcast(GS.poly_edges_df(spark, polys))
     out = None
     for pbits, grp in cover.groupby("pbits"):
-        cov_df = spark.createDataFrame(
-            grp[["pcell", "interior", "poly_id", "geom_wkt"]]
-        )
+        cov_df = spark.createDataFrame(grp[["pcell", "interior", "poly_id"]])
         pts = points.withColumn(
             "_pcell", C.cell_parent(F.col(cell_col), cell_bits, int(pbits))
         )
         joined = pts.join(
             F.broadcast(cov_df), pts["_pcell"] == cov_df["pcell"], "inner"
+        ).join(edges, "poly_id")
+        refined = joined.filter(_refine_pip(lon_col, lat_col)).drop(
+            "_pcell", "pcell", "interior", "edges"
         )
-        refined = joined.filter(
-            _refine_contains(
-                F.col("interior"), F.col("geom_wkt"), F.col(lon_col), F.col(lat_col)
-            )
-        ).drop("_pcell", "pcell", "interior", "geom_wkt")
         out = refined if out is None else out.unionByName(refined)
     return out
 
@@ -159,7 +120,7 @@ def _distributed_cover(
     poly_id_col: str = "poly_id",
     wkt_col: str = "geom_wkt",
 ) -> DataFrame:
-    """Large polygon layer -> exploded (pcell, interior, poly_id, wkt).
+    """Large polygon layer -> exploded (pcell, interior, poly_id).
 
     Runs polyfill inside mapInPandas so the cover itself is computed
     in parallel across executors (no driver bottleneck at 10^6+
@@ -174,7 +135,6 @@ def _distributed_cover(
             T.StructField("pcell", T.LongType()),
             T.StructField("interior", T.BooleanType()),
             T.StructField("poly_id", T.StringType()),
-            T.StructField("geom_wkt", T.StringType()),
         ]
     )
 
@@ -202,13 +162,35 @@ def _distributed_cover(
                             "pcell": cells_,
                             "interior": interior,
                             "poly_id": pid,
-                            "geom_wkt": wkt,
                         }
                     )
                 )
             yield pd.concat(out, ignore_index=True) if out else pd.DataFrame(
-                columns=["pcell", "interior", "poly_id", "geom_wkt"]
+                columns=["pcell", "interior", "poly_id"]
             )
+
+    return polys.mapInPandas(gen, schema=schema)
+
+
+def _distributed_edges(
+    polys: DataFrame, poly_id_col: str = "poly_id", wkt_col: str = "geom_wkt"
+) -> DataFrame:
+    """(poly_id, edges) parsed in parallel — the broadcast side of
+    the JVM refine (one row per polygon, not per cover cell)."""
+    schema = T.StructType(
+        [
+            T.StructField("poly_id", T.StringType()),
+            T.StructField("edges", GS.EDGE_SCHEMA),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [
+                (pid, GS.geom_edges(G.parse_wkt(wkt)))
+                for pid, wkt in zip(pdf[poly_id_col], pdf[wkt_col])
+            ]
+            yield pd.DataFrame(rows, columns=["poly_id", "edges"])
 
     return polys.mapInPandas(gen, schema=schema)
 
@@ -313,12 +295,10 @@ def pip_join_partitioned(
         cov,
         (pts["_pcell"] == cov["pcell"]) & (pts["_salt"] == cov["_salt"]),
         "inner",
+    ).join(F.broadcast(_distributed_edges(polys)), "poly_id")
+    return joined.filter(_refine_pip(lon_col, lat_col)).drop(
+        "_pcell", "_salt", "pcell", "interior", "edges"
     )
-    return joined.filter(
-        _refine_contains(
-            F.col("interior"), F.col("geom_wkt"), F.col(lon_col), F.col(lat_col)
-        )
-    ).drop("_pcell", "_salt", "pcell", "interior", "geom_wkt")
 
 
 def proximity_join(
@@ -352,7 +332,8 @@ def proximity_join(
                     "pcell": cells_,
                     "pbits": used,
                     "site_id": sid,
-                    "site_wkt": G.point_wkt(slon, slat),
+                    "site_x": slon,
+                    "site_y": slat,
                     "radius": rad,
                 }
             )
@@ -365,11 +346,14 @@ def proximity_join(
             "_pcell", C.cell_parent(F.col(cell_col), cell_bits, int(pbits))
         )
         j = pts.join(F.broadcast(cov_df), pts["_pcell"] == cov_df["pcell"], "inner")
+        # exact dwithin for point sites is a plain column expression
+        # (FilterHelper dwithin-degrees rewrite, then euclidean)
         j = j.filter(
-            _refine_dwithin(
-                F.col("site_wkt"), F.col(lon_col), F.col(lat_col), F.col("radius")
+            GS.point_dist2_col(
+                F.col(lon_col), F.col(lat_col), F.col("site_x"), F.col("site_y")
             )
-        ).drop("_pcell", "pcell", "site_wkt", "radius")
+            <= F.col("radius") * F.col("radius")
+        ).drop("_pcell", "pcell", "site_x", "site_y", "radius")
         out = j if out is None else out.unionByName(j)
     # no dedup needed: cover cells are unique per site, so each
     # (point, site) pair appears at most once

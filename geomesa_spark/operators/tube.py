@@ -21,36 +21,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
 
 from geomesa_spark.functions import cells as C
 from geomesa_spark.functions import geometry as G
 
 TUBE_BITS = 8
-
-
-@pandas_udf(T.BooleanType())
-def _near_segment_rowwise(
-    x1: pd.Series, y1: pd.Series, x2: pd.Series, y2: pd.Series,
-    lon: pd.Series, lat: pd.Series, buf: pd.Series,
-) -> pd.Series:
-    """Per-row point-to-its-segment distance (vectorized elementwise)."""
-    px = lon.to_numpy(np.float64)
-    py = lat.to_numpy(np.float64)
-    ax = x1.to_numpy(np.float64)
-    ay = y1.to_numpy(np.float64)
-    bx = x2.to_numpy(np.float64)
-    by = y2.to_numpy(np.float64)
-    b = buf.to_numpy(np.float64)
-    dx = bx - ax
-    dy = by - ay
-    ln2 = dx * dx + dy * dy
-    ln2 = np.where(ln2 == 0.0, 1.0, ln2)
-    t = np.clip(((px - ax) * dx + (py - ay) * dy) / ln2, 0.0, 1.0)
-    cx = ax + t * dx
-    cy = ay + t * dy
-    d2 = (px - cx) ** 2 + (py - cy) ** 2
-    return pd.Series(d2 <= b * b)
 
 
 def build_tube(
@@ -130,12 +105,21 @@ def tube_select(
         (es >= F.col("ts1") - F.lit(time_delta_sec))
         & (es <= F.col("ts2") + F.lit(time_delta_sec))
     )
-    refined = joined.filter(
-        _near_segment_rowwise(
-            F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"),
-            F.col(lon_col), F.col(lat_col), F.col("buf"),
-        )
-    )
+    # exact point-to-segment distance as a pure column expression
+    # (t-clamped projection; zero-length segments degrade to the
+    # point distance via the ln2==0 guard) — no Python in the refine
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    ln2 = dx * dx + dy * dy
+    ln2 = F.when(ln2 == 0.0, F.lit(1.0)).otherwise(ln2)
+    t = ((F.col(lon_col) - F.col("x1")) * dx + (F.col(lat_col) - F.col("y1")) * dy) / ln2
+    t = F.least(F.lit(1.0), F.greatest(F.lit(0.0), t))
+    cx = F.col("x1") + t * dx
+    cy = F.col("y1") + t * dy
+    d2 = (F.col(lon_col) - cx) * (F.col(lon_col) - cx) + (
+        F.col(lat_col) - cy
+    ) * (F.col(lat_col) - cy)
+    refined = joined.filter(d2 <= F.col("buf") * F.col("buf"))
     return refined.drop(
         "_pcell", "pcell", "seg_id", "ts1", "ts2", "x1", "y1", "x2", "y2", "buf"
     ).dropDuplicates([id_col])

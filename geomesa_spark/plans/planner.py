@@ -211,7 +211,20 @@ def scan(
 
     # --- residual exact geometry ---
     if geom is not None:
-        out = out.filter(
-            _refine_geom(F.lit(spec.geometry_wkt), F.col(lon_col), F.col(lat_col))
-        )
+        if geom.kind in ("POLYGON", "MULTIPOLYGON"):
+            # JVM-side even-odd refine over the geometry's edge array
+            # (no Python in the scan path)
+            from geomesa_spark.functions import geometry_sql as GS
+
+            out = out.filter(
+                GS.contains_col(
+                    GS.edges_lit(geom), F.col(lon_col), F.col(lat_col)
+                )
+            )
+        else:
+            out = out.filter(
+                _refine_geom(
+                    F.lit(spec.geometry_wkt), F.col(lon_col), F.col(lat_col)
+                )
+            )
     return out

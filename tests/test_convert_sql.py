@@ -1,0 +1,142 @@
+"""Ingest converters, export sinks, SQL function surface."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.functions import sql_api as S
+from geomesa_spark.sources.convert import (
+    ConvertSpec,
+    delimited_ingest,
+    fixed_width_ingest,
+    json_ingest,
+)
+from geomesa_spark.sources.export import export_csv, export_geojson
+
+
+def test_delimited_ingest(spark, tmp_path):
+    p = str(tmp_path / "in.csv")
+    with open(p, "w") as f:
+        f.write('"a1",3.5,2010-05-01T12:00:00Z,10.5,20.25\n')
+        f.write('"b2",4.0,2010-05-02T00:00:00Z,-5.0,0.5\n')
+    spec = ConvertSpec(
+        fields=[
+            ("name", "regexp_replace(_c0, '\"', '')"),
+            ("score", "cast(_c1 as double)"),
+            ("dtg", "to_timestamp(_c2, \"yyyy-MM-dd'T'HH:mm:ss'Z'\")"),
+            ("lon", "cast(_c3 as double)"),
+            ("lat", "cast(_c4 as double)"),
+            ("fid", "md5(_c0)"),
+        ]
+    )
+    out = delimited_ingest(spark, p, spec).collect()
+    assert [r.name for r in out] == ["a1", "b2"]
+    assert out[0].score == 3.5 and out[0].lon == 10.5
+    assert out[0].dtg.year == 2010
+    assert len(out[0].fid) == 32
+
+
+def test_json_ingest(spark, tmp_path):
+    p = str(tmp_path / "in.json")
+    with open(p, "w") as f:
+        f.write('{"id": "x", "geo": {"lon": 1.5, "lat": 2.5}}\n')
+    spec = ConvertSpec(
+        fields=[("doc_id", "id"), ("lon", "geo.lon"), ("lat", "geo.lat")]
+    )
+    r = json_ingest(spark, p, spec).first()
+    assert (r.doc_id, r.lon, r.lat) == ("x", 1.5, 2.5)
+
+
+def test_fixed_width_ingest(spark, tmp_path):
+    p = str(tmp_path / "in.txt")
+    with open(p, "w") as f:
+        f.write("AAA12345\nBBB67890\n")
+    out = fixed_width_ingest(
+        spark, p, [("code", 1, 3), ("num", 4, 5)],
+        ConvertSpec(fields=[("code", "code"), ("num", "cast(num as int)")]),
+    ).collect()
+    assert {(r.code, r.num) for r in out} == {("AAA", 12345), ("BBB", 67890)}
+
+
+def test_export_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], "x")], "id long, arr array<double>, s string"
+    )
+    path = str(tmp_path / "out_csv")
+    export_csv(df, path)
+    back = spark.read.options(header=True).csv(path).first()
+    assert back.id == "1" and json.loads(back.arr) == [1.0, 2.0]
+
+
+def test_export_geojson(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("d1", 10.0, 20.0, "hello")], "doc_id string, lon double, lat double, note string"
+    )
+    path = str(tmp_path / "out_gj")
+    export_geojson(df, path)
+    files = [f for f in os.listdir(path) if f.startswith("part-")]
+    line = open(os.path.join(path, files[0])).readline()
+    gj = json.loads(line)
+    assert gj["type"] == "Feature"
+    assert gj["geometry"]["coordinates"] == [10.0, 20.0]
+    assert gj["properties"]["note"] == "hello"
+
+
+def test_sql_functions_match_dataframe_api(spark):
+    S.register_sql_functions(spark)
+    df = spark.createDataFrame(
+        [(i, -170.0 + i * 7.3, -80.0 + i * 3.7) for i in range(40)],
+        "id long, lon double, lat double",
+    )
+    df.createOrReplaceTempView("pts_sql_test")
+
+    # bbox
+    got = spark.sql(
+        "SELECT id FROM pts_sql_test WHERE st_within_bbox(lon, lat, -50, -50, 50, 50)"
+    ).collect()
+    want = df.filter(F.col("lon").between(-50, 50) & F.col("lat").between(-50, 50))
+    assert {r.id for r in got} == {r.id for r in want.collect()}
+
+    # ray-cast contains vs numpy oracle
+    import numpy as np
+
+    from geomesa_spark.functions import geometry as G
+
+    wkt = "POLYGON ((-60 -60, 60 -60, 40 50, -40 60, -60 -60))"
+    got = spark.sql(
+        f"SELECT id FROM pts_sql_test WHERE st_contains_edges({S.edges_sql(wkt)}, lon, lat)"
+    ).collect()
+    rows = df.collect()
+    geom = G.parse_wkt(wkt)
+    inside = G.contains(
+        geom,
+        np.array([r.lon for r in rows]),
+        np.array([r.lat for r in rows]),
+    )
+    want_ids = {r.id for r, keep in zip(rows, inside) if keep}
+    assert {r.id for r in got} == want_ids
+
+    # z2 parity with the column implementation
+    from geomesa_spark.functions import cells as C
+
+    got = spark.sql("SELECT id, st_z2(lon, lat) AS z FROM pts_sql_test").collect()
+    want = {
+        r.id: r.z
+        for r in df.select("id", C.z2_cell(F.col("lon"), F.col("lat")).alias("z")).collect()
+    }
+    for r in got:
+        assert r.z == want[r.id]
+
+
+def test_execute_sql_entry(spark):
+    from geomesa_spark.functions.sql_api import execute_sql
+
+    df = spark.createDataFrame([(1, 5.0, 5.0)], "id long, lon double, lat double")
+    out = execute_sql(
+        spark,
+        "SELECT count(*) AS n FROM t WHERE st_within_bbox(lon, lat, 0, 0, 10, 10)",
+        {"t": df},
+    )
+    assert out.first().n == 1

@@ -1,0 +1,90 @@
+"""Physical-plan shape assertions: the scale guarantees.
+
+These tests pin the properties that make the engine viable at 100 TB:
+predicate/partition pruning reaches the parquet scan, small sides
+broadcast, and the hot paths contain no Python evaluation nodes.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators.spatial_join import pip_join_broadcast
+from geomesa_spark.plans.planner import QuerySpec, scan
+from geomesa_spark.sources.docs import synth_docs, write_docs_table
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def stored(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("docs") / "tbl")
+    write_docs_table(synth_docs(spark, 5000), path)
+    return spark.read.parquet(path)
+
+
+def test_week_partition_pruning(spark, stored):
+    from datetime import datetime, timezone
+
+    spec = QuerySpec(
+        bbox=(-10, -10, 10, 10),
+        t0=datetime(2010, 5, 2, tzinfo=timezone.utc),
+        t1=datetime(2010, 5, 9, tzinfo=timezone.utc),
+    )
+    p = plan_of(scan(stored, spec))
+    # week is a directory-partition column: the filter must appear as
+    # a partition filter on the scan, not a post-scan filter
+    assert "PartitionFilters" in p
+    assert "week" in p.split("PartitionFilters", 1)[1][:400]
+
+
+def test_cell_range_predicates_pushed(spark, stored):
+    spec = QuerySpec(bbox=(-10, -10, 10, 10))
+    p = plan_of(scan(stored, spec))
+    # stored cell column -> range predicates reach PushedFilters so
+    # parquet row-group stats skip (the Z2 range-scan analog)
+    pushed = p.split("PushedFilters", 1)[1][:2000]
+    assert "cell" in pushed and "GreaterThanOrEqual" in pushed
+
+
+def test_derived_cell_skips_ranges(spark):
+    # derived (non-stored) cell column: no OR-of-ranges is emitted
+    # (they cannot prune and they blow up codegen)
+    docs = synth_docs(spark, 100)
+    from geomesa_spark.sources.docs import extract_geometry
+
+    ge = extract_geometry(docs)
+    spec = QuerySpec(bbox=(-10, -10, 10, 10))
+    p = plan_of(scan(ge, spec))
+    assert p.count("cell#") < 40  # no 200-term OR over the cell expr
+
+
+def test_column_pruning_projection(spark, stored):
+    p = plan_of(stored.select("doc_id", "lon"))
+    sched = p.split("ReadSchema", 1)[1][:200]
+    assert "doc_id" in sched and "lon" in sched
+    assert "spans" not in sched  # covering-index analog: spans unread
+
+
+def test_pip_broadcast_no_python_no_shuffle(spark, stored):
+    out = pip_join_broadcast(
+        stored, [("p1", "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0))")]
+    )
+    p = plan_of(out)
+    assert "BroadcastHashJoin" in p
+    # the whole join+refine is JVM-side: no Arrow/Python eval nodes
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # and no shuffle of the document table
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_pip_output_preserves_spans(spark, stored):
+    out = pip_join_broadcast(
+        stored, [("p1", "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0))")]
+    )
+    assert "spans" in out.columns  # span-sequence invariant carrier
+    row = out.select("spans").first()
+    assert row is not None and len(row.spans) >= 2

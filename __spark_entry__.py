@@ -474,6 +474,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bin_export"] = bin_export
 
+    # --- point2point: ordered points -> track segments ---
+    def point2point(spark, sf):
+        ge = geo_events(spark, sf)
+        seg = A.point2point(ge, "user_id", tiebreak_col="event_id")
+        return seg.select(
+            F.col("group").alias("grp"),
+            F.unix_timestamp("t1").alias("es1"),
+            F.unix_timestamp("t2").alias("es2"),
+            "x1", "y1", "x2", "y2",
+        )
+
+    q["point2point"] = point2point
+
     # --- streaming upsert semantics (replayed as a batch) ---
     def stream_replay(spark, sf):
         from geomesa_spark.streaming import replay_state
@@ -719,6 +732,26 @@ SELECT qid, vec_id, cos, CAST(rk AS INT) AS "rank" FROM (
   SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
   FROM scored
 ) WHERE rk <= {ANN_K}
+"""
+
+    o["point2point"] = """
+WITH pts AS (
+  SELECT event_id, user_id,
+         (event_id*9973 % 36000)/100.0 - 180.0 AS lon,
+         (event_id*7919 % 18000)/100.0 - 90.0 AS lat,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es, ts
+  FROM events
+),
+seg AS (
+  SELECT user_id AS grp, es AS es1,
+         lead(es)  OVER w AS es2,
+         lon AS x1, lat AS y1,
+         lead(lon) OVER w AS x2,
+         lead(lat) OVER w AS y2
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT grp, es1, es2, x1, y1, x2, y2 FROM seg WHERE es2 IS NOT NULL
 """
 
     # upsert changelog replay: last-write-wins per key in (ts, seq)

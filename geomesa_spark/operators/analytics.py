@@ -218,6 +218,7 @@ def point2point(
     dtg_col: str = "dtg",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Convert ordered points to consecutive line segments per group.
 
@@ -225,7 +226,8 @@ def point2point(
     dtg-sorted points per group attribute). Spark: lead() over a
     partitioned window — one shuffle on the group key.
     """
-    w = Window.partitionBy(group_col).orderBy(dtg_col)
+    order = [dtg_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(group_col).orderBy(*order)
     out = df.select(
         F.col(group_col).alias("group"),
         F.col(dtg_col).alias("t1"),

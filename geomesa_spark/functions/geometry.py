@@ -70,6 +70,18 @@ def parse_wkt(wkt: str) -> Geometry:
     if up.startswith("LINESTRING"):
         body = s[s.index("(") + 1 : s.rindex(")")]
         return Geometry("LINESTRING", [_parse_coords(body)])
+    if up.startswith("MULTIPOINT"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        pts = re.findall(r"\(([^()]*)\)", body)
+        if not pts:  # bare form: MULTIPOINT (1 2, 3 4)
+            pts = [p.strip() for p in body.split(",")]
+        # one single-point ring per member (distance/rasterize treat
+        # short rings as points, never as connecting segments)
+        return Geometry("MULTIPOINT", [_parse_coords(p) for p in pts])
+    if up.startswith("MULTILINESTRING"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        rings = [_parse_coords(r) for r in re.findall(r"\(([^()]*)\)", body)]
+        return Geometry("MULTILINESTRING", rings)
     if up.startswith("MULTIPOLYGON"):
         body = s[s.index("(") + 1 : s.rindex(")")]
         rings: list[np.ndarray] = []

@@ -53,7 +53,9 @@ def geom_edges(geom: G.Geometry) -> list[tuple[float, float, float, float]]:
     """All ring edges of a geometry as (x0,y0,x1,y1) tuples."""
     out = []
     for ring in geom.rings:
-        if len(ring) < 2:
+        if len(ring) == 1:
+            x, y = float(ring[0][0]), float(ring[0][1])
+            out.append((x, y, x, y))  # degenerate: distance-to-point
             continue
         for i in range(len(ring) - 1):
             out.append(
@@ -147,3 +149,25 @@ def dwithin_col(
 
 def point_dist2_col(lon: Column, lat: Column, sx: Column, sy: Column) -> Column:
     return (lon - sx) * (lon - sx) + (lat - sy) * (lat - sy)
+
+
+EARTH_RADIUS_M = 6371008.8  # IUGG mean radius
+
+
+def haversine_m_col(
+    lon1: Column, lat1: Column, lon2: Column, lat2: Column
+) -> Column:
+    """Great-circle distance in meters as a pure column expression —
+    the geodetic path the reference evaluates through GeoTools/JTS
+    (e.g. proximity/kNN distances); dwithin-meters rewrites stay in
+    the planner (FilterHelper.scala:104-116) for pruning, and this
+    exact form refines."""
+    rl1 = F.radians(lat1)
+    rl2 = F.radians(lat2)
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(rl1) * F.cos(rl2) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))

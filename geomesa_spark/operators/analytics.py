@@ -132,6 +132,75 @@ def map_aggregate_as_map(df: DataFrame, map_col: str) -> DataFrame:
     )
 
 
+def smooth_density(
+    grid: DataFrame,
+    width: int,
+    height: int,
+    radius_px: int = 10,
+) -> DataFrame:
+    """Kernel-density smoothing of a density grid (i, j, weight).
+
+    Reference: DensityProcess.scala:38-75 delegates to GeoTools
+    HeatmapSurface(radiusPixels) — a gaussian kernel surface. Here
+    each filled pixel scatters its weight over a (2r+1)^2 gaussian
+    stencil (sigma = r/3, truncated at r) via one explode + the same
+    partial/final sum as density itself. Distributed end-to-end —
+    no driver-side surface construction.
+    Returns (i, j, weight:double).
+    """
+    import math
+
+    sigma = max(radius_px / 3.0, 1e-9)
+    offs = []
+    for di in range(-radius_px, radius_px + 1):
+        for dj in range(-radius_px, radius_px + 1):
+            if di * di + dj * dj <= radius_px * radius_px:
+                offs.append(
+                    (di, dj, math.exp(-(di * di + dj * dj) / (2 * sigma * sigma)))
+                )
+    norm = sum(w for _, _, w in offs)
+    kernel = F.array(
+        *[
+            F.struct(
+                F.lit(di).alias("di"), F.lit(dj).alias("dj"),
+                F.lit(w / norm).alias("kw"),
+            )
+            for di, dj, w in offs
+        ]
+    )
+    scattered = grid.select(
+        F.col("i"), F.col("j"), F.col("weight"), F.explode(kernel).alias("k")
+    ).select(
+        (F.col("i") + F.col("k.di")).alias("i"),
+        (F.col("j") + F.col("k.dj")).alias("j"),
+        (F.col("weight").cast("double") * F.col("k.kw")).alias("w"),
+    )
+    return (
+        scattered.filter(
+            F.col("i").between(0, width - 1) & F.col("j").between(0, height - 1)
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("w").alias("weight"))
+    )
+
+
+def heatmap(
+    df: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    radius_px: int = 10,
+    weight_col: str | None = None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Density + kernel smoothing (the full DensityProcess analog)."""
+    return smooth_density(
+        density(df, bbox, width, height, weight_col, lon_col, lat_col),
+        width, height, radius_px,
+    )
+
+
 BIN_SCHEMA = T.StructType([T.StructField("chunk", T.BinaryType())])
 
 

@@ -62,6 +62,35 @@ def _ring_cells(
     return pd.concat(frames, ignore_index=True)
 
 
+METERS_PER_DEG_LAT = 111194.93  # pi * R_mean / 180
+
+
+def _dist_col(lon_col: str, lat_col: str, metric: str):
+    if metric == "haversine":
+        from geomesa_spark.functions import geometry_sql as GS
+
+        return GS.haversine_m_col(
+            F.col(lon_col), F.col(lat_col), F.col("qlon"), F.col("qlat")
+        )
+    return (
+        (F.col(lon_col) - F.col("qlon")) * (F.col(lon_col) - F.col("qlon"))
+        + (F.col(lat_col) - F.col("qlat")) * (F.col(lat_col) - F.col("qlat"))
+    )
+
+
+def _inner_bound(inner_deg: float, qlat: float, metric: str) -> float:
+    """Largest distance value guaranteed closer than the unexplored
+    ring exterior. Planar: inner radius squared. Haversine: a
+    conservative meters bound — latitude separation is exact, and
+    longitudinal cells shrink by cos(lat), so take the min of both
+    directions at the latitude band the ring spans."""
+    if metric == "planar":
+        return inner_deg * inner_deg
+    band = min(89.9, abs(qlat) + inner_deg)
+    scale = min(1.0, 2.0 * np.cos(np.radians(band)))
+    return inner_deg * METERS_PER_DEG_LAT * max(scale, 0.0)
+
+
 def knn_join(
     points: DataFrame,
     queries: list[tuple[str, float, float]],
@@ -73,12 +102,19 @@ def knn_join(
     cell_bits: int = C.XY_BITS,
     max_rounds: int = MAX_ROUNDS,
     tiebreak_col: str | None = None,
+    metric: str = "planar",
 ) -> DataFrame:
     """Top-k nearest data points per query point.
 
     `queries`: [(qid, lon, lat)] (small, broadcast side).
+    `metric`: "planar" ranks by squared euclidean degrees (the Z2
+    index space, output column `dist2`); "haversine" ranks by
+    great-circle meters (geodetic parity with the reference's
+    GeoTools distance calc, output column `dist2` holds meters).
     Returns (qid, dist2, rank, *points columns).
     """
+    if metric not in ("planar", "haversine"):
+        raise ValueError(metric)
     spark = points.sparkSession
     cell_h = 180.0 / (1 << bits)  # smaller of the two cell extents
     # deterministic total order even when distinct ids share a
@@ -104,10 +140,7 @@ def knn_join(
         cand_pdf = _ring_cells(unresolved, radius, bits)
         cand = F.broadcast(spark.createDataFrame(cand_pdf))
         joined = pts.join(cand, pts["_pcell"] == cand["qcell"], "inner")
-        d2 = (
-            (F.col(lon_col) - F.col("qlon")) * (F.col(lon_col) - F.col("qlon"))
-            + (F.col(lat_col) - F.col("qlat")) * (F.col(lat_col) - F.col("qlat"))
-        )
+        d2 = _dist_col(lon_col, lat_col, metric)
         w = Window.partitionBy("qid").orderBy(
             d2.asc(), F.col(lon_col).asc(), F.col(lat_col).asc(), *tiebreak
         )
@@ -124,10 +157,13 @@ def knn_join(
             .agg(F.count(F.lit(1)).alias("cnt"), F.max("dist2").alias("kth"))
             .collect()
         )
+        qlat = {q[0]: q[2] for q in unresolved}
         done_ids = {
             r.qid
             for r in stats
-            if r.cnt >= k and float(r.kth) <= inner * inner
+            if r.cnt >= k
+            and float(r.kth)
+            <= _inner_bound(inner, qlat.get(r.qid, 0.0), metric)
         }
         # queries whose square already spans the whole grid are done too
         n = 1 << bits
@@ -146,10 +182,7 @@ def knn_join(
             )
         )
         joined = points.crossJoin(rem)
-        d2 = (
-            (F.col(lon_col) - F.col("qlon")) * (F.col(lon_col) - F.col("qlon"))
-            + (F.col(lat_col) - F.col("qlat")) * (F.col(lat_col) - F.col("qlat"))
-        )
+        d2 = _dist_col(lon_col, lat_col, metric)
         w = Window.partitionBy("qid").orderBy(
             d2.asc(), F.col(lon_col).asc(), F.col(lat_col).asc(), *tiebreak
         )

@@ -309,21 +309,27 @@ def proximity_join(
     cell_col: str = "cell",
     cell_bits: int = C.XY_BITS,
     bits: int = DEFAULT_COVER_BITS,
+    radius_in_meters: bool = False,
 ) -> DataFrame:
-    """dwithin OR-join: points within per-site radius (degrees).
+    """dwithin OR-join: points within per-site radius.
 
-    `sites`: [(site_id, lon, lat, radius_deg)]. The reference builds
-    an OR of dwithin filters per input feature
+    `sites`: [(site_id, lon, lat, radius)] with radius in degrees,
+    or meters when `radius_in_meters` (the reference's dwithin takes
+    meters and rewrites to degrees for the index scan,
+    FilterHelper.scala:104-116 — same here: a conservative degree
+    buffer plans the cell cover, exact haversine refines). The
+    reference builds an OR of dwithin filters per input feature
     (ProximitySearchProcess.scala:98-114); here each site's buffer
-    becomes a broadcast cell cover and the exact dwithin refine runs
-    vectorized.
+    becomes a broadcast cell cover and the exact refine is a pure
+    column expression.
     """
     spark = points.sparkSession
     rows = []
     for sid, slon, slat, rad in sites:
+        rad_deg = G.meters_to_degrees(rad, slat) if radius_in_meters else rad
         box = G.parse_wkt(
-            G.box_wkt(slon - rad, max(slat - rad, -90.0),
-                      slon + rad, min(slat + rad, 90.0))
+            G.box_wkt(slon - rad_deg, max(slat - rad_deg, -90.0),
+                      slon + rad_deg, min(slat + rad_deg, 90.0))
         )
         cells_, interior, used = V.polyfill_detail(box, bits)
         rows.append(
@@ -347,13 +353,17 @@ def proximity_join(
         )
         j = pts.join(F.broadcast(cov_df), pts["_pcell"] == cov_df["pcell"], "inner")
         # exact dwithin for point sites is a plain column expression
-        # (FilterHelper dwithin-degrees rewrite, then euclidean)
-        j = j.filter(
-            GS.point_dist2_col(
+        # (FilterHelper dwithin-degrees rewrite, then euclidean —
+        # or exact haversine when the radius is in meters)
+        if radius_in_meters:
+            dist_ok = GS.haversine_m_col(
                 F.col(lon_col), F.col(lat_col), F.col("site_x"), F.col("site_y")
-            )
-            <= F.col("radius") * F.col("radius")
-        ).drop("_pcell", "pcell", "site_x", "site_y", "radius")
+            ) <= F.col("radius")
+        else:
+            dist_ok = GS.point_dist2_col(
+                F.col(lon_col), F.col(lat_col), F.col("site_x"), F.col("site_y")
+            ) <= F.col("radius") * F.col("radius")
+        j = j.filter(dist_ok).drop("_pcell", "pcell", "site_x", "site_y", "radius")
         out = j if out is None else out.unionByName(j)
     # no dedup needed: cover cells are unique per site, so each
     # (point, site) pair appears at most once

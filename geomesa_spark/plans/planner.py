@@ -228,3 +228,24 @@ def scan(
                 )
             )
     return out
+
+
+def scan_or(
+    df: DataFrame,
+    specs: list[QuerySpec],
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """OR of filter specs: union of per-disjunct scans, deduped by id.
+
+    The reference splits OR filters into disjoint scans with NOT
+    rewriting to avoid duplicates (QueryFilterSplitter.scala:210-225)
+    because its scanners cannot dedup cheaply; Spark's hash
+    `dropDuplicates` makes the simple union + dedup strictly better
+    (one shuffle on the id, no filter-complexity blowup).
+    """
+    out = None
+    for spec in specs:
+        part = scan(df, spec, id_col=id_col, **kwargs)
+        out = part if out is None else out.unionByName(part)
+    return out.dropDuplicates([id_col])

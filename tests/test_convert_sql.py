@@ -76,9 +76,15 @@ def test_export_geojson(spark, tmp_path):
     )
     path = str(tmp_path / "out_gj")
     export_geojson(df, path)
-    files = [f for f in os.listdir(path) if f.startswith("part-")]
-    line = open(os.path.join(path, files[0])).readline()
-    gj = json.loads(line)
+    lines = [
+        l
+        for f in os.listdir(path)
+        if f.startswith("part-")
+        for l in open(os.path.join(path, f)).read().splitlines()
+        if l.strip()
+    ]
+    assert len(lines) == 1
+    gj = json.loads(lines[0])
     assert gj["type"] == "Feature"
     assert gj["geometry"]["coordinates"] == [10.0, 20.0]
     assert gj["properties"]["note"] == "hello"

@@ -1,0 +1,97 @@
+"""Geodesic (meters) distance paths, OR-scan, heatmap smoothing."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.functions import cells as C
+from geomesa_spark.functions import geometry_sql as GS
+from geomesa_spark.operators.analytics import density, smooth_density
+from geomesa_spark.operators.knn import knn_join
+from geomesa_spark.operators.spatial_join import proximity_join
+from geomesa_spark.plans.planner import QuerySpec, scan_or
+
+
+def hav_np(lon1, lat1, lon2, lat2):
+    rl1, rl2 = math.radians(lat1), math.radians(lat2)
+    dlat = math.radians(lat2 - lat1)
+    dlon = math.radians(lon2 - lon1)
+    a = math.sin(dlat / 2) ** 2 + math.cos(rl1) * math.cos(rl2) * math.sin(dlon / 2) ** 2
+    return 2 * GS.EARTH_RADIUS_M * math.asin(math.sqrt(a))
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    rows = [
+        (i, -170.0 + (i * 37 % 340), -85.0 + (i * 17 % 170))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, lon double, lat double")
+    return df.withColumn("cell", C.z2_cell(F.col("lon"), F.col("lat"))).cache(), rows
+
+
+def test_haversine_col_matches_python(spark):
+    cases = [(0.0, 0.0, 1.0, 1.0), (-170.0, 60.0, 175.0, 62.0), (10.0, -80.0, 12.0, -79.0)]
+    df = spark.createDataFrame(cases, "a double, b double, c double, d double")
+    got = df.select(
+        GS.haversine_m_col(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("m")
+    ).collect()
+    for (a, b, c, d), r in zip(cases, got):
+        assert r.m == pytest.approx(hav_np(a, b, c, d), rel=1e-12)
+
+
+def test_knn_haversine_matches_bruteforce(pts):
+    df, rows = pts
+    queries = [("q1", 10.0, 55.0), ("q2", -120.0, -40.0)]
+    out = knn_join(df, queries, 5, metric="haversine", tiebreak_col="id")
+    got = {}
+    for r in sorted(out.collect(), key=lambda r: (r.qid, r.rank)):
+        got.setdefault(r.qid, []).append(r.id)
+    for qid, qlon, qlat in queries:
+        scored = sorted(
+            ((hav_np(lon, lat, qlon, qlat), lon, lat, i) for i, lon, lat in rows)
+        )
+        assert got[qid] == [i for _, _, _, i in scored[:5]]
+
+
+def test_proximity_meters(pts):
+    df, rows = pts
+    sites = [("s1", 5.0, 45.0, 400_000.0)]  # 400 km
+    out = proximity_join(df, sites, radius_in_meters=True)
+    got = {r.id for r in out.collect()}
+    want = {i for i, lon, lat in rows if hav_np(lon, lat, 5.0, 45.0) <= 400_000.0}
+    assert got == want
+
+
+def test_scan_or_dedups(spark, pts):
+    df, rows = pts
+    specs = [
+        QuerySpec(bbox=(-50.0, -50.0, 10.0, 10.0)),
+        QuerySpec(bbox=(-10.0, -10.0, 50.0, 50.0)),  # overlaps the first
+    ]
+    out = scan_or(df, specs, id_col="id")
+    got = {r.id for r in out.collect()}
+    want = {
+        i for i, lon, lat in rows
+        if (-50 <= lon <= 10 and -50 <= lat <= 10)
+        or (-10 <= lon <= 50 and -10 <= lat <= 50)
+    }
+    assert got == want
+    assert out.count() == len(got)  # deduped
+
+
+def test_smooth_density_conserves_mass(spark):
+    rows = [(10.0, 10.0)] * 7 + [(-10.0, -10.0)] * 3
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    grid = density(df, (-20.0, -20.0, 20.0, 20.0), 40, 40)
+    sm = smooth_density(grid, 40, 40, radius_px=3)
+    total = sm.agg(F.sum("weight")).first()[0]
+    # interior points: the full kernel lands in-bounds -> mass conserved
+    assert total == pytest.approx(10.0, rel=1e-9)
+    # smoothing spreads: more filled pixels than the raw grid
+    assert sm.count() > grid.count()
+    # peak is at the heavier point's pixel
+    peak = sm.orderBy(F.col("weight").desc()).first()
+    assert (peak.i, peak.j) == (30, 30)

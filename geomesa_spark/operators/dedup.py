@@ -324,3 +324,74 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos") >= F.lit(threshold))
     )
+
+
+def dup_components(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Connected components over near-dup pairs -> canonical doc.
+
+    Iterative min-label propagation (the standard large-graph CC
+    pattern: each round every node adopts the minimum label in its
+    neighborhood; rounds ~ O(log(diameter)), each one shuffle on the
+    node id). Input: pair rows (doc_a, doc_b); output: (doc, canon)
+    where canon is the minimum doc id of the component — the keep
+    candidate for dedup filtering.
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = fwd.unionByName(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("canon", F.col("doc"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["src"] == labels["doc"])
+            .groupBy(F.col("dst").alias("doc"))
+            .agg(F.min("canon").alias("n_canon"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc", "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("canon"), F.coalesce(F.col("n_canon"), F.col("canon"))
+                ).alias("canon"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.canon") != F.col("o.canon"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_filter(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every non-canonical member of each near-dup component —
+    the end-to-end dedup a training pipeline applies before packing
+    shards. Keeps all docs that appear in no pair."""
+    comp = dup_components(pairs)
+    losers = comp.filter(F.col("doc") != F.col("canon")).select(
+        F.col("doc").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

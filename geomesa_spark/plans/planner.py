@@ -130,6 +130,7 @@ def scan(
     cell_bits: int = C.XY_BITS,
     max_ranges: int = V.DEFAULT_MAX_RANGES,
     cell_ranges: bool | None = None,
+    z3_col: str = "z3",
 ) -> DataFrame:
     """Apply the spec as pushable predicates + residual refine.
 
@@ -185,6 +186,44 @@ def scan(
             pred = cell_range_predicate(V.merge_ranges(ranges), F.col(cell_col))
             if pred is not None:
                 out = out.filter(pred)
+
+    # --- space+time: Z3 range predicates per week (z3-table analog,
+    # Z3IdxStrategy.scala:127-178) — emitted only for a stored z3
+    # column, same reasoning as the Z2 ranges above ---
+    if (
+        bbox is not None
+        and spec.t0 is not None
+        and spec.t1 is not None
+        and z3_col in df.columns
+        and (cell_ranges or _cell_is_stored(df, z3_col))
+    ):
+        e0 = _epoch(_round_seconds(spec.t0, spec.t0_exclusive, True))
+        e1 = _epoch(_round_seconds(spec.t1, spec.t1_exclusive, False))
+        w0, w1 = e0 // C.SECONDS_IN_WEEK, max(e1 - 1, e0) // C.SECONDS_IN_WEEK
+        # union of each week's range set, as a PURE z3 predicate: a
+        # week-qualified OR would mix the partition column with a
+        # data column and lose parquet pushdown entirely. The union
+        # is a safe superset (week pruning + the exact dtg interval
+        # below refine), and it reaches PushedFilters so row-group
+        # z3 min/max stats skip — the Z3 range-scan analog.
+        ranges = []
+        for wk in range(w0, w1 + 1):
+            t_lo = e0 - wk * C.SECONDS_IN_WEEK if wk == w0 else 0
+            t_hi = (
+                min(e1 - wk * C.SECONDS_IN_WEEK, C.SECONDS_IN_WEEK - 1)
+                if wk == w1
+                else C.SECONDS_IN_WEEK - 1
+            )
+            for bx in G.idl_safe_boxes(*bbox):
+                ranges.extend(
+                    V.zranges_3d(
+                        bx[0], bx[1], bx[2], bx[3], max(t_lo, 0), t_hi,
+                        max_ranges=max_ranges,
+                    )
+                )
+        zpred = cell_range_predicate(V.merge_ranges(ranges), F.col(z3_col))
+        if zpred is not None:
+            out = out.filter(zpred)
 
     # --- temporal (week pruning + interval) ---
     if spec.t0 is not None or spec.t1 is not None:

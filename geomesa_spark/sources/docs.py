@@ -166,18 +166,27 @@ def extract_geometry(docs: DataFrame, bits: int = C.XY_BITS) -> DataFrame:
     )
 
 
-def write_docs_table(docs: DataFrame, path: str, bits: int = C.XY_BITS) -> None:
-    """Persist enriched docs partitioned by week, sorted by cell.
+def write_docs_table(
+    docs: DataFrame, path: str, bits: int = C.XY_BITS, layout: str = "z2"
+) -> None:
+    """Persist enriched docs partitioned by week, z-sorted in-file.
 
-    The layout analog of the reference's z3 table: `week` directory
-    partition (epoch-week row-key prefix, Z3Table.scala:120-128) and
-    z-cell sort order inside files so Parquet row-group min/max stats
-    prune cell ranges (the analog of tablet row-range scans).
+    The layout analog of the reference's index tables: `week`
+    directory partition (epoch-week row-key prefix,
+    Z3Table.scala:120-128) and a space(-time) curve sort order inside
+    files so Parquet row-group min/max stats prune curve ranges (the
+    analog of tablet row-range scans). layout="z2" sorts by the
+    spatial cell (ST-table analog, best for pure-spatial queries);
+    layout="z3" sorts by the within-week space-time curve (z3-table
+    analog, best for space+time queries). The reference keeps BOTH
+    as separate physical tables; write both layouts only if the
+    workload needs them.
     """
+    sort_col = {"z2": "cell", "z3": "z3"}[layout]
     (
         extract_geometry(docs, bits)
         .repartition("week")
-        .sortWithinPartitions("cell")
+        .sortWithinPartitions(sort_col)
         .write.mode("overwrite")
         .partitionBy("week")
         .parquet(path)

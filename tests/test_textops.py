@@ -179,3 +179,25 @@ def test_embedding_neardup(emb_df):
     assert len(pairs) > 0
     for r in pairs:
         assert r.id_a < r.id_b and r.cos >= 0.99
+
+
+def test_dup_components_and_filter(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 1)], "doc_a long, doc_b long"
+    )
+    comp = {r.doc: r.canon for r in D.dup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 8: 1, 5: 5, 6: 5}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in [1, 2, 3, 4, 5, 6, 7, 8]], "doc_id long, text string"
+    )
+    kept = {r.doc_id for r in D.dedup_filter(docs, pairs).collect()}
+    assert kept == {1, 4, 5, 7}
+
+
+def test_dedup_filter_end_to_end(docs_df):
+    pairs = D.minhash_lsh_pairs(docs_df, 0.3, n=2)
+    kept = D.dedup_filter(docs_df, pairs)
+    ids = {r.doc_id for r in kept.collect()}
+    assert 1 in ids and 2 not in ids and 3 not in ids  # 1 is canon of {1,2,3}
+    assert {4, 5, 6, 7} <= ids

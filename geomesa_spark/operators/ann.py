@@ -182,3 +182,125 @@ def lsh_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) — coarse quantizer + probed exact search
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_lists: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 2,
+) -> np.ndarray:
+    """Deterministic coarse quantizer: seed centroids are the vectors
+    whose splitmix64(id) is smallest (reproducible "random" sample),
+    then `refine_iters` Lloyd steps run as DataFrame aggregations
+    (assign = argmax dot; update = per-list mean) — k-means at scale
+    without collecting the corpus."""
+    seeds = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("h", F.xxhash64(F.col("id")))
+        .orderBy("h")
+        .limit(n_lists)
+        .collect()
+    )
+    C = np.array([[float(x) for x in r.v] for r in seeds], dtype=np.float64)
+    for _ in range(refine_iters):
+        assigned = ivf_assign(corpus, C, vec_col=vec_col).groupBy("list_id").agg(
+            F.array(*[F.avg(F.col(vec_col)[i]) for i in range(dim)]).alias("mean"),
+        )
+        rows = assigned.collect()
+        for r in rows:
+            C[int(r.list_id)] = np.array(r.mean, dtype=np.float64)
+    return C
+
+
+def ivf_assign(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding",
+    out_col: str = "list_id",
+) -> DataFrame:
+    """Append the nearest-centroid list id (max cosine via max dot on
+    normalized centroids) — one narrow pass, JVM-side: the centroid
+    matrix rides in as array literals."""
+    Cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    best_id = F.lit(0)
+    best_dot = F.lit(float("-inf"))
+    for li, c in enumerate(Cn):
+        consts = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), consts, lambda x, h: x.cast("double") * h),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        better = dot > best_dot
+        best_id = F.when(better, F.lit(li)).otherwise(best_id)
+        best_dot = F.when(better, dot).otherwise(best_dot)
+    return df.withColumn(out_col, best_id)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: np.ndarray,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: each query searches its `n_probes` nearest
+    inverted lists with the exact fixed-point re-rank. At corpus
+    scale the list id is the table's bucket/partition key, so a
+    probe reads ~n_probes/n_lists of the data.
+    Returns (qid, vec_id, cos, rank)."""
+    Cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    c = ivf_assign(
+        _with_fixed(corpus, id_col, vec_col, "c_")
+        .join(
+            corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("_raw")),
+            "c_id",
+        ),
+        Cn,
+        vec_col="_raw",
+        out_col="c_list",
+    ).drop("_raw")
+    # per-query probe lists (computed on the driver: queries are the
+    # small broadcast side)
+    qrows = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("_raw")
+    ).collect()
+    probes = []
+    for r in qrows:
+        v = np.array([float(x) for x in r["_raw"]], dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        order = np.argsort(-(Cn @ v))
+        for li in order[:n_probes]:
+            probes.append((r.q_id, int(li)))
+    spark = corpus.sparkSession
+    probe_df = spark.createDataFrame(probes, "q_id long, c_list int")
+    q = _with_fixed(queries, q_id_col, q_vec_col, "q_").join(
+        probe_df, "q_id"
+    )
+    joined = c.join(
+        F.broadcast(q), ["c_list"], "inner"
+    ).filter(F.col("c_id") != F.col("q_id"))
+    cos = (
+        _dot(F.col("c_fv"), F.col("q_fv"))
+        / F.sqrt(F.col("c_nrm").cast("double") * F.col("q_nrm").cast("double"))
+    ).alias("cos")
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        joined.select(F.col("q_id").alias("qid"), F.col("c_id").alias("vec_id"), cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -122,3 +122,29 @@ def test_streaming_materialization(spark, tmp_path):
     q2 = upsert_stream(stream2, state, ckpt)
     q2.awaitTermination(120)
     assert state_dict(read_state(spark, state)) == {"a": "a2", "c": "c1"}
+
+
+def test_snapshot_state_feeds_spatial_operators(spark):
+    """§2.9 'snapshot query over live state': the materialized upsert
+    view is an ordinary table — spatial operators apply unchanged."""
+    from geomesa_spark.functions import cells as C
+    from geomesa_spark.operators.spatial_join import pip_join_broadcast
+
+    log = spark.createDataFrame(
+        [
+            ("upsert", "a", 1.0, 1, 5.0, 5.0),
+            ("upsert", "b", 2.0, 2, 50.0, 50.0),
+            ("upsert", "a", 3.0, 3, 6.0, 6.0),   # moves a
+            ("delete", "b", 4.0, 4, None, None),
+            ("upsert", "c", 5.0, 5, -120.0, 0.0),
+        ],
+        "op string, doc_id string, ts double, seq long, lon double, lat double",
+    )
+    state = apply_changelog(None, log).withColumn(
+        "cell", C.z2_cell(F.col("lon"), F.col("lat"))
+    )
+    out = pip_join_broadcast(
+        state, [("box", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")]
+    )
+    rows = out.collect()
+    assert {(r.doc_id, r.lon) for r in rows} == {("a", 6.0)}

@@ -201,3 +201,17 @@ def test_dedup_filter_end_to_end(docs_df):
     ids = {r.doc_id for r in kept.collect()}
     assert 1 in ids and 2 not in ids and 3 not in ids  # 1 is canon of {1,2,3}
     assert {4, 5, 6, 7} <= ids
+
+
+def test_ivf_topk_recall(emb_df):
+    df, rows = emb_df
+    C = N.ivf_centroids(df, n_lists=4, dim=16, refine_iters=1)
+    assert C.shape == (4, 16)
+    brute = py_topk(rows, [0, 1, 2], 5)
+    res = N.ivf_topk(df, df.filter(F.col("vec_id") < 3), 5, C, n_probes=2).collect()
+    got = {}
+    for r in sorted(res, key=lambda r: (r.qid, r.rank)):
+        got.setdefault(r.qid, []).append(r.vec_id)
+    # 4 gaussian clusters, 4 lists, 2 probes: near-full recall
+    hits = sum(len(set(got.get(q, [])) & set(brute[q])) for q in brute)
+    assert hits >= 12

@@ -17,8 +17,12 @@ Architecture notes (vs the reference):
   attr_idx — see SURVEY.md §1.1) collapse into one columnar table
   with derived `week`/`cell` columns; partition pruning replaces
   row-key range scans.
-- All geometry math is vectorized numpy inside pandas/Arrow UDFs —
-  no per-row Python anywhere.
+- Exact geometry predicates run as JVM higher-order-function
+  aggregates over broadcast edge arrays (functions/geometry_sql);
+  numpy twins exist only for driver-side planning and test oracles.
+  No Python — vectorized or otherwise — on any refine/aggregate hot
+  path; Arrow-batched mapInPandas is reserved for derivation stages
+  (WKT parse, media decode, corpus synthesis).
 """
 
 from geomesa_spark.session import get_spark  # noqa: F401

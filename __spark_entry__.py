@@ -359,6 +359,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tube_select"] = tube
 
+    def tube_line(spark, sf):
+        out = tube_select(
+            geo_events(spark, sf),
+            TUBE_TRACK,
+            TUBE_BUF,
+            TUBE_DELTA,
+            gap_fill="line",
+            id_col="event_id",
+        )
+        return out.select("event_id")
+
+    q["tube_line"] = tube_line
+
     def tile_assign(spark, sf):
         ge = geo_events(spark, sf)
         return ge.select(
@@ -589,6 +602,32 @@ SELECT DISTINCT event_id
 FROM pts JOIN (VALUES {tube_rows}) AS tube(tt, tx, ty)
   ON (lon-tx)*(lon-tx) + (lat-ty)*(lat-ty) <= {TUBE_BUF * TUBE_BUF!r}
  AND es >= tt - {TUBE_DELTA} AND es <= tt + {TUBE_DELTA}
+"""
+
+    # LINE gap fill: consecutive track points become segments; the
+    # oracle repeats tube.py's clamped-projection distance with all
+    # per-segment constants pre-folded in Python (bit-identical)
+    segs = []
+    trk = sorted(TUBE_TRACK)
+    for (t1s, x1, y1), (t2s, x2, y2) in zip(trk, trk[1:]):
+        dx, dy = x2 - x1, y2 - y1
+        ln2 = dx * dx + dy * dy or 1.0
+        segs.append((t1s, t2s, x1, y1, dx, dy, ln2))
+    seg_conds = []
+    for t1s, t2s, x1, y1, dx, dy, ln2 in segs:
+        t = (f"least(1.0, greatest(0.0, ((lon-({x1!r}))*({dx!r}) + "
+             f"(lat-({y1!r}))*({dy!r})) / {ln2!r}))")
+        cx = f"({x1!r} + {t}*({dx!r}))"
+        cy = f"({y1!r} + {t}*({dy!r}))"
+        d2 = f"((lon-{cx})*(lon-{cx}) + (lat-{cy})*(lat-{cy}))"
+        seg_conds.append(
+            f"(es >= {t1s - TUBE_DELTA} AND es <= {t2s + TUBE_DELTA} "
+            f"AND {d2} <= {TUBE_BUF * TUBE_BUF!r})"
+        )
+    o["tube_line"] = f"""
+WITH {PTS_CTE}
+SELECT DISTINCT event_id FROM pts
+WHERE {" OR ".join(seg_conds)}
 """
 
     o["tile_assign"] = f"""

@@ -71,7 +71,10 @@ def tube_select(
     spark = points.sparkSession
     tube = build_tube(track, buffer_deg, gap_fill)
 
-    # cell cover per segment (bbox of segment + buffer)
+    # cell cover per segment (bbox of segment + buffer); polyfill
+    # coarsens big boxes below `bits`, so covers join per distinct
+    # resolution group (a cover cell must be compared against the
+    # point's parent cell at the SAME resolution)
     seg_rows = []
     for i, r in tube.iterrows():
         xmin = min(r.x1, r.x2) - buffer_deg
@@ -86,6 +89,7 @@ def tube_select(
             pd.DataFrame(
                 {
                     "pcell": cells_,
+                    "pbits": used,
                     "seg_id": i,
                     "ts1": int(r.ts1),
                     "ts2": int(r.ts2),
@@ -97,11 +101,17 @@ def tube_select(
                 }
             )
         )
-    cov = F.broadcast(spark.createDataFrame(pd.concat(seg_rows, ignore_index=True)))
-
-    pts = points.withColumn("_pcell", C.cell_parent(F.col(cell_col), cell_bits, bits))
+    cover_pdf = pd.concat(seg_rows, ignore_index=True)
     es = F.unix_timestamp(F.col(dtg_col))
-    joined = pts.join(cov, pts["_pcell"] == cov["pcell"], "inner").filter(
+    joined = None
+    for pbits, grp in cover_pdf.groupby("pbits"):
+        cov = F.broadcast(spark.createDataFrame(grp.drop(columns=["pbits"])))
+        pts = points.withColumn(
+            "_pcell", C.cell_parent(F.col(cell_col), cell_bits, int(pbits))
+        )
+        j = pts.join(cov, pts["_pcell"] == cov["pcell"], "inner")
+        joined = j if joined is None else joined.unionByName(j)
+    joined = joined.filter(
         (es >= F.col("ts1") - F.lit(time_delta_sec))
         & (es <= F.col("ts2") + F.lit(time_delta_sec))
     )

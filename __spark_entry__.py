@@ -309,6 +309,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bbox_scan"] = bbox_scan
 
+    def bbox_scan_or(spark, sf):
+        from geomesa_spark.plans.planner import scan_or
+
+        ge = geo_events(spark, sf)
+        specs = [
+            QuerySpec(bbox=BBOX, t0=SCAN_T0, t1=SCAN_T1),
+            QuerySpec(bbox=(100.005, -60.005, 170.005, 10.005)),
+        ]
+        return scan_or(ge, specs, id_col="event_id").select("event_id")
+
+    q["bbox_scan_or"] = bbox_scan_or
+
     # --- spatial joins: both physical strategies ---
     _polys = [
         ("rect", _rect_wkt(RECT)),
@@ -550,6 +562,15 @@ WITH {PTS_CTE}
 SELECT event_id FROM pts
 WHERE lon BETWEEN {xmin!r} AND {xmax!r} AND lat BETWEEN {ymin!r} AND {ymax!r}
   AND es >= {e0} AND es < {e1}
+"""
+
+    o["bbox_scan_or"] = f"""
+WITH {PTS_CTE}
+SELECT DISTINCT event_id FROM pts
+WHERE (lon BETWEEN {BBOX[0]!r} AND {BBOX[2]!r}
+       AND lat BETWEEN {BBOX[1]!r} AND {BBOX[3]!r}
+       AND es >= {int(SCAN_T0.timestamp())} AND es < {int(SCAN_T1.timestamp())})
+   OR (lon BETWEEN 100.005 AND 170.005 AND lat BETWEEN -60.005 AND 10.005)
 """
 
     rxmin, rymin, rxmax, rymax = RECT

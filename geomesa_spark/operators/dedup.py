@@ -52,8 +52,13 @@ def word_shingles(text_col, n: int = 3):
     return F.array_distinct(sh)
 
 
-def shingle_hash(shingle_col):
-    """Shingle -> uint32 via md5 prefix (portable across engines)."""
+def shingle_hash(shingle_col, fn: str = "md5"):
+    """Shingle -> uint32. fn="md5": md5-prefix — bit-portable to any
+    SQL engine (the oracle-parity path). fn="xxhash": xxhash64
+    truncated — ~6x faster, Spark-specific (the production path; the
+    minhash math is identical either way)."""
+    if fn == "xxhash":
+        return F.xxhash64(shingle_col).bitwiseAND(F.lit(0xFFFFFFFF))
     return F.conv(F.substring(F.md5(shingle_col), 1, 8), 16, 10).cast("long")
 
 
@@ -121,7 +126,8 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-doc MinHash signature: columns mh0..mh{NUM_HASHES-1}.
 
@@ -130,7 +136,7 @@ def minhash_signature(
     Python. h(shingle) uses md5 so any engine reproduces it.
     """
     docs = _doc_shingles(df, text_col, id_col, n)
-    hv = F.transform(F.col("shingles"), lambda s: shingle_hash(s))
+    hv = F.transform(F.col("shingles"), lambda s: shingle_hash(s, hash_fn))
     init = F.array(*[F.lit(MINHASH_P).cast("long") for _ in range(NUM_HASHES)])
 
     def merge(acc, h):
@@ -162,6 +168,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     verify: bool = True,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + (optional) exact verify.
 
@@ -171,7 +178,7 @@ def minhash_lsh_pairs(
     against exact n-gram Jaccard so output == brute force ∩ LSH
     recall. Returns (doc_a, doc_b[, jaccard]).
     """
-    sig = minhash_signature(df, text_col, id_col, n)
+    sig = minhash_signature(df, text_col, id_col, n, hash_fn)
     n_bands = NUM_HASHES // BAND_SIZE
     # one pass: explode the 4 band keys per doc (vs a 4-way union
     # that re-executes the signature subplan per branch)

@@ -215,3 +215,12 @@ def test_ivf_topk_recall(emb_df):
     # 4 gaussian clusters, 4 lists, 2 probes: near-full recall
     hits = sum(len(set(got.get(q, [])) & set(brute[q])) for q in brute)
     assert hits >= 12
+
+
+def test_minhash_xxhash_variant(docs_df):
+    # same banding math, different hash: still catches the dup pairs
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(docs_df, 0.3, n=2, hash_fn="xxhash").collect()
+    }
+    assert (1, 2) in pairs

@@ -46,19 +46,23 @@ def _ring_cells(
     for qid, qlon, qlat in queries:
         cx = int(C.lon_to_x_np(np.asarray([qlon]), bits)[0])
         cy = int(C.lat_to_y_np(np.asarray([qlat]), bits)[0])
-        gx = cx + ox
+        # longitude wraps at the antimeridian (GeoHashSpiral's
+        # touching-geohash neighborhoods wrap the same way);
+        # latitude clamps at the poles
+        gx = (cx + ox) % n
         gy = cy + oy
-        m = (gx >= 0) & (gx < n) & (gy >= 0) & (gy < n)
-        frames.append(
-            pd.DataFrame(
-                {
-                    "qid": qid,
-                    "qcell": C.z2_encode_np(gx[m], gy[m]),
-                    "qlon": qlon,
-                    "qlat": qlat,
-                }
-            )
+        m = (gy >= 0) & (gy < n)
+        frame = pd.DataFrame(
+            {
+                "qid": qid,
+                "qcell": C.z2_encode_np(gx[m], gy[m]),
+                "qlon": qlon,
+                "qlat": qlat,
+            }
         )
+        # a ring wider than the grid wraps onto itself: dedup so no
+        # candidate point is matched (and ranked) twice
+        frames.append(frame.drop_duplicates(["qcell"]))
     return pd.concat(frames, ignore_index=True)
 
 

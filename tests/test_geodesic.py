@@ -95,3 +95,20 @@ def test_smooth_density_conserves_mass(spark):
     # peak is at the heavier point's pixel
     peak = sm.orderBy(F.col("weight").desc()).first()
     assert (peak.i, peak.j) == (30, 30)
+
+
+def test_knn_haversine_wraps_antimeridian(spark):
+    rows = [
+        (1, 179.5, 10.0),
+        (2, -179.5, 10.0),   # ~110 km away across the IDL
+        (3, 170.0, 10.0),
+        (4, 0.0, 10.0),      # far
+    ]
+    df = spark.createDataFrame(rows, "id long, lon double, lat double")
+    df = df.withColumn("cell", C.z2_cell(F.col("lon"), F.col("lat")))
+    out = knn_join(
+        df, [("q", 179.9, 10.0)], 2, metric="haversine", tiebreak_col="id"
+    )
+    got = [r.id for r in sorted(out.collect(), key=lambda r: r.rank)]
+    # nearest by great circle: 1 (~44km), then 2 (~66km) across IDL
+    assert got == [1, 2]

@@ -30,6 +30,8 @@ HEADLINE = [
     "dwithin_proximity",
     "knn",
     "tube_select",
+    "tube_line",
+    "point2point",
     "tile_assign",
     "density",
     "temporal_density",
@@ -39,6 +41,8 @@ HEADLINE = [
     "simhash",
     "ann_bruteforce",
     "ann_lsh",
+    "embedding_neardup",
+    "stream_replay",
 ]
 
 

@@ -24,6 +24,12 @@ two-phase shape becomes:
 
 False positives from the cover are eliminated by refine; the cover
 is a provable superset, so results equal a brute-force theta join.
+
+Limitation: polygon layers must not cross the antimeridian — split
+such polygons into east/west halves first (the planner's bbox path
+does this automatically via idl_safe_boxes; polygon splitting is the
+caller's responsibility, as in the reference's decomposition
+utilities GeohashUtils.scala:721-773).
 """
 
 from __future__ import annotations

@@ -148,3 +148,50 @@ def test_snapshot_state_feeds_spatial_operators(spark):
     )
     rows = out.collect()
     assert {(r.doc_id, r.lon) for r in rows} == {("a", 6.0)}
+
+
+def test_stateful_upsert_live_view(spark, tmp_path):
+    """applyInPandasWithState variant: keyed state, compacted output."""
+    from geomesa_spark.streaming.stateful import stateful_upsert
+
+    src = str(tmp_path / "slog")
+    ckpt = str(tmp_path / "sckpt")
+    schema = T.StructType([
+        T.StructField("op", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("ts", T.DoubleType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("val", T.StringType()),
+    ])
+    _write_batch(src, "b1.json", [
+        {"op": "upsert", "doc_id": "a", "ts": 1.0, "seq": 1, "val": "a1"},
+        {"op": "upsert", "doc_id": "a", "ts": 2.0, "seq": 2, "val": "a2"},
+        {"op": "upsert", "doc_id": "b", "ts": 1.5, "seq": 3, "val": "b1"},
+        {"op": "delete", "doc_id": "b", "ts": 2.5, "seq": 4, "val": None},
+        {"op": "upsert", "doc_id": "c", "ts": 3.0, "seq": 5, "val": "c1"},
+    ])
+    stream = spark.readStream.schema(schema).json(src)
+    out = stateful_upsert(stream)
+    q = (
+        out.writeStream.format("memory").queryName("live_state")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {r.doc_id: r for r in spark.sql("select * from live_state").collect()}
+    assert rows["a"].val == "a2" and rows["a"].live
+    assert rows["c"].val == "c1" and rows["c"].live
+    assert not rows["b"].live  # tombstoned
+
+    # second increment continues from checkpointed state
+    _write_batch(src, "b2.json", [
+        {"op": "upsert", "doc_id": "a", "ts": 0.5, "seq": 6, "val": "stale"},
+        {"op": "upsert", "doc_id": "b", "ts": 4.0, "seq": 7, "val": "b2"},
+    ])
+    stream2 = spark.readStream.schema(schema).json(src)
+    q2 = (
+        stateful_upsert(stream2)
+        .writeStream.format("memory").queryName("live_state2")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)

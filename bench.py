@@ -41,7 +41,6 @@ HEADLINE = [
     "simhash",
     "ann_bruteforce",
     "ann_lsh",
-    "embedding_neardup",
     "stream_replay",
 ]
 

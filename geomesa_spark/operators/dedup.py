@@ -80,11 +80,22 @@ def exact_dedup(
     )
 
 
-def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+MIN_SHINGLES = 1
+
+
+def _doc_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int,
+    min_shingles: int = MIN_SHINGLES,
+) -> DataFrame:
+    """Docs below `min_shingles` distinct shingles are excluded: a
+    near-empty shingle set makes MinHash signatures collide almost
+    surely and the band join degenerates quadratically (observed on
+    few-word synthetic docs). Raise the floor for production corpora
+    (e.g. 8-16) or dedup tiny docs exactly instead."""
     return df.select(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    ).filter(F.size("shingles") >= min_shingles)
 
 
 def ngram_jaccard_pairs(
@@ -264,6 +275,98 @@ def simhash(
     return df.select(
         F.col(id_col), F.aggregate(hv, init, merge, finish).alias("simhash")
     )
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Production-width 64-bit SimHash: two md5 words per token give
+    64 independent bits; votes fold in one aggregate (+finish) like
+    the 16-bit variant. Returns (doc_id, simhash:long, signed)."""
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    # two 32-bit words from the md5: bits 0-31 and 32-63
+    hv = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+    init = F.array(*[F.lit(0).cast("long") for _ in range(64)])
+
+    def merge(acc, h):
+        votes = F.array(
+            *[
+                F.when(
+                    F.shiftright(h["h1"] if b < 32 else h["h2"], b % 32)
+                    .bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)).cast("long")
+                for b in range(64)
+            ]
+        )
+        return F.zip_with(acc, votes, lambda a, v: a + v)
+
+    def finish(acc):
+        sh = F.lit(0).cast("long")
+        for b in range(64):
+            # bit 63 lands in the sign bit — harmless, it is a hash
+            sh = sh + F.when(
+                acc[b] > 0, F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+            ).otherwise(F.lit(0))
+        return sh
+
+    return df.select(
+        F.col(id_col), F.aggregate(hv, init, merge, finish).alias("simhash")
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash hamming distance.
+
+    Pigeonhole banding: split the 64 bits into max_hamming+1 chunks;
+    any pair within `max_hamming` bits shares at least one exact
+    chunk, so candidates come from equi-joins on (chunk_idx, chunk)
+    — one shuffle, no quadratic scan — then `bit_count(xor)` filters
+    exactly. Returns (doc_a, doc_b, hamming).
+    """
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sig = simhash64(df, text_col, id_col).repartition(id_col)
+    chunks = [
+        F.shiftrightunsigned(F.col("simhash"), i * width)
+        .bitwiseAND(F.lit((1 << width) - 1))
+        for i in range(n_chunks)
+    ]
+    keys = [
+        F.concat_ws("_", F.lit(i), c.cast("string")) for i, c in enumerate(chunks)
+    ]
+    bands = sig.select(
+        F.col(id_col).alias("doc"), F.col("simhash"),
+        F.explode(F.array(*keys)).alias("band"),
+    )
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band")) & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
 
 
 def simhash_dup_groups(

@@ -224,3 +224,44 @@ def test_minhash_xxhash_variant(docs_df):
         for r in D.minhash_lsh_pairs(docs_df, 0.3, n=2, hash_fn="xxhash").collect()
     }
     assert (1, 2) in pairs
+
+
+def py_simhash64(text):
+    toks = set(text.split(" "))
+    votes = [0] * 64
+    for t in toks:
+        hx = hashlib.md5(t.encode()).hexdigest()
+        h1, h2 = int(hx[:8], 16), int(hx[8:16], 16)
+        for b in range(64):
+            bit = ((h1 if b < 32 else h2) >> (b % 32)) & 1
+            votes[b] += 1 if bit else -1
+    out = 0
+    for b in range(64):
+        if votes[b] > 0:
+            out |= 1 << b
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def test_simhash64_matches_python(docs_df):
+    got = {r.doc_id: r.simhash for r in D.simhash64(docs_df).collect()}
+    for doc_id, text in DOCS:
+        assert got[doc_id] == py_simhash64(text)
+
+
+def test_simhash_neardup_pairs(docs_df):
+    # true hamming(1,3) is 9 on this corpus (short docs flip many
+    # low-vote bits); search at that radius and check exactness
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in D.simhash_neardup_pairs(docs_df, max_hamming=9).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical docs
+    a, b = py_simhash64(DOCS[0][1]), py_simhash64(DOCS[2][1])
+    want = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert want == 9 and pairs[(1, 3)] == want
+    # tight radius excludes the pair, keeps the exact dup
+    tight = {
+        (r.doc_a, r.doc_b)
+        for r in D.simhash_neardup_pairs(docs_df, max_hamming=3).collect()
+    }
+    assert (1, 2) in tight and (1, 3) not in tight

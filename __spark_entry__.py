@@ -251,6 +251,29 @@ ex AS (
 nrm AS (SELECT vec_id, CAST(sum(v*v) AS BIGINT) AS n2 FROM ex GROUP BY vec_id)"""
 
 
+def _lsh_bucket_sql(vec_expr: str = "embedding", dim: int = 64,
+                    n_planes: int = 8, seed: int = 42) -> str:
+    """Sign-bit LSH bucket as portable SQL: the deterministic
+    hyperplane constants are pre-folded in Python (exact shortest-
+    roundtrip float repr), and each projection is the same 0.0-seeded
+    left fold Spark's `aggregate` HOF performs — bit-identical
+    doubles, so the sign comparisons agree."""
+    H = N.hyperplanes(dim, n_planes, seed)
+    projs = []
+    for p in range(n_planes):
+        expr = "0.0"
+        for i in range(dim):
+            expr = (
+                f"({expr} + (CAST({vec_expr}[{i + 1}] AS DOUBLE)"
+                f" * {float(H[p][i])!r}))"
+            )
+        projs.append(expr)
+    return " + ".join(
+        f"(CASE WHEN {projs[p]} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+
+
 def _lang_case_sql() -> str:
     score = {
         lang: f"len(list_filter(string_split(text,' '), t -> t IN "
@@ -484,7 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_bruteforce"] = ann_bruteforce
 
-    def ann_lsh(spark, sf):  # approximate: rows-only check (no oracle)
+    def ann_lsh(spark, sf):
         emb = _load(spark, sf, "embeddings")
         return N.lsh_topk(
             emb, emb.filter(F.col("vec_id") < ANN_NQ), ANN_K, dim=64, multiprobe=1
@@ -492,10 +515,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh"] = ann_lsh
 
-    # --- BIN export (binary format: rows-only check) ---
+    # --- BIN export: pack -> distributed unpack roundtrip, fields
+    # compared against the oracle (lat/lon as exact centidegrees —
+    # the float32 roundtrip is lossless on the 0.01-degree grid) ---
     def bin_export(spark, sf):
-        ge = geo_events(spark, sf)
-        return A.bin_export(ge, track_col="user_id")
+        ge = geo_events(spark, sf).withColumn(
+            "tid32", A.portable_hash32(F.col("user_id"))
+        )
+        chunks = A.bin_export(ge, track_col="user_id", track_hash_col="tid32")
+        rows = A.bin_unpack(chunks)
+        return rows.select(
+            "tid",
+            "secs",
+            F.round(F.col("lat") * 100).cast("int").alias("lat_c"),
+            F.round(F.col("lon") * 100).cast("int").alias("lon_c"),
+        )
 
     q["bin_export"] = bin_export
 
@@ -530,13 +564,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_replay"] = stream_replay
 
-    # --- multimodal plumbing (deterministic fake decode: rows-only) ---
+    # --- multimodal plumbing: Arrow-batched decode stage over refs
+    # derived from `documents`; the deterministic fake decoder is
+    # md5-based, so DuckDB replicates it exactly. The feature array
+    # is serialized to its byte values (round(x*255) recovers the md5
+    # bytes losslessly) so the row-hash harness can sort it. Span
+    # extraction from synth docs stays covered in tests/test_media.py.
     def media_decode(spark, sf):
         from geomesa_spark.operators import media as M
-        from geomesa_spark.sources.docs import synth_docs
 
-        docs = synth_docs(spark, 2000)
-        return M.decode_media(M.extract_media_refs(docs))
+        docs = _load(spark, sf, "documents")
+        refs = docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.concat(
+                F.lit("media://"),
+                F.col("doc_id").cast("string"),
+                F.lit("/"),
+                F.pmod(F.col("doc_id"), F.lit(4)).cast("string"),
+            ).alias("media_ref"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("int").alias("span_offset"),
+        )
+        meta = M.decode_media(refs)
+        return meta.select(
+            "doc_id",
+            "media_ref",
+            "span_offset",
+            "media_kind",
+            "width",
+            "height",
+            "n_frames",
+            "sample_rate",
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.col("feature"), lambda x: F.round(x * 255).cast("int")
+                ),
+            ).alias("feature_fp"),
+        )
 
     q["media_decode"] = media_decode
 
@@ -792,6 +856,81 @@ SELECT qid, vec_id, cos, CAST(rk AS INT) AS "rank" FROM (
   SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
   FROM scored
 ) WHERE rk <= {ANN_K}
+"""
+
+    probe_parts = ["SELECT q_id, q_bucket AS probe FROM q"] + [
+        f"SELECT q_id, xor(q_bucket, {1 << p}) AS probe FROM q" for p in range(8)
+    ]
+    o["ann_lsh"] = f"""
+WITH bk AS (SELECT vec_id, {_lsh_bucket_sql()} AS bucket FROM embeddings),
+{_EMB_FIXED_CTE},
+q AS (SELECT vec_id AS q_id, bucket AS q_bucket FROM bk WHERE vec_id < {ANN_NQ}),
+probes AS ({" UNION ALL ".join(probe_parts)}),
+cand AS (
+  SELECT p.q_id AS qid, c.vec_id AS vid
+  FROM probes p JOIN bk c ON c.bucket = p.probe AND c.vec_id <> p.q_id
+),
+dots AS (
+  SELECT cand.qid, cand.vid, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+  FROM cand
+  JOIN ex a ON a.vec_id = cand.qid
+  JOIN ex b ON b.vec_id = cand.vid AND b.i = a.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid, vid AS vec_id,
+         dot / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)) AS cos
+  FROM dots JOIN nrm x ON x.vec_id = qid JOIN nrm y ON y.vec_id = vid
+)
+SELECT qid, vec_id, cos, CAST(rk AS INT) AS "rank" FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= {ANN_K}
+"""
+
+    o["bin_export"] = """
+WITH pts AS (
+  SELECT event_id, user_id,
+         (event_id*9973 % 36000)/100.0 - 180.0 AS lon,
+         (event_id*7919 % 18000)/100.0 - 90.0 AS lat,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+h AS (
+  SELECT *,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hh
+  FROM pts
+)
+SELECT CAST(CASE WHEN hh >= 2147483648 THEN hh - 4294967296 ELSE hh END AS INT) AS tid,
+       CAST(es AS INT) AS secs,
+       CAST(round(lat*100) AS INT) AS lat_c,
+       CAST(round(lon*100) AS INT) AS lon_c
+FROM h
+"""
+
+    hbytes = ", ".join(
+        f"CAST(('0x' || substr(h, {2 * i + 1}, 2)) AS INT) AS h{i}" for i in range(16)
+    )
+    feat_cols = ", ".join(f"h{i}" for i in range(16))
+    o["media_decode"] = f"""
+WITH refs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'media://' || CAST(doc_id AS VARCHAR) || '/' || CAST(doc_id % 4 AS VARCHAR)
+           AS media_ref,
+         CAST(doc_id % 7 AS INT) AS span_offset
+  FROM documents
+),
+hx AS (SELECT *, md5(media_ref) AS h FROM refs),
+b AS (SELECT *, {hbytes} FROM hx)
+SELECT doc_id, media_ref, span_offset,
+  CASE h0 % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_kind,
+  CASE WHEN h0 % 3 = 1 THEN 0 ELSE 16 * (1 + (h1 % 64)) END AS width,
+  CASE WHEN h0 % 3 = 1 THEN 0 ELSE 16 * (1 + (h2 % 64)) END AS height,
+  CASE WHEN h0 % 3 = 2 THEN 1 + (h3 % 240)
+       WHEN h0 % 3 = 1 THEN 0 ELSE 1 END AS n_frames,
+  CASE WHEN h0 % 3 = 1 THEN 8000 * (1 + (h4 % 6)) ELSE 0 END AS sample_rate,
+  concat_ws(',', {feat_cols}) AS feature_fp
+FROM b
 """
 
     o["point2point"] = """

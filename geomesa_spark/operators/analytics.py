@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -212,6 +212,7 @@ def bin_export(
     lat_col: str = "lat",
     label_col: str | None = None,
     sort_within: bool = True,
+    track_hash_col: str | None = None,
 ) -> DataFrame:
     """Pack features into the 16-byte (24 with label) LE "BIN" format.
 
@@ -220,10 +221,18 @@ def bin_export(
       [| int64 label]
     In-chunk time sort mirrors BinSorter (BinAggregatingIterator.scala:
     172-174) via sortWithinPartitions — no global shuffle.
+    `track_hash_col` overrides the default murmur3 track hash with a
+    caller-provided int32 column (e.g. `portable_hash32` when the
+    packed bytes must be reproducible outside the JVM).
     Returns one binary chunk per partition (the client concatenates).
     """
+    tid = (
+        F.col(track_hash_col).cast("int")
+        if track_hash_col
+        else F.hash(F.col(track_col))
+    )
     cols = [
-        F.hash(F.col(track_col)).alias("tid"),
+        tid.alias("tid"),
         F.unix_timestamp(F.col(dtg_col)).cast("int").alias("secs"),
         F.col(lat_col).cast("float").alias("blat"),
         F.col(lon_col).cast("float").alias("blon"),
@@ -265,6 +274,56 @@ def bin_export(
             yield pd.DataFrame({"chunk": [rec.tobytes()]})
 
     return sel.mapInPandas(pack, schema=BIN_SCHEMA)
+
+
+def portable_hash32(col: Column) -> Column:
+    """Signed-int32 hash reproducible on any engine: first 4 bytes of
+    md5 of the value's string form (the same construction the dedup
+    family uses for shingle hashes). Use as `track_hash_col` when BIN
+    bytes must be comparable against a non-JVM oracle."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+    return (
+        F.when(h >= F.lit(1 << 31), h - F.lit(1 << 32)).otherwise(h).cast("int")
+    )
+
+
+BIN_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("tid", T.IntegerType()),
+        T.StructField("secs", T.IntegerType()),
+        T.StructField("lat", T.FloatType()),
+        T.StructField("lon", T.FloatType()),
+    ]
+)
+BIN_ROW_SCHEMA_LABELED = T.StructType(
+    BIN_ROW_SCHEMA.fields + [T.StructField("label", T.LongType())]
+)
+
+
+def bin_unpack(chunks: DataFrame, labeled: bool = False) -> DataFrame:
+    """Distributed inverse of `bin_export`: chunk rows -> field rows.
+
+    One vectorized numpy `frombuffer` per chunk inside mapInPandas —
+    the exact byte layout round-trips, which is what the correctness
+    gate exercises (pack+unpack == identity on the packed fields)."""
+    dt = (
+        np.dtype([("tid", "<i4"), ("secs", "<i4"), ("lat", "<f4"),
+                  ("lon", "<f4"), ("label", "<i8")])
+        if labeled
+        else np.dtype([("tid", "<i4"), ("secs", "<i4"), ("lat", "<f4"),
+                       ("lon", "<f4")])
+    )
+    schema = BIN_ROW_SCHEMA_LABELED if labeled else BIN_ROW_SCHEMA
+
+    def gen(batches):
+        for pdf in batches:
+            for chunk in pdf["chunk"]:
+                if not chunk:
+                    continue
+                rec = np.frombuffer(chunk, dtype=dt)
+                yield pd.DataFrame({k: rec[k] for k in rec.dtype.names})
+
+    return chunks.mapInPandas(gen, schema=schema)
 
 
 def bin_decode(chunks: list[bytes], labeled: bool = False) -> pd.DataFrame:

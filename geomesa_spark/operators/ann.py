@@ -137,29 +137,23 @@ def lsh_topk(
     of the brute-force join. Returns (qid, vec_id, cos, rank).
     """
     # buckets are computed on the *original* float vectors on both
-    # sides (fixed-point floor could flip signs of tiny components)
-    c = lsh_buckets(
-        _with_fixed(corpus, id_col, vec_col, "c_")
-        .join(corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("_raw")), "c_id")
-        ,
-        dim,
-        n_planes,
-        vec_col="_raw",
-        seed=seed,
-        out_col="c_bucket",
-    ).drop("_raw")
-    q = lsh_buckets(
-        _with_fixed(queries, q_id_col, q_vec_col, "q_")
-        .join(
-            queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("_raw")),
-            "q_id",
-        ),
-        dim,
-        n_planes,
-        vec_col="_raw",
-        seed=seed,
-        out_col="q_bucket",
-    ).drop("_raw")
+    # sides (fixed-point floor could flip signs of tiny components);
+    # fixed vectors, norms and buckets all come out of ONE narrow
+    # select per side — no corpus self-join, no extra shuffle
+    def _prep(df, idc, vecc, prefix, bucket_col):
+        base = df.select(
+            F.col(idc).alias(f"{prefix}id"),
+            _fixed(F.col(vecc)).alias(f"{prefix}fv"),
+            F.col(vecc).alias("_raw"),
+        ).withColumn(
+            f"{prefix}nrm", _dot(F.col(f"{prefix}fv"), F.col(f"{prefix}fv"))
+        )
+        return lsh_buckets(
+            base, dim, n_planes, vec_col="_raw", seed=seed, out_col=bucket_col
+        ).drop("_raw")
+
+    c = _prep(corpus, id_col, vec_col, "c_", "c_bucket")
+    q = _prep(queries, q_id_col, q_vec_col, "q_", "q_bucket")
     # probe set: own bucket + hamming-1 neighbors (multiprobe)
     probes = [F.col("q_bucket")]
     if multiprobe >= 1:

@@ -55,17 +55,34 @@ class QuerySpec:
     attr_predicates: list[str] = field(default_factory=list)  # SQL strings
 
 
-def _round_seconds(dt: datetime, exclusive: bool, is_start: bool) -> datetime:
-    """Exclusive endpoints round inward to whole seconds
-    (FilterHelper.scala:148-224 parity)."""
-    dt = dt.replace(microsecond=0, tzinfo=dt.tzinfo or timezone.utc)
-    return dt
-
-
 def _epoch(dt: datetime) -> int:
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
     return int(dt.timestamp())
+
+
+def _epoch_lower(dt: datetime) -> int:
+    """Largest whole second <= dt: the inclusive lower bound for
+    second-granular index structures (week / z3 time component).
+
+    The reference rounds exclusive endpoints *inward* to seconds
+    (FilterHelper.scala:148-224) because its stored timestamps are
+    second-precision; this engine stores full-precision timestamps,
+    so index bounds must round *outward* (stay a superset — a dtg of
+    10.7s lives in index second 10 even when t0 is an exclusive
+    10.0) and the exact, unrounded dtg predicate refines."""
+    return _epoch(dt.replace(microsecond=0))
+
+
+def _epoch_upper(dt: datetime, exclusive: bool) -> int:
+    """Smallest whole second strictly greater than every matching
+    dtg: the *exclusive* upper bound for second-granular index
+    structures (see `_epoch_lower` for the outward-rounding
+    rationale vs FilterHelper.scala:148-224)."""
+    floor_e = _epoch(dt.replace(microsecond=0))
+    if dt.microsecond > 0:
+        return floor_e + 1  # fractional endpoint: ceil
+    return floor_e if exclusive else floor_e + 1
 
 
 def _cell_is_stored(df: DataFrame, cell_col: str) -> bool:
@@ -197,8 +214,8 @@ def scan(
         and z3_col in df.columns
         and (cell_ranges or _cell_is_stored(df, z3_col))
     ):
-        e0 = _epoch(_round_seconds(spec.t0, spec.t0_exclusive, True))
-        e1 = _epoch(_round_seconds(spec.t1, spec.t1_exclusive, False))
+        e0 = _epoch_lower(spec.t0)
+        e1 = _epoch_upper(spec.t1, spec.t1_exclusive)  # exclusive bound
         w0, w1 = e0 // C.SECONDS_IN_WEEK, max(e1 - 1, e0) // C.SECONDS_IN_WEEK
         # union of each week's range set, as a PURE z3 predicate: a
         # week-qualified OR would mix the partition column with a
@@ -210,7 +227,7 @@ def scan(
         for wk in range(w0, w1 + 1):
             t_lo = e0 - wk * C.SECONDS_IN_WEEK if wk == w0 else 0
             t_hi = (
-                min(e1 - wk * C.SECONDS_IN_WEEK, C.SECONDS_IN_WEEK - 1)
+                min(e1 - 1 - wk * C.SECONDS_IN_WEEK, C.SECONDS_IN_WEEK - 1)
                 if wk == w1
                 else C.SECONDS_IN_WEEK - 1
             )
@@ -226,22 +243,26 @@ def scan(
             out = out.filter(zpred)
 
     # --- temporal (week pruning + interval) ---
+    # the exact predicate uses the RAW endpoints (full microsecond
+    # precision, correct >/>= and </<= per exclusivity); only the
+    # week/z3 index bounds round to seconds (outward — see
+    # _epoch_lower/_epoch_upper)
     if spec.t0 is not None or spec.t1 is not None:
         if spec.t0 is not None:
-            t0 = _round_seconds(spec.t0, spec.t0_exclusive, True)
-            e0 = _epoch(t0)
+            t0 = spec.t0 if spec.t0.tzinfo else spec.t0.replace(tzinfo=timezone.utc)
             cmp0 = F.col(dtg_col) > F.lit(t0).cast("timestamp") if spec.t0_exclusive \
                 else F.col(dtg_col) >= F.lit(t0).cast("timestamp")
             out = out.filter(cmp0)
         if spec.t1 is not None:
-            t1 = _round_seconds(spec.t1, spec.t1_exclusive, False)
-            e1 = _epoch(t1)
+            t1 = spec.t1 if spec.t1.tzinfo else spec.t1.replace(tzinfo=timezone.utc)
             cmp1 = F.col(dtg_col) < F.lit(t1).cast("timestamp") if spec.t1_exclusive \
                 else F.col(dtg_col) <= F.lit(t1).cast("timestamp")
             out = out.filter(cmp1)
         if spec.t0 is not None and spec.t1 is not None and week_col in df.columns:
-            w0 = _epoch(t0) // C.SECONDS_IN_WEEK
-            w1 = _epoch(t1) // C.SECONDS_IN_WEEK
+            e0 = _epoch_lower(spec.t0)
+            e1 = _epoch_upper(spec.t1, spec.t1_exclusive)
+            w0 = e0 // C.SECONDS_IN_WEEK
+            w1 = max(e1 - 1, e0) // C.SECONDS_IN_WEEK
             out = out.filter(F.col(week_col).between(F.lit(w0), F.lit(w1)))
 
     # --- attributes ---

@@ -124,3 +124,87 @@ def test_whole_world_dropped(fixture_df):
     spec = P.QuerySpec(bbox=(-180, -90, 180, 90))
     plan = P.scan(fixture_df, spec)._jdf.queryExecution().optimizedPlan().toString()
     assert "lon" not in plan.lower() or "Filter" not in plan
+
+
+# --- fractional-second endpoint golden tests (FilterHelper.scala:
+# 148-224 parity adapted to full-precision storage: index bounds
+# round OUTWARD and the exact dtg predicate refines) ---
+
+FRAC_OFFS_US = [
+    10_000_000, 10_400_000, 10_500_000, 10_600_000, 11_000_000,
+    19_999_000, 20_000_000, 20_400_000, 20_500_000, 20_600_000,
+    21_000_000,
+]
+
+
+@pytest.fixture(scope="module")
+def frac_df(spark):
+    from pyspark.sql import functions as F
+    from geomesa_spark.functions import cells as C
+
+    base = _dt("2010-05-07T12:00:00")
+    rows = [
+        (f"u{i}", 40.0, 60.0, base + __import__("datetime").timedelta(microseconds=us))
+        for i, us in enumerate(FRAC_OFFS_US)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lon", "lat", "dtg"])
+    df = (
+        spark.createDataFrame(pdf)
+        .withColumn("week", C.week(F.col("dtg")))
+        .withColumn("cell", C.z2_cell(F.col("lon"), F.col("lat")))
+        .withColumn("z3", C.z3_cell(F.col("lon"), F.col("lat"), F.col("dtg")))
+        .cache()
+    )
+    df.count()
+    return df
+
+
+def _frac_expected(t0_us, t1_us, t0_excl, t1_excl):
+    lo_ok = (lambda us: us > t0_us) if t0_excl else (lambda us: us >= t0_us)
+    hi_ok = (lambda us: us < t1_us) if t1_excl else (lambda us: us <= t1_us)
+    return {
+        f"u{i}" for i, us in enumerate(FRAC_OFFS_US) if lo_ok(us) and hi_ok(us)
+    }
+
+
+@pytest.mark.parametrize(
+    "t0_us,t1_us,t0_excl,t1_excl",
+    [
+        (10_500_000, 20_500_000, True, True),    # during: both exclusive, fractional
+        (10_500_000, 20_500_000, False, False),  # between: inclusive, fractional
+        (10_000_000, 20_000_000, True, True),    # whole-second exclusive
+        (10_000_000, 20_000_000, False, True),   # default spec semantics
+        (10_400_000, 20_600_000, False, False),
+        (19_999_000, 20_000_000, True, False),   # sub-second-wide interval
+    ],
+)
+def test_fractional_endpoints(frac_df, t0_us, t1_us, t0_excl, t1_excl):
+    from datetime import timedelta
+
+    base = _dt("2010-05-07T12:00:00")
+    spec = P.QuerySpec(
+        bbox=(0.0, 0.0, 80.0, 80.0),
+        t0=base + timedelta(microseconds=t0_us),
+        t1=base + timedelta(microseconds=t1_us),
+        t0_exclusive=t0_excl,
+        t1_exclusive=t1_excl,
+    )
+    got = _ids(P.scan(frac_df, spec, cell_ranges=True))
+    assert got == _frac_expected(t0_us, t1_us, t0_excl, t1_excl)
+
+
+def test_epoch_bound_helpers():
+    from datetime import timedelta
+
+    t = _dt("2010-05-07T12:00:10")
+    e = P._epoch(t)
+    half = t + timedelta(microseconds=500_000)
+    # lower bounds always floor (superset for full-precision data)
+    assert P._epoch_lower(t) == e
+    assert P._epoch_lower(half) == e
+    # upper: fractional -> ceil regardless of exclusivity
+    assert P._epoch_upper(half, True) == e + 1
+    assert P._epoch_upper(half, False) == e + 1
+    # whole second: exclusive stops before it, inclusive covers it
+    assert P._epoch_upper(t, True) == e
+    assert P._epoch_upper(t, False) == e + 1

@@ -533,6 +533,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bin_export"] = bin_export
 
+    # --- HashAttributeProcess: bucket features by attribute hash ---
+    def hash_attr(spark, sf):
+        ev = _load(spark, sf, "events")
+        return A.hash_attribute(ev, "user_id", 10).select("event_id", "hash")
+
+    q["hash_attribute"] = hash_attr
+
     # --- point2point: ordered points -> track segments ---
     def point2point(spark, sf):
         ge = geo_events(spark, sf)
@@ -931,6 +938,18 @@ SELECT doc_id, media_ref, span_offset,
   CASE WHEN h0 % 3 = 1 THEN 8000 * (1 + (h4 % 6)) ELSE 0 END AS sample_rate,
   concat_ws(',', {feat_cols}) AS feature_fp
 FROM b
+"""
+
+    o["hash_attribute"] = """
+WITH h AS (
+  SELECT event_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hh
+  FROM events
+)
+SELECT event_id,
+       CAST((((CASE WHEN hh >= 2147483648 THEN hh - 4294967296 ELSE hh END) % 10)
+             + 10) % 10 AS INT) AS hash
+FROM h
 """
 
     o["point2point"] = """

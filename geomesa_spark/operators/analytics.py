@@ -368,6 +368,23 @@ def point2point(
     return out.filter(F.col("t2").isNotNull())
 
 
+def hash_attribute(
+    df: DataFrame,
+    attr: str,
+    modulo: int,
+    out_col: str = "hash",
+    portable: bool = True,
+) -> DataFrame:
+    """Append `hash(attr) % modulo` in [0, modulo) — the
+    HashAttributeProcess analog (geomesa-process/.../
+    HashAttributeProcess.scala:86), used to bucket features for
+    sampling/sharding. `portable=True` (default) uses the md5-prefix
+    hash so buckets reproduce on any engine; `portable=False` uses
+    the JVM murmur3 `F.hash` (faster, JVM-only)."""
+    h = portable_hash32(F.col(attr)) if portable else F.hash(F.col(attr))
+    return df.withColumn(out_col, F.pmod(h, F.lit(modulo)).cast("int"))
+
+
 def count_by_day(df: DataFrame, dtg_col: str = "dtg") -> DataFrame:
     """GeoMesaSpark demo aggregation (GeoMesaSpark.scala:156-166)."""
     return (

@@ -459,12 +459,20 @@ def dup_components(
 ) -> DataFrame:
     """Connected components over near-dup pairs -> canonical doc.
 
-    Iterative min-label propagation (the standard large-graph CC
-    pattern: each round every node adopts the minimum label in its
-    neighborhood; rounds ~ O(log(diameter)), each one shuffle on the
-    node id). Input: pair rows (doc_a, doc_b); output: (doc, canon)
-    where canon is the minimum doc id of the component — the keep
-    candidate for dedup filtering.
+    Min-label propagation WITH pointer jumping: each round every node
+    adopts the minimum label in its neighborhood (one shuffle), then
+    replaces its label with its label's label (a second self-join —
+    path compression, the large-star/small-star trick). Plain
+    propagation moves a label one hop per round (O(diameter) rounds);
+    the jump doubles the compressed path each round, so convergence
+    is O(log diameter) — a 2^20-hop chain of templated near-dups
+    finishes inside the default max_iter. Raises if the label set is
+    still changing at loop exit (silent partial merges would leave
+    multiple "canonical" copies per cluster).
+
+    Input: pair rows (doc_a, doc_b); output: (doc, canon) where canon
+    is the minimum doc id of the component — the keep candidate for
+    dedup filtering.
     """
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = fwd.unionByName(
@@ -476,13 +484,19 @@ def dup_components(
         .withColumn("canon", F.col("doc"))
         .persist()
     )
+    changed = 0
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["src"] == labels["doc"])
             .groupBy(F.col("dst").alias("doc"))
             .agg(F.min("canon").alias("n_canon"))
         )
-        new_labels = (
+        # localCheckpoint (not persist): the jump self-joins the
+        # propagated labels, which would double the logical plan tree
+        # every round — unbounded lineage OOMs the driver's optimizer
+        # after ~8 rounds. Checkpointing truncates lineage so each
+        # round's plan stays O(1).
+        prop = (
             labels.join(neigh, "doc", "left")
             .select(
                 "doc",
@@ -490,7 +504,20 @@ def dup_components(
                     F.col("canon"), F.coalesce(F.col("n_canon"), F.col("canon"))
                 ).alias("canon"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
+        )
+        # pointer jump: canon <- canon's canon (every canon value is
+        # itself a doc in the label table, so the lookup always hits)
+        parents = prop.select(
+            F.col("doc").alias("p_doc"), F.col("canon").alias("p_canon")
+        )
+        new_labels = (
+            prop.join(parents, prop["canon"] == parents["p_doc"], "left")
+            .select(
+                "doc",
+                F.coalesce(F.col("p_canon"), F.col("canon")).alias("canon"),
+            )
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -504,6 +531,11 @@ def dup_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"dup_components did not converge in {max_iter} rounds "
+            "(component diameter > 2^max_iter?) — raise max_iter"
+        )
     return labels
 
 

@@ -132,6 +132,7 @@ def knn_join(
 
     unresolved = list(queries)
     results: list[DataFrame] = []
+    round_caches: list[DataFrame] = []
     # density-informed first ring: expect ~k candidates in round one
     # (GeoHashSpiral seeds its geohash size from the estimated
     # distance the same way, GeoHashSpiral.scala:41-51); overshoot is
@@ -154,6 +155,7 @@ def knn_join(
             .filter(F.col("rank") <= k)
             .drop("qcell", "qlon", "qlat")
         ).persist()  # stats collect + final union reuse one computation
+        round_caches.append(topk)
         # convergence: kth distance must beat the ring's inner radius
         inner = radius * cell_h
         stats = (
@@ -201,4 +203,11 @@ def knn_join(
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r, allowMissingColumns=True)
-    return out.drop("_pcell")
+    # materialize (bounded: <= k rows per query), then release every
+    # round's cached blocks — a long-lived driver would otherwise
+    # leak executor storage memory on every knn_join call
+    out = out.drop("_pcell").localCheckpoint(eager=True)
+    pts.unpersist()
+    for t in round_caches:
+        t.unpersist()
+    return out

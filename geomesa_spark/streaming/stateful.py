@@ -8,7 +8,9 @@ reference's in-memory LiveFeatureCache,
 LiveKafkaConsumerFeatureSource.scala:136-191):
 
 - one state entry per feature id, last-write-wins by (ts, seq)
-- Delete drops the key, TTL expires idle keys via the state timeout
+- Delete leaves a (ts, seq) tombstone (val=NULL) so stale
+  out-of-order upserts in later micro-batches cannot resurrect the
+  key; TTL expires idle keys and tombstones via the state timeout
   (Guava expireAfterWrite analog)
 - every state change is emitted downstream, so the output stream is
   a compacted changelog that can feed a sink or dashboard.
@@ -45,9 +47,15 @@ def _fold(key, pdfs, state: GroupState, ttl_ms: int):
         )
         return
 
-    cur = state.get if state.exists else None  # (ts, seq, val)
+    # state entry (ts, seq, val); val=None is a delete TOMBSTONE that
+    # carries the delete's (ts, seq) so an out-of-order upsert with an
+    # older mark arriving in a LATER micro-batch cannot resurrect the
+    # key with stale data (it loses the same last-write-wins race a
+    # retained entry would impose). Tombstones expire via the TTL
+    # timeout like any other entry.
+    cur = tuple(state.get) if state.exists else None
     best = cur
-    deleted = False
+    changed = False
     for pdf in pdfs:
         pdf = pdf.sort_values(["ts", "seq"])  # log order within batch
         for r in pdf.itertuples():
@@ -55,27 +63,23 @@ def _fold(key, pdfs, state: GroupState, ttl_ms: int):
             if best is not None and mark < (best[0], best[1]):
                 continue  # stale out-of-order op
             if r.op == "delete":
-                best = None
-                deleted = True
+                best = (float(r.ts), int(r.seq), None)
+                changed = True
             elif r.op == "upsert":
                 best = (float(r.ts), int(r.seq), r.val)
-                deleted = False
+                changed = True
 
     if best is None:
-        if state.exists:
-            state.remove()
-        if deleted:
-            yield pd.DataFrame(
-                [{"doc_id": doc_id, "ts": None, "seq": None, "val": None,
-                  "live": False}]
-            )
-        return
+        return  # no state and no applicable ops
     state.update(best)
     if ttl_ms > 0:
         state.setTimeoutDuration(ttl_ms)
+    if not changed:
+        return  # nothing new this trigger: emit no change row
+    live = best[2] is not None
     yield pd.DataFrame(
         [{"doc_id": doc_id, "ts": best[0], "seq": best[1], "val": best[2],
-          "live": True}]
+          "live": live}]
     )
 
 

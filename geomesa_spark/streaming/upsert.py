@@ -112,6 +112,9 @@ def replay_state(
 
 
 def _state_versions(spark: SparkSession, state_dir: str) -> list[int]:
+    """Complete (committed) state versions only: a version dir
+    without _SUCCESS is a torn write from a crashed batch and must
+    never be folded from."""
     jvm = spark.sparkContext._jvm
     path = jvm.org.apache.hadoop.fs.Path(state_dir)
     fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
@@ -120,13 +123,23 @@ def _state_versions(spark: SparkSession, state_dir: str) -> list[int]:
     out = []
     for st in fs.listStatus(path):
         name = st.getPath().getName()
-        if name.startswith("v="):
+        if name.startswith("v=") and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        ):
             out.append(int(name[2:]))
     return sorted(out)
 
 
-def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+def read_state(
+    spark: SparkSession, state_dir: str, before_batch: int | None = None
+) -> DataFrame | None:
+    """Latest committed state version; `before_batch` restricts to
+    versions strictly below that batch id (batch-replay safety: an
+    at-least-once re-run of batch N must fold from N's *predecessor*,
+    not from the version N itself wrote before crashing)."""
     vs = _state_versions(spark, state_dir)
+    if before_batch is not None:
+        vs = [v for v in vs if v < before_batch]
     if not vs:
         return None
     return spark.read.parquet(f"{state_dir}/v={vs[-1]}")
@@ -146,14 +159,16 @@ def upsert_stream(
 
     `changelog` is a streaming DataFrame with the op/id/ts/seq
     columns. Each micro-batch folds into the previous state version
-    and writes the next one; the checkpoint dir gives exactly-once
-    batch replay on restart (a re-run batch just rewrites the same
-    version directory — idempotent). Returns the StreamingQuery.
+    and writes the next one. foreachBatch is at-least-once, so a
+    replayed batch N folds from the newest committed version < N
+    (never from v=N itself — which would read the path being
+    overwritten, or a torn snapshot) and rewrites v=N: genuinely
+    idempotent. Returns the StreamingQuery.
     """
     spark = changelog.sparkSession
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        state = read_state(spark, state_dir)
+        state = read_state(spark, state_dir, before_batch=batch_id)
         new = apply_changelog(state, batch_df, id_col, ts_col, seq_col)
         if ttl_sec is not None:
             import time as _t

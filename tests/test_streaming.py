@@ -182,12 +182,27 @@ def test_stateful_upsert_live_view(spark, tmp_path):
     assert rows["c"].val == "c1" and rows["c"].live
     assert not rows["b"].live  # tombstoned
 
-    # second increment continues from checkpointed state
+    # later micro-batches: a stale upsert for a deleted key must NOT
+    # resurrect it (the tombstone carries the delete's (ts, seq)); a
+    # genuinely newer upsert revives it. maxFilesPerTrigger=1 forces
+    # one micro-batch per file so the ops really arrive after the
+    # tombstone was committed to state.
+    import time as _time
+
+    _time.sleep(0.05)
     _write_batch(src, "b2.json", [
         {"op": "upsert", "doc_id": "a", "ts": 0.5, "seq": 6, "val": "stale"},
+        {"op": "upsert", "doc_id": "b", "ts": 2.0, "seq": 8, "val": "zombie"},
+    ])
+    _time.sleep(0.05)
+    _write_batch(src, "b3.json", [
         {"op": "upsert", "doc_id": "b", "ts": 4.0, "seq": 7, "val": "b2"},
     ])
-    stream2 = spark.readStream.schema(schema).json(src)
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
     q2 = (
         stateful_upsert(stream2)
         .writeStream.format("memory").queryName("live_state2")
@@ -195,3 +210,15 @@ def test_stateful_upsert_live_view(spark, tmp_path):
         .outputMode("update").trigger(availableNow=True).start()
     )
     q2.awaitTermination(120)
+    out2 = spark.sql("select * from live_state2").collect()
+    # no output row ever carries the zombie value, and the final
+    # state of b (highest (ts, seq) row) is the legitimate revive
+    assert not [r for r in out2 if r.val in ("zombie", "stale")]
+    b_rows = sorted(
+        [r for r in out2 if r.doc_id == "b"], key=lambda r: (r.ts, r.seq)
+    )
+    assert b_rows[-1].val == "b2" and b_rows[-1].live
+    a_rows = sorted(
+        [r for r in out2 if r.doc_id == "a"], key=lambda r: (r.ts, r.seq)
+    )
+    assert a_rows[-1].val == "a2" and a_rows[-1].live

@@ -265,3 +265,18 @@ def test_simhash_neardup_pairs(docs_df):
         for r in D.simhash_neardup_pairs(docs_df, max_hamming=3).collect()
     }
     assert (1, 2) in tight and (1, 3) not in tight
+
+
+def test_dup_components_long_chain(spark):
+    """A 200-hop chain (templated near-dups) must converge inside the
+    default max_iter: pointer jumping gives O(log diameter) rounds,
+    where plain one-hop propagation would need 200."""
+    from geomesa_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(f"d{i:04d}", f"d{i + 1:04d}") for i in range(200)],
+        "doc_a string, doc_b string",
+    )
+    comp = {r.doc: r.canon for r in D.dup_components(pairs).collect()}
+    assert len(comp) == 201
+    assert set(comp.values()) == {"d0000"}

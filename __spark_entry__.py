@@ -80,6 +80,9 @@ JACCARD_THRESHOLD = 0.2
 NEARDUP_COS = 0.45
 ANN_K = 10
 ANN_NQ = 5
+IVF_LISTS = 16
+IVF_PROBES = 2
+IVF_SEED = 7
 
 
 def _poly_wkt(verts: list[tuple[float, float]]) -> str:
@@ -515,6 +518,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh"] = ann_lsh
 
+    def ivf_topk(spark, sf):
+        emb = _load(spark, sf, "embeddings")
+        cents = N.normalize_centroids(N.hyperplanes(64, IVF_LISTS, seed=IVF_SEED))
+        return N.ivf_topk(
+            emb,
+            emb.filter(F.col("vec_id") < ANN_NQ),
+            ANN_K,
+            cents,
+            n_probes=IVF_PROBES,
+            normalize=False,   # constants pre-normalized (oracle parity)
+            exact_fold=True,   # sequential-fold dots == SQL fold
+        )
+
+    q["ivf_topk"] = ivf_topk
+
     # --- BIN export: pack -> distributed unpack roundtrip, fields
     # compared against the oracle (lat/lon as exact centidegrees —
     # the float32 roundtrip is lossless on the 0.01-degree grid) ---
@@ -876,6 +894,56 @@ probes AS ({" UNION ALL ".join(probe_parts)}),
 cand AS (
   SELECT p.q_id AS qid, c.vec_id AS vid
   FROM probes p JOIN bk c ON c.bucket = p.probe AND c.vec_id <> p.q_id
+),
+dots AS (
+  SELECT cand.qid, cand.vid, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+  FROM cand
+  JOIN ex a ON a.vec_id = cand.qid
+  JOIN ex b ON b.vec_id = cand.vid AND b.i = a.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid, vid AS vec_id,
+         dot / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)) AS cos
+  FROM dots JOIN nrm x ON x.vec_id = qid JOIN nrm y ON y.vec_id = vid
+)
+SELECT qid, vec_id, cos, CAST(rk AS INT) AS "rank" FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= {ANN_K}
+"""
+
+    Cn = N.normalize_centroids(N.hyperplanes(64, IVF_LISTS, seed=IVF_SEED))
+    ivf_parts = []
+    for li in range(IVF_LISTS):
+        expr = "0.0"
+        for i in range(64):
+            expr = (
+                f"({expr} + (CAST(embedding[{i + 1}] AS DOUBLE)"
+                f" * {float(Cn[li][i])!r}))"
+            )
+        ivf_parts.append(f"SELECT vec_id, {li} AS li, {expr} AS dot FROM embeddings")
+    ivf_long = " UNION ALL ".join(ivf_parts)
+    o["ivf_topk"] = f"""
+WITH d AS ({ivf_long}),
+asg AS (
+  SELECT vec_id, li FROM (
+    SELECT vec_id, li,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, li) AS rk
+    FROM d
+  ) WHERE rk = 1
+),
+qp AS (
+  SELECT vec_id AS q_id, li FROM (
+    SELECT vec_id, li,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, li) AS rk
+    FROM d WHERE vec_id < {ANN_NQ}
+  ) WHERE rk <= {IVF_PROBES}
+),
+{_EMB_FIXED_CTE},
+cand AS (
+  SELECT qp.q_id AS qid, a.vec_id AS vid
+  FROM qp JOIN asg a ON a.li = qp.li AND a.vec_id <> qp.q_id
 ),
 dots AS (
   SELECT cand.qid, cand.vid, CAST(sum(a.v * b.v) AS BIGINT) AS dot

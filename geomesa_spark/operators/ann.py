@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from geomesa_spark.operators.dedup import _dot, _fixed
 
@@ -214,29 +215,66 @@ def ivf_centroids(
     return C
 
 
-def ivf_assign(
-    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding",
-    out_col: str = "list_id",
-) -> DataFrame:
-    """Append the nearest-centroid list id (max cosine via max dot on
-    normalized centroids) — one narrow pass, JVM-side: the centroid
-    matrix rides in as array literals."""
-    Cn = centroids / np.maximum(
+def normalize_centroids(centroids: np.ndarray) -> np.ndarray:
+    return centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
-    best_id = F.lit(0)
-    best_dot = F.lit(float("-inf"))
-    for li, c in enumerate(Cn):
-        consts = F.array(*[F.lit(float(x)) for x in c])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), consts, lambda x, h: x.cast("double") * h),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        better = dot > best_dot
-        best_id = F.when(better, F.lit(li)).otherwise(best_id)
-        best_dot = F.when(better, dot).otherwise(best_dot)
-    return df.withColumn(out_col, best_id)
+
+
+def _fold_dots(V: np.ndarray, Cn: np.ndarray) -> np.ndarray:
+    """(n, dim) x (lists, dim) -> (n, lists) dot products with strict
+    left-to-right per-element accumulation (0.0-seeded), vectorized
+    across rows. Bit-identical to a SQL/HOF sequential fold, unlike a
+    BLAS matmul whose blocked summation order differs — use for
+    oracle-parity paths."""
+    out = np.zeros((V.shape[0], Cn.shape[0]), dtype=np.float64)
+    for i in range(V.shape[1]):
+        out += V[:, i:i + 1] * Cn[None, :, i]
+    return out
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "list_id",
+    normalize: bool = True,
+    exact_fold: bool = False,
+) -> DataFrame:
+    """Append the nearest-centroid list id (max dot on normalized
+    centroids, ties to the lowest list id).
+
+    One Arrow-batched `mapInPandas` pass: the centroid matrix rides
+    in the task closure as ONE numpy array and each batch is a single
+    vectorized matmul. (The previous column-literal `when`-chain form
+    put n_lists x dim expression nodes into the plan — Janino/codegen
+    death around n_lists*dim ~ 10^5; this path is O(1) plan size at
+    any n_lists/dim and is how a 4096-list, 768-dim production
+    quantizer must run.)
+
+    `normalize=False` uses the matrix as given (caller pre-folded the
+    exact constants — required for cross-engine parity checks);
+    `exact_fold=True` trades the matmul for a sequential-fold matmul
+    that is bit-identical to SQL/HOF left folds.
+    """
+    Cn = normalize_centroids(centroids) if normalize else np.asarray(centroids)
+    Cn = np.ascontiguousarray(Cn, dtype=np.float64)
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.IntegerType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            dots = _fold_dots(V, Cn) if exact_fold else V @ Cn.T
+            pdf = pdf.copy()
+            # argmax returns the FIRST max -> lowest list id on ties
+            pdf[out_col] = np.argmax(dots, axis=1).astype(np.int32)
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
 
 
 def ivf_topk(
@@ -249,35 +287,46 @@ def ivf_topk(
     vec_col: str = "embedding",
     q_id_col: str = "vec_id",
     q_vec_col: str = "embedding",
+    normalize: bool = True,
+    exact_fold: bool = False,
 ) -> DataFrame:
     """Approximate top-k: each query searches its `n_probes` nearest
     inverted lists with the exact fixed-point re-rank. At corpus
     scale the list id is the table's bucket/partition key, so a
     probe reads ~n_probes/n_lists of the data.
+    `normalize`/`exact_fold` as in `ivf_assign` (set normalize=False
+    + exact_fold=True for cross-engine-reproducible assignments).
     Returns (qid, vec_id, cos, rank)."""
-    Cn = centroids / np.maximum(
-        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    Cn = normalize_centroids(centroids) if normalize else np.asarray(centroids)
+    Cn = np.ascontiguousarray(Cn, dtype=np.float64)
+    c = (
+        ivf_assign(
+            corpus.select(
+                F.col(id_col).alias("c_id"),
+                _fixed(F.col(vec_col)).alias("c_fv"),
+                F.col(vec_col).alias("_raw"),
+            ).withColumn("c_nrm", _dot(F.col("c_fv"), F.col("c_fv"))),
+            Cn,
+            vec_col="_raw",
+            out_col="c_list",
+            normalize=False,
+            exact_fold=exact_fold,
+        )
+        .drop("_raw")
     )
-    c = ivf_assign(
-        _with_fixed(corpus, id_col, vec_col, "c_")
-        .join(
-            corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("_raw")),
-            "c_id",
-        ),
-        Cn,
-        vec_col="_raw",
-        out_col="c_list",
-    ).drop("_raw")
     # per-query probe lists (computed on the driver: queries are the
-    # small broadcast side)
+    # small broadcast side); dots ranked (dot desc, list asc) — the
+    # same tie order as the corpus-side argmax
     qrows = queries.select(
         F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("_raw")
     ).collect()
     probes = []
     for r in qrows:
         v = np.array([float(x) for x in r["_raw"]], dtype=np.float64)
-        v = v / max(np.linalg.norm(v), 1e-12)
-        order = np.argsort(-(Cn @ v))
+        dots = (
+            _fold_dots(v[None, :], Cn)[0] if exact_fold else Cn @ v
+        )
+        order = sorted(range(len(Cn)), key=lambda li: (-dots[li], li))
         for li in order[:n_probes]:
             probes.append((r.q_id, int(li)))
     spark = corpus.sparkSession

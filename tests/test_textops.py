@@ -280,3 +280,27 @@ def test_dup_components_long_chain(spark):
     comp = {r.doc: r.canon for r in D.dup_components(pairs).collect()}
     assert len(comp) == 201
     assert set(comp.values()) == {"d0000"}
+
+
+def test_ivf_assign_large_quantizer(spark):
+    """n_lists=256, dim=256 — the regime where the old column-literal
+    when-chain (~65k expression nodes) died in codegen. The
+    mapInPandas path has O(1) plan size; assignments must equal the
+    numpy argmax oracle."""
+    import numpy as np
+    from geomesa_spark.operators import ann as N
+
+    rng = np.random.default_rng(42)
+    V = rng.standard_normal((400, 256)).astype(np.float32)
+    C = rng.standard_normal((256, 256))
+    pdf = __import__("pandas").DataFrame(
+        {"vec_id": range(400), "embedding": [v.tolist() for v in V]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        r.vec_id: r.list_id
+        for r in N.ivf_assign(df, C).select("vec_id", "list_id").collect()
+    }
+    Cn = N.normalize_centroids(C)
+    exp = np.argmax(V.astype(np.float64) @ Cn.T, axis=1)
+    assert got == {i: int(exp[i]) for i in range(400)}

@@ -384,6 +384,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn"] = knn
 
+    def knn_df(spark, sf):
+        from geomesa_spark.operators.knn import knn_join_df
+
+        ge = geo_events(spark, sf)
+        qs = ge.filter(F.col("event_id") % 20 == 0).select(
+            F.col("event_id").alias("qid"),
+            F.col("lon").alias("qlon"),
+            F.col("lat").alias("qlat"),
+        )
+        out = knn_join_df(ge, qs, 5, tiebreak_col="event_id")
+        return out.select("qid", "event_id", "dist2", "rank")
+
+    q["knn_df"] = knn_df
+
     def tube(spark, sf):
         out = tube_select(
             geo_events(spark, sf),
@@ -701,6 +715,21 @@ SELECT qid, event_id, dist2, CAST(rk AS INT) AS "rank" FROM (
   SELECT *, row_number() OVER (
     PARTITION BY qid ORDER BY dist2, lon, lat, event_id) AS rk FROM d
 ) WHERE rk <= {KNN_K}
+"""
+
+    o["knn_df"] = f"""
+WITH {PTS_CTE},
+qset AS (SELECT event_id AS qid, lon AS qx, lat AS qy FROM pts
+         WHERE event_id % 20 = 0),
+d AS (
+  SELECT qid, event_id,
+         (lon-qx)*(lon-qx) + (lat-qy)*(lat-qy) AS dist2, lon, lat
+  FROM pts, qset
+)
+SELECT qid, event_id, dist2, CAST(rk AS INT) AS "rank" FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY dist2, lon, lat, event_id) AS rk FROM d
+) WHERE rk <= 5
 """
 
     tube_rows = ", ".join(

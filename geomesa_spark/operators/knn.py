@@ -82,6 +82,18 @@ def _dist_col(lon_col: str, lat_col: str, metric: str):
     )
 
 
+def _inner_bound_col(inner_deg: float, qlat_col, metric: str):
+    """Column form of `_inner_bound` (per-query convergence bound
+    evaluated inside the aggregate — no driver-side per-query state)."""
+    if metric == "planar":
+        return F.lit(inner_deg * inner_deg)
+    band = F.least(F.lit(89.9), F.abs(qlat_col) + F.lit(inner_deg))
+    scale = F.greatest(
+        F.lit(0.0), F.least(F.lit(1.0), F.lit(2.0) * F.cos(F.radians(band)))
+    )
+    return F.lit(inner_deg * METERS_PER_DEG_LAT) * scale
+
+
 def _inner_bound(inner_deg: float, qlat: float, metric: str) -> float:
     """Largest distance value guaranteed closer than the unexplored
     ring exterior. Planar: inner radius squared. Haversine: a
@@ -209,5 +221,144 @@ def knn_join(
     out = out.drop("_pcell").localCheckpoint(eager=True)
     pts.unpersist()
     for t in round_caches:
+        t.unpersist()
+    return out
+
+
+def knn_join_df(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    bits: int = DEFAULT_KNN_BITS,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    cell_col: str = "cell",
+    cell_bits: int = C.XY_BITS,
+    max_rounds: int = MAX_ROUNDS,
+    tiebreak_col: str | None = None,
+    metric: str = "planar",
+    qid_col: str = "qid",
+    qlon_col: str = "qlon",
+    qlat_col: str = "qlat",
+) -> DataFrame:
+    """kNN *join*: top-k nearest data points per query row, with the
+    query set as a DataFrame of any size.
+
+    `knn_join` mirrors the reference's process semantics (KNNQuery.
+    scala:56-81 — a small client-held query set) and keeps the query
+    list on the driver; that API cannot express a kNN join against
+    millions of query points. This variant is fully distributed:
+
+    - candidate cells come from two JVM `explode(sequence(-r, r))`s
+      around each query's grid coordinate (longitude wraps via pmod,
+      latitude clamps; wrapped duplicates dropped per query) — no
+      per-query driver work, no literal blow-up at large radii;
+    - each round is ONE cell-keyed shuffle join over every
+      unresolved query (at corpus scale, bucket the point table by
+      the parent cell to make this a shuffle-free co-located join);
+    - convergence (kth distance <= ring inner bound) is an aggregate
+      + left_anti join; the only driver-side value per round is the
+      unresolved-query count;
+    - per-round state is localCheckpoint'ed so lineage stays O(1).
+
+    Rounds double the square radius; queries whose square would
+    cover the whole grid fall through to one exact cross join
+    (also the fewer-than-k-points backstop).
+    Returns (qid, dist2, rank, *points columns).
+    """
+    if metric not in ("planar", "haversine"):
+        raise ValueError(metric)
+    n = 1 << bits
+    cell_h = 180.0 / n
+    tiebreak = [F.col(tiebreak_col).asc()] if tiebreak_col else []
+
+    pts = points.withColumn(
+        "_pcell", C.cell_parent(F.col(cell_col), cell_bits, bits)
+    ).persist()
+    n_pts = pts.count()
+    lam = max(n_pts, 1) / float(4 ** bits)
+    radius = int(min(max(1, np.ceil(0.5 * np.sqrt(k / max(lam, 1e-9)))), 8))
+
+    unresolved = (
+        queries.select(
+            F.col(qid_col).alias("qid"),
+            F.col(qlon_col).cast("double").alias("qlon"),
+            F.col(qlat_col).cast("double").alias("qlat"),
+        )
+        .withColumn("_qx", C.lon_to_x(F.col("qlon"), bits))
+        .withColumn("_qy", C.lat_to_y(F.col("qlat"), bits))
+        .localCheckpoint(eager=True)
+    )
+    results: list[DataFrame] = []
+    caches: list[DataFrame] = []
+    for _ in range(max_rounds):
+        if (2 * radius + 1) ** 2 >= 4 ** bits:
+            break  # square covers the grid: exact scan is cheaper
+        if unresolved.isEmpty():
+            break
+        r = radius
+        seq = F.sequence(F.lit(-r), F.lit(r))
+        cand = (
+            unresolved.withColumn("_dx", F.explode(seq))
+            .withColumn("_dy", F.explode(seq))
+            .withColumn("_gx", F.pmod(F.col("_qx") + F.col("_dx"), F.lit(n)))
+            .withColumn("_gy", F.col("_qy") + F.col("_dy"))
+            .filter((F.col("_gy") >= 0) & (F.col("_gy") < n))
+            .withColumn("_qcell", C.z2_combine(F.col("_gx"), F.col("_gy")))
+            .dropDuplicates(["qid", "_qcell"])
+            .select("qid", "qlon", "qlat", "_qcell")
+        )
+        joined = pts.join(cand, pts["_pcell"] == cand["_qcell"], "inner")
+        d2 = _dist_col(lon_col, lat_col, metric)
+        w = Window.partitionBy("qid").orderBy(
+            d2.asc(), F.col(lon_col).asc(), F.col(lat_col).asc(), *tiebreak
+        )
+        topk = (
+            joined.withColumn("dist2", d2)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .drop("_qcell")
+            .persist()
+        )
+        caches.append(topk)
+        inner = r * cell_h
+        stats = topk.groupBy("qid").agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.max("dist2").alias("_kth"),
+            F.max("qlat").alias("_qlat"),
+        )
+        done = stats.filter(
+            (F.col("_cnt") >= k)
+            & (F.col("_kth") <= _inner_bound_col(inner, F.col("_qlat"), metric))
+        ).select("qid")
+        results.append(
+            topk.join(done, "qid", "left_semi").drop("qlon", "qlat")
+        )
+        unresolved = unresolved.join(done, "qid", "left_anti").localCheckpoint(
+            eager=True
+        )
+        radius *= 2
+
+    if not unresolved.isEmpty():
+        # exact fallback for stragglers (and tiny corpora): one cross
+        # join of the remaining queries against the point table
+        joined = pts.crossJoin(unresolved.select("qid", "qlon", "qlat"))
+        d2 = _dist_col(lon_col, lat_col, metric)
+        w = Window.partitionBy("qid").orderBy(
+            d2.asc(), F.col(lon_col).asc(), F.col(lat_col).asc(), *tiebreak
+        )
+        results.append(
+            joined.withColumn("dist2", d2)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .drop("qlon", "qlat")
+        )
+
+    out = results[0]
+    for rdf in results[1:]:
+        out = out.unionByName(rdf, allowMissingColumns=True)
+    out = out.drop("_pcell").localCheckpoint(eager=True)
+    pts.unpersist()
+    for t in caches:
         t.unpersist()
     return out

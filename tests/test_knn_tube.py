@@ -83,3 +83,66 @@ def test_tube_nofill(enriched, pdf):
     d2 = (pdf.lon.values + 73.98) ** 2 + (pdf.lat.values - 40.75) ** 2
     m = (d2 <= 0.25) & (np.abs(es - (D.T0_EPOCH + 86400)) <= 86400)
     assert got == set(pdf.doc_id.values[m])
+
+
+def test_knn_join_df_matches_bruteforce(spark):
+    """DataFrame-native kNN join vs brute force, including IDL-wrap
+    and polar queries and a query set larger than the driver-list
+    API was designed for."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from geomesa_spark.functions import cells as C
+    from geomesa_spark.operators.knn import knn_join_df
+
+    rng = np.random.default_rng(42)
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"p{i}" for i in range(n)],
+            "lon": rng.uniform(-180, 180, n),
+            "lat": rng.uniform(-90, 90, n),
+        }
+    )
+    pts = spark.createDataFrame(pdf).withColumn(
+        "cell", C.z2_cell(F.col("lon"), F.col("lat"))
+    )
+    qpdf = pd.DataFrame(
+        {
+            "qid": [f"q{i}" for i in range(120)],
+            "qlon": list(rng.uniform(-180, 180, 117)) + [179.9, -179.9, 0.0],
+            "qlat": list(rng.uniform(-90, 90, 117)) + [0.0, 0.0, 89.9],
+        }
+    )
+    out = knn_join_df(
+        pts, spark.createDataFrame(qpdf), 7, tiebreak_col="doc_id"
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.qid, []).append((r.rank, r.doc_id))
+    assert len(got) == 120
+    for _, q in qpdf.iterrows():
+        d2 = (pdf.lon - q.qlon) ** 2 + (pdf.lat - q.qlat) ** 2
+        exp = list(
+            pdf.assign(d=d2)
+            .sort_values(["d", "lon", "lat", "doc_id"])
+            .head(7)
+            .doc_id
+        )
+        assert [d for _, d in sorted(got[q.qid])] == exp, q.qid
+
+
+def test_knn_join_df_fewer_than_k(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from geomesa_spark.functions import cells as C
+    from geomesa_spark.operators.knn import knn_join_df
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a", "b"], "lon": [0.0, 10.0], "lat": [0.0, 5.0]})
+    ).withColumn("cell", C.z2_cell(F.col("lon"), F.col("lat")))
+    qs = spark.createDataFrame(
+        pd.DataFrame({"qid": ["q"], "qlon": [1.0], "qlat": [1.0]})
+    )
+    rows = knn_join_df(pts, qs, 5, tiebreak_col="doc_id").collect()
+    assert {r.doc_id for r in rows} == {"a", "b"}

@@ -130,10 +130,13 @@ PTS_CTE = """pts AS (
 )"""
 
 
-def _convex_cond(verts: list[tuple[float, float]]) -> str:
+def _convex_cond(
+    verts: list[tuple[float, float]], px: str = "lon", py: str = "lat"
+) -> str:
     """Strict-interior test for a CCW convex polygon: every edge
     cross product positive (constants pre-folded in Python so both
-    engines see identical literals)."""
+    engines see identical literals). `px`/`py` are SQL expressions
+    for the tested point."""
     conds = []
     n = len(verts)
     for i in range(n):
@@ -141,7 +144,7 @@ def _convex_cond(verts: list[tuple[float, float]]) -> str:
         x2, y2 = verts[(i + 1) % n]
         dx, dy = x2 - x1, y2 - y1
         conds.append(
-            f"(({dx!r})*(lat-({y1!r})) - ({dy!r})*(lon-({x1!r})) > 0)"
+            f"(({dx!r})*({py}-({y1!r})) - ({dy!r})*({px}-({x1!r})) > 0)"
         )
     return "(" + " AND ".join(conds) + ")"
 
@@ -368,6 +371,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pip_broadcast"] = pip_broadcast
     q["pip_partitioned"] = pip_partitioned
+
+    # --- non-point data geometries: line/polygon rows vs the query
+    # polygon layer (STIdxStrategy.scala:218-243 generalized; dedup
+    # of multi-cell rows IndexSchema.scala:300-307). WKT is built in
+    # Spark (double->string is shortest-roundtrip, so the Python
+    # parse recovers bit-identical coordinates) and the oracle
+    # recomputes the same derived vertices arithmetically. ---
+    def _coords_str(pairs):
+        parts = []
+        for i, (x, y) in enumerate(pairs):
+            if i:
+                parts.append(F.lit(", "))
+            parts.extend([x.cast("string"), F.lit(" "), y.cast("string")])
+        return F.concat(*parts)
+
+    def line_intersects(spark, sf):
+        from geomesa_spark.operators import geom_data as GD
+
+        ge = geo_events(spark, sf)
+        x0 = F.col("lon") * F.lit(0.96)
+        y0 = F.col("lat") * F.lit(0.9)
+        verts = [
+            (x0, y0),
+            (x0 + F.lit(3.007), y0 + F.lit(1.003)),
+            (x0 + F.lit(6.014), y0 - F.lit(1.003)),
+        ]
+        wkt = F.concat(F.lit("LINESTRING ("), _coords_str(verts), F.lit(")"))
+        lines = ge.select(F.col("event_id").alias("gid"), wkt.alias("geom_wkt"))
+        out = GD.geom_join_broadcast(GD.geom_table(lines), _polys, bits=5)
+        return out.select("gid", "poly_id")
+
+    q["line_intersects"] = line_intersects
+
+    def poly_intersects(spark, sf):
+        from geomesa_spark.operators import geom_data as GD
+
+        ge = geo_events(spark, sf)
+        x0 = F.col("lon") * F.lit(0.96)
+        y0 = F.col("lat") * F.lit(0.9)
+        verts = [
+            (x0, y0),
+            (x0 + F.lit(2.004), y0 + F.lit(0.504)),
+            (x0 + F.lit(1.002), y0 + F.lit(1.506)),
+            (x0, y0),
+        ]
+        wkt = F.concat(F.lit("POLYGON (("), _coords_str(verts), F.lit("))"))
+        tris = ge.select(F.col("event_id").alias("gid"), wkt.alias("geom_wkt"))
+        out = GD.geom_join_broadcast(GD.geom_table(tris), _polys, bits=5)
+        return out.select("gid", "poly_id")
+
+    q["poly_intersects"] = poly_intersects
 
     def dwithin_proximity(spark, sf):
         return proximity_join(geo_events(spark, sf), SITES).select(
@@ -690,6 +744,94 @@ SELECT event_id, 'pent' AS poly_id FROM pts WHERE {_convex_cond(PENTAGON)}
 """
     o["pip_broadcast"] = pip_sql
     o["pip_partitioned"] = pip_sql
+
+    # --- non-point geometry gates: derived vertices as SQL
+    # expressions, query-polygon constants pre-folded ---
+    _LX0, _LY0 = "(lon*0.96)", "(lat*0.9)"
+
+    def _off(base: str, d: float) -> str:
+        return f"({base} + {d!r})" if d >= 0 else f"({base} - {-d!r})"
+
+    def _seg_cross_sql(s0, s1, q0, q1) -> str:
+        """Proper segment crossing: data segment s0->s1 (SQL expr
+        pairs) vs query edge q0->q1 (constant pairs)."""
+        (sx0, sy0), (sx1, sy1) = s0, s1
+        (qx0, qy0), (qx1, qy1) = q0, q1
+        dqx, dqy = qx1 - qx0, qy1 - qy0
+        d1 = f"(({dqx!r})*({sy0}-({qy0!r})) - ({dqy!r})*({sx0}-({qx0!r})))"
+        d2 = f"(({dqx!r})*({sy1}-({qy0!r})) - ({dqy!r})*({sx1}-({qx0!r})))"
+        d3 = (f"(({sx1}-{sx0})*(({qy0!r})-{sy0})"
+              f" - ({sy1}-{sy0})*(({qx0!r})-{sx0}))")
+        d4 = (f"(({sx1}-{sx0})*(({qy1!r})-{sy0})"
+              f" - ({sy1}-{sy0})*(({qx1!r})-{sx0}))")
+        return (f"((({d1} > 0) <> ({d2} > 0))"
+                f" AND (({d3} > 0) <> ({d4} > 0)))")
+
+    RECT_VERTS = [
+        (RECT[0], RECT[1]), (RECT[2], RECT[1]),
+        (RECT[2], RECT[3]), (RECT[0], RECT[3]),
+    ]
+    GATE_POLY_VERTS = [("rect", RECT_VERTS), ("tri", TRIANGLE), ("pent", PENTAGON)]
+
+    def _geom_gate_sql(data_verts, data_segs, extra_term=None) -> str:
+        """UNION ALL of per-polygon intersect conditions: any data
+        vertex strictly inside the (convex, CCW) polygon, any proper
+        segment/edge crossing, plus `extra_term(verts)` (used for the
+        query-vertex-in-data-polygon case)."""
+        parts = []
+        for pid, verts in GATE_POLY_VERTS:
+            terms = [
+                _convex_cond(verts, px, py) for px, py in data_verts
+            ]
+            n = len(verts)
+            for s0, s1 in data_segs:
+                for i in range(n):
+                    terms.append(
+                        _seg_cross_sql(s0, s1, verts[i], verts[(i + 1) % n])
+                    )
+            if extra_term is not None:
+                terms.append(extra_term(verts))
+            cond = "(" + " OR ".join(terms) + ")"
+            parts.append(
+                f"SELECT event_id AS gid, '{pid}' AS poly_id FROM pts WHERE {cond}"
+            )
+        return f"WITH {PTS_CTE}\n" + "\nUNION ALL\n".join(parts)
+
+    _line_v = [
+        (_LX0, _LY0),
+        (_off(_LX0, 3.007), _off(_LY0, 1.003)),
+        (_off(_LX0, 6.014), _off(_LY0, -1.003)),
+    ]
+    o["line_intersects"] = _geom_gate_sql(
+        _line_v, [(_line_v[0], _line_v[1]), (_line_v[1], _line_v[2])]
+    )
+
+    _tri_v = [
+        (_LX0, _LY0),
+        (_off(_LX0, 2.004), _off(_LY0, 0.504)),
+        (_off(_LX0, 1.002), _off(_LY0, 1.506)),
+    ]
+
+    def _qvert_in_data_tri(verts) -> str:
+        """Any query-polygon vertex strictly inside the (CCW) data
+        triangle: all three edge cross products positive."""
+        conds = []
+        for qx, qy in verts:
+            edge_conds = []
+            for i in range(3):
+                (ex0, ey0), (ex1, ey1) = _tri_v[i], _tri_v[(i + 1) % 3]
+                edge_conds.append(
+                    f"((({ex1}-{ex0})*(({qy!r})-{ey0})"
+                    f" - ({ey1}-{ey0})*(({qx!r})-{ex0})) > 0)"
+                )
+            conds.append("(" + " AND ".join(edge_conds) + ")")
+        return "(" + " OR ".join(conds) + ")"
+
+    o["poly_intersects"] = _geom_gate_sql(
+        _tri_v,
+        [(_tri_v[0], _tri_v[1]), (_tri_v[1], _tri_v[2]), (_tri_v[2], _tri_v[0])],
+        extra_term=_qvert_in_data_tri,
+    )
 
     site_rows = ", ".join(
         f"('{sid}', {slon!r}, {slat!r}, {rad!r})" for sid, slon, slat, rad in SITES

@@ -233,3 +233,56 @@ def idl_safe_boxes(
     if xmin <= xmax:
         return [(max(xmin, -180.0), ymin, min(xmax, 180.0), ymax)]
     return [(xmin, ymin, 180.0, ymax), (-180.0, ymin, xmax, ymax)]
+
+
+# ---------------------------------------------------------------------------
+# geometry-vs-geometry intersects (numpy twin of the JVM
+# operators.geom_data.geom_intersects_col — used by tests/oracles)
+# ---------------------------------------------------------------------------
+
+
+def _all_vertices(geom: Geometry) -> np.ndarray:
+    return np.vstack(geom.rings)
+
+
+def _all_segments(geom: Geometry) -> np.ndarray:
+    """(S, 4) array of x0,y0,x1,y1 (degenerate for single points)."""
+    segs = []
+    for ring in geom.rings:
+        if len(ring) == 1:
+            x, y = ring[0]
+            segs.append((x, y, x, y))
+            continue
+        for i in range(len(ring) - 1):
+            segs.append((ring[i][0], ring[i][1], ring[i + 1][0], ring[i + 1][1]))
+    return np.asarray(segs, dtype=np.float64)
+
+
+def segments_cross(a: np.ndarray, b: np.ndarray) -> bool:
+    """Any proper crossing between segment sets a (S,4) and b (T,4)."""
+
+    def cross(sx0, sy0, sx1, sy1, px, py):
+        return (sx1 - sx0) * (py - sy0) - (sy1 - sy0) * (px - sx0)
+
+    ax0, ay0, ax1, ay1 = (a[:, i][:, None] for i in range(4))
+    bx0, by0, bx1, by1 = (b[:, i][None, :] for i in range(4))
+    d1 = cross(ax0, ay0, ax1, ay1, bx0, by0)
+    d2 = cross(ax0, ay0, ax1, ay1, bx1, by1)
+    d3 = cross(bx0, by0, bx1, by1, ax0, ay0)
+    d4 = cross(bx0, by0, bx1, by1, ax1, ay1)
+    return bool((((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))).any())
+
+
+def geom_intersects(a: Geometry, b: Geometry) -> bool:
+    """intersects(A, B) for any mix of point/line/polygon geometries.
+
+    Vertex-containment + proper-edge-crossing decomposition — exact
+    for non-degenerate inputs (same tolerance class as the JVM
+    column form it twins, operators/geom_data.py)."""
+    polyk = ("POLYGON", "MULTIPOLYGON")
+    va, vb = _all_vertices(a), _all_vertices(b)
+    if b.kind in polyk and bool(contains(b, va[:, 0], va[:, 1]).any()):
+        return True
+    if a.kind in polyk and bool(contains(a, vb[:, 0], vb[:, 1]).any()):
+        return True
+    return segments_cross(_all_segments(a), _all_segments(b))

@@ -1,0 +1,266 @@
+"""Non-point DATA geometries: store and join LineString/Polygon rows.
+
+The reference's ST index stores *any* geometry row and evaluates
+geometry-vs-geometry predicates post-index (SpatioTemporalTable.
+scala:38-46 interleaves index/data rows for arbitrary geometries;
+STIdxStrategy.scala:218-243 plans over them; the supported type list
+is SimpleFeatureTypes.scala:405-465; duplicate elimination for
+non-point rows that land in several index cells is
+IndexSchema.scala:300-307). The engine's base tables are point rows
+(lon/lat); this module adds the non-point layer:
+
+- `geom_table`   — WKT column -> typed geometry columns: `kind`,
+  bbox (`xmin ymin xmax ymax`), and the refine payload `edges`
+  (the flattened ring-edge array of geometry_sql.EDGE_SCHEMA), one
+  Arrow-batched mapInPandas pass.
+- `geom_cover_cells` — bbox cell cover at a chosen resolution as
+  pure column ops (explode of x/y index ranges — the geohash-prefix
+  box of the ST index key, no Python, no driver work).
+- `geom_intersects_col` — geometry-vs-geometry `intersects` as one
+  JVM column expression over two edge arrays (nested higher-order
+  functions): any A-vertex in B + any B-vertex in A (when the
+  respective side has interior) + any proper edge crossing. Exact
+  for non-degenerate inputs; collinear-overlap touching is
+  tolerance-level, as in the JTS evaluation it mirrors.
+- `geom_join_broadcast` — the PIP join generalized to non-point
+  data rows: coarse bbox-cell join against a polygon layer's cell
+  cover, dedup of multi-cell matches (the IndexSchema.scala:300-307
+  analog) BEFORE the refine, then the exact JVM refine.
+- `geom_scan` — planner-style pruned scan of a geometry table for a
+  QuerySpec (bbox-overlap pushdown + exact refine).
+
+Scale notes: the cover explode is bounded by the geometry bbox size
+at the chosen `bits` — pick the resolution so typical features span
+O(1..10) cells (the reference's 5-40-bit geohash window,
+GeohashUtils.scala:638). The polygon layer rides as a broadcast;
+data rows shuffle only on the cell key, and the refine is pure
+whole-stage-codegen JVM (no Python after `geom_table`).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geomesa_spark.functions import cells as C
+from geomesa_spark.functions import geometry as G
+from geomesa_spark.functions import geometry_sql as GS
+
+POLY_KINDS = ("POLYGON", "MULTIPOLYGON")
+
+
+def geom_table(
+    df: DataFrame, wkt_col: str = "geom_wkt", keep_wkt: bool = True
+) -> DataFrame:
+    """Parse a WKT column into typed geometry columns.
+
+    Appends `kind:string`, `xmin ymin xmax ymax:double`, and
+    `edges:array<struct<x0,y0,x1,y1>>` (flattened ring edges — the
+    refine payload every geometry predicate consumes). One vectorized
+    mapInPandas pass; all downstream predicates are JVM-only.
+    """
+    fields = [f for f in df.schema.fields]
+    schema = T.StructType(
+        fields
+        + [
+            T.StructField("kind", T.StringType()),
+            T.StructField("xmin", T.DoubleType()),
+            T.StructField("ymin", T.DoubleType()),
+            T.StructField("xmax", T.DoubleType()),
+            T.StructField("ymax", T.DoubleType()),
+            T.StructField("edges", GS.EDGE_SCHEMA),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            kinds, xmins, ymins, xmaxs, ymaxs, edges = [], [], [], [], [], []
+            for wkt in pdf[wkt_col]:
+                g = G.parse_wkt(wkt)
+                b = g.bounds
+                kinds.append(g.kind)
+                xmins.append(b[0])
+                ymins.append(b[1])
+                xmaxs.append(b[2])
+                ymaxs.append(b[3])
+                edges.append(GS.geom_edges(g))
+            out = pdf.copy()
+            out["kind"] = kinds
+            out["xmin"] = xmins
+            out["ymin"] = ymins
+            out["xmax"] = xmaxs
+            out["ymax"] = ymaxs
+            out["edges"] = edges
+            yield out
+
+    out = df.mapInPandas(gen, schema=schema)
+    return out if keep_wkt else out.drop(wkt_col)
+
+
+def geom_cover_cells(
+    gdf: DataFrame, bits: int, out_col: str = "_pcell"
+) -> DataFrame:
+    """Explode each geometry row to its bbox cell cover at `bits`.
+
+    Pure column ops: the bbox corners map to x/y index ranges and two
+    `explode(sequence(...))`s enumerate the cells — the analog of the
+    ST index writing one key per covering geohash. A bbox cover is a
+    provable superset of the geometry's cells; the exact refine
+    eliminates the false positives (and the caller dedups multi-cell
+    matches). Geometries must not cross the antimeridian — split
+    them first (functions.geometry.split_idl_wkt).
+    """
+    return (
+        gdf.withColumn("_cx0", C.lon_to_x(F.col("xmin"), bits))
+        .withColumn("_cx1", C.lon_to_x(F.col("xmax"), bits))
+        .withColumn("_cy0", C.lat_to_y(F.col("ymin"), bits))
+        .withColumn("_cy1", C.lat_to_y(F.col("ymax"), bits))
+        .withColumn("_gx", F.explode(F.sequence(F.col("_cx0"), F.col("_cx1"))))
+        .withColumn("_gy", F.explode(F.sequence(F.col("_cy0"), F.col("_cy1"))))
+        .withColumn(out_col, C.z2_combine(F.col("_gx"), F.col("_gy")))
+        .drop("_cx0", "_cx1", "_cy0", "_cy1", "_gx", "_gy")
+    )
+
+
+def _seg_cross(a, b) -> Column:
+    """Proper crossing of edge structs a and b: endpoints of each lie
+    strictly on opposite sides of the other (orientation signs).
+    Collinear configurations report no crossing (degenerate-touch
+    semantics are tolerance-level, see module docstring)."""
+
+    def cross(sx0, sy0, sx1, sy1, px, py):
+        return (sx1 - sx0) * (py - sy0) - (sy1 - sy0) * (px - sx0)
+
+    d1 = cross(a["x0"], a["y0"], a["x1"], a["y1"], b["x0"], b["y0"])
+    d2 = cross(a["x0"], a["y0"], a["x1"], a["y1"], b["x1"], b["y1"])
+    d3 = cross(b["x0"], b["y0"], b["x1"], b["y1"], a["x0"], a["y0"])
+    d4 = cross(b["x0"], b["y0"], b["x1"], b["y1"], a["x1"], a["y1"])
+    return ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+
+
+def geom_intersects_col(
+    a_edges: Column,
+    b_edges: Column,
+    a_has_interior: Column | bool,
+    b_has_interior: Column | bool,
+) -> Column:
+    """`intersects(A, B)` over two edge arrays, pure JVM.
+
+    A and B intersect iff any A vertex lies inside B (B polygonal),
+    any B vertex lies inside A (A polygonal), or any edge pair
+    properly crosses. Vertex containment is the even-odd
+    `contains_col` aggregate, so holes and multipolygon unions are
+    honored on both sides. Exact away from degenerate (collinear /
+    boundary) configurations — the same tolerance class as the JTS
+    evaluation in the reference's iterators.
+    """
+    a_int = F.lit(a_has_interior) if isinstance(a_has_interior, bool) else a_has_interior
+    b_int = F.lit(b_has_interior) if isinstance(b_has_interior, bool) else b_has_interior
+    a_vertex_in_b = b_int & (
+        F.exists(a_edges, lambda e: GS.contains_col(b_edges, e["x0"], e["y0"]))
+        | F.exists(a_edges, lambda e: GS.contains_col(b_edges, e["x1"], e["y1"]))
+    )
+    b_vertex_in_a = a_int & (
+        F.exists(b_edges, lambda e: GS.contains_col(a_edges, e["x0"], e["y0"]))
+    )
+    crossing = F.exists(
+        a_edges, lambda ae: F.exists(b_edges, lambda be: _seg_cross(ae, be))
+    )
+    return a_vertex_in_b | b_vertex_in_a | crossing
+
+
+def is_polygonal_col(kind_col: Column) -> Column:
+    return kind_col.isin(*POLY_KINDS)
+
+
+def geom_join_broadcast(
+    geoms: DataFrame,
+    polys: list[tuple[str, str]],
+    bits: int = 6,
+    id_col: str = "gid",
+) -> DataFrame:
+    """Geometry-vs-polygon-layer intersects join (broadcast layer).
+
+    `geoms`: a `geom_table` output (any mix of points, lines,
+    polygons). `polys`: [(poly_id, wkt)] query layer. Two phases,
+    mirroring the PIP join generalized to non-point rows:
+
+    1. coarse — bbox cell cover of each data geometry joined to the
+       polygon layer's cell cover at the same resolution; matches of
+       a geometry to the same polygon via several cells are deduped
+       *before* refining (the non-point duplicate elimination of
+       IndexSchema.scala:300-307, done pre-refine so the expensive
+       predicate runs once per (gid, poly_id) candidate);
+    2. refine — exact `geom_intersects_col` between the data edge
+       array and the broadcast polygon edge array.
+
+    Returns the geoms columns + `poly_id`.
+    """
+    spark = geoms.sparkSession
+    rows = []
+    for pid, wkt in polys:
+        g = G.parse_wkt(wkt)
+        cells_ = _bbox_cells(g.bounds, bits)
+        rows.append(pd.DataFrame({"pcell": cells_, "poly_id": pid}))
+    cover = pd.concat(rows, ignore_index=True)
+    cov_df = F.broadcast(
+        spark.createDataFrame(cover, "pcell long, poly_id string")
+    )
+    q_edges = F.broadcast(
+        GS.poly_edges_df(spark, polys).withColumnRenamed("edges", "_q_edges")
+    )
+    covered = geom_cover_cells(geoms, bits)
+    cand = (
+        covered.join(cov_df, covered["_pcell"] == cov_df["pcell"], "inner")
+        .drop("_pcell", "pcell")
+        .dropDuplicates([id_col, "poly_id"])
+    )
+    refined = cand.join(q_edges, "poly_id").filter(
+        geom_intersects_col(
+            F.col("edges"),
+            F.col("_q_edges"),
+            is_polygonal_col(F.col("kind")),
+            True,
+        )
+    )
+    return refined.drop("_q_edges")
+
+
+def _bbox_cells(bounds: tuple[float, float, float, float], bits: int) -> list[int]:
+    """Driver-side bbox cell cover (query-layer side, tiny)."""
+    import numpy as np
+
+    x0 = int(C.lon_to_x_np(np.asarray([bounds[0]]), bits)[0])
+    x1 = int(C.lon_to_x_np(np.asarray([bounds[2]]), bits)[0])
+    y0 = int(C.lat_to_y_np(np.asarray([bounds[1]]), bits)[0])
+    y1 = int(C.lat_to_y_np(np.asarray([bounds[3]]), bits)[0])
+    gx, gy = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1))
+    return [int(c) for c in C.z2_encode_np(gx.ravel(), gy.ravel())]
+
+
+def geom_scan(
+    gdf: DataFrame,
+    geometry_wkt: str,
+) -> DataFrame:
+    """Pruned scan of a geometry table: rows intersecting the query
+    geometry. Pushdown = bbox-overlap on the stored bbox columns
+    (plain comparisons that reach the parquet reader); refine = the
+    exact JVM intersects against the query's edge literal."""
+    q = G.parse_wkt(geometry_wkt)
+    qxmin, qymin, qxmax, qymax = q.bounds
+    out = gdf.filter(
+        (F.col("xmin") <= F.lit(qxmax))
+        & (F.col("xmax") >= F.lit(qxmin))
+        & (F.col("ymin") <= F.lit(qymax))
+        & (F.col("ymax") >= F.lit(qymin))
+    )
+    return out.filter(
+        geom_intersects_col(
+            F.col("edges"),
+            GS.edges_lit(q),
+            is_polygonal_col(F.col("kind")),
+            q.kind in POLY_KINDS,
+        )
+    )

@@ -1,0 +1,117 @@
+"""Non-point data-geometry join/scan vs the numpy brute-force twin.
+
+Mirrors Z3IdxStrategyTest semantics generalized to non-point rows
+(STIdxStrategy.scala:218-243 plans arbitrary-geometry rows; dedup of
+multi-cell rows IndexSchema.scala:300-307)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.functions import geometry as G
+from geomesa_spark.operators import geom_data as GD
+
+QUERY_POLYS = [
+    ("rect", "POLYGON ((10.005 20.005, 80.005 20.005, 80.005 60.005, "
+             "10.005 60.005, 10.005 20.005))"),
+    ("tri", "POLYGON ((-120.005 -40.005, -60.005 -40.005, -90.005 30.005, "
+            "-120.005 -40.005))"),
+    ("holed", "POLYGON ((100.005 -20.005, 160.005 -20.005, 160.005 40.005, "
+              "100.005 40.005, 100.005 -20.005), "
+              "(120.005 -5.005, 140.005 -5.005, 140.005 20.005, "
+              "120.005 20.005, 120.005 -5.005))"),
+]
+
+
+def _rand_geoms(n=300, seed=42):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        x = rng.uniform(-170, 160)
+        y = rng.uniform(-80, 70)
+        kind = i % 3
+        if kind == 0:  # 3-vertex polyline
+            dx1, dy1 = rng.uniform(1, 15), rng.uniform(-10, 10)
+            dx2, dy2 = rng.uniform(1, 15), rng.uniform(-10, 10)
+            wkt = (f"LINESTRING ({x} {y}, {x + dx1} {y + dy1}, "
+                   f"{x + dx1 + dx2} {y + dy1 + dy2})")
+        elif kind == 1:  # triangle
+            dx, dy = rng.uniform(2, 12), rng.uniform(2, 12)
+            wkt = (f"POLYGON (({x} {y}, {x + dx} {y}, {x + dx / 2} {y + dy}, "
+                   f"{x} {y}))")
+        else:  # point
+            wkt = f"POINT ({x} {y})"
+        rows.append((f"g{i}", wkt))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def geoms_df(spark):
+    df = GD.geom_table(
+        spark.createDataFrame(_rand_geoms(), "gid string, geom_wkt string")
+    ).cache()
+    df.count()
+    return df
+
+
+def test_geom_join_matches_bruteforce(spark, geoms_df):
+    out = GD.geom_join_broadcast(geoms_df, QUERY_POLYS, bits=5)
+    got = sorted((r.gid, r.poly_id) for r in out.select("gid", "poly_id").collect())
+    qs = {pid: G.parse_wkt(wkt) for pid, wkt in QUERY_POLYS}
+    exp = sorted(
+        (gid, pid)
+        for gid, wkt in _rand_geoms()
+        for pid, q in qs.items()
+        if G.geom_intersects(G.parse_wkt(wkt), q)
+    )
+    assert got == exp
+
+
+def test_geom_join_dedups_multicell(spark, geoms_df):
+    out = GD.geom_join_broadcast(geoms_df, QUERY_POLYS, bits=5)
+    pairs = out.select("gid", "poly_id").collect()
+    assert len(pairs) == len({(r.gid, r.poly_id) for r in pairs})
+
+
+def test_geom_scan_matches_bruteforce(spark, geoms_df):
+    for pid, wkt in QUERY_POLYS:
+        got = sorted(r.gid for r in GD.geom_scan(geoms_df, wkt).select("gid").collect())
+        q = G.parse_wkt(wkt)
+        exp = sorted(
+            gid for gid, w in _rand_geoms() if G.geom_intersects(G.parse_wkt(w), q)
+        )
+        assert got == exp, pid
+
+
+def test_hole_semantics(spark):
+    """A geometry entirely inside a hole does not intersect; one
+    crossing the hole boundary does."""
+    rows = [
+        ("inside_hole", "POLYGON ((128 2, 132 2, 130 6, 128 2))"),
+        ("crosses_hole", "LINESTRING (110 8, 130 8)"),
+        ("in_shell", "POINT (105 30)"),
+    ]
+    gdf = GD.geom_table(spark.createDataFrame(rows, "gid string, geom_wkt string"))
+    out = GD.geom_join_broadcast(gdf, QUERY_POLYS[2:], bits=5)
+    got = sorted(r.gid for r in out.select("gid").collect())
+    assert got == ["crosses_hole", "in_shell"]
+
+
+def test_polygon_containing_query(spark):
+    """Data polygon fully containing the query polygon intersects it
+    (only the query-vertex-in-data term can detect this)."""
+    rows = [("big", "POLYGON ((-179 -85, 179 -85, 179 85, -179 85, -179 -85))")]
+    gdf = GD.geom_table(spark.createDataFrame(rows, "gid string, geom_wkt string"))
+    out = GD.geom_join_broadcast(gdf, QUERY_POLYS[:1], bits=5)
+    assert [r.gid for r in out.select("gid").collect()] == ["big"]
+
+
+def test_bbox_pushdown_shape(spark, geoms_df):
+    """geom_scan's bbox predicates are plain comparisons (pushable);
+    no Python eval node appears in the plan."""
+    plan = (
+        GD.geom_scan(geoms_df, QUERY_POLYS[0][1])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

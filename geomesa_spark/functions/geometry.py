@@ -286,3 +286,144 @@ def geom_intersects(a: Geometry, b: Geometry) -> bool:
     if a.kind in polyk and bool(contains(a, vb[:, 0], vb[:, 1]).any()):
         return True
     return segments_cross(_all_segments(a), _all_segments(b))
+
+
+def _clip_halfplane_x(pts: list, xval: float, keep_le: bool) -> list:
+    """Sutherland-Hodgman clip of an open vertex list against the
+    vertical halfplane lon <= xval (keep_le) or lon >= xval."""
+    out = []
+    n = len(pts)
+    for i in range(n):
+        cx, cy = pts[i]
+        nx, ny = pts[(i + 1) % n]
+        cin = cx <= xval if keep_le else cx >= xval
+        nin = nx <= xval if keep_le else nx >= xval
+        if cin:
+            out.append((cx, cy))
+        if cin != nin:
+            t = (xval - cx) / (nx - cx)
+            out.append((xval, cy + t * (ny - cy)))
+    return out
+
+
+def _unwrap_ring(ring: np.ndarray) -> list:
+    """Make a ring's longitudes continuous: each consecutive delta
+    < 180 in magnitude (vertices shifted by +-360 as needed)."""
+    pts = [(float(ring[0][0]), float(ring[0][1]))]
+    for x, y in ring[:-1][1:] if np.allclose(ring[0], ring[-1]) else ring[1:]:
+        x = float(x)
+        px = pts[-1][0]
+        while x - px > 180.0:
+            x -= 360.0
+        while x - px < -180.0:
+            x += 360.0
+        pts.append((x, float(y)))
+    return pts
+
+
+def crosses_idl(geom: Geometry) -> bool:
+    """True when any ring crosses the antimeridian: consecutive
+    longitude jumps > 180 deg, or coordinates outside [-180, 180]."""
+    for ring in geom.rings:
+        xs = ring[:, 0]
+        if xs.min() < -180.0 or xs.max() > 180.0:
+            return True
+        if len(xs) > 1 and np.abs(np.diff(xs)).max() > 180.0:
+            return True
+    return False
+
+
+def split_idl_polygon(geom: Geometry) -> list[Geometry]:
+    """Split an antimeridian-crossing POLYGON into in-range pieces
+    (GeohashUtils.scala:721-773 parity: the reference translates the
+    out-of-range half by 360 deg and intersects with the world box).
+
+    Rings are unwrapped to continuous longitudes, shifted so the
+    west edge lies in [-180, 180), then repeatedly cut at +180 with
+    the overflow translated west by 360. Holes are clipped with the
+    same halfplanes and attached to their side's piece.
+    """
+    if geom.kind != "POLYGON":
+        raise ValueError(f"split_idl_polygon: {geom.kind}")
+    shell = _unwrap_ring(geom.rings[0])
+    holes = [_unwrap_ring(h) for h in geom.rings[1:]]
+    xs = [x for x, _ in shell]
+    shift = 0.0
+    while min(xs) + shift < -180.0:
+        shift += 360.0
+    while min(xs) + shift >= 180.0:
+        shift -= 360.0
+    shell = [(x + shift, y) for x, y in shell]
+    holes = [[(x + shift, y) for x, y in h] for h in holes]
+
+    pieces: list[Geometry] = []
+    while shell:
+        if max(x for x, _ in shell) <= 180.0:
+            rings = [shell] + [h for h in holes if len(h) >= 3]
+            if len(shell) >= 3:
+                pieces.append(
+                    Geometry(
+                        "POLYGON",
+                        [np.asarray(r + [r[0]], dtype=np.float64) for r in rings],
+                        [0],
+                    )
+                )
+            break
+        west = _clip_halfplane_x(shell, 180.0, keep_le=True)
+        west_holes = [
+            _clip_halfplane_x(h, 180.0, keep_le=True) for h in holes
+        ]
+        if len(west) >= 3:
+            rings = [west] + [h for h in west_holes if len(h) >= 3]
+            pieces.append(
+                Geometry(
+                    "POLYGON",
+                    [np.asarray(r + [r[0]], dtype=np.float64) for r in rings],
+                    [0],
+                )
+            )
+        shell = [
+            (x - 360.0, y)
+            for x, y in _clip_halfplane_x(shell, 180.0, keep_le=False)
+        ]
+        holes = [
+            [(x - 360.0, y) for x, y in _clip_halfplane_x(h, 180.0, keep_le=False)]
+            for h in holes
+        ]
+    return pieces
+
+
+def normalize_idl(geom: Geometry) -> Geometry:
+    """Identity for in-range geometries; an antimeridian-crossing
+    POLYGON becomes a MULTIPOLYGON of in-range pieces (even-odd
+    evaluation over the flattened edges equals the union, so every
+    downstream cover/refine path composes unchanged)."""
+    if geom.kind != "POLYGON" or not crosses_idl(geom):
+        return geom
+    pieces = split_idl_polygon(geom)
+    rings: list[np.ndarray] = []
+    starts: list[int] = []
+    for p in pieces:
+        starts.append(len(rings))
+        rings.extend(p.rings)
+    return Geometry("MULTIPOLYGON", rings, starts)
+
+
+def member_bounds(geom: Geometry) -> list[tuple[float, float, float, float]]:
+    """Per-member bboxes (a MULTIPOLYGON of IDL pieces must not be
+    covered by one world-spanning box)."""
+    if geom.kind != "MULTIPOLYGON":
+        return [geom.bounds]
+    out = []
+    starts = list(geom.poly_starts) + [len(geom.rings)]
+    for i in range(len(geom.poly_starts)):
+        pts = np.vstack(geom.rings[starts[i] : starts[i + 1]])
+        out.append(
+            (
+                float(pts[:, 0].min()),
+                float(pts[:, 1].min()),
+                float(pts[:, 0].max()),
+                float(pts[:, 1].max()),
+            )
+        )
+    return out

@@ -87,8 +87,12 @@ def edges_lit(geom: G.Geometry) -> Column:
 def poly_edges_df(
     spark: SparkSession, polys: list[tuple[str, str]]
 ) -> DataFrame:
-    """(poly_id, edges) broadcast-side table from [(id, wkt)]."""
-    rows = [(pid, geom_edges(G.parse_wkt(wkt))) for pid, wkt in polys]
+    """(poly_id, edges) broadcast-side table from [(id, wkt)].
+    IDL-crossing polygons are split into in-range pieces first —
+    even-odd over the flattened piece edges equals the union."""
+    rows = [
+        (pid, geom_edges(G.normalize_idl(G.parse_wkt(wkt)))) for pid, wkt in polys
+    ]
     schema = T.StructType(
         [T.StructField("poly_id", T.StringType()), T.StructField("edges", EDGE_SCHEMA)]
     )

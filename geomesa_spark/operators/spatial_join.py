@@ -25,11 +25,11 @@ two-phase shape becomes:
 False positives from the cover are eliminated by refine; the cover
 is a provable superset, so results equal a brute-force theta join.
 
-Limitation: polygon layers must not cross the antimeridian — split
-such polygons into east/west halves first (the planner's bbox path
-does this automatically via idl_safe_boxes; polygon splitting is the
-caller's responsibility, as in the reference's decomposition
-utilities GeohashUtils.scala:721-773).
+Antimeridian-crossing polygons (expressed with jumping or
+out-of-range longitudes) are split into in-range pieces
+automatically (geometry.normalize_idl — the GeohashUtils.scala:
+721-773 translate+intersect analog) in every cover and edge path;
+site buffers in the proximity join wrap the same way.
 """
 
 from __future__ import annotations
@@ -65,7 +65,7 @@ def _cover_pdf(polys: list[tuple[str, str]], bits: int, budget: int) -> pd.DataF
     """Driver-side cover table for the broadcast path."""
     rows = []
     for pid, wkt in polys:
-        geom = G.parse_wkt(wkt)
+        geom = G.normalize_idl(G.parse_wkt(wkt))
         # each polygon covers at the finest resolution its budget
         # allows (coarse polygons emit coarse cells); the join runs
         # once per distinct resolution group
@@ -141,6 +141,7 @@ def _distributed_cover(
             T.StructField("pcell", T.LongType()),
             T.StructField("interior", T.BooleanType()),
             T.StructField("poly_id", T.StringType()),
+            T.StructField("pbits", T.IntegerType()),
         ]
     )
 
@@ -148,32 +149,62 @@ def _distributed_cover(
         for pdf in batches:
             out = []
             for pid, wkt in zip(pdf[poly_id_col], pdf[wkt_col]):
-                geom = G.parse_wkt(wkt)
+                geom = G.normalize_idl(G.parse_wkt(wkt))
                 cells_, interior, used = V.polyfill_detail(geom, bits, budget)
                 if used != bits:
-                    # expand coarse cells to target resolution ranges is
-                    # wasteful; instead emit at coarse res recursively:
-                    # simplest correct move — re-fill at exact bits with
-                    # a bigger budget (bounded by 4x)
+                    # one bounded retry at the target resolution; a
+                    # polygon that still doesn't fit keeps its coarse
+                    # cover (pbits < bits) — the join runs that group
+                    # at the coarser key and the refine absorbs the
+                    # looser cover, so one pathological geometry can
+                    # never fail the whole job
                     cells_, interior, used = V.polyfill_detail(
                         geom, bits, budget * 4
                     )
-                    if used != bits:
-                        raise ValueError(
-                            f"polygon {pid} cover exceeds budget at {bits} bits"
-                        )
                 out.append(
                     pd.DataFrame(
                         {
                             "pcell": cells_,
                             "interior": interior,
                             "poly_id": pid,
+                            "pbits": np.int32(used),
                         }
                     )
                 )
             yield pd.concat(out, ignore_index=True) if out else pd.DataFrame(
-                columns=["pcell", "interior", "poly_id"]
+                {
+                    "pcell": pd.Series(dtype="int64"),
+                    "interior": pd.Series(dtype="bool"),
+                    "poly_id": pd.Series(dtype="object"),
+                    "pbits": pd.Series(dtype="int32"),
+                }
             )
+
+    return polys.mapInPandas(gen, schema=schema)
+
+
+def _cover_resolutions(
+    polys: DataFrame,
+    bits: int,
+    budget: int,
+    poly_id_col: str = "poly_id",
+    wkt_col: str = "geom_wkt",
+) -> DataFrame:
+    """(pbits) per polygon — the same resolution decision
+    `_distributed_cover` makes (including its 4x-budget retry), via
+    bbox arithmetic only."""
+    schema = T.StructType([T.StructField("pbits", T.IntegerType())])
+
+    def gen(batches):
+        for pdf in batches:
+            vals = []
+            for wkt in pdf[wkt_col]:
+                geom = G.normalize_idl(G.parse_wkt(wkt))
+                used = V.polyfill_resolution(geom, bits, budget)
+                if used != bits:
+                    used = V.polyfill_resolution(geom, bits, budget * 4)
+                vals.append(np.int32(used))
+            yield pd.DataFrame({"pbits": pd.Series(vals, dtype="int32")})
 
     return polys.mapInPandas(gen, schema=schema)
 
@@ -193,7 +224,7 @@ def _distributed_edges(
     def gen(batches):
         for pdf in batches:
             rows = [
-                (pid, GS.geom_edges(G.parse_wkt(wkt)))
+                (pid, GS.geom_edges(G.normalize_idl(G.parse_wkt(wkt))))
                 for pid, wkt in zip(pdf[poly_id_col], pdf[wkt_col])
             ]
             yield pd.DataFrame(rows, columns=["poly_id", "edges"])
@@ -254,9 +285,21 @@ def pip_join_partitioned(
     split across `salt_n` reducers (points pick a deterministic salt
     by doc hash; cover rows replicate across all salts of their
     cell). AQE skew-join remains on as a second line of defense.
+
+    Pathological polygons whose cover exceeds the budget at the
+    target resolution degrade to a coarser cover instead of failing;
+    their (rare) coarse groups join at the coarser cell key without
+    salting and the exact refine absorbs the looser cover.
     """
     spark = points.sparkSession
     cover = _distributed_cover(polys, bits, budget)
+    # resolution groups via a cheap bbox-only pass (no cover fill, no
+    # cache to leak); almost always the single target-bits group
+    pbits_vals = sorted(
+        r.pbits
+        for r in _cover_resolutions(polys, bits, budget, poly_id_col="poly_id",
+                                    wkt_col="geom_wkt").distinct().collect()
+    )
 
     if salts is None:
         salts = hot_cell_salts(
@@ -273,38 +316,59 @@ def pip_join_partitioned(
             schema=salt_schema,
         )
     )
+    edges = F.broadcast(_distributed_edges(polys))
 
-    pts = (
-        points.withColumn(
-            "_pcell", C.cell_parent(F.col(cell_col), cell_bits, bits)
+    out = None
+    for pb in pbits_vals:
+        cov_grp = cover.filter(F.col("pbits") == pb).drop("pbits")
+        pts = points.withColumn(
+            "_pcell", C.cell_parent(F.col(cell_col), cell_bits, int(pb))
         )
-        .join(salt_df, F.col("_pcell") == salt_df["pcell"], "left")
-        .drop(salt_df["pcell"])
-        .withColumn(
-            "_salt",
-            F.when(
-                F.col("salt_n").isNotNull(),
-                F.pmod(F.xxhash64(F.col(lon_col), F.col(lat_col)), F.col("salt_n")),
-            ).otherwise(F.lit(0)).cast("int"),
+        if pb == bits:
+            pts = (
+                pts.join(salt_df, F.col("_pcell") == salt_df["pcell"], "left")
+                .drop(salt_df["pcell"])
+                .withColumn(
+                    "_salt",
+                    F.when(
+                        F.col("salt_n").isNotNull(),
+                        F.pmod(
+                            F.xxhash64(F.col(lon_col), F.col(lat_col)),
+                            F.col("salt_n"),
+                        ),
+                    ).otherwise(F.lit(0)).cast("int"),
+                )
+                .drop("salt_n")
+            )
+            cov_grp = (
+                cov_grp.join(salt_df, "pcell", "left")
+                .withColumn(
+                    "_salt",
+                    F.explode(
+                        F.sequence(
+                            F.lit(0), F.coalesce(F.col("salt_n") - 1, F.lit(0))
+                        )
+                    ),
+                )
+                .drop("salt_n")
+            )
+            joined = pts.join(
+                cov_grp,
+                (pts["_pcell"] == cov_grp["pcell"])
+                & (pts["_salt"] == cov_grp["_salt"]),
+                "inner",
+            ).drop("_salt")
+        else:
+            joined = pts.join(
+                cov_grp, pts["_pcell"] == cov_grp["pcell"], "inner"
+            )
+        refined = (
+            joined.join(edges, "poly_id")
+            .filter(_refine_pip(lon_col, lat_col))
+            .drop("_pcell", "pcell", "interior", "edges")
         )
-        .drop("salt_n")
-    )
-    cov = (
-        cover.join(salt_df, "pcell", "left")
-        .withColumn(
-            "_salt",
-            F.explode(F.sequence(F.lit(0), F.coalesce(F.col("salt_n") - 1, F.lit(0)))),
-        )
-        .drop("salt_n")
-    )
-    joined = pts.join(
-        cov,
-        (pts["_pcell"] == cov["pcell"]) & (pts["_salt"] == cov["_salt"]),
-        "inner",
-    ).join(F.broadcast(_distributed_edges(polys)), "poly_id")
-    return joined.filter(_refine_pip(lon_col, lat_col)).drop(
-        "_pcell", "_salt", "pcell", "interior", "edges"
-    )
+        out = refined if out is None else out.unionByName(refined)
+    return out
 
 
 def proximity_join(
@@ -333,23 +397,36 @@ def proximity_join(
     rows = []
     for sid, slon, slat, rad in sites:
         rad_deg = G.meters_to_degrees(rad, slat) if radius_in_meters else rad
-        box = G.parse_wkt(
-            G.box_wkt(slon - rad_deg, max(slat - rad_deg, -90.0),
-                      slon + rad_deg, min(slat + rad_deg, 90.0))
-        )
-        cells_, interior, used = V.polyfill_detail(box, bits)
-        rows.append(
-            pd.DataFrame(
-                {
-                    "pcell": cells_,
-                    "pbits": used,
-                    "site_id": sid,
-                    "site_x": slon,
-                    "site_y": slat,
-                    "radius": rad,
-                }
+        # buffer boxes wrap at the antimeridian (xmin>xmax after
+        # wrapping signals the split, same as the bbox scan path)
+        xmin, xmax = slon - rad_deg, slon + rad_deg
+        if rad_deg < 180.0:
+            if xmin < -180.0:
+                xmin += 360.0
+            if xmax > 180.0:
+                xmax -= 360.0
+        else:
+            xmin, xmax = -180.0, 180.0
+        ymin = max(slat - rad_deg, -90.0)
+        ymax = min(slat + rad_deg, 90.0)
+        cell_parts = []
+        for bx in G.idl_safe_boxes(xmin, ymin, xmax, ymax):
+            box = G.parse_wkt(G.box_wkt(*bx))
+            cells_, interior, used = V.polyfill_detail(box, bits)
+            cell_parts.append((cells_, used))
+        for cells_, used in cell_parts:
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "pcell": cells_,
+                        "pbits": used,
+                        "site_id": sid,
+                        "site_x": slon,
+                        "site_y": slat,
+                        "radius": rad,
+                    }
+                )
             )
-        )
     cover = pd.concat(rows, ignore_index=True)
     out = None
     for pbits, grp in cover.groupby("pbits"):
@@ -366,11 +443,16 @@ def proximity_join(
                 F.col(lon_col), F.col(lat_col), F.col("site_x"), F.col("site_y")
             ) <= F.col("radius")
         else:
-            dist_ok = GS.point_dist2_col(
-                F.col(lon_col), F.col(lat_col), F.col("site_x"), F.col("site_y")
-            ) <= F.col("radius") * F.col("radius")
+            # longitude delta wraps (a site at -179.9 is 0.2 deg from
+            # a point at 179.9); for non-wrapping configurations the
+            # min() is the plain delta, so results are unchanged
+            dlon = F.abs(F.col(lon_col) - F.col("site_x"))
+            dlon = F.least(dlon, F.lit(360.0) - dlon)
+            dlat = F.col(lat_col) - F.col("site_y")
+            dist_ok = (dlon * dlon + dlat * dlat) <= F.col("radius") * F.col("radius")
         j = j.filter(dist_ok).drop("_pcell", "pcell", "site_x", "site_y", "radius")
         out = j if out is None else out.unionByName(j)
-    # no dedup needed: cover cells are unique per site, so each
-    # (point, site) pair appears at most once
+    # no dedup needed: cover cells are unique per site (a wrapped
+    # site's two boxes cover disjoint cell sets, dilation included),
+    # so each (point, site) pair appears at most once
     return out

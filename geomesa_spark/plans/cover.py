@@ -249,6 +249,23 @@ def _polyfill_single(
     return all_cells, iset
 
 
+def polyfill_resolution(
+    geom: G.Geometry,
+    bits: int,
+    budget: int = DEFAULT_POLYFILL_BUDGET,
+) -> int:
+    """The resolution `polyfill_detail` would use — without filling.
+    Cheap (bbox arithmetic only); lets planners learn a layer's
+    resolution groups without materializing covers twice."""
+    members = _members(geom)
+    use_bits = bits
+    while use_bits > 1:
+        if sum(_bbox_grid_size(m, use_bits) for m in members) <= budget:
+            break
+        use_bits -= 1
+    return use_bits
+
+
 def polyfill_detail(
     geom: G.Geometry,
     bits: int,

@@ -165,16 +165,25 @@ def scan(
 
     # --- spatial ---
     bbox = spec.bbox
+    boxes = list(G.idl_safe_boxes(*bbox)) if bbox is not None else None
     geom = None
     if spec.geometry_wkt is not None:
-        geom = G.parse_wkt(spec.geometry_wkt)
-        bbox = geom.bounds
-        if geom.kind == "POLYGON" and len(geom.rings) == 1 and len(geom.rings[0]) == 5:
-            r = geom.rings[0]
+        # IDL-crossing polygons split into in-range pieces
+        # (GeohashUtils.scala:721-773 analog); each piece prunes with
+        # its OWN bbox — the combined bounds of a split polygon span
+        # the world and would prune nothing
+        pg = G.normalize_idl(G.parse_wkt(spec.geometry_wkt))
+        geom = pg
+        bbox = pg.bounds
+        if pg.kind == "POLYGON" and len(pg.rings) == 1 and len(pg.rings[0]) == 5:
+            r = pg.rings[0]
             xs, ys = set(r[:, 0].tolist()), set(r[:, 1].tolist())
             if len(xs) == 2 and len(ys) == 2:
                 geom = None  # axis-aligned box: bbox predicate is exact
-    if bbox is not None:
+        boxes = []
+        for mb in G.member_bounds(pg):
+            boxes.extend(G.idl_safe_boxes(*mb))
+    if bbox is not None and len(boxes) == 1:
         # whole-world filter elimination (FilterHelper.scala:64-82)
         if (
             bbox[0] <= WHOLE_WORLD[0]
@@ -183,8 +192,9 @@ def scan(
             and bbox[3] >= WHOLE_WORLD[3]
         ):
             bbox = None
+            boxes = None
     if bbox is not None:
-        for i, bx in enumerate(G.idl_safe_boxes(*bbox)):
+        for i, bx in enumerate(boxes):
             p = (
                 F.col(lon_col).between(F.lit(bx[0]), F.lit(bx[2]))
                 & F.col(lat_col).between(F.lit(bx[1]), F.lit(bx[3]))
@@ -196,7 +206,7 @@ def scan(
         # stats skip (the Z2 range-scan analog)
         if cell_ranges:
             ranges = []
-            for bx in G.idl_safe_boxes(*bbox):
+            for bx in boxes:
                 ranges.extend(
                     V.zranges_2d(*bx, bits=cell_bits, max_ranges=max_ranges)
                 )
@@ -231,7 +241,7 @@ def scan(
                 if wk == w1
                 else C.SECONDS_IN_WEEK - 1
             )
-            for bx in G.idl_safe_boxes(*bbox):
+            for bx in boxes:
                 ranges.extend(
                     V.zranges_3d(
                         bx[0], bx[1], bx[2], bx[3], max(t_lo, 0), t_hi,

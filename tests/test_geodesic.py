@@ -112,3 +112,109 @@ def test_knn_haversine_wraps_antimeridian(spark):
     got = [r.id for r in sorted(out.collect(), key=lambda r: r.rank)]
     # nearest by great circle: 1 (~44km), then 2 (~66km) across IDL
     assert got == [1, 2]
+
+
+# --- antimeridian polygon handling (GeohashUtils.scala:721-773) ---
+
+IDL_WKT = "POLYGON ((170 -10, -170 -10, -170 20, 170 20, 170 -10))"
+IDL_HOLED = ("POLYGON ((170 -10, -170 -10, -170 20, 170 20, 170 -10), "
+             "(175 -2, -178 -2, -178 8, 175 8, 175 -2))")
+
+
+def _idl_points(spark):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from geomesa_spark.functions import cells as C
+
+    rng = np.random.default_rng(42)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"p{i}" for i in range(2000)],
+            "lon": rng.uniform(-180, 180, 2000),
+            "lat": rng.uniform(-40, 40, 2000),
+        }
+    )
+    # deterministic seam points (both sides of +-180, in and out of
+    # the proximity radius)
+    seam = pd.DataFrame(
+        {
+            "doc_id": ["s_in_e", "s_in_w", "s_out_w", "s_far"],
+            "lon": [179.8, -179.7, -176.9, -150.0],
+            "lat": [0.5, -1.0, 0.0, 0.0],
+        }
+    )
+    pdf = pd.concat([pdf, seam], ignore_index=True)
+    df = spark.createDataFrame(pdf).withColumn(
+        "cell", C.z2_cell(F.col("lon"), F.col("lat"))
+    )
+    return pdf, df
+
+
+def _idl_expected(pdf, wkt):
+    import numpy as np
+    from geomesa_spark.functions import geometry as G
+
+    ng = G.normalize_idl(G.parse_wkt(wkt))
+    # independent check of normalize itself: unwrap the point instead
+    px = pdf.lon.to_numpy()
+    inside_unwrapped = G.contains(
+        G.parse_wkt(wkt.replace("-170", "190").replace("-178", "182")),
+        np.where(px < 0, px + 360, px),
+        pdf.lat.to_numpy(),
+    )
+    got = G.contains(ng, px, pdf.lat.to_numpy())
+    assert (got == inside_unwrapped).all()
+    return set(pdf.doc_id[got])
+
+
+def test_idl_polygon_split_geometry():
+    from geomesa_spark.functions import geometry as G
+
+    ng = G.normalize_idl(G.parse_wkt(IDL_WKT))
+    assert ng.kind == "MULTIPOLYGON" and len(ng.poly_starts) == 2
+    bbs = G.member_bounds(ng)
+    assert all(b[0] >= -180 and b[2] <= 180 for b in bbs)
+
+
+def test_idl_pip_broadcast(spark):
+    from geomesa_spark.operators.spatial_join import pip_join_broadcast
+
+    pdf, df = _idl_points(spark)
+    out = pip_join_broadcast(df, [("idl", IDL_WKT)])
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    assert got == _idl_expected(pdf, IDL_WKT)
+
+
+def test_idl_pip_partitioned(spark):
+    from geomesa_spark.operators.spatial_join import pip_join_partitioned
+
+    pdf, df = _idl_points(spark)
+    polys = spark.createDataFrame(
+        [("idl", IDL_WKT)], "poly_id string, geom_wkt string"
+    )
+    out = pip_join_partitioned(df, polys, bits=6)
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    assert got == _idl_expected(pdf, IDL_WKT)
+
+
+def test_idl_holed_scan(spark):
+    from geomesa_spark.plans import planner as P
+
+    pdf, df = _idl_points(spark)
+    spec = P.QuerySpec(geometry_wkt=IDL_HOLED)
+    got = {r.doc_id for r in P.scan(df, spec).select("doc_id").collect()}
+    assert got == _idl_expected(pdf, IDL_HOLED)
+
+
+def test_idl_proximity(spark):
+    from geomesa_spark.operators.spatial_join import proximity_join
+
+    pdf, df = _idl_points(spark)
+    out = proximity_join(df, [("s", 179.5, 0.0, 3.0)])
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    dlon = (pdf.lon - 179.5).abs()
+    dlon = dlon.where(dlon <= 180, 360 - dlon)
+    exp = set(pdf.doc_id[(dlon ** 2 + pdf.lat ** 2) <= 9.0])
+    assert got == exp
+    assert any(pdf.lon[pdf.doc_id.isin(got)] < 0)  # seam actually crossed

@@ -82,3 +82,44 @@ def test_proximity_join_matches_oracle(enriched):
         d2 = (pdf.lon.values - slon) ** 2 + (pdf.lat.values - slat) ** 2
         exp.update((d, sid) for d in pdf.doc_id.values[d2 <= rad * rad])
     assert got == exp
+
+
+def test_partitioned_budget_overflow_degrades(spark):
+    """A polygon whose cover exceeds the budget at the target
+    resolution (even after the 4x retry) must degrade to a coarser
+    cover group and still return exact results — one pathological
+    geometry can never fail the job."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from geomesa_spark.functions import cells as C
+    from geomesa_spark.functions import geometry as G
+    from geomesa_spark.operators.spatial_join import pip_join_partitioned
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"p{i}" for i in range(1500)],
+            "lon": rng.uniform(-180, 180, 1500),
+            "lat": rng.uniform(-90, 90, 1500),
+        }
+    )
+    pts = spark.createDataFrame(pdf).withColumn(
+        "cell", C.z2_cell(F.col("lon"), F.col("lat"))
+    )
+    # continental-scale pentagon + a small polygon that fits the
+    # budget at bits=12 (mixed resolution groups in one layer)
+    big = ("POLYGON ((-120.005 -40.005, -60.005 -40.005, -90.005 30.005, "
+           "-120.005 -40.005))")
+    small = "POLYGON ((10.05 10.05, 11.05 10.05, 10.55 11.05, 10.05 10.05))"
+    polys = spark.createDataFrame(
+        [("big", big), ("small", small)], "poly_id string, geom_wkt string"
+    )
+    out = pip_join_partitioned(pts, polys, bits=12, budget=64)
+    got = {(r.doc_id, r.poly_id) for r in out.select("doc_id", "poly_id").collect()}
+    exp = set()
+    for pid, wkt in [("big", big), ("small", small)]:
+        g = G.parse_wkt(wkt)
+        m = G.contains(g, pdf.lon.to_numpy(), pdf.lat.to_numpy())
+        exp |= {(d, pid) for d in pdf.doc_id[m]}
+    assert got == exp

@@ -1,5 +1,6 @@
-"""Ingest converters: delimited text / JSON / fixed-width -> typed
-feature tables via a declarative field-transform mapping.
+"""Ingest converters: delimited text / JSON / XML / Avro /
+fixed-width -> typed feature tables via a declarative
+field-transform mapping.
 
 Reference: the geomesa-convert DSL (geomesa-convert/README.md;
 function registry geomesa-convert-common/src/main/scala/org/
@@ -94,6 +95,70 @@ def json_ingest(
     selectors become nested column refs in the expr."""
     raw = spark.read.options(**options).json(path)
     return spec.apply(raw)
+
+
+def xml_ingest(
+    spark: SparkSession,
+    path: str,
+    spec: ConvertSpec | None,
+    row_tag: str,
+    **options,
+) -> DataFrame:
+    """XML converter analog (geomesa-convert's XML family): Spark 4's
+    built-in XML data source parses repeated `row_tag` elements into
+    rows; element/attribute selectors become column refs in the
+    transform exprs (attributes surface as `_attrname`)."""
+    raw = (
+        spark.read.format("xml").option("rowTag", row_tag).options(**options)
+        .load(path)
+    )
+    return spec.apply(raw) if spec else raw
+
+
+def avro_ingest(
+    spark: SparkSession,
+    path: str,
+    spec: ConvertSpec | None = None,
+    avro_schema: dict | None = None,
+) -> DataFrame:
+    """Avro converter analog (geomesa-convert's Avro family;
+    feature serialization SerializationType.scala:12-16).
+
+    This container has no spark-avro module jar, so Object Container
+    Files are ingested via the `binaryFile` source (one task per
+    file — OCF's natural parallel unit) and decoded per-block by the
+    pure-Python spec reader in sources/avro.py. On clusters shipping
+    the module, replace with `spark.read.format("avro")` — the
+    ConvertSpec layer is unchanged. `avro_schema` (parsed JSON dict)
+    fixes the output schema; when omitted it is inferred by peeking
+    at one file's header.
+    """
+    import pandas as pd
+
+    from geomesa_spark.sources import avro as AV
+
+    if avro_schema is None:
+        peek = spark.read.format("binaryFile").load(path).select("content")
+        first = peek.limit(1).collect()
+        if not first:
+            raise ValueError(f"no avro files at {path}")
+        avro_schema, _ = AV.read_avro_bytes(bytes(first[0].content))
+    spark_schema = AV.avro_to_spark_type(avro_schema)
+    names = [f.name for f in spark_schema.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                _, recs = AV.read_avro_bytes(bytes(content))
+                yield pd.DataFrame(recs, columns=names)
+
+    raw = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("content")
+        .mapInPandas(gen, schema=spark_schema)
+    )
+    return spec.apply(raw) if spec else raw
 
 
 def fixed_width_ingest(

@@ -146,3 +146,90 @@ def test_execute_sql_entry(spark):
         {"t": df},
     )
     assert out.first().n == 1
+
+
+def test_xml_ingest_roundtrip(spark, tmp_path):
+    from geomesa_spark.sources.convert import ConvertSpec, xml_ingest
+
+    p = tmp_path / "feats.xml"
+    p.write_text(
+        "<features>"
+        "<feature><fid>a</fid><lon>1.25</lon><lat>-2.5</lat><n>3</n></feature>"
+        "<feature><fid>b</fid><lon>10.5</lon><lat>20.25</lat><n>7</n></feature>"
+        "</features>"
+    )
+    spec = ConvertSpec(
+        fields=[
+            ("doc_id", "fid"),
+            ("lon", "cast(lon as double)"),
+            ("lat", "cast(lat as double)"),
+            ("n2", "cast(n as int) * 2"),
+        ]
+    )
+    rows = {
+        r.doc_id: r
+        for r in xml_ingest(spark, str(p), spec, row_tag="feature").collect()
+    }
+    assert rows["a"].lon == 1.25 and rows["a"].n2 == 6
+    assert rows["b"].lat == 20.25 and rows["b"].n2 == 14
+
+
+AVRO_SCHEMA = {
+    "type": "record",
+    "name": "Feature",
+    "fields": [
+        {"name": "fid", "type": "string"},
+        {"name": "lon", "type": "double"},
+        {"name": "lat", "type": "double"},
+        {"name": "n", "type": "long"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "label", "type": ["null", "string"]},
+    ],
+}
+
+AVRO_RECORDS = [
+    {"fid": "a", "lon": 1.25, "lat": -2.5, "n": 3, "tags": ["x", "y"],
+     "label": "L"},
+    {"fid": "b", "lon": 10.5, "lat": 20.25, "n": 7, "tags": [], "label": None},
+    {"fid": "c", "lon": -179.875, "lat": 89.0, "n": -12345678901,
+     "tags": ["z"], "label": "M"},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_roundtrip_pure(tmp_path, codec):
+    from geomesa_spark.sources import avro as AV
+
+    p = tmp_path / f"f_{codec}.avro"
+    AV.write_avro_file(str(p), AVRO_SCHEMA, AVRO_RECORDS, codec=codec)
+    schema, recs = AV.read_avro_bytes(p.read_bytes())
+    assert schema == AVRO_SCHEMA
+    assert recs == AVRO_RECORDS
+
+
+def test_avro_ingest_distributed(spark, tmp_path):
+    from geomesa_spark.sources import avro as AV
+    from geomesa_spark.sources.convert import ConvertSpec, avro_ingest
+
+    for i in range(3):  # several files -> several tasks
+        AV.write_avro_file(
+            str(tmp_path / f"part{i}.avro"),
+            AVRO_SCHEMA,
+            [{**r, "fid": f"{r['fid']}{i}"} for r in AVRO_RECORDS],
+            codec="deflate" if i % 2 else "null",
+        )
+    spec = ConvertSpec(
+        fields=[
+            ("doc_id", "fid"),
+            ("lon", "lon"),
+            ("lat", "lat"),
+            ("n_tags", "size(tags)"),
+            ("label", "coalesce(label, 'none')"),
+        ]
+    )
+    out = avro_ingest(spark, str(tmp_path), spec)  # schema inferred
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 9
+    assert rows["a1"].lon == 1.25 and rows["a1"].n_tags == 2
+    assert rows["b2"].label == "none"
+    assert rows["c0"].lat == 89.0

@@ -54,11 +54,10 @@ _NUM = r"[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"
 
 
 def _parse_coords(body: str) -> np.ndarray:
-    pts = []
-    for pair in body.split(","):
-        xy = pair.split()
-        pts.append((float(xy[0]), float(xy[1])))
-    return np.asarray(pts, dtype=np.float64)
+    # one C-level tokenize + parse (the ingest hot path: geom_table
+    # runs this per row inside Arrow batches)
+    vals = np.array(body.replace(",", " ").split(), dtype=np.float64)
+    return vals.reshape(-1, 2)
 
 
 def parse_wkt(wkt: str) -> Geometry:

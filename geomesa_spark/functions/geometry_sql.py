@@ -31,6 +31,7 @@ as in JTS).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -57,15 +58,8 @@ def geom_edges(geom: G.Geometry) -> list[tuple[float, float, float, float]]:
             x, y = float(ring[0][0]), float(ring[0][1])
             out.append((x, y, x, y))  # degenerate: distance-to-point
             continue
-        for i in range(len(ring) - 1):
-            out.append(
-                (
-                    float(ring[i][0]),
-                    float(ring[i][1]),
-                    float(ring[i + 1][0]),
-                    float(ring[i + 1][1]),
-                )
-            )
+        seg = np.column_stack([ring[:-1], ring[1:]])  # C-level zip
+        out.extend(map(tuple, seg.tolist()))
     return out
 
 

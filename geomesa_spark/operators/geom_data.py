@@ -99,6 +99,83 @@ def geom_table(
     return out if keep_wkt else out.drop(wkt_col)
 
 
+def geom_table_native(
+    df: DataFrame, wkt_col: str = "geom_wkt", keep_wkt: bool = True
+) -> DataFrame:
+    """All-JVM `geom_table` for POINT / LINESTRING / POLYGON (holes
+    included) WKT: kind/rings/coords come from regexp + split +
+    higher-order transforms, edges from zip_with over consecutive
+    vertices — no Python, no Arrow round-trip, whole-stage codegen
+    end-to-end. String->double casts are correctly rounded on both
+    the JVM and CPython, so the two parsers produce bit-identical
+    edge arrays. MULTI* geometries need the Arrow path (`geom_table`).
+
+    Tradeoff (measured at sf0.1, local[32]): the kind/bbox/edges
+    output columns each inline the full parse tree after project
+    collapse, and lambda-bearing expressions are excluded from
+    codegen subexpression elimination — so this path re-parses per
+    derived column and ran ~2x slower than the Arrow `geom_table`.
+    Prefer it when Python workers are unavailable or memory-capped;
+    prefer `geom_table` for raw ingest throughput.
+    """
+    s = F.trim(F.col(wkt_col))
+    kind = F.upper(F.regexp_extract(s, r"^\s*([A-Za-z]+)", 1))
+    body = F.regexp_extract(s, r"\((.*)\)", 1)
+    rings = F.split(
+        F.regexp_replace(body, r"^\s*\(|\)\s*$", ""), r"\)\s*,\s*\("
+    )
+
+    def ring_pts(r):
+        return F.transform(
+            F.split(F.trim(r), r"\s*,\s*"),
+            lambda p: F.struct(
+                F.element_at(F.split(F.trim(p), r"\s+"), 1)
+                .cast("double")
+                .alias("x"),
+                F.element_at(F.split(F.trim(p), r"\s+"), 2)
+                .cast("double")
+                .alias("y"),
+            ),
+        )
+
+    ringpts = F.transform(rings, ring_pts)
+
+    def ring_edges(pts):
+        n = F.size(pts)
+        degenerate = F.array(
+            F.struct(
+                pts[0]["x"].alias("x0"),
+                pts[0]["y"].alias("y0"),
+                pts[0]["x"].alias("x1"),
+                pts[0]["y"].alias("y1"),
+            )
+        )
+        seq = F.zip_with(
+            F.slice(pts, 1, n - 1),
+            F.slice(pts, 2, n - 1),
+            lambda a, b: F.struct(
+                a["x"].alias("x0"),
+                a["y"].alias("y0"),
+                b["x"].alias("x1"),
+                b["y"].alias("y1"),
+            ),
+        )
+        return F.when(n <= 1, degenerate).otherwise(seq)
+
+    allpts = F.flatten(ringpts)
+    xs = F.transform(allpts, lambda p: p["x"])
+    ys = F.transform(allpts, lambda p: p["y"])
+    out = (
+        df.withColumn("kind", kind)
+        .withColumn("xmin", F.array_min(xs))
+        .withColumn("ymin", F.array_min(ys))
+        .withColumn("xmax", F.array_max(xs))
+        .withColumn("ymax", F.array_max(ys))
+        .withColumn("edges", F.flatten(F.transform(ringpts, ring_edges)))
+    )
+    return out if keep_wkt else out.drop(wkt_col)
+
+
 def geom_cover_cells(
     gdf: DataFrame, bits: int, out_col: str = "_pcell"
 ) -> DataFrame:

@@ -193,9 +193,17 @@ def mosaic(
     (:101-189): crop each tile to the query envelope, place it at its
     pixel offset, nearest-neighbor scale to the target size. The
     heavy per-tile crop work runs distributed (mapInPandas producing
-    placed fragments); the final paste of <= out_w*out_h pixels
-    happens on the driver — same split as the reference (tablet scan
-    + client mosaic).
+    placed fragments); the final paste happens on the driver — the
+    same split as the reference (tablet scan + client mosaic).
+
+    Driver-memory bound: the collected fragments total ~(query
+    extent / native chunk resolution)^2 doubles — the native-res
+    mosaic canvas, NOT out_w*out_h. `tile_cover_scan` picks the
+    coarsest resolution covering the bbox, so the canvas stays
+    within a small multiple of the requested output; a caller
+    forcing a fine `res_bits` over a large bbox pays the
+    corresponding driver memory, exactly like the reference's
+    client-side mosaicChunks.
     """
     cov = tile_cover_scan(tiles, bbox, res_bits)
     xmin, ymin, xmax, ymax = bbox

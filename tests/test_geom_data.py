@@ -115,3 +115,46 @@ def test_bbox_pushdown_shape(spark, geoms_df):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_geom_table_native_parity(spark, geoms_df):
+    """The all-JVM WKT parser produces the same kind/bbox/edges as
+    the Python parser for simple geometries (bit-identical doubles:
+    both parsers are correctly-rounded string->double)."""
+    src = spark.createDataFrame(_rand_geoms(), "gid string, geom_wkt string")
+    a = {r.gid: r for r in GD.geom_table_native(src).collect()}
+    b = {r.gid: r for r in geoms_df.collect()}
+    assert set(a) == set(b)
+    for gid in a:
+        ra, rb = a[gid], b[gid]
+        assert ra.kind == rb.kind, gid
+        assert (ra.xmin, ra.ymin, ra.xmax, ra.ymax) == (
+            rb.xmin, rb.ymin, rb.xmax, rb.ymax
+        ), gid
+        assert [tuple(e) for e in ra.edges] == [tuple(e) for e in rb.edges], gid
+
+
+def test_geom_table_native_holed(spark):
+    src = spark.createDataFrame(
+        [("h", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+               "(2 2, 4 2, 4 4, 2 4, 2 2))")],
+        "gid string, geom_wkt string",
+    )
+    r = GD.geom_table_native(src).collect()[0]
+    assert r.kind == "POLYGON" and len(r.edges) == 8
+    out = GD.geom_join_broadcast(
+        GD.geom_table_native(
+            spark.createDataFrame(_rand_geoms(), "gid string, geom_wkt string")
+        ),
+        QUERY_POLYS,
+        bits=5,
+    )
+    got = sorted((x.gid, x.poly_id) for x in out.select("gid", "poly_id").collect())
+    qs = {pid: G.parse_wkt(wkt) for pid, wkt in QUERY_POLYS}
+    exp = sorted(
+        (gid, pid)
+        for gid, wkt in _rand_geoms()
+        for pid, q in qs.items()
+        if G.geom_intersects(G.parse_wkt(wkt), q)
+    )
+    assert got == exp

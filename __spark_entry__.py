@@ -423,6 +423,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["poly_intersects"] = poly_intersects
 
+    def line_dwithin(spark, sf):
+        from geomesa_spark.operators import geom_data as GD
+
+        ge = geo_events(spark, sf)
+        x0 = F.col("lon") * F.lit(0.96)
+        y0 = F.col("lat") * F.lit(0.9)
+        verts = [
+            (x0, y0),
+            (x0 + F.lit(3.007), y0 + F.lit(1.003)),
+            (x0 + F.lit(6.014), y0 - F.lit(1.003)),
+        ]
+        wkt = F.concat(F.lit("LINESTRING ("), _coords_str(verts), F.lit(")"))
+        lines = ge.select(F.col("event_id").alias("gid"), wkt.alias("geom_wkt"))
+        out = GD.geom_dwithin_join(GD.geom_table(lines), _polys, 3.0, bits=5)
+        return out.select("gid", "poly_id")
+
+    q["line_dwithin"] = line_dwithin
+
     def dwithin_proximity(spark, sf):
         return proximity_join(geo_events(spark, sf), SITES).select(
             "event_id", "site_id"
@@ -806,6 +824,36 @@ SELECT event_id, 'pent' AS poly_id FROM pts WHERE {_convex_cond(PENTAGON)}
         _line_v, [(_line_v[0], _line_v[1]), (_line_v[1], _line_v[2])]
     )
 
+    # dwithin: dist(segment sets) decomposes exactly into crossings
+    # (distance 0, covered by the intersects terms) plus endpoint-to-
+    # other-segment minima, so the oracle tests data vertices against
+    # query edges and query vertices against data segments
+    DW = 3.0
+    DW2 = DW * DW
+
+    def _ptseg_le_sql(px, py, x0, y0, x1, y1) -> str:
+        """point (SQL exprs) vs constant segment, squared dist <= DW2."""
+        dx, dy = x1 - x0, y1 - y0
+        ln2 = dx * dx + dy * dy
+        t = (f"least(1.0, greatest(0.0, (({px}-({x0!r}))*({dx!r}) + "
+             f"({py}-({y0!r}))*({dy!r})) / {ln2!r}))")
+        cx = f"(({x0!r}) + {t}*({dx!r}))"
+        cy = f"(({y0!r}) + {t}*({dy!r}))"
+        return (f"((({px}-{cx})*({px}-{cx}) + ({py}-{cy})*({py}-{cy}))"
+                f" <= {DW2!r})")
+
+    def _cptseg_le_sql(qx, qy, sx0, sy0, sx1, sy1) -> str:
+        """constant point vs data segment (SQL exprs)."""
+        dx = f"({sx1}-{sx0})"
+        dy = f"({sy1}-{sy0})"
+        ln2 = f"(({dx})*({dx}) + ({dy})*({dy}))"
+        t = (f"least(1.0, greatest(0.0, ((({qx!r})-{sx0})*{dx} + "
+             f"(({qy!r})-{sy0})*{dy}) / {ln2}))")
+        cx = f"({sx0} + {t}*{dx})"
+        cy = f"({sy0} + {t}*{dy})"
+        return (f"(((({qx!r})-{cx})*(({qx!r})-{cx}) + "
+                f"(({qy!r})-{cy})*(({qy!r})-{cy})) <= {DW2!r})")
+
     _tri_v = [
         (_LX0, _LY0),
         (_off(_LX0, 2.004), _off(_LY0, 0.504)),
@@ -832,6 +880,29 @@ SELECT event_id, 'pent' AS poly_id FROM pts WHERE {_convex_cond(PENTAGON)}
         [(_tri_v[0], _tri_v[1]), (_tri_v[1], _tri_v[2]), (_tri_v[2], _tri_v[0])],
         extra_term=_qvert_in_data_tri,
     )
+
+    _line_segs = [(_line_v[0], _line_v[1]), (_line_v[1], _line_v[2])]
+    dw_parts = []
+    for pid, verts in GATE_POLY_VERTS:
+        terms = [_convex_cond(verts, px, py) for px, py in _line_v]
+        n = len(verts)
+        for s0, s1 in _line_segs:
+            for i in range(n):
+                terms.append(_seg_cross_sql(s0, s1, verts[i], verts[(i + 1) % n]))
+        # data vertices vs query edges
+        for px, py in _line_v:
+            for i in range(n):
+                (qx0, qy0), (qx1, qy1) = verts[i], verts[(i + 1) % n]
+                terms.append(_ptseg_le_sql(px, py, qx0, qy0, qx1, qy1))
+        # query vertices vs data segments
+        for qx, qy in verts:
+            for (sx0, sy0), (sx1, sy1) in _line_segs:
+                terms.append(_cptseg_le_sql(qx, qy, sx0, sy0, sx1, sy1))
+        dw_parts.append(
+            f"SELECT event_id AS gid, '{pid}' AS poly_id FROM pts "
+            f"WHERE ({' OR '.join(terms)})"
+        )
+    o["line_dwithin"] = f"WITH {PTS_CTE}\n" + "\nUNION ALL\n".join(dw_parts)
 
     site_rows = ", ".join(
         f"('{sid}', {slon!r}, {slat!r}, {rad!r})" for sid, slon, slat, rad in SITES

@@ -426,3 +426,46 @@ def member_bounds(geom: Geometry) -> list[tuple[float, float, float, float]]:
             )
         )
     return out
+
+
+def _seg_seg_d2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(S,4) x (T,4) -> (S,T) squared distances between segments:
+    0 for proper crossings, else min of the four endpoint-to-other-
+    segment distances (exact for non-degenerate segments)."""
+
+    def pt_seg(px, py, s):
+        x0, y0, x1, y1 = (s[:, i] for i in range(4))
+        dx, dy = x1 - x0, y1 - y0
+        ln2 = dx * dx + dy * dy
+        ln2 = np.where(ln2 == 0.0, 1.0, ln2)
+        t = ((px[:, None] - x0) * dx + (py[:, None] - y0) * dy) / ln2
+        t = np.clip(t, 0.0, 1.0)
+        cx, cy = x0 + t * dx, y0 + t * dy
+        return (px[:, None] - cx) ** 2 + (py[:, None] - cy) ** 2
+
+    d = np.minimum(pt_seg(a[:, 0], a[:, 1], b), pt_seg(a[:, 2], a[:, 3], b))
+    d = np.minimum(d, pt_seg(b[:, 0], b[:, 1], a).T)
+    d = np.minimum(d, pt_seg(b[:, 2], b[:, 3], a).T)
+
+    def cross(sx0, sy0, sx1, sy1, px, py):
+        return (sx1 - sx0) * (py - sy0) - (sy1 - sy0) * (px - sx0)
+
+    ax0, ay0, ax1, ay1 = (a[:, i][:, None] for i in range(4))
+    bx0, by0, bx1, by1 = (b[:, i][None, :] for i in range(4))
+    d1 = cross(ax0, ay0, ax1, ay1, bx0, by0)
+    d2 = cross(ax0, ay0, ax1, ay1, bx1, by1)
+    d3 = cross(bx0, by0, bx1, by1, ax0, ay0)
+    d4 = cross(bx0, by0, bx1, by1, ax1, ay1)
+    crossing = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+    return np.where(crossing, 0.0, d)
+
+
+def geom_dwithin(a: Geometry, b: Geometry, dist_deg: float) -> bool:
+    """distance(A, B) <= dist_deg for any mix of point/line/polygon
+    (numpy twin of operators.geom_data.geom_dwithin_col). Polygon
+    interiors count: containment of either's vertex in the other is
+    distance zero."""
+    if geom_intersects(a, b):
+        return True
+    sa, sb = _all_segments(a), _all_segments(b)
+    return bool(_seg_seg_d2(sa, sb).min() <= dist_deg * dist_deg)

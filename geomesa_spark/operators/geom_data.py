@@ -341,3 +341,175 @@ def geom_scan(
             q.kind in POLY_KINDS,
         )
     )
+
+
+def _pt_seg_d2(px, py, e) -> Column:
+    """Squared point-to-segment distance (clamped projection —
+    geometry_sql.min_seg_dist2_col's kernel)."""
+    dx = e["x1"] - e["x0"]
+    dy = e["y1"] - e["y0"]
+    ln2 = dx * dx + dy * dy
+    ln2 = F.when(ln2 == 0.0, F.lit(1.0)).otherwise(ln2)
+    t = ((px - e["x0"]) * dx + (py - e["y0"]) * dy) / ln2
+    t = F.least(F.lit(1.0), F.greatest(F.lit(0.0), t))
+    cx = e["x0"] + t * dx
+    cy = e["y0"] + t * dy
+    return (px - cx) * (px - cx) + (py - cy) * (py - cy)
+
+
+def _seg_seg_d2_col(a, b) -> Column:
+    """Squared distance between two edge structs: 0 on proper
+    crossing, else min of the four endpoint-to-other-segment
+    distances (exact for non-degenerate segments)."""
+    d = F.least(
+        _pt_seg_d2(a["x0"], a["y0"], b),
+        _pt_seg_d2(a["x1"], a["y1"], b),
+        _pt_seg_d2(b["x0"], b["y0"], a),
+        _pt_seg_d2(b["x1"], b["y1"], a),
+    )
+    return F.when(_seg_cross(a, b), F.lit(0.0)).otherwise(d)
+
+
+def geom_dwithin_col(
+    a_edges: Column,
+    b_edges: Column,
+    dist_deg: float,
+    a_has_interior: Column | bool,
+    b_has_interior: Column | bool,
+) -> Column:
+    """`distance(A, B) <= dist_deg` over two edge arrays, pure JVM —
+    the dwithin generalization the reference reaches through JTS for
+    non-point geometries (buffer+decompose rewrite
+    FilterHelper.scala:127-145; exact evaluation in the iterators).
+    Intersecting geometries (including interior containment) are
+    distance zero; otherwise the boundary-to-boundary minimum
+    decides. numpy twin: functions.geometry.geom_dwithin."""
+    d2 = F.lit(dist_deg * dist_deg)
+    near = F.exists(
+        a_edges,
+        lambda ae: F.exists(b_edges, lambda be: _seg_seg_d2_col(ae, be) <= d2),
+    )
+    return (
+        geom_intersects_col(a_edges, b_edges, a_has_interior, b_has_interior)
+        | near
+    )
+
+
+def geom_dwithin_join(
+    geoms: DataFrame,
+    polys: list[tuple[str, str]],
+    dist_deg: float,
+    bits: int = 6,
+    id_col: str = "gid",
+) -> DataFrame:
+    """Proximity join for non-point data rows: geometries within
+    `dist_deg` of any layer polygon. Coarse phase = bbox cell cover
+    of the data geometry joined to the layer's cover cells expanded
+    by the distance buffer (the FilterHelper.scala:104-145
+    degree-buffer rewrite applied to the cover); exact refine =
+    `geom_dwithin_col`. Returns geoms columns + poly_id."""
+    spark = geoms.sparkSession
+    rows = []
+    for pid, wkt in polys:
+        g = G.normalize_idl(G.parse_wkt(wkt))
+        parts = []
+        for b in G.member_bounds(g):
+            parts.extend(
+                _bbox_cells(
+                    (
+                        max(b[0] - dist_deg, -180.0),
+                        max(b[1] - dist_deg, -90.0),
+                        min(b[2] + dist_deg, 180.0),
+                        min(b[3] + dist_deg, 90.0),
+                    ),
+                    bits,
+                )
+            )
+        rows.append(
+            pd.DataFrame({"pcell": sorted(set(parts)), "poly_id": pid})
+        )
+    cover = pd.concat(rows, ignore_index=True)
+    cov_df = F.broadcast(
+        spark.createDataFrame(cover, "pcell long, poly_id string")
+    )
+    q_edges = F.broadcast(
+        GS.poly_edges_df(spark, polys).withColumnRenamed("edges", "_q_edges")
+    )
+    covered = geom_cover_cells(geoms, bits)
+    cand = (
+        covered.join(cov_df, covered["_pcell"] == cov_df["pcell"], "inner")
+        .drop("_pcell", "pcell")
+        .dropDuplicates([id_col, "poly_id"])
+    )
+    refined = cand.join(q_edges, "poly_id").filter(
+        geom_dwithin_col(
+            F.col("edges"),
+            F.col("_q_edges"),
+            dist_deg,
+            is_polygonal_col(F.col("kind")),
+            True,
+        )
+    )
+    return refined.drop("_q_edges")
+
+
+def geom_join_partitioned(
+    geoms: DataFrame,
+    polys: DataFrame,
+    bits: int = 6,
+    budget: int = 256,
+    id_col: str = "gid",
+    poly_id_col: str = "poly_id",
+    wkt_col: str = "geom_wkt",
+) -> DataFrame:
+    """Geometry-vs-polygon intersects join with a LARGE polygon
+    layer (DataFrame): the non-point generalization of
+    pip_join_partitioned.
+
+    The layer's cell cover is computed distributed (mapInPandas
+    polyfill, multi-resolution groups for budget-degraded members —
+    spatial_join._distributed_cover); the data side explodes each
+    geometry's bbox cells at the group resolution; both sides
+    shuffle on the cell key. Candidates dedup per (gid, poly_id)
+    BEFORE the refine (IndexSchema.scala:300-307), then the exact
+    nested-HOF intersects runs once per candidate pair. Data-side
+    skew is intrinsically milder than the point case (a geometry
+    spreads over its bbox cells); AQE skew-join covers the rest.
+    """
+    from geomesa_spark.operators.spatial_join import (
+        _cover_resolutions,
+        _distributed_cover,
+        _distributed_edges,
+    )
+
+    cover = _distributed_cover(polys, bits, budget)
+    pbits_vals = sorted(
+        r.pbits
+        for r in _cover_resolutions(
+            polys, bits, budget, poly_id_col=poly_id_col, wkt_col=wkt_col
+        ).distinct().collect()
+    )
+    q_edges = F.broadcast(
+        _distributed_edges(polys, poly_id_col, wkt_col).withColumnRenamed(
+            "edges", "_q_edges"
+        )
+    )
+    out = None
+    for pb in pbits_vals:
+        cov_grp = cover.filter(F.col("pbits") == pb).select("pcell", "poly_id")
+        covered = geom_cover_cells(geoms, int(pb))
+        cand = (
+            covered.join(cov_grp, covered["_pcell"] == cov_grp["pcell"], "inner")
+            .drop("_pcell", "pcell")
+            .dropDuplicates([id_col, "poly_id"])
+        )
+        refined = cand.join(q_edges, "poly_id").filter(
+            geom_intersects_col(
+                F.col("edges"),
+                F.col("_q_edges"),
+                is_polygonal_col(F.col("kind")),
+                True,
+            )
+        ).drop("_q_edges")
+        out = refined if out is None else out.unionByName(refined)
+    return out

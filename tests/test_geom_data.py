@@ -158,3 +158,62 @@ def test_geom_table_native_holed(spark):
         if G.geom_intersects(G.parse_wkt(wkt), q)
     )
     assert got == exp
+
+
+def test_geom_dwithin_join_matches_bruteforce(spark, geoms_df):
+    DIST = 3.0
+    out = GD.geom_dwithin_join(geoms_df, QUERY_POLYS, DIST, bits=5)
+    got = sorted((r.gid, r.poly_id) for r in out.select("gid", "poly_id").collect())
+    qs = {pid: G.parse_wkt(wkt) for pid, wkt in QUERY_POLYS}
+    exp = sorted(
+        (gid, pid)
+        for gid, wkt in _rand_geoms()
+        for pid, q in qs.items()
+        if G.geom_dwithin(G.parse_wkt(wkt), q, DIST)
+    )
+    assert got == exp
+    # dwithin is a strict superset of intersects at positive distance
+    inter = {
+        (gid, pid)
+        for gid, wkt in _rand_geoms()
+        for pid, q in qs.items()
+        if G.geom_intersects(G.parse_wkt(wkt), q)
+    }
+    assert inter <= set(got)
+
+
+def test_geom_join_partitioned_matches_broadcast(spark, geoms_df):
+    polys_df = spark.createDataFrame(QUERY_POLYS, "poly_id string, geom_wkt string")
+    got = sorted(
+        (r.gid, r.poly_id)
+        for r in GD.geom_join_partitioned(geoms_df, polys_df, bits=5)
+        .select("gid", "poly_id")
+        .collect()
+    )
+    exp = sorted(
+        (r.gid, r.poly_id)
+        for r in GD.geom_join_broadcast(geoms_df, QUERY_POLYS, bits=5)
+        .select("gid", "poly_id")
+        .collect()
+    )
+    assert got == exp
+
+
+def test_geom_join_partitioned_budget_overflow(spark, geoms_df):
+    """An over-budget polygon degrades to a coarse cover group;
+    results stay exact (mixed-resolution layer)."""
+    polys_df = spark.createDataFrame(QUERY_POLYS, "poly_id string, geom_wkt string")
+    got = sorted(
+        (r.gid, r.poly_id)
+        for r in GD.geom_join_partitioned(geoms_df, polys_df, bits=12, budget=64)
+        .select("gid", "poly_id")
+        .collect()
+    )
+    qs = {pid: G.parse_wkt(wkt) for pid, wkt in QUERY_POLYS}
+    exp = sorted(
+        (gid, pid)
+        for gid, wkt in _rand_geoms()
+        for pid, q in qs.items()
+        if G.geom_intersects(G.parse_wkt(wkt), q)
+    )
+    assert got == exp

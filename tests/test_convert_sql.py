@@ -233,3 +233,33 @@ def test_avro_ingest_distributed(spark, tmp_path):
     assert rows["a1"].lon == 1.25 and rows["a1"].n_tags == 2
     assert rows["b2"].label == "none"
     assert rows["c0"].lat == 89.0
+
+
+def test_sql_geom_geom_functions(spark):
+    """st_intersects_edges / st_dwithin_edges agree with the Column
+    API (geom_data) and the numpy twins on the random geometry set."""
+    from geomesa_spark.functions import sql_api as S
+    from geomesa_spark.functions import geometry as G
+    from geomesa_spark.operators import geom_data as GD
+    from tests.test_geom_data import QUERY_POLYS, _rand_geoms
+
+    gdf = GD.geom_table(
+        spark.createDataFrame(_rand_geoms(120), "gid string, geom_wkt string")
+    )
+    S.register_sql_functions(spark)
+    gdf.createOrReplaceTempView("geoms")
+    pid, wkt = QUERY_POLYS[2]  # holed polygon
+    q = G.parse_wkt(wkt)
+    sql = f"""
+      SELECT gid,
+             st_intersects_edges(edges, {S.edges_sql(wkt)},
+               kind IN ('POLYGON','MULTIPOLYGON'), true) AS hit,
+             st_dwithin_edges(edges, {S.edges_sql(wkt)}, 3.0,
+               kind IN ('POLYGON','MULTIPOLYGON'), true) AS near
+      FROM geoms
+    """
+    rows = {r.gid: r for r in spark.sql(sql).collect()}
+    for gid, w in _rand_geoms(120):
+        g = G.parse_wkt(w)
+        assert rows[gid].hit == G.geom_intersects(g, q), gid
+        assert rows[gid].near == G.geom_dwithin(g, q, 3.0), gid

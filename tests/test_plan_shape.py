@@ -88,3 +88,55 @@ def test_pip_output_preserves_spans(spark, stored):
     assert "spans" in out.columns  # span-sequence invariant carrier
     row = out.select("spans").first()
     assert row is not None and len(row.spans) >= 2
+
+
+def test_geom_join_refine_is_jvm(spark):
+    """After geom_table's one Arrow parse stage, the geometry join
+    (cover, dedup, nested-HOF refine) must contain no further Python
+    eval nodes, and the polygon cover/edge tables must broadcast."""
+    from geomesa_spark.operators import geom_data as GD
+
+    src = spark.createDataFrame(
+        [("a", "LINESTRING (0 0, 5 5, 9 2)")], "gid string, geom_wkt string"
+    )
+    out = GD.geom_join_broadcast(
+        GD.geom_table(src), [("p", "POLYGON ((1 1, 8 1, 4 8, 1 1))")], bits=5
+    )
+    import re
+
+    p = plan_of(out)
+    # exactly one Python stage: the WKT parse (ingest); zero in the
+    # join/refine pipeline above it (formatted explain prints every
+    # node twice — once in the tree, once in the details section —
+    # so count distinct node headers)
+    assert p.count("ArrowEvalPython") == 0
+    assert len(set(re.findall(r"\((\d+)\) MapInPandas", p))) == 1
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_geom_table_native_no_python(spark):
+    from geomesa_spark.operators import geom_data as GD
+
+    src = spark.createDataFrame(
+        [("a", "POLYGON ((0 0, 5 0, 2 4, 0 0))")], "gid string, geom_wkt string"
+    )
+    p = plan_of(GD.geom_table_native(src))
+    assert "MapInPandas" not in p and "EvalPython" not in p
+
+
+def test_knn_df_no_python(spark):
+    """The DataFrame kNN join is pure JVM: candidate generation is
+    explode(sequence), ranking is a window — no Python stages."""
+    import pandas as pd
+    from geomesa_spark.functions import cells as C
+    from geomesa_spark.operators.knn import knn_join_df
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a", "b"], "lon": [0.0, 1.0], "lat": [0.0, 1.0]})
+    ).withColumn("cell", C.z2_cell(F.col("lon"), F.col("lat")))
+    qs = spark.createDataFrame(
+        pd.DataFrame({"qid": ["q"], "qlon": [0.5], "qlat": [0.5]})
+    )
+    out = knn_join_df(pts, qs, 1)
+    p = plan_of(out)
+    assert "EvalPython" not in p and "MapInPandas" not in p

@@ -477,18 +477,13 @@ def geom_join_partitioned(
     spreads over its bbox cells); AQE skew-join covers the rest.
     """
     from geomesa_spark.operators.spatial_join import (
-        _cover_resolutions,
+        _cover_resolution_set,
         _distributed_cover,
         _distributed_edges,
     )
 
     cover = _distributed_cover(polys, bits, budget)
-    pbits_vals = sorted(
-        r.pbits
-        for r in _cover_resolutions(
-            polys, bits, budget, poly_id_col=poly_id_col, wkt_col=wkt_col
-        ).distinct().collect()
-    )
+    pbits_vals = _cover_resolution_set(polys, bits, budget, wkt_col=wkt_col)
     q_edges = F.broadcast(
         _distributed_edges(polys, poly_id_col, wkt_col).withColumnRenamed(
             "edges", "_q_edges"

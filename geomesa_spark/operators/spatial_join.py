@@ -183,30 +183,45 @@ def _distributed_cover(
     return polys.mapInPandas(gen, schema=schema)
 
 
-def _cover_resolutions(
+def _resolution_of(wkt: str, bits: int, budget: int) -> int:
+    """The resolution `_distributed_cover` will use for one polygon
+    (including its 4x-budget retry) — bbox arithmetic only."""
+    geom = G.normalize_idl(G.parse_wkt(wkt))
+    used = V.polyfill_resolution(geom, bits, budget)
+    if used != bits:
+        used = V.polyfill_resolution(geom, bits, budget * 4)
+    return used
+
+
+def _cover_resolution_set(
     polys: DataFrame,
     bits: int,
     budget: int,
-    poly_id_col: str = "poly_id",
     wkt_col: str = "geom_wkt",
-) -> DataFrame:
-    """(pbits) per polygon — the same resolution decision
-    `_distributed_cover` makes (including its 4x-budget retry), via
-    bbox arithmetic only."""
+    driver_limit: int = BROADCAST_MAX_POLYS,
+) -> list[int]:
+    """Distinct cover resolutions of a polygon layer.
+
+    Small layers (<= driver_limit rows) decide on the driver from the
+    collected WKTs — no extra Spark job. Larger layers run one cheap
+    distributed bbox-only pass (no cover fill, nothing cached)."""
+    head = polys.select(wkt_col).limit(driver_limit + 1).collect()
+    if len(head) <= driver_limit:
+        return sorted({_resolution_of(r[0], bits, budget) for r in head})
     schema = T.StructType([T.StructField("pbits", T.IntegerType())])
 
     def gen(batches):
         for pdf in batches:
-            vals = []
-            for wkt in pdf[wkt_col]:
-                geom = G.normalize_idl(G.parse_wkt(wkt))
-                used = V.polyfill_resolution(geom, bits, budget)
-                if used != bits:
-                    used = V.polyfill_resolution(geom, bits, budget * 4)
-                vals.append(np.int32(used))
+            vals = [
+                np.int32(_resolution_of(wkt, bits, budget))
+                for wkt in pdf[wkt_col]
+            ]
             yield pd.DataFrame({"pbits": pd.Series(vals, dtype="int32")})
 
-    return polys.mapInPandas(gen, schema=schema)
+    return sorted(
+        r.pbits
+        for r in polys.mapInPandas(gen, schema=schema).distinct().collect()
+    )
 
 
 def _distributed_edges(
@@ -293,13 +308,10 @@ def pip_join_partitioned(
     """
     spark = points.sparkSession
     cover = _distributed_cover(polys, bits, budget)
-    # resolution groups via a cheap bbox-only pass (no cover fill, no
-    # cache to leak); almost always the single target-bits group
-    pbits_vals = sorted(
-        r.pbits
-        for r in _cover_resolutions(polys, bits, budget, poly_id_col="poly_id",
-                                    wkt_col="geom_wkt").distinct().collect()
-    )
+    # resolution groups via a cheap bbox-only decision (driver-side
+    # for small layers, one distributed pass otherwise); almost
+    # always the single target-bits group
+    pbits_vals = _cover_resolution_set(polys, bits, budget)
 
     if salts is None:
         salts = hot_cell_salts(

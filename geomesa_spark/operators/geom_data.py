@@ -320,19 +320,55 @@ def _bbox_cells(bounds: tuple[float, float, float, float], bits: int) -> list[in
 def geom_scan(
     gdf: DataFrame,
     geometry_wkt: str,
+    t0=None,
+    t1=None,
+    t0_exclusive: bool = False,
+    t1_exclusive: bool = True,
+    dtg_col: str = "dtg",
+    week_col: str = "week",
 ) -> DataFrame:
     """Pruned scan of a geometry table: rows intersecting the query
-    geometry. Pushdown = bbox-overlap on the stored bbox columns
-    (plain comparisons that reach the parquet reader); refine = the
-    exact JVM intersects against the query's edge literal."""
-    q = G.parse_wkt(geometry_wkt)
-    qxmin, qymin, qxmax, qymax = q.bounds
-    out = gdf.filter(
-        (F.col("xmin") <= F.lit(qxmax))
-        & (F.col("xmax") >= F.lit(qxmin))
-        & (F.col("ymin") <= F.lit(qymax))
-        & (F.col("ymax") >= F.lit(qymin))
-    )
+    geometry (and, optionally, a time interval — the ST index's
+    geometry+date key, SpatioTemporalTable.scala:38-46). Pushdown =
+    bbox-overlap on the stored bbox columns plus week pruning (plain
+    comparisons that reach the parquet reader); refine = the exact
+    JVM intersects against the query's edge literal. Per-member
+    boxes keep IDL-split query polygons selective."""
+    q = G.normalize_idl(G.parse_wkt(geometry_wkt))
+    box_pred = None
+    for qxmin, qymin, qxmax, qymax in G.member_bounds(q):
+        p = (
+            (F.col("xmin") <= F.lit(qxmax))
+            & (F.col("xmax") >= F.lit(qxmin))
+            & (F.col("ymin") <= F.lit(qymax))
+            & (F.col("ymax") >= F.lit(qymin))
+        )
+        box_pred = p if box_pred is None else box_pred | p
+    out = gdf.filter(box_pred)
+    if t0 is not None or t1 is not None:
+        from geomesa_spark.plans import planner as P
+
+        if t0 is not None:
+            cmp0 = (
+                F.col(dtg_col) > F.lit(t0) if t0_exclusive
+                else F.col(dtg_col) >= F.lit(t0)
+            )
+            out = out.filter(cmp0)
+        if t1 is not None:
+            cmp1 = (
+                F.col(dtg_col) < F.lit(t1) if t1_exclusive
+                else F.col(dtg_col) <= F.lit(t1)
+            )
+            out = out.filter(cmp1)
+        if t0 is not None and t1 is not None and week_col in gdf.columns:
+            e0 = P._epoch_lower(t0)
+            e1 = P._epoch_upper(t1, t1_exclusive)
+            out = out.filter(
+                F.col(week_col).between(
+                    e0 // C.SECONDS_IN_WEEK,
+                    max(e1 - 1, e0) // C.SECONDS_IN_WEEK,
+                )
+            )
     return out.filter(
         geom_intersects_col(
             F.col("edges"),
@@ -341,6 +377,28 @@ def geom_scan(
             q.kind in POLY_KINDS,
         )
     )
+
+
+def write_geom_table(
+    gdf: DataFrame, path: str, bits: int = 8, partitions: int | None = None
+) -> None:
+    """Persist a geometry table laid out for pruned scans: rows are
+    range-partitioned and sorted by the Z2 cell of the bbox center,
+    so spatially-close geometries share files/row groups and the
+    xmin/ymin/xmax/ymax column min/max stats become selective —
+    `geom_scan`'s bbox predicates then skip row groups the same way
+    the point tables' cell ranges do (the ST-index key order
+    analog)."""
+    cx = (F.col("xmin") + F.col("xmax")) * 0.5
+    cy = (F.col("ymin") + F.col("ymax")) * 0.5
+    keyed = gdf.withColumn("_sort_cell", C.z2_cell(cx, cy, bits))
+    if partitions:
+        keyed = keyed.repartitionByRange(partitions, "_sort_cell")
+    else:
+        keyed = keyed.repartitionByRange("_sort_cell")
+    keyed.sortWithinPartitions("_sort_cell").drop("_sort_cell").write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def _pt_seg_d2(px, py, e) -> Column:
@@ -373,7 +431,7 @@ def _seg_seg_d2_col(a, b) -> Column:
 def geom_dwithin_col(
     a_edges: Column,
     b_edges: Column,
-    dist_deg: float,
+    dist_deg: float | Column,
     a_has_interior: Column | bool,
     b_has_interior: Column | bool,
 ) -> Column:
@@ -384,7 +442,8 @@ def geom_dwithin_col(
     Intersecting geometries (including interior containment) are
     distance zero; otherwise the boundary-to-boundary minimum
     decides. numpy twin: functions.geometry.geom_dwithin."""
-    d2 = F.lit(dist_deg * dist_deg)
+    d = F.lit(dist_deg) if isinstance(dist_deg, (int, float)) else dist_deg
+    d2 = d * d
     near = F.exists(
         a_edges,
         lambda ae: F.exists(b_edges, lambda be: _seg_seg_d2_col(ae, be) <= d2),
@@ -398,20 +457,36 @@ def geom_dwithin_col(
 def geom_dwithin_join(
     geoms: DataFrame,
     polys: list[tuple[str, str]],
-    dist_deg: float,
+    dist: float,
     bits: int = 6,
     id_col: str = "gid",
+    dist_in_meters: bool = False,
 ) -> DataFrame:
     """Proximity join for non-point data rows: geometries within
-    `dist_deg` of any layer polygon. Coarse phase = bbox cell cover
-    of the data geometry joined to the layer's cover cells expanded
-    by the distance buffer (the FilterHelper.scala:104-145
-    degree-buffer rewrite applied to the cover); exact refine =
-    `geom_dwithin_col`. Returns geoms columns + poly_id."""
+    `dist` of any layer polygon. Coarse phase = bbox cell cover of
+    the data geometry joined to the layer's cover cells expanded by
+    the distance buffer; exact refine = `geom_dwithin_col`.
+
+    `dist_in_meters=True` applies the reference's meters->degrees
+    rewrite per polygon at its bbox-center latitude
+    (FilterHelper.scala:104-145 buffer+decompose for non-point
+    geometries: the evaluation happens in degree space on a
+    conservative buffer, exactly as the reference's JTS path does
+    after its own degree conversion). Returns geoms columns +
+    poly_id."""
     spark = geoms.sparkSession
     rows = []
+    dists = []
     for pid, wkt in polys:
         g = G.normalize_idl(G.parse_wkt(wkt))
+        if dist_in_meters:
+            mbs = G.member_bounds(g)
+            ymin = min(b[1] for b in mbs)
+            ymax = max(b[3] for b in mbs)
+            dist_deg = G.meters_to_degrees(dist, (ymin + ymax) / 2.0)
+        else:
+            dist_deg = dist
+        dists.append((pid, float(dist_deg)))
         parts = []
         for b in G.member_bounds(g):
             parts.extend(
@@ -433,7 +508,12 @@ def geom_dwithin_join(
         spark.createDataFrame(cover, "pcell long, poly_id string")
     )
     q_edges = F.broadcast(
-        GS.poly_edges_df(spark, polys).withColumnRenamed("edges", "_q_edges")
+        GS.poly_edges_df(spark, polys)
+        .withColumnRenamed("edges", "_q_edges")
+        .join(
+            spark.createDataFrame(dists, "poly_id string, _q_dist double"),
+            "poly_id",
+        )
     )
     covered = geom_cover_cells(geoms, bits)
     cand = (
@@ -445,12 +525,12 @@ def geom_dwithin_join(
         geom_dwithin_col(
             F.col("edges"),
             F.col("_q_edges"),
-            dist_deg,
+            F.col("_q_dist"),
             is_polygonal_col(F.col("kind")),
             True,
         )
     )
-    return refined.drop("_q_edges")
+    return refined.drop("_q_edges", "_q_dist")
 
 
 def geom_join_partitioned(

@@ -217,3 +217,61 @@ def test_geom_join_partitioned_budget_overflow(spark, geoms_df):
         if G.geom_intersects(G.parse_wkt(wkt), q)
     )
     assert got == exp
+
+
+def test_geom_dwithin_meters(spark, geoms_df):
+    """Meters radius converts per polygon at its center latitude
+    (FilterHelper degree rewrite) — results equal the degree-space
+    join at the converted distance."""
+    M = 300_000.0
+    got = sorted(
+        (r.gid, r.poly_id)
+        for r in GD.geom_dwithin_join(
+            geoms_df, QUERY_POLYS[:1], M, bits=5, dist_in_meters=True
+        ).select("gid", "poly_id").collect()
+    )
+    pid, wkt = QUERY_POLYS[0]
+    g = G.parse_wkt(wkt)
+    deg = G.meters_to_degrees(M, (g.bounds[1] + g.bounds[3]) / 2.0)
+    exp = sorted(
+        (gid, pid)
+        for gid, w in _rand_geoms()
+        if G.geom_dwithin(G.parse_wkt(w), g, deg)
+    )
+    assert got == exp
+
+
+def test_geom_scan_temporal_and_sorted_layout(spark, tmp_path):
+    """write_geom_table layout + geom_scan time pruning: exact
+    results, bbox predicates visible as pushed filters."""
+    from datetime import datetime, timedelta, timezone
+
+    import pandas as pd
+    from geomesa_spark.functions import cells as C
+
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = []
+    for i, (gid, wkt) in enumerate(_rand_geoms(120)):
+        rows.append((gid, wkt, base + timedelta(hours=i * 7)))
+    src = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["gid", "geom_wkt", "dtg"])
+    )
+    gdf = GD.geom_table(src).withColumn("week", C.week(F.col("dtg")))
+    path = str(tmp_path / "geoms")
+    GD.write_geom_table(gdf, path, partitions=4)
+    stored = spark.read.parquet(path)
+
+    pid, wkt = QUERY_POLYS[0]
+    t0, t1 = base + timedelta(days=6), base + timedelta(days=24)
+    out = GD.geom_scan(stored, wkt, t0=t0, t1=t1)
+    got = sorted(r.gid for r in out.select("gid").collect())
+    q = G.parse_wkt(wkt)
+    exp = sorted(
+        gid
+        for i, (gid, w) in enumerate(_rand_geoms(120))
+        if G.geom_intersects(G.parse_wkt(w), q)
+        and t0 <= base + timedelta(hours=i * 7) < t1
+    )
+    assert got == exp
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "xmin" in plan

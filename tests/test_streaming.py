@@ -222,3 +222,35 @@ def test_stateful_upsert_live_view(spark, tmp_path):
         [r for r in out2 if r.doc_id == "a"], key=lambda r: (r.ts, r.seq)
     )
     assert a_rows[-1].val == "a2" and a_rows[-1].live
+
+
+def test_geometry_live_view_snapshot_query(spark):
+    """§2.9 snapshot-query composition generalized to non-point
+    rows: fold a geometry changelog (upsert/delete of WKT features)
+    into live state, then run the geometry engine's pruned scan
+    against the snapshot — the LiveFeatureCache bbox/within query
+    over arbitrary geometries (KafkaConsumerFeatureSource.scala:
+    77-108) with the batch operators unchanged."""
+    from geomesa_spark.operators import geom_data as GD
+    from geomesa_spark.streaming.upsert import apply_changelog
+
+    log = spark.createDataFrame(
+        [
+            ("upsert", "a", 1.0, 1, "LINESTRING (0 0, 30 30)"),
+            ("upsert", "b", 1.0, 2, "POLYGON ((40 40, 50 40, 45 50, 40 40))"),
+            ("upsert", "a", 2.0, 3, "LINESTRING (-60 -60, -50 -50)"),  # moved away
+            ("upsert", "c", 2.0, 4, "POINT (44 44)"),
+            ("delete", "b", 3.0, 5, None),
+        ],
+        "op string, doc_id string, ts double, seq long, geom_wkt string",
+    )
+    state = apply_changelog(None, log)
+    live = GD.geom_table(state)
+    hits = sorted(
+        r.doc_id
+        for r in GD.geom_scan(
+            live, "POLYGON ((20 20, 60 20, 60 60, 20 60, 20 20))"
+        ).select("doc_id").collect()
+    )
+    # a moved out of the window, b was deleted, c remains
+    assert hits == ["c"]

@@ -345,8 +345,17 @@ def split_idl_polygon(geom: Geometry) -> list[Geometry]:
     if geom.kind != "POLYGON":
         raise ValueError(f"split_idl_polygon: {geom.kind}")
     shell = _unwrap_ring(geom.rings[0])
-    holes = [_unwrap_ring(h) for h in geom.rings[1:]]
     xs = [x for x, _ in shell]
+    shell_mid = (min(xs) + max(xs)) / 2.0
+    # holes unwrap independently, then snap onto the shell's wrap
+    # branch (a hole written on the other branch would otherwise
+    # attach to the wrong piece and inflate its bbox to world-span)
+    holes = []
+    for h in geom.rings[1:]:
+        hu = _unwrap_ring(h)
+        hmid = sum(x for x, _ in hu) / len(hu)
+        k = 360.0 * round((shell_mid - hmid) / 360.0)
+        holes.append([(x + k, y) for x, y in hu])
     shift = 0.0
     while min(xs) + shift < -180.0:
         shift += 360.0
@@ -469,3 +478,40 @@ def geom_dwithin(a: Geometry, b: Geometry, dist_deg: float) -> bool:
         return True
     sa, sb = _all_segments(a), _all_segments(b)
     return bool(_seg_seg_d2(sa, sb).min() <= dist_deg * dist_deg)
+
+
+def geometry_wkt(geom: Geometry) -> str:
+    """Render a Geometry back to WKT (POINT/LINESTRING/POLYGON/
+    MULTIPOLYGON)."""
+
+    def ring(r):
+        return "(" + ", ".join(f"{x!r} {y!r}" for x, y in r) + ")"
+
+    if geom.kind == "POINT":
+        x, y = geom.rings[0][0]
+        return f"POINT ({x!r} {y!r})"
+    if geom.kind == "LINESTRING":
+        return "LINESTRING " + ring(geom.rings[0])
+    if geom.kind == "POLYGON":
+        return "POLYGON (" + ", ".join(ring(r) for r in geom.rings) + ")"
+    if geom.kind == "MULTIPOLYGON":
+        starts = list(geom.poly_starts) + [len(geom.rings)]
+        members = [
+            "(" + ", ".join(
+                ring(r) for r in geom.rings[starts[i] : starts[i + 1]]
+            ) + ")"
+            for i in range(len(geom.poly_starts))
+        ]
+        return "MULTIPOLYGON (" + ", ".join(members) + ")"
+    raise ValueError(f"geometry_wkt: {geom.kind}")
+
+
+def split_idl_wkt(wkt: str) -> list[str]:
+    """WKT-in/WKT-out antimeridian split: an IDL-crossing POLYGON
+    becomes one WKT per in-range piece; anything else passes through
+    unchanged (the per-row form of `normalize_idl`, for preparing
+    geometry-table rows before `geom_table`/`geom_cover_cells`)."""
+    g = parse_wkt(wkt)
+    if g.kind != "POLYGON" or not crosses_idl(g):
+        return [wkt]
+    return [geometry_wkt(p) for p in split_idl_polygon(g)]

@@ -119,7 +119,20 @@ def geom_table_native(
     prefer `geom_table` for raw ingest throughput.
     """
     s = F.trim(F.col(wkt_col))
-    kind = F.upper(F.regexp_extract(s, r"^\s*([A-Za-z]+)", 1))
+    kind_raw = F.upper(F.regexp_extract(s, r"^\s*([A-Za-z]+)", 1))
+    # fail LOUDLY on unsupported kinds: a MULTI* body would otherwise
+    # silently parse to NULL coordinates and vanish from joins
+    kind = F.when(
+        kind_raw.isin("POINT", "LINESTRING", "POLYGON"), kind_raw
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("geom_table_native supports POINT/LINESTRING/POLYGON"
+                      " only (use geom_table for MULTI*): got "),
+                kind_raw,
+            )
+        )
+    )
     body = F.regexp_extract(s, r"\((.*)\)", 1)
     rings = F.split(
         F.regexp_replace(body, r"^\s*\(|\)\s*$", ""), r"\)\s*,\s*\("
@@ -187,7 +200,8 @@ def geom_cover_cells(
     provable superset of the geometry's cells; the exact refine
     eliminates the false positives (and the caller dedups multi-cell
     matches). Geometries must not cross the antimeridian — split
-    them first (functions.geometry.split_idl_wkt).
+    such rows into in-range piece rows first with
+    functions.geometry.split_idl_wkt (one output row per piece).
     """
     return (
         gdf.withColumn("_cx0", C.lon_to_x(F.col("xmin"), bits))
@@ -241,6 +255,7 @@ def geom_intersects_col(
     )
     b_vertex_in_a = a_int & (
         F.exists(b_edges, lambda e: GS.contains_col(a_edges, e["x0"], e["y0"]))
+        | F.exists(b_edges, lambda e: GS.contains_col(a_edges, e["x1"], e["y1"]))
     )
     crossing = F.exists(
         a_edges, lambda ae: F.exists(b_edges, lambda be: _seg_cross(ae, be))
@@ -278,8 +293,12 @@ def geom_join_broadcast(
     spark = geoms.sparkSession
     rows = []
     for pid, wkt in polys:
-        g = G.parse_wkt(wkt)
-        cells_ = _bbox_cells(g.bounds, bits)
+        # IDL-crossing polygons split first: their raw bounds are the
+        # COMPLEMENT box and would cover nothing near the seam
+        g = G.normalize_idl(G.parse_wkt(wkt))
+        cells_ = sorted(
+            {c for b in G.member_bounds(g) for c in _bbox_cells(b, bits)}
+        )
         rows.append(pd.DataFrame({"pcell": cells_, "poly_id": pid}))
     cover = pd.concat(rows, ignore_index=True)
     cov_df = F.broadcast(
@@ -346,8 +365,18 @@ def geom_scan(
         box_pred = p if box_pred is None else box_pred | p
     out = gdf.filter(box_pred)
     if t0 is not None or t1 is not None:
+        from datetime import timezone
+
         from geomesa_spark.plans import planner as P
 
+        # naive datetimes mean UTC everywhere in this engine (the
+        # planner does the same); without this the F.lit() literal
+        # would follow the session timezone while the week bounds
+        # assume UTC — two disagreeing filters
+        if t0 is not None and t0.tzinfo is None:
+            t0 = t0.replace(tzinfo=timezone.utc)
+        if t1 is not None and t1.tzinfo is None:
+            t1 = t1.replace(tzinfo=timezone.utc)
         if t0 is not None:
             cmp0 = (
                 F.col(dtg_col) > F.lit(t0) if t0_exclusive
@@ -480,10 +509,16 @@ def geom_dwithin_join(
     for pid, wkt in polys:
         g = G.normalize_idl(G.parse_wkt(wkt))
         if dist_in_meters:
+            # conservative conversion: evaluate at the POLEWARD
+            # extreme of the buffered bbox (longitude degrees shrink
+            # with |lat|, so the center latitude would under-buffer
+            # the poleward part of a tall polygon); one fixed-point
+            # step extends the extreme by the first estimate
             mbs = G.member_bounds(g)
-            ymin = min(b[1] for b in mbs)
-            ymax = max(b[3] for b in mbs)
-            dist_deg = G.meters_to_degrees(dist, (ymin + ymax) / 2.0)
+            lat_ext = max(abs(min(b[1] for b in mbs)),
+                          abs(max(b[3] for b in mbs)))
+            d0 = G.meters_to_degrees(dist, min(lat_ext, 89.0))
+            dist_deg = G.meters_to_degrees(dist, min(lat_ext + d0, 89.0))
         else:
             dist_deg = dist
         dists.append((pid, float(dist_deg)))
@@ -562,7 +597,9 @@ def geom_join_partitioned(
         _distributed_edges,
     )
 
-    cover = _distributed_cover(polys, bits, budget)
+    cover = _distributed_cover(
+        polys, bits, budget, poly_id_col=poly_id_col, wkt_col=wkt_col
+    )
     pbits_vals = _cover_resolution_set(polys, bits, budget, wkt_col=wkt_col)
     q_edges = F.broadcast(
         _distributed_edges(polys, poly_id_col, wkt_col).withColumnRenamed(
@@ -587,4 +624,8 @@ def geom_join_partitioned(
             )
         ).drop("_q_edges")
         out = refined if out is None else out.unionByName(refined)
+    if out is None:  # empty polygon layer: empty result, valid schema
+        return geoms.limit(0).withColumn(
+            "poly_id", F.lit(None).cast("string")
+        )
     return out

@@ -380,6 +380,10 @@ def pip_join_partitioned(
             .drop("_pcell", "pcell", "interior", "edges")
         )
         out = refined if out is None else out.unionByName(refined)
+    if out is None:  # empty polygon layer: empty result, valid schema
+        return points.limit(0).withColumn(
+            "poly_id", F.lit(None).cast("string")
+        )
     return out
 
 

@@ -232,7 +232,9 @@ def test_geom_dwithin_meters(spark, geoms_df):
     )
     pid, wkt = QUERY_POLYS[0]
     g = G.parse_wkt(wkt)
-    deg = G.meters_to_degrees(M, (g.bounds[1] + g.bounds[3]) / 2.0)
+    lat_ext = max(abs(g.bounds[1]), abs(g.bounds[3]))
+    d0 = G.meters_to_degrees(M, min(lat_ext, 89.0))
+    deg = G.meters_to_degrees(M, min(lat_ext + d0, 89.0))
     exp = sorted(
         (gid, pid)
         for gid, w in _rand_geoms()
@@ -275,3 +277,98 @@ def test_geom_scan_temporal_and_sorted_layout(spark, tmp_path):
     assert got == exp
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "xmin" in plan
+
+
+# --- regression tests from the round-2 code review ---
+
+IDL_LAYER = [("idl", "POLYGON ((170 -10, -170 -10, -170 20, 170 20, 170 -10))")]
+
+
+def test_geom_join_idl_layer_polygon(spark):
+    """An IDL-crossing layer polygon's raw bounds are the COMPLEMENT
+    box; the cover must come from the normalized pieces or seam-side
+    geometries silently drop."""
+    rows = [
+        ("east", "LINESTRING (174 0, 178 5)"),
+        ("west", "LINESTRING (-178 0, -173 5)"),
+        ("mid", "POINT (0 0)"),
+    ]
+    gdf = GD.geom_table(spark.createDataFrame(rows, "gid string, geom_wkt string"))
+    got = sorted(r.gid for r in GD.geom_join_broadcast(gdf, IDL_LAYER, bits=5)
+                 .select("gid").collect())
+    assert got == ["east", "west"]
+    got_dw = sorted(
+        r.gid for r in GD.geom_dwithin_join(gdf, IDL_LAYER, 2.0, bits=5)
+        .select("gid").collect()
+    )
+    assert got_dw == ["east", "west"]
+
+
+def test_split_idl_hole_on_other_branch():
+    """A hole written on the opposite wrap branch must attach to the
+    correct piece with a tight bbox (not a world-spanning member)."""
+    w = ("POLYGON ((170 0, -170 0, -170 10, 170 10, 170 0), "
+         "(-175 2, -172 2, -172 8, -175 8, -175 2))")
+    ng = G.normalize_idl(G.parse_wkt(w))
+    for b in G.member_bounds(ng):
+        assert b[2] - b[0] <= 10.5, b
+    got = G.contains(
+        ng, np.array([-173.0, 175.0, -171.0]), np.array([5.0, 5.0, 5.0])
+    )
+    assert list(got) == [False, True, True]
+
+
+def test_geom_table_native_rejects_multi(spark):
+    src = spark.createDataFrame(
+        [("m", "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))")],
+        "gid string, geom_wkt string",
+    )
+    # either the explicit kind guard or the ANSI double-cast of the
+    # misparsed '(0 0' token fires first — both are loud failures,
+    # never silent NULL edges
+    with pytest.raises(
+        Exception,
+        match="geom_table_native|CAST_INVALID_INPUT|invalid input",
+    ):
+        GD.geom_table_native(src).collect()
+
+
+def test_empty_polygon_layer(spark, geoms_df):
+    from geomesa_spark.operators.spatial_join import pip_join_partitioned
+    from geomesa_spark.functions import cells as C
+    import pandas as pd
+
+    empty = spark.createDataFrame([], "poly_id string, geom_wkt string")
+    assert GD.geom_join_partitioned(geoms_df, empty, bits=5).count() == 0
+    pts = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a"], "lon": [0.0], "lat": [0.0]})
+    ).withColumn("cell", C.z2_cell(F.col("lon"), F.col("lat")))
+    assert pip_join_partitioned(pts, empty).count() == 0
+
+
+def test_geom_join_partitioned_custom_columns(spark, geoms_df):
+    polys_df = spark.createDataFrame(
+        [(pid, wkt) for pid, wkt in QUERY_POLYS], "pid string, wkt string"
+    )
+    got = sorted(
+        (r.gid, r.poly_id)
+        for r in GD.geom_join_partitioned(
+            geoms_df, polys_df, bits=5, poly_id_col="pid", wkt_col="wkt"
+        ).select("gid", "poly_id").collect()
+    )
+    exp = sorted(
+        (r.gid, r.poly_id)
+        for r in GD.geom_join_broadcast(geoms_df, QUERY_POLYS, bits=5)
+        .select("gid", "poly_id").collect()
+    )
+    assert got == exp
+
+
+def test_linestring_query_final_vertex(spark):
+    """geom_scan with a LINESTRING query whose only interior-landing
+    vertex is its FINAL one (appears only as an edge x1): the
+    b-vertex containment must test both endpoints."""
+    rows = [("tri", "POLYGON ((0 0, 4 0, 0 4, 0 0))")]
+    gdf = GD.geom_table(spark.createDataFrame(rows, "gid string, geom_wkt string"))
+    got = [r.gid for r in GD.geom_scan(gdf, "LINESTRING (7 7, 1 1)").collect()]
+    assert got == ["tri"]

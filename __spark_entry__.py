@@ -282,7 +282,7 @@ def _lsh_bucket_sql(vec_expr: str = "embedding", dim: int = 64,
 
 def _lang_case_sql() -> str:
     score = {
-        lang: f"len(list_filter(string_split(text,' '), t -> t IN "
+        lang: f"len(list_filter(list_filter(string_split(text,' '), tok -> tok <> ''), t -> t IN "
         f"({', '.join(repr(w) for w in mk)})))"
         for lang, mk in X.LANG_MARKERS
     }
@@ -1033,18 +1033,18 @@ WHERE p_type LIKE 'S%' AND p_size BETWEEN 10 AND 30
     stop_in = ", ".join(repr(w) for w in X.STOPWORDS)
     o["text_profile"] = f"""
 SELECT doc_id,
-  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_types,
+  CAST(len(list_filter(string_split(text,' '), tok -> tok <> '')) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(list_filter(string_split(text,' '), tok -> tok <> ''))) AS BIGINT) AS n_types,
   CAST(len(text) AS BIGINT) AS n_chars,
-  len(list_filter(string_split(text,' '), t -> t IN ({stop_in})))
-    / len(string_split(text,' ')) AS stop_ratio,
-  len(list_distinct(string_split(text,' ')))
-    / len(string_split(text,' ')) AS ttr,
-  0.5 * least(len(string_split(text,' ')) / 100.0, 1.0)
-    + 0.3 * (len(list_distinct(string_split(text,' ')))
-             / len(string_split(text,' ')))
-    + 0.2 * (1.0 - len(list_filter(string_split(text,' '), t -> t IN ({stop_in})))
-             / len(string_split(text,' '))) AS quality,
+  len(list_filter(list_filter(string_split(text,' '), tok -> tok <> ''), t -> t IN ({stop_in})))
+    / len(list_filter(string_split(text,' '), tok -> tok <> '')) AS stop_ratio,
+  len(list_distinct(list_filter(string_split(text,' '), tok -> tok <> '')))
+    / len(list_filter(string_split(text,' '), tok -> tok <> '')) AS ttr,
+  0.5 * least(len(list_filter(string_split(text,' '), tok -> tok <> '')) / 100.0, 1.0)
+    + 0.3 * (len(list_distinct(list_filter(string_split(text,' '), tok -> tok <> '')))
+             / len(list_filter(string_split(text,' '), tok -> tok <> '')))
+    + 0.2 * (1.0 - len(list_filter(list_filter(string_split(text,' '), tok -> tok <> ''), t -> t IN ({stop_in})))
+             / len(list_filter(string_split(text,' '), tok -> tok <> ''))) AS quality,
   {_lang_case_sql()} AS pred_lang,
   md5(lower(trim(text))) AS fp
 FROM documents

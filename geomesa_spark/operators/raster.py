@@ -184,8 +184,8 @@ def mosaic(
     res_bits: int,
     out_w: int,
     out_h: int,
-    tile_px: int = 16,
-    tile_py: int = 16,
+    tile_px: int | None = None,
+    tile_py: int | None = None,
 ) -> np.ndarray:
     """Assemble the tiles covering `bbox` into one out_h×out_w grid.
 
@@ -207,6 +207,15 @@ def mosaic(
     """
     cov = tile_cover_scan(tiles, bbox, res_bits)
     xmin, ymin, xmax, ymax = bbox
+    if tile_px is None or tile_py is None:
+        # pixel dims come from the tiles themselves (chunks at one
+        # resolution share dimensions, as in the reference format);
+        # a caller-supplied mismatch would misplace every fragment
+        first = cov.select("px", "py").first()
+        if first is None:
+            return np.zeros((out_h, out_w))
+        tile_px = int(first.px) if tile_px is None else tile_px
+        tile_py = int(first.py) if tile_py is None else tile_py
 
     frag_schema = T.StructType(
         [

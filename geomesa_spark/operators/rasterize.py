@@ -65,15 +65,10 @@ def parse_geoms(
                         str(pdf[key_col].iat[i]),
                         geom.kind,
                         float(pdf[weight_col].iat[i]) if has_w else 1.0,
-                        GS.geom_edges(geom)
-                        or [
-                            (
-                                float(geom.rings[0][0][0]),
-                                float(geom.rings[0][0][1]),
-                                float(geom.rings[0][0][0]),
-                                float(geom.rings[0][0][1]),
-                            )
-                        ],
+                        # geom_edges emits a degenerate (x,y,x,y) edge
+                        # for single-point rings, so it is non-empty
+                        # for every parseable geometry
+                        GS.geom_edges(geom),
                     )
                 )
             yield pd.DataFrame(rows, columns=["key", "kind", "weight", "edges"])
@@ -122,12 +117,47 @@ def density_geoms(
             )
         ),
     ).cast("int")
-    walked = e.select(
-        "key",
-        "weight",
-        "e",
-        F.explode(F.sequence(F.lit(0), steps)).alias("s"),
-        steps.alias("n"),
+
+    # Liang-Barsky window of the edge's parameter range inside the
+    # bbox: samples keep their EXACT positions on the t = s/n grid
+    # (results unchanged), but s only ranges over the in-window part
+    # (+-1 guard step for FP rounding) — without this a continental
+    # edge against a zoomed-in grid exploded ~|edge|/(pixel/2) rows
+    # that the bbox filter then discarded
+    def _axis_win(p0, d, lo, hi):
+        d_safe = F.when(d == 0.0, F.lit(1.0)).otherwise(d)
+        ta = (F.lit(lo) - p0) / d_safe
+        tb = (F.lit(hi) - p0) / d_safe
+        inside = p0.between(F.lit(lo), F.lit(hi))
+        inf = F.lit(float("inf"))
+        wlo = F.when(d == 0.0, F.when(inside, -inf).otherwise(inf)).otherwise(
+            F.least(ta, tb)
+        )
+        whi = F.when(d == 0.0, F.when(inside, inf).otherwise(-inf)).otherwise(
+            F.greatest(ta, tb)
+        )
+        return wlo, whi
+
+    ex0, ey0 = F.col("e.x0"), F.col("e.y0")
+    edx = F.col("e.x1") - ex0
+    edy = F.col("e.y1") - ey0
+    wxl, wxh = _axis_win(ex0, edx, xmin, xmax)
+    wyl, wyh = _axis_win(ey0, edy, ymin, ymax)
+    tlo = F.greatest(F.lit(0.0), wxl, wyl)
+    thi = F.least(F.lit(1.0), wxh, wyh)
+    s_lo = F.greatest(
+        F.lit(0), (F.floor(tlo * steps) - 1).cast("int")
+    )
+    s_hi = F.least(steps, (F.ceil(thi * steps) + 1).cast("int"))
+    walked = (
+        e.filter(thi >= tlo)
+        .select(
+            "key",
+            "weight",
+            "e",
+            F.explode(F.sequence(s_lo, s_hi)).alias("s"),
+            steps.alias("n"),
+        )
     )
     t = F.col("s").cast("double") / F.col("n").cast("double")
     lon = F.col("e.x0") + t * (F.col("e.x1") - F.col("e.x0"))

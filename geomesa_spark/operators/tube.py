@@ -70,6 +70,8 @@ def tube_select(
     corresponding segment's time span. Dedup by id."""
     spark = points.sparkSession
     tube = build_tube(track, buffer_deg, gap_fill)
+    if len(tube) == 0:  # empty track: empty result, valid schema
+        return points.limit(0)
 
     # cell cover per segment (bbox of segment + buffer); polyfill
     # coarsens big boxes below `bits`, so covers join per distinct

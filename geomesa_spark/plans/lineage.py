@@ -75,10 +75,18 @@ class CheckpointedJob:
     # -- lineage table ------------------------------------------------------
 
     def lineage(self) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
         try:
             return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.lineage_dir)
-        except Exception:
-            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+        except AnalysisException as ex:
+            # only a missing table means "no units committed yet"; a
+            # transient read failure must NOT be read as an empty
+            # lineage (that would silently re-run and overwrite every
+            # committed unit)
+            if "PATH_NOT_FOUND" in str(ex) or "Path does not exist" in str(ex):
+                return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+            raise
 
     def completed_units(self) -> set[str]:
         rows = (
@@ -98,8 +106,15 @@ class CheckpointedJob:
     # -- execution ----------------------------------------------------------
 
     def unit_path(self, unit_id: str) -> str:
+        import hashlib
+
+        # readable sanitized prefix + md5 suffix of the RAW id:
+        # sanitization alone can collide ('week=1/a' vs 'week=1_a')
+        # and colliding units would overwrite each other's output
+        # while both lineage records claim ok
         safe = unit_id.replace("/", "_").replace("=", "-")
-        return f"{self.out_dir}/unit={safe}"
+        h = hashlib.md5(unit_id.encode()).hexdigest()[:8]
+        return f"{self.out_dir}/unit={safe}-{h}"
 
     def run_unit(self, unit_id: str, df_fn: Callable[[], DataFrame]) -> dict:
         """Execute one unit: write its output, then commit lineage."""
@@ -144,8 +159,17 @@ class CheckpointedJob:
         return {"executed": executed, "skipped": skipped}
 
     def result(self) -> DataFrame:
-        """The job's combined output across all committed units."""
-        return self.spark.read.parquet(f"{self.out_dir}/unit=*")
+        """The job's combined output across COMMITTED units only.
+
+        Paths come from this job's lineage records, never from a
+        directory glob — a glob would read partial output of a unit
+        that crashed mid-write (before its lineage commit) and the
+        output of other jobs sharing out_dir, breaking the
+        exactly-once-read contract."""
+        committed = sorted(self.completed_units())
+        if not committed:
+            raise ValueError(f"no committed units for job {self.job_id}")
+        return self.spark.read.parquet(*[self.unit_path(u) for u in committed])
 
     def metrics(self) -> DataFrame:
         """Per-unit lineage/metrics rows for this job (all runs)."""

@@ -146,3 +146,18 @@ def test_knn_join_df_fewer_than_k(spark):
     )
     rows = knn_join_df(pts, qs, 5, tiebreak_col="doc_id").collect()
     assert {r.doc_id for r in rows} == {"a", "b"}
+
+
+def test_tube_empty_track(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from geomesa_spark.functions import cells as C
+    from geomesa_spark.operators.tube import tube_select
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": ["a"], "lon": [0.0], "lat": [0.0],
+            "dtg": [pd.Timestamp("2024-01-01")],
+        })
+    ).withColumn("cell", C.z2_cell(F.col("lon"), F.col("lat")))
+    assert tube_select(pts, [], 1.0, 60).count() == 0

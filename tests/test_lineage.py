@@ -90,3 +90,25 @@ def test_week_units_partitioning(spark, out_dir):
     assert got == {1, 2, 3}
     m = {r.unit_id: r.rows_out for r in job.metrics().collect()}
     assert m == {"week=100": 2, "week=101": 1}
+
+
+def test_unit_path_no_collision(spark, tmp_path):
+    from geomesa_spark.plans.lineage import CheckpointedJob
+
+    job = CheckpointedJob(spark, "j", str(tmp_path / "out"))
+    assert job.unit_path("week=1/a") != job.unit_path("week=1_a")
+
+
+def test_result_excludes_uncommitted_partials(spark, tmp_path):
+    """A unit directory written WITHOUT a lineage commit (crash
+    before commit) must not appear in result()."""
+    from geomesa_spark.plans.lineage import CheckpointedJob
+
+    out = str(tmp_path / "out")
+    job = CheckpointedJob(spark, "j", out)
+    job.run({"u1": lambda: spark.range(5).selectExpr("id")})
+    # simulate a crashed unit: output exists, no lineage record
+    spark.range(100).selectExpr("id").write.parquet(
+        job.unit_path("crashed")
+    )
+    assert job.result().count() == 5

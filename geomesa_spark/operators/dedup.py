@@ -45,10 +45,16 @@ def word_shingles(text_col, n: int = 3):
     split + sequence + transform + array_distinct)."""
     toks = F.split(text_col, " ")
     count = F.size(toks) - (n - 1)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(count, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    # docs shorter than n words produce NO shingles; without the
+    # guard sequence(1, 0) descends to [1, 0] and slice(toks, 0, n)
+    # throws (array indices are 1-based)
+    sh = F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(sh)
 
 
@@ -337,10 +343,12 @@ def simhash_neardup_pairs(
     """
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
+    # width == 64 (max_hamming=0): the full-word mask (1<<64)-1
+    # exceeds int64 — use -1 (all bits set) instead
+    mask = F.lit(-1) if width == 64 else F.lit((1 << width) - 1)
     sig = simhash64(df, text_col, id_col).repartition(id_col)
     chunks = [
-        F.shiftrightunsigned(F.col("simhash"), i * width)
-        .bitwiseAND(F.lit((1 << width) - 1))
+        F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(mask)
         for i in range(n_chunks)
     ]
     keys = [
@@ -372,9 +380,12 @@ def simhash_neardup_pairs(
 def simhash_dup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Docs sharing an identical simhash (hamming-0 near-dup set)."""
+    """Docs sharing an identical 64-bit simhash (hamming-0 near-dup
+    set). Uses the production-width signature: the 16-bit oracle
+    variant has only 65,536 values, so birthday collisions on a
+    ~100k-doc corpus would group unrelated docs as duplicates."""
     return (
-        simhash(df, text_col, id_col)
+        simhash64(df, text_col, id_col)
         .groupBy("simhash")
         .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
@@ -543,11 +554,15 @@ def dedup_filter(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
 ) -> DataFrame:
     """Drop every non-canonical member of each near-dup component —
     the end-to-end dedup a training pipeline applies before packing
-    shards. Keeps all docs that appear in no pair."""
-    comp = dup_components(pairs)
+    shards. Keeps all docs that appear in no pair. `a_col`/`b_col`
+    name the pair columns (embedding_neardup_pairs emits
+    id_a/id_b)."""
+    comp = dup_components(pairs, a_col=a_col, b_col=b_col)
     losers = comp.filter(F.col("doc") != F.col("canon")).select(
         F.col("doc").alias(id_col)
     )

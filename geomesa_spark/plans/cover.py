@@ -287,11 +287,7 @@ def polyfill_detail(
     budget-stepping analog).
     """
     members = _members(geom)
-    use_bits = bits
-    while use_bits > 1:
-        if sum(_bbox_grid_size(m, use_bits) for m in members) <= budget:
-            break
-        use_bits -= 1
+    use_bits = polyfill_resolution(geom, bits, budget)
 
     all_parts = []
     int_parts = []

@@ -132,7 +132,11 @@ def _decoder(schema):
                     _read_long(buf)
                     n = -n
                 for _ in range(n):
-                    out[_read_bytes(buf).decode("utf-8")] = val(buf)
+                    # key MUST decode before the value: Python
+                    # evaluates the assignment RHS first, which would
+                    # reverse the wire order
+                    k = _read_bytes(buf).decode("utf-8")
+                    out[k] = val(buf)
 
         return dm
     if t in ("enum",):
@@ -259,6 +263,18 @@ def _encoder(schema):
             _write_long(out, 0)
 
         return em
+    if t == "enum":
+        symbols = schema["symbols"]
+        return lambda out, v: _write_long(out, symbols.index(v))
+    if t == "fixed":
+        size = schema["size"]
+
+        def ef(out, v):
+            if len(v) != size:
+                raise ValueError(f"fixed size {size} != {len(v)}")
+            out.write(v)
+
+        return ef
     return _encoder(t)
 
 

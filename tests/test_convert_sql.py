@@ -263,3 +263,26 @@ def test_sql_geom_geom_functions(spark):
         g = G.parse_wkt(w)
         assert rows[gid].hit == G.geom_intersects(g, q), gid
         assert rows[gid].near == G.geom_dwithin(g, q, 3.0), gid
+
+
+def test_avro_map_enum_fixed_roundtrip(tmp_path):
+    from geomesa_spark.sources import avro as AV
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+            {"name": "e", "type": {"type": "enum", "name": "E",
+                                   "symbols": ["A", "B", "C"]}},
+            {"name": "fx", "type": {"type": "fixed", "name": "FX", "size": 4}},
+        ],
+    }
+    recs = [
+        {"m": {"k": -7, "zz": 123456789}, "e": "B", "fx": b"\x01\x02\x03\x04"},
+        {"m": {}, "e": "C", "fx": b"\xff\x00\xff\x00"},
+    ]
+    p = tmp_path / "m.avro"
+    AV.write_avro_file(str(p), schema, recs)
+    _, got = AV.read_avro_bytes(p.read_bytes())
+    assert got == recs

@@ -304,3 +304,80 @@ def test_ivf_assign_large_quantizer(spark):
     Cn = N.normalize_centroids(C)
     exp = np.argmax(V.astype(np.float64) @ Cn.T, axis=1)
     assert got == {i: int(exp[i]) for i in range(400)}
+
+
+# --- regression tests from the round-2 module review ---
+
+
+def test_short_doc_shingles(spark):
+    """Docs shorter than n words yield zero shingles (not a slice
+    crash) through every n-gram path."""
+    from geomesa_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [("a", "one"), ("b", "two words"),
+         ("c", "three word doc here now ok")],
+        "doc_id string, text string",
+    )
+    pairs = D.ngram_jaccard_pairs(docs, 0.1, n=3)
+    assert pairs.count() == 0
+    sig = D.minhash_signature(docs, n=3)
+    assert sig.count() >= 1  # only docs with shingles sign
+
+
+def test_simhash_neardup_hamming_zero(spark, docs_df):
+    from geomesa_spark.operators import dedup as D
+
+    out = D.simhash_neardup_pairs(docs_df, max_hamming=0)
+    # exact-signature pairs only; every reported pair has hamming 0
+    assert all(r.hamming == 0 for r in out.collect())
+
+
+def test_dedup_filter_embedding_columns(spark):
+    from geomesa_spark.operators import dedup as D
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0001]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = D.embedding_neardup_pairs(emb, 0.999)
+    kept = D.dedup_filter(emb, pairs, id_col="vec_id", a_col="id_a", b_col="id_b")
+    assert sorted(r.vec_id for r in kept.collect()) == [0, 2]
+
+
+def test_lsh_multiprobe_widens(spark):
+    """multiprobe=2 probes a superset of multiprobe=1's candidates
+    (recall can only grow)."""
+    import numpy as np
+    import pandas as pd
+    from geomesa_spark.operators import ann as N
+
+    rng = np.random.default_rng(42)
+    V = rng.standard_normal((300, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(300), "embedding": [v.tolist() for v in V]})
+    )
+    qs = df.filter("vec_id < 3")
+    r1 = {(r.qid, r.vec_id) for r in N.lsh_topk(df, qs, 50, dim=16, multiprobe=1).collect()}
+    r2 = {(r.qid, r.vec_id) for r in N.lsh_topk(df, qs, 50, dim=16, multiprobe=2).collect()}
+    # candidate sets widen; with k large enough the result set grows
+    # monotonically per query
+    n1 = {q: sum(1 for a, _ in r1 if a == q) for q, _ in r1}
+    n2 = {q: sum(1 for a, _ in r2 if a == q) for q, _ in r2}
+    assert all(n2.get(q, 0) >= n for q, n in n1.items())
+
+
+def test_ivf_topk_string_ids(spark):
+    import numpy as np
+    import pandas as pd
+    from geomesa_spark.operators import ann as N
+
+    rng = np.random.default_rng(1)
+    V = rng.standard_normal((50, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [f"v{i}" for i in range(50)],
+                      "embedding": [v.tolist() for v in V]})
+    )
+    C = rng.standard_normal((4, 8))
+    out = N.ivf_topk(df, df.filter("vec_id = 'v0'"), 5, C, n_probes=2)
+    assert out.count() == 5

@@ -87,7 +87,7 @@ def _inner_bound_col(inner_deg: float, qlat_col, metric: str):
     evaluated inside the aggregate — no driver-side per-query state)."""
     if metric == "planar":
         return F.lit(inner_deg * inner_deg)
-    band = F.least(F.lit(89.9), F.abs(qlat_col) + F.lit(inner_deg))
+    band = F.least(F.lit(90.0), F.abs(qlat_col) + F.lit(inner_deg))
     scale = F.greatest(
         F.lit(0.0), F.least(F.lit(1.0), F.lit(2.0) * F.cos(F.radians(band)))
     )
@@ -102,7 +102,11 @@ def _inner_bound(inner_deg: float, qlat: float, metric: str) -> float:
     directions at the latitude band the ring spans."""
     if metric == "planar":
         return inner_deg * inner_deg
-    band = min(89.9, abs(qlat) + inner_deg)
+    # NO sub-90 clamp: clamping the band at 89.9 overstated cos near
+    # the poles and declared convergence while a closer point sat
+    # outside the square (a polar query whose band reaches 90 gets
+    # bound 0 and correctly falls through to the exact fallback)
+    band = min(90.0, abs(qlat) + inner_deg)
     scale = min(1.0, 2.0 * np.cos(np.radians(band)))
     return inner_deg * METERS_PER_DEG_LAT * max(scale, 0.0)
 

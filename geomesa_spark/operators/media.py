@@ -97,24 +97,32 @@ def decode_media(
 
     `refs`: output of `extract_media_refs` (+ optional binary payload
     column). One `mapInPandas` pass: batches arrive as Arrow record
-    batches, the decoder runs per unique ref, output is the typed
-    MEDIA_META_SCHEMA — ready for partitioning/joining at scale.
+    batches, the decoder runs once per unique ref per batch (dedup
+    the refs table beforehand for cross-batch uniqueness), output is
+    the typed MEDIA_META_SCHEMA — ready for partitioning/joining at
+    scale.
     """
     has_payload = payload_col is not None
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # decode once per UNIQUE ref within the batch: deduped
+            # assets shared by many documents would otherwise pay a
+            # full (real) codec invocation per referencing row
+            cache: dict = {}
             rows = []
             for i in range(len(pdf)):
                 ref = pdf["media_ref"].iat[i]
-                payload = pdf[payload_col].iat[i] if has_payload else None
-                meta = decoder(ref, payload)
+                if ref not in cache:
+                    payload = pdf[payload_col].iat[i] if has_payload else None
+                    cache[ref] = decoder(ref, payload)
+                off = pdf["span_offset"].iat[i]
                 rows.append(
                     {
                         "doc_id": pdf["doc_id"].iat[i],
                         "media_ref": ref,
-                        "span_offset": int(pdf["span_offset"].iat[i]),
-                        **meta,
+                        "span_offset": int(off) if pd.notna(off) else None,
+                        **cache[ref],
                     }
                 )
             yield pd.DataFrame(

@@ -9,6 +9,7 @@ DuckDB oracle bit-for-bit.
 from __future__ import annotations
 
 import os
+import tempfile
 import zipfile
 
 from pyspark.sql import SparkSession
@@ -22,26 +23,43 @@ def package_zip(dest_dir: str = "/tmp") -> str:
     """
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     out = os.path.join(dest_dir, "geomesa_spark_pkg.zip")
-    # rebuild if any source is newer than the archive
-    latest = max(
-        os.path.getmtime(os.path.join(r, f))
+    sources = sorted(
+        os.path.join(r, f)
         for r, _, fs in os.walk(pkg_dir)
         for f in fs
         if f.endswith(".py")
     )
-    if os.path.exists(out) and os.path.getmtime(out) >= latest:
-        return out
-    tmp = out + ".tmp"
-    with zipfile.ZipFile(tmp, "w") as z:
-        for root, _, files in os.walk(pkg_dir):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    rel = os.path.join(
-                        "geomesa_spark", os.path.relpath(full, pkg_dir)
-                    )
-                    z.write(full, rel)
-    os.replace(tmp, out)
+    names = [
+        os.path.join("geomesa_spark", os.path.relpath(p, pkg_dir))
+        for p in sources
+    ]
+    # reuse only when nothing is newer AND the member set matches (a
+    # deleted source would otherwise linger in the shipped archive)
+    if os.path.exists(out):
+        latest = max(os.path.getmtime(p) for p in sources)
+        try:
+            with zipfile.ZipFile(out) as z:
+                fresh = (
+                    os.path.getmtime(out) >= latest
+                    and sorted(z.namelist()) == sorted(names)
+                )
+        except zipfile.BadZipFile:
+            fresh = False
+        if fresh:
+            return out
+    # per-process temp file + atomic replace: a fixed .tmp name let
+    # two concurrent sessions interleave writes and publish a torn
+    # archive to every executor
+    fd, tmp = tempfile.mkstemp(dir=dest_dir, suffix=".zip.tmp")
+    os.close(fd)
+    try:
+        with zipfile.ZipFile(tmp, "w") as z:
+            for full, rel in zip(sources, names):
+                z.write(full, rel)
+        os.replace(tmp, out)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return out
 
 
@@ -59,7 +77,8 @@ def get_spark(
         # match core count in local mode; on a real cluster this is
         # overridden per-job (AQE coalesces down from here anyway)
         try:
-            n = int(master.split("[")[1].rstrip("]")) if "[" in master else 200
+            spec = master.split("[")[1].rstrip("]") if "[" in master else ""
+            n = (os.cpu_count() or 8) if spec == "*" else int(spec) if spec else 200
         except ValueError:
             n = 200
         shuffle_partitions = max(n, 8)

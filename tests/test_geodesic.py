@@ -218,3 +218,49 @@ def test_idl_proximity(spark):
     exp = set(pdf.doc_id[(dlon ** 2 + pdf.lat ** 2) <= 9.0])
     assert got == exp
     assert any(pdf.lon[pdf.doc_id.isin(got)] < 0)  # seam actually crossed
+
+
+def test_knn_haversine_polar_exactness(spark):
+    """Near the pole the ring bound must not overstate the explored
+    radius: a point 14 cells away in longitude is geodesically CLOSER
+    than same-ring points (cells shrink by cos(lat)); the old 89.9
+    clamp declared convergence and missed it."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from geomesa_spark.functions import cells as C
+    from geomesa_spark.functions import geometry_sql as GS
+    from geomesa_spark.operators.knn import knn_join
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"p{i}" for i in range(400)],
+            "lon": rng.uniform(-180, 180, 400),
+            "lat": rng.uniform(85, 90, 400),
+        }
+    )
+    pts = spark.createDataFrame(pdf).withColumn(
+        "cell", C.z2_cell(F.col("lon"), F.col("lat"))
+    )
+    out = knn_join(
+        pts, [("q", 0.0, 89.95)], 5, tiebreak_col="doc_id",
+        metric="haversine",
+    )
+    got = [r.doc_id for r in sorted(out.collect(), key=lambda r: r.rank)]
+    # brute-force haversine oracle
+    R = 6371008.8
+
+    def hav(lon, lat):
+        rl1, rl2 = np.radians(89.95), np.radians(lat)
+        dlat = np.radians(lat - 89.95)
+        dlon = np.radians(lon - 0.0)
+        a = (np.sin(dlat / 2) ** 2
+             + np.cos(rl1) * np.cos(rl2) * np.sin(dlon / 2) ** 2)
+        return 2 * R * np.arcsin(np.sqrt(a))
+
+    d = hav(pdf.lon.to_numpy(), pdf.lat.to_numpy())
+    exp = list(
+        pdf.assign(d=d).sort_values(["d", "lon", "lat", "doc_id"]).head(5).doc_id
+    )
+    assert got == exp

@@ -254,3 +254,33 @@ def test_geometry_live_view_snapshot_query(spark):
     )
     # a moved out of the window, b was deleted, c remains
     assert hits == ["c"]
+
+
+def test_stateful_upsert_clear_op(spark, tmp_path):
+    """'clear' tombstones the key at its mark (the per-key projection
+    of apply_changelog's global clear); later upserts revive it."""
+    from geomesa_spark.streaming.stateful import stateful_upsert
+
+    src = str(tmp_path / "clog")
+    _write_batch(src, "b1.json", [
+        {"op": "upsert", "doc_id": "a", "ts": 1.0, "seq": 1, "val": "a1"},
+        {"op": "clear", "doc_id": "a", "ts": 2.0, "seq": 2, "val": None},
+        {"op": "upsert", "doc_id": "b", "ts": 3.0, "seq": 3, "val": "b1"},
+    ])
+    schema = T.StructType([
+        T.StructField("op", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("ts", T.DoubleType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("val", T.StringType()),
+    ])
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        stateful_upsert(stream)
+        .writeStream.format("memory").queryName("clear_state")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {r.doc_id: r for r in spark.sql("select * from clear_state").collect()}
+    assert not rows["a"].live
+    assert rows["b"].live and rows["b"].val == "b1"

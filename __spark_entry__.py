@@ -579,6 +579,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_lsh"] = minhash_lsh
 
+    def dedup_filter_q(spark, sf):
+        docs = _load(spark, sf, "documents")
+        pairs = D.minhash_lsh_pairs(docs, JACCARD_THRESHOLD, n=JACCARD_N)
+        return D.dedup_filter(docs, pairs).select("doc_id")
+
+    q["dedup_filter"] = dedup_filter_q
+
     def simhash(spark, sf):
         return D.simhash(_load(spark, sf, "documents"))
 
@@ -1062,18 +1069,43 @@ WITH {SHINGLES_CTE},
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD!r}
 """
 
-    o["minhash_lsh"] = f"""
-WITH {SHINGLES_CTE},
+    minhash_chain = f"""{SHINGLES_CTE},
 sig AS (SELECT doc_id, {_minhash_cols_sql()} FROM sh GROUP BY doc_id),
 bands AS ({_band_selects()}),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
 ),
-{JACCARD_PAIRS_SQL}
+{JACCARD_PAIRS_SQL}"""
+    o["minhash_lsh"] = f"""
+WITH {minhash_chain}
 SELECT c.doc_a, c.doc_b, jaccard
 FROM cand c JOIN jac ON jac.doc_a = c.doc_a AND jac.doc_b = c.doc_b
 WHERE jaccard >= {JACCARD_THRESHOLD!r}
+"""
+
+    # end-to-end dedup: near-dup pairs -> connected components
+    # (recursive reachability closure; tiny at oracle scale) ->
+    # keep only component minima + untouched docs
+    o["dedup_filter"] = f"""
+WITH RECURSIVE {minhash_chain},
+good AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN jac ON jac.doc_a = c.doc_a AND jac.doc_b = c.doc_b
+  WHERE jaccard >= {JACCARD_THRESHOLD!r}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM good
+  UNION SELECT doc_b, doc_a FROM good
+),
+reach AS (
+  SELECT DISTINCT s AS doc, s AS other FROM edges
+  UNION
+  SELECT r.doc, e.d FROM reach r JOIN edges e ON e.s = r.other
+),
+canon AS (SELECT doc, min(other) AS canon FROM reach GROUP BY doc)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc FROM canon WHERE doc <> canon)
 """
 
     bit_votes = ", ".join(

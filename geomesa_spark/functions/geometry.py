@@ -403,18 +403,31 @@ def split_idl_polygon(geom: Geometry) -> list[Geometry]:
 
 def normalize_idl(geom: Geometry) -> Geometry:
     """Identity for in-range geometries; an antimeridian-crossing
-    POLYGON becomes a MULTIPOLYGON of in-range pieces (even-odd
-    evaluation over the flattened edges equals the union, so every
-    downstream cover/refine path composes unchanged)."""
-    if geom.kind != "POLYGON" or not crosses_idl(geom):
+    POLYGON (or any crossing member of a MULTIPOLYGON) becomes a
+    MULTIPOLYGON of in-range pieces (even-odd evaluation over the
+    flattened edges equals the union, so every downstream
+    cover/refine path composes unchanged)."""
+    if not crosses_idl(geom):
         return geom
-    pieces = split_idl_polygon(geom)
+    if geom.kind == "POLYGON":
+        members = [geom]
+    elif geom.kind == "MULTIPOLYGON":
+        starts = list(geom.poly_starts) + [len(geom.rings)]
+        members = [
+            Geometry("POLYGON", geom.rings[starts[i] : starts[i + 1]], [0])
+            for i in range(len(geom.poly_starts))
+        ]
+    else:
+        return geom  # lines/points near the seam have no area to split
+    pieces: list[Geometry] = []
+    for m in members:
+        pieces.extend(split_idl_polygon(m) if crosses_idl(m) else [m])
     rings: list[np.ndarray] = []
-    starts: list[int] = []
+    starts_out: list[int] = []
     for p in pieces:
-        starts.append(len(rings))
+        starts_out.append(len(rings))
         rings.extend(p.rings)
-    return Geometry("MULTIPOLYGON", rings, starts)
+    return Geometry("MULTIPOLYGON", rings, starts_out)
 
 
 def member_bounds(geom: Geometry) -> list[tuple[float, float, float, float]]:
@@ -485,11 +498,13 @@ def geometry_wkt(geom: Geometry) -> str:
     MULTIPOLYGON)."""
 
     def ring(r):
-        return "(" + ", ".join(f"{x!r} {y!r}" for x, y in r) + ")"
+        # float() first: numpy 2.x repr of float64 scalars is
+        # 'np.float64(...)', which would poison the WKT
+        return "(" + ", ".join(f"{float(x)!r} {float(y)!r}" for x, y in r) + ")"
 
     if geom.kind == "POINT":
         x, y = geom.rings[0][0]
-        return f"POINT ({x!r} {y!r})"
+        return f"POINT ({float(x)!r} {float(y)!r})"
     if geom.kind == "LINESTRING":
         return "LINESTRING " + ring(geom.rings[0])
     if geom.kind == "POLYGON":

@@ -111,27 +111,30 @@ def contains_col(edges: Column, lon: Column, lat: Column) -> Column:
     return F.aggregate(edges, F.lit(0), step) % 2 == 1
 
 
+def pt_seg_d2_col(px: Column, py: Column, e) -> Column:
+    """Squared distance from point (px,py) to one edge struct `e`:
+    clamped projection (degenerate zero-length segments use t=0 via
+    the len2==0 guard) — the single shared kernel behind
+    min_seg_dist2_col and geom_data's segment-distance refines."""
+    dx = e["x1"] - e["x0"]
+    dy = e["y1"] - e["y0"]
+    ln2 = dx * dx + dy * dy
+    ln2 = F.when(ln2 == 0.0, F.lit(1.0)).otherwise(ln2)
+    t = ((px - e["x0"]) * dx + (py - e["y0"]) * dy) / ln2
+    t = F.least(F.lit(1.0), F.greatest(F.lit(0.0), t))
+    cx = e["x0"] + t * dx
+    cy = e["y0"] + t * dy
+    return (px - cx) * (px - cx) + (py - cy) * (py - cy)
+
+
 def min_seg_dist2_col(edges: Column, lon: Column, lat: Column) -> Column:
-    """Min squared distance from (lon,lat) to any edge segment.
-
-    Mirrors geometry.seg_dist2: project onto the segment, clamp
-    t to [0,1] (degenerate zero-length segments use t=0 via the
-    len2==0 guard), squared euclidean to the closest point.
-    """
-
-    def step(acc, e):
-        dx = e["x1"] - e["x0"]
-        dy = e["y1"] - e["y0"]
-        ln2 = dx * dx + dy * dy
-        ln2 = F.when(ln2 == 0.0, F.lit(1.0)).otherwise(ln2)
-        t = ((lon - e["x0"]) * dx + (lat - e["y0"]) * dy) / ln2
-        t = F.least(F.lit(1.0), F.greatest(F.lit(0.0), t))
-        cx = e["x0"] + t * dx
-        cy = e["y0"] + t * dy
-        d2 = (lon - cx) * (lon - cx) + (lat - cy) * (lat - cy)
-        return F.least(acc, d2)
-
-    return F.aggregate(edges, F.lit(float("inf")), step)
+    """Min squared distance from (lon,lat) to any edge segment
+    (mirrors geometry.seg_dist2)."""
+    return F.aggregate(
+        edges,
+        F.lit(float("inf")),
+        lambda acc, e: F.least(acc, pt_seg_d2_col(lon, lat, e)),
+    )
 
 
 def dwithin_col(

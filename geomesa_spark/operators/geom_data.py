@@ -291,6 +291,8 @@ def geom_join_broadcast(
     Returns the geoms columns + `poly_id`.
     """
     spark = geoms.sparkSession
+    if not polys:
+        return geoms.limit(0).withColumn("poly_id", F.lit(None).cast("string"))
     rows = []
     for pid, wkt in polys:
         # IDL-crossing polygons split first: their raw bounds are the
@@ -430,18 +432,7 @@ def write_geom_table(
     ).parquet(path)
 
 
-def _pt_seg_d2(px, py, e) -> Column:
-    """Squared point-to-segment distance (clamped projection —
-    geometry_sql.min_seg_dist2_col's kernel)."""
-    dx = e["x1"] - e["x0"]
-    dy = e["y1"] - e["y0"]
-    ln2 = dx * dx + dy * dy
-    ln2 = F.when(ln2 == 0.0, F.lit(1.0)).otherwise(ln2)
-    t = ((px - e["x0"]) * dx + (py - e["y0"]) * dy) / ln2
-    t = F.least(F.lit(1.0), F.greatest(F.lit(0.0), t))
-    cx = e["x0"] + t * dx
-    cy = e["y0"] + t * dy
-    return (px - cx) * (px - cx) + (py - cy) * (py - cy)
+_pt_seg_d2 = GS.pt_seg_d2_col  # shared clamped-projection kernel
 
 
 def _seg_seg_d2_col(a, b) -> Column:
@@ -504,6 +495,8 @@ def geom_dwithin_join(
     after its own degree conversion). Returns geoms columns +
     poly_id."""
     spark = geoms.sparkSession
+    if not polys:
+        return geoms.limit(0).withColumn("poly_id", F.lit(None).cast("string"))
     rows = []
     dists = []
     for pid, wkt in polys:
@@ -601,6 +594,10 @@ def geom_join_partitioned(
         polys, bits, budget, poly_id_col=poly_id_col, wkt_col=wkt_col
     )
     pbits_vals = _cover_resolution_set(polys, bits, budget, wkt_col=wkt_col)
+    if len(pbits_vals) > 1:
+        # several resolution groups would re-run the distributed
+        # polyfill once per group filter: materialize it once
+        cover = cover.localCheckpoint(eager=True)
     q_edges = F.broadcast(
         _distributed_edges(polys, poly_id_col, wkt_col).withColumnRenamed(
             "edges", "_q_edges"

@@ -101,6 +101,8 @@ def pip_join_broadcast(
     `pbits` group (coarse polygons emit coarse cells).
     """
     spark = points.sparkSession
+    if not polys:
+        return points.limit(0).withColumn("poly_id", F.lit(None).cast("string"))
     cover = _cover_pdf(polys, bits, budget)
     edges = F.broadcast(GS.poly_edges_df(spark, polys))
     out = None
@@ -312,6 +314,12 @@ def pip_join_partitioned(
     # for small layers, one distributed pass otherwise); almost
     # always the single target-bits group
     pbits_vals = _cover_resolution_set(polys, bits, budget)
+    if len(pbits_vals) > 1:
+        # several groups would re-run the distributed polyfill once
+        # per group filter: materialize it once
+        cover = cover.localCheckpoint(eager=True)
+    if not pbits_vals:
+        return points.limit(0).withColumn("poly_id", F.lit(None).cast("string"))
 
     if salts is None:
         salts = hot_cell_salts(
@@ -410,9 +418,20 @@ def proximity_join(
     column expression.
     """
     spark = points.sparkSession
+    if not sites:
+        return points.limit(0).withColumn("site_id", F.lit(None).cast("string"))
     rows = []
     for sid, slon, slat, rad in sites:
-        rad_deg = G.meters_to_degrees(rad, slat) if radius_in_meters else rad
+        if radius_in_meters:
+            # convert at the POLEWARD extreme of the buffered band
+            # (one fixed-point step): converting at the site latitude
+            # alone under-buffers the poleward sliver of the disc —
+            # points there pass the exact haversine refine but never
+            # become candidates
+            d0 = G.meters_to_degrees(rad, min(abs(slat), 89.0))
+            rad_deg = G.meters_to_degrees(rad, min(abs(slat) + d0, 89.0))
+        else:
+            rad_deg = rad
         # buffer boxes wrap at the antimeridian (xmin>xmax after
         # wrapping signals the split, same as the bbox scan path)
         xmin, xmax = slon - rad_deg, slon + rad_deg

@@ -174,15 +174,38 @@ def scan(
         # the world and would prune nothing
         pg = G.normalize_idl(G.parse_wkt(spec.geometry_wkt))
         geom = pg
-        bbox = pg.bounds
         if pg.kind == "POLYGON" and len(pg.rings) == 1 and len(pg.rings[0]) == 5:
             r = pg.rings[0]
             xs, ys = set(r[:, 0].tolist()), set(r[:, 1].tolist())
-            if len(xs) == 2 and len(ys) == 2:
+            # 2x2 distinct coords alone also matches a self-
+            # intersecting bowtie; require rectangle adjacency
+            # (consecutive vertices share exactly one coordinate)
+            rectangular = len(xs) == 2 and len(ys) == 2 and all(
+                (r[i, 0] == r[i + 1, 0]) != (r[i, 1] == r[i + 1, 1])
+                for i in range(4)
+            )
+            if rectangular:
                 geom = None  # axis-aligned box: bbox predicate is exact
-        boxes = []
+        gboxes = []
         for mb in G.member_bounds(pg):
-            boxes.extend(G.idl_safe_boxes(*mb))
+            gboxes.extend(G.idl_safe_boxes(*mb))
+        if bbox is not None:
+            # geometry AND bbox: the pruning boxes are the pairwise
+            # intersections (the refine handles the geometry side,
+            # the box predicate below enforces the bbox side)
+            clipped = []
+            for gb in gboxes:
+                for bb in boxes:
+                    ix = (max(gb[0], bb[0]), max(gb[1], bb[1]),
+                          min(gb[2], bb[2]), min(gb[3], bb[3]))
+                    if ix[0] <= ix[2] and ix[1] <= ix[3]:
+                        clipped.append(ix)
+            boxes = clipped
+            if not boxes:
+                return out.filter(F.lit(False))
+        else:
+            boxes = gboxes
+        bbox = pg.bounds
     if bbox is not None and len(boxes) == 1:
         # whole-world filter elimination (FilterHelper.scala:64-82)
         if (
@@ -222,8 +245,13 @@ def scan(
         and spec.t0 is not None
         and spec.t1 is not None
         and z3_col in df.columns
-        and (cell_ranges or _cell_is_stored(df, z3_col))
+        and _cell_is_stored(df, z3_col)
     ):
+        # gated on the z3 column being STORED regardless of the
+        # cell_ranges override: hundreds of OR'd BETWEENs inlining a
+        # derived 62-bit interleave expression is the documented
+        # Janino/codegen blowup, and derived columns can never prune
+        # I/O anyway
         e0 = _epoch_lower(spec.t0)
         e1 = _epoch_upper(spec.t1, spec.t1_exclusive)  # exclusive bound
         w0, w1 = e0 // C.SECONDS_IN_WEEK, max(e1 - 1, e0) // C.SECONDS_IN_WEEK
@@ -318,4 +346,6 @@ def scan_or(
     for spec in specs:
         part = scan(df, spec, id_col=id_col, **kwargs)
         out = part if out is None else out.unionByName(part)
+    if out is None:  # zero disjuncts: empty result, valid schema
+        return df.limit(0)
     return out.dropDuplicates([id_col])

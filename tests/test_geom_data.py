@@ -372,3 +372,31 @@ def test_linestring_query_final_vertex(spark):
     gdf = GD.geom_table(spark.createDataFrame(rows, "gid string, geom_wkt string"))
     got = [r.gid for r in GD.geom_scan(gdf, "LINESTRING (7 7, 1 1)").collect()]
     assert got == ["tri"]
+
+
+def test_normalize_idl_multipolygon_member():
+    """A crossing member inside a MULTIPOLYGON splits too."""
+    w = ("MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)), "
+         "((170 0, -170 0, -170 10, 170 10, 170 0)))")
+    ng = G.normalize_idl(G.parse_wkt(w))
+    assert ng.kind == "MULTIPOLYGON" and len(ng.poly_starts) == 3
+    got = G.contains(
+        ng, np.array([5.0, 175.0, -175.0, 100.0]),
+        np.array([5.0, 5.0, 5.0, 5.0]),
+    )
+    assert list(got) == [True, True, True, False]
+
+
+def test_empty_broadcast_layers(spark, geoms_df):
+    from geomesa_spark.operators.spatial_join import (
+        pip_join_broadcast, proximity_join,
+    )
+    from geomesa_spark.functions import cells as C
+
+    assert GD.geom_join_broadcast(geoms_df, [], bits=5).count() == 0
+    assert GD.geom_dwithin_join(geoms_df, [], 1.0, bits=5).count() == 0
+    pts = spark.createDataFrame(
+        [("a", 0.0, 0.0)], "doc_id string, lon double, lat double"
+    ).withColumn("cell", C.z2_cell(F.col("lon"), F.col("lat")))
+    assert pip_join_broadcast(pts, []).count() == 0
+    assert proximity_join(pts, []).count() == 0

@@ -208,3 +208,47 @@ def test_epoch_bound_helpers():
     # whole second: exclusive stops before it, inclusive covers it
     assert P._epoch_upper(t, True) == e
     assert P._epoch_upper(t, False) == e + 1
+
+
+def test_scan_bbox_and_geometry_conjunction(fixture_df):
+    """bbox AND geometry_wkt both constrain (the bbox used to be
+    silently discarded when a geometry was present)."""
+    spec = P.QuerySpec(
+        geometry_wkt="POLYGON ((35 55, 45 55, 45 90, 35 90, 35 55))",
+        bbox=(0.0, 0.0, 50.0, 61.0),
+    )
+    got = _ids(P.scan(fixture_df, spec))
+    # geometry alone matches lat 60..90 points; bbox caps lat at 61
+    exp = {
+        f"f{i}" for i in range(10)
+        if 55 < 60 + i * 0.1 < 90 and 60 + i * 0.1 <= 61
+    } | {
+        f"f{i}" for i in range(10, 20)
+        if 55 < 60 + (i - 10) * 0.1 < 90 and 60 + (i - 10) * 0.1 <= 61
+    }
+    assert got == exp
+
+
+def test_scan_bowtie_not_treated_as_box(fixture_df):
+    """A self-intersecting 5-point ring with 2x2 distinct coords is
+    NOT an axis-aligned box; the exact refine must run."""
+    spec = P.QuerySpec(geometry_wkt="POLYGON ((30 50, 50 70, 30 70, 50 50, 30 50))")
+    got = _ids(P.scan(fixture_df, spec))
+    # the bowtie's triangles exclude the vertical center line region
+    # where the f0..f9 points sit (lon=40, lat 60..60.9 inside the
+    # middle gap except where the triangles cross)
+    import numpy as np
+    from geomesa_spark.functions import geometry as G
+
+    g = G.parse_wkt("POLYGON ((30 50, 50 70, 30 70, 50 50, 30 50))")
+    rows = fixture_df.select("doc_id", "lon", "lat").collect()
+    exp = {
+        r.doc_id
+        for r in rows
+        if bool(G.contains(g, np.array([r.lon]), np.array([r.lat]))[0])
+    }
+    assert got == exp
+
+
+def test_scan_or_empty(fixture_df):
+    assert P.scan_or(fixture_df, [], id_col="doc_id").count() == 0

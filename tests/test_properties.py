@@ -139,11 +139,14 @@ def test_normalize_idl_containment_equivalence(x0, w, y0, h, ln, lt):
     ln_u = ln + 360.0 if ln < x0 - 180.0 else ln
     exp = (x0 < ln_u < x1) and (y0 < lt < y1)
     # boundary-coincident samples are tolerance-level (as in JTS):
-    # skip them instead of asserting either way
+    # skip them instead of asserting either way. The +-180 seam is a
+    # boundary the split itself introduces (cut-line edges), so
+    # points on it are boundary cases too.
     eps = 1e-9
     on_boundary = (
         min(abs(ln_u - x0), abs(ln_u - x1)) < eps
         or min(abs(lt - y0), abs(lt - y1)) < eps
+        or 180.0 - abs(ln) < eps
     )
     if not on_boundary:
         assert got == exp

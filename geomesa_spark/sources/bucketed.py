@@ -1,0 +1,47 @@
+"""Bucketed cell layouts: shuffle-free co-located joins/aggregations.
+
+The reference pre-splits its index tables so scans land balanced on
+tablets (Splitters.scala:16-37; 128M tablet threshold
+Z3Table.scala:163). Spark's physical analog for *joins* is bucketing:
+two tables bucketed (and optionally sorted) on the same key with the
+same bucket count sort-merge-join WITHOUT any Exchange, and a
+groupBy on the bucket key aggregates without a shuffle. At 100 TB
+this converts every repeated cell-keyed join (point x polygon-cover,
+raster x vector, self-joins for dedup) from a full-table shuffle
+into a per-bucket local merge.
+
+Catalog note: `bucketBy` requires `saveAsTable` (bucket metadata
+lives in the table catalog, not in parquet files); plain
+`.parquet(path)` cannot express it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str = "cell",
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist `df` bucketed (and sorted) by the cell key.
+
+    Pick `n_buckets` once per dataset family — co-located joins
+    require BOTH sides to share the bucket column semantics and
+    count. Sorting within buckets additionally removes the sort
+    stage of a sort-merge join.
+    """
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(*(sort_cols or [bucket_col]))
+    )
+    w.saveAsTable(table_name)
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    return spark.table(table_name)

@@ -62,26 +62,42 @@ def build_corpus(n_docs: int) -> None:
     spark.stop()
 
 
-def run_job(cpus: int) -> tuple[float, int]:
-    """The measured job: extract -> encode -> PIP join + tiles."""
+def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
+    """The measured job. kind='broadcast': extract -> encode -> salted
+    broadcast PIP join + tiles (the shuffle-free headline path).
+    kind='shuffle': the cell-partitioned PIP join with broadcast
+    DISABLED plus a cell-keyed count aggregation — forcing a real
+    two-sided shuffle so the efficiency claim also covers the
+    exchange-bound regime."""
     from pyspark.sql import functions as F
 
     from geomesa_spark.functions import cells as C
-    from geomesa_spark.operators.spatial_join import pip_join_broadcast
+    from geomesa_spark.operators.spatial_join import (
+        pip_join_broadcast,
+        pip_join_partitioned,
+    )
     from geomesa_spark.sources.docs import extract_geometry
 
     spark = session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    if kind == "shuffle":
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     docs = spark.read.parquet(CORPUS)
+    polys_df = spark.createDataFrame(POLYS, "poly_id string, geom_wkt string")
 
     def pipeline():
         pts = extract_geometry(docs)
-        joined = pip_join_broadcast(pts, POLYS).withColumn(
-            "tile", C.cell_parent(F.col("cell"), C.XY_BITS, 8)
-        )
-        joined.select("doc_id", "poly_id", "tile").write.format("noop").mode(
-            "overwrite"
-        ).save()
+        if kind == "shuffle":
+            joined = pip_join_partitioned(pts, polys_df, bits=6).withColumn(
+                "tile", C.cell_parent(F.col("cell"), C.XY_BITS, 8)
+            )
+            out = joined.groupBy("tile", "poly_id").count()
+        else:
+            joined = pip_join_broadcast(pts, POLYS).withColumn(
+                "tile", C.cell_parent(F.col("cell"), C.XY_BITS, 8)
+            )
+            out = joined.select("doc_id", "poly_id", "tile")
+        out.write.format("noop").mode("overwrite").save()
 
     pipeline()  # warm-up: codegen compile, page cache, worker spin-up
     # min-of-3: this sandbox is a shared VM with heavy run-to-run
@@ -97,7 +113,7 @@ def run_job(cpus: int) -> tuple[float, int]:
     return wall, n
 
 
-def _run_job_subprocess(cpus: int) -> tuple[float, int]:
+def _run_job_subprocess(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
     """Each measurement in a FRESH python process: py4j reuses one
     JVM across SparkSessions, and a second, larger session in a used
     JVM GC-thrashes (~7x slow) — a measurement artifact, not engine
@@ -105,7 +121,7 @@ def _run_job_subprocess(cpus: int) -> tuple[float, int]:
     import subprocess
 
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--job", str(cpus)],
+        [sys.executable, os.path.abspath(__file__), "--job", str(cpus), kind],
         capture_output=True, text=True, check=True,
     )
     line = out.stdout.strip().splitlines()[-1]
@@ -115,7 +131,8 @@ def _run_job_subprocess(cpus: int) -> tuple[float, int]:
 
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--job":
-        wall, n = run_job(int(sys.argv[2]))
+        kind = sys.argv[3] if len(sys.argv) > 3 else "broadcast"
+        wall, n = run_job(int(sys.argv[2]), kind)
         print(json.dumps({"wall": wall, "n": n}))
         return
 
@@ -127,6 +144,10 @@ def main() -> None:
     rate8 = n / wall8
     rate32 = n / wall32
     eff = (rate32 / rate8) / 4.0
+    s_wall8, _ = _run_job_subprocess(4, "shuffle")
+    s_wall32, _ = _run_job_subprocess(16, "shuffle")
+    s_rate8, s_rate32 = n / s_wall8, n / s_wall32
+    s_eff = (s_rate32 / s_rate8) / 4.0
     out = {
         "metric": "scaling efficiency local[4]->local[16] (N->4N)",
         "n_docs": n,
@@ -135,6 +156,9 @@ def main() -> None:
         "docs_per_sec_n": round(rate8, 1),
         "docs_per_sec_4n": round(rate32, 1),
         "efficiency": round(eff, 3),
+        "shuffle_wall_sec_n": round(s_wall8, 2),
+        "shuffle_wall_sec_4n": round(s_wall32, 2),
+        "shuffle_efficiency": round(s_eff, 3),
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
@@ -155,6 +179,22 @@ join against 3 polygons, tile assignment at res 8 bits.
 
 **Scaling efficiency (rate_4N / rate_N) / 4 = {eff:.3f}**
 (north_rule target: >= 0.8)
+
+## Shuffle-path scaling (supplementary)
+
+Same input, but the cell-PARTITIONED PIP join with broadcast joins
+disabled plus a cell-keyed aggregation — both sides shuffle on the
+salted cell key, so this measures the exchange-bound regime the
+headline (broadcast) job deliberately avoids.
+
+| parallelism | wall (s) | docs/sec |
+| --- | --- | --- |
+| local[4]  (N)  | {s_wall8:.2f} | {n / s_wall8:,.0f} |
+| local[16] (4N) | {s_wall32:.2f} | {n / s_wall32:,.0f} |
+
+**Shuffle-path efficiency = {s_eff:.3f}.** Local-mode shuffles share
+one machine's memory bus and disk, so this is a LOWER bound on real
+multi-node scaling where exchange bandwidth grows with the cluster.
 
 Why it scales: every stage is embarrassingly parallel — the scan is
 split-per-file, extraction/encoding are narrow column ops inside

@@ -190,29 +190,67 @@ def geom_table_native(
 
 
 def geom_cover_cells(
-    gdf: DataFrame, bits: int, out_col: str = "_pcell"
+    gdf: DataFrame, bits: int, out_col: str = "_pcell",
+    tight_lines: bool = True,
 ) -> DataFrame:
-    """Explode each geometry row to its bbox cell cover at `bits`.
+    """Explode each geometry row to its cell cover at `bits`.
 
-    Pure column ops: the bbox corners map to x/y index ranges and two
-    `explode(sequence(...))`s enumerate the cells — the analog of the
-    ST index writing one key per covering geohash. A bbox cover is a
-    provable superset of the geometry's cells; the exact refine
-    eliminates the false positives (and the caller dedups multi-cell
-    matches). Geometries must not cross the antimeridian — split
-    such rows into in-range piece rows first with
+    Pure column ops — the analog of the ST index writing one key per
+    covering geohash. Polygonal rows enumerate their full bbox (the
+    interior must be covered: a query cell deep inside the polygon
+    still intersects it); with `tight_lines` (default), LINESTRING /
+    POINT rows instead enumerate PER-EDGE bboxes — a long diagonal
+    polyline covers ~O(length) cells instead of the O(length^2) of
+    its global bbox, and the per-edge union is still a provable
+    superset of the 1-D geometry's cells. Duplicate cells per row
+    are fine: the joins dedup (id, poly) candidates before refining.
+
+    Geometries must not cross the antimeridian — split such rows
+    into in-range piece rows first with
     functions.geometry.split_idl_wkt (one output row per piece).
     """
-    return (
-        gdf.withColumn("_cx0", C.lon_to_x(F.col("xmin"), bits))
-        .withColumn("_cx1", C.lon_to_x(F.col("xmax"), bits))
-        .withColumn("_cy0", C.lat_to_y(F.col("ymin"), bits))
-        .withColumn("_cy1", C.lat_to_y(F.col("ymax"), bits))
-        .withColumn("_gx", F.explode(F.sequence(F.col("_cx0"), F.col("_cx1"))))
-        .withColumn("_gy", F.explode(F.sequence(F.col("_cy0"), F.col("_cy1"))))
-        .withColumn(out_col, C.z2_combine(F.col("_gx"), F.col("_gy")))
-        .drop("_cx0", "_cx1", "_cy0", "_cy1", "_gx", "_gy")
+
+    def box_cells(df, x0, x1, y0, y1):
+        return (
+            df.withColumn("_cx0", C.lon_to_x(x0, bits))
+            .withColumn("_cx1", C.lon_to_x(x1, bits))
+            .withColumn("_cy0", C.lat_to_y(y0, bits))
+            .withColumn("_cy1", C.lat_to_y(y1, bits))
+            .withColumn("_gx", F.explode(F.sequence(F.col("_cx0"), F.col("_cx1"))))
+            .withColumn("_gy", F.explode(F.sequence(F.col("_cy0"), F.col("_cy1"))))
+            .withColumn(out_col, C.z2_combine(F.col("_gx"), F.col("_gy")))
+            .drop("_cx0", "_cx1", "_cy0", "_cy1", "_gx", "_gy")
+        )
+
+    if not tight_lines:
+        return box_cells(gdf, F.col("xmin"), F.col("xmax"),
+                         F.col("ymin"), F.col("ymax"))
+    # route per row: per-edge splitting pays only when the global
+    # bbox spans many cells (a long diagonal line's bbox is
+    # O(span^2) cells, its per-edge union O(span)); short features
+    # would just emit near-duplicate cells per edge
+    span = (
+        (C.lon_to_x(F.col("xmax"), bits) - C.lon_to_x(F.col("xmin"), bits) + 1)
+        * (C.lat_to_y(F.col("ymax"), bits) - C.lat_to_y(F.col("ymin"), bits) + 1)
     )
+    wide_line = (~is_polygonal_col(F.col("kind"))) & (span > 16)
+    compact = box_cells(gdf.filter(~wide_line), F.col("xmin"), F.col("xmax"),
+                        F.col("ymin"), F.col("ymax"))
+    lines = (
+        gdf.filter(wide_line)
+        .withColumn("_e", F.explode(F.col("edges")))
+        .transform(
+            lambda d: box_cells(
+                d,
+                F.least(F.col("_e.x0"), F.col("_e.x1")),
+                F.greatest(F.col("_e.x0"), F.col("_e.x1")),
+                F.least(F.col("_e.y0"), F.col("_e.y1")),
+                F.greatest(F.col("_e.y0"), F.col("_e.y1")),
+            )
+        )
+        .drop("_e")
+    )
+    return compact.unionByName(lines)
 
 
 def _seg_cross(a, b) -> Column:

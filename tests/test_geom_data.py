@@ -400,3 +400,36 @@ def test_empty_broadcast_layers(spark, geoms_df):
     ).withColumn("cell", C.z2_cell(F.col("lon"), F.col("lat")))
     assert pip_join_broadcast(pts, []).count() == 0
     assert proximity_join(pts, []).count() == 0
+
+
+def test_tight_line_covers(spark):
+    """Long diagonal lines cover O(span) cells via per-edge boxes
+    instead of the O(span^2) global bbox; results are identical."""
+    diag_pts = ", ".join(
+        f"{-60 + 6 * i} {-40 + 4 * i}" for i in range(21)
+    )  # 20 short segments along one long diagonal
+    rows = [
+        ("diag", f"LINESTRING ({diag_pts})"),
+        ("short", "LINESTRING (1 1, 3 2)"),
+        ("tri", "POLYGON ((0 0, 20 0, 10 15, 0 0))"),
+    ]
+    gdf = GD.geom_table(spark.createDataFrame(rows, "gid string, geom_wkt string"))
+    tight = GD.geom_cover_cells(gdf, 8, tight_lines=True)
+    loose = GD.geom_cover_cells(gdf, 8, tight_lines=False)
+    n_tight = tight.filter(F.col("gid") == "diag").count()
+    n_loose = loose.filter(F.col("gid") == "diag").count()
+    assert n_tight < n_loose / 5  # order-of-magnitude tighter
+    # join results identical either way
+    out_t = sorted(
+        (r.gid, r.poly_id)
+        for r in GD.geom_join_broadcast(gdf, QUERY_POLYS, bits=8)
+        .select("gid", "poly_id").collect()
+    )
+    qs = {pid: G.parse_wkt(w) for pid, w in QUERY_POLYS}
+    exp = sorted(
+        (gid, pid)
+        for gid, w in rows
+        for pid, q in qs.items()
+        if G.geom_intersects(G.parse_wkt(w), q)
+    )
+    assert out_t == exp

@@ -139,13 +139,27 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
     build_corpus(n_docs)
 
-    wall8, n = _run_job_subprocess(4)
-    wall32, _ = _run_job_subprocess(16)
+    # the whole two-level protocol repeats (interleaved) and each
+    # level keeps its MINIMUM wall across repeats: ambient co-tenant
+    # load on this shared VM contaminates individual measurements by
+    # up to ~45%, and the minimum is the least-contaminated estimate
+    # of the engine's own cost (same rationale as the in-process
+    # min-of-3)
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+    wall8 = wall32 = s_wall8 = s_wall32 = float("inf")
+    n = 0
+    for _ in range(repeats):
+        w, n = _run_job_subprocess(4)
+        wall8 = min(wall8, w)
+        w, _ = _run_job_subprocess(16)
+        wall32 = min(wall32, w)
+        w, _ = _run_job_subprocess(4, "shuffle")
+        s_wall8 = min(s_wall8, w)
+        w, _ = _run_job_subprocess(16, "shuffle")
+        s_wall32 = min(s_wall32, w)
     rate8 = n / wall8
     rate32 = n / wall32
     eff = (rate32 / rate8) / 4.0
-    s_wall8, _ = _run_job_subprocess(4, "shuffle")
-    s_wall32, _ = _run_job_subprocess(16, "shuffle")
     s_rate8, s_rate32 = n / s_wall8, n / s_wall32
     s_eff = (s_rate32 / s_rate8) / 4.0
     out = {
@@ -211,9 +225,12 @@ Methodology notes:
   across SparkSessions; a second larger session in a used JVM
   GC-thrashes ~7x — a measurement artifact, not engine behavior)
 - one warm-up pipeline run per level (codegen compile, page cache),
-  then min-of-3 timed runs: this sandbox is a shared VM with heavy
-  run-to-run interference at high thread counts, and the minimum is
-  the least-contaminated estimate of the engine's own cost
+  then min-of-3 timed runs IN-process, and the whole two-level
+  protocol repeats (interleaved) with each level keeping its
+  minimum wall across repeats: this sandbox is a shared VM whose
+  co-tenant load moves individual measurements by up to ~45%, and
+  the minimum is the least-contaminated estimate of the engine's
+  own cost
 - N=4 / 4N=16 leaves host headroom so co-tenant noise does not
   dominate the 4N measurement on this 32-vCPU box
 

@@ -210,47 +210,50 @@ def geom_cover_cells(
     functions.geometry.split_idl_wkt (one output row per piece).
     """
 
-    def box_cells(df, x0, x1, y0, y1):
-        return (
-            df.withColumn("_cx0", C.lon_to_x(x0, bits))
-            .withColumn("_cx1", C.lon_to_x(x1, bits))
-            .withColumn("_cy0", C.lat_to_y(y0, bits))
-            .withColumn("_cy1", C.lat_to_y(y1, bits))
-            .withColumn("_gx", F.explode(F.sequence(F.col("_cx0"), F.col("_cx1"))))
-            .withColumn("_gy", F.explode(F.sequence(F.col("_cy0"), F.col("_cy1"))))
-            .withColumn(out_col, C.z2_combine(F.col("_gx"), F.col("_gy")))
-            .drop("_cx0", "_cx1", "_cy0", "_cy1", "_gx", "_gy")
+    def cell_arr(x0c, x1c, y0c, y1c):
+        """array<long> of all cells in the index-space box — nested
+        transform over the x/y ranges, pure column ops."""
+        return F.flatten(
+            F.transform(
+                F.sequence(x0c, x1c),
+                lambda gx: F.transform(
+                    F.sequence(y0c, y1c), lambda gy: C.z2_combine(gx, gy)
+                ),
+            )
         )
 
+    bbox_cells = cell_arr(
+        C.lon_to_x(F.col("xmin"), bits),
+        C.lon_to_x(F.col("xmax"), bits),
+        C.lat_to_y(F.col("ymin"), bits),
+        C.lat_to_y(F.col("ymax"), bits),
+    )
     if not tight_lines:
-        return box_cells(gdf, F.col("xmin"), F.col("xmax"),
-                         F.col("ymin"), F.col("ymax"))
-    # route per row: per-edge splitting pays only when the global
-    # bbox spans many cells (a long diagonal line's bbox is
-    # O(span^2) cells, its per-edge union O(span)); short features
-    # would just emit near-duplicate cells per edge
+        return gdf.withColumn(out_col, F.explode(bbox_cells))
+    # route per row with a CASE over one cell-array column (a
+    # filtered two-branch union would re-execute the upstream parse
+    # per branch): per-edge splitting pays only when the global bbox
+    # spans many cells (a long diagonal line's bbox is O(span^2)
+    # cells, its per-edge union O(span)); short features would just
+    # emit near-duplicate cells per edge
     span = (
         (C.lon_to_x(F.col("xmax"), bits) - C.lon_to_x(F.col("xmin"), bits) + 1)
         * (C.lat_to_y(F.col("ymax"), bits) - C.lat_to_y(F.col("ymin"), bits) + 1)
     )
     wide_line = (~is_polygonal_col(F.col("kind"))) & (span > 16)
-    compact = box_cells(gdf.filter(~wide_line), F.col("xmin"), F.col("xmax"),
-                        F.col("ymin"), F.col("ymax"))
-    lines = (
-        gdf.filter(wide_line)
-        .withColumn("_e", F.explode(F.col("edges")))
-        .transform(
-            lambda d: box_cells(
-                d,
-                F.least(F.col("_e.x0"), F.col("_e.x1")),
-                F.greatest(F.col("_e.x0"), F.col("_e.x1")),
-                F.least(F.col("_e.y0"), F.col("_e.y1")),
-                F.greatest(F.col("_e.y0"), F.col("_e.y1")),
-            )
+    edge_cells = F.flatten(
+        F.transform(
+            F.col("edges"),
+            lambda e: cell_arr(
+                C.lon_to_x(F.least(e["x0"], e["x1"]), bits),
+                C.lon_to_x(F.greatest(e["x0"], e["x1"]), bits),
+                C.lat_to_y(F.least(e["y0"], e["y1"]), bits),
+                C.lat_to_y(F.greatest(e["y0"], e["y1"]), bits),
+            ),
         )
-        .drop("_e")
     )
-    return compact.unionByName(lines)
+    cells = F.when(wide_line, edge_cells).otherwise(bbox_cells)
+    return gdf.withColumn(out_col, F.explode(cells))
 
 
 def _seg_cross(a, b) -> Column:

@@ -65,10 +65,22 @@ def tube_select(
     cell_bits: int = C.XY_BITS,
     bits: int = TUBE_BITS,
     id_col: str = "doc_id",
+    buffer_in_meters: bool = False,
 ) -> DataFrame:
-    """Docs within `buffer_deg` of the track AND within ±Δ of the
-    corresponding segment's time span. Dedup by id."""
+    """Docs within the buffer of the track AND within ±Δ of the
+    corresponding segment's time span. Dedup by id.
+
+    `buffer_in_meters=True` converts the buffer to degrees at the
+    track's centroid latitude before evaluation — the reference's
+    own rule (TubeBuilder.scala:50-60 converts the dwithin meters at
+    the input geometry's centroid), made conservative here by a
+    poleward fixed-point step like the other meter paths."""
     spark = points.sparkSession
+    if buffer_in_meters:
+        lats = [la for _, _, la in track] or [0.0]
+        c_lat = abs(sum(lats) / len(lats))
+        d0 = G.meters_to_degrees(buffer_deg, min(c_lat, 89.0))
+        buffer_deg = G.meters_to_degrees(buffer_deg, min(c_lat + d0, 89.0))
     tube = build_tube(track, buffer_deg, gap_fill)
     if len(tube) == 0:  # empty track: empty result, valid schema
         return points.limit(0)

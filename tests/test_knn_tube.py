@@ -161,3 +161,40 @@ def test_tube_empty_track(spark):
         })
     ).withColumn("cell", C.z2_cell(F.col("lon"), F.col("lat")))
     assert tube_select(pts, [], 1.0, 60).count() == 0
+
+
+def test_tube_meters_buffer(spark):
+    """Meters buffer converts at the track centroid latitude
+    (TubeBuilder.scala:50-60 rule, poleward-conservative) — results
+    equal the degree-space tube at the converted buffer."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from geomesa_spark.functions import cells as C
+    from geomesa_spark.functions import geometry as G
+    from geomesa_spark.operators.tube import tube_select
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({
+        "doc_id": [f"p{i}" for i in range(800)],
+        "lon": rng.uniform(-20, 40, 800),
+        "lat": rng.uniform(30, 70, 800),
+        "dtg": pd.to_datetime(
+            rng.integers(1704067200, 1706659200, 800), unit="s", utc=True
+        ),
+    })
+    pts = spark.createDataFrame(pdf).withColumn(
+        "cell", C.z2_cell(F.col("lon"), F.col("lat"))
+    )
+    track = [(1704672000, 2.0, 48.0), (1705276800, 10.0, 52.0)]
+    M = 300_000.0
+    got = {r.doc_id for r in tube_select(
+        pts, track, M, 172800, gap_fill="line", buffer_in_meters=True
+    ).collect()}
+    c_lat = (48.0 + 52.0) / 2
+    d0 = G.meters_to_degrees(M, c_lat)
+    deg = G.meters_to_degrees(M, min(c_lat + d0, 89.0))
+    exp = {r.doc_id for r in tube_select(
+        pts, track, deg, 172800, gap_fill="line"
+    ).collect()}
+    assert got == exp and got

@@ -146,8 +146,9 @@ def _register_geom_geom(spark: SparkSession) -> None:
             RETURN (b_poly AND (
                       EXISTS(a, e -> {_contains_sql('b', 'e.x0', 'e.y0')})
                    OR EXISTS(a, e -> {_contains_sql('b', 'e.x1', 'e.y1')})))
-               OR (a_poly AND
-                      EXISTS(b, e -> {_contains_sql('a', 'e.x0', 'e.y0')}))
+               OR (a_poly AND (
+                      EXISTS(b, e -> {_contains_sql('a', 'e.x0', 'e.y0')})
+                   OR EXISTS(b, e -> {_contains_sql('a', 'e.x1', 'e.y1')})))
                OR EXISTS(a, ae -> EXISTS(b, be -> {cross_pair}))"""
     )
     seg_d2 = (

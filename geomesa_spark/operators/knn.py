@@ -343,9 +343,12 @@ def knn_join_df(
         )
         radius *= 2
 
-    if not unresolved.isEmpty():
+    if not results or not unresolved.isEmpty():
         # exact fallback for stragglers (and tiny corpora): one cross
-        # join of the remaining queries against the point table
+        # join of the remaining queries against the point table.
+        # Also taken when `results` is empty (e.g. an empty query
+        # set broke out of round 0) so the union below always has a
+        # correctly-schemed seed instead of raising IndexError.
         joined = pts.crossJoin(unresolved.select("qid", "qlon", "qlat"))
         d2 = _dist_col(lon_col, lat_col, metric)
         w = Window.partitionBy("qid").orderBy(

@@ -207,12 +207,18 @@ def scan(
             boxes = gboxes
         bbox = pg.bounds
     if bbox is not None and len(boxes) == 1:
-        # whole-world filter elimination (FilterHelper.scala:64-82)
+        # whole-world filter elimination (FilterHelper.scala:64-82).
+        # Keyed on the actual PRUNING box, not the geometry's bounds:
+        # when spec.bbox is combined with a geometry, `boxes` holds
+        # the clipped intersections and is the only predicate
+        # enforcing the bbox side — a world-spanning geometry must
+        # not eliminate it.
+        bx0 = boxes[0]
         if (
-            bbox[0] <= WHOLE_WORLD[0]
-            and bbox[1] <= WHOLE_WORLD[1]
-            and bbox[2] >= WHOLE_WORLD[2]
-            and bbox[3] >= WHOLE_WORLD[3]
+            bx0[0] <= WHOLE_WORLD[0]
+            and bx0[1] <= WHOLE_WORLD[1]
+            and bx0[2] >= WHOLE_WORLD[2]
+            and bx0[3] >= WHOLE_WORLD[3]
         ):
             bbox = None
             boxes = None

@@ -286,3 +286,23 @@ def test_avro_map_enum_fixed_roundtrip(tmp_path):
     AV.write_avro_file(str(p), schema, recs)
     _, got = AV.read_avro_bytes(p.read_bytes())
     assert got == recs
+
+
+def test_sql_intersects_edges_final_vertex(spark):
+    """Open LINESTRING whose FINAL vertex lies inside polygon A with
+    the entering segment crossing exactly through an A vertex: the
+    last vertex appears only as an edge x1, so the SQL function must
+    test x1 endpoints on the a_poly branch like its Python twin
+    (ADVICE r2, sql_api.py:150)."""
+    from geomesa_spark.functions import sql_api as S
+    from geomesa_spark.functions import geometry as G
+
+    S.register_sql_functions(spark)
+    a_wkt = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    b_wkt = "LINESTRING (-2 -2, 2 2)"  # crosses A exactly at vertex (0,0)
+    row = spark.sql(
+        f"SELECT st_intersects_edges({S.edges_sql(a_wkt)}, "
+        f"{S.edges_sql(b_wkt)}, true, false) AS hit"
+    ).collect()[0]
+    assert row.hit is True
+    assert G.geom_intersects(G.parse_wkt(a_wkt), G.parse_wkt(b_wkt)) is True

@@ -198,3 +198,29 @@ def test_tube_meters_buffer(spark):
         pts, track, deg, 172800, gap_fill="line"
     ).collect()}
     assert got == exp and got
+
+
+def test_knn_join_df_empty_queries(spark):
+    """An empty query set returns an empty, correctly-schemed result
+    instead of IndexError (ADVICE r2, knn.py:361)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from geomesa_spark.functions import cells as C
+    from geomesa_spark.operators import knn as K
+
+    pts = (
+        spark.createDataFrame(
+            pd.DataFrame(
+                [(f"p{i}", float(i), float(i)) for i in range(20)],
+                columns=["doc_id", "lon", "lat"],
+            )
+        )
+        .withColumn("cell", C.z2_cell(F.col("lon"), F.col("lat")))
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame([], columns=["qid", "qlon", "qlat"]),
+        "qid string, qlon double, qlat double",
+    )
+    out = K.knn_join_df(pts, queries, k=3)
+    assert out.count() == 0
+    assert {"qid", "dist2", "rank", "doc_id"} <= set(out.columns)

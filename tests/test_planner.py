@@ -252,3 +252,34 @@ def test_scan_bowtie_not_treated_as_box(fixture_df):
 
 def test_scan_or_empty(fixture_df):
     assert P.scan_or(fixture_df, [], id_col="doc_id").count() == 0
+
+
+def test_world_spanning_geometry_keeps_bbox(spark):
+    """A geometry whose BOUNDS span the world must not trigger
+    whole-world elimination when spec.bbox also constrains: the
+    pruning boxes (geometry∩bbox intersections) are the only
+    predicate enforcing the bbox side (ADVICE r2, planner.py:209)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from geomesa_spark.functions import cells as C
+
+    pdf = pd.DataFrame(
+        [("in_both", 0.5, 0.5), ("in_diamond_only", 100.0, 0.0)],
+        columns=["doc_id", "lon", "lat"],
+    )
+    df = (
+        spark.createDataFrame(pdf)
+        .withColumn("dtg", F.to_timestamp(F.lit("2010-05-07T00:00:00")))
+        .withColumn("week", C.week(F.col("dtg")))
+        .withColumn("cell", C.z2_cell(F.col("lon"), F.col("lat")))
+    )
+    spec = P.QuerySpec(
+        geometry_wkt="POLYGON ((-180 0, 0 -90, 180 0, 0 90, -180 0))",
+        bbox=(-1.0, -1.0, 1.0, 1.0),
+    )
+    assert _ids(P.scan(df, spec)) == {"in_both"}
+    # sanity: without the bbox, the diamond matches both
+    spec_g = P.QuerySpec(
+        geometry_wkt="POLYGON ((-180 0, 0 -90, 180 0, 0 90, -180 0))"
+    )
+    assert _ids(P.scan(df, spec_g)) == {"in_both", "in_diamond_only"}

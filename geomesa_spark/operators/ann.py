@@ -286,6 +286,48 @@ def ivf_assign(
     return df.mapInPandas(gen, schema=schema)
 
 
+def ivf_probes(
+    df: DataFrame,
+    centroids: np.ndarray,
+    n_probes: int,
+    vec_col: str = "embedding",
+    out_col: str = "probe_lists",
+    normalize: bool = True,
+    exact_fold: bool = False,
+) -> DataFrame:
+    """Append the `n_probes` nearest list ids as array<int> (dot
+    desc, ties to the lowest list id — the same order as
+    `ivf_assign`'s argmax, extended by a stable argsort).
+
+    The distributed generalization of per-query probe selection: one
+    Arrow-batched matmul + argsort per batch, O(1) plan size, no
+    driver materialization — query sets of any cardinality stream
+    through executors exactly like the corpus side's `ivf_assign`.
+    """
+    Cn = normalize_centroids(centroids) if normalize else np.asarray(centroids)
+    Cn = np.ascontiguousarray(Cn, dtype=np.float64)
+    n_probes = min(n_probes, Cn.shape[0])
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.IntegerType()))]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            dots = _fold_dots(V, Cn) if exact_fold else V @ Cn.T
+            # stable argsort of -dots: highest dot first, ties to the
+            # lowest list id (matches ivf_assign's first-max argmax)
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :n_probes]
+            pdf = pdf.copy()
+            pdf[out_col] = [row.astype(np.int32) for row in order]
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -302,7 +344,12 @@ def ivf_topk(
     """Approximate top-k: each query searches its `n_probes` nearest
     inverted lists with the exact fixed-point re-rank. At corpus
     scale the list id is the table's bucket/partition key, so a
-    probe reads ~n_probes/n_lists of the data.
+    probe reads ~n_probes/n_lists of the data. Probe selection is
+    fully distributed (`ivf_probes` — the same Arrow-batched matmul
+    as the corpus side), so the query set may be arbitrarily large;
+    only the post-probe query rows are broadcast into the list join
+    (swap to a plain shuffle join for query sets too big to
+    broadcast).
     `normalize`/`exact_fold` as in `ivf_assign` (set normalize=False
     + exact_fold=True for cross-engine-reproducible assignments).
     Returns (qid, vec_id, cos, rank)."""
@@ -323,35 +370,25 @@ def ivf_topk(
         )
         .drop("_raw")
     )
-    # per-query probe lists (computed on the driver: queries are the
-    # small broadcast side); dots ranked (dot desc, list asc) — the
-    # same tie order as the corpus-side argmax
-    qrows = queries.select(
-        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("_raw")
-    ).collect()
-    probes = []
-    for r in qrows:
-        v = np.array([float(x) for x in r["_raw"]], dtype=np.float64)
-        dots = (
-            _fold_dots(v[None, :], Cn)[0] if exact_fold else Cn @ v
+    # per-query probe lists, computed DISTRIBUTED (ivf_probes): no
+    # driver collect, so the query side scales like the corpus side
+    q_base = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        _fixed(F.col(q_vec_col)).alias("q_fv"),
+        F.col(q_vec_col).alias("_raw"),
+    ).withColumn("q_nrm", _dot(F.col("q_fv"), F.col("q_fv")))
+    q = (
+        ivf_probes(
+            q_base,
+            Cn,
+            n_probes,
+            vec_col="_raw",
+            out_col="_probes",
+            normalize=False,
+            exact_fold=exact_fold,
         )
-        order = sorted(range(len(Cn)), key=lambda li: (-dots[li], li))
-        for li in order[:n_probes]:
-            probes.append((r.q_id, int(li)))
-    spark = corpus.sparkSession
-    # probe schema follows the queries' actual id type (string doc
-    # ids are as valid as longs, matching cosine_topk/lsh_topk)
-    from pyspark.sql import types as _T
-
-    probe_schema = _T.StructType(
-        [
-            _T.StructField("q_id", queries.schema[q_id_col].dataType),
-            _T.StructField("c_list", _T.IntegerType()),
-        ]
-    )
-    probe_df = spark.createDataFrame(probes, probe_schema)
-    q = _with_fixed(queries, q_id_col, q_vec_col, "q_").join(
-        probe_df, "q_id"
+        .withColumn("c_list", F.explode(F.col("_probes")))
+        .drop("_raw", "_probes")
     )
     joined = c.join(
         F.broadcast(q), ["c_list"], "inner"

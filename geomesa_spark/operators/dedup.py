@@ -332,6 +332,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    exact_zero_pairs: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by 64-bit SimHash hamming distance.
 
@@ -340,13 +341,60 @@ def simhash_neardup_pairs(
     chunk, so candidates come from equi-joins on (chunk_idx, chunk)
     — one shuffle, no quadratic scan — then `bit_count(xor)` filters
     exactly. Returns (doc_a, doc_b, hamming).
+
+    Degenerate-band guard: bands are built over DISTINCT signatures
+    only. Identical signatures (every empty/near-empty doc hashes
+    alike) would otherwise replicate one band key m times and send an
+    m^2 * n_chunks candidate blow-up through the band self-join; here
+    they short-circuit as exact-duplicate groups (hamming 0) via one
+    signature equi-join whose work is bounded by the OUTPUT pair
+    count, and only the distinct signatures — one row per band each —
+    enter the banded join. With `exact_zero_pairs=False` the
+    hamming-0 groups emit canonical-representative STAR edges
+    (min-id rep, member, 0) instead of full cliques: linear in group
+    size and the same connectivity for dedup_filter's connected
+    components — use it when giant exact-dup groups are expected.
     """
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     # width == 64 (max_hamming=0): the full-word mask (1<<64)-1
     # exceeds int64 — use -1 (all bits set) instead
     mask = F.lit(-1) if width == 64 else F.lit((1 << width) - 1)
-    sig = simhash64(df, text_col, id_col).repartition(id_col)
+    # the signature table feeds the zero-join, the distinct-signature
+    # band join, and both member expansions: checkpoint lazily so the
+    # md5 token pipeline runs once, not once per consumer
+    sig = (
+        simhash64(df, text_col, id_col)
+        .select(F.col(id_col).alias("doc"), "simhash")
+        .localCheckpoint(eager=False)
+    )
+    # --- hamming 0: identical signatures, no banding needed ---
+    if exact_zero_pairs:
+        a, b = sig.alias("a"), sig.alias("b")
+        zero = a.join(
+            b,
+            (F.col("a.simhash") == F.col("b.simhash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        ).select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+    else:
+        reps = sig.groupBy("simhash").agg(F.min("doc").alias("rep"))
+        zero = (
+            sig.join(reps, "simhash")
+            .filter(F.col("doc") != F.col("rep"))
+            .select(
+                F.col("rep").alias("doc_a"),
+                F.col("doc").alias("doc_b"),
+                F.lit(0).cast("integer").alias("hamming"),
+            )
+        )
+    if max_hamming == 0:
+        return zero
+    # --- hamming 1..max: band the distinct signatures ---
+    dsig = sig.select("simhash").distinct()
     chunks = [
         F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(mask)
         for i in range(n_chunks)
@@ -354,27 +402,39 @@ def simhash_neardup_pairs(
     keys = [
         F.concat_ws("_", F.lit(i), c.cast("string")) for i, c in enumerate(chunks)
     ]
-    bands = sig.select(
-        F.col(id_col).alias("doc"), F.col("simhash"),
-        F.explode(F.array(*keys)).alias("band"),
+    bands = dsig.select(
+        F.col("simhash"), F.explode(F.array(*keys)).alias("band")
     )
     x = bands.alias("x")
     y = bands.alias("y")
     cand = (
         x.join(
             y,
-            (F.col("x.band") == F.col("y.band")) & (F.col("x.doc") < F.col("y.doc")),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.simhash") < F.col("y.simhash")),
         )
         .select(
-            F.col("x.doc").alias("doc_a"),
-            F.col("y.doc").alias("doc_b"),
+            F.col("x.simhash").alias("s_a"),
+            F.col("y.simhash").alias("s_b"),
             F.bit_count(
                 F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
             ).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return cand.filter(F.col("hamming") <= max_hamming)
+    m1 = sig.select(F.col("simhash").alias("s_a"), F.col("doc").alias("_d1"))
+    m2 = sig.select(F.col("simhash").alias("s_b"), F.col("doc").alias("_d2"))
+    near = (
+        cand.join(m1, "s_a")
+        .join(m2, "s_b")
+        .select(
+            F.least(F.col("_d1"), F.col("_d2")).alias("doc_a"),
+            F.greatest(F.col("_d1"), F.col("_d2")).alias("doc_b"),
+            F.col("hamming"),
+        )
+    )
+    return zero.unionByName(near)
 
 
 def simhash_dup_groups(

@@ -189,11 +189,69 @@ def geom_table_native(
     return out if keep_wkt else out.drop(wkt_col)
 
 
+DATA_CELL_BUDGET = 256  # max bbox cells a single data row may explode to
+
+
+def _cell_arr(x0c, x1c, y0c, y1c):
+    """array<long> of all cells in the index-space box — nested
+    transform over the x/y ranges, pure column ops."""
+    return F.flatten(
+        F.transform(
+            F.sequence(x0c, x1c),
+            lambda gx: F.transform(
+                F.sequence(y0c, y1c), lambda gy: C.z2_combine(gx, gy)
+            ),
+        )
+    )
+
+
+def _span_at(bits: int, rb: int):
+    """Bbox span (cell count) of a row's cover at resolution rb,
+    derived by shifting the `bits`-resolution grid coords (floor
+    division property: x_at_rb == x_at_bits >> (bits-rb))."""
+    s = bits - rb
+    x0 = F.shiftrightunsigned(C.lon_to_x(F.col("xmin"), bits), s)
+    x1 = F.shiftrightunsigned(C.lon_to_x(F.col("xmax"), bits), s)
+    y0 = F.shiftrightunsigned(C.lat_to_y(F.col("ymin"), bits), s)
+    y1 = F.shiftrightunsigned(C.lat_to_y(F.col("ymax"), bits), s)
+    return (x0, x1, y0, y1, (x1 - x0 + 1) * (y1 - y0 + 1))
+
+
+def row_rbits_col(
+    bits: int, budget: int = DATA_CELL_BUDGET, tight_lines: bool = True
+) -> Column:
+    """Per-row cover resolution: the FINEST rb <= bits whose bbox
+    span stays within `budget` cells (rb=0 is one world cell, so the
+    chain always terminates). Wide tight lines keep rb = bits — their
+    per-edge cover is already O(length), not O(bbox area).
+
+    This is the data-row analog of the query-side budget degrade
+    (spatial_join._resolution_of): the reference bounds non-point
+    index fan-out the same way by choosing coarser geohash precisions
+    for large geometries (GeohashUtils.scala:638 sizing window;
+    IndexSchema.scala:300-307 dedups the multi-cell rows)."""
+    expr = None
+    for rb in range(bits, 0, -1):
+        _, _, _, _, span = _span_at(bits, rb)
+        cond = span <= budget
+        expr = F.when(cond, F.lit(rb)) if expr is None else expr.when(
+            cond, F.lit(rb)
+        )
+    rb_chain = expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)
+    if not tight_lines:
+        return rb_chain
+    _, _, _, _, span_f = _span_at(bits, bits)
+    wide_line = (~is_polygonal_col(F.col("kind"))) & (span_f > 16)
+    return F.when(wide_line, F.lit(bits)).otherwise(rb_chain)
+
+
 def geom_cover_cells(
     gdf: DataFrame, bits: int, out_col: str = "_pcell",
     tight_lines: bool = True,
+    budget: int | None = None,
+    rbits_col: str = "_pbits",
 ) -> DataFrame:
-    """Explode each geometry row to its cell cover at `bits`.
+    """Explode each geometry row to its cell cover.
 
     Pure column ops — the analog of the ST index writing one key per
     covering geohash. Polygonal rows enumerate their full bbox (the
@@ -205,46 +263,55 @@ def geom_cover_cells(
     superset of the 1-D geometry's cells. Duplicate cells per row
     are fine: the joins dedup (id, poly) candidates before refining.
 
+    With `budget` set, rows whose bbox would explode to more than
+    `budget` cells at `bits` degrade to a coarser PER-ROW resolution
+    (the finest rb with span <= budget; see `row_rbits_col`) and the
+    output gains `rbits_col` carrying each cell's resolution — joins
+    must then match on (cell, resolution). This bounds the explode at
+    O(budget) per row for arbitrarily large data polygons; without it
+    a continental polygon at fine `bits` is an O(bbox-area) blowup.
+
     Geometries must not cross the antimeridian — split such rows
     into in-range piece rows first with
     functions.geometry.split_idl_wkt (one output row per piece).
     """
-
-    def cell_arr(x0c, x1c, y0c, y1c):
-        """array<long> of all cells in the index-space box — nested
-        transform over the x/y ranges, pure column ops."""
-        return F.flatten(
-            F.transform(
-                F.sequence(x0c, x1c),
-                lambda gx: F.transform(
-                    F.sequence(y0c, y1c), lambda gy: C.z2_combine(gx, gy)
-                ),
-            )
-        )
-
-    bbox_cells = cell_arr(
+    bbox_cells = _cell_arr(
         C.lon_to_x(F.col("xmin"), bits),
         C.lon_to_x(F.col("xmax"), bits),
         C.lat_to_y(F.col("ymin"), bits),
         C.lat_to_y(F.col("ymax"), bits),
     )
+    if budget is not None:
+        # multi-resolution CASE chain, finest first: each branch's
+        # shift is a plan-time constant so the whole thing stays one
+        # whole-stage-codegen expression of O(bits) size
+        expr = None
+        for rb in range(bits, 0, -1):
+            x0, x1, y0, y1, span = _span_at(bits, rb)
+            arr = _cell_arr(x0, x1, y0, y1)
+            cond = span <= budget
+            expr = F.when(cond, arr) if expr is None else expr.when(cond, arr)
+        zero = F.array(F.lit(0).cast("long"))
+        bbox_cells = expr.otherwise(zero) if expr is not None else zero
     if not tight_lines:
-        return gdf.withColumn(out_col, F.explode(bbox_cells))
+        out = gdf.withColumn(out_col, F.explode(bbox_cells))
+        if budget is not None:
+            out = out.withColumn(
+                rbits_col, row_rbits_col(bits, budget, tight_lines=False)
+            )
+        return out
     # route per row with a CASE over one cell-array column (a
     # filtered two-branch union would re-execute the upstream parse
     # per branch): per-edge splitting pays only when the global bbox
     # spans many cells (a long diagonal line's bbox is O(span^2)
     # cells, its per-edge union O(span)); short features would just
     # emit near-duplicate cells per edge
-    span = (
-        (C.lon_to_x(F.col("xmax"), bits) - C.lon_to_x(F.col("xmin"), bits) + 1)
-        * (C.lat_to_y(F.col("ymax"), bits) - C.lat_to_y(F.col("ymin"), bits) + 1)
-    )
+    _, _, _, _, span = _span_at(bits, bits)
     wide_line = (~is_polygonal_col(F.col("kind"))) & (span > 16)
     edge_cells = F.flatten(
         F.transform(
             F.col("edges"),
-            lambda e: cell_arr(
+            lambda e: _cell_arr(
                 C.lon_to_x(F.least(e["x0"], e["x1"]), bits),
                 C.lon_to_x(F.greatest(e["x0"], e["x1"]), bits),
                 C.lat_to_y(F.least(e["y0"], e["y1"]), bits),
@@ -253,7 +320,12 @@ def geom_cover_cells(
         )
     )
     cells = F.when(wide_line, edge_cells).otherwise(bbox_cells)
-    return gdf.withColumn(out_col, F.explode(cells))
+    out = gdf.withColumn(out_col, F.explode(cells))
+    if budget is not None:
+        out = out.withColumn(
+            rbits_col, row_rbits_col(bits, budget, tight_lines=True)
+        )
+    return out
 
 
 def _seg_cross(a, b) -> Column:
@@ -313,6 +385,7 @@ def geom_join_broadcast(
     polys: list[tuple[str, str]],
     bits: int = 6,
     id_col: str = "gid",
+    budget: int = DATA_CELL_BUDGET,
 ) -> DataFrame:
     """Geometry-vs-polygon-layer intersects join (broadcast layer).
 
@@ -321,11 +394,15 @@ def geom_join_broadcast(
     mirroring the PIP join generalized to non-point rows:
 
     1. coarse — bbox cell cover of each data geometry joined to the
-       polygon layer's cell cover at the same resolution; matches of
-       a geometry to the same polygon via several cells are deduped
-       *before* refining (the non-point duplicate elimination of
-       IndexSchema.scala:300-307, done pre-refine so the expensive
-       predicate runs once per (gid, poly_id) candidate);
+       polygon layer's cell cover at the same resolution; data rows
+       whose bbox exceeds `budget` cells at `bits` cover at a
+       coarser per-row resolution and match the layer's cover rolled
+       up to that resolution (cells are grid-prefix-nested, so the
+       roll-up is exact); matches of a geometry to the same polygon
+       via several cells are deduped *before* refining (the
+       non-point duplicate elimination of IndexSchema.scala:300-307,
+       done pre-refine so the expensive predicate runs once per
+       (gid, poly_id) candidate);
     2. refine — exact `geom_intersects_col` between the data edge
        array and the broadcast polygon edge array.
 
@@ -337,23 +414,34 @@ def geom_join_broadcast(
     rows = []
     for pid, wkt in polys:
         # IDL-crossing polygons split first: their raw bounds are the
-        # COMPLEMENT box and would cover nothing near the seam
+        # COMPLEMENT box and would cover nothing near the seam.
+        # One cover row set per resolution 0..bits (coarser sets are
+        # geometrically smaller: total <= 4/3 of the finest).
         g = G.normalize_idl(G.parse_wkt(wkt))
-        cells_ = sorted(
-            {c for b in G.member_bounds(g) for c in _bbox_cells(b, bits)}
-        )
-        rows.append(pd.DataFrame({"pcell": cells_, "poly_id": pid}))
+        mbs = G.member_bounds(g)
+        for rb in range(bits + 1):
+            cells_ = sorted({c for b in mbs for c in _bbox_cells(b, rb)})
+            rows.append(
+                pd.DataFrame(
+                    {"pcell": cells_, "pbits": rb, "poly_id": pid}
+                )
+            )
     cover = pd.concat(rows, ignore_index=True)
     cov_df = F.broadcast(
-        spark.createDataFrame(cover, "pcell long, poly_id string")
+        spark.createDataFrame(cover, "pcell long, pbits int, poly_id string")
     )
     q_edges = F.broadcast(
         GS.poly_edges_df(spark, polys).withColumnRenamed("edges", "_q_edges")
     )
-    covered = geom_cover_cells(geoms, bits)
+    covered = geom_cover_cells(geoms, bits, budget=budget)
     cand = (
-        covered.join(cov_df, covered["_pcell"] == cov_df["pcell"], "inner")
-        .drop("_pcell", "pcell")
+        covered.join(
+            cov_df,
+            (covered["_pcell"] == cov_df["pcell"])
+            & (covered["_pbits"] == cov_df["pbits"]),
+            "inner",
+        )
+        .drop("_pcell", "_pbits", "pcell", "pbits")
         .dropDuplicates([id_col, "poly_id"])
     )
     refined = cand.join(q_edges, "poly_id").filter(
@@ -556,25 +644,25 @@ def geom_dwithin_join(
         else:
             dist_deg = dist
         dists.append((pid, float(dist_deg)))
-        parts = []
-        for b in G.member_bounds(g):
-            parts.extend(
-                _bbox_cells(
-                    (
-                        max(b[0] - dist_deg, -180.0),
-                        max(b[1] - dist_deg, -90.0),
-                        min(b[2] + dist_deg, 180.0),
-                        min(b[3] + dist_deg, 90.0),
-                    ),
-                    bits,
-                )
+        buffered = [
+            (
+                max(b[0] - dist_deg, -180.0),
+                max(b[1] - dist_deg, -90.0),
+                min(b[2] + dist_deg, 180.0),
+                min(b[3] + dist_deg, 90.0),
             )
-        rows.append(
-            pd.DataFrame({"pcell": sorted(set(parts)), "poly_id": pid})
-        )
+            for b in G.member_bounds(g)
+        ]
+        for rb in range(bits + 1):
+            parts = sorted(
+                {c for b in buffered for c in _bbox_cells(b, rb)}
+            )
+            rows.append(
+                pd.DataFrame({"pcell": parts, "pbits": rb, "poly_id": pid})
+            )
     cover = pd.concat(rows, ignore_index=True)
     cov_df = F.broadcast(
-        spark.createDataFrame(cover, "pcell long, poly_id string")
+        spark.createDataFrame(cover, "pcell long, pbits int, poly_id string")
     )
     q_edges = F.broadcast(
         GS.poly_edges_df(spark, polys)
@@ -584,10 +672,15 @@ def geom_dwithin_join(
             "poly_id",
         )
     )
-    covered = geom_cover_cells(geoms, bits)
+    covered = geom_cover_cells(geoms, bits, budget=DATA_CELL_BUDGET)
     cand = (
-        covered.join(cov_df, covered["_pcell"] == cov_df["pcell"], "inner")
-        .drop("_pcell", "pcell")
+        covered.join(
+            cov_df,
+            (covered["_pcell"] == cov_df["pcell"])
+            & (covered["_pbits"] == cov_df["pbits"]),
+            "inner",
+        )
+        .drop("_pcell", "_pbits", "pcell", "pbits")
         .dropDuplicates([id_col, "poly_id"])
     )
     refined = cand.join(q_edges, "poly_id").filter(
@@ -618,8 +711,11 @@ def geom_join_partitioned(
     The layer's cell cover is computed distributed (mapInPandas
     polyfill, multi-resolution groups for budget-degraded members —
     spatial_join._distributed_cover); the data side explodes each
-    geometry's bbox cells at the group resolution; both sides
-    shuffle on the cell key. Candidates dedup per (gid, poly_id)
+    geometry's bbox cells at the group resolution, with rows whose
+    bbox exceeds `data_budget` cells degrading to a coarser per-row
+    resolution (the layer cover rolls up to each data resolution via
+    exact parent-cell dedup); both sides shuffle on the
+    (cell, resolution) key. Candidates dedup per (gid, poly_id)
     BEFORE the refine (IndexSchema.scala:300-307), then the exact
     nested-HOF intersects runs once per candidate pair. Data-side
     skew is intrinsically milder than the point case (a geometry
@@ -631,13 +727,27 @@ def geom_join_partitioned(
         _distributed_edges,
     )
 
+    data_budget = DATA_CELL_BUDGET
     cover = _distributed_cover(
         polys, bits, budget, poly_id_col=poly_id_col, wkt_col=wkt_col
     )
     pbits_vals = _cover_resolution_set(polys, bits, budget, wkt_col=wkt_col)
-    if len(pbits_vals) > 1:
-        # several resolution groups would re-run the distributed
-        # polyfill once per group filter: materialize it once
+    # distinct per-row DATA resolutions per group: one cheap bbox-
+    # column scan of the geom table (no explode, columnar prune)
+    data_rbs: dict[int, list[int]] = {}
+    for pb in pbits_vals:
+        rbs = sorted(
+            r[0]
+            for r in geoms.select(
+                row_rbits_col(int(pb), data_budget).alias("rb")
+            )
+            .distinct()
+            .collect()
+        )
+        data_rbs[int(pb)] = rbs or [int(pb)]
+    if len(pbits_vals) > 1 or any(len(v) > 1 for v in data_rbs.values()):
+        # several resolution groups / roll-ups would re-run the
+        # distributed polyfill once per filter: materialize it once
         cover = cover.localCheckpoint(eager=True)
     q_edges = F.broadcast(
         _distributed_edges(polys, poly_id_col, wkt_col).withColumnRenamed(
@@ -647,10 +757,35 @@ def geom_join_partitioned(
     out = None
     for pb in pbits_vals:
         cov_grp = cover.filter(F.col("pbits") == pb).select("pcell", "poly_id")
-        covered = geom_cover_cells(geoms, int(pb))
+        # layer cover at every data resolution in this group: the
+        # roll-up (parent cells of the pb cover, deduped) is the
+        # EXACT rb cover — an rb cell intersects the polygon's bbox
+        # region iff it contains an intersecting pb cell
+        cov_multi = None
+        for rb in data_rbs[int(pb)]:
+            if rb == int(pb):
+                part = cov_grp.withColumn("_cbits", F.lit(int(rb)))
+            else:
+                part = (
+                    cov_grp.select(
+                        C.cell_parent(F.col("pcell"), int(pb), int(rb)).alias(
+                            "pcell"
+                        ),
+                        "poly_id",
+                    )
+                    .dropDuplicates()
+                    .withColumn("_cbits", F.lit(int(rb)))
+                )
+            cov_multi = part if cov_multi is None else cov_multi.unionByName(part)
+        covered = geom_cover_cells(geoms, int(pb), budget=data_budget)
         cand = (
-            covered.join(cov_grp, covered["_pcell"] == cov_grp["pcell"], "inner")
-            .drop("_pcell", "pcell")
+            covered.join(
+                cov_multi,
+                (covered["_pcell"] == cov_multi["pcell"])
+                & (covered["_pbits"] == cov_multi["_cbits"]),
+                "inner",
+            )
+            .drop("_pcell", "_pbits", "pcell", "_cbits")
             .dropDuplicates([id_col, "poly_id"])
         )
         refined = cand.join(q_edges, "poly_id").filter(

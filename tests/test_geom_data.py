@@ -433,3 +433,79 @@ def test_tight_line_covers(spark):
         if G.geom_intersects(G.parse_wkt(w), q)
     )
     assert out_t == exp
+
+
+def test_continental_polygon_budget_degrade(spark):
+    """A continental-scale DATA polygon must not explode O(bbox area)
+    cells: its cover degrades to a coarser per-row resolution bounded
+    by the cell budget, and both join strategies still find exact
+    matches (VERDICT r2 #1; IndexSchema.scala:300-307 non-point rows
+    in several index cells)."""
+    bits, budget = 10, 256
+    rows = [
+        # bbox at bits=10 spans ~512 x ~170 grid cells (~87k) unbudgeted
+        ("continent", "POLYGON ((-120 -30, 60 -30, 60 30, -120 30, -120 -30))"),
+        ("small", "POLYGON ((2 2, 3 2, 2.5 3, 2 2))"),
+        ("far", "POLYGON ((150 70, 155 70, 152 75, 150 70))"),
+    ]
+    gdf = GD.geom_table(
+        spark.createDataFrame(rows, "gid string, geom_wkt string")
+    ).cache()
+    gdf.count()
+
+    covered = GD.geom_cover_cells(gdf, bits, budget=budget)
+    counts = {r.gid: r["cnt"] for r in
+              covered.groupBy("gid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert counts["continent"] <= budget, counts
+    assert counts["small"] <= budget
+    # degraded rows report a coarser resolution, small rows the finest
+    rbs = {r.gid: r.rb for r in
+           covered.select("gid", F.col("_pbits").alias("rb")).distinct().collect()}
+    assert rbs["continent"] < bits
+    assert rbs["small"] == bits
+
+    # layer polygon deep in the continent's INTERIOR (no edge nearby)
+    # must still match via the coarse cells; disjoint layers must not
+    layer = [
+        ("inner", "POLYGON ((-30 -5, -20 -5, -25 5, -30 -5))"),
+        ("outside", "POLYGON ((120 -60, 130 -60, 125 -50, 120 -60))"),
+    ]
+    got_b = sorted(
+        (r.gid, r.poly_id)
+        for r in GD.geom_join_broadcast(gdf, layer, bits=bits, budget=budget)
+        .select("gid", "poly_id").collect()
+    )
+    assert got_b == [("continent", "inner")]
+    polys_df = spark.createDataFrame(layer, "poly_id string, geom_wkt string")
+    got_p = sorted(
+        (r.gid, r.poly_id)
+        for r in GD.geom_join_partitioned(gdf, polys_df, bits=bits)
+        .select("gid", "poly_id").collect()
+    )
+    assert got_p == got_b
+    # dwithin: 'far' is ~40 deg from the continent; 'small' overlaps it
+    near = sorted(
+        (r.gid, r.poly_id)
+        for r in GD.geom_dwithin_join(gdf, layer[:1], 2.0, bits=bits)
+        .select("gid", "poly_id").collect()
+    )
+    assert near == [("continent", "inner")]
+    gdf.unpersist()
+
+
+def test_budget_degrade_matches_unbudgeted(spark, geoms_df):
+    """On a mixed random geometry set the budgeted cover must produce
+    the SAME join result as an effectively-unbounded budget."""
+    tight = sorted(
+        (r.gid, r.poly_id)
+        for r in GD.geom_join_broadcast(
+            geoms_df, QUERY_POLYS, bits=7, budget=8
+        ).select("gid", "poly_id").collect()
+    )
+    loose = sorted(
+        (r.gid, r.poly_id)
+        for r in GD.geom_join_broadcast(
+            geoms_df, QUERY_POLYS, bits=7, budget=10**9
+        ).select("gid", "poly_id").collect()
+    )
+    assert tight == loose and len(loose) > 0

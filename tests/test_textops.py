@@ -381,3 +381,121 @@ def test_ivf_topk_string_ids(spark):
     C = rng.standard_normal((4, 8))
     out = N.ivf_topk(df, df.filter("vec_id = 'v0'"), 5, C, n_probes=2)
     assert out.count() == 5
+
+
+def test_ivf_probes_distributed_large_queryset(spark):
+    """Probe assignment is fully distributed (VERDICT r2 #2): 10^5
+    query rows flow through ivf_topk with no driver materialization
+    of the query set (no LocalTableScan from a collected probe list
+    in the plan), and ivf_probes' per-row order matches the numpy
+    (dot desc, list asc) ranking exactly."""
+    import numpy as np
+    import pandas as pd
+    from geomesa_spark.operators import ann as N
+
+    rng = np.random.default_rng(7)
+    dim, n_lists = 8, 16
+    C = N.normalize_centroids(rng.standard_normal((n_lists, dim)))
+
+    # exact per-row parity of the probe arrays on a small set
+    V = rng.standard_normal((64, dim)).astype(np.float64)
+    small = spark.createDataFrame(
+        pd.DataFrame({"vec_id": list(range(64)),
+                      "embedding": [v.tolist() for v in V]})
+    )
+    got = {
+        r.vec_id: list(r.probe_lists)
+        for r in N.ivf_probes(
+            small, C, 3, normalize=False, exact_fold=True
+        ).collect()
+    }
+    for i in range(64):
+        dots = N._fold_dots(V[i][None, :], C)[0]
+        exp = sorted(range(n_lists), key=lambda li: (-dots[li], li))[:3]
+        assert got[i] == exp, i
+
+    # 10^5 queries end-to-end: completes distributed, one row set per
+    # query, and the plan has no collected-probe LocalTableScan
+    corpus = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[(F.rand(seed=13 + i) * 2 - 1) for i in range(dim)]
+        ).alias("embedding"),
+    )
+    queries = spark.range(100_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[(F.rand(seed=31 + i) * 2 - 1) for i in range(dim)]
+        ).alias("embedding"),
+    )
+    out = N.ivf_topk(corpus, queries, 3, C, n_probes=1)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    ) if hasattr(out._sc._jvm, "PythonSQLUtils") else out._jdf.queryExecution().toString()
+    assert "LocalTableScan" not in plan
+    # every query finds k=3 neighbors (corpus >> k per probed list)
+    cnt = out.groupBy("qid").count()
+    assert cnt.filter(F.col("count") != 3).count() == 0
+    assert cnt.count() == 100_000
+
+
+def test_simhash_degenerate_band_guard(spark):
+    """10^4 near-empty docs (identical signatures) complete without a
+    quadratic band join (VERDICT r2 #3): star-edge mode emits exactly
+    n-1 hamming-0 edges, and the banded join sees each distinct
+    signature once per band."""
+    import pandas as pd
+
+    n = 10_000
+    rows = [(i, "x") for i in range(n)]  # all docs hash identically
+    rows += [(n + i, f"tok{i} unique{i} body{i}") for i in range(50)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    out = D.simhash_neardup_pairs(df, max_hamming=3, exact_zero_pairs=False)
+    zero_edges = out.filter("hamming = 0")
+    # star edges: one per non-representative member of the giant group
+    assert zero_edges.filter("doc_a = 0").count() == n - 1
+    assert zero_edges.count() < n + 100  # linear, not ~n^2/2
+
+    # connectivity is preserved for dedup_filter: the giant group
+    # collapses to one kept doc
+    kept = D.dedup_filter(df, out.select("doc_a", "doc_b"))
+    kept_ids = {r.doc_id for r in kept.filter("doc_id < 10000").collect()}
+    assert kept_ids == {0}
+
+
+def test_simhash_pairs_star_vs_clique_parity(docs_df):
+    """Default (clique) mode is unchanged by the distinct-signature
+    banding; star mode keeps the same connected components."""
+    clique = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.simhash_neardup_pairs(docs_df, max_hamming=9).collect()
+    }
+    star = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.simhash_neardup_pairs(
+            docs_df, max_hamming=9, exact_zero_pairs=False
+        ).collect()
+    }
+    # star is a subset at hamming 0, identical above 0
+    assert {t for t in star if t[2] > 0} == {t for t in clique if t[2] > 0}
+    assert star <= clique
+
+    def components(pairs):
+        parent = {}
+
+        def find(u):
+            parent.setdefault(u, u)
+            while parent[u] != u:
+                parent[u] = parent[parent[u]]
+                u = parent[u]
+            return u
+
+        for a, b, _ in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {u: find(u) for u in parent}
+
+    assert components(clique) == components(star)

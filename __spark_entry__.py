@@ -399,7 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         wkt = F.concat(F.lit("LINESTRING ("), _coords_str(verts), F.lit(")"))
         lines = ge.select(F.col("event_id").alias("gid"), wkt.alias("geom_wkt"))
-        out = GD.geom_join_broadcast(GD.geom_table(lines), _polys, bits=5)
+        out = GD.geom_join_broadcast(GD.geom_table_native(lines), _polys, bits=5)
         return out.select("gid", "poly_id")
 
     q["line_intersects"] = line_intersects
@@ -418,7 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         wkt = F.concat(F.lit("POLYGON (("), _coords_str(verts), F.lit("))"))
         tris = ge.select(F.col("event_id").alias("gid"), wkt.alias("geom_wkt"))
-        out = GD.geom_join_broadcast(GD.geom_table(tris), _polys, bits=5)
+        out = GD.geom_join_broadcast(GD.geom_table_native(tris), _polys, bits=5)
         return out.select("gid", "poly_id")
 
     q["poly_intersects"] = poly_intersects
@@ -436,7 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         wkt = F.concat(F.lit("LINESTRING ("), _coords_str(verts), F.lit(")"))
         lines = ge.select(F.col("event_id").alias("gid"), wkt.alias("geom_wkt"))
-        out = GD.geom_dwithin_join(GD.geom_table(lines), _polys, 3.0, bits=5)
+        out = GD.geom_dwithin_join(GD.geom_table_native(lines), _polys, 3.0, bits=5)
         return out.select("gid", "poly_id")
 
     q["line_dwithin"] = line_dwithin

@@ -22,6 +22,7 @@ scores are exactly reproducible across engines and partitionings.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -214,13 +215,52 @@ def ivf_centroids(
         .collect()
     )
     C = np.array([[float(x) for x in r.v] for r in seeds], dtype=np.float64)
+    # per-list means via mapInPandas PARTIAL SUMS (one (sum, count)
+    # row per list per partition, combined on the driver): a
+    # per-element `F.avg(vec[i])` agg would put `dim` expression
+    # nodes in the plan — unusable at dim >> 1k, while this path is
+    # O(1) plan size at any dim
+    psum_schema = T.StructType(
+        [
+            T.StructField("list_id", T.IntegerType()),
+            T.StructField("psum", T.ArrayType(T.DoubleType())),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
     for _ in range(refine_iters):
-        assigned = ivf_assign(corpus, C, vec_col=vec_col).groupBy("list_id").agg(
-            F.array(*[F.avg(F.col(vec_col)[i]) for i in range(dim)]).alias("mean"),
+        assigned = ivf_assign(corpus, C, vec_col=vec_col).select(
+            vec_col, "list_id"
         )
-        rows = assigned.collect()
-        for r in rows:
-            C[int(r.list_id)] = np.array(r.mean, dtype=np.float64)
+
+        def partial_sums(batches):
+            acc: dict[int, tuple[np.ndarray, int]] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+                lids = pdf["list_id"].to_numpy()
+                for li in np.unique(lids):
+                    m = lids == li
+                    s, c = acc.get(int(li), (np.zeros(V.shape[1]), 0))
+                    acc[int(li)] = (s + V[m].sum(axis=0), c + int(m.sum()))
+            if acc:
+                yield pd.DataFrame(
+                    {
+                        "list_id": [li for li in acc],
+                        "psum": [acc[li][0].tolist() for li in acc],
+                        "cnt": [acc[li][1] for li in acc],
+                    }
+                )
+
+        sums: dict[int, np.ndarray] = {}
+        cnts: dict[int, int] = {}
+        for r in assigned.mapInPandas(partial_sums, psum_schema).collect():
+            li = int(r.list_id)
+            sums[li] = sums.get(li, np.zeros(dim)) + np.array(r.psum)
+            cnts[li] = cnts.get(li, 0) + int(r.cnt)
+        for li, c in cnts.items():
+            if c > 0:
+                C[li] = sums[li] / c
     return C
 
 

@@ -255,6 +255,12 @@ def mosaic(
                 out.append((ox, oy, w, h, [float(v) for v in sub.ravel()]))
             yield pd.DataFrame(out, columns=["ox", "oy", "w", "h", "data"])
 
+    # driver-side collect is BOUNDED BY OUTPUT PIXELS, not input
+    # tiles: each fragment is a crop to the query window, so the sum
+    # of fragment payloads <= mosaic canvas size (plus per-fragment
+    # row overhead). This mirrors the reference's client-side mosaic
+    # (RasterStore mosaicChunks) — fine as long as callers size the
+    # query window to something a driver can hold, same as there.
     frags = cov.mapInPandas(crop, schema=frag_schema).collect()
     if not frags:
         return np.zeros((out_h, out_w))

@@ -395,6 +395,113 @@ def pip_join_partitioned(
     return out
 
 
+def write_points_bucketed(
+    points: DataFrame,
+    table_name: str,
+    bits: int = DEFAULT_COVER_BITS,
+    n_buckets: int = 64,
+    cell_col: str = "cell",
+    cell_bits: int = C.XY_BITS,
+) -> None:
+    """Materialize the point table with its parent-cell join key,
+    bucketed + sorted on it (`sources.bucketed.write_bucketed`).
+    Pair with `write_cover_bucketed` at the SAME bits/n_buckets for
+    `pip_join_bucketed`'s zero-Exchange join."""
+    from geomesa_spark.sources.bucketed import write_bucketed
+
+    pts = points.withColumn(
+        "pcell", C.cell_parent(F.col(cell_col), cell_bits, bits)
+    )
+    write_bucketed(pts, table_name, bucket_col="pcell", n_buckets=n_buckets)
+
+
+def write_cover_bucketed(
+    polys: DataFrame,
+    table_name: str,
+    bits: int = DEFAULT_COVER_BITS,
+    budget: int = V.DEFAULT_POLYFILL_BUDGET,
+    n_buckets: int = 64,
+    poly_id_col: str = "poly_id",
+    wkt_col: str = "geom_wkt",
+) -> None:
+    """Materialize a polygon layer's distributed cell cover
+    (pcell, interior, poly_id, pbits) bucketed + sorted on pcell."""
+    from geomesa_spark.sources.bucketed import write_bucketed
+
+    cover = _distributed_cover(
+        polys, bits, budget, poly_id_col=poly_id_col, wkt_col=wkt_col
+    )
+    write_bucketed(cover, table_name, bucket_col="pcell", n_buckets=n_buckets)
+
+
+def pip_join_bucketed(
+    spark,
+    points_table: str,
+    cover_table: str,
+    polys: DataFrame,
+    bits: int = DEFAULT_COVER_BITS,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    poly_id_col: str = "poly_id",
+    wkt_col: str = "geom_wkt",
+) -> DataFrame:
+    """PIP join over CO-BUCKETED tables: zero Exchange.
+
+    Both tables must come from `write_points_bucketed` /
+    `write_cover_bucketed` with the same `bits` and bucket count —
+    then the cell-keyed join is a per-bucket local sort-merge (no
+    shuffle of either side, no salting needed: the bucket layout
+    already spreads hot cells' ROWS across files within the bucket,
+    and at 100 TB this converts every repeated join against the same
+    layer from a full-table shuffle into a local merge; the
+    reference's analog is pre-split tablets, Splitters.scala:16-37).
+
+    Budget-degraded polygons (cover rows with pbits < bits) can't
+    use the bucket key — their few coarse cover cells join as a
+    BROADCAST hash join on a derived parent key instead, which still
+    shuffles nothing. The refine is the same JVM predicate as every
+    other PIP path.
+    """
+    pts = spark.table(points_table)
+    cover = spark.table(cover_table)
+    edges = F.broadcast(_distributed_edges(polys, poly_id_col, wkt_col))
+
+    fine = cover.filter(F.col("pbits") == bits).select(
+        "pcell", "interior", "poly_id"
+    )
+    joined = pts.join(fine, "pcell")
+    out = (
+        joined.join(edges, "poly_id")
+        .filter(_refine_pip(lon_col, lat_col))
+        .drop("pcell", "interior", "edges")
+    )
+
+    coarse_pbits = [
+        r.pbits
+        for r in cover.select("pbits").distinct().collect()
+        if r.pbits != bits
+    ]
+    for pb in coarse_pbits:
+        cov_grp = cover.filter(F.col("pbits") == pb).select(
+            F.col("pcell").alias("_ccell"), "interior", "poly_id"
+        )
+        pts_c = pts.withColumn(
+            "_ppcell", C.cell_parent(F.col("pcell"), bits, int(pb))
+        )
+        grp = (
+            pts_c.join(
+                F.broadcast(cov_grp),
+                pts_c["_ppcell"] == cov_grp["_ccell"],
+                "inner",
+            )
+            .join(edges, "poly_id")
+            .filter(_refine_pip(lon_col, lat_col))
+            .drop("_ppcell", "_ccell", "pcell", "interior", "edges")
+        )
+        out = out.unionByName(grp, allowMissingColumns=True)
+    return out
+
+
 def proximity_join(
     points: DataFrame,
     sites: list[tuple[str, float, float, float]],

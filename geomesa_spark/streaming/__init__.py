@@ -1,3 +1,9 @@
+from geomesa_spark.streaming.kafka import (  # noqa: F401
+    KAFKA_WIRE_SCHEMA,
+    kafka_changelog,
+    kafka_raw_reader,
+    kafka_reader_options,
+)
 from geomesa_spark.streaming.upsert import (  # noqa: F401
     apply_changelog,
     expire_ttl,

@@ -68,3 +68,59 @@ def test_cobucketed_join_and_agg_no_shuffle(spark, tmp_path):
     assert got == exp
     spark.sql("DROP TABLE IF EXISTS b_left")
     spark.sql("DROP TABLE IF EXISTS b_right")
+
+
+def test_pip_join_bucketed_zero_exchange(spark):
+    """Co-bucketed point + cover tables join with ZERO Exchange in
+    the executed plan (VERDICT r2 #6) and match pip_join_broadcast
+    exactly."""
+    import shutil
+
+    from geomesa_spark.operators import spatial_join as SJ
+
+    for t in ("bk_pts", "bk_cov"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"p{i}" for i in range(n)],
+            "lon": rng.uniform(-40, 40, n),
+            "lat": rng.uniform(-30, 30, n),
+        }
+    )
+    points = spark.createDataFrame(pdf).withColumn(
+        "cell", C.z2_cell(F.col("lon"), F.col("lat"))
+    )
+    layer = [
+        ("pa", "POLYGON ((-20 -10, 10 -10, 10 15, -20 15, -20 -10))"),
+        ("pb", "POLYGON ((15 -20, 35 -20, 25 5, 15 -20))"),
+    ]
+    polys = spark.createDataFrame(layer, "poly_id string, geom_wkt string")
+    bits = 6
+    SJ.write_points_bucketed(points, "bk_pts", bits=bits, n_buckets=8)
+    SJ.write_cover_bucketed(polys, "bk_cov", bits=bits, budget=4096, n_buckets=8)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = SJ.pip_join_bucketed(spark, "bk_pts", "bk_cov", polys, bits=bits)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the only allowed data movement is the explicit edge/cover
+        # broadcasts — no shuffle Exchange of either bucketed side
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+        got = sorted((r.doc_id, r.poly_id)
+                     for r in out.select("doc_id", "poly_id").collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    exp = sorted(
+        (r.doc_id, r.poly_id)
+        for r in SJ.pip_join_broadcast(points, layer, bits=12)
+        .select("doc_id", "poly_id").collect()
+    )
+    assert got == exp and len(exp) > 0
+    spark.sql("DROP TABLE IF EXISTS bk_pts")
+    spark.sql("DROP TABLE IF EXISTS bk_cov")

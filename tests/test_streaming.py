@@ -284,3 +284,95 @@ def test_stateful_upsert_clear_op(spark, tmp_path):
     rows = {r.doc_id: r for r in spark.sql("select * from clear_state").collect()}
     assert not rows["a"].live
     assert rows["b"].live and rows["b"].val == "b1"
+
+
+def test_kafka_reader_options():
+    """The construction seam's option map (VERDICT r2 #4): exactly
+    what a production spark.readStream.format('kafka') needs."""
+    from geomesa_spark.streaming import kafka_reader_options
+
+    opts = kafka_reader_options(
+        "geomesa-feature-updates",
+        "broker1:9092,broker2:9092",
+        starting_offsets="latest",
+        max_offsets_per_trigger=50_000,
+        group_id_prefix="geomesa",
+        extra={"kafka.security.protocol": "SASL_SSL"},
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "geomesa-feature-updates",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "50000",
+        "groupIdPrefix": "geomesa",
+        "kafka.security.protocol": "SASL_SSL",
+    }
+
+
+def test_kafka_changelog_wire_parity(spark):
+    """Kafka wire frames (KAFKA_WIRE_SCHEMA double) fold through
+    kafka_changelog -> apply_changelog to the same state as the
+    directly-constructed changelog; only broker I/O is unexercised
+    (LiveKafkaConsumerFeatureSource.scala:116-191 semantics)."""
+    from datetime import datetime, timezone
+
+    from geomesa_spark.streaming import (
+        KAFKA_WIRE_SCHEMA,
+        apply_changelog,
+        kafka_changelog,
+    )
+
+    msgs = [
+        {"op": "upsert", "doc_id": "a", "ts": 10.0, "val": 1},
+        {"op": "upsert", "doc_id": "b", "ts": 11.0, "val": 2},
+        {"op": "upsert", "doc_id": "a", "ts": 12.0, "val": 3},
+        {"op": "delete", "doc_id": "b", "ts": 13.0, "val": None},
+        # clear kills rows at-or-before its (ts, seq): ts=5 precedes
+        # every upsert above, so nothing dies
+        {"op": "clear", "doc_id": None, "ts": 5.0, "val": None},
+        {"op": "upsert", "doc_id": "c", "ts": 14.0, "val": 4},
+        "not json at all",  # corrupt record must be skipped
+    ]
+    wire = [
+        (
+            None,
+            (json.dumps(m) if isinstance(m, dict) else m).encode(),
+            "geomesa-feature-updates",
+            0,
+            i,
+            datetime.fromtimestamp(1000 + i, tz=timezone.utc),
+            0,
+        )
+        for i, m in enumerate(msgs)
+    ]
+    raw = spark.createDataFrame(wire, KAFKA_WIRE_SCHEMA)
+    payload = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("ts", T.DoubleType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+    log = kafka_changelog(raw, payload)
+    assert set(log.columns) == {"op", "doc_id", "ts", "val", "seq"}
+    state = apply_changelog(None, log)
+    got = {r.doc_id: (r.val, r.seq) for r in state.collect()}
+    # clear at ts=5 precedes everything by ts-order -> kills nothing
+    # later; a=3 (last write), b deleted, c=4; corrupt row skipped
+    assert got == {"a": (3, 2), "c": (4, 5)}
+
+    # ts absent from the payload -> broker timestamp is used
+    payload_nots = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+    log2 = kafka_changelog(raw, payload_nots)
+    ts_by_seq = {r.seq: r.ts for r in log2.collect()}
+    for seq, ts in ts_by_seq.items():
+        # UTC session: the naive timestamp equals the broker epoch
+        assert ts.replace(tzinfo=timezone.utc).timestamp() == 1000 + seq

@@ -372,6 +372,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pip_broadcast"] = pip_broadcast
     q["pip_partitioned"] = pip_partitioned
 
+    def pip_bucketed(spark, sf):
+        """Third PIP strategy: co-bucketed point + cover tables,
+        zero-Exchange sort-merge join (spatial_join.pip_join_bucketed;
+        reference analog: pre-split tablets, Splitters.scala:16-37)."""
+        import re
+
+        from geomesa_spark.operators.spatial_join import (
+            pip_join_bucketed,
+            write_cover_bucketed,
+            write_points_bucketed,
+        )
+
+        tag = re.sub(r"\W", "_", sf)
+        tp, tc = f"gate_pts_bk_{tag}", f"gate_cov_bk_{tag}"
+        for t in (tp, tc):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        polys_df = spark.createDataFrame(
+            _polys, "poly_id string, geom_wkt string"
+        )
+        write_points_bucketed(geo_events(spark, sf), tp, bits=6, n_buckets=16)
+        write_cover_bucketed(polys_df, tc, bits=6, n_buckets=16)
+        return pip_join_bucketed(spark, tp, tc, polys_df, bits=6).select(
+            "event_id", "poly_id"
+        )
+
+    q["pip_bucketed"] = pip_bucketed
+
     # --- non-point data geometries: line/polygon rows vs the query
     # polygon layer (STIdxStrategy.scala:218-243 generalized; dedup
     # of multi-cell rows IndexSchema.scala:300-307). WKT is built in
@@ -403,6 +430,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("gid", "poly_id")
 
     q["line_intersects"] = line_intersects
+
+    def geom_bucketed(spark, sf):
+        """Non-point rows via CO-BUCKETED exploded cover tables
+        (geom_data.write_geoms_bucketed + geom_join_bucketed): the
+        ST-index materialization — one stored row per covering cell
+        per geometry (SpatioTemporalTable.scala:38-46) — joined
+        shuffle-free. Same inputs and result as line_intersects."""
+        import re
+
+        from geomesa_spark.operators import geom_data as GD
+
+        ge = geo_events(spark, sf)
+        x0 = F.col("lon") * F.lit(0.96)
+        y0 = F.col("lat") * F.lit(0.9)
+        verts = [
+            (x0, y0),
+            (x0 + F.lit(3.007), y0 + F.lit(1.003)),
+            (x0 + F.lit(6.014), y0 - F.lit(1.003)),
+        ]
+        wkt = F.concat(F.lit("LINESTRING ("), _coords_str(verts), F.lit(")"))
+        lines = ge.select(F.col("event_id").alias("gid"), wkt.alias("geom_wkt"))
+        from geomesa_spark.operators.spatial_join import write_cover_bucketed
+
+        tag = re.sub(r"\W", "_", sf)
+        tg, tc = f"gate_geoms_bk_{tag}", f"gate_gcov_bk_{tag}"
+        for t in (tg, tc):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        polys_df = spark.createDataFrame(
+            _polys, "poly_id string, geom_wkt string"
+        )
+        GD.write_geoms_bucketed(
+            GD.geom_table_native(lines), tg, bits=5, n_buckets=16
+        )
+        write_cover_bucketed(polys_df, tc, bits=5, budget=65536, n_buckets=16)
+        return GD.geom_join_bucketed(spark, tg, tc, polys_df, bits=5).select(
+            "gid", "poly_id"
+        )
+
+    q["geom_bucketed"] = geom_bucketed
 
     def poly_intersects(spark, sf):
         from geomesa_spark.operators import geom_data as GD
@@ -682,6 +748,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_replay"] = stream_replay
 
+    def kafka_replay(spark, sf):
+        """The same changelog routed through KAFKA WIRE FRAMES: each
+        op serialized to a JSON value with (partition, offset,
+        timestamp) metadata, parsed back by kafka_changelog (offset =
+        log order, LiveKafkaConsumerFeatureSource.scala:116-123), then
+        folded by apply_changelog. Oracle-identical to stream_replay —
+        proving the construction seam changes nothing but transport."""
+        from pyspark.sql import types as T
+
+        from geomesa_spark.streaming import apply_changelog, kafka_changelog
+
+        ev = _load(spark, sf, "events")
+        log = ev.select(
+            F.when(F.col("event_type") == "error", F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+            (F.col("user_id") % 500).cast("string").alias("doc_id"),
+            F.unix_timestamp(F.col("ts")).cast("double").alias("ts"),
+            F.col("event_id").alias("seq"),
+            F.col("event_type").alias("val"),
+        )
+        wire = log.select(
+            F.lit(None).cast("binary").alias("key"),
+            F.to_json(
+                F.struct("op", "doc_id", "ts", "val")
+            ).cast("binary").alias("value"),
+            F.lit("geomesa-updates").alias("topic"),
+            F.lit(0).cast("int").alias("partition"),
+            F.col("seq").cast("long").alias("offset"),
+            F.col("ts").cast("timestamp").alias("timestamp"),
+            F.lit(0).cast("int").alias("timestampType"),
+        )
+        payload = T.StructType(
+            [
+                T.StructField("op", T.StringType()),
+                T.StructField("doc_id", T.StringType()),
+                T.StructField("ts", T.DoubleType()),
+                T.StructField("val", T.StringType()),
+            ]
+        )
+        return apply_changelog(None, kafka_changelog(wire, payload)).select(
+            "doc_id", "ts", "seq", "val"
+        )
+
+    q["kafka_replay"] = kafka_replay
+
     # --- multimodal plumbing: Arrow-batched decode stage over refs
     # derived from `documents`; the deterministic fake decoder is
     # md5-based, so DuckDB replicates it exactly. The feature array
@@ -830,6 +942,10 @@ SELECT event_id, 'pent' AS poly_id FROM pts WHERE {_convex_cond(PENTAGON)}
     o["line_intersects"] = _geom_gate_sql(
         _line_v, [(_line_v[0], _line_v[1]), (_line_v[1], _line_v[2])]
     )
+    # bucketed strategy gates compute the same relations through a
+    # different physical plan — identical oracles by design
+    o["pip_bucketed"] = pip_sql
+    o["geom_bucketed"] = o["line_intersects"]
 
     # dwithin: dist(segment sets) decomposes exactly into crossings
     # (distance 0, covered by the intersects terms) plus endpoint-to-
@@ -1331,5 +1447,10 @@ SELECT doc_id, ts, seq, val FROM (
   FROM log
 ) WHERE rn = 1 AND op <> 'delete'
 """
+
+    # kafka_replay routes the SAME changelog through JSON wire frames
+    # + kafka_changelog (offset = seq); transport must not change the
+    # folded state, so the oracle is stream_replay's
+    o["kafka_replay"] = o["stream_replay"]
 
     return o

@@ -380,6 +380,7 @@ def ivf_topk(
     q_vec_col: str = "embedding",
     normalize: bool = True,
     exact_fold: bool = False,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: each query searches its `n_probes` nearest
     inverted lists with the exact fixed-point re-rank. At corpus
@@ -387,9 +388,10 @@ def ivf_topk(
     probe reads ~n_probes/n_lists of the data. Probe selection is
     fully distributed (`ivf_probes` — the same Arrow-batched matmul
     as the corpus side), so the query set may be arbitrarily large;
-    only the post-probe query rows are broadcast into the list join
-    (swap to a plain shuffle join for query sets too big to
-    broadcast).
+    with the default `broadcast_queries=True` the post-probe query
+    rows broadcast into the list join (right for query sets up to
+    ~10M rows x dim); set it False for larger sets — both sides then
+    shuffle on the list id, which stays the co-location key.
     `normalize`/`exact_fold` as in `ivf_assign` (set normalize=False
     + exact_fold=True for cross-engine-reproducible assignments).
     Returns (qid, vec_id, cos, rank)."""
@@ -430,9 +432,10 @@ def ivf_topk(
         .withColumn("c_list", F.explode(F.col("_probes")))
         .drop("_raw", "_probes")
     )
-    joined = c.join(
-        F.broadcast(q), ["c_list"], "inner"
-    ).filter(F.col("c_id") != F.col("q_id"))
+    q_side = F.broadcast(q) if broadcast_queries else q
+    joined = c.join(q_side, ["c_list"], "inner").filter(
+        F.col("c_id") != F.col("q_id")
+    )
     cos = (
         _dot(F.col("c_fv"), F.col("q_fv"))
         / F.sqrt(F.col("c_nrm").cast("double") * F.col("q_nrm").cast("double"))

@@ -546,6 +546,109 @@ def geom_scan(
     )
 
 
+def write_geoms_bucketed(
+    geoms: DataFrame,
+    table_name: str,
+    bits: int,
+    budget: int = DATA_CELL_BUDGET,
+    n_buckets: int = 64,
+) -> None:
+    """Materialize a geom_table output as its EXPLODED cell cover,
+    bucketed + sorted on the cell key — the Spark analog of the ST
+    index writing one row per covering geohash per geometry
+    (SpatioTemporalTable.scala:38-46; multi-cell rows deduped at
+    query time, IndexSchema.scala:300-307). Pair with
+    `spatial_join.write_cover_bucketed` at the same bits/n_buckets
+    for `geom_join_bucketed`'s shuffle-free join."""
+    from geomesa_spark.sources.bucketed import write_bucketed
+
+    covered = (
+        geom_cover_cells(geoms, bits, budget=budget)
+        .withColumnRenamed("_pcell", "pcell")
+        .withColumnRenamed("_pbits", "pbits")
+    )
+    write_bucketed(covered, table_name, bucket_col="pcell", n_buckets=n_buckets)
+
+
+def geom_join_bucketed(
+    spark,
+    geoms_table: str,
+    cover_table: str,
+    polys: DataFrame,
+    bits: int,
+    id_col: str = "gid",
+    poly_id_col: str = "poly_id",
+    wkt_col: str = "geom_wkt",
+) -> DataFrame:
+    """Geometry-layer intersects join over CO-BUCKETED tables.
+
+    `geoms_table` comes from `write_geoms_bucketed`, `cover_table`
+    from `spatial_join.write_cover_bucketed`, both at the same `bits`
+    and bucket count: the candidate join is then a per-bucket local
+    sort-merge with NO shuffle of either table. Budget-degraded DATA
+    rows (pbits < bits) join their few coarse cells against the
+    cover rolled up to their resolution as a BROADCAST hash join —
+    still no shuffle of the geometry table. The only Exchange in the
+    plan is the (gid, poly_id) candidate dedup, which runs on the
+    coarse-candidate set, not the table (the IndexSchema.scala:
+    300-307 dedup; a point table never needs it, a multi-cell
+    geometry row does).
+
+    The COVER side must be single-resolution at `bits` (raise
+    otherwise — a budget-degraded polygon layer needs
+    `geom_join_partitioned`).
+    """
+    from geomesa_spark.operators.spatial_join import _distributed_edges
+
+    g = spark.table(geoms_table)
+    cov = spark.table(cover_table)
+    cov_pbits = [r.pbits for r in cov.select("pbits").distinct().collect()]
+    if cov_pbits != [bits]:
+        raise ValueError(
+            f"cover table {cover_table} has resolutions {sorted(cov_pbits)}; "
+            f"geom_join_bucketed needs a single-resolution cover at "
+            f"bits={bits} (raise the cover budget or use "
+            f"geom_join_partitioned)"
+        )
+    cov = cov.select("pcell", "poly_id")
+    edges = F.broadcast(
+        _distributed_edges(polys, poly_id_col, wkt_col).withColumnRenamed(
+            "edges", "_q_edges"
+        )
+    )
+
+    cand = g.filter(F.col("pbits") == bits).join(cov, "pcell")
+    data_rbs = [
+        r.pbits
+        for r in g.select("pbits").distinct().collect()
+        if r.pbits != bits
+    ]
+    for rb in data_rbs:
+        cov_rb = F.broadcast(
+            cov.select(
+                C.cell_parent(F.col("pcell"), bits, int(rb)).alias("pcell"),
+                "poly_id",
+            ).dropDuplicates()
+        )
+        cand = cand.unionByName(
+            g.filter(F.col("pbits") == rb).join(cov_rb, "pcell")
+        )
+    refined = (
+        cand.drop("pcell", "pbits")
+        .dropDuplicates([id_col, "poly_id"])
+        .join(edges, "poly_id")
+        .filter(
+            geom_intersects_col(
+                F.col("edges"),
+                F.col("_q_edges"),
+                is_polygonal_col(F.col("kind")),
+                True,
+            )
+        )
+    )
+    return refined.drop("_q_edges")
+
+
 def write_geom_table(
     gdf: DataFrame, path: str, bits: int = 8, partitions: int | None = None
 ) -> None:

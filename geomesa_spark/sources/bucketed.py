@@ -34,6 +34,19 @@ def write_bucketed(
     count. Sorting within buckets additionally removes the sort
     stage of a sort-merge join.
     """
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table_name):
+        # a managed-table LOCATION left behind by a previous session
+        # (whose catalog entry died with the derby metastore) blocks
+        # saveAsTable with LOCATION_ALREADY_EXISTS; clear it
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{wh.rstrip('/')}/{table_name.lower()}"
+        )
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
     w = (
         df.write.mode("overwrite")
         .format("parquet")

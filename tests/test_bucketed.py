@@ -124,3 +124,65 @@ def test_pip_join_bucketed_zero_exchange(spark):
     assert got == exp and len(exp) > 0
     spark.sql("DROP TABLE IF EXISTS bk_pts")
     spark.sql("DROP TABLE IF EXISTS bk_cov")
+
+
+def test_geom_join_bucketed_matches_broadcast(spark):
+    """Co-bucketed exploded geometry cover + polygon cover join with
+    no shuffle of either table (the only Exchange is the candidate
+    dedup) and match geom_join_broadcast exactly — including a
+    budget-degraded continental data polygon."""
+    import shutil
+
+    from geomesa_spark.operators import geom_data as GD
+    from geomesa_spark.operators import spatial_join as SJ
+
+    for t in ("bg_geoms", "bg_cov"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(300):
+        x, y = rng.uniform(-160, 120, 2)[0], rng.uniform(-70, 60, 2)[0]
+        if i % 3 == 0:
+            rows.append((f"g{i}", f"POLYGON (({x} {y}, {x+5} {y}, {x+2.5} {y+4}, {x} {y}))"))
+        elif i % 3 == 1:
+            rows.append((f"g{i}", f"LINESTRING ({x} {y}, {x+8} {y+3})"))
+        else:
+            rows.append((f"g{i}", f"POINT ({x} {y})"))
+    rows.append(("continent", "POLYGON ((-120 -30, 60 -30, 60 30, -120 30, -120 -30))"))
+    gdf = GD.geom_table(
+        spark.createDataFrame(rows, "gid string, geom_wkt string")
+    )
+    layer = [
+        ("qa", "POLYGON ((-20 -15, 15 -15, 15 18, -20 18, -20 -15))"),
+        ("qb", "POLYGON ((40 -50, 90 -50, 65 -20, 40 -50))"),
+    ]
+    polys = spark.createDataFrame(layer, "poly_id string, geom_wkt string")
+    bits = 7
+    GD.write_geoms_bucketed(gdf, "bg_geoms", bits=bits, budget=64, n_buckets=8)
+    SJ.write_cover_bucketed(polys, "bg_cov", bits=bits, budget=65536, n_buckets=8)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = GD.geom_join_bucketed(spark, "bg_geoms", "bg_cov", polys, bits=bits)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # the candidate join itself shuffles NEITHER table: the only
+        # allowed Exchanges are the (gid, poly_id) candidate dedup
+        # and the tiny coarse-cover rollup dedup on the broadcast prep
+        assert plan.count("Exchange hashpartitioning") <= 2, plan
+        got = sorted((r.gid, r.poly_id)
+                     for r in out.select("gid", "poly_id").collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    exp = sorted(
+        (r.gid, r.poly_id)
+        for r in GD.geom_join_broadcast(gdf, layer, bits=bits)
+        .select("gid", "poly_id").collect()
+    )
+    assert got == exp and len(exp) > 0
+    assert any(g == "continent" for g, _ in got)
+    spark.sql("DROP TABLE IF EXISTS bg_geoms")
+    spark.sql("DROP TABLE IF EXISTS bg_cov")

@@ -426,7 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         wkt = F.concat(F.lit("LINESTRING ("), _coords_str(verts), F.lit(")"))
         lines = ge.select(F.col("event_id").alias("gid"), wkt.alias("geom_wkt"))
-        out = GD.geom_join_broadcast(GD.geom_table_native(lines), _polys, bits=5)
+        out = GD.geom_join_broadcast(GD.geom_table(lines), _polys, bits=5)
         return out.select("gid", "poly_id")
 
     q["line_intersects"] = line_intersects
@@ -461,7 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _polys, "poly_id string, geom_wkt string"
         )
         GD.write_geoms_bucketed(
-            GD.geom_table_native(lines), tg, bits=5, n_buckets=16
+            GD.geom_table(lines), tg, bits=5, n_buckets=16
         )
         write_cover_bucketed(polys_df, tc, bits=5, budget=65536, n_buckets=16)
         return GD.geom_join_bucketed(spark, tg, tc, polys_df, bits=5).select(
@@ -484,7 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         wkt = F.concat(F.lit("POLYGON (("), _coords_str(verts), F.lit("))"))
         tris = ge.select(F.col("event_id").alias("gid"), wkt.alias("geom_wkt"))
-        out = GD.geom_join_broadcast(GD.geom_table_native(tris), _polys, bits=5)
+        out = GD.geom_join_broadcast(GD.geom_table(tris), _polys, bits=5)
         return out.select("gid", "poly_id")
 
     q["poly_intersects"] = poly_intersects
@@ -502,7 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         wkt = F.concat(F.lit("LINESTRING ("), _coords_str(verts), F.lit(")"))
         lines = ge.select(F.col("event_id").alias("gid"), wkt.alias("geom_wkt"))
-        out = GD.geom_dwithin_join(GD.geom_table_native(lines), _polys, 3.0, bits=5)
+        out = GD.geom_dwithin_join(GD.geom_table(lines), _polys, 3.0, bits=5)
         return out.select("gid", "poly_id")
 
     q["line_dwithin"] = line_dwithin

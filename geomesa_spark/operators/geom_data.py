@@ -116,9 +116,16 @@ def geom_table_native(
     per row instead of being re-inlined into every derived column
     (lambda-bearing expressions are excluded from codegen common-
     subexpression elimination, which made the naive per-column form
-    ~2x slower than the Arrow path when all columns were consumed;
-    with the barrier this path measured ~2x FASTER than Arrow on a
-    200k-row WKT ingest, r3 experiment).
+    ~2x slower when all columns were consumed).
+
+    Which parser wins is WORKLOAD-DEPENDENT (r3 measurements): at low
+    parallelism (local[8], 200k simple linestrings) this path was ~2x
+    faster than the Arrow `geom_table`; at local[32] on the sf0.1
+    gate workload it was ~2.5x slower (the JVM regex/split pipeline
+    contends where 32 Arrow workers scale). Default to `geom_table`
+    for bulk ingest on wide executors; use this when Python workers
+    are unavailable or memory-capped. Both produce bit-identical
+    output (tested), so swapping is free.
     """
     s = F.trim(F.col(wkt_col))
     kind_raw = F.upper(F.regexp_extract(s, r"^\s*([A-Za-z]+)", 1))
@@ -282,31 +289,39 @@ def geom_cover_cells(
     into in-range piece rows first with
     functions.geometry.split_idl_wkt (one output row per piece).
     """
-    bbox_cells = _cell_arr(
-        C.lon_to_x(F.col("xmin"), bits),
-        C.lon_to_x(F.col("xmax"), bits),
-        C.lat_to_y(F.col("ymin"), bits),
-        C.lat_to_y(F.col("ymax"), bits),
-    )
-    if budget is not None:
-        # multi-resolution CASE chain, finest first: each branch's
-        # shift is a plan-time constant so the whole thing stays one
-        # whole-stage-codegen expression of O(bits) size
-        expr = None
-        for rb in range(bits, 0, -1):
-            x0, x1, y0, y1, span = _span_at(bits, rb)
-            arr = _cell_arr(x0, x1, y0, y1)
-            cond = span <= budget
-            expr = F.when(cond, arr) if expr is None else expr.when(cond, arr)
-        zero = F.array(F.lit(0).cast("long"))
-        bbox_cells = expr.otherwise(zero) if expr is not None else zero
+    if budget is None:
+        bbox_cells = _cell_arr(
+            C.lon_to_x(F.col("xmin"), bits),
+            C.lon_to_x(F.col("xmax"), bits),
+            C.lat_to_y(F.col("ymin"), bits),
+            C.lat_to_y(F.col("ymax"), bits),
+        )
+        out = gdf
+    else:
+        # per-row resolution lands in ONE small-int column; the cell
+        # array is then a SINGLE expression shifting the bits-grid
+        # coords by (bits - rb) via exact power-of-two division —
+        # rows within budget shift by 0. (A per-resolution CASE chain
+        # of array builders measured ~1.7x slower: O(bits) array
+        # expressions blow the codegen method out.)
+        out = gdf.withColumn(
+            rbits_col, row_rbits_col(bits, budget, tight_lines=tight_lines)
+        )
+        s = (F.lit(bits) - F.col(rbits_col)).cast("double")
+        pw = F.pow(F.lit(2.0), s)
+
+        def shift(c):
+            # exact for grid coords < 2^52 (bits <= 31 always holds)
+            return F.floor(c.cast("double") / pw).cast("long")
+
+        bbox_cells = _cell_arr(
+            shift(C.lon_to_x(F.col("xmin"), bits)),
+            shift(C.lon_to_x(F.col("xmax"), bits)),
+            shift(C.lat_to_y(F.col("ymin"), bits)),
+            shift(C.lat_to_y(F.col("ymax"), bits)),
+        )
     if not tight_lines:
-        out = gdf.withColumn(out_col, F.explode(bbox_cells))
-        if budget is not None:
-            out = out.withColumn(
-                rbits_col, row_rbits_col(bits, budget, tight_lines=False)
-            )
-        return out
+        return out.withColumn(out_col, F.explode(bbox_cells))
     # route per row with a CASE over one cell-array column (a
     # filtered two-branch union would re-execute the upstream parse
     # per branch): per-edge splitting pays only when the global bbox
@@ -327,12 +342,7 @@ def geom_cover_cells(
         )
     )
     cells = F.when(wide_line, edge_cells).otherwise(bbox_cells)
-    out = gdf.withColumn(out_col, F.explode(cells))
-    if budget is not None:
-        out = out.withColumn(
-            rbits_col, row_rbits_col(bits, budget, tight_lines=True)
-        )
-    return out
+    return out.withColumn(out_col, F.explode(cells))
 
 
 def _seg_cross(a, b) -> Column:

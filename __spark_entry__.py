@@ -311,6 +311,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return pip_join_broadcast(pts, polys).select("event_id", "poly_id")
 
 
+def _coords_str(pairs):
+    parts = []
+    for i, (x, y) in enumerate(pairs):
+        if i:
+            parts.append(F.lit(", "))
+        parts.extend([x.cast("string"), F.lit(" "), y.cast("string")])
+    return F.concat(*parts)
+
+def _gate_lines(ge):
+    """The derived per-event LINESTRING used by every line gate
+    (and mirrored arithmetically in the oracles) — ONE definition
+    so the oracle-critical constants cannot diverge."""
+    x0 = F.col("lon") * F.lit(0.96)
+    y0 = F.col("lat") * F.lit(0.9)
+    verts = [
+        (x0, y0),
+        (x0 + F.lit(3.007), y0 + F.lit(1.003)),
+        (x0 + F.lit(6.014), y0 - F.lit(1.003)),
+    ]
+    wkt = F.concat(F.lit("LINESTRING ("), _coords_str(verts), F.lit(")"))
+    return ge.select(F.col("event_id").alias("gid"), wkt.alias("geom_wkt"))
+
+def _gate_tris(ge):
+    """The derived per-event triangle POLYGON (same contract)."""
+    x0 = F.col("lon") * F.lit(0.96)
+    y0 = F.col("lat") * F.lit(0.9)
+    verts = [
+        (x0, y0),
+        (x0 + F.lit(2.004), y0 + F.lit(0.504)),
+        (x0 + F.lit(1.002), y0 + F.lit(1.506)),
+        (x0, y0),
+    ]
+    wkt = F.concat(F.lit("POLYGON (("), _coords_str(verts), F.lit("))"))
+    return ge.select(F.col("event_id").alias("gid"), wkt.alias("geom_wkt"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -391,8 +427,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         polys_df = spark.createDataFrame(
             _polys, "poly_id string, geom_wkt string"
         )
-        write_points_bucketed(geo_events(spark, sf), tp, bits=6, n_buckets=16)
-        write_cover_bucketed(polys_df, tc, bits=6, n_buckets=16)
+        write_points_bucketed(
+            geo_events(spark, sf), tp, bits=6, n_buckets=16,
+            clear_stale_location=True,
+        )
+        write_cover_bucketed(
+            polys_df, tc, bits=6, n_buckets=16, clear_stale_location=True
+        )
         return pip_join_bucketed(spark, tp, tc, polys_df, bits=6).select(
             "event_id", "poly_id"
         )
@@ -405,27 +446,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Spark (double->string is shortest-roundtrip, so the Python
     # parse recovers bit-identical coordinates) and the oracle
     # recomputes the same derived vertices arithmetically. ---
-    def _coords_str(pairs):
-        parts = []
-        for i, (x, y) in enumerate(pairs):
-            if i:
-                parts.append(F.lit(", "))
-            parts.extend([x.cast("string"), F.lit(" "), y.cast("string")])
-        return F.concat(*parts)
-
     def line_intersects(spark, sf):
         from geomesa_spark.operators import geom_data as GD
 
-        ge = geo_events(spark, sf)
-        x0 = F.col("lon") * F.lit(0.96)
-        y0 = F.col("lat") * F.lit(0.9)
-        verts = [
-            (x0, y0),
-            (x0 + F.lit(3.007), y0 + F.lit(1.003)),
-            (x0 + F.lit(6.014), y0 - F.lit(1.003)),
-        ]
-        wkt = F.concat(F.lit("LINESTRING ("), _coords_str(verts), F.lit(")"))
-        lines = ge.select(F.col("event_id").alias("gid"), wkt.alias("geom_wkt"))
+        lines = _gate_lines(geo_events(spark, sf))
         out = GD.geom_join_broadcast(GD.geom_table(lines), _polys, bits=5)
         return out.select("gid", "poly_id")
 
@@ -441,16 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from geomesa_spark.operators import geom_data as GD
 
-        ge = geo_events(spark, sf)
-        x0 = F.col("lon") * F.lit(0.96)
-        y0 = F.col("lat") * F.lit(0.9)
-        verts = [
-            (x0, y0),
-            (x0 + F.lit(3.007), y0 + F.lit(1.003)),
-            (x0 + F.lit(6.014), y0 - F.lit(1.003)),
-        ]
-        wkt = F.concat(F.lit("LINESTRING ("), _coords_str(verts), F.lit(")"))
-        lines = ge.select(F.col("event_id").alias("gid"), wkt.alias("geom_wkt"))
+        lines = _gate_lines(geo_events(spark, sf))
         from geomesa_spark.operators.spatial_join import write_cover_bucketed
 
         tag = re.sub(r"\W", "_", sf)
@@ -461,9 +476,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _polys, "poly_id string, geom_wkt string"
         )
         GD.write_geoms_bucketed(
-            GD.geom_table(lines), tg, bits=5, n_buckets=16
+            GD.geom_table(lines), tg, bits=5, n_buckets=16,
+            clear_stale_location=True,
         )
-        write_cover_bucketed(polys_df, tc, bits=5, budget=65536, n_buckets=16)
+        write_cover_bucketed(
+            polys_df, tc, bits=5, budget=65536, n_buckets=16,
+            clear_stale_location=True,
+        )
         return GD.geom_join_bucketed(spark, tg, tc, polys_df, bits=5).select(
             "gid", "poly_id"
         )
@@ -473,17 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def poly_intersects(spark, sf):
         from geomesa_spark.operators import geom_data as GD
 
-        ge = geo_events(spark, sf)
-        x0 = F.col("lon") * F.lit(0.96)
-        y0 = F.col("lat") * F.lit(0.9)
-        verts = [
-            (x0, y0),
-            (x0 + F.lit(2.004), y0 + F.lit(0.504)),
-            (x0 + F.lit(1.002), y0 + F.lit(1.506)),
-            (x0, y0),
-        ]
-        wkt = F.concat(F.lit("POLYGON (("), _coords_str(verts), F.lit("))"))
-        tris = ge.select(F.col("event_id").alias("gid"), wkt.alias("geom_wkt"))
+        tris = _gate_tris(geo_events(spark, sf))
         out = GD.geom_join_broadcast(GD.geom_table(tris), _polys, bits=5)
         return out.select("gid", "poly_id")
 
@@ -492,16 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def line_dwithin(spark, sf):
         from geomesa_spark.operators import geom_data as GD
 
-        ge = geo_events(spark, sf)
-        x0 = F.col("lon") * F.lit(0.96)
-        y0 = F.col("lat") * F.lit(0.9)
-        verts = [
-            (x0, y0),
-            (x0 + F.lit(3.007), y0 + F.lit(1.003)),
-            (x0 + F.lit(6.014), y0 - F.lit(1.003)),
-        ]
-        wkt = F.concat(F.lit("LINESTRING ("), _coords_str(verts), F.lit(")"))
-        lines = ge.select(F.col("event_id").alias("gid"), wkt.alias("geom_wkt"))
+        lines = _gate_lines(geo_events(spark, sf))
         out = GD.geom_dwithin_join(GD.geom_table(lines), _polys, 3.0, bits=5)
         return out.select("gid", "poly_id")
 

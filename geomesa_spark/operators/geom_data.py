@@ -231,13 +231,38 @@ def _span_at(bits: int, rb: int):
     return (x0, x1, y0, y1, (x1 - x0 + 1) * (y1 - y0 + 1))
 
 
+def _line_cells_est(bits: int) -> Column:
+    """Estimated walked-cover cell count of a 1-D row at `bits`: sum
+    over edges of the dominant-axis span in cells (+1 each)."""
+    cw = 360.0 / (1 << bits)
+    ch = 180.0 / (1 << bits)
+    return F.aggregate(
+        F.col("edges"),
+        F.lit(0.0),
+        lambda a, e: a
+        + F.greatest(
+            F.abs(e["x1"] - e["x0"]) / F.lit(cw),
+            F.abs(e["y1"] - e["y0"]) / F.lit(ch),
+        )
+        + F.lit(1.0),
+    )
+
+
 def row_rbits_col(
     bits: int, budget: int = DATA_CELL_BUDGET, tight_lines: bool = True
 ) -> Column:
-    """Per-row cover resolution: the FINEST rb <= bits whose bbox
-    span stays within `budget` cells (rb=0 is one world cell, so the
-    chain always terminates). Wide tight lines keep rb = bits — their
-    per-edge cover is already O(length), not O(bbox area).
+    """Per-row cover resolution: the FINEST rb <= bits whose cover
+    stays within `budget` cells (rb=0 is one world cell, so every
+    row terminates).
+
+    Polygonal / non-tight rows bound their BBOX span (CASE chain over
+    the bits levels). Wide tight lines bound their WALKED cover
+    instead, in closed form: the walk emits <= 4 * est cells where
+    est halves per coarsening step, so rb = bits -
+    ceil(log2(4*est(bits)/budget)) guarantees <= budget + O(n_edges)
+    cells (a row with many edges intrinsically needs that many index
+    keys — same as the reference writing one key per covering
+    geohash).
 
     This is the data-row analog of the query-side budget degrade
     (spatial_join._resolution_of): the reference bounds non-point
@@ -256,7 +281,21 @@ def row_rbits_col(
         return rb_chain
     _, _, _, _, span_f = _span_at(bits, bits)
     wide_line = (~is_polygonal_col(F.col("kind"))) & (span_f > 16)
-    return F.when(wide_line, F.lit(bits)).otherwise(rb_chain)
+    est = _line_cells_est(bits)
+    s_line = F.least(
+        F.lit(bits),
+        F.greatest(
+            F.lit(0),
+            F.ceil(
+                F.log2(
+                    F.greatest(
+                        F.lit(1.0), est * F.lit(4.0) / F.lit(float(budget))
+                    )
+                )
+            ).cast("int"),
+        ),
+    )
+    return F.when(wide_line, F.lit(bits) - s_line).otherwise(rb_chain)
 
 
 def geom_cover_cells(
@@ -324,23 +363,72 @@ def geom_cover_cells(
         return out.withColumn(out_col, F.explode(bbox_cells))
     # route per row with a CASE over one cell-array column (a
     # filtered two-branch union would re-execute the upstream parse
-    # per branch): per-edge splitting pays only when the global bbox
+    # per branch): per-edge covering pays only when the global bbox
     # spans many cells (a long diagonal line's bbox is O(span^2)
-    # cells, its per-edge union O(span)); short features would just
-    # emit near-duplicate cells per edge
+    # cells); short features would just emit near-duplicate cells
+    # per edge
     _, _, _, _, span = _span_at(bits, bits)
     wide_line = (~is_polygonal_col(F.col("kind"))) & (span > 16)
-    edge_cells = F.flatten(
-        F.transform(
-            F.col("edges"),
-            lambda e: _cell_arr(
-                C.lon_to_x(F.least(e["x0"], e["x1"]), bits),
-                C.lon_to_x(F.greatest(e["x0"], e["x1"]), bits),
-                C.lat_to_y(F.least(e["y0"], e["y1"]), bits),
-                C.lat_to_y(F.greatest(e["y0"], e["y1"]), bits),
-            ),
+    if budget is None:
+        # per-edge bbox union: O(edge-span^2) for a single long
+        # DIAGONAL edge (the budgeted path below fixes that); tight
+        # for axis-aligned or short edges
+        edge_cells = F.flatten(
+            F.transform(
+                F.col("edges"),
+                lambda e: _cell_arr(
+                    C.lon_to_x(F.least(e["x0"], e["x1"]), bits),
+                    C.lon_to_x(F.greatest(e["x0"], e["x1"]), bits),
+                    C.lat_to_y(F.least(e["y0"], e["y1"]), bits),
+                    C.lat_to_y(F.greatest(e["y0"], e["y1"]), bits),
+                ),
+            )
         )
-    )
+    else:
+        # supercover WALK at the row resolution: sample each edge at
+        # <= 1-cell steps in the dominant axis and emit the (<= 2x2)
+        # cell bbox of each consecutive sample pair — the segment
+        # between two samples lies inside their bbox, so the union is
+        # a provable superset, and the count is O(edge length / cell)
+        # even for one long diagonal edge (the per-edge-bbox form was
+        # O(length^2) there). Combined with the rb degrade above the
+        # per-row cover is <= ~budget + 4 * n_edges cells.
+        cellw = F.lit(360.0 / (1 << bits)) * pw
+        cellh = F.lit(180.0 / (1 << bits)) * pw
+
+        def _walk(e):
+            dx = e["x1"] - e["x0"]
+            dy = e["y1"] - e["y0"]
+            steps = F.greatest(
+                F.lit(1),
+                F.ceil(
+                    F.greatest(F.abs(dx) / cellw, F.abs(dy) / cellh)
+                ).cast("int"),
+            )
+
+            def px(sc):
+                return e["x0"] + (sc.cast("double") / steps.cast("double")) * dx
+
+            def py(sc):
+                return e["y0"] + (sc.cast("double") / steps.cast("double")) * dy
+
+            return F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), steps - 1),
+                    lambda sc: _cell_arr(
+                        shift(C.lon_to_x(F.least(px(sc), px(sc + 1)), bits)),
+                        shift(
+                            C.lon_to_x(F.greatest(px(sc), px(sc + 1)), bits)
+                        ),
+                        shift(C.lat_to_y(F.least(py(sc), py(sc + 1)), bits)),
+                        shift(
+                            C.lat_to_y(F.greatest(py(sc), py(sc + 1)), bits)
+                        ),
+                    ),
+                )
+            )
+
+        edge_cells = F.flatten(F.transform(F.col("edges"), _walk))
     cells = F.when(wide_line, edge_cells).otherwise(bbox_cells)
     return out.withColumn(out_col, F.explode(cells))
 
@@ -562,6 +650,7 @@ def write_geoms_bucketed(
     bits: int,
     budget: int = DATA_CELL_BUDGET,
     n_buckets: int = 64,
+    clear_stale_location: bool = False,
 ) -> None:
     """Materialize a geom_table output as its EXPLODED cell cover,
     bucketed + sorted on the cell key — the Spark analog of the ST
@@ -577,7 +666,10 @@ def write_geoms_bucketed(
         .withColumnRenamed("_pcell", "pcell")
         .withColumnRenamed("_pbits", "pbits")
     )
-    write_bucketed(covered, table_name, bucket_col="pcell", n_buckets=n_buckets)
+    write_bucketed(
+        covered, table_name, bucket_col="pcell", n_buckets=n_buckets,
+        clear_stale_location=clear_stale_location,
+    )
 
 
 def geom_join_bucketed(
@@ -848,23 +940,31 @@ def geom_join_partitioned(
     )
 
     data_budget = DATA_CELL_BUDGET
+    # the geom table feeds the rb-detection job plus one cover+join
+    # per resolution group: checkpoint lazily so the (expensive) WKT
+    # parse runs once, not once per consumer
+    geoms = geoms.localCheckpoint(eager=False)
     cover = _distributed_cover(
         polys, bits, budget, poly_id_col=poly_id_col, wkt_col=wkt_col
     )
     pbits_vals = _cover_resolution_set(polys, bits, budget, wkt_col=wkt_col)
-    # distinct per-row DATA resolutions per group: one cheap bbox-
-    # column scan of the geom table (no explode, columnar prune)
-    data_rbs: dict[int, list[int]] = {}
-    for pb in pbits_vals:
-        rbs = sorted(
-            r[0]
-            for r in geoms.select(
-                row_rbits_col(int(pb), data_budget).alias("rb")
+    # distinct per-row DATA resolutions, ALL groups in ONE job (one
+    # rb column per group, distinct over the tuple)
+    data_rbs: dict[int, list[int]] = {int(pb): [] for pb in pbits_vals}
+    if pbits_vals:
+        rb_rows = (
+            geoms.select(
+                *[
+                    row_rbits_col(int(pb), data_budget).alias(f"rb_{pb}")
+                    for pb in pbits_vals
+                ]
             )
             .distinct()
             .collect()
         )
-        data_rbs[int(pb)] = rbs or [int(pb)]
+        for pb in pbits_vals:
+            vals = sorted({int(r[f"rb_{pb}"]) for r in rb_rows})
+            data_rbs[int(pb)] = vals or [int(pb)]
     if len(pbits_vals) > 1 or any(len(v) > 1 for v in data_rbs.values()):
         # several resolution groups / roll-ups would re-run the
         # distributed polyfill once per filter: materialize it once

@@ -402,6 +402,7 @@ def write_points_bucketed(
     n_buckets: int = 64,
     cell_col: str = "cell",
     cell_bits: int = C.XY_BITS,
+    clear_stale_location: bool = False,
 ) -> None:
     """Materialize the point table with its parent-cell join key,
     bucketed + sorted on it (`sources.bucketed.write_bucketed`).
@@ -412,7 +413,10 @@ def write_points_bucketed(
     pts = points.withColumn(
         "pcell", C.cell_parent(F.col(cell_col), cell_bits, bits)
     )
-    write_bucketed(pts, table_name, bucket_col="pcell", n_buckets=n_buckets)
+    write_bucketed(
+        pts, table_name, bucket_col="pcell", n_buckets=n_buckets,
+        clear_stale_location=clear_stale_location,
+    )
 
 
 def write_cover_bucketed(
@@ -423,6 +427,7 @@ def write_cover_bucketed(
     n_buckets: int = 64,
     poly_id_col: str = "poly_id",
     wkt_col: str = "geom_wkt",
+    clear_stale_location: bool = False,
 ) -> None:
     """Materialize a polygon layer's distributed cell cover
     (pcell, interior, poly_id, pbits) bucketed + sorted on pcell."""
@@ -431,7 +436,10 @@ def write_cover_bucketed(
     cover = _distributed_cover(
         polys, bits, budget, poly_id_col=poly_id_col, wkt_col=wkt_col
     )
-    write_bucketed(cover, table_name, bucket_col="pcell", n_buckets=n_buckets)
+    write_bucketed(
+        cover, table_name, bucket_col="pcell", n_buckets=n_buckets,
+        clear_stale_location=clear_stale_location,
+    )
 
 
 def pip_join_bucketed(

@@ -32,21 +32,24 @@ class VisibilityError(ValueError):
     pass
 
 
-def _tokenize(expr: str) -> list[str]:
-    toks: list[str] = []
+def _tokenize(expr: str) -> list[tuple[str, str]]:
+    """Tagged tokens ("op", ch) / ("label", text): a QUOTED label is
+    always a label even when its text looks like an operator
+    ('"&"', '"("', '""' are legal Accumulo quoted terms)."""
+    toks: list[tuple[str, str]] = []
     i, n = 0, len(expr)
     while i < n:
         ch = expr[i]
         if ch.isspace():
             i += 1
         elif ch in "&|()":
-            toks.append(ch)
+            toks.append(("op", ch))
             i += 1
         elif ch == '"':
             j = expr.find('"', i + 1)
             if j < 0:
                 raise VisibilityError(f"unterminated quote in {expr!r}")
-            toks.append(expr[i + 1 : j])
+            toks.append(("label", expr[i + 1 : j]))
             i = j + 1
         else:
             j = i
@@ -54,7 +57,7 @@ def _tokenize(expr: str) -> list[str]:
                 j += 1
             if j == i:
                 raise VisibilityError(f"bad character {ch!r} in {expr!r}")
-            toks.append(expr[i:j])
+            toks.append(("label", expr[i:j]))
             i = j
     return toks
 
@@ -74,10 +77,11 @@ def evaluate(expr: str | None, auths: set[str] | frozenset[str]) -> bool:
         nonlocal pos
         vals: list[bool] = [parse_term()]
         op: str | None = None
-        while pos < len(toks) and toks[pos] in "&|":
+        while pos < len(toks) and toks[pos] in (("op", "&"), ("op", "|")):
+            cur = toks[pos][1]
             if op is None:
-                op = toks[pos]
-            elif toks[pos] != op:
+                op = cur
+            elif cur != op:
                 raise VisibilityError(
                     f"mixed & and | without parentheses in {expr!r}"
                 )
@@ -89,15 +93,15 @@ def evaluate(expr: str | None, auths: set[str] | frozenset[str]) -> bool:
         nonlocal pos
         if pos >= len(toks):
             raise VisibilityError(f"unexpected end of expression {expr!r}")
-        t = toks[pos]
-        if t == "(":
+        tag, t = toks[pos]
+        if tag == "op" and t == "(":
             pos += 1
             v = parse()
-            if pos >= len(toks) or toks[pos] != ")":
+            if pos >= len(toks) or toks[pos] != ("op", ")"):
                 raise VisibilityError(f"unbalanced parentheses in {expr!r}")
             pos += 1
             return v
-        if t in "&|)":
+        if tag == "op":
             raise VisibilityError(f"unexpected {t!r} in {expr!r}")
         pos += 1
         return t in auths

@@ -26,6 +26,7 @@ def write_bucketed(
     bucket_col: str = "cell",
     n_buckets: int = 64,
     sort_cols: list[str] | None = None,
+    clear_stale_location: bool = False,
 ) -> None:
     """Persist `df` bucketed (and sorted) by the cell key.
 
@@ -33,12 +34,21 @@ def write_bucketed(
     require BOTH sides to share the bucket column semantics and
     count. Sorting within buckets additionally removes the sort
     stage of a sort-merge join.
+
+    `clear_stale_location=True` deletes an orphaned managed-table
+    directory (left by a previous session whose per-session Derby
+    metastore died with it) before writing, so saveAsTable stays
+    idempotent across sessions. It is OPT-IN and restricted to
+    unqualified default-database names because in a warehouse shared
+    by several live metastores the "orphan" may be another session's
+    live table — never enable it on a shared warehouse.
     """
     spark = df.sparkSession
-    if not spark.catalog.tableExists(table_name):
-        # a managed-table LOCATION left behind by a previous session
-        # (whose catalog entry died with the derby metastore) blocks
-        # saveAsTable with LOCATION_ALREADY_EXISTS; clear it
+    if (
+        clear_stale_location
+        and "." not in table_name
+        and not spark.catalog.tableExists(table_name)
+    ):
         wh = spark.conf.get("spark.sql.warehouse.dir")
         jvm = spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(

@@ -118,6 +118,15 @@ def kafka_changelog(
       partitioner does) so per-key order is total.
     """
     fields = [f.name for f in payload_schema.fields]
+    if "seq" in fields:
+        # `seq` is reserved for the offset-derived log-order column;
+        # a payload field of the same name would produce an ambiguous
+        # duplicate that breaks apply_changelog downstream
+        raise ValueError(
+            "payload_schema must not contain a 'seq' field — the "
+            "changelog's seq comes from the Kafka offset; rename the "
+            "payload field"
+        )
     if op_field not in fields:
         payload_schema = T.StructType(
             [T.StructField(op_field, T.StringType())] + list(payload_schema.fields)

@@ -509,3 +509,50 @@ def test_budget_degrade_matches_unbudgeted(spark, geoms_df):
         ).select("gid", "poly_id").collect()
     )
     assert tight == loose and len(loose) > 0
+
+
+def test_long_diagonal_line_budget(spark):
+    """A single long DIAGONAL edge must not explode O(bbox-area)
+    cells (r3 review finding): the budgeted supercover walk keeps the
+    per-row cover ~O(budget) and the joins still find polygons that
+    touch the line mid-way."""
+    bits, budget = 10, 256
+    rows = [
+        ("diag", "LINESTRING (-170 -80, 170 80)"),
+        ("short", "LINESTRING (10 10, 12 11)"),
+    ]
+    gdf = GD.geom_table(
+        spark.createDataFrame(rows, "gid string, geom_wkt string")
+    ).cache()
+    gdf.count()
+    covered = GD.geom_cover_cells(gdf, bits, budget=budget)
+    counts = {r.gid: r["cnt"] for r in
+              covered.groupBy("gid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # unbudgeted per-edge bbox would be ~870k cells for 'diag'
+    assert counts["diag"] <= 4 * budget, counts
+    # a small polygon crossing the line near the MIDDLE (0,0) and one
+    # far from it
+    layer = [
+        ("mid", "POLYGON ((-2 -3, 3 -3, 3 2, -2 2, -2 -3))"),
+        ("off", "POLYGON ((-150 60, -140 60, -145 70, -150 60))"),
+    ]
+    got = sorted(
+        (r.gid, r.poly_id)
+        for r in GD.geom_join_broadcast(gdf, layer, bits=bits, budget=budget)
+        .select("gid", "poly_id").collect()
+    )
+    exp = sorted(
+        (gid, pid)
+        for gid, w in rows
+        for pid, pw in layer
+        if G.geom_intersects(G.parse_wkt(w), G.parse_wkt(pw))
+    )
+    assert got == exp and ("diag", "mid") in got
+    polys_df = spark.createDataFrame(layer, "poly_id string, geom_wkt string")
+    got_p = sorted(
+        (r.gid, r.poly_id)
+        for r in GD.geom_join_partitioned(gdf, polys_df, bits=bits)
+        .select("gid", "poly_id").collect()
+    )
+    assert got_p == exp
+    gdf.unpersist()

@@ -59,3 +59,13 @@ def test_visibility_filter(spark):
     # the predicate is a plain isin/isNull — pushable, no Python
     plan = visibility_filter(df, {"admin"})._jdf.queryExecution().optimizedPlan().toString()
     assert "pythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_quoted_operator_lookalike_labels():
+    """Quoted labels whose text looks like grammar tokens are LABELS,
+    not operators (r3 review finding)."""
+    assert evaluate('"&"', {"&"}) is True
+    assert evaluate('"&"', {"admin"}) is False
+    assert evaluate('"("|admin', {"admin"}) is True
+    assert evaluate('admin&"|"', {"admin", "|"}) is True
+    assert evaluate('""', {"x"}) is False  # empty label: never granted

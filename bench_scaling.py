@@ -188,10 +188,13 @@ def main() -> None:
         if k.strip()
     ]
     bad = [k for k in kinds if k not in VALID_KINDS]
-    if bad:
+    if bad or not kinds:
         # an unknown token would silently fall through to the
         # broadcast job and record mislabeled evidence — refuse
-        raise SystemExit(f"unknown scaling kinds {bad}; valid: {VALID_KINDS}")
+        raise SystemExit(
+            f"invalid SPARK_GRAFT_SCALING_KINDS "
+            f"({bad or 'empty'}); valid: {VALID_KINDS}"
+        )
     walls: dict[tuple[str, int], float] = {
         (k, c): float("inf") for k in kinds for c in (4, 16)
     }

@@ -232,8 +232,14 @@ def _span_at(bits: int, rb: int):
 
 
 def _line_cells_est(bits: int) -> Column:
-    """Estimated walked-cover cell count of a 1-D row at `bits`: sum
-    over edges of the dominant-axis span in cells (+1 each)."""
+    """SPAN-ONLY walked-cover estimate of a 1-D row at `bits`: sum
+    over edges of the dominant-axis span in cells. Deliberately
+    EXCLUDES the >=1-step-per-edge floor — that floor is invariant
+    under coarsening (the walk still takes one step per edge at any
+    rb), so counting it would over-coarsen dense many-short-edge
+    polylines for zero explode savings while destroying their join
+    selectivity; the floor is the accepted 'budget + O(n_edges)'
+    slack instead."""
     cw = 360.0 / (1 << bits)
     ch = 180.0 / (1 << bits)
     return F.aggregate(
@@ -243,8 +249,7 @@ def _line_cells_est(bits: int) -> Column:
         + F.greatest(
             F.abs(e["x1"] - e["x0"]) / F.lit(cw),
             F.abs(e["y1"] - e["y0"]) / F.lit(ch),
-        )
-        + F.lit(1.0),
+        ),
     )
 
 

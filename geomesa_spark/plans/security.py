@@ -46,10 +46,25 @@ def _tokenize(expr: str) -> list[tuple[str, str]]:
             toks.append(("op", ch))
             i += 1
         elif ch == '"':
-            j = expr.find('"', i + 1)
-            if j < 0:
+            # Accumulo quoted terms escape \" and \\ inside quotes
+            # (ColumnVisibility.quote()); unescape while scanning
+            buf: list[str] = []
+            j = i + 1
+            closed = False
+            while j < n:
+                cj = expr[j]
+                if cj == "\\" and j + 1 < n and expr[j + 1] in ('"', "\\"):
+                    buf.append(expr[j + 1])
+                    j += 2
+                elif cj == '"':
+                    closed = True
+                    break
+                else:
+                    buf.append(cj)
+                    j += 1
+            if not closed:
                 raise VisibilityError(f"unterminated quote in {expr!r}")
-            toks.append(("label", expr[i + 1 : j]))
+            toks.append(("label", "".join(buf)))
             i = j + 1
         else:
             j = i

@@ -118,14 +118,14 @@ def kafka_changelog(
       partitioner does) so per-key order is total.
     """
     fields = [f.name for f in payload_schema.fields]
-    if "seq" in fields:
+    if "seq" in fields or op_field == "seq" or ts_field == "seq":
         # `seq` is reserved for the offset-derived log-order column;
-        # a payload field of the same name would produce an ambiguous
-        # duplicate that breaks apply_changelog downstream
+        # a payload/op/ts field of the same name would produce an
+        # ambiguous duplicate (or silently clobber the log order)
+        # that breaks apply_changelog downstream
         raise ValueError(
-            "payload_schema must not contain a 'seq' field — the "
-            "changelog's seq comes from the Kafka offset; rename the "
-            "payload field"
+            "'seq' is reserved for the Kafka-offset log-order column "
+            "— rename the colliding payload/op/ts field"
         )
     if op_field not in fields:
         payload_schema = T.StructType(

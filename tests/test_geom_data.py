@@ -556,3 +556,31 @@ def test_long_diagonal_line_budget(spark):
     )
     assert got_p == exp
     gdf.unpersist()
+
+
+def test_dense_track_not_overcoarsened(spark):
+    """A dense many-short-edge polyline must NOT degrade resolution
+    (the >=1-step-per-edge floor is rb-invariant, so coarsening buys
+    nothing); its cover stays selective at the target bits (r3 review
+    round 2)."""
+    import numpy as np
+
+    bits, budget = 10, 256
+    # 300-edge zigzag inside a ~18x0.05-degree ribbon: per-edge span
+    # is SUB-CELL (0.06x0.05 deg vs 0.35x0.18-deg cells), so the
+    # span-only estimate is small while the edge count is large
+    xs = np.linspace(10.0, 28.0, 301)
+    ys = 10.0 + 0.05 * (np.arange(301) % 2)
+    wkt = "LINESTRING (" + ", ".join(
+        f"{x:.6f} {y:.2f}" for x, y in zip(xs, ys)
+    ) + ")"
+    gdf = GD.geom_table(
+        spark.createDataFrame([("track", wkt)], "gid string, geom_wkt string")
+    )
+    rb = gdf.select(
+        GD.row_rbits_col(bits, budget).alias("rb")
+    ).collect()[0].rb
+    assert rb >= bits - 1, rb  # with the +1-per-edge bug this was bits-3
+    cnt = GD.geom_cover_cells(gdf, bits, budget=budget).count()
+    # ~O(n_edges) cells (each short edge: 1-2 steps x <=4 cells)
+    assert cnt <= 10 * 301, cnt

@@ -69,3 +69,14 @@ def test_quoted_operator_lookalike_labels():
     assert evaluate('"("|admin', {"admin"}) is True
     assert evaluate('admin&"|"', {"admin", "|"}) is True
     assert evaluate('""', {"x"}) is False  # empty label: never granted
+
+
+def test_quoted_escapes():
+    """Accumulo ColumnVisibility.quote() escapes: \\\" and \\\\ inside
+    quoted terms (r3 review round 2)."""
+    assert evaluate('"a\\"b"', {'a"b'}) is True
+    assert evaluate('"a\\"b"', {"ab"}) is False
+    assert evaluate('"a\\\\b"', {"a\\b"}) is True
+    assert evaluate('"a\\\\b"&x', {"a\\b", "x"}) is True
+    with pytest.raises(VisibilityError):
+        evaluate('"a\\"', {"a"})  # escape eats the closer: unterminated

@@ -376,3 +376,19 @@ def test_kafka_changelog_wire_parity(spark):
     for seq, ts in ts_by_seq.items():
         # UTC session: the naive timestamp equals the broker epoch
         assert ts.replace(tzinfo=timezone.utc).timestamp() == 1000 + seq
+
+
+def test_kafka_changelog_rejects_reserved_seq(spark):
+    from geomesa_spark.streaming import kafka_changelog
+
+    raw = spark.createDataFrame([], __import__("geomesa_spark.streaming.kafka", fromlist=["KAFKA_WIRE_SCHEMA"]).KAFKA_WIRE_SCHEMA)
+    bad = T.StructType([T.StructField("op", T.StringType()),
+                        T.StructField("seq", T.LongType())])
+    with pytest.raises(ValueError):
+        kafka_changelog(raw, bad)
+    ok_schema = T.StructType([T.StructField("op", T.StringType()),
+                              T.StructField("doc_id", T.StringType())])
+    with pytest.raises(ValueError):
+        kafka_changelog(raw, ok_schema, op_field="seq")
+    with pytest.raises(ValueError):
+        kafka_changelog(raw, ok_schema, ts_field="seq")

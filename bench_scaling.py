@@ -246,7 +246,11 @@ def main() -> None:
         "geom": "per-doc derived LINESTRING WKT, all-JVM parse "
                 "(geom_table_native), cell-partitioned geometry-layer "
                 "intersects join (geom_join_partitioned) on 1/8 of the "
-                "corpus",
+                "corpus. NOTE: r3's single-parse fix (localCheckpoint) cut "
+                "absolute walls ~35-55% vs r2-code runs but LOWERED the "
+                "efficiency ratio — the redundant parse it removed was the "
+                "embarrassingly-parallel fraction; what remains is "
+                "exchange-bound and shares one machine's memory bus here",
         "knn": "distributed kNN join (knn_join_df, k=5): ~1/1600 query "
                "sample vs 1/8 of the corpus — per-round cell-keyed "
                "shuffle joins + aggregate convergence. NOTE: total wall "

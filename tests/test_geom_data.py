@@ -584,3 +584,44 @@ def test_dense_track_not_overcoarsened(spark):
     cnt = GD.geom_cover_cells(gdf, bits, budget=budget).count()
     # ~O(n_edges) cells (each short edge: 1-2 steps x <=4 cells)
     assert cnt <= 10 * 301, cnt
+
+
+def test_budget_cover_superset_invariant(spark):
+    """Superset invariant of the budgeted cover: every point ON a
+    geometry's edges falls in a covered (cell, resolution) — for
+    random geometries, budgets, and resolutions. (Candidate
+    generation is correct iff this holds; the refine handles the
+    rest.)"""
+    from geomesa_spark.functions import cells as C
+
+    rng = np.random.default_rng(99)
+    rows = _rand_geoms(120, seed=99)
+    rows += [
+        ("big_poly", "POLYGON ((-150 -50, 100 -50, 100 50, -150 50, -150 -50))"),
+        ("long_diag", "LINESTRING (-160 -70, 150 75)"),
+    ]
+    gdf = GD.geom_table(
+        spark.createDataFrame(rows, "gid string, geom_wkt string")
+    ).cache()
+    gdf.count()
+    for bits, budget in [(7, 32), (10, 256)]:
+        covered = {}
+        cov = GD.geom_cover_cells(gdf, bits, budget=budget)
+        for r in cov.select("gid", "_pcell", "_pbits").collect():
+            covered.setdefault(r.gid, (set(), r["_pbits"]))[0].add(r["_pcell"])
+        for gid, wkt in rows:
+            g = G.parse_wkt(wkt)
+            cells, rb = covered[gid]
+            # sample points along every edge (including endpoints)
+            import geomesa_spark.functions.geometry_sql as GS
+
+            for x0, y0, x1, y1 in GS.geom_edges(g):
+                t = np.linspace(0.0, 1.0, 17)
+                px = x0 + t * (x1 - x0)
+                py = y0 + t * (y1 - y0)
+                gx = C.lon_to_x_np(px, rb)
+                gy = C.lat_to_y_np(py, rb)
+                pc = C.z2_encode_np(gx, gy)
+                missing = set(int(c) for c in pc) - cells
+                assert not missing, (gid, bits, budget, rb, missing)
+    gdf.unpersist()

@@ -490,6 +490,46 @@ def is_polygonal_col(kind_col: Column) -> Column:
     return kind_col.isin(*POLY_KINDS)
 
 
+def _layer_cover_pdf(
+    bounds: list[tuple[float, float, float, float]], pid: str, bits: int
+) -> list[pd.DataFrame]:
+    """Driver-side MULTI-RESOLUTION cover rows (pcell, pbits,
+    poly_id) for one layer polygon's bbox list: one row set per rb
+    0..bits so budget-degraded data rows can match at their own
+    resolution (coarser sets are geometrically smaller — the total
+    is <= 4/3 of the finest)."""
+    out = []
+    for rb in range(bits + 1):
+        cells_ = sorted({c for b in bounds for c in _bbox_cells(b, rb)})
+        out.append(
+            pd.DataFrame({"pcell": cells_, "pbits": rb, "poly_id": pid})
+        )
+    return out
+
+
+def _candidate_pairs(
+    covered: DataFrame,
+    cov_df,
+    id_col: str,
+    cov_bits_col: str = "pbits",
+) -> DataFrame:
+    """(cell, resolution) equi-join of a budgeted data cover against
+    a layer cover, deduped per (id, poly) BEFORE the refine — the
+    non-point duplicate elimination of IndexSchema.scala:300-307,
+    done pre-refine so the expensive predicate runs once per
+    candidate pair."""
+    return (
+        covered.join(
+            cov_df,
+            (covered["_pcell"] == cov_df["pcell"])
+            & (covered["_pbits"] == cov_df[cov_bits_col]),
+            "inner",
+        )
+        .drop("_pcell", "_pbits", "pcell", cov_bits_col)
+        .dropDuplicates([id_col, "poly_id"])
+    )
+
+
 def geom_join_broadcast(
     geoms: DataFrame,
     polys: list[tuple[str, str]],
@@ -524,18 +564,9 @@ def geom_join_broadcast(
     rows = []
     for pid, wkt in polys:
         # IDL-crossing polygons split first: their raw bounds are the
-        # COMPLEMENT box and would cover nothing near the seam.
-        # One cover row set per resolution 0..bits (coarser sets are
-        # geometrically smaller: total <= 4/3 of the finest).
+        # COMPLEMENT box and would cover nothing near the seam
         g = G.normalize_idl(G.parse_wkt(wkt))
-        mbs = G.member_bounds(g)
-        for rb in range(bits + 1):
-            cells_ = sorted({c for b in mbs for c in _bbox_cells(b, rb)})
-            rows.append(
-                pd.DataFrame(
-                    {"pcell": cells_, "pbits": rb, "poly_id": pid}
-                )
-            )
+        rows.extend(_layer_cover_pdf(G.member_bounds(g), pid, bits))
     cover = pd.concat(rows, ignore_index=True)
     cov_df = F.broadcast(
         spark.createDataFrame(cover, "pcell long, pbits int, poly_id string")
@@ -544,16 +575,7 @@ def geom_join_broadcast(
         GS.poly_edges_df(spark, polys).withColumnRenamed("edges", "_q_edges")
     )
     covered = geom_cover_cells(geoms, bits, budget=budget)
-    cand = (
-        covered.join(
-            cov_df,
-            (covered["_pcell"] == cov_df["pcell"])
-            & (covered["_pbits"] == cov_df["pbits"]),
-            "inner",
-        )
-        .drop("_pcell", "_pbits", "pcell", "pbits")
-        .dropDuplicates([id_col, "poly_id"])
-    )
+    cand = _candidate_pairs(covered, cov_df, id_col)
     refined = cand.join(q_edges, "poly_id").filter(
         geom_intersects_col(
             F.col("edges"),
@@ -870,13 +892,7 @@ def geom_dwithin_join(
             )
             for b in G.member_bounds(g)
         ]
-        for rb in range(bits + 1):
-            parts = sorted(
-                {c for b in buffered for c in _bbox_cells(b, rb)}
-            )
-            rows.append(
-                pd.DataFrame({"pcell": parts, "pbits": rb, "poly_id": pid})
-            )
+        rows.extend(_layer_cover_pdf(buffered, pid, bits))
     cover = pd.concat(rows, ignore_index=True)
     cov_df = F.broadcast(
         spark.createDataFrame(cover, "pcell long, pbits int, poly_id string")
@@ -890,16 +906,7 @@ def geom_dwithin_join(
         )
     )
     covered = geom_cover_cells(geoms, bits, budget=DATA_CELL_BUDGET)
-    cand = (
-        covered.join(
-            cov_df,
-            (covered["_pcell"] == cov_df["pcell"])
-            & (covered["_pbits"] == cov_df["pbits"]),
-            "inner",
-        )
-        .drop("_pcell", "_pbits", "pcell", "pbits")
-        .dropDuplicates([id_col, "poly_id"])
-    )
+    cand = _candidate_pairs(covered, cov_df, id_col)
     refined = cand.join(q_edges, "poly_id").filter(
         geom_dwithin_col(
             F.col("edges"),
@@ -1003,15 +1010,8 @@ def geom_join_partitioned(
                 )
             cov_multi = part if cov_multi is None else cov_multi.unionByName(part)
         covered = geom_cover_cells(geoms, int(pb), budget=data_budget)
-        cand = (
-            covered.join(
-                cov_multi,
-                (covered["_pcell"] == cov_multi["pcell"])
-                & (covered["_pbits"] == cov_multi["_cbits"]),
-                "inner",
-            )
-            .drop("_pcell", "_pbits", "pcell", "_cbits")
-            .dropDuplicates([id_col, "poly_id"])
+        cand = _candidate_pairs(
+            covered, cov_multi, id_col, cov_bits_col="_cbits"
         )
         refined = cand.join(q_edges, "poly_id").filter(
             geom_intersects_col(

@@ -152,10 +152,10 @@ def visibility_filter(
     allowed = [
         v for v in distinct if v is not None and evaluate(v, auth_set)
     ]
-    null_ok = any(v is None or not str(v).strip() for v in distinct) and (
-        F.col(vis_col).isNull() | (F.trim(F.col(vis_col)) == "")
-    )
     pred: Column = F.col(vis_col).isin(allowed) if allowed else F.lit(False)
-    if null_ok is not False:
-        pred = pred | null_ok
+    if any(v is None or not str(v).strip() for v in distinct):
+        # unlabelled rows (NULL / blank) are visible to everyone
+        pred = pred | F.col(vis_col).isNull() | (
+            F.trim(F.col(vis_col)) == ""
+        )
     return df.filter(pred)

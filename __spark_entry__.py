@@ -717,6 +717,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hash_attribute"] = hash_attr
 
+    def visibility_scan(spark, sf):
+        """Row-level visibility filtering (geomesa-security analog,
+        plans/security.py): each event carries an Accumulo-style
+        visibility expression; the scan returns only rows the auth
+        set {admin, audit} satisfies. The whole filter is one
+        pushable isin/isNull predicate (no per-row Python)."""
+        from geomesa_spark.plans.security import visibility_filter
+
+        ev = _load(spark, sf, "events")
+        vis = F.element_at(
+            F.array(
+                F.lit("admin"),
+                F.lit("admin&secret"),
+                F.lit("admin|secret"),
+                F.lit(""),
+                F.lit("secret&(audit|admin)"),
+            ),
+            (F.col("user_id") % 5 + 1).cast("int"),
+        )
+        tagged = ev.select("event_id", vis.alias("visibility"))
+        return visibility_filter(tagged, {"admin", "audit"}).select(
+            "event_id"
+        )
+
+    q["visibility_scan"] = visibility_scan
+
     # --- point2point: ordered points -> track segments ---
     def point2point(spark, sf):
         ge = geo_events(spark, sf)
@@ -1408,6 +1434,15 @@ SELECT event_id,
        CAST((((CASE WHEN hh >= 2147483648 THEN hh - 4294967296 ELSE hh END) % 10)
              + 10) % 10 AS INT) AS hash
 FROM h
+"""
+
+    # visibility_scan: auths {admin, audit} satisfy expressions 0
+    # ('admin'), 2 ('admin|secret'), 3 ('' = unlabelled); 1
+    # ('admin&secret') and 4 ('secret&(audit|admin)') fail — the
+    # evaluator itself is pytest-covered (test_security), this gate
+    # pins the end-to-end scan semantics
+    o["visibility_scan"] = """
+SELECT event_id FROM events WHERE user_id % 5 IN (0, 2, 3)
 """
 
     o["point2point"] = """

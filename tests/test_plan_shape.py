@@ -140,3 +140,23 @@ def test_knn_df_no_python(spark):
     out = knn_join_df(pts, qs, 1)
     p = plan_of(out)
     assert "EvalPython" not in p and "MapInPandas" not in p
+
+
+def test_budgeted_cover_stays_jvm(spark):
+    """The budgeted multi-resolution cover (rb column + shifted cell
+    array + supercover walk) is pure column ops: over the all-JVM
+    parser the whole pipeline has zero Python eval nodes."""
+    from geomesa_spark.operators import geom_data as GD
+
+    src = spark.createDataFrame(
+        [("a", "LINESTRING (-150 -60, 140 70)"),
+         ("b", "POLYGON ((-120 -30, 60 -30, 60 30, -120 30, -120 -30))")],
+        "gid string, geom_wkt string",
+    )
+    plan = (
+        GD.geom_cover_cells(GD.geom_table_native(src), 10, budget=128)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan

@@ -111,12 +111,20 @@ def main() -> None:
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
+    # BENCH_MIN_OF=k (default 1, the driver protocol): time each
+    # query k times and keep the minimum — this shared VM's co-tenant
+    # load inflates single runs by up to ~40%, and the minimum is the
+    # least-contaminated estimate when iterating locally
+    min_of = max(1, int(os.environ.get("BENCH_MIN_OF", "1")))
     times: dict[str, float] = {}
     for name in names:
         fn = queries[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(min_of):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

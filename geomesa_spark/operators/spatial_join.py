@@ -403,16 +403,42 @@ def write_points_bucketed(
     cell_col: str = "cell",
     cell_bits: int = C.XY_BITS,
     clear_stale_location: bool = False,
+    salt_buckets: int = 1,
 ) -> None:
     """Materialize the point table with its parent-cell join key,
     bucketed + sorted on it (`sources.bucketed.write_bucketed`).
-    Pair with `write_cover_bucketed` at the SAME bits/n_buckets for
-    `pip_join_bucketed`'s zero-Exchange join."""
+    Pair with `write_cover_bucketed` at the SAME bits/n_buckets (and
+    `salt_buckets`) for `pip_join_bucketed`'s zero-Exchange join.
+
+    `salt_buckets > 1` adds a deterministic per-row salt to the
+    bucket key (pcell, psalt): a pathological hot CELL then spreads
+    across up to `salt_buckets` different buckets instead of landing
+    in one bucket's merge — the stored-layout analog of the
+    partitioned join's explicit salting (IndexSchema.scala:109-113
+    random shard prefix); the cover side replicates each cell across
+    all salts, so results are identical."""
     from geomesa_spark.sources.bucketed import write_bucketed
 
     pts = points.withColumn(
         "pcell", C.cell_parent(F.col(cell_col), cell_bits, bits)
     )
+    if salt_buckets > 1:
+        # deterministic salt from the FINE cell: rows of a hot parent
+        # cell spread across salts by their fine-grid position, with
+        # no dependency on any other column's name
+        pts = pts.withColumn(
+            "psalt",
+            F.pmod(F.xxhash64(F.col(cell_col)), F.lit(salt_buckets)).cast(
+                "int"
+            ),
+        )
+        write_bucketed(
+            pts, table_name, bucket_col="pcell", n_buckets=n_buckets,
+            sort_cols=["pcell", "psalt"],
+            clear_stale_location=clear_stale_location,
+            extra_bucket_cols=["psalt"],
+        )
+        return
     write_bucketed(
         pts, table_name, bucket_col="pcell", n_buckets=n_buckets,
         clear_stale_location=clear_stale_location,
@@ -428,14 +454,29 @@ def write_cover_bucketed(
     poly_id_col: str = "poly_id",
     wkt_col: str = "geom_wkt",
     clear_stale_location: bool = False,
+    salt_buckets: int = 1,
 ) -> None:
     """Materialize a polygon layer's distributed cell cover
-    (pcell, interior, poly_id, pbits) bucketed + sorted on pcell."""
+    (pcell, interior, poly_id, pbits) bucketed + sorted on pcell.
+    With `salt_buckets > 1`, each cover row replicates across every
+    salt value so the salted point layout joins losslessly (see
+    `write_points_bucketed`)."""
     from geomesa_spark.sources.bucketed import write_bucketed
 
     cover = _distributed_cover(
         polys, bits, budget, poly_id_col=poly_id_col, wkt_col=wkt_col
     )
+    if salt_buckets > 1:
+        cover = cover.withColumn(
+            "psalt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        )
+        write_bucketed(
+            cover, table_name, bucket_col="pcell", n_buckets=n_buckets,
+            sort_cols=["pcell", "psalt"],
+            clear_stale_location=clear_stale_location,
+            extra_bucket_cols=["psalt"],
+        )
+        return
     write_bucketed(
         cover, table_name, bucket_col="pcell", n_buckets=n_buckets,
         clear_stale_location=clear_stale_location,
@@ -474,14 +515,23 @@ def pip_join_bucketed(
     cover = spark.table(cover_table)
     edges = F.broadcast(_distributed_edges(polys, poly_id_col, wkt_col))
 
+    # salted layouts (see write_points_bucketed) join on the full
+    # composite bucket key; both tables must agree
+    salted = "psalt" in pts.columns
+    if salted != ("psalt" in cover.columns):
+        raise ValueError(
+            "points and cover tables disagree on salting — rewrite both "
+            "with the same salt_buckets"
+        )
+    key = ["pcell", "psalt"] if salted else ["pcell"]
     fine = cover.filter(F.col("pbits") == bits).select(
-        "pcell", "interior", "poly_id"
+        *key, "interior", "poly_id"
     )
-    joined = pts.join(fine, "pcell")
+    joined = pts.join(fine, key)
     out = (
         joined.join(edges, "poly_id")
         .filter(_refine_pip(lon_col, lat_col))
-        .drop("pcell", "interior", "edges")
+        .drop("pcell", "psalt", "interior", "edges")
     )
 
     coarse_pbits = [
@@ -490,9 +540,11 @@ def pip_join_bucketed(
         if r.pbits != bits
     ]
     for pb in coarse_pbits:
+        # distinct() drops the per-salt replication of a salted cover
+        # table (coarse cells join on the parent key, not the salt)
         cov_grp = cover.filter(F.col("pbits") == pb).select(
             F.col("pcell").alias("_ccell"), "interior", "poly_id"
-        )
+        ).distinct()
         pts_c = pts.withColumn(
             "_ppcell", C.cell_parent(F.col("pcell"), bits, int(pb))
         )
@@ -504,7 +556,7 @@ def pip_join_bucketed(
             )
             .join(edges, "poly_id")
             .filter(_refine_pip(lon_col, lat_col))
-            .drop("_ppcell", "_ccell", "pcell", "interior", "edges")
+            .drop("_ppcell", "_ccell", "pcell", "psalt", "interior", "edges")
         )
         out = out.unionByName(grp, allowMissingColumns=True)
     return out

@@ -27,6 +27,7 @@ def write_bucketed(
     n_buckets: int = 64,
     sort_cols: list[str] | None = None,
     clear_stale_location: bool = False,
+    extra_bucket_cols: list[str] | None = None,
 ) -> None:
     """Persist `df` bucketed (and sorted) by the cell key.
 
@@ -60,7 +61,7 @@ def write_bucketed(
     w = (
         df.write.mode("overwrite")
         .format("parquet")
-        .bucketBy(n_buckets, bucket_col)
+        .bucketBy(n_buckets, bucket_col, *(extra_bucket_cols or []))
         .sortBy(*(sort_cols or [bucket_col]))
     )
     w.saveAsTable(table_name)

@@ -186,3 +186,76 @@ def test_geom_join_bucketed_matches_broadcast(spark):
     assert any(g == "continent" for g, _ in got)
     spark.sql("DROP TABLE IF EXISTS bg_geoms")
     spark.sql("DROP TABLE IF EXISTS bg_cov")
+
+
+def test_pip_join_bucketed_salted_layout(spark):
+    """salt_buckets > 1 spreads a hot cell across buckets while the
+    join stays zero-Exchange and exactly equal to the unsalted
+    result (cover rows replicate per salt; coarse branch dedups)."""
+    import shutil
+
+    from geomesa_spark.operators import spatial_join as SJ
+
+    for t in ("bs_pts", "bs_cov"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    rng = np.random.default_rng(31)
+    # hot cluster: 4000 points inside ONE parent cell + background
+    n_hot, n_bg = 4000, 1000
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"h{i}" for i in range(n_hot)]
+            + [f"b{i}" for i in range(n_bg)],
+            "lon": np.concatenate(
+                [rng.uniform(2.0, 3.0, n_hot), rng.uniform(-60, 60, n_bg)]
+            ),
+            "lat": np.concatenate(
+                [rng.uniform(2.0, 3.0, n_hot), rng.uniform(-40, 40, n_bg)]
+            ),
+        }
+    )
+    points = spark.createDataFrame(pdf).withColumn(
+        "cell", C.z2_cell(F.col("lon"), F.col("lat"))
+    )
+    layer = [("qa", "POLYGON ((-10 -10, 20 -10, 20 20, -10 20, -10 -10))")]
+    polys = spark.createDataFrame(layer, "poly_id string, geom_wkt string")
+    bits, salts = 6, 4
+    SJ.write_points_bucketed(
+        points, "bs_pts", bits=bits, n_buckets=8, salt_buckets=salts
+    )
+    SJ.write_cover_bucketed(
+        polys, "bs_cov", bits=bits, budget=4096, n_buckets=8,
+        salt_buckets=salts,
+    )
+    # the salted layout really uses the composite key
+    assert "psalt" in spark.table("bs_pts").columns
+    n_salts = spark.table("bs_pts").select("psalt").distinct().count()
+    assert n_salts == salts
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = SJ.pip_join_bucketed(spark, "bs_pts", "bs_cov", polys, bits=bits)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+        got = sorted((r.doc_id, r.poly_id)
+                     for r in out.select("doc_id", "poly_id").collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    exp = sorted(
+        (r.doc_id, r.poly_id)
+        for r in SJ.pip_join_broadcast(points, layer, bits=12)
+        .select("doc_id", "poly_id").collect()
+    )
+    assert got == exp and len(exp) >= n_hot
+    # mismatched salting is refused loudly
+    import pytest as _pytest
+
+    SJ.write_cover_bucketed(polys, "bs_cov", bits=bits, budget=4096,
+                            n_buckets=8, clear_stale_location=True)
+    with _pytest.raises(ValueError):
+        SJ.pip_join_bucketed(spark, "bs_pts", "bs_cov", polys, bits=bits)
+    spark.sql("DROP TABLE IF EXISTS bs_pts")
+    spark.sql("DROP TABLE IF EXISTS bs_cov")

@@ -499,11 +499,12 @@ def pip_join_bucketed(
     Both tables must come from `write_points_bucketed` /
     `write_cover_bucketed` with the same `bits` and bucket count —
     then the cell-keyed join is a per-bucket local sort-merge (no
-    shuffle of either side, no salting needed: the bucket layout
-    already spreads hot cells' ROWS across files within the bucket,
-    and at 100 TB this converts every repeated join against the same
-    layer from a full-table shuffle into a local merge; the
-    reference's analog is pre-split tablets, Splitters.scala:16-37).
+    shuffle of either side; at 100 TB this converts every repeated
+    join against the same layer from a full-table shuffle into a
+    local merge — the reference's analog is pre-split tablets,
+    Splitters.scala:16-37). Layouts written with `salt_buckets > 1`
+    join on the composite (pcell, psalt) key automatically, spreading
+    a pathological hot cell across buckets.
 
     Budget-degraded polygons (cover rows with pbits < bits) can't
     use the bucket key — their few coarse cover cells join as a

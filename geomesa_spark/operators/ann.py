@@ -380,18 +380,24 @@ def ivf_topk(
     q_vec_col: str = "embedding",
     normalize: bool = True,
     exact_fold: bool = False,
-    broadcast_queries: bool = True,
+    broadcast_queries: bool | None = None,
+    broadcast_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Approximate top-k: each query searches its `n_probes` nearest
     inverted lists with the exact fixed-point re-rank. At corpus
     scale the list id is the table's bucket/partition key, so a
     probe reads ~n_probes/n_lists of the data. Probe selection is
     fully distributed (`ivf_probes` — the same Arrow-batched matmul
-    as the corpus side), so the query set may be arbitrarily large;
-    with the default `broadcast_queries=True` the post-probe query
-    rows broadcast into the list join (right for query sets up to
-    ~10M rows x dim); set it False for larger sets — both sides then
-    shuffle on the list id, which stays the co-location key.
+    as the corpus side), so the query set may be arbitrarily large.
+
+    Join strategy for the post-probe query rows: with
+    `broadcast_queries=None` (default) the query side is counted
+    (one early-stopping `limit(threshold+1).count()` scan) and
+    broadcast only when it is at most `broadcast_threshold` rows —
+    a large query set automatically falls back to the shuffle join
+    on the list id (the co-location key) instead of OOMing every
+    executor with a giant broadcast. Pass True/False to force a
+    strategy and skip the count.
     `normalize`/`exact_fold` as in `ivf_assign` (set normalize=False
     + exact_fold=True for cross-engine-reproducible assignments).
     Returns (qid, vec_id, cos, rank)."""
@@ -432,6 +438,11 @@ def ivf_topk(
         .withColumn("c_list", F.explode(F.col("_probes")))
         .drop("_raw", "_probes")
     )
+    if broadcast_queries is None:
+        # early-stopping row-count probe: scans at most threshold+1
+        # query rows, never materializes probes for the decision
+        n_q = queries.limit(broadcast_threshold + 1).count()
+        broadcast_queries = n_q <= broadcast_threshold
     q_side = F.broadcast(q) if broadcast_queries else q
     joined = c.join(q_side, ["c_list"], "inner").filter(
         F.col("c_id") != F.col("q_id")

@@ -423,14 +423,20 @@ def write_points_bucketed(
         "pcell", C.cell_parent(F.col(cell_col), cell_bits, bits)
     )
     if salt_buckets > 1:
-        # deterministic salt from the FINE cell: rows of a hot parent
-        # cell spread across salts by their fine-grid position, with
-        # no dependency on any other column's name
+        # salt mixes the FINE cell with a per-row unique id: a hot
+        # parent cell spreads by fine-grid position, AND many rows
+        # sharing one exact coordinate (duplicate-coordinate hot
+        # spots — the case a cell-only hash cannot spread) still fan
+        # out across salts. The id only affects storage placement;
+        # join results are salt-invariant (cover rows replicate
+        # across every salt), so write-to-write id nondeterminism is
+        # harmless.
         pts = pts.withColumn(
             "psalt",
-            F.pmod(F.xxhash64(F.col(cell_col)), F.lit(salt_buckets)).cast(
-                "int"
-            ),
+            F.pmod(
+                F.xxhash64(F.col(cell_col), F.monotonically_increasing_id()),
+                F.lit(salt_buckets),
+            ).cast("int"),
         )
         write_bucketed(
             pts, table_name, bucket_col="pcell", n_buckets=n_buckets,

@@ -138,7 +138,13 @@ def visibility_filter(
     One distinct-scan of the (tiny-vocabulary) expression column,
     driver-side evaluation per DISTINCT expression, then a single
     pushable `isNull OR isin(allowed)` predicate — the Spark analog
-    of server-side visibility filtering at scan time."""
+    of server-side visibility filtering at scan time.
+
+    Malformed expressions hide their rows rather than aborting the
+    scan: Accumulo's VisibilityFilter catches parse failures and
+    suppresses the row (a bad label must fail CLOSED — the row stays
+    invisible to everyone), so a single corrupt expression in a
+    billion-row table cannot take down the query."""
     auth_set = frozenset(auths)
     distinct = [
         r[0]
@@ -149,9 +155,16 @@ def visibility_filter(
             f"more than {max_distinct} distinct visibility expressions; "
             "per-row visibility this diverse needs a dedicated evaluator"
         )
-    allowed = [
-        v for v in distinct if v is not None and evaluate(v, auth_set)
-    ]
+
+    def _visible(v: str) -> bool:
+        try:
+            return evaluate(v, auth_set)
+        except VisibilityError:
+            # reference parity: unparseable visibility -> row hidden,
+            # scan continues (Accumulo VisibilityFilter.accept)
+            return False
+
+    allowed = [v for v in distinct if v is not None and _visible(v)]
     pred: Column = F.col(vis_col).isin(allowed) if allowed else F.lit(False)
     if any(v is None or not str(v).strip() for v in distinct):
         # unlabelled rows (NULL / blank) are visible to everyone

@@ -43,11 +43,20 @@ def write_bucketed(
     unqualified default-database names because in a warehouse shared
     by several live metastores the "orphan" may be another session's
     live table — never enable it on a shared warehouse.
+
+    The guard additionally requires the session's CURRENT database to
+    be `default`: `tableExists` resolves an unqualified name against
+    the current database, but the `{warehouse}/{table}` path we would
+    delete is the DEFAULT database's location — under `USE somedb`
+    with a missing `somedb.t`, deleting would destroy a live
+    `default.t`. When the current database is anything else we skip
+    the cleanup entirely rather than guess at catalog locations.
     """
     spark = df.sparkSession
     if (
         clear_stale_location
         and "." not in table_name
+        and spark.catalog.currentDatabase() == "default"
         and not spark.catalog.tableExists(table_name)
     ):
         wh = spark.conf.get("spark.sql.warehouse.dir")

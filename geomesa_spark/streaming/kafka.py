@@ -111,11 +111,16 @@ def kafka_changelog(
       reference's skip-on-decode-failure consumer loop).
     - `ts` comes from the payload when `ts_field` is in
       `payload_schema`, else from the broker log-append timestamp.
-    - `seq` is the partition offset — application order is exactly
-      per-partition log order, the reference's consumer semantics
-      (LiveKafkaConsumerFeatureSource.scala:116-123). Keyed topics
-      must route a feature id to ONE partition (the default id-hash
-      partitioner does) so per-key order is total.
+    - `seq` is `(partition << 48) | offset` — within one partition it
+      preserves log order exactly (the reference's per-partition
+      application order, LiveKafkaConsumerFeatureSource.scala:116-123),
+      and across partitions it never COLLIDES, so apply_changelog's
+      (ts, seq) tiebreak stays deterministic even on a multi-partition
+      topic. Keyed topics still must route a feature id to ONE
+      partition (the default id-hash partitioner does) for per-key
+      order to be total; the encoding makes a violation reproducible
+      instead of silently nondeterministic. 48 offset bits hold ~281T
+      messages per partition; Kafka caps partitions well under 2^15.
     """
     fields = [f.name for f in payload_schema.fields]
     if "seq" in fields or op_field == "seq" or ts_field == "seq":
@@ -134,7 +139,9 @@ def kafka_changelog(
     parsed = raw.select(
         F.from_json(F.col("value").cast("string"), payload_schema).alias("_m"),
         F.col("timestamp").alias("_kts"),
-        F.col("offset").alias("seq"),
+        F.shiftleft(F.col("partition").cast("long"), 48)
+        .bitwiseOR(F.col("offset"))
+        .alias("seq"),
     ).filter(F.col("_m").isNotNull())
     cols = [F.col(f"_m.{f.name}").alias(f.name) for f in payload_schema.fields]
     out = parsed.select(*cols, F.col("_kts"), F.col("seq"))

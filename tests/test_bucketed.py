@@ -259,3 +259,71 @@ def test_pip_join_bucketed_salted_layout(spark):
         SJ.pip_join_bucketed(spark, "bs_pts", "bs_cov", polys, bits=bits)
     spark.sql("DROP TABLE IF EXISTS bs_pts")
     spark.sql("DROP TABLE IF EXISTS bs_cov")
+
+
+def test_salted_layout_spreads_identical_coordinates(spark):
+    """Duplicate-coordinate hot spot: thousands of rows at ONE exact
+    coordinate (one fine cell) must still spread across salts — the
+    salt mixes a per-row unique id, not just the cell (r3 ADVICE)."""
+    import shutil
+
+    from geomesa_spark.operators import spatial_join as SJ
+
+    spark.sql("DROP TABLE IF EXISTS dupc_pts")
+    shutil.rmtree("spark-warehouse/dupc_pts", ignore_errors=True)
+    n = 2000
+    pdf = pd.DataFrame(
+        {"doc_id": [f"d{i}" for i in range(n)],
+         "lon": [2.5] * n, "lat": [2.5] * n}
+    )
+    points = spark.createDataFrame(pdf).withColumn(
+        "cell", C.z2_cell(F.col("lon"), F.col("lat"))
+    )
+    SJ.write_points_bucketed(
+        points, "dupc_pts", bits=6, n_buckets=8, salt_buckets=4
+    )
+    per_salt = {
+        r.psalt: r.cnt
+        for r in spark.table("dupc_pts")
+        .groupBy("psalt").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert len(per_salt) == 4  # all salts used despite one coordinate
+    assert max(per_salt.values()) < n  # no single-salt pile-up
+    spark.sql("DROP TABLE IF EXISTS dupc_pts")
+
+
+def test_clear_stale_location_respects_current_database(spark):
+    """clear_stale_location must not delete default.t's data when the
+    CURRENT database is somedb and somedb.t is missing (r3 ADVICE:
+    tableExists resolves against the current db, the deleted path is
+    default's location)."""
+    import os
+    import shutil
+
+    from geomesa_spark.sources.bucketed import write_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS csl_t")
+    shutil.rmtree("spark-warehouse/csl_t", ignore_errors=True)
+    df = spark.range(10).select(
+        F.col("id").alias("cell"), (F.col("id") * 2).alias("v")
+    )
+    # live table in default
+    write_bucketed(df, "csl_t", bucket_col="cell", n_buckets=2)
+    assert os.path.isdir("spark-warehouse/csl_t")
+    spark.sql("CREATE DATABASE IF NOT EXISTS csl_db")
+    spark.catalog.setCurrentDatabase("csl_db")
+    try:
+        # somedb.csl_t does not exist; the stale-location guard must
+        # NOT touch default.csl_t's directory
+        write_bucketed(
+            df, "csl_t", bucket_col="cell", n_buckets=2,
+            clear_stale_location=True,
+        )
+        assert spark.table("csl_db.csl_t").count() == 10
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+    # the default-db table survived with its data intact
+    assert spark.table("default.csl_t").count() == 10
+    spark.sql("DROP TABLE IF EXISTS csl_db.csl_t")
+    spark.sql("DROP DATABASE IF EXISTS csl_db")
+    spark.sql("DROP TABLE IF EXISTS csl_t")

@@ -80,3 +80,21 @@ def test_quoted_escapes():
     assert evaluate('"a\\\\b"&x', {"a\\b", "x"}) is True
     with pytest.raises(VisibilityError):
         evaluate('"a\\"', {"a"})  # escape eats the closer: unterminated
+
+
+def test_malformed_visibility_hides_row_not_scan(spark):
+    """Reference parity (Accumulo VisibilityFilter): a malformed
+    expression hides ITS row (fail closed) and the scan continues —
+    one corrupt label must not abort a billion-row query (r3 ADVICE)."""
+    rows = [
+        ("ok1", "admin"),
+        ("bad1", "admin&"),          # trailing operator
+        ("bad2", "(admin"),          # unbalanced paren
+        ("bad3", "a&b|c"),           # mixed ops without parens
+        ("ok2", None),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "visibility"])
+    )
+    got = {r.doc_id for r in visibility_filter(df, {"admin"}).collect()}
+    assert got == {"ok1", "ok2"}

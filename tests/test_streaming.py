@@ -392,3 +392,50 @@ def test_kafka_changelog_rejects_reserved_seq(spark):
         kafka_changelog(raw, ok_schema, op_field="seq")
     with pytest.raises(ValueError):
         kafka_changelog(raw, ok_schema, ts_field="seq")
+
+
+def test_kafka_changelog_multipartition_seq_no_collision(spark):
+    """seq = (partition << 48) | offset: on a multi-partition topic,
+    equal raw offsets must NOT collide across partitions — the
+    (ts, seq) tiebreak in apply_changelog has to stay deterministic
+    (r3 ADVICE). Within a partition, seq preserves log order."""
+    import json as _json
+    from datetime import datetime, timezone
+
+    from geomesa_spark.streaming import (
+        KAFKA_WIRE_SCHEMA,
+        apply_changelog,
+        kafka_changelog,
+    )
+
+    # two partitions, same offsets 0..2, SAME ts everywhere so only
+    # seq breaks ties; key 'a' confined to p0, 'b' to p1
+    frames = []
+    for part, doc in ((0, "a"), (1, "b")):
+        for off in range(3):
+            m = {"op": "upsert", "doc_id": doc, "ts": 100.0,
+                 "val": part * 10 + off}
+            frames.append(
+                (None, _json.dumps(m).encode(), "t", part, off,
+                 datetime.fromtimestamp(1000, tz=timezone.utc), 0)
+            )
+    raw = spark.createDataFrame(frames, KAFKA_WIRE_SCHEMA)
+    payload = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("ts", T.DoubleType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+    log = kafka_changelog(raw, payload)
+    seqs = [r.seq for r in log.collect()]
+    assert len(seqs) == len(set(seqs)) == 6  # no collisions
+    # per-partition log order preserved by the encoding
+    p0 = sorted(s for s in seqs if s < (1 << 48))
+    p1 = sorted(s for s in seqs if s >= (1 << 48))
+    assert p0 == [0, 1, 2]
+    assert p1 == [(1 << 48) | o for o in range(3)]
+    # the fold picks each key's LAST write in its own partition
+    state = {r.doc_id: r.val for r in apply_changelog(None, log).collect()}
+    assert state == {"a": 2, "b": 12}

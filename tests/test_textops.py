@@ -499,3 +499,34 @@ def test_simhash_pairs_star_vs_clique_parity(docs_df):
         return {u: find(u) for u in parent}
 
     assert components(clique) == components(star)
+
+
+def test_ivf_topk_broadcast_auto_fallback(emb_df):
+    """broadcast_queries=None (default) counts the query side and
+    falls back to the shuffle join above the threshold (r3 ADVICE:
+    an unbounded query set must not broadcast by default). Both
+    strategies return identical rows."""
+    df, rows = emb_df
+    C = N.ivf_centroids(df, n_lists=4, dim=16, refine_iters=1)
+    qs = df.filter(F.col("vec_id") < 3)
+
+    def rowset(out):
+        return sorted((r.qid, r.vec_id, r.rank) for r in out.collect())
+
+    forced_bcast = rowset(
+        N.ivf_topk(df, qs, 5, C, n_probes=2, broadcast_queries=True)
+    )
+    # threshold below the query count -> auto path must pick shuffle
+    auto_shuffle_df = N.ivf_topk(
+        df, qs, 5, C, n_probes=2, broadcast_threshold=1
+    )
+    plan = auto_shuffle_df._jdf.queryExecution().executedPlan().toString()
+    assert rowset(auto_shuffle_df) == forced_bcast
+    assert "BroadcastHashJoin" not in plan, plan
+    # threshold above the count -> auto path broadcasts
+    auto_bcast_df = N.ivf_topk(
+        df, qs, 5, C, n_probes=2, broadcast_threshold=1000
+    )
+    plan_b = auto_bcast_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b, plan_b
+    assert rowset(auto_bcast_df) == forced_bcast

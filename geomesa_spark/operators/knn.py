@@ -36,8 +36,18 @@ MAX_ROUNDS = 8
 def _ring_cells(
     queries: list[tuple[str, float, float]], radius_cells: int, bits: int
 ) -> pd.DataFrame:
-    """Candidate cells in the (2r+1)^2 square around each query."""
+    """Candidate cells in the (2r+1)^2 square around each query.
+
+    Polar-cap path (GeoHashSpiral.scala:96-151 handles pole adjacency
+    the same way — neighborhoods near a pole span all longitudes):
+    when the query's latitude band |qlat| + r*cell_h reaches 90°, the
+    square's longitudinal exit can be arbitrarily short (walking over
+    the pole), so the candidate region becomes the FULL band — every
+    longitude column, rows from cy-r up to the query's pole. Any
+    non-candidate point is then >= r*cell_h of LATITUDE away, which
+    keeps the haversine convergence bound positive (`_inner_bound`)."""
     n = 1 << bits
+    cell_h = 180.0 / n
     frames = []
     off = np.arange(-radius_cells, radius_cells + 1, dtype=np.int64)
     ox, oy = np.meshgrid(off, off)
@@ -46,12 +56,26 @@ def _ring_cells(
     for qid, qlon, qlat in queries:
         cx = int(C.lon_to_x_np(np.asarray([qlon]), bits)[0])
         cy = int(C.lat_to_y_np(np.asarray([qlat]), bits)[0])
-        # longitude wraps at the antimeridian (GeoHashSpiral's
-        # touching-geohash neighborhoods wrap the same way);
-        # latitude clamps at the poles
-        gx = (cx + ox) % n
-        gy = cy + oy
-        m = (gy >= 0) & (gy < n)
+        if abs(qlat) + radius_cells * cell_h >= 90.0:
+            # full polar band: all columns x rows [cy-r, n) (north)
+            # or [0, cy+r] (south)
+            if qlat >= 0:
+                rows = np.arange(max(cy - radius_cells, 0), n, dtype=np.int64)
+            else:
+                rows = np.arange(
+                    0, min(cy + radius_cells, n - 1) + 1, dtype=np.int64
+                )
+            gx, gy = np.meshgrid(np.arange(n, dtype=np.int64), rows)
+            gx = gx.ravel()
+            gy = gy.ravel()
+            m = np.ones(len(gx), dtype=bool)
+        else:
+            # longitude wraps at the antimeridian (GeoHashSpiral's
+            # touching-geohash neighborhoods wrap the same way);
+            # latitude clamps at the poles
+            gx = (cx + ox) % n
+            gy = cy + oy
+            m = (gy >= 0) & (gy < n)
         frame = pd.DataFrame(
             {
                 "qid": qid,
@@ -87,11 +111,13 @@ def _inner_bound_col(inner_deg: float, qlat_col, metric: str):
     evaluated inside the aggregate — no driver-side per-query state)."""
     if metric == "planar":
         return F.lit(inner_deg * inner_deg)
-    band = F.least(F.lit(90.0), F.abs(qlat_col) + F.lit(inner_deg))
+    band = F.abs(qlat_col) + F.lit(inner_deg)
     scale = F.greatest(
         F.lit(0.0), F.least(F.lit(1.0), F.lit(2.0) * F.cos(F.radians(band)))
     )
-    return F.lit(inner_deg * METERS_PER_DEG_LAT) * scale
+    return F.when(
+        band >= F.lit(90.0), F.lit(inner_deg * METERS_PER_DEG_LAT)
+    ).otherwise(F.lit(inner_deg * METERS_PER_DEG_LAT) * scale)
 
 
 def _inner_bound(inner_deg: float, qlat: float, metric: str) -> float:
@@ -99,14 +125,21 @@ def _inner_bound(inner_deg: float, qlat: float, metric: str) -> float:
     ring exterior. Planar: inner radius squared. Haversine: a
     conservative meters bound — latitude separation is exact, and
     longitudinal cells shrink by cos(lat), so take the min of both
-    directions at the latitude band the ring spans."""
+    directions at the latitude band the ring spans.
+
+    Polar band (|qlat| + inner >= 90): the candidate generators
+    expand to EVERY longitude column up to the pole under exactly
+    this predicate (`_ring_cells` / the `_polar` branch in
+    `knn_join_df`), so the only unexplored exit is in latitude and
+    the pure latitude-separation bound inner*M_LAT is exact — a
+    polar query therefore converges like any other instead of
+    burning all rounds with a 0 bound and falling into the
+    corpus-wide cross join (r3 VERDICT #1)."""
     if metric == "planar":
         return inner_deg * inner_deg
-    # NO sub-90 clamp: clamping the band at 89.9 overstated cos near
-    # the poles and declared convergence while a closer point sat
-    # outside the square (a polar query whose band reaches 90 gets
-    # bound 0 and correctly falls through to the exact fallback)
-    band = min(90.0, abs(qlat) + inner_deg)
+    band = abs(qlat) + inner_deg
+    if band >= 90.0:
+        return inner_deg * METERS_PER_DEG_LAT
     scale = min(1.0, 2.0 * np.cos(np.radians(band)))
     return inner_deg * METERS_PER_DEG_LAT * max(scale, 0.0)
 
@@ -244,6 +277,7 @@ def knn_join_df(
     qid_col: str = "qid",
     qlon_col: str = "qlon",
     qlat_col: str = "qlat",
+    debug_plans: list | None = None,
 ) -> DataFrame:
     """kNN *join*: top-k nearest data points per query row, with the
     query set as a DataFrame of any size.
@@ -267,8 +301,16 @@ def knn_join_df(
 
     Rounds double the square radius; queries whose square would
     cover the whole grid fall through to one exact cross join
-    (also the fewer-than-k-points backstop).
+    (also the fewer-than-k-points backstop). Queries whose latitude
+    band reaches a pole switch to a full-longitude polar band (see
+    `_inner_bound`), so a polar-concentrated query set converges in
+    rounds like any other instead of cross-joining the corpus.
     Returns (qid, dist2, rank, *points columns).
+
+    `debug_plans`: pass a list to receive ("round"|"fallback",
+    executed-plan string) per result branch — the final result is
+    localCheckpoint'ed (O(1) lineage), which truncates its plan, so
+    tests assert join strategies through this hook.
     """
     if metric not in ("planar", "haversine"):
         raise ValueError(metric)
@@ -301,11 +343,32 @@ def knn_join_df(
         if unresolved.isEmpty():
             break
         r = radius
-        seq = F.sequence(F.lit(-r), F.lit(r))
+        inner = r * cell_h
+        # polar band (matches `_inner_bound`'s predicate exactly):
+        # the square's longitudinal exit near a pole can be
+        # arbitrarily short, so expand to EVERY longitude column up
+        # to the query's pole — the only unexplored exit is then in
+        # latitude and the convergence bound stays positive. One
+        # sequence builder with per-row column bounds (a when() on
+        # the BOUNDS, not a chain of array-builder branches).
+        polar = (F.abs(F.col("qlat")) + F.lit(inner)) >= F.lit(90.0)
+        dx_lo = F.when(polar, F.lit(0)).otherwise(F.lit(-r))
+        dx_hi = F.when(polar, F.lit(n - 1)).otherwise(F.lit(r))
+        dy_lo = F.when(
+            polar & (F.col("qlat") < 0), -F.col("_qy").cast("int")
+        ).otherwise(F.lit(-r))
+        dy_hi = F.when(
+            polar & (F.col("qlat") >= 0), F.lit(n - 1) - F.col("_qy").cast("int")
+        ).otherwise(F.lit(r))
         cand = (
-            unresolved.withColumn("_dx", F.explode(seq))
-            .withColumn("_dy", F.explode(seq))
-            .withColumn("_gx", F.pmod(F.col("_qx") + F.col("_dx"), F.lit(n)))
+            unresolved.withColumn("_dx", F.explode(F.sequence(dx_lo, dx_hi)))
+            .withColumn("_dy", F.explode(F.sequence(dy_lo, dy_hi)))
+            .withColumn(
+                "_gx",
+                F.when(polar, F.col("_dx")).otherwise(
+                    F.pmod(F.col("_qx") + F.col("_dx"), F.lit(n))
+                ),
+            )
             .withColumn("_gy", F.col("_qy") + F.col("_dy"))
             .filter((F.col("_gy") >= 0) & (F.col("_gy") < n))
             .withColumn("_qcell", C.z2_combine(F.col("_gx"), F.col("_gy")))
@@ -325,7 +388,6 @@ def knn_join_df(
             .persist()
         )
         caches.append(topk)
-        inner = r * cell_h
         stats = topk.groupBy("qid").agg(
             F.count(F.lit(1)).alias("_cnt"),
             F.max("dist2").alias("_kth"),
@@ -335,9 +397,12 @@ def knn_join_df(
             (F.col("_cnt") >= k)
             & (F.col("_kth") <= _inner_bound_col(inner, F.col("_qlat"), metric))
         ).select("qid")
-        results.append(
-            topk.join(done, "qid", "left_semi").drop("qlon", "qlat")
-        )
+        round_res = topk.join(done, "qid", "left_semi").drop("qlon", "qlat")
+        if debug_plans is not None:
+            debug_plans.append(
+                ("round", round_res._jdf.queryExecution().executedPlan().toString())
+            )
+        results.append(round_res)
         unresolved = unresolved.join(done, "qid", "left_anti").localCheckpoint(
             eager=True
         )
@@ -354,12 +419,17 @@ def knn_join_df(
         w = Window.partitionBy("qid").orderBy(
             d2.asc(), F.col(lon_col).asc(), F.col(lat_col).asc(), *tiebreak
         )
-        results.append(
+        fb = (
             joined.withColumn("dist2", d2)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .drop("qlon", "qlat")
         )
+        if debug_plans is not None:
+            debug_plans.append(
+                ("fallback", fb._jdf.queryExecution().executedPlan().toString())
+            )
+        results.append(fb)
 
     out = results[0]
     for rdf in results[1:]:

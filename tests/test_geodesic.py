@@ -264,3 +264,73 @@ def test_knn_haversine_polar_exactness(spark):
         pdf.assign(d=d).sort_values(["d", "lon", "lat", "doc_id"]).head(5).doc_id
     )
     assert got == exp
+
+
+def test_knn_join_df_polar_fleet_no_cross_join(spark):
+    """~10^3 haversine queries at |lat| >= 89 (r3 VERDICT #1): the
+    polar band path must converge in rounds — NO corpus-wide
+    CartesianProduct / BroadcastNestedLoopJoin fallback — and match
+    the brute-force haversine oracle exactly."""
+    import pandas as pd
+    from geomesa_spark.operators.knn import knn_join_df
+
+    rng = np.random.default_rng(77)
+    n_np, n_sp, n_bg = 8000, 4000, 4000
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"p{i}" for i in range(n_np + n_sp + n_bg)],
+            "lon": rng.uniform(-180, 180, n_np + n_sp + n_bg),
+            "lat": np.concatenate(
+                [
+                    rng.uniform(88.0, 90.0, n_np),
+                    rng.uniform(-90.0, -88.0, n_sp),
+                    rng.uniform(-85.0, 85.0, n_bg),
+                ]
+            ),
+        }
+    )
+    pts = spark.createDataFrame(pdf).withColumn(
+        "cell", C.z2_cell(F.col("lon"), F.col("lat"))
+    )
+    nq = 1000
+    qpdf = pd.DataFrame(
+        {
+            "qid": [f"q{i}" for i in range(nq)],
+            "qlon": rng.uniform(-180, 180, nq),
+            "qlat": np.concatenate(
+                [rng.uniform(89.0, 90.0, nq // 2),
+                 rng.uniform(-90.0, -89.0, nq - nq // 2)]
+            ),
+        }
+    )
+    plans: list = []
+    out = knn_join_df(
+        pts, spark.createDataFrame(qpdf), 3,
+        metric="haversine", tiebreak_col="doc_id", debug_plans=plans,
+    )
+    rows = out.collect()
+    # 1) every query converged inside the ring rounds: no fallback
+    assert plans, "debug hook captured nothing"
+    assert all(kind == "round" for kind, _ in plans), [k for k, _ in plans]
+    for _, p in plans:
+        assert "CartesianProduct" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+    # 2) exact parity with the numpy haversine oracle
+    got = {}
+    for r in sorted(rows, key=lambda r: (r.qid, r.rank)):
+        got.setdefault(r.qid, []).append(r.doc_id)
+    assert len(got) == nq
+    R = 6371008.8
+    plon = np.radians(pdf.lon.to_numpy())
+    plat = np.radians(pdf.lat.to_numpy())
+    for _, q in qpdf.sample(n=60, random_state=5).iterrows():
+        ql, qt = math.radians(q.qlon), math.radians(q.qlat)
+        a = (np.sin((plat - qt) / 2) ** 2
+             + np.cos(qt) * np.cos(plat) * np.sin((plon - ql) / 2) ** 2)
+        d = 2 * R * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
+        exp = list(
+            pdf.assign(d=d)
+            .sort_values(["d", "lon", "lat", "doc_id"])
+            .head(3).doc_id
+        )
+        assert got[q.qid] == exp, q.qid

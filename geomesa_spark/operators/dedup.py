@@ -290,13 +290,20 @@ def simhash64(
     64 independent bits; votes fold in one aggregate (+finish) like
     the 16-bit variant. Returns (doc_id, simhash:long, signed)."""
     toks = F.array_distinct(F.split(F.col(text_col), " "))
-    # two 32-bit words from the md5: bits 0-31 and 32-63
+    # two 32-bit words from ONE md5 per token: lambda-bearing
+    # expressions are excluded from codegen common-subexpression
+    # elimination, so naming md5(t) twice would really hash twice —
+    # let-bind it via a nested single-element transform (the lambda
+    # var evaluates once) and slice both words from the bound value
     hv = F.transform(
         toks,
-        lambda t: F.struct(
-            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long").alias("h1"),
-            F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("h2"),
-        ),
+        lambda t: F.transform(
+            F.array(F.md5(t)),
+            lambda m: F.struct(
+                F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+                F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+            ),
+        )[0],
     )
     init = F.array(*[F.lit(0).cast("long") for _ in range(64)])
 

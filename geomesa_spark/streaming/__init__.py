@@ -1,6 +1,7 @@
 from geomesa_spark.streaming.kafka import (  # noqa: F401
     KAFKA_WIRE_SCHEMA,
     kafka_changelog,
+    kafka_live_view,
     kafka_raw_reader,
     kafka_reader_options,
 )

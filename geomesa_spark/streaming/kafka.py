@@ -148,3 +148,48 @@ def kafka_changelog(
     if ts_field not in [f.name for f in payload_schema.fields]:
         out = out.withColumn(ts_field, F.col("_kts"))
     return out.drop("_kts")
+
+
+def kafka_live_view(
+    raw: DataFrame,
+    payload_schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    op_field: str = "op",
+    ts_field: str = "ts",
+    ttl_sec: float | None = None,
+    processing_time: str | None = "1 second",
+    available_now: bool = False,
+):
+    """The reference's CONTINUOUS live layer, composed end-to-end:
+    wire frames -> `kafka_changelog` projection -> keyed upsert fold
+    with TTL eviction between micro-batches -> versioned snapshots
+    that stay queryable while the stream keeps running
+    (LiveKafkaConsumerFeatureSource.scala:136-191 — the in-memory
+    LiveFeatureCache + expireAfterWrite + quadtree query surface;
+    here the snapshot is an ordinary DataFrame, so any engine
+    operator — bbox scan, PIP join, kNN — applies unchanged).
+
+    `raw` is a streaming DataFrame with the Kafka wire schema: the
+    production `kafka_raw_reader(...)`, or any test double (e.g. a
+    file stream of `KAFKA_WIRE_SCHEMA` parquet). Returns the running
+    StreamingQuery; serve mid-run snapshot queries with
+    `upsert.read_state(spark, state_dir)` — readers only ever see
+    fully-committed versions, never a fold in progress.
+    """
+    from geomesa_spark.streaming.upsert import upsert_stream
+
+    log = kafka_changelog(
+        raw, payload_schema, op_field=op_field, ts_field=ts_field
+    )
+    return upsert_stream(
+        log,
+        state_dir,
+        checkpoint_dir,
+        id_col=id_col,
+        ts_col=ts_field,
+        ttl_sec=ttl_sec,
+        available_now=available_now,
+        processing_time=processing_time,
+    )

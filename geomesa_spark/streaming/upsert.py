@@ -154,6 +154,7 @@ def upsert_stream(
     seq_col: str = "seq",
     ttl_sec: float | None = None,
     available_now: bool = True,
+    processing_time: str | None = None,
 ):
     """Materialize a streaming changelog into the versioned state dir.
 
@@ -164,6 +165,13 @@ def upsert_stream(
     (never from v=N itself — which would read the path being
     overwritten, or a torn snapshot) and rewrites v=N: genuinely
     idempotent. Returns the StreamingQuery.
+
+    `available_now=True` drains the source and stops (batch-replay /
+    catch-up mode); `available_now=False` keeps the query RUNNING —
+    the reference's continuous live view — with an optional
+    `processing_time` trigger interval (e.g. "1 second"). Snapshots
+    stay queryable mid-run via `read_state` (readers only ever see
+    committed `_SUCCESS` versions).
     """
     spark = changelog.sparkSession
 
@@ -183,4 +191,6 @@ def upsert_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
     return writer.start()

@@ -186,6 +186,7 @@ def mosaic(
     out_h: int,
     tile_px: int | None = None,
     tile_py: int | None = None,
+    driver_max_pixels: int = 4_000_000,
 ) -> np.ndarray:
     """Assemble the tiles covering `bbox` into one out_h×out_w grid.
 
@@ -193,17 +194,19 @@ def mosaic(
     (:101-189): crop each tile to the query envelope, place it at its
     pixel offset, nearest-neighbor scale to the target size. The
     heavy per-tile crop work runs distributed (mapInPandas producing
-    placed fragments); the final paste happens on the driver — the
-    same split as the reference (tablet scan + client mosaic).
+    placed fragments).
 
-    Driver-memory bound: the collected fragments total ~(query
-    extent / native chunk resolution)^2 doubles — the native-res
-    mosaic canvas, NOT out_w*out_h. `tile_cover_scan` picks the
-    coarsest resolution covering the bbox, so the canvas stays
-    within a small multiple of the requested output; a caller
-    forcing a fine `res_bits` over a large bbox pays the
-    corresponding driver memory, exactly like the reference's
-    client-side mosaicChunks.
+    Assembly has two paths, chosen by the native canvas size (query
+    extent at the level's deg-per-pixel — mosaicChunks:126-128):
+
+    * small (≤ `driver_max_pixels`): fragments collect to the driver
+      and paste there — the reference's client-side mosaic split
+      (tablet scan + client mosaicChunks).
+    * large: block-wise distributed assembly (`mosaic_blocks`) — crop
+      fragments are split along a block grid, each block pasted by one
+      `applyInPandas` group, and only the out_h×out_w nearest-neighbor
+      *samples* ever reach the driver. A wall-size native canvas never
+      materializes in one place.
     """
     cov = tile_cover_scan(tiles, bbox, res_bits)
     xmin, ymin, xmax, ymax = bbox
@@ -216,6 +219,19 @@ def mosaic(
             return np.zeros((out_h, out_w))
         tile_px = int(first.px) if tile_px is None else tile_px
         tile_py = int(first.py) if tile_py is None else tile_py
+
+    # native mosaic size: query extent at the level's deg-per-pixel
+    n = 1 << res_bits
+    rx = (360.0 / n) / tile_px
+    ry = (180.0 / n) / tile_py
+    mw = max(int(round((xmax - xmin) / rx)), 1)
+    mh = max(int(round((ymax - ymin) / ry)), 1)
+
+    if mw * mh > driver_max_pixels:
+        return _mosaic_sampled(
+            mosaic_blocks(cov, bbox, res_bits, tile_px, tile_py),
+            out_w, out_h, mw, mh,
+        )
 
     frag_schema = T.StructType(
         [
@@ -264,13 +280,6 @@ def mosaic(
     frags = cov.mapInPandas(crop, schema=frag_schema).collect()
     if not frags:
         return np.zeros((out_h, out_w))
-    # native mosaic size: query extent at the level's deg-per-pixel
-    # (mosaicChunks: queryEnv.getSpan / chunk resolution, :126-128)
-    n = 1 << res_bits
-    rx = (360.0 / n) / tile_px
-    ry = (180.0 / n) / tile_py
-    mw = max(int(round((xmax - xmin) / rx)), 1)
-    mh = max(int(round((ymax - ymin) / ry)), 1)
     canvas = np.zeros((mh, mw))
     for f in frags:
         h, w = int(f.h), int(f.w)
@@ -283,3 +292,164 @@ def mosaic(
     yi = np.minimum((np.arange(out_h) * mh / out_h).astype(int), mh - 1)
     xi = np.minimum((np.arange(out_w) * mw / out_w).astype(int), mw - 1)
     return canvas[np.ix_(yi, xi)]
+
+
+BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("bx", T.IntegerType()),
+        T.StructField("by", T.IntegerType()),
+        T.StructField("bw", T.IntegerType()),
+        T.StructField("bh", T.IntegerType()),
+        T.StructField("data", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def mosaic_blocks(
+    cov: DataFrame,
+    bbox: tuple[float, float, float, float],
+    res_bits: int,
+    tile_px: int,
+    tile_py: int,
+    block: int = 1024,
+) -> DataFrame:
+    """Distributed mosaic assembly: the native-resolution canvas as a
+    DataFrame of `block`×`block` pixel blocks.
+
+    The crop stage (mapInPandas) slices each covering tile against the
+    query envelope AND the block grid, emitting per-block fragments;
+    one `applyInPandas` group per (bx, by) pastes its fragments into a
+    block canvas. No single process ever holds more than one block —
+    wall-size canvases (the reference's client-side mosaicChunks limit,
+    RasterUtils.scala:101-189) become a parquet-writable block table
+    instead of a driver allocation.
+
+    `cov` must already be filtered to one resolution (tile_cover_scan).
+    Rows: (bx, by, bw, bh, data[row-major bh×bw]).
+    """
+    xmin, ymin, xmax, ymax = bbox
+    n = 1 << res_bits
+    rx = (360.0 / n) / tile_px
+    ry = (180.0 / n) / tile_py
+    mw = max(int(round((xmax - xmin) / rx)), 1)
+    mh = max(int(round((ymax - ymin) / ry)), 1)
+
+    frag_schema = T.StructType(
+        [
+            T.StructField("bx", T.IntegerType()),
+            T.StructField("by", T.IntegerType()),
+            T.StructField("ox", T.IntegerType()),  # absolute canvas px
+            T.StructField("oy", T.IntegerType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("data", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def crop_blocks(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                cx0, cy0, cx1, cy1 = cell_bounds(int(r.cell), res_bits)
+                px, py = int(r.px), int(r.py)
+                trx = (cx1 - cx0) / px
+                try_ = (cy1 - cy0) / py
+                ix0, ix1 = max(cx0, xmin), min(cx1, xmax)
+                iy0, iy1 = max(cy0, ymin), min(cy1, ymax)
+                if ix1 <= ix0 or iy1 <= iy0:
+                    continue
+                ul_x = max(int(np.floor((ix0 - cx0) / trx)), 0)
+                ul_y = max(int(np.floor((cy1 - iy1) / try_)), 0)
+                w = min(int(np.ceil((ix1 - ix0) / trx)), px - ul_x)
+                h = min(int(np.ceil((iy1 - iy0) / try_)), py - ul_y)
+                if w <= 0 or h <= 0:
+                    continue
+                grid = np.asarray(r.tile, dtype=np.float64).reshape(py, px)
+                sub = grid[ul_y : ul_y + h, ul_x : ul_x + w]
+                ox = int(np.floor((ix0 - xmin) / trx))
+                oy = int(np.floor((ymax - iy1) / try_))
+                # clip to canvas, then split along the block grid
+                x1c, y1c = min(ox + w, mw), min(oy + h, mh)
+                if x1c <= ox or y1c <= oy:
+                    continue
+                sub = sub[: y1c - oy, : x1c - ox]
+                for by in range(oy // block, (y1c - 1) // block + 1):
+                    fy0, fy1 = max(oy, by * block), min(y1c, (by + 1) * block)
+                    for bx in range(ox // block, (x1c - 1) // block + 1):
+                        fx0, fx1 = max(ox, bx * block), min(x1c, (bx + 1) * block)
+                        piece = sub[fy0 - oy : fy1 - oy, fx0 - ox : fx1 - ox]
+                        out.append(
+                            (
+                                bx, by, fx0, fy0,
+                                fx1 - fx0, fy1 - fy0,
+                                [float(v) for v in piece.ravel()],
+                            )
+                        )
+            yield pd.DataFrame(
+                out, columns=["bx", "by", "ox", "oy", "w", "h", "data"]
+            )
+
+    def assemble(key, pdf):
+        bx, by = int(key[0]), int(key[1])
+        bw = min(block, mw - bx * block)
+        bh = min(block, mh - by * block)
+        canvas = np.zeros((bh, bw))
+        for _, f in pdf.iterrows():
+            h, w = int(f.h), int(f.w)
+            y0, x0 = int(f.oy) - by * block, int(f.ox) - bx * block
+            canvas[y0 : y0 + h, x0 : x0 + w] = np.asarray(
+                f.data, dtype=np.float64
+            ).reshape(h, w)
+        return pd.DataFrame(
+            [(bx, by, bw, bh, [float(v) for v in canvas.ravel()])],
+            columns=["bx", "by", "bw", "bh", "data"],
+        )
+
+    frags = cov.mapInPandas(crop_blocks, schema=frag_schema)
+    return frags.groupBy("bx", "by").applyInPandas(assemble, schema=BLOCK_SCHEMA)
+
+
+def _mosaic_sampled(
+    blocks: DataFrame,
+    out_w: int,
+    out_h: int,
+    mw: int,
+    mh: int,
+    block: int = 1024,
+) -> np.ndarray:
+    """Nearest-neighbor downsample a block table to out_h×out_w.
+
+    Each block emits only the output samples whose source pixel falls
+    inside it, so the driver receives ≤ out_h*out_w values regardless
+    of native canvas size.
+    """
+    yi = np.minimum((np.arange(out_h) * mh / out_h).astype(int), mh - 1)
+    xi = np.minimum((np.arange(out_w) * mw / out_w).astype(int), mw - 1)
+
+    sample_schema = T.StructType(
+        [
+            T.StructField("oy", T.IntegerType()),
+            T.StructField("ox", T.IntegerType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+
+    def sample(batches):
+        for pdf in batches:
+            out = []
+            for _, b in pdf.iterrows():
+                bx, by, bw, bh = int(b.bx), int(b.by), int(b.bw), int(b.bh)
+                y0, x0 = by * block, bx * block
+                grid = np.asarray(b.data, dtype=np.float64).reshape(bh, bw)
+                ys = np.nonzero((yi >= y0) & (yi < y0 + bh))[0]
+                xs = np.nonzero((xi >= x0) & (xi < x0 + bw))[0]
+                for i in ys:
+                    row = grid[yi[i] - y0]
+                    for j in xs:
+                        out.append((int(i), int(j), float(row[xi[j] - x0])))
+            yield pd.DataFrame(out, columns=["oy", "ox", "v"])
+
+    out = np.zeros((out_h, out_w))
+    for r in blocks.mapInPandas(sample, schema=sample_schema).collect():
+        out[r.oy, r.ox] = r.v
+    return out

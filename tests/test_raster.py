@@ -87,3 +87,59 @@ def test_mosaic_multi_tile_and_scale(spark, tiles):
     yi = np.minimum((np.arange(8) * 16 // 8), 15)
     xi = np.minimum((np.arange(16) * 32 // 16), 31)
     np.testing.assert_allclose(m, native[np.ix_(yi, xi)])
+
+
+def test_mosaic_blocks_parity(spark, tiles):
+    """Distributed block assembly == driver-path native canvas, with a
+    block size that forces tile fragments to split across blocks."""
+    cells = [
+        int(C.z2_encode_np(np.asarray([4]), np.asarray([8]))[0]),
+        int(C.z2_encode_np(np.asarray([5]), np.asarray([8]))[0]),
+        int(C.z2_encode_np(np.asarray([4]), np.asarray([9]))[0]),
+        int(C.z2_encode_np(np.asarray([5]), np.asarray([9]))[0]),
+    ]
+    x0, y0, _, _ = R.cell_bounds(cells[0], 4)
+    _, _, x1, y1 = R.cell_bounds(cells[3], 4)
+    bbox = (x0, y0, x1, y1)
+
+    cov = R.tile_cover_scan(tiles, bbox, 4)
+    blocks = R.mosaic_blocks(cov, bbox, 4, 16, 16, block=12)
+    plan = blocks._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan  # distributed assembly
+
+    rows = blocks.collect()
+    # native canvas is 32x32; block=12 -> 3x3 block grid w/ edge blocks
+    assert {(r.bx, r.by) for r in rows} == {
+        (bx, by) for bx in range(3) for by in range(3)
+    }
+    got = np.zeros((32, 32))
+    for r in rows:
+        grid = np.asarray(r.data).reshape(r.bh, r.bw)
+        got[r.by * 12 : r.by * 12 + r.bh, r.bx * 12 : r.bx * 12 + r.bw] = grid
+
+    grids = {
+        r.cell: np.asarray(r.tile).reshape(16, 16)
+        for r in tiles.filter(F.col("cell").isin(cells)).collect()
+    }
+    want = np.zeros((32, 32))
+    # row 0 = top = max lat -> iy=9 cells on top
+    want[:16, :16] = grids[cells[2]]
+    want[:16, 16:] = grids[cells[3]]
+    want[16:, :16] = grids[cells[0]]
+    want[16:, 16:] = grids[cells[1]]
+    np.testing.assert_allclose(got, want)
+
+
+def test_mosaic_forced_distributed_parity(spark, tiles):
+    """mosaic() over the driver bound routes through block assembly and
+    matches the driver path exactly (VERDICT r3 #5 done criterion)."""
+    cells = [
+        int(C.z2_encode_np(np.asarray([4]), np.asarray([8]))[0]),
+        int(C.z2_encode_np(np.asarray([5]), np.asarray([9]))[0]),
+    ]
+    x0, y0, _, _ = R.cell_bounds(cells[0], 4)
+    _, _, x1, y1 = R.cell_bounds(cells[1], 4)
+    bbox = (x0, y0, x1, y1)
+    via_driver = R.mosaic(tiles, bbox, 4, 16, 8)
+    via_blocks = R.mosaic(tiles, bbox, 4, 16, 8, driver_max_pixels=1)
+    np.testing.assert_allclose(via_blocks, via_driver)

@@ -27,7 +27,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-CORPUS = "/tmp/geomesa_spark_scale_corpus"
+CORPUS = os.environ.get(
+    "SPARK_GRAFT_SCALE_CORPUS", "/tmp/geomesa_spark_scale_corpus"
+)
+WAREHOUSE = "/tmp/geomesa_spark_scale_warehouse"
 POLYS = [
     ("rect", "POLYGON ((10.005 20.005, 80.005 20.005, 80.005 60.005, 10.005 60.005, 10.005 20.005))"),
     ("tri", "POLYGON ((-120.005 -40.005, -60.005 -40.005, -90.005 30.005, -120.005 -40.005))"),
@@ -42,6 +45,7 @@ def session(cpus: int):
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"scaling-{cpus}")
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
+        .config("spark.sql.warehouse.dir", WAREHOUSE)
         .config("spark.driver.memory", "48g")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
@@ -75,7 +79,12 @@ def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
     timed run tens of seconds at local[4]).
     kind='knn': distributed kNN join (knn_join_df) of a ~1/1600
     query sample against 1/8 of the corpus — per-round cell-keyed
-    shuffle joins + aggregate convergence."""
+    shuffle joins + aggregate convergence.
+    kind='bucketed': the STORED-LAYOUT answer to the shuffle row —
+    points and polygon cover are materialized co-bucketed on the
+    parent cell (untimed, the layout amortizes across every later
+    join), then the timed job is pip_join_bucketed's zero-Exchange
+    sort-merge join + JVM refine."""
     from pyspark.sql import functions as F
 
     from geomesa_spark.functions import cells as C
@@ -94,6 +103,27 @@ def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
     if kind in ("geom", "knn"):
         # deterministic 1/8 subset: identical input at both levels
         docs = docs.filter(F.pmod(F.crc32(F.col("doc_id")), F.lit(8)) == 0)
+
+    if kind == "bucketed":
+        # UNTIMED one-time layout build (the whole point of the stored
+        # layout: its shuffle amortizes across every subsequent join).
+        # The catalog is session-scoped, so each measured process
+        # rebuilds it; clear_stale_location reclaims the previous
+        # process's orphaned managed-table dirs.
+        from geomesa_spark.operators.spatial_join import (
+            pip_join_bucketed,
+            write_cover_bucketed,
+            write_points_bucketed,
+        )
+
+        ptbl, ctbl = f"scale_pts_{cpus}", f"scale_cover_{cpus}"
+        write_points_bucketed(
+            extract_geometry(docs), ptbl, bits=6, n_buckets=64,
+            clear_stale_location=True,
+        )
+        write_cover_bucketed(
+            polys_df, ctbl, bits=6, n_buckets=64, clear_stale_location=True
+        )
 
     def pipeline():
         pts = extract_geometry(docs)
@@ -125,6 +155,10 @@ def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
             out = knn_join_df(pts, queries, k=5).select(
                 "qid", "doc_id", "rank"
             )
+        elif kind == "bucketed":
+            out = pip_join_bucketed(
+                spark, ptbl, ctbl, polys_df, bits=6
+            ).select("doc_id", "poly_id")
         else:
             joined = pip_join_broadcast(pts, POLYS).withColumn(
                 "tile", C.cell_parent(F.col("cell"), C.XY_BITS, 8)
@@ -179,11 +213,11 @@ def main() -> None:
     # of the engine's own cost (same rationale as the in-process
     # min-of-3)
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
-    VALID_KINDS = ("broadcast", "shuffle", "geom", "knn")
+    VALID_KINDS = ("broadcast", "shuffle", "bucketed", "geom", "knn")
     kinds = [
         k.strip()
         for k in os.environ.get(
-            "SPARK_GRAFT_SCALING_KINDS", "broadcast,shuffle,geom,knn"
+            "SPARK_GRAFT_SCALING_KINDS", "broadcast,shuffle,bucketed,geom,knn"
         ).split(",")
         if k.strip()
     ]
@@ -243,6 +277,15 @@ def main() -> None:
         "shuffle": "cell-PARTITIONED PIP join, broadcast disabled, plus a "
                    "cell-keyed aggregation — both sides shuffle on the "
                    "salted cell key (exchange-bound regime)",
+        "bucketed": "the STORED-LAYOUT answer to the shuffle row: points "
+                    "and polygon cover pre-materialized co-bucketed on the "
+                    "parent cell (layout build untimed — it amortizes over "
+                    "every later join), timed job = pip_join_bucketed's "
+                    "zero-Exchange per-bucket sort-merge join + broadcast "
+                    "edges + JVM refine. With no Exchange in the plan, the "
+                    "exchange-bound penalty of the shuffle row should "
+                    "disappear and efficiency should approach the "
+                    "broadcast row's",
         "geom": "per-doc derived LINESTRING WKT, all-JVM parse "
                 "(geom_table_native), cell-partitioned geometry-layer "
                 "intersects join (geom_join_partitioned) on 1/8 of the "

@@ -194,6 +194,61 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
+def _kmeanspp_seeds(
+    corpus: DataFrame,
+    n_lists: int,
+    id_col: str,
+    vec_col: str,
+    sample_size: int,
+    seed: int,
+) -> np.ndarray:
+    """Deterministic k-means++ seeding on a bounded corpus sample.
+
+    Standard quantizer-training practice (faiss trains its coarse
+    quantizer on a sample; Spark MLlib's k-means|| exists for when
+    even the candidate set must stay distributed): take the
+    `sample_size` vectors with smallest xxhash64(id) — a reproducible
+    uniform sample, computed as a distributed top-k — then run D²
+    (k-means++) seeding driver-side in numpy. Distances are computed
+    on L2-normalized copies so seeding optimizes the same spherical
+    geometry as `ivf_assign`'s max-dot assignment. All "random" draws
+    come from splitmix64 counters, so the seeds are bit-reproducible
+    across runs and partitionings.
+    """
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("h", F.xxhash64(F.col("id")))
+        .orderBy("h")
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([[float(x) for x in r.v] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n = X.shape[0]
+    if n <= n_lists:
+        return X
+
+    def draw(i: int) -> float:  # deterministic U[0,1) stream
+        z = _splitmix64(np.asarray([seed * 2_654_435_761 + i], dtype=np.uint64))
+        return float(z[0] >> np.uint64(11)) / float(1 << 53)
+
+    chosen = [int(draw(0) * n)]
+    d2 = np.sum((Xn - Xn[chosen[0]]) ** 2, axis=1)
+    for i in range(1, n_lists):
+        total = float(d2.sum())
+        if total <= 0:  # fewer distinct points than lists
+            remaining = [j for j in range(n) if j not in set(chosen)]
+            chosen.append(remaining[0] if remaining else chosen[-1])
+            continue
+        # D² sampling: next seed ~ d2/sum(d2)
+        target = draw(i) * total
+        idx = int(np.searchsorted(np.cumsum(d2), target))
+        idx = min(idx, n - 1)
+        chosen.append(idx)
+        d2 = np.minimum(d2, np.sum((Xn - Xn[idx]) ** 2, axis=1))
+    return X[chosen]
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_lists: int,
@@ -201,20 +256,39 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iters: int = 2,
+    seeding: str = "hash",
+    sample_size: int | None = None,
+    seed: int = 42,
 ) -> np.ndarray:
-    """Deterministic coarse quantizer: seed centroids are the vectors
-    whose splitmix64(id) is smallest (reproducible "random" sample),
-    then `refine_iters` Lloyd steps run as DataFrame aggregations
-    (assign = argmax dot; update = per-list mean) — k-means at scale
-    without collecting the corpus."""
-    seeds = (
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .withColumn("h", F.xxhash64(F.col("id")))
-        .orderBy("h")
-        .limit(n_lists)
-        .collect()
-    )
-    C = np.array([[float(x) for x in r.v] for r in seeds], dtype=np.float64)
+    """Deterministic coarse quantizer: seed centroids (hash sample or
+    k-means++, see below), then `refine_iters` Lloyd steps run as
+    DataFrame aggregations (assign = argmax dot; update = per-list
+    mean) — k-means at scale without collecting the corpus.
+
+    `seeding="hash"`: the vectors with smallest splitmix64(id) — the
+    cheapest reproducible sample, oracle-friendly but quality-naive
+    (several seeds can land in one natural cluster and Lloyd may not
+    separate them in few iters).
+    `seeding="kmeans++"`: D² seeding on a bounded deterministic
+    sample (`sample_size`, default max(256*n_lists, 4096)) — spreads
+    seeds across the data's natural clusters, measurably better
+    recall at equal n_probes (see test_ann.py recall tests)."""
+    if seeding == "kmeans++":
+        C = _kmeanspp_seeds(
+            corpus, n_lists, id_col, vec_col,
+            sample_size or max(256 * n_lists, 4096), seed,
+        )
+    elif seeding == "hash":
+        seeds = (
+            corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .withColumn("h", F.xxhash64(F.col("id")))
+            .orderBy("h")
+            .limit(n_lists)
+            .collect()
+        )
+        C = np.array([[float(x) for x in r.v] for r in seeds], dtype=np.float64)
+    else:
+        raise ValueError(f"unknown seeding {seeding!r} (hash | kmeans++)")
     # per-list means via mapInPandas PARTIAL SUMS (one (sum, count)
     # row per list per partition, combined on the driver): a
     # per-element `F.avg(vec[i])` agg would put `dim` expression

@@ -530,3 +530,70 @@ def test_ivf_topk_broadcast_auto_fallback(emb_df):
     plan_b = auto_bcast_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan_b, plan_b
     assert rowset(auto_bcast_df) == forced_bcast
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """16 loose gaussian clusters (noise comparable to separation) —
+    the regime where quantizer quality actually moves recall."""
+    rng = np.random.default_rng(7)
+    K = 16
+    base = rng.normal(size=(K, 16)) * 2.0
+    rows = []
+    for i in range(400):
+        v = base[i % K] + rng.normal(scale=0.8, size=16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).cache()
+    return df
+
+
+def _recall(df, q, C, brute, probes):
+    got = {}
+    res = N.ivf_topk(df, q, 5, C, n_probes=probes).collect()
+    for r in sorted(res, key=lambda r: (r.qid, r.rank)):
+        got.setdefault(r.qid, []).append(r.vec_id)
+    hits = sum(len(set(got.get(qq, [])) & set(brute[qq])) for qq in brute)
+    return hits / sum(len(v) for v in brute.values())
+
+
+def test_ivf_kmeanspp_recall(clustered_emb):
+    """VERDICT r3 #8: measure IVF recall@k vs cosine_topk the way
+    lsh_topk is recall-tested, and show k-means++ seeding beats the
+    quality-naive hash seeding at equal probe budget."""
+    df = clustered_emb
+    q = df.filter(F.col("vec_id") < 25)
+    brute = {}
+    for r in sorted(
+        N.cosine_topk(df, q, 5).collect(), key=lambda r: (r.qid, r.rank)
+    ):
+        brute.setdefault(r.qid, []).append(r.vec_id)
+
+    C_pp = N.ivf_centroids(
+        df, n_lists=16, dim=16, refine_iters=2, seeding="kmeans++"
+    )
+    C_hash = N.ivf_centroids(df, n_lists=16, dim=16, refine_iters=2)
+    assert C_pp.shape == C_hash.shape == (16, 16)
+
+    r_pp1 = _recall(df, q, C_pp, brute, probes=1)
+    r_pp2 = _recall(df, q, C_pp, brute, probes=2)
+    r_hash1 = _recall(df, q, C_hash, brute, probes=1)
+    # measured: pp1=0.984 pp2=1.000 hash1=0.944 (deterministic data +
+    # deterministic seeding; margins guard float-order wobble)
+    assert r_pp2 >= 0.99
+    assert r_pp1 >= 0.96
+    assert r_pp1 >= r_hash1
+
+
+def test_ivf_kmeanspp_deterministic(clustered_emb):
+    df = clustered_emb
+    a = N.ivf_centroids(
+        df, n_lists=8, dim=16, refine_iters=1, seeding="kmeans++"
+    )
+    b = N.ivf_centroids(
+        df, n_lists=8, dim=16, refine_iters=1, seeding="kmeans++"
+    )
+    np.testing.assert_array_equal(a, b)
+    with pytest.raises(ValueError, match="unknown seeding"):
+        N.ivf_centroids(df, n_lists=8, dim=16, seeding="bogus")

@@ -114,20 +114,12 @@ def replay_state(
 def _state_versions(spark: SparkSession, state_dir: str) -> list[int]:
     """Complete (committed) state versions only: a version dir
     without _SUCCESS is a torn write from a crashed batch and must
-    never be folded from."""
-    jvm = spark.sparkContext._jvm
-    path = jvm.org.apache.hadoop.fs.Path(state_dir)
-    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    if not fs.exists(path):
-        return []
-    out = []
-    for st in fs.listStatus(path):
-        name = st.getPath().getName()
-        if name.startswith("v=") and fs.exists(
-            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
-        ):
-            out.append(int(name[2:]))
-    return sorted(out)
+    never be folded from. (Delegates to the TableIO seam —
+    `sources.tableio.ParquetVersionedIO` — so a real catalog, e.g.
+    Iceberg snapshots, can replace the directory mechanics.)"""
+    from geomesa_spark.sources.tableio import ParquetVersionedIO
+
+    return ParquetVersionedIO(spark, state_dir).versions()
 
 
 def read_state(
@@ -137,12 +129,9 @@ def read_state(
     versions strictly below that batch id (batch-replay safety: an
     at-least-once re-run of batch N must fold from N's *predecessor*,
     not from the version N itself wrote before crashing)."""
-    vs = _state_versions(spark, state_dir)
-    if before_batch is not None:
-        vs = [v for v in vs if v < before_batch]
-    if not vs:
-        return None
-    return spark.read.parquet(f"{state_dir}/v={vs[-1]}")
+    from geomesa_spark.sources.tableio import ParquetVersionedIO
+
+    return ParquetVersionedIO(spark, state_dir).read_latest(before_batch)
 
 
 def upsert_stream(
@@ -155,6 +144,7 @@ def upsert_stream(
     ttl_sec: float | None = None,
     available_now: bool = True,
     processing_time: str | None = None,
+    io=None,
 ):
     """Materialize a streaming changelog into the versioned state dir.
 
@@ -172,17 +162,26 @@ def upsert_stream(
     `processing_time` trigger interval (e.g. "1 second"). Snapshots
     stay queryable mid-run via `read_state` (readers only ever see
     committed `_SUCCESS` versions).
+
+    `io` is the storage seam (`sources.tableio.VersionedTableIO`
+    contract): default `ParquetVersionedIO(spark, state_dir)`; pass
+    `IcebergVersionedIO` on a catalog-equipped cluster to commit each
+    batch as an Iceberg snapshot instead (SURVEY §1.2 mapping).
     """
     spark = changelog.sparkSession
+    if io is None:
+        from geomesa_spark.sources.tableio import ParquetVersionedIO
+
+        io = ParquetVersionedIO(spark, state_dir)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        state = read_state(spark, state_dir, before_batch=batch_id)
+        state = io.read_latest(before=batch_id)
         new = apply_changelog(state, batch_df, id_col, ts_col, seq_col)
         if ttl_sec is not None:
             import time as _t
 
             new = expire_ttl(new, _t.time(), ttl_sec, ts_col)
-        new.write.mode("overwrite").parquet(f"{state_dir}/v={batch_id}")
+        io.write_version(new, batch_id)
 
     writer = (
         changelog.writeStream.foreachBatch(fold)

@@ -386,6 +386,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bbox_scan_or"] = bbox_scan_or
 
+    def ecql_scan_gate(spark, sf):
+        """ECQL text front-end (plans/ecql.py): the reference's
+        `fs.getFeatures(ECQL.toFilter(text))` entry point — parse,
+        DNF-split, compile each disjunct to a pushable QuerySpec +
+        residual JVM refine, union + dedup (QueryFilterSplitter.scala
+        :60-140, filter/package.scala rewriteFilterInDnf analog)."""
+        from geomesa_spark.plans.ecql import ecql_scan
+
+        pent_wkt = (
+            "POLYGON (("
+            + ", ".join(f"{x} {y}" for x, y in PENTAGON + PENTAGON[:1])
+            + "))"
+        )
+        text = (
+            f"(INTERSECTS(geom, {pent_wkt})"
+            f" OR BBOX(geom, {RECT[0]}, {RECT[1]}, {RECT[2]}, {RECT[3]}))"
+            " AND dtg DURING 2024-01-05T00:00:00.000Z/2024-01-20T00:00:00.000Z"
+            " AND value >= 0.25"
+        )
+        return ecql_scan(
+            geo_events(spark, sf), text, id_col="event_id"
+        ).select("event_id")
+
+    q["ecql_scan"] = ecql_scan_gate
+
     # --- spatial joins: both physical strategies ---
     _polys = [
         ("rect", _rect_wkt(RECT)),
@@ -891,6 +916,19 @@ WHERE (lon BETWEEN {BBOX[0]!r} AND {BBOX[2]!r}
        AND lat BETWEEN {BBOX[1]!r} AND {BBOX[3]!r}
        AND es >= {int(SCAN_T0.timestamp())} AND es < {int(SCAN_T1.timestamp())})
    OR (lon BETWEEN 100.005 AND 170.005 AND lat BETWEEN -60.005 AND 10.005)
+"""
+
+    # ECQL front-end gate: (pentagon INTERSECTS OR rect BBOX) AND
+    # DURING (exclusive endpoints, GeoTools During) AND attribute
+    o["ecql_scan"] = f"""
+WITH {PTS_CTE}
+SELECT DISTINCT event_id FROM pts
+WHERE ({_convex_cond(PENTAGON)}
+       OR (lon BETWEEN {RECT[0]!r} AND {RECT[2]!r}
+           AND lat BETWEEN {RECT[1]!r} AND {RECT[3]!r}))
+  AND ts > TIMESTAMP '2024-01-05 00:00:00'
+  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+  AND value >= 0.25
 """
 
     rxmin, rymin, rxmax, rymax = RECT

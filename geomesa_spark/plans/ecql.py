@@ -659,6 +659,13 @@ def _units_to_meters(dist: float, units: str) -> float | None:
 
 def _spatial_col(sp: Spatial, cols: _Cols) -> Column:
     """Exact residual Column for a spatial leaf over point rows."""
+    if sp.attr not in cols.geom_attrs:
+        # silently evaluating an unknown geometry attribute against
+        # lon/lat would return wrong-but-plausible rows — refuse
+        raise ECQLError(
+            f"unknown geometry attribute {sp.attr!r}; declare it via "
+            f"geom_attrs= (known: {cols.geom_attrs})"
+        )
     lon, lat = F.col(cols.lon), F.col(cols.lat)
     if sp.op == "BBOX":
         x0, y0, x1, y1 = sp.bbox
@@ -814,8 +821,10 @@ def compile_disjunct(leaves: list, cols: _Cols):
             continue
         if isinstance(leaf, Spatial):
             if leaf.attr not in cols.geom_attrs:
-                residuals.append(_spatial_col(leaf, cols))
-                continue
+                raise ECQLError(
+                    f"unknown geometry attribute {leaf.attr!r}; declare "
+                    f"it via geom_attrs= (known: {cols.geom_attrs})"
+                )
             pushable = leaf.op in ("BBOX", "INTERSECTS", "DWITHIN") or (
                 leaf.op == "WITHIN" and leaf.attr_is_first
             ) or (leaf.op == "CONTAINS" and not leaf.attr_is_first)

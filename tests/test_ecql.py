@@ -506,3 +506,17 @@ def test_pushdown_plan_shape(spark, events, tmp_path):
     assert "PushedFilters" in plan and "lon" in plan
     # polygon refine is the JVM even-odd aggregate, not a Python UDF
     assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_unknown_geometry_attribute_raises():
+    # evaluating an undeclared geometry attribute against lon/lat
+    # would return wrong-but-plausible rows; it must refuse instead
+    for text in [
+        "INTERSECTS(g, POLYGON ((0 0, 1 0, 1 1, 0 0)))",
+        "NOT INTERSECTS(g, POLYGON ((0 0, 1 0, 1 1, 0 0)))",
+        "BBOX(g, 0, 0, 1, 1)",
+    ]:
+        with pytest.raises(E.ECQLError):
+            E.compile_ecql(text)
+    # declared via geom_attrs= it compiles
+    assert E.compile_ecql("BBOX(g, 0, 0, 1, 1)", geom_attrs=("g",))

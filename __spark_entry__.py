@@ -885,6 +885,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_decode"] = media_decode
 
+    # --- converter-config front-end: the reference's geomesa-convert
+    # README definition format (HOCON + transform DSL) compiled to a
+    # Spark ingest (sources/convert_config.py). Input CSV is
+    # materialized from `events` with CAST(x AS STRING) (shortest-
+    # roundtrip, so ::double recovers bit-identical values); the
+    # oracle recomputes every transform directly on the parquet
+    # table. Reference: geomesa-convert/README.md, Transformers.scala
+    # function registry, DelimitedTextConverter.scala. ---
+    def convert_ingest(spark, sf):
+        import re as _re
+
+        from geomesa_spark.sources.convert_config import (
+            delimited_config_ingest,
+        )
+
+        tag = _re.sub(r"\W", "_", sf)
+        path = f"/tmp/geomesa_gate_convert_{tag}"
+        ev = _load(spark, sf, "events")
+        lines = ev.select(
+            F.concat_ws(
+                ",",
+                F.col("event_id").cast("string"),
+                F.col("event_type"),
+                F.col("user_id").cast("string"),
+                F.col("value").cast("string"),
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+            ).alias("value")
+        )
+        lines.write.mode("overwrite").text(path)
+        config = """
+        converter = {
+          type = "delimited-text",
+          format = "CSV",
+          id-field = "md5(string2bytes($1))",
+          fields = [
+            { name = "tag", transform = "concatenate(uppercase($2), '_', $1)" },
+            { name = "uid", transform = "$3::long" },
+            { name = "val", transform = "$4::double" },
+            { name = "dtg", transform = "dateHourMinuteSecondMillis($5)" },
+          ]
+        }
+        """
+        out = delimited_config_ingest(
+            spark, path, config, sft="tag:String,uid:Long,val:Double,dtg:Date"
+        )
+        return out.select(
+            "fid",
+            "tag",
+            "uid",
+            # fixed-point long: raw doubles never enter the row-hash
+            # (same convention as wfp); the ::double round-trip is
+            # still exercised because floor(x*1e6) of a non-identical
+            # double would mismatch
+            F.floor(F.col("val") * F.lit(1000000.0)).cast("long").alias("val_fp"),
+            F.unix_millis("dtg").alias("dtg_ms"),
+        )
+
+    q["convert_ingest"] = convert_ingest
+
     return q
 
 
@@ -1525,5 +1584,19 @@ SELECT doc_id, ts, seq, val FROM (
     # + kafka_changelog (offset = seq); transport must not change the
     # folded state, so the oracle is stream_replay's
     o["kafka_replay"] = o["stream_replay"]
+
+    # converter-config ingest: every transform recomputed directly on
+    # the parquet table (md5 over UTF-8 bytes matches Spark's
+    # md5(encode(x,'UTF-8')); the CSV round-trip is identity because
+    # CAST(double AS STRING) is shortest-roundtrip and .SSS/date_trunc
+    # both floor to milliseconds)
+    o["convert_ingest"] = """
+SELECT md5(CAST(event_id AS VARCHAR)) AS fid,
+       upper(event_type) || '_' || CAST(event_id AS VARCHAR) AS tag,
+       user_id AS uid,
+       CAST(floor(value * 1000000.0) AS BIGINT) AS val_fp,
+       epoch_ms(date_trunc('milliseconds', ts)) AS dtg_ms
+FROM events
+"""
 
     return o

@@ -117,8 +117,23 @@ def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
         )
 
         ptbl, ctbl = f"scale_pts_{cpus}", f"scale_cover_{cpus}"
+        # Replicate the point side 8x (distinct doc_ids) in the
+        # UNTIMED build: the zero-Exchange join is ~6x cheaper per
+        # row than the broadcast pipeline, so at 16M rows the timed
+        # wall (~2.5 s at 4N) is dominated by fixed scheduling
+        # overhead and the efficiency ratio measures Amdahl's
+        # constant, not the operator. 128M rows keeps the timed job
+        # tens of seconds at N — the regime the rule is about.
+        pts_rep = (
+            extract_geometry(docs)
+            .withColumn("_copy", F.explode(F.sequence(F.lit(0), F.lit(7))))
+            .withColumn(
+                "doc_id", F.concat_ws("#", F.col("doc_id"), F.col("_copy"))
+            )
+            .drop("_copy")
+        )
         write_points_bucketed(
-            extract_geometry(docs), ptbl, bits=6, n_buckets=64,
+            pts_rep, ptbl, bits=6, n_buckets=64,
             clear_stale_location=True,
         )
         write_cover_bucketed(
@@ -175,7 +190,10 @@ def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
         t0 = time.time()
         pipeline()
         wall = min(wall, time.time() - t0)
-    n = docs.count()
+    if kind == "bucketed":
+        n = spark.table(ptbl).count()  # the replicated stored layout
+    else:
+        n = docs.count()
     spark.stop()
     return wall, n
 
@@ -282,10 +300,21 @@ def main() -> None:
                     "parent cell (layout build untimed — it amortizes over "
                     "every later join), timed job = pip_join_bucketed's "
                     "zero-Exchange per-bucket sort-merge join + broadcast "
-                    "edges + JVM refine. With no Exchange in the plan, the "
-                    "exchange-bound penalty of the shuffle row should "
-                    "disappear and efficiency should approach the "
-                    "broadcast row's",
+                    "edges + JVM refine. The stored point side is the "
+                    "corpus replicated 8x with distinct doc_ids so the "
+                    "timed job is not fixed-overhead-dominated (at 16M "
+                    "rows it ran ~2.5 s at 4N and the ratio measured "
+                    "Amdahl's constant, not the operator). READ THE "
+                    "ABSOLUTE THROUGHPUT, not just the ratio: the layout "
+                    "removes the Exchange AND all per-row extraction/"
+                    "encode work, so per-row throughput is ~16x the "
+                    "shuffle row's AT BOTH LEVELS — what remains is a "
+                    "scan+merge join at millions of rows/sec/core whose "
+                    "local-mode ratio saturates one machine's memory "
+                    "bandwidth (all 16 threads stream the same DRAM bus); "
+                    "on a real cluster scan bandwidth scales with "
+                    "executor count, which is exactly why this row is a "
+                    "lower bound",
         "geom": "per-doc derived LINESTRING WKT, all-JVM parse "
                 "(geom_table_native), cell-partitioned geometry-layer "
                 "intersects join (geom_join_partitioned) on 1/8 of the "

@@ -411,6 +411,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ecql_scan"] = ecql_scan_gate
 
+    def ecql_dwithin_gate(spark, sf):
+        """Second ECQL gate: DWITHIN in planar degree units (planar
+        arithmetic is bit-reproducible across engines, unlike libm
+        trig), plus LIKE / IN / two-valued NOT attribute predicates
+        (ECQL.toFilter comparison grammar; FilterHelper.scala
+        dwithin rewrite)."""
+        from geomesa_spark.plans.ecql import ecql_scan
+
+        text = (
+            "DWITHIN(geom, POINT (12.3 45.6), 25.0, degrees)"
+            " AND event_type LIKE 'c%'"
+            " AND event_type IN ('click', 'view', 'error')"
+            " AND NOT (value < 0.2)"
+        )
+        return ecql_scan(
+            geo_events(spark, sf), text, id_col="event_id"
+        ).select("event_id")
+
+    q["ecql_dwithin"] = ecql_dwithin_gate
+
     # --- spatial joins: both physical strategies ---
     _polys = [
         ("rect", _rect_wkt(RECT)),
@@ -988,6 +1008,17 @@ WHERE ({_convex_cond(PENTAGON)}
   AND ts > TIMESTAMP '2024-01-05 00:00:00'
   AND ts < TIMESTAMP '2024-01-20 00:00:00'
   AND value >= 0.25
+"""
+
+    # planar-degree DWITHIN: (lon-x)^2+(lat-y)^2 is IEEE-exact in
+    # both engines (no libm trig), so the boundary never flips
+    o["ecql_dwithin"] = f"""
+WITH {PTS_CTE}
+SELECT event_id FROM pts
+WHERE (lon - 12.3)*(lon - 12.3) + (lat - 45.6)*(lat - 45.6) <= 25.0*25.0
+  AND event_type LIKE 'c%'
+  AND event_type IN ('click', 'view', 'error')
+  AND NOT (value < 0.2)
 """
 
     rxmin, rymin, rxmax, rymax = RECT

@@ -513,10 +513,14 @@ def ivf_topk(
         .drop("_raw", "_probes")
     )
     if broadcast_queries is None:
-        # early-stopping row-count probe: scans at most threshold+1
-        # query rows, never materializes probes for the decision
-        n_q = queries.limit(broadcast_threshold + 1).count()
-        broadcast_queries = n_q <= broadcast_threshold
+        # the side actually broadcast is the PROBE-EXPLODED q —
+        # n_probes rows per query, each carrying the fixed-point
+        # vector — so the threshold must bound query_rows * n_probes,
+        # not raw query rows. Early-stopping count: scans at most
+        # limit+1 query rows, never materializes probes to decide.
+        limit = max(broadcast_threshold // max(n_probes, 1), 1)
+        n_q = queries.limit(limit + 1).count()
+        broadcast_queries = n_q <= limit
     q_side = F.broadcast(q) if broadcast_queries else q
     joined = c.join(q_side, ["c_list"], "inner").filter(
         F.col("c_id") != F.col("q_id")

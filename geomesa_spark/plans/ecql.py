@@ -424,7 +424,8 @@ class _Parser:
             pat = self.next()
             if pat.kind != "STRING":
                 raise ECQLError(f"{t.text} expects a string pattern at {pat.pos}")
-            node = Attr(f"{self.sql_operand(left)} {t.text} {pat.text}")
+            pat_sql = _sql_literal(pat.text[1:-1].replace("''", "'"))
+            node = Attr(f"{self.sql_operand(left)} {t.text} {pat_sql}")
             return Not(node) if negated else node
 
         if t.kind == "KW" and t.text == "IN":
@@ -478,7 +479,9 @@ class _Parser:
         if t.kind == "NUMBER":
             return t.text
         if t.kind == "STRING":
-            return t.text
+            # unquote ECQL ('' = quote, backslash literal) and
+            # re-quote Spark-safe (backslash IS an escape there)
+            return _sql_literal(t.text[1:-1].replace("''", "'"))
         if t.kind == "INSTANT":
             return _sql_literal(_parse_instant(t.text))
         raise ECQLError(f"bad operand {t.text!r}")
@@ -555,7 +558,11 @@ def _maybe_instant(t: _Tok) -> datetime | None:
 
 def _sql_literal(v) -> str:
     if isinstance(v, str):
-        return "'" + v.replace("'", "''") + "'"
+        # Spark SQL treats backslash as an escape inside string
+        # literals (unlike ECQL, where only '' escapes a quote) —
+        # double them or a filter like name = 'a\d' silently
+        # compiles to name = 'ad'
+        return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
     if isinstance(v, datetime):
         # render in UTC: the engine's sessions pin
         # spark.sql.session.timeZone=UTC (session.get_spark)
@@ -633,14 +640,21 @@ def _geom_of(sp: Spatial) -> G.Geometry:
 
 def _dwithin_deg(sp: Spatial, g: G.Geometry) -> float:
     """Conservative pruning radius in degrees (reference rewrite,
-    FilterHelper.scala:104-116 / proximity_join's two-step widening)."""
+    FilterHelper.scala:104-116 / proximity_join's two-step widening).
+
+    No sub-pole latitude clamp: the reference's distanceDegrees
+    (GeometryUtils.scala:25-46) evaluates the geodesic east-bearing
+    span at the envelope's own corner latitudes, so capping at 89°
+    would UNDER-buffer geometries above it (≈5x too small at 89.8°)
+    and silently drop matches. Capped at 403° — beyond the world's
+    planar diagonal every radius means "match everything"."""
     m = _units_to_meters(sp.dist, sp.units)
     if m is None:
         return sp.dist  # degrees / unitless: planar CRS units
     _, y0, _, y1 = g.bounds
     lat = max(abs(y0), abs(y1))
-    d0 = G.meters_to_degrees(m, min(lat, 89.0))
-    return G.meters_to_degrees(m, min(lat + d0, 89.0))
+    d0 = G.meters_to_degrees(m, lat)
+    return min(G.meters_to_degrees(m, min(lat + d0, 90.0)), 403.0)
 
 
 _METER_UNITS = {
@@ -842,10 +856,37 @@ def compile_disjunct(leaves: list, cols: _Cols):
                 g = _geom_of(leaf)
                 dd = _dwithin_deg(leaf, g)
                 x0, y0, x1, y1 = g.bounds
-                spec.bbox = (
-                    max(x0 - dd, -180.0), max(y0 - dd, -90.0),
-                    min(x1 + dd, 180.0), min(y1 + dd, 90.0),
-                )
+                ylo, yhi = max(y0 - dd, -90.0), min(y1 + dd, 90.0)
+                m = _units_to_meters(leaf.dist, leaf.units)
+                geodesic = g.kind == "POINT" and m is not None
+                if not geodesic:
+                    # planar residual (degree units / non-point): the
+                    # refine itself measures flat (lon,lat) distance,
+                    # so a flat, clamped box is exact-consistent
+                    spec.bbox = (
+                        max(x0 - dd, -180.0), ylo,
+                        min(x1 + dd, 180.0), yhi,
+                    )
+                elif (
+                    (x1 - x0) + 2.0 * dd >= 360.0
+                    or yhi >= 90.0 or ylo <= -90.0
+                ):
+                    # haversine residual wraps the dateline AND the
+                    # poles — once the cap touches a pole (or spans
+                    # the world) longitude pruning is invalid
+                    spec.bbox = (-180.0, ylo, 180.0, yhi)
+                else:
+                    # geodesic: wrap the widened box across ±180
+                    # (xmin > xmax is an IDL box the scan splits via
+                    # idl_safe_boxes) — clamping would prune the far
+                    # side of the dateline that the exact haversine
+                    # residual WOULD match
+                    xlo, xhi = x0 - dd, x1 + dd
+                    if xlo < -180.0:
+                        xlo += 360.0
+                    if xhi > 180.0:
+                        xhi -= 360.0
+                    spec.bbox = (xlo, ylo, xhi, yhi)
                 residuals.append(_spatial_col(leaf, cols))
             else:
                 # second spatial primary: exact residual refine

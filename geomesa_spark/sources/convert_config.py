@@ -389,7 +389,11 @@ class TransformCompiler:
         if kind == "ref":
             return self.resolve_ref(tok[1:])
         if kind == "string":
-            return _sq(re.sub(r"\\(.)", r"\1", tok[1:-1]))
+            # unescape ONLY the DSL's own escapes (\' \" \\): a bare
+            # re.sub(r"\\(.)") would also strip the backslash from
+            # regex literals like '\d+'::r, silently turning "digit
+            # run" into the literal text "d+"
+            return _sq(re.sub(r"\\(['\"\\])", r"\1", tok[1:-1]))
         if kind == "number":
             if tok[-1] in "LlFfDd":
                 tok = tok[:-1]
@@ -575,7 +579,7 @@ def delimited_config_ingest(
         raise ValueError(f"config type {cfg.type!r} is not delimited-text")
     delim = _delimiter_for(cfg.format)
 
-    raw = spark.read.text(path)
+    raw = spark.read.options(**read_options).text(path)
     first = raw.limit(1).collect()
     if not first:
         ncols = 0

@@ -83,9 +83,13 @@ class IcebergVersionedIO:
     catalog and fails with the exact mapping otherwise):
 
     - `write_version(state, v)`   -> `MERGE INTO` is the incremental
-      form; the full-state contract here is `INSERT OVERWRITE`
-      (one Iceberg snapshot == one version). The snapshot's summary
-      carries `{"batch": v}` for the `before` lookup.
+      form; the full-state contract here is a DataFrameWriterV2
+      `overwrite` (one Iceberg snapshot == one version) with the
+      Iceberg `snapshot-property.batch=v` write option, which lands
+      `{"batch": v}` in that snapshot's summary — the same summary
+      `versions()` reads, so the write/read pair shares one
+      mechanism (a table property would NOT appear in snapshot
+      summaries and the round-trip could never resolve).
     - `versions()`                -> `SELECT snapshot_id, summary
       FROM <t>.snapshots` filtered to committed batch snapshots.
     - `read_version(v)`           -> `SELECT * FROM <t> VERSION AS OF
@@ -115,7 +119,9 @@ class IcebergVersionedIO:
         t = self.table
         if op == "write_version":
             return (
-                f"INSERT OVERWRITE {t} SELECT * FROM __state_v{version}"
+                f"state.writeTo('{t}')"
+                f".option('snapshot-property.batch', '{version}')"
+                f".overwrite(lit(True))"
             )
         if op == "versions":
             return (
@@ -136,14 +142,17 @@ class IcebergVersionedIO:
         return sorted(out)
 
     def write_version(self, state: DataFrame, version: int) -> None:
-        view = f"__state_v{version}"
-        state.createOrReplaceTempView(view)
-        self.spark.sql(
-            f"INSERT OVERWRITE {self.table} SELECT * FROM {view}"
-        )
-        self.spark.sql(
-            f"ALTER TABLE {self.table} SET TBLPROPERTIES "
-            f"('last-batch'='{version}')"
+        from pyspark.sql import functions as F
+
+        # snapshot-property.* write options land in THIS snapshot's
+        # summary — the exact map versions()/_snapshot_of read back.
+        # (A table property would be invisible to the snapshots
+        # metadata table and the batch->snapshot lookup would never
+        # resolve.)
+        (
+            state.writeTo(self.table)
+            .option("snapshot-property.batch", str(version))
+            .overwrite(F.lit(True))
         )
 
     def read_version(self, version: int) -> DataFrame:

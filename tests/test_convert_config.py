@@ -296,3 +296,40 @@ def test_config_ingest_is_python_free(spark, tmp_path):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_regex_literal_keeps_backslash(spark):
+    r"""r4 self-review regression: string unescaping must only strip
+    the DSL's own escapes (\' \" \\) — a blanket \\(.) -> (.) turned
+    the regex literal '\d+'::r into 'd+', so regexReplace removed
+    literal "d+" text instead of digit runs."""
+    tc = TransformCompiler(lambda r: "'a12b3'" if r == "1" else r)
+    sql = tc.compile(r"regexReplace('\d+'::r, 'X', $1)")
+    assert spark.sql(f"select ({sql}) as v").first().v == "aXbX"
+    # the DSL's own escapes still unescape
+    tc2 = TransformCompiler(lambda r: r)
+    sql2 = tc2.compile(r"concatenate('it\'s', ' ok')")
+    assert spark.sql(f"select ({sql2}) as v").first().v == "it's ok"
+
+
+def test_delimited_read_options_passed_through(spark, tmp_path):
+    """r4 self-review regression: **read_options were declared but
+    dropped — a lineSep override (CRLF files) silently left '\\r' in
+    the last column, breaking strict casts."""
+    p = str(tmp_path / "crlf.csv")
+    with open(p, "wb") as f:
+        f.write(b"a,1.5\r\nb,2.5\r\n")
+    cfg = """
+    converter = {
+      type = "delimited-text", format = "CSV",
+      fields = [
+        { name = "tag", transform = "$1" },
+        { name = "val", transform = "$2::double" },
+      ]
+    }
+    """
+    got = delimited_config_ingest(
+        spark, p, cfg, sft="tag:String,val:Double", lineSep="\r\n"
+    )
+    rows = {(r.tag, r.val) for r in got.collect() if r.tag}
+    assert rows == {("a", 1.5), ("b", 2.5)}

@@ -520,3 +520,87 @@ def test_unknown_geometry_attribute_raises():
             E.compile_ecql(text)
     # declared via geom_attrs= it compiles
     assert E.compile_ecql("BBOX(g, 0, 0, 1, 1)", geom_attrs=("g",))
+
+
+# ---------------------------------------------------------------------------
+# r4 self-review regressions: dateline/pole DWITHIN pruning, backslash
+# string literals
+# ---------------------------------------------------------------------------
+
+
+def _pts_df(spark, rows):
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.functions import cells as C
+
+    return (
+        spark.createDataFrame(rows, "doc_id string, lon double, lat double")
+        .withColumn("dtg", F.lit("2024-01-01").cast("timestamp"))
+        .withColumn("week", C.week(F.col("dtg")))
+        .withColumn("cell", C.z2_cell(F.col("lon"), F.col("lat")))
+    )
+
+
+def test_dwithin_meters_wraps_antimeridian(spark):
+    """The pushed DWITHIN bbox must wrap across ±180, not clamp: the
+    exact haversine residual is dateline-aware, so a clamped prune
+    silently dropped matches on the far side (confirmed by running
+    the pre-fix code: only near_east came back)."""
+    df = _pts_df(spark, [
+        ("near_east", 179.99, 0.0),
+        ("near_west", -179.99, 0.0),   # ~2.2 km across the dateline
+        ("far", 170.0, 0.0),           # ~1100 km
+    ])
+    got = _engine_ids(df, "DWITHIN(geom, POINT (179.99 0.0), 50, kilometers)")
+    assert got == {"near_east", "near_west"}
+
+
+def test_dwithin_meters_polar_cap(spark):
+    """A cap that touches the pole reaches every longitude; the
+    pruned box must widen to full longitude there (the haversine
+    residual correctly matches over-the-pole points)."""
+    df = _pts_df(spark, [
+        ("same_side", 0.0, 89.95),
+        ("over_pole", 180.0, 89.95),   # ~16.7 km over the pole
+        ("low", 0.0, 80.0),            # ~1100 km
+    ])
+    got = _engine_ids(df, "DWITHIN(geom, POINT (0.0 89.9), 50, kilometers)")
+    assert got == {"same_side", "over_pole"}
+
+
+def test_dwithin_deg_not_clamped_below_the_pole():
+    """The meters->degrees radius must be evaluated at the geometry's
+    own latitude (reference GeometryUtils.distanceDegrees evaluates
+    at envelope corners, no sub-pole clamp): capping at 89 degrees
+    under-buffers a geometry at 89.8 by ~5x."""
+    import math as _math
+
+    from geomesa_spark.functions import geometry as G
+
+    node = E.parse("DWITHIN(geom, POINT (10 89.8), 50, kilometers)")
+    dd = E._dwithin_deg(node, G.parse_wkt(node.wkt))
+    need = 50000.0 / (111320.0 * _math.cos(_math.radians(89.8)))
+    assert dd >= need
+
+
+def test_backslash_string_literals(spark):
+    r"""ECQL strings have no backslash escape (only '' doubles a
+    quote), but Spark SQL literals DO treat backslash as one — the
+    compiled predicate must double them or name = 'a\d' silently
+    becomes name = 'ad' (confirmed on pre-fix code)."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.functions import cells as C
+
+    rows = [("bs", "a\\d"), ("plain", "ad")]
+    df = (
+        spark.createDataFrame(rows, "doc_id string, name string")
+        .withColumn("lon", F.lit(0.0))
+        .withColumn("lat", F.lit(0.0))
+        .withColumn("dtg", F.lit("2024-01-01").cast("timestamp"))
+        .withColumn("week", C.week(F.col("dtg")))
+        .withColumn("cell", C.z2_cell(F.col("lon"), F.col("lat")))
+    )
+    assert _engine_ids(df, r"name = 'a\d'") == {"bs"}
+    assert _engine_ids(df, r"name IN ('a\d')") == {"bs"}
+    assert _engine_ids(df, "name = 'ad'") == {"plain"}

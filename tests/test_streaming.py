@@ -635,6 +635,9 @@ def test_tableio_iceberg_mapping(spark):
     sql = IcebergVersionedIO.sql
     dummy = object.__new__(IcebergVersionedIO)
     dummy.table = "lake.db.t"
-    assert "INSERT OVERWRITE lake.db.t" in sql(dummy, "write_version", 5)
+    # the write must stamp the snapshot summary (snapshot-property.*)
+    # — the same map versions() reads — not a table property
+    assert "snapshot-property.batch" in sql(dummy, "write_version", 5)
+    assert "'5'" in sql(dummy, "write_version", 5)
     assert "lake.db.t.snapshots" in sql(dummy, "versions")
     assert "VERSION AS OF" in sql(dummy, "read_version", 5)

@@ -530,6 +530,15 @@ def test_ivf_topk_broadcast_auto_fallback(emb_df):
     plan_b = auto_bcast_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan_b, plan_b
     assert rowset(auto_bcast_df) == forced_bcast
+    # the broadcast side is the PROBE-EXPLODED q (n_probes rows per
+    # query): the decision must bound rows * n_probes. 3 queries x
+    # n_probes=4 = 12 exploded rows > threshold 10 -> shuffle, even
+    # though the raw query count (3) is under the threshold.
+    auto_explode_df = N.ivf_topk(
+        df, qs, 5, C, n_probes=4, broadcast_threshold=10
+    )
+    plan_e = auto_explode_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan_e, plan_e
 
 
 @pytest.fixture(scope="module")

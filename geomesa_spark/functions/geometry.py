@@ -207,17 +207,65 @@ def intersects(geom: Geometry, px: np.ndarray, py: np.ndarray) -> np.ndarray:
     return dwithin(geom, px, py, 0.0)
 
 
-def meters_to_degrees(meters: float, lat: float = 0.0) -> float:
+# one degree of great-circle arc on the haversine refine sphere
+# (2*pi*R/360 for R=6371008.8): pruning radii meant to cover a
+# haversine disc must divide by THIS, not the (0.11% longer)
+# ellipsoid equatorial 111320 m — else a thin sliver of true matches
+# at the disc's lon extremes survives the exact refine but never
+# becomes a candidate
+SPHERE_DEG_M = 111194.9266
+
+
+def meters_to_degrees(
+    meters: float, lat: float = 0.0, sphere: bool = False
+) -> float:
     """Conservative meters->degrees conversion at given latitude.
 
     Parity with the reference's GeoTools-based rewrite
     (FilterHelper.scala:104-116): uses the larger of the lon/lat
     degree lengths shrunk by cos(lat), yielding a superset buffer
-    that the exact refine then trims.
+    that the exact refine then trims. `sphere=True` converts on the
+    haversine refine sphere instead (use for pruning radii that must
+    cover `haversine_m_col` discs — see SPHERE_DEG_M).
     """
     deg_lat_m = 110574.0
-    deg_lon_m = 111320.0 * max(math.cos(math.radians(lat)), 1e-9)
+    lon_scale = SPHERE_DEG_M if sphere else 111320.0
+    deg_lon_m = lon_scale * max(math.cos(math.radians(lat)), 1e-9)
     return meters / min(deg_lat_m, deg_lon_m)
+
+
+def geodesic_buffer_box(
+    xmin: float, ymin: float, xmax: float, ymax: float, meters: float
+) -> tuple[float, float, float, float]:
+    """ONE pruning box (xlo > xhi = crosses the antimeridian; split
+    with `idl_safe_boxes` before scanning) covering every point
+    within `meters` great-circle distance (haversine, R=6371008.8)
+    of the input lon/lat box.
+
+    Pole-safe: once the buffered latitude band touches a pole the
+    disc reaches every longitude, so the box widens to full
+    longitude (the disc's own latitudes still bound the band — an
+    over-the-pole point sits at lat >= ymax - latrad mirrored, never
+    below ymin - latrad). Away from the poles the longitude radius
+    uses the two-step poleward widening (evaluate the cos-shrink at
+    the poleward extreme the disc can reach, not at the box edge).
+    """
+    latrad = meters / 110574.0  # >= great-circle meridian arc: conservative
+    ylo = max(ymin - latrad, -90.0)
+    yhi = min(ymax + latrad, 90.0)
+    if ymax + latrad >= 90.0 or ymin - latrad <= -90.0:
+        return (-180.0, ylo, 180.0, yhi)
+    lat_ext = max(abs(ylo), abs(yhi))
+    d0 = meters_to_degrees(meters, lat_ext, sphere=True)
+    lonrad = meters_to_degrees(meters, min(lat_ext + d0, 90.0), sphere=True)
+    if (xmax - xmin) + 2.0 * lonrad >= 360.0:
+        return (-180.0, ylo, 180.0, yhi)
+    xlo, xhi = xmin - lonrad, xmax + lonrad
+    if xlo < -180.0:
+        xlo += 360.0
+    if xhi > 180.0:
+        xhi -= 360.0
+    return (xlo, ylo, xhi, yhi)
 
 
 # ---------------------------------------------------------------------------

@@ -514,13 +514,20 @@ def ivf_topk(
     )
     if broadcast_queries is None:
         # the side actually broadcast is the PROBE-EXPLODED q —
-        # n_probes rows per query, each carrying the fixed-point
-        # vector — so the threshold must bound query_rows * n_probes,
-        # not raw query rows. Early-stopping count: scans at most
-        # limit+1 query rows, never materializes probes to decide.
-        limit = max(broadcast_threshold // max(n_probes, 1), 1)
-        n_q = queries.limit(limit + 1).count()
-        broadcast_queries = n_q <= limit
+        # min(n_probes, n_lists) rows per query (ivf_probes clamps),
+        # each carrying the fixed-point vector — so the threshold
+        # must bound query_rows * probes, not raw query rows. A
+        # limit of 0 means even one query explodes past the
+        # threshold: never broadcast (flooring it to 1 would). Count
+        # is early-stopping: scans at most limit+1 query rows, never
+        # materializes probes to decide.
+        eff_probes = min(max(n_probes, 1), len(Cn))
+        limit = broadcast_threshold // eff_probes
+        if limit < 1:
+            broadcast_queries = False
+        else:
+            n_q = queries.limit(limit + 1).count()
+            broadcast_queries = n_q <= limit
     q_side = F.broadcast(q) if broadcast_queries else q
     joined = c.join(q_side, ["c_list"], "inner").filter(
         F.col("c_id") != F.col("q_id")

@@ -870,19 +870,25 @@ def geom_dwithin_join(
     for pid, wkt in polys:
         g = G.normalize_idl(G.parse_wkt(wkt))
         if dist_in_meters:
-            # conservative conversion: evaluate at the POLEWARD
-            # extreme of the buffered bbox (longitude degrees shrink
-            # with |lat|, so the center latitude would under-buffer
-            # the poleward part of a tall polygon); one fixed-point
-            # step extends the extreme by the first estimate
+            # SINGLE-step conversion at the geometry's own poleward
+            # extreme — reference parity with
+            # GeometryUtils.distanceDegrees (corner-latitude geodesic
+            # east span, no sub-pole clamp: capping at 89° would
+            # under-buffer high-latitude layers ~5x at 89.8°). For
+            # this planar refine the converted value IS the match
+            # radius, so a poleward two-step here would be a
+            # different predicate than the reference evaluates.
             mbs = G.member_bounds(g)
             lat_ext = max(abs(min(b[1] for b in mbs)),
                           abs(max(b[3] for b in mbs)))
-            d0 = G.meters_to_degrees(dist, min(lat_ext, 89.0))
-            dist_deg = G.meters_to_degrees(dist, min(lat_ext + d0, 89.0))
+            dist_deg = G.meters_to_degrees(dist, lat_ext)
         else:
             dist_deg = dist
         dists.append((pid, float(dist_deg)))
+        # flat expansion, clamped: the refine (geom_dwithin_col)
+        # measures PLANAR (lon,lat) distance, under which the far
+        # side of the dateline is ~360° away — so no IDL wrap is
+        # needed for consistency (unlike the haversine point paths)
         buffered = [
             (
                 max(b[0] - dist_deg, -180.0),

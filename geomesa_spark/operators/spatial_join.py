@@ -597,27 +597,31 @@ def proximity_join(
     rows = []
     for sid, slon, slat, rad in sites:
         if radius_in_meters:
-            # convert at the POLEWARD extreme of the buffered band
-            # (one fixed-point step): converting at the site latitude
-            # alone under-buffers the poleward sliver of the disc —
-            # points there pass the exact haversine refine but never
-            # become candidates
-            d0 = G.meters_to_degrees(rad, min(abs(slat), 89.0))
-            rad_deg = G.meters_to_degrees(rad, min(abs(slat) + d0, 89.0))
+            # pole- and dateline-safe pruning box for the haversine
+            # disc (full longitude once the disc touches a pole;
+            # two-step poleward widening on the refine sphere
+            # otherwise — converting at the site latitude alone
+            # under-buffers the poleward sliver of the disc, and a
+            # sub-pole latitude clamp under-buffers high-latitude
+            # sites outright)
+            xmin, ymin, xmax, ymax = G.geodesic_buffer_box(
+                slon, slat, slon, slat, rad
+            )
         else:
+            # planar-with-lon-wrap refine: flat buffer, wrapped at
+            # the antimeridian (xmin>xmax after wrapping signals the
+            # split, same as the bbox scan path)
             rad_deg = rad
-        # buffer boxes wrap at the antimeridian (xmin>xmax after
-        # wrapping signals the split, same as the bbox scan path)
-        xmin, xmax = slon - rad_deg, slon + rad_deg
-        if rad_deg < 180.0:
-            if xmin < -180.0:
-                xmin += 360.0
-            if xmax > 180.0:
-                xmax -= 360.0
-        else:
-            xmin, xmax = -180.0, 180.0
-        ymin = max(slat - rad_deg, -90.0)
-        ymax = min(slat + rad_deg, 90.0)
+            xmin, xmax = slon - rad_deg, slon + rad_deg
+            if rad_deg < 180.0:
+                if xmin < -180.0:
+                    xmin += 360.0
+                if xmax > 180.0:
+                    xmax -= 360.0
+            else:
+                xmin, xmax = -180.0, 180.0
+            ymin = max(slat - rad_deg, -90.0)
+            ymax = min(slat + rad_deg, 90.0)
         cell_parts = []
         for bx in G.idl_safe_boxes(xmin, ymin, xmax, ymax):
             box = G.parse_wkt(G.box_wkt(*bx))

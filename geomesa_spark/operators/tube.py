@@ -73,14 +73,15 @@ def tube_select(
     `buffer_in_meters=True` converts the buffer to degrees at the
     track's centroid latitude before evaluation — the reference's
     own rule (TubeBuilder.scala:50-60 converts the dwithin meters at
-    the input geometry's centroid), made conservative here by a
-    poleward fixed-point step like the other meter paths."""
+    the input geometry's centroid, single-step): the converted value
+    IS the tube's planar match radius, so no extra poleward step or
+    sub-pole clamp (a clamp under-buffers polar tracks ~5x at
+    89.8°)."""
     spark = points.sparkSession
     if buffer_in_meters:
         lats = [la for _, _, la in track] or [0.0]
         c_lat = abs(sum(lats) / len(lats))
-        d0 = G.meters_to_degrees(buffer_deg, min(c_lat, 89.0))
-        buffer_deg = G.meters_to_degrees(buffer_deg, min(c_lat + d0, 89.0))
+        buffer_deg = G.meters_to_degrees(buffer_deg, c_lat)
     tube = build_tube(track, buffer_deg, gap_fill)
     if len(tube) == 0:  # empty track: empty result, valid schema
         return points.limit(0)

@@ -424,7 +424,7 @@ class _Parser:
             pat = self.next()
             if pat.kind != "STRING":
                 raise ECQLError(f"{t.text} expects a string pattern at {pat.pos}")
-            pat_sql = _sql_literal(pat.text[1:-1].replace("''", "'"))
+            pat_sql = _like_pattern_sql(pat.text[1:-1].replace("''", "'"))
             node = Attr(f"{self.sql_operand(left)} {t.text} {pat_sql}")
             return Not(node) if negated else node
 
@@ -571,6 +571,32 @@ def _sql_literal(v) -> str:
     return repr(v)
 
 
+def _like_pattern_sql(raw: str) -> str:
+    """ECQL LIKE pattern → Spark-safe SQL literal.
+
+    GeoTools' LIKE escape (backslash) makes the NEXT char literal,
+    any char; Spark's LIKE only permits the escape before % _ or
+    itself and throws INVALID_FORMAT.ESC_IN_THE_MIDDLE otherwise —
+    so 'a\\d' must re-render as plain 'ad' (escaped-ordinary chars
+    become themselves), while \\% \\_ \\\\ keep their escapes. A
+    trailing lone backslash is a literal backslash."""
+    out = []
+    i = 0
+    while i < len(raw):
+        c = raw[i]
+        if c == "\\" and i + 1 < len(raw):
+            nxt = raw[i + 1]
+            out.append("\\" + nxt if nxt in "%_\\" else nxt)
+            i += 2
+        elif c == "\\":
+            out.append("\\\\")
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return _sql_literal("".join(out))
+
+
 def parse(text: str):
     """ECQL text → AST (ECQL.toFilter analog)."""
     return _Parser(_lex(text), text).parse()
@@ -639,22 +665,26 @@ def _geom_of(sp: Spatial) -> G.Geometry:
 
 
 def _dwithin_deg(sp: Spatial, g: G.Geometry) -> float:
-    """Conservative pruning radius in degrees (reference rewrite,
-    FilterHelper.scala:104-116 / proximity_join's two-step widening).
+    """REFINE radius in degrees for the planar residual (non-point
+    geometries / degree units) — reference parity with
+    GeometryUtils.distanceDegrees (GeometryUtils.scala:25-46), which
+    evaluates the geodesic east-bearing span at the envelope's own
+    corner latitudes: SINGLE-step, no sub-pole clamp (capping at 89°
+    under-buffers a geometry at 89.8° by ~5x; conversely a poleward
+    two-step here would be a DIFFERENT predicate than the reference
+    evaluates, not just a looser prune, because for non-point
+    geometries this value IS the final match radius). A geometry
+    whose envelope touches a pole degenerates to match-everything —
+    the reference's GeodeticCalculator is equally undefined there.
 
-    No sub-pole latitude clamp: the reference's distanceDegrees
-    (GeometryUtils.scala:25-46) evaluates the geodesic east-bearing
-    span at the envelope's own corner latitudes, so capping at 89°
-    would UNDER-buffer geometries above it (≈5x too small at 89.8°)
-    and silently drop matches. Capped at 403° — beyond the world's
-    planar diagonal every radius means "match everything"."""
+    Pruning for the geodesic (point+meters, haversine-refined) case
+    does NOT use this — see G.geodesic_buffer_box."""
     m = _units_to_meters(sp.dist, sp.units)
     if m is None:
         return sp.dist  # degrees / unitless: planar CRS units
     _, y0, _, y1 = g.bounds
     lat = max(abs(y0), abs(y1))
-    d0 = G.meters_to_degrees(m, lat)
-    return min(G.meters_to_degrees(m, min(lat + d0, 90.0)), 403.0)
+    return G.meters_to_degrees(m, lat)
 
 
 _METER_UNITS = {
@@ -854,39 +884,26 @@ def compile_disjunct(leaves: list, cols: _Cols):
                 spec.geometry_wkt = leaf.wkt
             elif leaf.op == "DWITHIN" and spec.bbox is None:
                 g = _geom_of(leaf)
-                dd = _dwithin_deg(leaf, g)
                 x0, y0, x1, y1 = g.bounds
-                ylo, yhi = max(y0 - dd, -90.0), min(y1 + dd, 90.0)
                 m = _units_to_meters(leaf.dist, leaf.units)
-                geodesic = g.kind == "POINT" and m is not None
-                if not geodesic:
-                    # planar residual (degree units / non-point): the
-                    # refine itself measures flat (lon,lat) distance,
-                    # so a flat, clamped box is exact-consistent
-                    spec.bbox = (
-                        max(x0 - dd, -180.0), ylo,
-                        min(x1 + dd, 180.0), yhi,
-                    )
-                elif (
-                    (x1 - x0) + 2.0 * dd >= 360.0
-                    or yhi >= 90.0 or ylo <= -90.0
-                ):
-                    # haversine residual wraps the dateline AND the
-                    # poles — once the cap touches a pole (or spans
-                    # the world) longitude pruning is invalid
-                    spec.bbox = (-180.0, ylo, 180.0, yhi)
+                if g.kind == "POINT" and m is not None:
+                    # geodesic (haversine) residual: the pruning box
+                    # must wrap the dateline (xmin > xmax, split by
+                    # the scan's idl_safe_boxes) and widen to full
+                    # longitude when the cap touches a pole — a
+                    # clamped box silently prunes matches the exact
+                    # residual WOULD keep
+                    spec.bbox = G.geodesic_buffer_box(x0, y0, x1, y1, m)
                 else:
-                    # geodesic: wrap the widened box across ±180
-                    # (xmin > xmax is an IDL box the scan splits via
-                    # idl_safe_boxes) — clamping would prune the far
-                    # side of the dateline that the exact haversine
-                    # residual WOULD match
-                    xlo, xhi = x0 - dd, x1 + dd
-                    if xlo < -180.0:
-                        xlo += 360.0
-                    if xhi > 180.0:
-                        xhi -= 360.0
-                    spec.bbox = (xlo, ylo, xhi, yhi)
+                    # planar residual (degree units / non-point): the
+                    # refine measures flat (lon,lat) distance with
+                    # radius dd, so flat expansion by dd, clamped, is
+                    # exact-consistent
+                    dd = _dwithin_deg(leaf, g)
+                    spec.bbox = (
+                        max(x0 - dd, -180.0), max(y0 - dd, -90.0),
+                        min(x1 + dd, 180.0), min(y1 + dd, 90.0),
+                    )
                 residuals.append(_spatial_col(leaf, cols))
             else:
                 # second spatial primary: exact residual refine

@@ -604,3 +604,80 @@ def test_backslash_string_literals(spark):
     assert _engine_ids(df, r"name = 'a\d'") == {"bs"}
     assert _engine_ids(df, r"name IN ('a\d')") == {"bs"}
     assert _engine_ids(df, "name = 'ad'") == {"plain"}
+
+
+def test_dwithin_nonpoint_meters_near_pole_bounded(spark):
+    """Second-review regression: the refine radius for a NON-point
+    meter DWITHIN is the final planar match radius, so it must be the
+    reference's single-step corner-latitude conversion — a poleward
+    two-step saturates to match-everything once |lat|+d0 reaches 90
+    (confirmed on intermediate code: a 2 km query at lat 89 returned
+    the whole table)."""
+    from geomesa_spark.functions import geometry as G
+
+    wkt = "LINESTRING (0 89, 1 89)"
+    df = _pts_df(spark, [
+        ("on_line", 0.5, 89.0),
+        ("near", 0.5, 89.5),       # 0.5 deg < dd (~1.03 deg)
+        ("far", 0.5, 80.0),        # 9 deg away: must NOT match
+        ("antipodal", 180.0, -89.0),
+    ])
+    got = _engine_ids(df, f"DWITHIN(geom, {wkt}, 2000.0, meters)")
+    node = E.parse(f"DWITHIN(geom, {wkt}, 2000.0, meters)")
+    dd = E._dwithin_deg(node, G.parse_wkt(node.wkt))
+    assert 1.0 < dd < 1.1  # 2000 m at lat 89: ~1.03 deg, not 403
+    assert got == {"on_line", "near"}
+    # BEYOND is the complement
+    got_b = _engine_ids(df, f"BEYOND(geom, {wkt}, 2000.0, meters)")
+    assert got_b == {"far", "antipodal"}
+
+
+def test_dwithin_meters_cap_extreme_sliver(spark):
+    """Second-review regression: the pruning radius converted with
+    the 111320 m/deg ellipsoid constant is 0.11% NARROWER than the
+    haversine refine sphere's lon span, so a witness at the cap's
+    exact lon extreme passed the refine but was pruned. The prune
+    now converts on the refine sphere (G.SPHERE_DEG_M)."""
+    import math as _math
+
+    R = 6371008.8
+    qx, qy, m = 0.0, 10.0, 20000.0
+    # analytic cap lon extreme: sin(dlon) = sin(r)/cos(lat) at the
+    # tangent latitude; place witnesses just INSIDE the cap there
+    r = m / R
+    lat_t = _math.asin(_math.sin(_math.radians(qy)) / _math.cos(r))
+    dlon = _math.degrees(
+        _math.asin(_math.sin(r) / _math.cos(_math.radians(qy)))
+    )
+    rows = [
+        ("east_extreme", qx + dlon * 0.99995, _math.degrees(lat_t)),
+        ("west_extreme", qx - dlon * 0.99995, _math.degrees(lat_t)),
+        ("outside", qx + dlon * 1.02, _math.degrees(lat_t)),
+    ]
+    df = _pts_df(spark, rows)
+    got = _engine_ids(df, f"DWITHIN(geom, POINT ({qx} {qy}), {m}, meters)")
+    assert got == {"east_extreme", "west_extreme"}
+
+
+def test_like_backslash_escapes_match_geotools(spark):
+    r"""Second-review regression: Spark LIKE only allows the escape
+    before % _ \\ and THROWS on 'a\d'; GeoTools takes the escaped
+    char literally. Patterns re-render to Spark's dialect."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.functions import cells as C
+
+    rows = [("m1", "ad"), ("m2", "a\\d"), ("m3", "C:\\tmp"), ("m4", "Cxtmp")]
+    df = (
+        spark.createDataFrame(rows, "doc_id string, name string")
+        .withColumn("lon", F.lit(0.0)).withColumn("lat", F.lit(0.0))
+        .withColumn("dtg", F.lit("2024-01-01").cast("timestamp"))
+        .withColumn("week", C.week(F.col("dtg")))
+        .withColumn("cell", C.z2_cell(F.col("lon"), F.col("lat")))
+    )
+    # \d = literal d (GeoTools), not an error
+    assert _engine_ids(df, r"name LIKE 'a\d'") == {"m1"}
+    # \\ = literal backslash, % stays a wildcard
+    assert _engine_ids(df, r"name LIKE 'C:\\%'") == {"m3"}
+    # escaped wildcard is literal
+    assert _engine_ids(df, r"name LIKE 'a\%'") == set()

@@ -232,9 +232,10 @@ def test_geom_dwithin_meters(spark, geoms_df):
     )
     pid, wkt = QUERY_POLYS[0]
     g = G.parse_wkt(wkt)
+    # single-step at the poleward extreme: distanceDegrees parity
+    # (the converted value IS the planar match radius)
     lat_ext = max(abs(g.bounds[1]), abs(g.bounds[3]))
-    d0 = G.meters_to_degrees(M, min(lat_ext, 89.0))
-    deg = G.meters_to_degrees(M, min(lat_ext + d0, 89.0))
+    deg = G.meters_to_degrees(M, lat_ext)
     exp = sorted(
         (gid, pid)
         for gid, w in _rand_geoms()

@@ -191,9 +191,10 @@ def test_tube_meters_buffer(spark):
     got = {r.doc_id for r in tube_select(
         pts, track, M, 172800, gap_fill="line", buffer_in_meters=True
     ).collect()}
+    # single-step at the centroid latitude: TubeBuilder.scala:50-60
+    # parity (the converted value IS the tube's match radius)
     c_lat = (48.0 + 52.0) / 2
-    d0 = G.meters_to_degrees(M, c_lat)
-    deg = G.meters_to_degrees(M, min(c_lat + d0, 89.0))
+    deg = G.meters_to_degrees(M, c_lat)
     exp = {r.doc_id for r in tube_select(
         pts, track, deg, 172800, gap_fill="line"
     ).collect()}

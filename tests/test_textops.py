@@ -539,6 +539,22 @@ def test_ivf_topk_broadcast_auto_fallback(emb_df):
     )
     plan_e = auto_explode_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan_e, plan_e
+    # effective probes (min(n_probes, n_lists)=4) > threshold: even
+    # ONE query explodes past the bound — must shuffle, not floor
+    # the limit to 1 and broadcast anyway
+    tiny_q = df.filter(F.col("vec_id") < 1)
+    auto_tiny = N.ivf_topk(
+        df, tiny_q, 5, C, n_probes=16, broadcast_threshold=3
+    )
+    plan_t = auto_tiny._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan_t, plan_t
+    # the divisor is min(n_probes, n_lists): with 4 lists, n_probes=50
+    # explodes to only 4 rows/query, so 3 queries fit threshold 100
+    auto_clamped = N.ivf_topk(
+        df, qs, 5, C, n_probes=50, broadcast_threshold=100
+    )
+    plan_c = auto_clamped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_c, plan_c
 
 
 @pytest.fixture(scope="module")

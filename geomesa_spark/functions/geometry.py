@@ -207,13 +207,15 @@ def intersects(geom: Geometry, px: np.ndarray, py: np.ndarray) -> np.ndarray:
     return dwithin(geom, px, py, 0.0)
 
 
-# one degree of great-circle arc on the haversine refine sphere
-# (2*pi*R/360 for R=6371008.8): pruning radii meant to cover a
-# haversine disc must divide by THIS, not the (0.11% longer)
-# ellipsoid equatorial 111320 m — else a thin sliver of true matches
-# at the disc's lon extremes survives the exact refine but never
-# becomes a candidate
-SPHERE_DEG_M = 111194.9266
+# one degree of great-circle arc on the haversine refine sphere —
+# exactly 2*pi*R/360 for R=6371008.8 (same R as
+# geometry_sql.haversine_m_col), = 111195.0802 m. Pruning radii
+# meant to cover a haversine disc must use THIS sphere, not the
+# (0.11% longer) ellipsoid equatorial 111320 m — else a thin sliver
+# of true matches at the disc's lon extremes survives the exact
+# refine but never becomes a candidate. geodesic_buffer_box uses the
+# exact spherical-cap formula rather than this linearization.
+SPHERE_DEG_M = 2.0 * math.pi * 6371008.8 / 360.0
 
 
 def meters_to_degrees(
@@ -247,17 +249,27 @@ def geodesic_buffer_box(
     longitude (the disc's own latitudes still bound the band — an
     over-the-pole point sits at lat >= ymax - latrad mirrored, never
     below ymin - latrad). Away from the poles the longitude radius
-    uses the two-step poleward widening (evaluate the cos-shrink at
-    the poleward extreme the disc can reach, not at the box edge).
+    is the EXACT spherical-cap extreme asin(sin(r)/cos(lat)) at the
+    box's poleward latitude — a poleward two-step linearization
+    instead would overshoot the pole (cos floor -> astronomically
+    wide) and degenerate to a full-longitude scan for every polar
+    query with a modest radius (e.g. 10 km at lat 88).
     """
     latrad = meters / 110574.0  # >= great-circle meridian arc: conservative
     ylo = max(ymin - latrad, -90.0)
     yhi = min(ymax + latrad, 90.0)
-    if ymax + latrad >= 90.0 or ymin - latrad <= -90.0:
+    r = meters / 6371008.8  # angular radius on the refine sphere
+    if (
+        ymax + latrad >= 90.0
+        or ymin - latrad <= -90.0
+        or r >= math.pi / 2.0  # hemisphere+: skip the cap formula
+    ):
         return (-180.0, ylo, 180.0, yhi)
-    lat_ext = max(abs(ylo), abs(yhi))
-    d0 = meters_to_degrees(meters, lat_ext, sphere=True)
-    lonrad = meters_to_degrees(meters, min(lat_ext + d0, 90.0), sphere=True)
+    lat_ext = max(abs(ymin), abs(ymax))
+    # past the pole check, |lat_ext| + r < 90 so the ratio is < 1;
+    # the relative inflation absorbs float rounding at the extreme
+    ratio = min(math.sin(r) / math.cos(math.radians(lat_ext)), 1.0)
+    lonrad = math.degrees(math.asin(ratio)) * (1.0 + 1e-9) + 1e-12
     if (xmax - xmin) + 2.0 * lonrad >= 360.0:
         return (-180.0, ylo, 180.0, yhi)
     xlo, xhi = xmin - lonrad, xmax + lonrad

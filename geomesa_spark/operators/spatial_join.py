@@ -641,6 +641,13 @@ def proximity_join(
                 )
             )
     cover = pd.concat(rows, ignore_index=True)
+    # a wrapped site's two IDL boxes cover disjoint LON RANGES, but
+    # when the un-buffered gap is narrower than a cover cell the
+    # gap-spanning cell is polyfilled by BOTH pieces — dedup or the
+    # matching points join (and return) twice for that site
+    cover = cover.drop_duplicates(
+        subset=["pcell", "pbits", "site_id"], ignore_index=True
+    )
     out = None
     for pbits, grp in cover.groupby("pbits"):
         cov_df = spark.createDataFrame(grp.drop(columns=["pbits"]))
@@ -665,7 +672,6 @@ def proximity_join(
             dist_ok = (dlon * dlon + dlat * dlat) <= F.col("radius") * F.col("radius")
         j = j.filter(dist_ok).drop("_pcell", "pcell", "site_x", "site_y", "radius")
         out = j if out is None else out.unionByName(j)
-    # no dedup needed: cover cells are unique per site (a wrapped
-    # site's two boxes cover disjoint cell sets, dilation included),
-    # so each (point, site) pair appears at most once
+    # no output dedup needed: cover cells were deduped per site
+    # above, so each (point, site) pair appears at most once
     return out

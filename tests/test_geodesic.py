@@ -334,3 +334,69 @@ def test_knn_join_df_polar_fleet_no_cross_join(spark):
             .head(3).doc_id
         )
         assert got[q.qid] == exp, q.qid
+
+
+def test_geodesic_buffer_box_polar_stays_tight():
+    """Third-review regression: the two-step poleward linearization
+    overshot the pole (cos floor) and returned a FULL-LONGITUDE box
+    for any polar query with a modest radius, destroying pruning.
+    The exact spherical-cap extreme stays tight."""
+    import math
+
+    from geomesa_spark.functions import geometry as G
+
+    for lat, m, max_width in [
+        (88.0, 10_000.0, 6.0),      # ~2.6 deg true extreme
+        (89.5, 1_000.0, 2.5),       # ~1.0 deg
+        (60.0, 1_000_000.0, 40.0),  # ~18 deg
+    ]:
+        xlo, ylo, xhi, yhi = G.geodesic_buffer_box(0.0, lat, 0.0, lat, m)
+        width = (xhi - xlo) if xhi >= xlo else (xhi - xlo + 360.0)
+        assert width < max_width, (lat, m, width)
+        # and still conservative: boundary points at many bearings
+        # fall inside the box
+        R = 6371008.8
+        r = m / R
+        p, d = math.radians, math.degrees
+        for t in [i * math.pi / 36 for i in range(72)]:
+            y = d(math.asin(
+                math.sin(p(lat)) * math.cos(r)
+                + math.cos(p(lat)) * math.sin(r) * math.cos(t)
+            ))
+            dl = d(math.atan2(
+                math.sin(t) * math.sin(r) * math.cos(p(lat)),
+                math.cos(r) - math.sin(p(lat)) * math.sin(p(y)),
+            ))
+            assert ylo - 1e-9 <= y <= yhi + 1e-9
+            assert xlo - 1e-9 <= dl <= xhi + 1e-9, (lat, m, t, dl)
+
+
+def test_geodesic_buffer_box_pole_touch_full_longitude():
+    from geomesa_spark.functions import geometry as G
+
+    xlo, ylo, xhi, yhi = G.geodesic_buffer_box(10.0, 89.9, 10.0, 89.9, 50_000.0)
+    assert (xlo, xhi) == (-180.0, 180.0) and yhi == 90.0
+
+
+def test_proximity_wrapped_cover_no_duplicates(spark):
+    """Third-review regression: when a wrapped site's un-buffered
+    longitude gap is narrower than one cover cell, the gap-spanning
+    cell was polyfilled by BOTH IDL pieces and matching points in it
+    joined (and returned) twice."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.functions import cells as C
+    from geomesa_spark.operators.spatial_join import proximity_join
+
+    pts = (
+        spark.createDataFrame(
+            [("p1", -4.0, 0.0)], "doc_id string, lon double, lat double"
+        )
+        .withColumn("cell", C.z2_cell(F.col("lon"), F.col("lat")))
+    )
+    # site at 177, radius 179.9 deg: gap (-3.1, -2.9) sits inside one
+    # 5.625-deg cell; p1 at -4.0 matches (wrap dlon = 179) and lives
+    # in that cell
+    out = proximity_join(pts, [("s", 177.0, 0.0, 179.9)], bits=6)
+    rows = [(r.doc_id, r.site_id) for r in out.select("doc_id", "site_id").collect()]
+    assert rows == [("p1", "s")]

@@ -117,6 +117,18 @@ def main() -> None:
     # least-contaminated estimate when iterating locally
     min_of = max(1, int(os.environ.get("BENCH_MIN_OF", "1")))
     times: dict[str, float] = {}
+    import gc
+
+    # one untimed generic warm-up: JIT/codegen framework, parquet
+    # reader + noop sink init, executor thread spin-up — otherwise
+    # the FIRST measured query pays several seconds of session
+    # machinery that belongs to no query
+    (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("sum(crc32(cast(event_id as string)))")
+        .write.format("noop").mode("overwrite").save()
+    )
+
     for name in names:
         fn = queries[name]
         best = float("inf")
@@ -125,6 +137,14 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
+        # inter-query hygiene, not speed-up: queries that cache or
+        # localCheckpoint leave blocks pinned in the shared local JVM
+        # and inflate LATER queries' walls (isolated ivf_topk 1.6 s
+        # measured 6.1 s late in a long suite run). Release between
+        # measurements so each query is timed on its own cost.
+        spark.catalog.clearCache()
+        gc.collect()  # drop py refs so checkpointed RDD blocks free
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -150,3 +150,49 @@ def test_normalize_idl_containment_equivalence(x0, w, y0, h, ln, lt):
     )
     if not on_boundary:
         assert got == exp
+
+
+@settings(max_examples=200)
+@given(
+    qlon=lon,
+    qlat=lat,
+    log_m=st.floats(min_value=0.0, max_value=7.0),  # 1 m .. 10,000 km
+    bearing=st.floats(min_value=0.0, max_value=2 * np.pi),
+    frac=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_geodesic_buffer_box_covers_every_disc_point(
+    qlon, qlat, log_m, bearing, frac
+):
+    """Conservativeness invariant for the shared pruning helper: ANY
+    point within `meters` great-circle distance of the query lies
+    inside geodesic_buffer_box (after IDL split). Destination points
+    are generated by the exact spherical direct formula at a random
+    bearing and fraction of the radius."""
+    import math
+
+    R = 6371008.8
+    meters = 10.0 ** log_m
+    box = G.geodesic_buffer_box(qlon, qlat, qlon, qlat, meters)
+    r = (meters * frac) / R
+    p1 = math.radians(qlat)
+    sy = math.asin(
+        math.sin(p1) * math.cos(r)
+        + math.cos(p1) * math.sin(r) * math.cos(bearing)
+    )
+    dlon = math.atan2(
+        math.sin(bearing) * math.sin(r) * math.cos(p1),
+        math.cos(r) - math.sin(p1) * math.sin(sy),
+    )
+    x = math.degrees(math.radians(qlon) + dlon)
+    if x > 180.0:
+        x -= 360.0
+    if x < -180.0:
+        x += 360.0
+    y = math.degrees(sy)
+    eps = 1e-9
+    ok = any(
+        (bx[0] - eps <= x <= bx[2] + eps)
+        and (bx[1] - eps <= y <= bx[3] + eps)
+        for bx in G.idl_safe_boxes(*box)
+    )
+    assert ok, (qlon, qlat, meters, bearing, frac, (x, y), box)

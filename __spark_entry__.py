@@ -192,7 +192,7 @@ def _z3_cell_sql() -> str:
     n = 1 << C.T_BITS
     inner = (
         f"SELECT event_id, es, {_grid_xy_cols()}, "
-        f"CAST(least({n - 1}, greatest(0, floor(CAST(es % 604800 AS DOUBLE)/"
+        f"CAST(least({n - 1}, greatest(0, floor(CAST(((es % 604800) + 604800) % 604800 AS DOUBLE)/"
         f"{float(C.SECONDS_IN_WEEK)!r}*{float(n)!r}))) AS BIGINT) AS t FROM pts"
     )
     spread = _spread_sql(inner, ["x", "y", "t"], C._SPREAD3, 0x1FFFFF)

@@ -49,9 +49,15 @@ def lat_to_y(lat: Column, bits: int = XY_BITS) -> Column:
 
 
 def secs_in_week(dtg: Column) -> Column:
-    """Seconds into the epoch week of `dtg` (Z3Table.scala:48-51)."""
+    """Seconds into the epoch week of `dtg` (Z3Table.scala:48-51).
+
+    pmod, not %: Spark's % follows the sign, so pre-1970 timestamps
+    (negative epoch seconds) would yield a negative offset that
+    time_to_t clamps to index 0 — while week() and the planner's
+    z3-range math use floor semantics and expect the offset near the
+    TOP of that week, silently excluding matching rows."""
     es = F.unix_timestamp(dtg)
-    return (es % F.lit(SECONDS_IN_WEEK)).cast("long")
+    return F.pmod(es, F.lit(SECONDS_IN_WEEK)).cast("long")
 
 
 def week(dtg: Column) -> Column:

@@ -83,7 +83,12 @@ def poly_edges_df(
 ) -> DataFrame:
     """(poly_id, edges) broadcast-side table from [(id, wkt)].
     IDL-crossing polygons are split into in-range pieces first —
-    even-odd over the flattened piece edges equals the union."""
+    even-odd over the flattened piece edges equals the union for the
+    DISJOINT pieces IDL splitting produces. NOTE: a user-supplied
+    MULTIPOLYGON with OVERLAPPING members cancels in the overlap
+    under flattened even-odd — pre-dissolve such layers (or scan per
+    member); the single-geometry refines (planner.scan, ecql) handle
+    overlap via contains_geom_col's member-OR."""
     rows = [
         (pid, geom_edges(G.normalize_idl(G.parse_wkt(wkt)))) for pid, wkt in polys
     ]
@@ -91,6 +96,31 @@ def poly_edges_df(
         [T.StructField("poly_id", T.StringType()), T.StructField("edges", EDGE_SCHEMA)]
     )
     return spark.createDataFrame(rows, schema)
+
+
+def geom_members(geom: G.Geometry) -> list[G.Geometry]:
+    """Per-member sub-geometries of a POLYGON/MULTIPOLYGON (each =
+    one shell + its holes); any other kind is its own single member."""
+    if geom.kind != "MULTIPOLYGON":
+        return [geom]
+    starts = list(geom.poly_starts) + [len(geom.rings)]
+    return [
+        G.Geometry(kind="POLYGON", rings=geom.rings[starts[i]: starts[i + 1]])
+        for i in range(len(geom.poly_starts))
+    ]
+
+
+def contains_geom_col(geom: G.Geometry, lon: Column, lat: Column) -> Column:
+    """Member-OR even-odd PIP matching geometry.contains: even-odd
+    over the FLATTENED edges of a MULTIPOLYGON cancels in regions
+    covered by an even number of overlapping members (2 shells -> 2
+    crossings -> 'outside'), so each member (shell + holes, where
+    even-odd IS correct) evaluates separately and the members OR."""
+    preds = [contains_col(edges_lit(m), lon, lat) for m in geom_members(geom)]
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out
 
 
 def contains_col(edges: Column, lon: Column, lat: Column) -> Column:

@@ -65,7 +65,7 @@ def _zranges(
     frontier: list[tuple[int, int]] = [(0, 0)]
     while frontier:
         next_frontier: list[tuple[int, int]] = []
-        for level, prefix in frontier:
+        for fi, (level, prefix) in enumerate(frontier):
             rem = bits - level
             # decode per-dim prefix coordinates
             if dims == 2:
@@ -90,7 +90,15 @@ def _zranges(
             zhi = ((prefix + 1) << (dims * rem)) - 1
             if contained or rem == 0:
                 out.append((zlo, zhi))
-            elif len(out) + len(frontier) + len(next_frontier) >= max_ranges:
+            elif (
+                # ranges if we stopped NOW: emitted + queued children
+                # + the UNPROCESSED rest of this level (counting the
+                # whole level would double-count nodes whose output
+                # is already in `out`/`next_frontier`, tripping the
+                # budget early and emitting needlessly coarse covers)
+                len(out) + len(next_frontier) + (len(frontier) - fi - 1)
+                >= max_ranges
+            ):
                 out.append((zlo, zhi))  # budget hit: over-approximate
             else:
                 for q in range(1 << dims):

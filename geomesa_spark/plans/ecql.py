@@ -764,7 +764,9 @@ def _spatial_col(sp: Spatial, cols: _Cols) -> Column:
             return (lon == F.lit(x)) & (lat == F.lit(y))
         return F.lit(False)
     if g.kind in ("POLYGON", "MULTIPOLYGON"):
-        inside = GS.contains_col(GS.edges_lit(g), lon, lat)
+        # member-OR: flattened even-odd cancels where overlapping
+        # MULTIPOLYGON members stack
+        inside = GS.contains_geom_col(g, lon, lat)
     elif g.kind == "POINT":
         x, y = float(g.rings[0][0, 0]), float(g.rings[0][0, 1])
         inside = (lon == F.lit(x)) & (lat == F.lit(y))

@@ -103,8 +103,24 @@ def _cell_is_stored(df: DataFrame, cell_col: str) -> bool:
             if cell_col in list(leaves.apply(i).schema().fieldNames()):
                 return True
     except Exception:
-        pass
+        # no _jdf (Spark Connect) or py4j failure: range pruning is
+        # silently unavailable — warn ONCE so a degraded deployment
+        # has a signal instead of mysteriously slow full scans
+        global _WARNED_NO_JDF
+        if not _WARNED_NO_JDF:
+            _WARNED_NO_JDF = True
+            import warnings
+
+            warnings.warn(
+                "cannot inspect the physical plan (Spark Connect?); "
+                "cell/z3 range pruning disabled — queries fall back "
+                "to exact lon/lat/dtg predicates only",
+                stacklevel=2,
+            )
     return False
+
+
+_WARNED_NO_JDF = False
 
 
 def cell_range_predicate(
@@ -260,7 +276,8 @@ def scan(
         # I/O anyway
         e0 = _epoch_lower(spec.t0)
         e1 = _epoch_upper(spec.t1, spec.t1_exclusive)  # exclusive bound
-        w0, w1 = e0 // C.SECONDS_IN_WEEK, max(e1 - 1, e0) // C.SECONDS_IN_WEEK
+        W = C.SECONDS_IN_WEEK
+        w0, w1 = e0 // W, max(e1 - 1, e0) // W
         # union of each week's range set, as a PURE z3 predicate: a
         # week-qualified OR would mix the partition column with a
         # data column and lose parquet pushdown entirely. The union
@@ -268,20 +285,34 @@ def scan(
         # below refine), and it reaches PushedFilters so row-group
         # z3 min/max stats skip — the Z3 range-scan analog.
         ranges = []
+        # z3 values are WEEK-RELATIVE interleaves, so every middle
+        # week of a multi-week interval needs the identical full-week
+        # [0, W-1] range set — compute that BFS once, not per week
+        # (a 3-year interval otherwise re-runs ~150 byte-identical
+        # planning BFSes on the driver)
+        full_week: list | None = None
         for wk in range(w0, w1 + 1):
-            t_lo = e0 - wk * C.SECONDS_IN_WEEK if wk == w0 else 0
-            t_hi = (
-                min(e1 - 1 - wk * C.SECONDS_IN_WEEK, C.SECONDS_IN_WEEK - 1)
-                if wk == w1
-                else C.SECONDS_IN_WEEK - 1
-            )
-            for bx in boxes:
-                ranges.extend(
-                    V.zranges_3d(
-                        bx[0], bx[1], bx[2], bx[3], max(t_lo, 0), t_hi,
-                        max_ranges=max_ranges,
+            t_lo = max(e0 - wk * W, 0) if wk == w0 else 0
+            t_hi = min(e1 - 1 - wk * W, W - 1) if wk == w1 else W - 1
+            if t_lo == 0 and t_hi == W - 1:
+                if full_week is None:
+                    full_week = [
+                        r
+                        for bx in boxes
+                        for r in V.zranges_3d(
+                            bx[0], bx[1], bx[2], bx[3], 0, W - 1,
+                            max_ranges=max_ranges,
+                        )
+                    ]
+                ranges.extend(full_week)
+            else:
+                for bx in boxes:
+                    ranges.extend(
+                        V.zranges_3d(
+                            bx[0], bx[1], bx[2], bx[3], t_lo, t_hi,
+                            max_ranges=max_ranges,
+                        )
                     )
-                )
         zpred = cell_range_predicate(V.merge_ranges(ranges), F.col(z3_col))
         if zpred is not None:
             out = out.filter(zpred)
@@ -302,12 +333,22 @@ def scan(
             cmp1 = F.col(dtg_col) < F.lit(t1).cast("timestamp") if spec.t1_exclusive \
                 else F.col(dtg_col) <= F.lit(t1).cast("timestamp")
             out = out.filter(cmp1)
-        if spec.t0 is not None and spec.t1 is not None and week_col in df.columns:
-            e0 = _epoch_lower(spec.t0)
-            e1 = _epoch_upper(spec.t1, spec.t1_exclusive)
-            w0 = e0 // C.SECONDS_IN_WEEK
-            w1 = max(e1 - 1, e0) // C.SECONDS_IN_WEEK
-            out = out.filter(F.col(week_col).between(F.lit(w0), F.lit(w1)))
+        if week_col in df.columns:
+            # one-sided bounds prune too: a t0-only query on a
+            # week-partitioned table must not list every historical
+            # partition (week >= w0 skips them all)
+            wpred = None
+            if spec.t0 is not None:
+                w0 = _epoch_lower(spec.t0) // C.SECONDS_IN_WEEK
+                wpred = F.col(week_col) >= F.lit(w0)
+            if spec.t1 is not None:
+                e1 = _epoch_upper(spec.t1, spec.t1_exclusive)
+                e_lo = _epoch_lower(spec.t0) if spec.t0 is not None else e1 - 1
+                w1 = max(e1 - 1, e_lo) // C.SECONDS_IN_WEEK
+                p1 = F.col(week_col) <= F.lit(w1)
+                wpred = p1 if wpred is None else wpred & p1
+            if wpred is not None:
+                out = out.filter(wpred)
 
     # --- attributes ---
     for pred_sql in spec.attr_predicates:
@@ -316,14 +357,13 @@ def scan(
     # --- residual exact geometry ---
     if geom is not None:
         if geom.kind in ("POLYGON", "MULTIPOLYGON"):
-            # JVM-side even-odd refine over the geometry's edge array
-            # (no Python in the scan path)
+            # JVM-side even-odd refine, member-OR for MULTIPOLYGON
+            # (flattened even-odd would cancel where overlapping
+            # members stack; no Python in the scan path)
             from geomesa_spark.functions import geometry_sql as GS
 
             out = out.filter(
-                GS.contains_col(
-                    GS.edges_lit(geom), F.col(lon_col), F.col(lat_col)
-                )
+                GS.contains_geom_col(geom, F.col(lon_col), F.col(lat_col))
             )
         else:
             out = out.filter(
@@ -348,10 +388,14 @@ def scan_or(
     `dropDuplicates` makes the simple union + dedup strictly better
     (one shuffle on the id, no filter-complexity blowup).
     """
+    if not specs:  # zero disjuncts: empty result, valid schema
+        return df.limit(0)
+    if len(specs) == 1:
+        # a single scan of one table has no duplicates — skip the
+        # dedup's full hash-partition shuffle
+        return scan(df, specs[0], id_col=id_col, **kwargs)
     out = None
     for spec in specs:
         part = scan(df, spec, id_col=id_col, **kwargs)
         out = part if out is None else out.unionByName(part)
-    if out is None:  # zero disjuncts: empty result, valid schema
-        return df.limit(0)
     return out.dropDuplicates([id_col])

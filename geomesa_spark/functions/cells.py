@@ -133,6 +133,31 @@ def z3_cell(lon: Column, lat: Column, dtg: Column) -> Column:
     )
 
 
+def grid_snap_cols(
+    lon: Column,
+    lat: Column,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+) -> tuple[Column, Column]:
+    """(i, j) pixel indices for a W×H grid over `bbox`, clamped to
+    range — the ONE shared GridSnap.scala:21-100 analog (batch
+    density, streaming density, and rasterization must snap
+    identically or their grids silently diverge)."""
+    xmin, ymin, xmax, ymax = bbox
+    dx = (xmax - xmin) / width
+    dy = (ymax - ymin) / height
+    i = F.least(
+        F.lit(width - 1),
+        F.greatest(F.lit(0), F.floor((lon - F.lit(xmin)) / F.lit(dx))),
+    ).cast("int")
+    j = F.least(
+        F.lit(height - 1),
+        F.greatest(F.lit(0), F.floor((lat - F.lit(ymin)) / F.lit(dy))),
+    ).cast("int")
+    return i, j
+
+
 def cell_parent(cell: Column, child_bits: int, parent_bits: int) -> Column:
     """Z2 parent cell: drop the low interleaved bits.
 
@@ -177,6 +202,19 @@ _SQUASH3 = [
     (16, 0x1F00000000FFFF),
     (32, 0x1FFFFF),
 ]
+
+
+def squash2_col(z: Column) -> Column:
+    """Column form of _squash2_np (inverse bit spread), JVM-side —
+    the ONE shared de-interleave so the magic masks live beside
+    their _SPREAD2/_SQUASH2 twins (a re-typed copy with one wrong
+    mask would silently corrupt exact-cover filters). Use
+    `squash2_col(cell)` for x and
+    `squash2_col(shiftrightunsigned(cell, 1))` for y."""
+    z = z.bitwiseAND(F.lit(0x5555555555555555))
+    for shift, mask in _SQUASH2:
+        z = z.bitwiseOR(F.shiftrightunsigned(z, shift)).bitwiseAND(F.lit(mask))
+    return z
 
 
 def _squash2_np(z: np.ndarray) -> np.ndarray:

@@ -17,6 +17,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from geomesa_spark.functions import cells as C
+
 
 def density(
     df: DataFrame,
@@ -38,16 +40,7 @@ def density(
     Returns (i:int, j:int, weight) — i column, j row, like GridSnap.
     """
     xmin, ymin, xmax, ymax = bbox
-    dx = (xmax - xmin) / width
-    dy = (ymax - ymin) / height
-    i = F.least(
-        F.lit(width - 1),
-        F.greatest(F.lit(0), F.floor((F.col(lon_col) - F.lit(xmin)) / F.lit(dx))),
-    ).cast("int")
-    j = F.least(
-        F.lit(height - 1),
-        F.greatest(F.lit(0), F.floor((F.col(lat_col) - F.lit(ymin)) / F.lit(dy))),
-    ).cast("int")
+    i, j = C.grid_snap_cols(F.col(lon_col), F.col(lat_col), bbox, width, height)
     w = F.col(weight_col) if weight_col else F.lit(1)
     return (
         df.filter(
@@ -281,7 +274,12 @@ def portable_hash32(col: Column) -> Column:
     md5 of the value's string form (the same construction the dedup
     family uses for shingle hashes). Use as `track_hash_col` when BIN
     bytes must be comparable against a non-JVM oracle."""
-    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+    # the unsigned step IS dedup.shingle_hash(md5) — shared so the
+    # cross-engine-reproducible construction cannot drift between the
+    # BIN track hash and the minhash family
+    from geomesa_spark.operators.dedup import shingle_hash
+
+    h = shingle_hash(col.cast("string"), fn="md5")
     return (
         F.when(h >= F.lit(1 << 31), h - F.lit(1 << 32)).otherwise(h).cast("int")
     )

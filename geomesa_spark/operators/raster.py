@@ -88,24 +88,12 @@ def tile_cover_scan(
     out = tiles.filter(
         (F.col("res_bits") == res_bits) & F.col("cell").between(lo, hi)
     )
-    # exact: de-interleave via parent arithmetic on the column
-    ix = _deinterleave_x(F.col("cell"))
-    iy = _deinterleave_x(F.shiftrightunsigned(F.col("cell"), 1))
+    # exact: de-interleave via the shared column squash (cells.py
+    # owns both directions of the Morton transform — a re-typed
+    # private copy of the masks here could silently drift)
+    ix = C.squash2_col(F.col("cell"))
+    iy = C.squash2_col(F.shiftrightunsigned(F.col("cell"), 1))
     return out.filter(ix.between(ix0, ix1) & iy.between(iy0, iy1))
-
-
-def _deinterleave_x(z):
-    """Column form of squash2 (inverse bit spread), JVM-side."""
-    z = z.bitwiseAND(F.lit(0x5555555555555555))
-    for shift, mask in (
-        (1, 0x3333333333333333),
-        (2, 0x0F0F0F0F0F0F0F0F),
-        (4, 0x00FF00FF00FF00FF),
-        (8, 0x0000FFFF0000FFFF),
-        (16, 0x00000000FFFFFFFF),
-    ):
-        z = z.bitwiseOR(F.shiftrightunsigned(z, shift)).bitwiseAND(F.lit(mask))
-    return z
 
 
 def tile_assignments(
@@ -167,7 +155,7 @@ def synth_tiles(
                     + np.add.outer(np.arange(py) * 0.01, np.arange(px) * 0.0001)
                 ).ravel()
                 rows.append(
-                    (res_bits, int(cell), px, py, [float(v) for v in grid])
+                    (res_bits, int(cell), px, py, np.asarray(grid, dtype=np.float64).ravel().tolist())
                 )
             yield pd.DataFrame(
                 rows, columns=["res_bits", "cell", "px", "py", "tile"]
@@ -268,7 +256,7 @@ def mosaic(
                 # placement offset in mosaic pixel space
                 ox = int(np.floor((ix0 - xmin) / rx))
                 oy = int(np.floor((ymax - iy1) / ry))
-                out.append((ox, oy, w, h, [float(v) for v in sub.ravel()]))
+                out.append((ox, oy, w, h, sub.ravel().astype(np.float64).tolist()))
             yield pd.DataFrame(out, columns=["ox", "oy", "w", "h", "data"])
 
     # driver-side collect is BOUNDED BY OUTPUT PIXELS, not input
@@ -382,7 +370,7 @@ def mosaic_blocks(
                             (
                                 bx, by, fx0, fy0,
                                 fx1 - fx0, fy1 - fy0,
-                                [float(v) for v in piece.ravel()],
+                                piece.ravel().astype(np.float64).tolist(),
                             )
                         )
             yield pd.DataFrame(
@@ -401,7 +389,7 @@ def mosaic_blocks(
                 f.data, dtype=np.float64
             ).reshape(h, w)
         return pd.DataFrame(
-            [(bx, by, bw, bh, [float(v) for v in canvas.ravel()])],
+            [(bx, by, bw, bh, canvas.ravel().astype(np.float64).tolist())],
             columns=["bx", "by", "bw", "bh", "data"],
         )
 

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from geomesa_spark.functions import cells as C
 from geomesa_spark.functions import geometry as G
 from geomesa_spark.functions import geometry_sql as GS
 
@@ -60,32 +61,32 @@ def parse_geoms(
             rows = []
             for i in range(len(pdf)):
                 geom = G.parse_wkt(pdf[wkt_col].iat[i])
-                rows.append(
-                    (
-                        str(pdf[key_col].iat[i]),
-                        geom.kind,
-                        float(pdf[weight_col].iat[i]) if has_w else 1.0,
-                        # geom_edges emits a degenerate (x,y,x,y) edge
-                        # for single-point rings, so it is non-empty
-                        # for every parseable geometry
-                        GS.geom_edges(geom),
+                key = str(pdf[key_col].iat[i])
+                w = float(pdf[weight_col].iat[i]) if has_w else 1.0
+                # one ROW per MULTIPOLYGON member: flattened even-odd
+                # cancels in regions where overlapping members stack
+                # (2 shells -> 2 crossings -> pixel dropped); per
+                # member even-odd is correct, and the per-(key,pixel)
+                # dedup downstream makes the members OR
+                for m in GS.geom_members(geom):
+                    rows.append(
+                        (
+                            key,
+                            geom.kind,
+                            w,
+                            # geom_edges emits a degenerate (x,y,x,y)
+                            # edge for single-point rings, so it is
+                            # non-empty for every parseable geometry
+                            GS.geom_edges(m),
+                        )
                     )
-                )
             yield pd.DataFrame(rows, columns=["key", "kind", "weight", "edges"])
 
     return df.mapInPandas(gen, schema=EDGES_ROW_SCHEMA)
 
 
 def _grid_ij(lon, lat, bbox, width, height):
-    xmin, ymin, xmax, ymax = bbox
-    dx = (xmax - xmin) / width
-    dy = (ymax - ymin) / height
-    i = F.least(
-        F.lit(width - 1), F.greatest(F.lit(0), F.floor((lon - F.lit(xmin)) / F.lit(dx)))
-    ).cast("int")
-    j = F.least(
-        F.lit(height - 1), F.greatest(F.lit(0), F.floor((lat - F.lit(ymin)) / F.lit(dy)))
-    ).cast("int")
+    i, j = C.grid_snap_cols(lon, lat, bbox, width, height)
     return i, j
 
 
@@ -108,15 +109,20 @@ def density_geoms(
 
     # --- edge walk (points degenerate to single-sample edges) ---
     e = base.select("key", "weight", F.explode("edges").alias("e"))
+    # LONG, not int: a long edge against a deeply zoomed grid can
+    # exceed 2^31 half-pixel steps, and a non-ANSI int cast would
+    # wrap negative (flipping t's sign and exploding a descending
+    # sequence). The exploded s-range below stays window-bounded
+    # regardless — only the denominator needs the headroom.
     steps = F.greatest(
-        F.lit(1),
+        F.lit(1).cast("long"),
         F.ceil(
             F.greatest(
                 F.abs(F.col("e.x1") - F.col("e.x0")) / F.lit(cw * 0.5),
                 F.abs(F.col("e.y1") - F.col("e.y0")) / F.lit(ch * 0.5),
             )
-        ),
-    ).cast("int")
+        ).cast("long"),
+    )
 
     # Liang-Barsky window of the edge's parameter range inside the
     # bbox: samples keep their EXACT positions on the t = s/n grid
@@ -146,9 +152,9 @@ def density_geoms(
     tlo = F.greatest(F.lit(0.0), wxl, wyl)
     thi = F.least(F.lit(1.0), wxh, wyh)
     s_lo = F.greatest(
-        F.lit(0), (F.floor(tlo * steps) - 1).cast("int")
+        F.lit(0).cast("long"), (F.floor(tlo * steps) - 1).cast("long")
     )
-    s_hi = F.least(steps, (F.ceil(thi * steps) + 1).cast("int"))
+    s_hi = F.least(steps, (F.ceil(thi * steps) + 1).cast("long"))
     walked = (
         e.filter(thi >= tlo)
         .select(

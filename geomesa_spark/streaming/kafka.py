@@ -183,6 +183,11 @@ def kafka_live_view(
     log = kafka_changelog(
         raw, payload_schema, op_field=op_field, ts_field=ts_field
     )
+    if op_field != "op":
+        # apply_changelog's contract names the op column 'op'; without
+        # this rename a custom op_field dies with an unresolved-column
+        # error inside foreachBatch on the first trigger
+        log = log.withColumnRenamed(op_field, "op")
     return upsert_stream(
         log,
         state_dir,

@@ -44,9 +44,16 @@ def apply_changelog(
 ) -> DataFrame:
     """Fold a changelog batch into the keyed state (pure DataFrame).
 
-    Ordering is (ts, seq) ascending — the last op per key wins;
-    a `clear` drops every row whose (ts, seq) is not after it.
-    `state` rows behave as upserts that precede the whole batch.
+    LOG-ORDER semantics, exactly the reference's consumer dispatch
+    loop (LiveKafkaConsumerFeatureSource.scala:116-123 applies each
+    GeoMessage as it arrives): retained `state` precedes the whole
+    batch (`_gen`), and WITHIN a batch ordering is (ts, seq)
+    ascending — so a row in a later batch beats existing state even
+    if its event ts is older, and a later CreateOrUpdate recreates a
+    previously deleted key. A `clear` drops every row not after it.
+    For EVENT-TIME ordering across batches (stale replays lose,
+    deletes tombstone), use the `streaming.stateful.stateful_upsert`
+    variant — the two are intentionally different contracts.
     Returns the new state with the changelog columns (op dropped).
     """
     op = F.col("op")
@@ -111,27 +118,27 @@ def replay_state(
 # ---------------------------------------------------------------------------
 
 
-def _state_versions(spark: SparkSession, state_dir: str) -> list[int]:
-    """Complete (committed) state versions only: a version dir
-    without _SUCCESS is a torn write from a crashed batch and must
-    never be folded from. (Delegates to the TableIO seam —
-    `sources.tableio.ParquetVersionedIO` — so a real catalog, e.g.
-    Iceberg snapshots, can replace the directory mechanics.)"""
-    from geomesa_spark.sources.tableio import ParquetVersionedIO
-
-    return ParquetVersionedIO(spark, state_dir).versions()
-
-
 def read_state(
-    spark: SparkSession, state_dir: str, before_batch: int | None = None
+    spark: SparkSession,
+    state_dir: str,
+    before_batch: int | None = None,
+    io=None,
 ) -> DataFrame | None:
     """Latest committed state version; `before_batch` restricts to
     versions strictly below that batch id (batch-replay safety: an
     at-least-once re-run of batch N must fold from N's *predecessor*,
-    not from the version N itself wrote before crashing)."""
-    from geomesa_spark.sources.tableio import ParquetVersionedIO
+    not from the version N itself wrote before crashing).
 
-    return ParquetVersionedIO(spark, state_dir).read_latest(before_batch)
+    `io` is the same VersionedTableIO seam `upsert_stream` takes —
+    default parquet version dirs; pass the matching
+    `IcebergVersionedIO` to serve snapshots a catalog-backed stream
+    wrote (reading the parquet path for an Iceberg-written state
+    would silently return None)."""
+    if io is None:
+        from geomesa_spark.sources.tableio import ParquetVersionedIO
+
+        io = ParquetVersionedIO(spark, state_dir)
+    return io.read_latest(before_batch)
 
 
 def upsert_stream(

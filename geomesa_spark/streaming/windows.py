@@ -64,17 +64,10 @@ def streaming_density(
 ) -> DataFrame:
     """Per-window 2-D heatmap (grid snap identical to the batch
     density operator, Z3DensityIterator analog)."""
+    from geomesa_spark.functions import cells as C
+
     xmin, ymin, xmax, ymax = bbox
-    dx = (xmax - xmin) / width
-    dy = (ymax - ymin) / height
-    i = F.least(
-        F.lit(width - 1),
-        F.greatest(F.lit(0), F.floor((F.col(lon_col) - F.lit(xmin)) / F.lit(dx))),
-    ).cast("int")
-    j = F.least(
-        F.lit(height - 1),
-        F.greatest(F.lit(0), F.floor((F.col(lat_col) - F.lit(ymin)) / F.lit(dy))),
-    ).cast("int")
+    i, j = C.grid_snap_cols(F.col(lon_col), F.col(lat_col), bbox, width, height)
     return (
         stream.filter(
             F.col(lon_col).between(F.lit(xmin), F.lit(xmax))

@@ -641,3 +641,93 @@ def test_tableio_iceberg_mapping(spark):
     assert "'5'" in sql(dummy, "write_version", 5)
     assert "lake.db.t.snapshots" in sql(dummy, "versions")
     assert "VERSION AS OF" in sql(dummy, "read_version", 5)
+
+
+class _FakeGroupState:
+    """Stub of the GroupState surface _fold touches, so the TTL paths
+    (eviction row, full re-arm, remaining-time re-arm on stale-only
+    triggers) run under test without wall-clock streaming triggers."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = tuple(value) if value is not None else None
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeouts = []
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeouts.append(int(ms))
+
+
+def _run_fold(state, rows, ttl_ms):
+    import pandas as pd
+
+    from geomesa_spark.streaming.stateful import _fold
+
+    pdfs = [pd.DataFrame(rows)] if rows else []
+    return list(_fold(("k1",), iter(pdfs), state, ttl_ms))
+
+
+def test_stateful_ttl_eviction_row():
+    """hasTimedOut: the key is removed and a live=False eviction row
+    is emitted downstream (the compacted-changelog contract)."""
+    st = _FakeGroupState(value=(5.0, 1, "v", 123.0), timed_out=True)
+    out = _run_fold(st, [], ttl_ms=1000)
+    assert st.removed and len(out) == 1
+    row = out[0].iloc[0]
+    assert row.doc_id == "k1" and row.live == False  # noqa: E712
+
+
+def test_stateful_ttl_full_rearm_on_accepted_write():
+    import time
+
+    st = _FakeGroupState()
+    t0 = time.time()
+    out = _run_fold(
+        st, [{"op": "upsert", "ts": t0, "seq": 1, "val": "a"}], ttl_ms=8000
+    )
+    assert st.timeouts == [8000]          # full TTL from the accepted write
+    assert st._v[2] == "a" and st._v[3] is not None  # wts recorded
+    assert len(out) == 1 and bool(out[0].iloc[0].live)
+
+
+def test_stateful_ttl_stale_only_rearms_remaining_time():
+    """A trigger of purely-stale replays must NOT refresh the
+    expireAfterWrite horizon: the timeout re-arms with only the time
+    REMAINING since the last accepted write."""
+    import time
+
+    now_ms = time.time() * 1000.0
+    st = _FakeGroupState(value=(10.0, 5, "v", now_ms - 5000.0))
+    out = _run_fold(
+        st, [{"op": "upsert", "ts": 3.0, "seq": 1, "val": "stale"}], ttl_ms=8000
+    )
+    assert out == []                       # stale op emits nothing
+    assert st._v[2] == "v"                 # entry unchanged
+    assert len(st.timeouts) == 1
+    assert 0 < st.timeouts[0] <= 3100      # ~8000 - 5000, not 8000
+
+
+def test_stateful_ttl_stale_cannot_resurrect_tombstone():
+    import time
+
+    now_ms = time.time() * 1000.0
+    st = _FakeGroupState(value=(10.0, 5, None, now_ms - 100.0))  # tombstone
+    out = _run_fold(
+        st, [{"op": "upsert", "ts": 3.0, "seq": 1, "val": "zombie"}], ttl_ms=8000
+    )
+    assert out == [] and st._v[2] is None  # tombstone survives

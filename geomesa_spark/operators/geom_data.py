@@ -142,7 +142,10 @@ def geom_table_native(
             )
         )
     )
-    body = F.regexp_extract(s, r"\((.*)\)", 1)
+    # (?s): Java-regex '.' does not match newlines, so a
+    # pretty-printed multi-line WKT would silently extract '' and the
+    # row's bbox/edges would be null — vanishing from every join
+    body = F.regexp_extract(s, r"(?s)\((.*)\)", 1)
     rings = F.split(
         F.regexp_replace(body, r"^\s*\(|\)\s*$", ""), r"\)\s*,\s*\("
     )
@@ -732,6 +735,11 @@ def geom_join_bucketed(
     g = spark.table(geoms_table)
     cov = spark.table(cover_table)
     cov_pbits = [r.pbits for r in cov.select("pbits").distinct().collect()]
+    if not cov_pbits:
+        # empty layer: empty result with the join's schema, matching
+        # every other join path (raising here would make the bucketed
+        # path the one place an empty-layer pipeline crashes)
+        return g.limit(0).withColumn("poly_id", F.lit(None).cast("string"))
     if cov_pbits != [bits]:
         raise ValueError(
             f"cover table {cover_table} has resolutions {sorted(cov_pbits)}; "

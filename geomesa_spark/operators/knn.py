@@ -100,9 +100,12 @@ def _dist_col(lon_col: str, lat_col: str, metric: str):
         return GS.haversine_m_col(
             F.col(lon_col), F.col(lat_col), F.col("qlon"), F.col("qlat")
         )
-    return (
-        (F.col(lon_col) - F.col("qlon")) * (F.col(lon_col) - F.col("qlon"))
-        + (F.col(lat_col) - F.col("qlat")) * (F.col(lat_col) - F.col("qlat"))
+    from geomesa_spark.functions import geometry_sql as GS
+
+    # the ONE shared planar kernel — a private copy must stay
+    # bit-identical to point_dist2_col for oracle parity
+    return GS.point_dist2_col(
+        F.col(lon_col), F.col(lat_col), F.col("qlon"), F.col("qlat")
     )
 
 

@@ -152,17 +152,24 @@ def _distributed_cover(
             out = []
             for pid, wkt in zip(pdf[poly_id_col], pdf[wkt_col]):
                 geom = G.normalize_idl(G.parse_wkt(wkt))
-                cells_, interior, used = V.polyfill_detail(geom, bits, budget)
-                if used != bits:
-                    # one bounded retry at the target resolution; a
-                    # polygon that still doesn't fit keeps its coarse
-                    # cover (pbits < bits) — the join runs that group
-                    # at the coarser key and the refine absorbs the
-                    # looser cover, so one pathological geometry can
-                    # never fail the whole job
-                    cells_, interior, used = V.polyfill_detail(
-                        geom, bits, budget * 4
-                    )
+                # cheap bbox-arithmetic pre-check: a polygon that
+                # cannot reach `bits` within `budget` goes straight
+                # to the escalated fill instead of paying a full fill
+                # whose result would be thrown away (the escalation
+                # semantics are unchanged: try budget, then budget*4;
+                # a polygon that still doesn't fit keeps its coarse
+                # cover — pbits < bits — and the join runs that group
+                # at the coarser key with the refine absorbing the
+                # looser cover, so one pathological geometry can
+                # never fail the whole job)
+                use_budget = (
+                    budget
+                    if V.polyfill_resolution(geom, bits, budget) == bits
+                    else budget * 4
+                )
+                cells_, interior, used = V.polyfill_detail(
+                    geom, bits, use_budget
+                )
                 out.append(
                     pd.DataFrame(
                         {
@@ -309,6 +316,12 @@ def pip_join_partitioned(
     salting and the exact refine absorbs the looser cover.
     """
     spark = points.sparkSession
+    # the polygon layer is executed several times in this function
+    # (count, resolution set, edges, cover) — pin its lineage once so
+    # a layer with non-trivial upstream plan (filters/joins) does not
+    # re-execute that plan per pass (geom_join_partitioned already
+    # does the same for the geoms side)
+    polys = polys.localCheckpoint(eager=False)
     cover = _distributed_cover(polys, bits, budget)
     # resolution groups via a cheap bbox-only decision (driver-side
     # for small layers, one distributed pass otherwise); almost
@@ -388,10 +401,8 @@ def pip_join_partitioned(
             .drop("_pcell", "pcell", "interior", "edges")
         )
         out = refined if out is None else out.unionByName(refined)
-    if out is None:  # empty polygon layer: empty result, valid schema
-        return points.limit(0).withColumn(
-            "poly_id", F.lit(None).cast("string")
-        )
+    # the empty-layer case already returned above (pbits_vals empty),
+    # so the loop always assigns out
     return out
 
 
@@ -443,11 +454,13 @@ def write_points_bucketed(
             sort_cols=["pcell", "psalt"],
             clear_stale_location=clear_stale_location,
             extra_bucket_cols=["psalt"],
+            table_properties={"geomesa.salt_buckets": str(salt_buckets)},
         )
         return
     write_bucketed(
         pts, table_name, bucket_col="pcell", n_buckets=n_buckets,
         clear_stale_location=clear_stale_location,
+        table_properties={"geomesa.salt_buckets": "1"},
     )
 
 
@@ -481,11 +494,13 @@ def write_cover_bucketed(
             sort_cols=["pcell", "psalt"],
             clear_stale_location=clear_stale_location,
             extra_bucket_cols=["psalt"],
+            table_properties={"geomesa.salt_buckets": str(salt_buckets)},
         )
         return
     write_bucketed(
         cover, table_name, bucket_col="pcell", n_buckets=n_buckets,
         clear_stale_location=clear_stale_location,
+        table_properties={"geomesa.salt_buckets": "1"},
     )
 
 
@@ -523,13 +538,26 @@ def pip_join_bucketed(
     edges = F.broadcast(_distributed_edges(polys, poly_id_col, wkt_col))
 
     # salted layouts (see write_points_bucketed) join on the full
-    # composite bucket key; both tables must agree
+    # composite bucket key; both tables must agree — on PRESENCE and
+    # on the COUNT (points salted 8-ways against a 4-way cover would
+    # pass a presence-only check yet silently drop every point whose
+    # psalt >= 4: no cover replica to join)
     salted = "psalt" in pts.columns
     if salted != ("psalt" in cover.columns):
         raise ValueError(
             "points and cover tables disagree on salting — rewrite both "
             "with the same salt_buckets"
         )
+    if salted:
+        from geomesa_spark.sources.bucketed import table_property
+
+        sp_ = table_property(spark, points_table, "geomesa.salt_buckets")
+        sc_ = table_property(spark, cover_table, "geomesa.salt_buckets")
+        if sp_ is not None and sc_ is not None and sp_ != sc_:
+            raise ValueError(
+                f"salt_buckets mismatch: {points_table}={sp_} vs "
+                f"{cover_table}={sc_} — rewrite both with the same value"
+            )
     key = ["pcell", "psalt"] if salted else ["pcell"]
     fine = cover.filter(F.col("pbits") == bits).select(
         *key, "interior", "poly_id"

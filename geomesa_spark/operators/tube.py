@@ -37,13 +37,41 @@ def build_tube(
 
     gap_fill='line' joins consecutive points into segments
     (TubeBuilder LINE); 'nofill' degenerates each point to a
-    zero-length segment (NOFILL).
+    zero-length segment (NOFILL). Unknown values raise (the
+    reference's FILL option is enum-validated; silently degrading a
+    typo like 'LINE' to nofill would drop every between-point match).
+
+    Segments whose shortest path crosses the antimeridian split at
+    ±180 (time and latitude interpolated at the seam, both pieces
+    sharing the seam point) — a planar segment from 179.8 to -179.8
+    would otherwise sweep the whole world through lon 0, matching
+    points ~20,000 km off the real track and missing the true
+    matches across the seam.
     """
+    if gap_fill not in ("line", "nofill"):
+        raise ValueError(
+            f"unknown gap_fill {gap_fill!r} (expected 'line' or 'nofill')"
+        )
+
+    def _idl_pieces(t1, t2, lo1, la1, lo2, la2):
+        dx = lo2 - lo1
+        if abs(dx) <= 180.0:
+            yield (t1, t2, lo1, la1, lo2, la2)
+            return
+        lo2u = lo2 - 360.0 if dx > 0 else lo2 + 360.0
+        b = -180.0 if lo2u < -180.0 else 180.0
+        s = (b - lo1) / (lo2u - lo1)
+        tm = t1 + s * (t2 - t1)
+        lam = la1 + s * (la2 - la1)
+        yield (t1, tm, lo1, la1, b, lam)
+        yield (tm, t2, -b, lam, lo2, la2)
+
     track = sorted(track)
     rows = []
     if gap_fill == "line" and len(track) > 1:
         for (t1, lo1, la1), (t2, lo2, la2) in zip(track, track[1:]):
-            rows.append((t1, t2, lo1, la1, lo2, la2, buffer_deg))
+            for piece in _idl_pieces(t1, t2, lo1, la1, lo2, la2):
+                rows.append(piece + (buffer_deg,))
     else:
         for t, lo, la in track:
             rows.append((t, t, lo, la, lo, la, buffer_deg))
@@ -130,20 +158,19 @@ def tube_select(
         (es >= F.col("ts1") - F.lit(time_delta_sec))
         & (es <= F.col("ts2") + F.lit(time_delta_sec))
     )
-    # exact point-to-segment distance as a pure column expression
-    # (t-clamped projection; zero-length segments degrade to the
-    # point distance via the ln2==0 guard) — no Python in the refine
-    dx = F.col("x2") - F.col("x1")
-    dy = F.col("y2") - F.col("y1")
-    ln2 = dx * dx + dy * dy
-    ln2 = F.when(ln2 == 0.0, F.lit(1.0)).otherwise(ln2)
-    t = ((F.col(lon_col) - F.col("x1")) * dx + (F.col(lat_col) - F.col("y1")) * dy) / ln2
-    t = F.least(F.lit(1.0), F.greatest(F.lit(0.0), t))
-    cx = F.col("x1") + t * dx
-    cy = F.col("y1") + t * dy
-    d2 = (F.col(lon_col) - cx) * (F.col(lon_col) - cx) + (
-        F.col(lat_col) - cy
-    ) * (F.col(lat_col) - cy)
+    # exact point-to-segment distance via the ONE shared kernel
+    # (geometry_sql.pt_seg_d2_col: t-clamped projection, zero-length
+    # segments degrade to the point distance) — no Python, and no
+    # private copy that could drift from the other segment refines
+    from geomesa_spark.functions import geometry_sql as GS
+
+    seg = F.struct(
+        F.col("x1").alias("x0"),
+        F.col("y1").alias("y0"),
+        F.col("x2").alias("x1"),
+        F.col("y2").alias("y1"),
+    )
+    d2 = GS.pt_seg_d2_col(F.col(lon_col), F.col(lat_col), seg)
     refined = joined.filter(d2 <= F.col("buf") * F.col("buf"))
     return refined.drop(
         "_pcell", "pcell", "seg_id", "ts1", "ts2", "x1", "y1", "x2", "y2", "buf"

@@ -28,6 +28,7 @@ def write_bucketed(
     sort_cols: list[str] | None = None,
     clear_stale_location: bool = False,
     extra_bucket_cols: list[str] | None = None,
+    table_properties: dict[str, str] | None = None,
 ) -> None:
     """Persist `df` bucketed (and sorted) by the cell key.
 
@@ -74,6 +75,20 @@ def write_bucketed(
         .sortBy(*(sort_cols or [bucket_col]))
     )
     w.saveAsTable(table_name)
+    if table_properties:
+        props = ", ".join(
+            f"'{k}'='{v}'" for k, v in table_properties.items()
+        )
+        spark.sql(f"ALTER TABLE {table_name} SET TBLPROPERTIES ({props})")
+
+
+def table_property(spark: SparkSession, table_name: str, key: str) -> str | None:
+    """One TBLPROPERTIES value, or None when unset (legacy table)."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
+    for r in rows:
+        if r.key == key:
+            return r.value
+    return None
 
 
 def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:

@@ -327,3 +327,41 @@ def test_clear_stale_location_respects_current_database(spark):
     spark.sql("DROP TABLE IF EXISTS csl_db.csl_t")
     spark.sql("DROP DATABASE IF EXISTS csl_db")
     spark.sql("DROP TABLE IF EXISTS csl_t")
+
+
+def test_salt_buckets_mismatch_raises(spark, tmp_path_factory):
+    """Join-family review regression: a presence-only salt guard let
+    8-way points join a 4-way cover — points with psalt in [4,8)
+    silently vanished. The written salt count is recorded in
+    TBLPROPERTIES and compared."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.functions import cells as C
+    from geomesa_spark.operators.spatial_join import (
+        pip_join_bucketed,
+        write_cover_bucketed,
+        write_points_bucketed,
+    )
+
+    pts = spark.createDataFrame(
+        [(f"d{i}", float(i % 30), float(i % 20)) for i in range(200)],
+        "doc_id string, lon double, lat double",
+    ).withColumn("cell", C.z2_cell(F.col("lon"), F.col("lat")))
+    polys = spark.createDataFrame(
+        [("box", "POLYGON ((0 0, 40 0, 40 30, 0 30, 0 0))")],
+        "poly_id string, geom_wkt string",
+    )
+    for t in ("mm_pts", "mm_cov"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    write_points_bucketed(pts, "mm_pts", bits=6, n_buckets=4, salt_buckets=8,
+                          clear_stale_location=True)
+    write_cover_bucketed(polys, "mm_cov", bits=6, n_buckets=4, salt_buckets=4,
+                         clear_stale_location=True)
+    with _pytest.raises(ValueError, match="salt_buckets mismatch"):
+        pip_join_bucketed(spark, "mm_pts", "mm_cov", polys, bits=6)
+    # matching counts still work end-to-end
+    write_cover_bucketed(polys, "mm_cov", bits=6, n_buckets=4, salt_buckets=8,
+                         clear_stale_location=True)
+    n = pip_join_bucketed(spark, "mm_pts", "mm_cov", polys, bits=6).count()
+    assert n == 200  # every point is inside the box

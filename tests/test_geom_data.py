@@ -626,3 +626,37 @@ def test_budget_cover_superset_invariant(spark):
                 missing = set(int(c) for c in pc) - cells
                 assert not missing, (gid, bits, budget, rb, missing)
     gdf.unpersist()
+
+
+def test_native_parses_multiline_wkt(spark):
+    """Join-family review regression: Java-regex '.' does not match
+    newlines, so pretty-printed WKT silently yielded null bbox/edges
+    and the row vanished from joins."""
+    wkt = "POLYGON ((0 0, 4 0,\n4 4, 0 4,\n0 0))"
+    df = spark.createDataFrame([("g1", wkt)], "gid string, geom_wkt string")
+    native = GD.geom_table_native(df).select("gid", "xmin", "ymax", "edges").first()
+    assert native.xmin == 0.0 and native.ymax == 4.0
+    assert len(native.edges) == 4
+    plain = GD.geom_table(df).select("xmin", "ymax").first()
+    assert (native.xmin, native.ymax) == (plain.xmin, plain.ymax)
+
+
+def test_geom_join_bucketed_empty_layer(spark, geoms_df):
+    """Empty polygon layer: empty schemed result, matching every
+    other join path (previously raised a confusing resolution
+    error)."""
+    from geomesa_spark.operators.geom_data import (
+        geom_join_bucketed,
+        write_geoms_bucketed,
+    )
+    from geomesa_spark.operators.spatial_join import write_cover_bucketed
+
+    empty_polys = spark.createDataFrame([], "poly_id string, geom_wkt string")
+    for t in ("el_geoms", "el_cov"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    write_geoms_bucketed(geoms_df, "el_geoms", bits=5, n_buckets=4,
+                         clear_stale_location=True)
+    write_cover_bucketed(empty_polys, "el_cov", bits=5, n_buckets=4,
+                         clear_stale_location=True)
+    out = geom_join_bucketed(spark, "el_geoms", "el_cov", empty_polys, bits=5)
+    assert out.count() == 0 and "poly_id" in out.columns

@@ -225,3 +225,46 @@ def test_knn_join_df_empty_queries(spark):
     out = K.knn_join_df(pts, queries, k=3)
     assert out.count() == 0
     assert {"qid", "dist2", "rank", "doc_id"} <= set(out.columns)
+
+
+def test_tube_crosses_antimeridian(spark):
+    """Join-family review regression: a track segment crossing the
+    IDL was treated as a world-spanning planar segment — matching
+    points near lon 0 (~20,000 km off track) and missing true
+    matches across the seam. Segments now split at ±180."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.functions import cells as C
+    from geomesa_spark.operators.tube import tube_select
+
+    pdf = pd.DataFrame({
+        "doc_id": ["east", "west", "equator_far"],
+        "lon": [179.85, -179.85, 0.0],
+        "lat": [0.0, 0.05, 0.0],
+        "dtg": pd.to_datetime([1704672000 + 100] * 3, unit="s", utc=True),
+    })
+    pts = spark.createDataFrame(pdf).withColumn(
+        "cell", C.z2_cell(F.col("lon"), F.col("lat"))
+    )
+    track = [(1704672000, 179.8, 0.0), (1704672200, -179.8, 0.1)]
+    got = {r.doc_id for r in tube_select(
+        pts, track, 0.3, 3600, gap_fill="line"
+    ).collect()}
+    assert got == {"east", "west"}
+
+
+def test_tube_gap_fill_validated(spark):
+    import pandas as pd
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.functions import cells as C
+    from geomesa_spark.operators.tube import tube_select
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a"], "lon": [0.0], "lat": [0.0],
+                      "dtg": pd.to_datetime([0], unit="s", utc=True)})
+    ).withColumn("cell", C.z2_cell(F.col("lon"), F.col("lat")))
+    with _pytest.raises(ValueError, match="gap_fill"):
+        tube_select(pts, [(0, 0.0, 0.0)], 1.0, 60, gap_fill="LINE")

@@ -83,6 +83,8 @@ ANN_NQ = 5
 IVF_LISTS = 16
 IVF_PROBES = 2
 IVF_SEED = 7
+SIMHASH_MAX_HAMMING = 3
+HEATMAP_RADIUS_PX = 2
 
 
 def _poly_wkt(verts: list[tuple[float, float]]) -> str:
@@ -624,6 +626,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["density"] = density
 
+    def heatmap_fx(spark, sf):
+        """DensityProcess with smoothing (DensityProcess.scala:38-75
+        -> GeoTools HeatmapSurface): count-density grid + the
+        fixed-point gaussian stencil, so every per-pixel sum is pure
+        int64 arithmetic and hash-exact against any engine."""
+        grid = A.density(
+            geo_events(spark, sf), (-180.0, -90.0, 180.0, 90.0), 36, 18
+        )
+        return A.smooth_density_fixed(
+            grid, 36, 18, radius_px=HEATMAP_RADIUS_PX
+        )
+
+    q["heatmap"] = heatmap_fx
+
     def temporal_density(spark, sf):
         return A.temporal_density(geo_events(spark, sf), T0, T1, 60)
 
@@ -701,6 +717,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.simhash(_load(spark, sf, "documents"))
 
     q["simhash"] = simhash
+
+    def simhash_band(spark, sf):
+        """Production 64-bit SimHash near-dup pairs via pigeonhole
+        banding (max_hamming+1 chunks; any pair within the radius
+        shares one exact chunk) — the scale path whose candidates
+        come from equi-joins, never a quadratic scan. The oracle IS
+        the quadratic scan, so the gate proves the banding loses no
+        pair."""
+        return D.simhash_neardup_pairs(
+            _load(spark, sf, "documents"), max_hamming=SIMHASH_MAX_HAMMING
+        )
+
+    q["simhash_band"] = simhash_band
 
     def emb_neardup(spark, sf):
         return D.embedding_neardup_pairs(_load(spark, sf, "embeddings"), NEARDUP_COS)
@@ -1274,6 +1303,28 @@ WHERE lon BETWEEN -180.0 AND 180.0 AND lat BETWEEN -90.0 AND 90.0
 GROUP BY 1, 2
 """
 
+    kern_vals = ", ".join(
+        f"({di}, {dj}, {kw})"
+        for di, dj, kw in A.gaussian_stencil_fixed(HEATMAP_RADIUS_PX)
+    )
+    o["heatmap"] = f"""
+WITH {PTS_CTE},
+grid AS (
+  SELECT CAST(least(35, greatest(0, floor((lon - (-180.0))/10.0))) AS INT) AS i,
+         CAST(least(17, greatest(0, floor((lat - (-90.0))/10.0))) AS INT) AS j,
+         count(*) AS cnt
+  FROM pts
+  WHERE lon BETWEEN -180.0 AND 180.0 AND lat BETWEEN -90.0 AND 90.0
+  GROUP BY 1, 2
+),
+kern(di, dj, kw) AS (VALUES {kern_vals})
+SELECT CAST(g.i + k.di AS INT) AS i, CAST(g.j + k.dj AS INT) AS j,
+       CAST(sum(g.cnt * k.kw) AS BIGINT) AS weight
+FROM grid g CROSS JOIN kern k
+WHERE g.i + k.di BETWEEN 0 AND 35 AND g.j + k.dj BETWEEN 0 AND 17
+GROUP BY 1, 2
+"""
+
     o["temporal_density"] = f"""
 WITH {PTS_CTE}
 SELECT CAST(floor((es - {T0}) * 60 / {float(T1 - T0)!r}) AS INT) AS bucket,
@@ -1394,6 +1445,30 @@ WITH tok AS (
 h AS (SELECT doc_id, {_hash32_sql('t')} AS hv FROM tok),
 agg AS (SELECT doc_id, {bit_votes} FROM h GROUP BY doc_id)
 SELECT doc_id, CAST({bit_sum} AS BIGINT) AS simhash FROM agg
+"""
+
+    h2_sql = "CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT)"
+    votes64 = ", ".join(
+        f"CAST(sum(CASE WHEN ({'h1' if b < 32 else 'h2'} >> {b % 32}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) AS BIGINT) AS v{b}"
+        for b in range(64)
+    )
+    bit_sum64 = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b if b < 63 else -(1 << 63)} ELSE 0 END)"
+        for b in range(64)
+    )
+    o["simhash_band"] = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text,' '))) AS t
+  FROM documents
+),
+h AS (SELECT doc_id, {_hash32_sql('t')} AS h1, {h2_sql} AS h2 FROM tok),
+agg AS (SELECT doc_id, {votes64} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({bit_sum64} AS BIGINT) AS s FROM agg)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= {SIMHASH_MAX_HAMMING}
 """
 
     o["embedding_neardup"] = f"""

@@ -125,6 +125,36 @@ def map_aggregate_as_map(df: DataFrame, map_col: str) -> DataFrame:
     )
 
 
+def gaussian_stencil(radius_px: int) -> list[tuple[int, int, float]]:
+    """Normalized circular gaussian stencil (di, dj, weight): sigma =
+    r/3, truncated at r, weights summing to 1 — the kernel both
+    smoothing variants (and any external oracle) must share."""
+    import math
+
+    sigma = max(radius_px / 3.0, 1e-9)
+    offs = []
+    for di in range(-radius_px, radius_px + 1):
+        for dj in range(-radius_px, radius_px + 1):
+            if di * di + dj * dj <= radius_px * radius_px:
+                offs.append(
+                    (di, dj, math.exp(-(di * di + dj * dj) / (2 * sigma * sigma)))
+                )
+    norm = sum(w for _, _, w in offs)
+    return [(di, dj, w / norm) for di, dj, w in offs]
+
+
+def gaussian_stencil_fixed(
+    radius_px: int, scale: int = 1_000_000
+) -> list[tuple[int, int, int]]:
+    """The stencil with int64 fixed-point weights round(w * scale) —
+    integer sums are order-independent, so a smoothed grid built from
+    these is bit-reproducible on any engine/partitioning (the same
+    trick as dedup.FIXED_SCALE for embedding dots)."""
+    return [
+        (di, dj, int(round(w * scale))) for di, dj, w in gaussian_stencil(radius_px)
+    ]
+
+
 def smooth_density(
     grid: DataFrame,
     width: int,
@@ -141,22 +171,12 @@ def smooth_density(
     no driver-side surface construction.
     Returns (i, j, weight:double).
     """
-    import math
-
-    sigma = max(radius_px / 3.0, 1e-9)
-    offs = []
-    for di in range(-radius_px, radius_px + 1):
-        for dj in range(-radius_px, radius_px + 1):
-            if di * di + dj * dj <= radius_px * radius_px:
-                offs.append(
-                    (di, dj, math.exp(-(di * di + dj * dj) / (2 * sigma * sigma)))
-                )
-    norm = sum(w for _, _, w in offs)
+    offs = gaussian_stencil(radius_px)
     kernel = F.array(
         *[
             F.struct(
                 F.lit(di).alias("di"), F.lit(dj).alias("dj"),
-                F.lit(w / norm).alias("kw"),
+                F.lit(w).alias("kw"),
             )
             for di, dj, w in offs
         ]
@@ -167,6 +187,47 @@ def smooth_density(
         (F.col("i") + F.col("k.di")).alias("i"),
         (F.col("j") + F.col("k.dj")).alias("j"),
         (F.col("weight").cast("double") * F.col("k.kw")).alias("w"),
+    )
+    return (
+        scattered.filter(
+            F.col("i").between(0, width - 1) & F.col("j").between(0, height - 1)
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("w").alias("weight"))
+    )
+
+
+def smooth_density_fixed(
+    grid: DataFrame,
+    width: int,
+    height: int,
+    radius_px: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact-arithmetic smoothing: integer stencil weights
+    (`gaussian_stencil_fixed`), so the per-pixel sums are pure int64
+    arithmetic — order-independent and bit-reproducible across
+    engines and partitionings (the oracle-parity variant of
+    `smooth_density`; `weight` in the input grid must be integral,
+    e.g. a count or an already-fixed-point weight).
+    Returns (i, j, weight:long) with weight in units of 1/scale.
+    """
+    offs = gaussian_stencil_fixed(radius_px, scale)
+    kernel = F.array(
+        *[
+            F.struct(
+                F.lit(di).alias("di"), F.lit(dj).alias("dj"),
+                F.lit(kw).cast("long").alias("kw"),
+            )
+            for di, dj, kw in offs
+        ]
+    )
+    scattered = grid.select(
+        F.col("i"), F.col("j"), F.col("weight"), F.explode(kernel).alias("k")
+    ).select(
+        (F.col("i") + F.col("k.di")).alias("i"),
+        (F.col("j") + F.col("k.dj")).alias("j"),
+        (F.col("weight").cast("long") * F.col("k.kw")).alias("w"),
     )
     return (
         scattered.filter(

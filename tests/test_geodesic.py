@@ -97,6 +97,46 @@ def test_smooth_density_conserves_mass(spark):
     assert (peak.i, peak.j) == (30, 30)
 
 
+def test_smooth_density_fixed_matches_python_fold(spark):
+    """The fixed-point smoothing variant must equal a pure-python
+    int64 scatter over the same integer stencil — exactly, not
+    approximately (that exactness is what the heatmap gate's DuckDB
+    oracle relies on) — and track the float variant within rounding."""
+    from geomesa_spark.operators.analytics import (
+        gaussian_stencil_fixed,
+        smooth_density_fixed,
+    )
+
+    rows = [(10.0, 10.0)] * 7 + [(-10.0, -10.0)] * 3 + [(-19.9, 19.9)] * 5
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    W = H = 40
+    grid = density(df, (-20.0, -20.0, 20.0, 20.0), W, H)
+    got = {
+        (r.i, r.j): r.weight
+        for r in smooth_density_fixed(grid, W, H, radius_px=3).collect()
+    }
+    stencil = gaussian_stencil_fixed(3)
+    want: dict[tuple[int, int], int] = {}
+    for r in grid.collect():
+        for di, dj, kw in stencil:
+            i, j = r.i + di, r.j + dj
+            if 0 <= i < W and 0 <= j < H:
+                want[(i, j)] = want.get((i, j), 0) + int(r.weight) * kw
+    assert got == want
+    # corner point (-19.9, 19.9): part of its stencil falls off-grid,
+    # so total mass is strictly below 15 * scale
+    total = sum(got.values())
+    assert total < 15 * 1_000_000
+    # agreement with the float variant within stencil rounding
+    fl = {
+        (r.i, r.j): r.weight
+        for r in smooth_density(grid, W, H, radius_px=3).collect()
+    }
+    assert set(fl) == set(got)
+    for k, v in fl.items():
+        assert abs(v - got[k] / 1_000_000) < 1e-3
+
+
 def test_knn_haversine_wraps_antimeridian(spark):
     rows = [
         (1, 179.5, 10.0),

@@ -161,10 +161,15 @@ def resize_plan(meta: DataFrame, max_side: int) -> DataFrame:
 
 def frame_sample_plan(meta: DataFrame, every_n: int) -> DataFrame:
     """Frame-sampling stage for video: one output row per sampled
-    frame index (posexplode of a sequence — JVM-side)."""
+    frame index (posexplode of a sequence — JVM-side). Zero-frame
+    videos (possible from a real decoder on a corrupt asset) emit no
+    rows — without the n_frames >= 1 guard, `sequence(0, -1)` raises
+    and one bad asset aborts the whole job."""
     idx = F.sequence(
         F.lit(0), F.col("n_frames") - 1, F.lit(every_n)
     )
-    return meta.filter(F.col("media_kind") == "video").select(
+    return meta.filter(
+        (F.col("media_kind") == "video") & (F.col("n_frames") >= 1)
+    ).select(
         "doc_id", "media_ref", F.explode(idx).alias("frame_idx")
     )

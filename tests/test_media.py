@@ -82,3 +82,14 @@ def test_frame_sample_plan(spark, docs):
     assert set(by_ref) == set(vids)
     for ref, idxs in by_ref.items():
         assert idxs == list(range(0, vids[ref], 10))
+
+
+def test_frame_sample_plan_zero_frame_video(spark):
+    """A corrupt asset decoded to n_frames=0 must emit no rows — not
+    abort the job with sequence(0, -1)."""
+    meta = spark.createDataFrame(
+        [("d1", "ref1", "video", 0), ("d2", "ref2", "video", 3)],
+        "doc_id string, media_ref string, media_kind string, n_frames int",
+    )
+    rows = M.frame_sample_plan(meta, every_n=2).collect()
+    assert {(r.media_ref, r.frame_idx) for r in rows} == {("ref2", 0), ("ref2", 2)}

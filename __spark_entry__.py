@@ -85,6 +85,7 @@ IVF_PROBES = 2
 IVF_SEED = 7
 SIMHASH_MAX_HAMMING = 3
 HEATMAP_RADIUS_PX = 2
+PIPE_QUALITY = 0.55
 
 
 def _poly_wkt(verts: list[tuple[float, float]]) -> str:
@@ -712,6 +713,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.dedup_filter(docs, pairs).select("doc_id")
 
     q["dedup_filter"] = dedup_filter_q
+
+    def pipeline_dedup(spark, sf):
+        """End-to-end training-data pipeline composition: quality
+        scoring (text.profile) -> threshold filter -> MinHash-LSH
+        near-dup pairs over the SURVIVORS only -> connected-component
+        dedup filter. The shape a 100 TB pre-training cleanup job
+        actually runs (each stage is the already-gated operator; this
+        gate proves they compose without driver round-trips)."""
+        docs = _load(spark, sf, "documents")
+        keep_ids = X.profile(docs).filter(
+            F.col("quality") >= F.lit(PIPE_QUALITY)
+        ).select("doc_id")
+        kept = docs.join(keep_ids, "doc_id", "left_semi")
+        pairs = D.minhash_lsh_pairs(kept, JACCARD_THRESHOLD, n=JACCARD_N)
+        return D.dedup_filter(kept, pairs).select("doc_id")
+
+    q["pipeline_dedup"] = pipeline_dedup
 
     def simhash(spark, sf):
         return D.simhash(_load(spark, sf, "documents"))
@@ -1426,6 +1444,38 @@ reach AS (
 ),
 canon AS (SELECT doc, min(other) AS canon FROM reach GROUP BY doc)
 SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc FROM canon WHERE doc <> canon)
+"""
+
+    # pipeline: quality filter -> minhash near-dup -> dedup filter.
+    # The minhash chain re-roots on the `kept` CTE (the only
+    # `FROM documents` in the chain is SHINGLES_CTE's toks).
+    quality_sql = f"""0.5 * least(len(list_filter(string_split(text,' '), tok -> tok <> '')) / 100.0, 1.0)
+    + 0.3 * (len(list_distinct(list_filter(string_split(text,' '), tok -> tok <> '')))
+             / len(list_filter(string_split(text,' '), tok -> tok <> '')))
+    + 0.2 * (1.0 - len(list_filter(list_filter(string_split(text,' '), tok -> tok <> ''), t -> t IN ({stop_in})))
+             / len(list_filter(string_split(text,' '), tok -> tok <> '')))"""
+    kept_chain = minhash_chain.replace("FROM documents", "FROM kept")
+    o["pipeline_dedup"] = f"""
+WITH RECURSIVE
+kept AS (SELECT * FROM documents WHERE {quality_sql} >= {PIPE_QUALITY!r}),
+{kept_chain},
+good AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN jac ON jac.doc_a = c.doc_a AND jac.doc_b = c.doc_b
+  WHERE jaccard >= {JACCARD_THRESHOLD!r}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM good
+  UNION SELECT doc_b, doc_a FROM good
+),
+reach AS (
+  SELECT DISTINCT s AS doc, s AS other FROM edges
+  UNION
+  SELECT r.doc, e.d FROM reach r JOIN edges e ON e.s = r.other
+),
+canon AS (SELECT doc, min(other) AS canon FROM reach GROUP BY doc)
+SELECT doc_id FROM kept
 WHERE doc_id NOT IN (SELECT doc FROM canon WHERE doc <> canon)
 """
 

@@ -185,6 +185,50 @@ def _spread_sql(inner: str, cols: list[str], steps, init_mask: int) -> str:
     return q
 
 
+def _gh_string_sql(nchars: int, keys: str, src: str) -> str:
+    """Base-32 geohash render in pure SQL (GeoHash.scala bit layout:
+    lon leads at the MSB; lon ceil(5n/2) bits, lat floor(5n/2)).
+
+    `src` must provide BIGINT grid coords gx, gy at that split;
+    emits (keys..., gh, ix, iy). Mirrors functions/geohash.py."""
+    from geomesa_spark.functions.geohash import ALPHABET
+
+    total = 5 * nchars
+    k = f"{keys}, " if keys else ""
+    q = (
+        f"SELECT {k}gx AS ix, gy AS iy, "
+        f"(gx & {0x7FFFFFFF}) AS x, (gy & {0x7FFFFFFF}) AS y FROM ({src})"
+    )
+    for shift, mask in C._SPREAD2:
+        pre = mask >> shift
+        q = (
+            f"SELECT {k}ix, iy, "
+            f"((x | ((x & {pre}) << {shift})) & {mask}) AS x, "
+            f"((y | ((y & {pre}) << {shift})) & {mask}) AS y FROM ({q})"
+        )
+    z = "((x << 1) | y)" if total % 2 == 0 else "(x | (y << 1))"
+    q = f"SELECT {k}ix, iy, {z} AS z FROM ({q})"
+    chars = " || ".join(
+        f"substr('{ALPHABET}', CAST(((z >> {5 * (nchars - 1 - i)}) & 31) AS INT) + 1, 1)"
+        for i in range(nchars)
+    )
+    return f"SELECT {k}{chars} AS gh, ix, iy FROM ({q})"
+
+
+def _gh_quant_sql(nchars: int, keys: str, src: str) -> str:
+    """(keys..., gx, gy): lon/lat -> geohash grid coords, same
+    quantization as cells.lon_to_x at the geohash bit split."""
+    total = 5 * nchars
+    nx, ny = 1 << ((total + 1) // 2), 1 << (total // 2)
+    k = f"{keys}, " if keys else ""
+    return (
+        f"SELECT {k}"
+        f"CAST(least({nx - 1}, greatest(0, floor((lon+180.0)/360.0*{float(nx)!r}))) AS BIGINT) AS gx, "
+        f"CAST(least({ny - 1}, greatest(0, floor((lat+90.0)/180.0*{float(ny)!r}))) AS BIGINT) AS gy "
+        f"FROM {src}"
+    )
+
+
 def _z2_cell_sql() -> str:
     """Subquery: (event_id, es, cell) — Z2 encode in pure SQL."""
     spread = _spread_sql(_grid_xy_sql(), ["x", "y"], C._SPREAD2, 0x7FFFFFFF)
@@ -1011,6 +1055,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["convert_ingest"] = convert_ingest
 
+    # --- base-32 geohash strings (GeoHash.scala encode/decode) ---
+    def geohash_encode_gate(spark, sf):
+        """Encode every point to a 9-char geohash (JVM interleave +
+        base-32 render, geohash.geohash_col), then decode the STRING
+        back to grid coords in Spark (geohash_decode_xy) — the oracle
+        computes ix/iy directly from lon/lat, so a hash match proves
+        encode and decode are exact inverses on 10^4 rows.
+        Reference: geomesa-utils geohash/GeoHash.scala:238-263."""
+        from geomesa_spark.functions import geohash as GH
+
+        ge = geo_events(spark, sf)
+        d = ge.select(
+            "event_id",
+            GH.geohash_col(F.col("lon"), F.col("lat"), 9).alias("gh9"),
+        )
+        ix, iy = GH.geohash_decode_xy(F.col("gh9"), 9)
+        return d.select("event_id", "gh9", ix.alias("ix"), iy.alias("iy"))
+
+    q["geohash_encode"] = geohash_encode_gate
+
+    def geohash_cover_gate(spark, sf):
+        """RectangleGeoHashIterator analog: every precision-3 geohash
+        cell touching RECT (distributed range × sequence explode),
+        left-joined with per-cell event counts (closed-box filter).
+        Zero-count cells stay in the output — proving the enumerated
+        cover, not just the occupied cells, matches the oracle grid.
+        Reference: geomesa-utils geohash/RectangleGeoHashIterator.scala."""
+        from geomesa_spark.functions import geohash as GH
+
+        xmin, ymin, xmax, ymax = RECT
+        cov = GH.geohash_cover_df(spark, RECT, 3)
+        counts = (
+            geo_events(spark, sf)
+            .where(
+                F.col("lon").between(xmin, xmax)
+                & F.col("lat").between(ymin, ymax)
+            )
+            .select(
+                GH.geohash_col(F.col("lon"), F.col("lat"), 3).alias("geohash")
+            )
+            .groupBy("geohash")
+            .agg(F.count("*").alias("n"))
+        )
+        return cov.join(counts, "geohash", "left").select(
+            "geohash", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
+        )
+
+    q["geohash_cover"] = geohash_cover_gate
+
     return q
 
 
@@ -1753,6 +1846,45 @@ SELECT md5(CAST(event_id AS VARCHAR)) AS fid,
        CAST(floor(value * 1000000.0) AS BIGINT) AS val_fp,
        epoch_ms(date_trunc('milliseconds', ts)) AS dtg_ms
 FROM events
+"""
+
+    # geohash encode/decode: spread-interleave + base-32 render in
+    # pure SQL; ix/iy recomputed from lon/lat (Spark decodes them
+    # from the STRING, so a match proves the inverse)
+    o["geohash_encode"] = f"""
+WITH {PTS_CTE}
+SELECT event_id, gh AS gh9, ix, iy
+FROM ({_gh_string_sql(9, "event_id", _gh_quant_sql(9, "event_id", "pts"))})
+"""
+
+    # geohash rectangle cover: range × range grid at precision 3,
+    # rendered through the same bit machinery, left-joined with
+    # closed-box per-cell counts (zero-count cells retained)
+    xmin, ymin, xmax, ymax = RECT
+    nx3, ny3 = 1 << 8, 1 << 7  # 15 bits: lon 8, lat 7
+    ix0 = min(nx3 - 1, max(0, int((xmin + 180.0) / 360.0 * nx3)))
+    ix1 = min(nx3 - 1, max(0, int((xmax + 180.0) / 360.0 * nx3)))
+    iy0 = min(ny3 - 1, max(0, int((ymin + 90.0) / 180.0 * ny3)))
+    iy1 = min(ny3 - 1, max(0, int((ymax + 90.0) / 180.0 * ny3)))
+    grid_src = (
+        f"SELECT a.range AS gx, b.range AS gy "
+        f"FROM range({ix0}, {ix1 + 1}) a, range({iy0}, {iy1 + 1}) b"
+    )
+    box_src = (
+        f"(SELECT lon, lat FROM pts "
+        f"WHERE lon BETWEEN {xmin!r} AND {xmax!r} "
+        f"AND lat BETWEEN {ymin!r} AND {ymax!r})"
+    )
+    o["geohash_cover"] = f"""
+WITH {PTS_CTE},
+cov AS (SELECT gh FROM ({_gh_string_sql(3, "", grid_src)})),
+ev AS (
+  SELECT gh, count(*) AS n
+  FROM ({_gh_string_sql(3, "", _gh_quant_sql(3, "", box_src))})
+  GROUP BY gh
+)
+SELECT cov.gh AS geohash, CAST(COALESCE(ev.n, 0) AS BIGINT) AS n
+FROM cov LEFT JOIN ev USING (gh)
 """
 
     return o

@@ -1104,6 +1104,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geohash_cover"] = geohash_cover_gate
 
+    # --- token-budget shard packing (distributed prefix sum) ---
+    def shard_pack(spark, sf):
+        """Pack documents into fixed token-budget training shards in
+        global doc_id order via the two-pass distributed prefix sum
+        (operators/pack.py) — the oracle's single-threaded
+        SUM() OVER (ORDER BY) window is exactly what the operator
+        refuses to become at scale (no SinglePartition Exchange,
+        asserted in test_pack)."""
+        from geomesa_spark.operators.pack import token_shards
+
+        docs = _load(spark, sf, "documents").select(
+            "doc_id", X.token_count(F.col("text")).cast("long").alias("n_tok")
+        )
+        return token_shards(
+            docs, "n_tok", budget=4096, key_cols=["doc_id"]
+        ).select("doc_id", "n_tok", "cum_tokens", "shard")
+
+    q["shard_pack"] = shard_pack
+
     return q
 
 
@@ -1885,6 +1904,21 @@ ev AS (
 )
 SELECT cov.gh AS geohash, CAST(COALESCE(ev.n, 0) AS BIGINT) AS n
 FROM cov LEFT JOIN ev USING (gh)
+"""
+
+    # token-budget shard packing: the oracle IS the naive global
+    # window (fine single-threaded in DuckDB; a scale-killer in
+    # Spark, which is why the engine uses the two-pass prefix sum)
+    o["shard_pack"] = """
+WITH toks AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(text,' '), tok -> tok <> '')) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT doc_id, n_tok,
+  SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+  (SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) // 4096 AS shard
+FROM toks
 """
 
     return o

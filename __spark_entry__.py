@@ -1123,6 +1123,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["shard_pack"] = shard_pack
 
+    # --- deterministic sampling + sessionization ---
+    def hash_sample_gate(spark, sf):
+        """Layout-independent 35% sample keyed on md5(doc_id)
+        (operators/sample.hash_sample): a pure pushdown-friendly
+        filter, reproducible across cluster sizes and retries —
+        unlike df.sample()'s per-partition RNG."""
+        from geomesa_spark.operators.sample import hash_sample
+
+        docs = _load(spark, sf, "documents")
+        return hash_sample(docs, "doc_id", 0.35).select("doc_id")
+
+    q["hash_sample"] = hash_sample_gate
+
+    def stratified_sample_gate(spark, sf):
+        """Exactly min(40, |stratum|) docs per language, drawn by
+        hash-permutation rank within each stratum — deterministic
+        stratified sampling with one shuffle on the stratum key."""
+        from geomesa_spark.operators.sample import stratified_sample
+
+        docs = _load(spark, sf, "documents").select("doc_id", "lang")
+        return stratified_sample(docs, "doc_id", "lang", quota=40)
+
+    q["stratified_sample"] = stratified_sample_gate
+
+    def sessionize_gate(spark, sf):
+        """Gap-based sessionization of the events stream per user
+        (30-minute gap): lag + running session-start count over one
+        per-entity window — never a global sort."""
+        from geomesa_spark.operators.sample import sessionize
+
+        ev = _load(spark, sf, "events")
+        return sessionize(ev, "user_id", "ts", gap_seconds=1800).select(
+            "event_id", "user_id", "session_id"
+        )
+
+    q["sessionize"] = sessionize_gate
+
     return q
 
 
@@ -1919,6 +1956,43 @@ SELECT doc_id, n_tok,
   SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens,
   (SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) // 4096 AS shard
 FROM toks
+"""
+
+    # deterministic sampling: bucket = uint32(md5 prefix) % 1e6,
+    # identical arithmetic in both engines (same as shingle_hash)
+    bucket = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+        " % 1000000"
+    )
+    o["hash_sample"] = f"""
+SELECT doc_id FROM documents WHERE {bucket} < 350000
+"""
+
+    o["stratified_sample"] = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {bucket}, doc_id) AS rk
+  FROM documents
+) WHERE rk <= 40
+"""
+
+    # sessionize: same lag + cumulative-start window, seconds floored
+    # identically on both engines
+    o["sessionize"] = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+g AS (
+  SELECT event_id, user_id, es,
+         es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS gap
+  FROM e
+)
+SELECT event_id, user_id,
+       CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY es, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM g
 """
 
     return o

@@ -1,0 +1,102 @@
+"""Deterministic sampling + sessionization for training pipelines.
+
+Beyond-reference operators (like operators/pack.py): a 100 TB corpus
+pipeline needs REPRODUCIBLE sampling — `df.sample()` draws from a
+per-partition RNG, so the selected set changes with partitioning,
+retries, and cluster size, which breaks resume-from-checkpoint and
+train/eval splits. Everything here derives from content hashes, so
+the same row is selected on every run, any cluster, any partition
+layout — and each operator is expressible in plain SQL for the
+DuckDB oracle gates.
+
+Scale notes: hash_sample is a stateless filter (pushdown-friendly, no
+shuffle). stratified_sample shuffles once on the stratum key with the
+per-stratum work done by a rank window (parallelism = #strata; a
+single giant stratum is bounded by the sort of its own rows, the
+same cost profile as any per-key top-k). sessionize shuffles once on
+the entity key; windows are per-key and never global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_BUCKETS = 1_000_000
+
+
+def sample_hash(key: F.Column, salt: str = "") -> F.Column:
+    """Uniform bucket in [0, 1e6) from md5(salt || key) — portable
+    (same value in DuckDB: ('0x' || substr(md5(..),1,8))::BIGINT %
+    1000000), independent of partitioning."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(HASH_BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep rows whose hash bucket < fraction * 1e6. Deterministic,
+    idempotent (re-running selects the same rows), and disjoint
+    across non-overlapping fractions of different salts. A pure
+    filter: no shuffle, survives predicate pushdown."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    cut = int(round(fraction * HASH_BUCKETS))
+    return df.where(sample_hash(F.col(key_col), salt) < cut)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    quota: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly min(quota, stratum size) rows per stratum: rank rows
+    within each stratum by (hash bucket, key) and keep the first
+    `quota` — a deterministic per-stratum uniform draw (the hash
+    order is a random permutation independent of layout; the key
+    tiebreak makes equal-bucket rows stable). One shuffle on the
+    stratum key."""
+    if quota <= 0:
+        raise ValueError(f"quota must be positive, got {quota}")
+    w = Window.partitionBy(stratum_col).orderBy(
+        sample_hash(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= quota)
+        .drop("__rk")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign each event to a session: a new session starts when the
+    gap to the entity's previous event exceeds `gap_seconds`.
+
+    Classic lag + running count of session starts, both over the
+    SAME per-entity window (one shuffle on the entity key, then two
+    pipelined window phases in the same sort). session_id =
+    entity-scoped ordinal from 1, deterministic given unique
+    (entity, ts) pairs."""
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")
+    w = Window.partitionBy(entity_col).orderBy(ts_col)
+    es = F.unix_timestamp(F.col(ts_col))
+    prev = F.lag(es).over(w)
+    is_start = F.when(
+        prev.isNull() | ((es - prev) > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(entity_col).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(
+        session_col, F.sum(is_start).over(run).cast("long")
+    )

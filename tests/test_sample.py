@@ -1,0 +1,126 @@
+"""Deterministic sampling + sessionization (operators/sample)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators.sample import (
+    hash_sample,
+    sessionize,
+    stratified_sample,
+)
+
+
+def _docs(spark, n=4000, parts=4):
+    rows = [(i, ["en", "fr", "de", "zz"][i % 4]) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, lang string").repartition(
+        parts
+    )
+
+
+def test_hash_sample_deterministic_and_layout_independent(spark):
+    a = set(
+        hash_sample(_docs(spark, parts=2), "doc_id", 0.3)
+        .toPandas()["doc_id"]
+    )
+    b = set(
+        hash_sample(_docs(spark, parts=13), "doc_id", 0.3)
+        .toPandas()["doc_id"]
+    )
+    assert a == b and len(a) > 0
+    # roughly the requested fraction (binomial, 4k draws)
+    assert abs(len(a) / 4000 - 0.3) < 0.03
+    # nested fractions: the 10% sample is a subset of the 30% sample
+    c = set(
+        hash_sample(_docs(spark), "doc_id", 0.1).toPandas()["doc_id"]
+    )
+    assert c <= a
+    # different salt -> different (independent) selection
+    d = set(
+        hash_sample(_docs(spark), "doc_id", 0.3, salt="v2")
+        .toPandas()["doc_id"]
+    )
+    assert d != a
+
+
+def test_hash_sample_bounds(spark):
+    df = _docs(spark, 100)
+    assert hash_sample(df, "doc_id", 0.0).count() == 0
+    assert hash_sample(df, "doc_id", 1.0).count() == 100
+    with pytest.raises(ValueError):
+        hash_sample(df, "doc_id", 1.5)
+
+
+def test_stratified_exact_quota_and_determinism(spark):
+    got = stratified_sample(
+        _docs(spark), "doc_id", "lang", quota=40
+    ).toPandas()
+    assert got.groupby("lang").size().tolist() == [40, 40, 40, 40]
+    again = stratified_sample(
+        _docs(spark, parts=17), "doc_id", "lang", quota=40
+    ).toPandas()
+    assert set(map(tuple, got.values.tolist())) == set(
+        map(tuple, again.values.tolist())
+    )
+
+
+def test_stratified_small_stratum_keeps_all(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "fr")], "doc_id long, lang string"
+    )
+    got = stratified_sample(df, "doc_id", "lang", quota=10).toPandas()
+    assert len(got) == 3
+    with pytest.raises(ValueError):
+        stratified_sample(df, "doc_id", "lang", quota=0)
+
+
+def test_sessionize_vs_pandas_oracle(spark):
+    rng = np.random.default_rng(3)
+    n = 3000
+    users = rng.integers(0, 50, n)
+    ts = np.sort(rng.integers(0, 500_000, n))
+    pdf = pd.DataFrame(
+        {"eid": np.arange(n), "user_id": users,
+         "ts": pd.to_datetime(ts, unit="s", utc=True)}
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        sessionize(df, "user_id", "ts", gap_seconds=3600)
+        .orderBy("eid")
+        .toPandas()
+    )
+    # pandas oracle
+    o = pdf.sort_values(["user_id", "ts"]).copy()
+    gap = o.groupby("user_id")["ts"].diff().dt.total_seconds()
+    o["session_id"] = (
+        (gap.isna() | (gap > 3600)).astype(int).groupby(o["user_id"]).cumsum()
+    )
+    exp = o.sort_values("eid")["session_id"].values
+    assert (got["session_id"].values == exp).all()
+
+
+def test_sessionize_gap_boundary_is_same_session(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (2, 3600), (3, 7201)], "eid long, es long"
+    ).select("eid", F.to_timestamp(F.col("es").cast("timestamp")).alias("ts"),
+             F.lit(7).alias("user_id"))
+    got = (
+        sessionize(df, "user_id", "ts", gap_seconds=3600)
+        .orderBy("eid").toPandas()["session_id"].tolist()
+    )
+    # gap == 3600 stays (strict >); 3601 starts a new session
+    assert got == [1, 1, 2]
+    with pytest.raises(ValueError):
+        sessionize(df, "user_id", "ts", gap_seconds=0)
+
+
+def test_no_single_partition_and_no_python(spark):
+    df = _docs(spark, 500)
+    for out in (
+        hash_sample(df, "doc_id", 0.5),
+        stratified_sample(df, "doc_id", "lang", quota=5),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+        assert "Python" not in plan and "Arrow" not in plan

@@ -46,6 +46,11 @@ HEADLINE = [
     "ann_lsh",
     "ivf_topk",
     "stream_replay",
+    # added in round 4's continuation (new operators; +~5 s on the
+    # suite total vs r3 — compare per-query, not totals)
+    "geohash_encode",
+    "shard_pack",
+    "sessionize",
 ]
 
 

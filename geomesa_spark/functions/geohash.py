@@ -34,6 +34,8 @@ ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 MAX_CHARS = 12  # 60 bits — the spec's full precision
 
+_COVER_CHUNK = 4096  # max in-row array length in geohash_cover_df
+
 
 def _bits(nchars: int) -> tuple[int, int, int]:
     if not 1 <= nchars <= MAX_CHARS:
@@ -177,9 +179,28 @@ def geohash_cover_df(
     iy0 = lo(ymin, 90.0, 180.0, ny)
     iy1 = lo(ymax, 90.0, 180.0, ny)
 
+    # lat run exploded in bounded chunks: a single sequence(iy0, iy1)
+    # materializes the whole run as ONE in-row array — at fine
+    # precision over a tall box that is millions of longs per row,
+    # blowing task memory. Two nested explodes keep every
+    # intermediate array <= _COVER_CHUNK while emitting the same rows.
     rows = spark.range(ix0, ix1 + 1).withColumnRenamed("id", "ix")
-    grid = rows.select(
-        "ix", F.explode(F.sequence(F.lit(iy0), F.lit(iy1))).alias("iy")
+    starts = rows.select(
+        "ix",
+        F.explode(
+            F.sequence(F.lit(iy0), F.lit(iy1), F.lit(_COVER_CHUNK))
+        ).alias("iy_start"),
+    )
+    grid = starts.select(
+        "ix",
+        F.explode(
+            F.sequence(
+                F.col("iy_start"),
+                F.least(
+                    F.col("iy_start") + F.lit(_COVER_CHUNK - 1), F.lit(iy1)
+                ),
+            )
+        ).alias("iy"),
     )
     sx, sy = C._spread2_col(F.col("ix")), C._spread2_col(F.col("iy"))
     z = (

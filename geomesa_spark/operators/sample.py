@@ -61,8 +61,12 @@ def stratified_sample(
     stratum key."""
     if quota <= 0:
         raise ValueError(f"quota must be positive, got {quota}")
+    # nulls LAST: a NULL key hashes to a NULL bucket, which default
+    # ascending order ranks FIRST — null-keyed rows would silently
+    # hog every stratum's quota
     w = Window.partitionBy(stratum_col).orderBy(
-        sample_hash(F.col(key_col), salt), F.col(key_col)
+        sample_hash(F.col(key_col), salt).asc_nulls_last(),
+        F.col(key_col).asc_nulls_last(),
     )
     return (
         df.withColumn("__rk", F.row_number().over(w))

@@ -154,6 +154,24 @@ def test_cover_edge_on_boundary(spark):
         GH.geohash_cover_df(spark, (10.0, 0.0, -10.0, 1.0), 3)
 
 
+def test_cover_tall_box_chunked(spark):
+    """A lat run longer than _COVER_CHUNK is exploded in bounded
+    chunks; the row set is identical to the unchunked formula."""
+    n = 9  # lat 22 bits: ~4.3e-5 deg cells
+    box = (0.0, 10.0, 1e-9, 10.7)  # 1-2 columns, ~16k rows tall
+    got = GH.geohash_cover_df(spark, box, n)
+    cnt = got.count()
+    ny = 1 << 22
+    iy0 = int((10.0 + 90.0) / 180.0 * ny)
+    iy1 = int((10.7 + 90.0) / 180.0 * ny)
+    nx = 1 << 23
+    ix0 = int((0.0 + 180.0) / 360.0 * nx)
+    ix1 = int((1e-9 + 180.0) / 360.0 * nx)
+    assert cnt == (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+    assert cnt > 4096  # actually exercises >1 chunk
+    assert got.distinct().count() == cnt  # no chunk-seam duplicates
+
+
 def test_bad_precision():
     with pytest.raises(ValueError):
         GH.geohash_encode_np(np.array([0.0]), np.array([0.0]), 13)

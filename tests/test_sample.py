@@ -75,6 +75,14 @@ def test_stratified_small_stratum_keeps_all(spark):
         stratified_sample(df, "doc_id", "lang", quota=0)
 
 
+def test_stratified_null_keys_rank_last(spark):
+    """NULL keys hash to NULL buckets; they must not hog the quota."""
+    rows = [(None, "en")] * 5 + [(float(i), "en") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id double, lang string")
+    got = stratified_sample(df, "doc_id", "lang", quota=10).toPandas()
+    assert got["doc_id"].notna().all()
+
+
 def test_sessionize_vs_pandas_oracle(spark):
     rng = np.random.default_rng(3)
     n = 3000

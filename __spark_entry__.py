@@ -1160,6 +1160,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sessionize"] = sessionize_gate
 
+    def histogram_job_gate(spark, sf):
+        """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
+        histogram event_type per derived day, unique-by user_id (one
+        count per distinct user), with a value filter — two
+        partial-aggregated shuffles, no Python."""
+        ev = _load(spark, sf, "events")
+        return A.histogram_job(
+            ev,
+            "event_type",
+            group_by=["day"],
+            unique_by=["user_id"],
+            transforms={"day": F.date_format("ts", "yyyy-MM-dd")},
+            where=F.col("value") > 0.1,
+        )
+
+    q["histogram_job"] = histogram_job_gate
+
+    def decontaminate_gate(spark, sf):
+        """Benchmark decontamination: distinct word 4-gram overlap of
+        every document against a broadcast benchmark shingle set
+        (docs with doc_id % 37 == 0 stand in for the eval suite)."""
+        docs = _load(spark, sf, "documents")
+        bench = docs.filter(F.col("doc_id") % 37 == 0)
+        return D.decontaminate(docs, bench, n=4)
+
+    q["decontaminate"] = decontaminate_gate
+
+    def repetition_gate(spark, sf):
+        """Gopher-style within-doc repetition signals: duplicate-token
+        ratio, top-bigram share, longest same-token run — one narrow
+        all-JVM pass (sorted-run bigram mode, aggregate run scan)."""
+        return X.repetition_profile(_load(spark, sf, "documents"))
+
+    q["repetition_profile"] = repetition_gate
+
     return q
 
 
@@ -1993,6 +2028,72 @@ SELECT event_id, user_id,
             OVER (PARTITION BY user_id ORDER BY es, event_id
                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
 FROM g
+"""
+
+    o["histogram_job"] = """
+SELECT day, event_type, CAST(count(*) AS BIGINT) AS count FROM (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+    coalesce(nullif(CAST(event_type AS VARCHAR),''),'null') AS event_type,
+    coalesce(nullif(CAST(user_id AS VARCHAR),''),'null') AS uid
+  FROM events WHERE value > 0.1
+) GROUP BY 1, 2
+"""
+
+    o["decontaminate"] = """
+WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+3], ' ') AS s
+       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-3)) AS i
+             FROM toks)),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY 1),
+hits AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         FROM sh JOIN bench USING (s) GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(sz.n_shingles,0) AS BIGINT) AS n_shingles,
+  CAST(coalesce(hits.n_overlap,0) AS BIGINT) AS n_overlap,
+  CASE WHEN coalesce(sz.n_shingles,0) > 0
+       THEN coalesce(hits.n_overlap,0) / sz.n_shingles ELSE 0.0
+  END AS overlap_frac,
+  CAST(CASE WHEN coalesce(hits.n_overlap,0) > 0 THEN 1 ELSE 0 END AS INT)
+    AS contaminated
+FROM documents d
+LEFT JOIN sz ON d.doc_id = sz.doc_id
+LEFT JOIN hits ON d.doc_id = hits.doc_id
+"""
+
+    o["repetition_profile"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS tk
+  FROM documents),
+tokrows AS (
+  SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk,1) AS i FROM toks),
+runs AS (
+  SELECT doc_id, count(*) AS run FROM (
+    SELECT doc_id, tok, i,
+           i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+    FROM tokrows) GROUP BY doc_id, tok, grp),
+maxrun AS (SELECT doc_id, CAST(max(run) AS BIGINT) AS max_token_run
+           FROM runs GROUP BY 1),
+big AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-1)) AS i
+        FROM toks)),
+topbg AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count FROM (
+    SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2) GROUP BY 1)
+SELECT t.doc_id,
+  CAST(len(t.tk) AS BIGINT) AS n_tokens,
+  CASE WHEN len(t.tk) > 0
+       THEN (len(t.tk) - len(list_distinct(t.tk))) / len(t.tk) ELSE 0.0
+  END AS dup_token_ratio,
+  CAST(coalesce(topbg.top_bigram_count,0) AS BIGINT) AS top_bigram_count,
+  CASE WHEN len(t.tk) >= 2
+       THEN coalesce(topbg.top_bigram_count,0) / (len(t.tk)-1) ELSE 0.0
+  END AS top_bigram_frac,
+  CAST(coalesce(maxrun.max_token_run,0) AS BIGINT) AS max_token_run
+FROM toks t
+LEFT JOIN maxrun ON t.doc_id = maxrun.doc_id
+LEFT JOIN topbg ON t.doc_id = topbg.doc_id
 """
 
     return o

@@ -450,3 +450,58 @@ def count_by_day(df: DataFrame, dtg_col: str = "dtg") -> DataFrame:
         df.groupBy(F.date_format(F.col(dtg_col), "yyyyMMdd").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def _safe_string(c: Column) -> Column:
+    """HistogramJob.safeString (HistogramJob.scala:129-134): null or
+    empty-string attribute values histogram as the literal 'null'."""
+    return F.coalesce(F.nullif(c.cast("string"), F.lit("")), F.lit("null"))
+
+
+def histogram_job(
+    df: DataFrame,
+    attribute: str,
+    group_by: list[str] | None = None,
+    unique_by: list[str] | None = None,
+    transforms: dict[str, Column] | None = None,
+    where: Column | str | None = None,
+) -> DataFrame:
+    """Attribute histogram with group-by / unique-by semantics —
+    the geomesa-jobs HistogramJob analog (HistogramJob.scala:33-108).
+
+    * ``transforms`` — derived attributes (the job's TRANSFORM_IN
+      ``name=expression`` list), applied before anything else, so
+      group/unique/attribute names may refer to them.
+    * ``where`` — the CQL_IN filter analog (compose with plans.ecql
+      for CQL text).
+    * ``unique_by`` — rows are first deduplicated on the stringified
+      (group_by + unique_by + attribute) tuple (the job keeps one
+      feature per distinct tuple, HistogramJob.scala:86-90), so the
+      final count is "distinct unique_by combinations per
+      (group, attribute value)".
+    * every grouping value goes through safeString: null/'' -> 'null'.
+
+    Scale: one (or two, with unique_by) partial-aggregated hash
+    shuffles over string keys — the Scalding groupBy/aggregate
+    pipeline re-expressed as native groupBy so Catalyst map-side
+    combines; no Python, no driver state. Output: group columns,
+    the attribute value column, and ``count``.
+    """
+    group_by = list(group_by or [])
+    unique_by = list(unique_by or [])
+    if len(group_by) + len(unique_by) > 8:
+        # HistogramJob.scala:68 — tuple-arity bound in the reference
+        raise ValueError("can't group by + unique by more than 8 attributes")
+    for name, expr in (transforms or {}).items():
+        df = df.withColumn(name, expr)
+    if where is not None:
+        df = df.filter(where)
+    keys = [_safe_string(F.col(a)).alias(a) for a in group_by + [attribute]]
+    if unique_by:
+        uniq = [_safe_string(F.col(a)).alias(a) for a in unique_by]
+        df = df.select(*keys, *uniq).dropDuplicates()
+    else:
+        df = df.select(*keys)
+    return df.groupBy(*(group_by + [attribute])).agg(
+        F.count(F.lit(1)).alias("count")
+    )

@@ -634,3 +634,61 @@ def dedup_filter(
         F.col("doc").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per-document overlap with a held-out
+    evaluation set, measured as distinct word n-gram collisions (the
+    standard 13-gram training/test-contamination check).
+
+    Output: one row per input doc — ``n_shingles`` (distinct n-grams),
+    ``n_overlap`` (of those, how many occur anywhere in the
+    benchmark), ``overlap_frac`` and a 0/1 ``contaminated`` flag
+    (any overlap). Docs shorter than n words have 0 shingles and are
+    clean by definition. Callers drop or flag rows downstream.
+
+    Scale: the benchmark side (eval suites are MB-scale, not TB) is
+    reduced to DISTINCT shingles and broadcast — the corpus side is
+    one narrow explode + broadcast-hash semi-join + map-side-combined
+    groupBy; no corpus shuffle besides the count on ``id_col``.
+    Pass ``broadcast_bench=False`` for an unusually large benchmark
+    (falls back to a shuffle join on the shingle string).
+    """
+    bench_text = bench_text_col or text_col
+    bench_sh = benchmark.select(
+        F.explode(word_shingles(F.col(bench_text), n)).alias("s")
+    ).distinct()
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
+    doc_sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("s")
+    )
+    hits = (
+        doc_sh.join(bench_sh, "s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(word_shingles(F.col(text_col), n)).cast("long").alias("n_shingles"),
+    )
+    out = base.join(hits, id_col, "left").withColumn(
+        "n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
+    )
+    return out.select(
+        id_col,
+        "n_shingles",
+        "n_overlap",
+        F.when(F.col("n_shingles") > 0, F.col("n_overlap") / F.col("n_shingles"))
+        .otherwise(F.lit(0.0))
+        .alias("overlap_frac"),
+        (F.col("n_overlap") > 0).cast("int").alias("contaminated"),
+    )

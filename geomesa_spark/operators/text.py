@@ -187,3 +187,74 @@ def profile(
         lang_expr.alias("pred_lang"),
         fingerprint(F.col("_text")).alias("fp"),
     )
+
+
+def _max_run(arr: Column) -> Column:
+    """Longest run of consecutive equal elements in a string array
+    (0 for empty). One JVM `aggregate` pass with a (prev, run, best)
+    struct accumulator — narrow, no Python."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality
+    filters): duplicate-token ratio, the share of word bigrams taken
+    by the single most frequent bigram, and the longest immediate
+    same-token run. High values mark boilerplate/degenerate documents
+    a training pipeline drops before packing.
+
+    All-JVM narrow plan: one tokenization behind the same
+    explode(array()) Generate barrier as `profile`, bigram mode via
+    array_sort + max-run (sorted equals are adjacent, so the longest
+    run IS the max multiplicity — O(n log n) per row, no
+    per-distinct-gram rescans), run lengths via `_max_run`.
+    """
+    t = F.col(text_col)
+
+    def build(toks):
+        nt = F.size(toks)
+        bigrams = F.when(
+            nt >= 2,
+            F.transform(
+                F.sequence(F.lit(1), nt - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.struct(
+            nt.cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+            _max_run(F.array_sort(bigrams)).cast("long").alias("top_bigram_count"),
+            _max_run(toks).cast("long").alias("max_token_run"),
+        )
+
+    mid = df.select(
+        F.col(id_col), F.explode(F.array(F.transform(F.array(tokens(t)), build)[0])).alias("_s")
+    )
+    s = F.col("_s")
+    n = s["n_tokens"]
+    return mid.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.when(n > 0, (n - s["n_types"]) / n).otherwise(F.lit(0.0)).alias(
+            "dup_token_ratio"
+        ),
+        s["top_bigram_count"].alias("top_bigram_count"),
+        F.when(n >= 2, s["top_bigram_count"] / (n - 1))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        s["max_token_run"].alias("max_token_run"),
+    )

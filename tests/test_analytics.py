@@ -116,3 +116,56 @@ def test_count_by_day(enriched, pdf):
     exp = pdf.dtg.dt.strftime("%Y%m%d").value_counts()
     got = out.set_index("day")["n"]
     assert got.to_dict() == exp.to_dict()
+
+
+def test_histogram_job_semantics(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (city, kind, user)
+        ("nyc", "click", "u1"),
+        ("nyc", "click", "u1"),   # same user: collapses under unique_by
+        ("nyc", "click", "u2"),
+        ("nyc", "view", "u1"),
+        ("sf", "click", "u3"),
+        ("sf", None, "u4"),       # null attribute -> 'null'
+        ("sf", "", "u5"),         # empty attribute -> 'null'
+        (None, "view", "u6"),     # null group -> 'null'
+    ]
+    df = spark.createDataFrame(rows, "city string, kind string, user string")
+
+    # plain histogram: counts rows
+    plain = {
+        (r.city, r.kind): r["count"]
+        for r in A.histogram_job(df, "kind", group_by=["city"]).collect()
+    }
+    assert plain[("nyc", "click")] == 3
+    assert plain[("sf", "null")] == 2        # null + '' merge as 'null'
+    assert plain[("null", "view")] == 1
+
+    # unique_by: distinct users per (city, kind)
+    uniq = {
+        (r.city, r.kind): r["count"]
+        for r in A.histogram_job(
+            df, "kind", group_by=["city"], unique_by=["user"]
+        ).collect()
+    }
+    assert uniq[("nyc", "click")] == 2       # u1 deduped
+
+    # transforms + where compose
+    t = {
+        (r.up, r.kind): r["count"]
+        for r in A.histogram_job(
+            df,
+            "kind",
+            group_by=["up"],
+            transforms={"up": F.upper("city")},
+            where=F.col("kind") == "click",
+        ).collect()
+    }
+    assert t[("NYC", "click")] == 3 and ("SF", "view") not in t
+
+    # the reference's 8-attribute tuple bound (HistogramJob.scala:68)
+    with pytest.raises(ValueError):
+        A.histogram_job(df, "kind", group_by=["a"] * 5, unique_by=["b"] * 4)

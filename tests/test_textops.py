@@ -622,3 +622,66 @@ def test_ivf_kmeanspp_deterministic(clustered_emb):
     np.testing.assert_array_equal(a, b)
     with pytest.raises(ValueError, match="unknown seeding"):
         N.ivf_centroids(df, n_lists=8, dim=16, seeding="bogus")
+
+
+def test_repetition_profile_python_oracle(spark):
+    from collections import Counter
+
+    docs = [
+        (1, "a b a b a b a b"),          # heavy bigram repetition
+        (2, "x x x x y"),                # token run of 4
+        (3, "one two three four five"),  # all distinct
+        (4, "solo"),                     # single token: no bigrams
+        (5, ""),                         # empty text
+        (6, "  padded   tokens  "),      # empty split artifacts dropped
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in X.repetition_profile(df).collect()}
+    for doc_id, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        r = got[doc_id]
+        assert r.n_tokens == len(toks)
+        exp_dup = (len(toks) - len(set(toks))) / len(toks) if toks else 0.0
+        assert abs(r.dup_token_ratio - exp_dup) < 1e-12
+        bigrams = [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+        exp_top = max(Counter(bigrams).values()) if bigrams else 0
+        assert r.top_bigram_count == exp_top, (doc_id, r.top_bigram_count, exp_top)
+        exp_frac = exp_top / (len(toks) - 1) if len(toks) >= 2 else 0.0
+        assert abs(r.top_bigram_frac - exp_frac) < 1e-12
+        best = run = 0
+        prev = None
+        for t in toks:
+            run = run + 1 if t == prev else 1
+            prev = t
+            best = max(best, run)
+        assert r.max_token_run == best, (doc_id, r.max_token_run, best)
+
+
+def test_decontaminate_overlap_counts(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares "the quick brown" w/ bench
+            (2, "totally different words here"),
+            (3, "too short"),                    # < n words -> 0 shingles
+            (4, "the quick brown fox jumps"),    # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "prefix the quick brown fox suffix")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in D.decontaminate(corpus, bench, n=3).collect()}
+    assert out[3].n_shingles == 0 and out[3].contaminated == 0
+    assert out[2].n_overlap == 0 and out[2].contaminated == 0
+    # doc 1 trigrams: {the quick brown, quick brown fox, brown fox jumps};
+    # bench contains the first two
+    assert out[1].n_shingles == 3 and out[1].n_overlap == 2
+    assert abs(out[1].overlap_frac - 2 / 3) < 1e-12 and out[1].contaminated == 1
+    assert out[4].n_overlap == 2  # dup scored identically
+    # shuffle-join fallback gives identical answers
+    out2 = {
+        r.doc_id: r
+        for r in D.decontaminate(corpus, bench, n=3, broadcast_bench=False).collect()
+    }
+    for k in out:
+        assert out[k] == out2[k]

@@ -51,6 +51,9 @@ HEADLINE = [
     "geohash_encode",
     "shard_pack",
     "sessionize",
+    "decontaminate",
+    "repetition_profile",
+    "histogram_job",
 ]
 
 

@@ -657,8 +657,15 @@ def decontaminate(
 
     Scale: the benchmark side (eval suites are MB-scale, not TB) is
     reduced to DISTINCT shingles and broadcast — the corpus side is
-    one narrow explode + broadcast-hash semi-join + map-side-combined
-    groupBy; no corpus shuffle besides the count on ``id_col``.
+    ONE scan: the shingle array is let-bound behind an
+    explode(array()) Generate barrier (CollapseProject would
+    otherwise inline the lambda-bearing shingle expression into both
+    its `size` and its explode, and lambda expressions are excluded
+    from codegen subexpression elimination), then explode_outer
+    (empty docs survive as a null shingle) + broadcast left join +
+    one map-side-combined groupBy on ``id_col`` — shuffle volume is
+    one partial-aggregate row per document. A base-table re-join
+    would instead sort-merge-shuffle the whole corpus at 10^12 docs.
     Pass ``broadcast_bench=False`` for an unusually large benchmark
     (falls back to a shuffle join on the shingle string).
     """
@@ -668,20 +675,22 @@ def decontaminate(
     ).distinct()
     if broadcast_bench:
         bench_sh = F.broadcast(bench_sh)
-    doc_sh = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("s")
-    )
-    hits = (
-        doc_sh.join(bench_sh, "s")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
-    base = df.select(
+    arr = df.select(
         F.col(id_col),
-        F.size(word_shingles(F.col(text_col), n)).cast("long").alias("n_shingles"),
+        F.explode(F.array(word_shingles(F.col(text_col), n))).alias("_sh"),
     )
-    out = base.join(hits, id_col, "left").withColumn(
-        "n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
+    ex = arr.select(
+        F.col(id_col),
+        F.size("_sh").cast("long").alias("n_shingles"),
+        F.explode_outer("_sh").alias("s"),
+    )
+    out = (
+        ex.join(bench_sh.withColumn("_hit", F.lit(1)), "s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("n_shingles").alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_overlap"),
+        )
     )
     return out.select(
         id_col,

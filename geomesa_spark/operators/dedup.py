@@ -42,20 +42,30 @@ _B = [(j * j + 1) * 7919 for j in range(NUM_HASHES)]
 
 def word_shingles(text_col, n: int = 3):
     """Distinct word n-gram shingles as an array column (JVM-side:
-    split + sequence + transform + array_distinct)."""
-    toks = F.split(text_col, " ")
-    count = F.size(toks) - (n - 1)
-    # docs shorter than n words produce NO shingles; without the
-    # guard sequence(1, 0) descends to [1, 0] and slice(toks, 0, n)
-    # throws (array indices are 1-based)
-    sh = F.when(
-        count >= 1,
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(sh)
+    split + sequence + transform + array_distinct).
+
+    The token array is let-bound via an outer single-element
+    `transform` (the lambda variable evaluates once): referencing
+    `split(text)` directly inside the shingle lambda would re-split
+    the whole document for EVERY shingle position — lambda-bearing
+    expressions are excluded from codegen subexpression elimination
+    (measured 3x on the signature stage at 400k docs)."""
+
+    def build(toks):
+        count = F.size(toks) - (n - 1)
+        # docs shorter than n words produce NO shingles; without the
+        # guard sequence(1, 0) descends to [1, 0] and slice(toks, 0, n)
+        # throws (array indices are 1-based)
+        sh = F.when(
+            count >= 1,
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.array_distinct(sh)
+
+    return F.transform(F.array(F.split(text_col, " ")), build)[0]
 
 
 def shingle_hash(shingle_col, fn: str = "md5"):
@@ -86,21 +96,50 @@ def exact_dedup(
     )
 
 
+def word_shingle_hashes(text_col, n: int = 3):
+    """Distinct 64-bit word-shingle hashes (the xxhash production
+    path): each n-token window is hashed directly with the multi-arg
+    `xxhash64(tok_i, ..., tok_{i+n-1})` — no per-shingle string
+    concatenation/allocation at all (measured ~2x on the signature
+    stage vs building shingle strings). Same set semantics as
+    `word_shingles` up to 64-bit collisions (~1e-9 at 10^9 distinct
+    shingles); the md5/oracle path keeps real strings."""
+
+    def build(toks):
+        count = F.size(toks) - (n - 1)
+        sh = F.when(
+            count >= 1,
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.xxhash64(
+                    *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        return F.array_distinct(sh)
+
+    return F.transform(F.array(F.split(text_col, " ")), build)[0]
+
+
 MIN_SHINGLES = 1
 
 
 def _doc_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int,
     min_shingles: int = MIN_SHINGLES,
+    hashed: bool = False,
 ) -> DataFrame:
     """Docs below `min_shingles` distinct shingles are excluded: a
     near-empty shingle set makes MinHash signatures collide almost
     surely and the band join degenerates quadratically (observed on
     few-word synthetic docs). Raise the floor for production corpora
-    (e.g. 8-16) or dedup tiny docs exactly instead."""
+    (e.g. 8-16) or dedup tiny docs exactly instead. `hashed=True`
+    swaps string shingles for 64-bit window hashes (production
+    path)."""
+    mk = word_shingle_hashes if hashed else word_shingles
     return df.select(
         F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
+        mk(F.col(text_col), n).alias("shingles"),
     ).filter(F.size("shingles") >= min_shingles)
 
 
@@ -152,29 +191,35 @@ def minhash_signature(
     `array_min(transform(shingles, ...))` — narrow, no shuffle, no
     Python. h(shingle) uses md5 so any engine reproduces it.
     """
-    docs = _doc_shingles(df, text_col, id_col, n)
-    hv = F.transform(F.col("shingles"), lambda s: shingle_hash(s, hash_fn))
-    init = F.array(*[F.lit(MINHASH_P).cast("long") for _ in range(NUM_HASHES)])
-
-    def merge(acc, h):
-        cands = F.array(
-            *[
-                (h * F.lit(_A[j]) + F.lit(_B[j])) % F.lit(MINHASH_P)
-                for j in range(NUM_HASHES)
-            ]
-        )
-        return F.zip_with(acc, cands, lambda a, c: F.least(a, c))
-
-    # one aggregate computes all 16 mins so the md5 per shingle is
-    # evaluated exactly once; the repartition is a materialization
-    # barrier — without it Catalyst collapses the projection and
-    # inlines the md5 pipeline into every mh{j}/band expression
-    # (16-64x recompute). At corpus scale this exchange is the band
-    # join's shuffle anyway.
-    sig = docs.select(F.col("doc"), F.aggregate(hv, init, merge).alias("mhs"))
-    sig = sig.repartition("doc")
-    return sig.select(
-        "doc", *[F.col("mhs")[j].alias(f"mh{j}") for j in range(NUM_HASHES)]
+    hashed = hash_fn == "xxhash"
+    docs = _doc_shingles(df, text_col, id_col, n, hashed=hashed)
+    # explode to one row per (doc, shingle hash), then 16 codegen'd
+    # MIN aggregates: identical math to a per-row HOF fold, but
+    # higher-order lambdas run INTERPRETED (outside whole-stage
+    # codegen, two 16-wide array allocations per shingle) while a
+    # hash aggregate of plain arithmetic is fully code-generated with
+    # map-side partial aggregation — measured 5x on the signature
+    # stage at 400k docs. The groupBy exchange replaces the
+    # materialization barrier the old form needed anyway (without a
+    # barrier Catalyst inlines the md5 pipeline into every mh{j}/band
+    # expression, 16-64x recompute); shuffle volume is one partial
+    # row per doc, the same doc-keyed exchange the band join needs.
+    to32 = (
+        (lambda s: s.bitwiseAND(F.lit(0xFFFFFFFF)))
+        if hashed
+        else (lambda s: shingle_hash(s, hash_fn))
+    )
+    ex = docs.select(
+        F.col("doc"),
+        F.explode(F.transform(F.col("shingles"), to32)).alias("_h"),
+    )
+    return ex.groupBy("doc").agg(
+        *[
+            F.min(
+                (F.col("_h") * F.lit(_A[j]) + F.lit(_B[j])) % F.lit(MINHASH_P)
+            ).alias(f"mh{j}")
+            for j in range(NUM_HASHES)
+        ]
     )
 
 
@@ -224,8 +269,10 @@ def minhash_lsh_pairs(
     # verify candidates only: join each pair to its two shingle sets
     # and compute exact Jaccard via array set ops — O(candidates),
     # not the all-pairs inverted-index join (that full join is the
-    # brute-force baseline `ngram_jaccard_pairs`, kept for oracles)
-    docs = _doc_shingles(df, text_col, id_col, n)
+    # brute-force baseline `ngram_jaccard_pairs`, kept for oracles).
+    # The xxhash path intersects 64-bit window-hash sets instead of
+    # strings (same Jaccard up to 64-bit collisions).
+    docs = _doc_shingles(df, text_col, id_col, n, hashed=(hash_fn == "xxhash"))
     sa = docs.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("_sha"))
     sb = docs.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("_shb"))
     ni = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))

@@ -182,12 +182,75 @@ def write_docs_table(
     as separate physical tables; write both layouts only if the
     workload needs them.
     """
-    sort_col = {"z2": "cell", "z3": "z3"}[layout]
+    _write_enriched(extract_geometry(docs, bits), path, layout)
+
+
+def _sort_col(df: DataFrame, layout: str) -> str:
+    """Layout -> in-file sort column. 'z2'/'z3' are the curve tables;
+    'attr:<col>' sorts files by an attribute so parquet row-group
+    min/max stats prune attribute predicates (the AttributeIndexJob
+    analog, geomesa-jobs/…/index/AttributeIndexJob.scala — a covering
+    attribute-sorted copy instead of a separate index table)."""
+    if layout.startswith("attr:"):
+        col = layout[len("attr:"):]
+        if col not in df.columns:
+            raise ValueError(f"attr layout column {col!r} not in table")
+        return col
+    return {"z2": "cell", "z3": "z3"}[layout]
+
+
+def _write_enriched(df: DataFrame, path: str, layout: str) -> None:
+    # the in-partition sort MUST lead with the partition column:
+    # FileFormatWriter requires task rows ordered by the partitionBy
+    # columns and injects its own non-stable sort on (week) when the
+    # incoming ordering doesn't start with them — which silently
+    # destroyed the secondary curve order (observed: 0 of 9 files
+    # curve-sorted before the fix). With (week, curve) the writer's
+    # requirement is already satisfied and the curve order survives
+    # into parquet row groups.
     (
-        extract_geometry(docs, bits)
-        .repartition("week")
-        .sortWithinPartitions(sort_col)
+        df.repartition("week")
+        .sortWithinPartitions("week", _sort_col(df, layout))
         .write.mode("overwrite")
         .partitionBy("week")
         .parquet(path)
     )
+
+
+def reindex_docs_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    bits: int = C.XY_BITS,
+    layout: str = "z2",
+    ecql: str | None = None,
+    id_col: str = "doc_id",
+) -> None:
+    """Rewrite a stored docs table into a new layout / key resolution —
+    the geomesa-jobs index-maintenance analog:
+
+    * SchemaCopyJob (SchemaCopyJob.scala:36-60): read the old table,
+      optionally filter with ECQL (the job's CQL_IN arg), decode and
+      re-encode every feature into a fresh table (spans are the
+      serialized feature; enrichment re-derives from them, so format
+      improvements apply to old data).
+    * SortedIndexUpdateJob (SortedIndexUpdateJob.scala:38-77): the
+      curve keys (cell/z3) are re-derived at the CURRENT `bits`, i.e.
+      rows move to the new key format.
+    * AttributeIndexJob: layout='attr:<col>' writes an
+      attribute-sorted copy (parquet stats prune on the attribute).
+
+    Distributed end-to-end: one scan, narrow re-enrichment, the same
+    week-repartition + in-file curve sort as write_docs_table — no
+    driver state, safe at any table size. Spans carry through
+    unmodified (north-rule invariant).
+    """
+    raw = spark.read.parquet(src_path).select(id_col, "spans")
+    enriched = extract_geometry(
+        raw.withColumnRenamed(id_col, "doc_id"), bits
+    ).withColumnRenamed("doc_id", id_col)
+    if ecql:
+        from geomesa_spark.plans.ecql import ecql_scan
+
+        enriched = ecql_scan(enriched, ecql, id_col=id_col)
+    _write_enriched(enriched, dst_path, layout)

@@ -59,3 +59,60 @@ def test_skew_exists(spark):
     top = counts["count"].max()
     med = counts["count"].median()
     assert top > 20 * med  # heavy skew by construction
+
+
+def test_reindex_docs_table(spark, tmp_path):
+    """SchemaCopy / SortedIndexUpdate / AttributeIndex analogs: rows
+    survive, keys re-derive at the new resolution, files re-sort to
+    the requested layout, ECQL filters apply, spans stay intact."""
+    src = str(tmp_path / "src")
+    docs = D.synth_docs(spark, 800, partitions=4)
+    D.write_docs_table(docs, src, bits=C.XY_BITS, layout="z2")
+
+    def in_file_sorted(path, col):
+        import glob as _g
+
+        for part in _g.glob(f"{path}/week=*/*.parquet"):
+            vals = [r[0] for r in spark.read.parquet(part).select(col).collect()]
+            assert vals == sorted(vals), (part, col)
+
+    # z3 re-layout at a coarser spatial resolution
+    dst = str(tmp_path / "z3")
+    D.reindex_docs_table(spark, src, dst, bits=12, layout="z3")
+    out = spark.read.parquet(dst)
+    a = spark.read.parquet(src)
+    assert out.count() == a.count()
+    # keys re-derived at bits=12
+    row = out.select("lon", "lat", "cell").first()
+    enc = C.z2_encode_np(
+        C.lon_to_x_np(np.array([row.lon]), 12), C.lat_to_y_np(np.array([row.lat]), 12)
+    )[0]
+    assert row.cell == enc
+    in_file_sorted(dst, "z3")
+    # spans invariant: byte-identical per doc
+    before = {r.doc_id: r.spans for r in a.select("doc_id", "spans").collect()}
+    after = {r.doc_id: r.spans for r in out.select("doc_id", "spans").collect()}
+    assert before == after
+
+    # attribute layout (AttributeIndexJob analog)
+    dst2 = str(tmp_path / "attr")
+    D.reindex_docs_table(spark, src, dst2, layout="attr:lat")
+    in_file_sorted(dst2, "lat")
+
+    # ECQL filter (SchemaCopyJob CQL_IN)
+    dst3 = str(tmp_path / "filtered")
+    D.reindex_docs_table(
+        spark, src, dst3, ecql="BBOX(geom, -30, -30, 30, 30)"
+    )
+    got = spark.read.parquet(dst3)
+    exp = a.filter(
+        (F.col("lon") >= -30) & (F.col("lon") <= 30)
+        & (F.col("lat") >= -30) & (F.col("lat") <= 30)
+    )
+    assert got.count() == exp.count() > 0
+
+    # unknown attr column refuses
+    import pytest
+
+    with pytest.raises(ValueError):
+        D.reindex_docs_table(spark, src, str(tmp_path / "bad"), layout="attr:nope")

@@ -300,10 +300,6 @@ def main() -> None:
 
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
     build_corpus(n_docs)
-    # 1/16 of the spatial corpus keeps the timed dedup job tens of
-    # seconds at local[4] (signature+band+verify is ~25x the per-row
-    # cost of the broadcast PIP pipeline)
-    build_text_corpus(n_docs // 16)
 
     # the whole two-level protocol repeats (interleaved) and each
     # level keeps its MINIMUM wall across repeats: ambient co-tenant
@@ -328,6 +324,11 @@ def main() -> None:
             f"invalid SPARK_GRAFT_SCALING_KINDS "
             f"({bad or 'empty'}); valid: {VALID_KINDS}"
         )
+    if "dedup" in kinds:
+        # 1/16 of the spatial corpus keeps the timed dedup job tens
+        # of seconds at local[4] (signature+band+verify is ~25x the
+        # per-row cost of the broadcast PIP pipeline)
+        build_text_corpus(n_docs // 16)
     walls: dict[tuple[str, int], float] = {
         (k, c): float("inf") for k in kinds for c in (4, 16)
     }

@@ -40,9 +40,10 @@ _A = [2 * j + 3 for j in range(NUM_HASHES)]  # 3,5,7,...
 _B = [(j * j + 1) * 7919 for j in range(NUM_HASHES)]
 
 
-def word_shingles(text_col, n: int = 3):
-    """Distinct word n-gram shingles as an array column (JVM-side:
-    split + sequence + transform + array_distinct).
+def _shingle_array(text_col, n: int, window_expr, elem_type: str):
+    """Shared scaffold for distinct word-n-gram shingle arrays:
+    `window_expr(toks, i)` maps the window starting at 1-based token
+    position i to one shingle value of `elem_type`.
 
     The token array is let-bound via an outer single-element
     `transform` (the lambda variable evaluates once): referencing
@@ -54,18 +55,28 @@ def word_shingles(text_col, n: int = 3):
     def build(toks):
         count = F.size(toks) - (n - 1)
         # docs shorter than n words produce NO shingles; without the
-        # guard sequence(1, 0) descends to [1, 0] and slice(toks, 0, n)
-        # throws (array indices are 1-based)
+        # guard sequence(1, 0) descends to [1, 0] and the window
+        # expression sees out-of-range positions
         sh = F.when(
             count >= 1,
             F.transform(
-                F.sequence(F.lit(1), count),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                F.sequence(F.lit(1), count), lambda i: window_expr(toks, i)
             ),
-        ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast(f"array<{elem_type}>"))
         return F.array_distinct(sh)
 
     return F.transform(F.array(F.split(text_col, " ")), build)[0]
+
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles as an array column (JVM-side:
+    split + sequence + transform + array_distinct) — the string form,
+    bit-portable to the SQL oracles."""
+    return _shingle_array(
+        text_col, n,
+        lambda toks, i: F.concat_ws(" ", F.slice(toks, i, n)),
+        "string",
+    )
 
 
 def shingle_hash(shingle_col, fn: str = "md5"):
@@ -104,21 +115,13 @@ def word_shingle_hashes(text_col, n: int = 3):
     stage vs building shingle strings). Same set semantics as
     `word_shingles` up to 64-bit collisions (~1e-9 at 10^9 distinct
     shingles); the md5/oracle path keeps real strings."""
-
-    def build(toks):
-        count = F.size(toks) - (n - 1)
-        sh = F.when(
-            count >= 1,
-            F.transform(
-                F.sequence(F.lit(1), count),
-                lambda i: F.xxhash64(
-                    *[F.element_at(toks, i + j) for j in range(n)]
-                ),
-            ),
-        ).otherwise(F.array().cast("array<bigint>"))
-        return F.array_distinct(sh)
-
-    return F.transform(F.array(F.split(text_col, " ")), build)[0]
+    return _shingle_array(
+        text_col, n,
+        lambda toks, i: F.xxhash64(
+            *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+        "bigint",
+    )
 
 
 MIN_SHINGLES = 1
@@ -745,7 +748,7 @@ def decontaminate(
         .groupBy(id_col)
         .agg(
             F.max("n_shingles").alias("n_shingles"),
-            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.count("_hit").alias("n_overlap"),  # non-null markers only
         )
     )
     return out.select(

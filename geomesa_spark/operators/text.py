@@ -222,8 +222,12 @@ def repetition_profile(
     array_sort + max-run (sorted equals are adjacent, so the longest
     run IS the max multiplicity — O(n log n) per row, no
     per-distinct-gram rescans), run lengths via `_max_run`.
+    NULL text folds to zero counts (same fate as the empty document,
+    matching decontaminate/word_shingles — without the fold the NULL
+    struct fields would silently drop those docs through any
+    repetition threshold filter).
     """
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
 
     def build(toks):
         nt = F.size(toks)

@@ -235,8 +235,11 @@ def reindex_docs_table(
       serialized feature; enrichment re-derives from them, so format
       improvements apply to old data).
     * SortedIndexUpdateJob (SortedIndexUpdateJob.scala:38-77): the
-      curve keys (cell/z3) are re-derived at the CURRENT `bits`, i.e.
-      rows move to the new key format.
+      Z2 `cell` keys are re-derived at the CURRENT `bits`, i.e. rows
+      move to the new key format. `z3` is a FIXED-format structure
+      engine-wide (the planner's zranges_3d always uses
+      XY_BITS/T_BITS, like the reference's fixed Z3 schema) and is
+      re-derived at that fixed resolution.
     * AttributeIndexJob: layout='attr:<col>' writes an
       attribute-sorted copy (parquet stats prune on the attribute).
 
@@ -246,9 +249,7 @@ def reindex_docs_table(
     unmodified (north-rule invariant).
     """
     raw = spark.read.parquet(src_path).select(id_col, "spans")
-    enriched = extract_geometry(
-        raw.withColumnRenamed(id_col, "doc_id"), bits
-    ).withColumnRenamed("doc_id", id_col)
+    enriched = extract_geometry(raw, bits)
     if ecql:
         from geomesa_spark.plans.ecql import ecql_scan
 

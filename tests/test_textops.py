@@ -634,11 +634,12 @@ def test_repetition_profile_python_oracle(spark):
         (4, "solo"),                     # single token: no bigrams
         (5, ""),                         # empty text
         (6, "  padded   tokens  "),      # empty split artifacts dropped
+        (7, None),                       # NULL text folds to zero counts
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {r.doc_id: r for r in X.repetition_profile(df).collect()}
     for doc_id, text in docs:
-        toks = [t for t in text.split(" ") if t]
+        toks = [t for t in (text or "").split(" ") if t]
         r = got[doc_id]
         assert r.n_tokens == len(toks)
         exp_dup = (len(toks) - len(set(toks))) / len(toks) if toks else 0.0

@@ -1195,6 +1195,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repetition_profile"] = repetition_gate
 
+    def mixture_sample_gate(spark, sf):
+        """Data-mixing step: sample the corpus to an en:5 fr:2 de:2
+        es:1 language recipe of ~150 docs (zh dropped). Integer-exact
+        per-domain cuts from one bounded count aggregate; the
+        selection is the layout-independent hash-bucket filter."""
+        from geomesa_spark.operators.sample import mixture_sample
+
+        docs = _load(spark, sf, "documents")
+        return mixture_sample(
+            docs,
+            "doc_id",
+            "lang",
+            weights={"en": 5, "fr": 2, "de": 2, "es": 1},
+            total=150,
+        ).select("doc_id", "lang")
+
+    q["mixture_sample"] = mixture_sample_gate
+
+    def vocab_gate(spark, sf):
+        """Corpus vocabulary with document frequency and total term
+        frequency (min_df=2) — tokenizer-training corpus statistics;
+        two partial-aggregated shuffles, all JVM."""
+        return X.vocab(_load(spark, sf, "documents"), min_df=2)
+
+    q["vocab"] = vocab_gate
+
+    def keyword_topk_gate(spark, sf):
+        """Top-5 TF-IDF-style keywords per document with a
+        fixed-point score (tf*1e6 DIV df) so ranking and values are
+        engine-exact; token-keyed join + per-doc top-k window."""
+        return X.keyword_topk(_load(spark, sf, "documents"), k=5)
+
+    q["keyword_topk"] = keyword_topk_gate
+
+    def embed_quantize_gate(spark, sf):
+        """Symmetric per-vector int8 quantization of the embedding
+        column (scale = max|v|/127, floor(x+0.5) rounding — both
+        correctly-rounded IEEE ops, so codes are engine-exact),
+        posexploded to scalar rows for the value hash."""
+        from geomesa_spark.operators.ann import quantize_embeddings
+
+        emb = _load(spark, sf, "embeddings")
+        qd = quantize_embeddings(emb)
+        return qd.select(
+            "vec_id", "qscale", F.posexplode("qvec").alias("i", "q")
+        ).select(
+            "vec_id",
+            F.col("qscale").alias("qscale"),
+            F.col("i").cast("int").alias("i"),
+            F.col("q").alias("q"),
+        )
+
+    q["embed_quantize"] = embed_quantize_gate
+
     return q
 
 
@@ -2094,6 +2148,65 @@ SELECT t.doc_id,
 FROM toks t
 LEFT JOIN maxrun ON t.doc_id = maxrun.doc_id
 LEFT JOIN topbg ON t.doc_id = topbg.doc_id
+"""
+
+    # mixture sampling: same integer cut arithmetic + md5 bucket
+    o["mixture_sample"] = f"""
+WITH w(lang, wt) AS (VALUES ('en',5),('fr',2),('de',2),('es',1)),
+counts AS (SELECT lang, count(*) AS c
+           FROM documents JOIN w USING (lang) GROUP BY 1),
+cuts AS (SELECT counts.lang,
+                LEAST(1000000, (1000000 * 150 * wt) // (10 * c)) AS cut
+         FROM counts JOIN w ON counts.lang = w.lang)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN cuts ON d.lang = cuts.lang
+WHERE {bucket} < cut
+"""
+
+    o["vocab"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text,' '), t -> t <> '')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2)
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS total_tf
+FROM tf GROUP BY 1 HAVING count(*) >= 2
+"""
+
+    o["keyword_topk"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text,' '), t -> t <> '')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT doc_id, token, tf, df,
+         CAST((tf * 1000000) // df AS BIGINT) AS score_fp
+  FROM tf JOIN dfreq USING (token))
+SELECT doc_id, token, tf, df, score_fp FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_fp DESC, token) AS rk
+  FROM scored)
+WHERE rk <= 5
+"""
+
+    # int8 quantization: one IEEE division + floor, both
+    # correctly-rounded in each engine, so codes hash exactly
+    o["embed_quantize"] = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+  FROM embeddings),
+sc AS (SELECT vec_id, v,
+              CASE WHEN mx = 0 THEN 1.0 ELSE mx/127.0 END AS qscale
+       FROM base)
+SELECT vec_id, qscale, CAST(i - 1 AS INT) AS i,
+       CAST(floor(v[i]/qscale + 0.5) AS INT) AS q
+FROM sc, unnest(generate_series(1, len(v))) AS t(i)
 """
 
     return o

@@ -54,6 +54,10 @@ HEADLINE = [
     "decontaminate",
     "repetition_profile",
     "histogram_job",
+    # fifth-session operators
+    "keyword_topk",
+    "mixture_sample",
+    "embed_quantize",
 ]
 
 

@@ -542,3 +542,41 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column:
+    ``scale = max(|v|)/127`` and ``q_i = round_half_up(v_i/scale)``
+    (so values span [-127, 127]) — 4x storage compression for ANN
+    candidate generation, with the full-precision re-rank kept on the
+    original column.
+
+    A pure narrow map (no shuffle, nothing leaves the JVM). Rounding
+    is ``floor(x + 0.5)`` on the float64-widened elements: floor and
+    one IEEE division are correctly-rounded everywhere, so quantized
+    codes reproduce bit-exactly across engines — `round()` dialects
+    (half-even vs half-away) do not. An all-zero vector takes
+    scale=1.0 (codes all zero) rather than dividing by zero; a NULL
+    vector stays NULL."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    scale = F.when(mx == 0.0, F.lit(1.0)).otherwise(mx / F.lit(127.0))
+    df = df.withColumn(scale_col, scale)
+    s = F.col(scale_col)
+    return df.withColumn(
+        q_col,
+        F.transform(v, lambda x: F.floor(x / s + F.lit(0.5)).cast("int")),
+    )
+
+
+def dequantize_col(q_col, scale_col) -> F.Column:
+    """Reconstruct float64 embeddings from quantized codes:
+    ``v_i ~= q_i * scale`` (max abs error scale/2 per element)."""
+    s = F.col(scale_col) if isinstance(scale_col, str) else scale_col
+    q = F.col(q_col) if isinstance(q_col, str) else q_col
+    return F.transform(q, lambda x: x.cast("double") * s)

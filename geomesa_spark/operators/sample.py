@@ -75,6 +75,71 @@ def stratified_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    weights: dict[str, int],
+    total: int,
+    salt: str = "",
+) -> DataFrame:
+    """Sample a corpus down to a target domain MIXTURE: domain d's
+    target row count is ``total * weights[d] / sum(weights)``;
+    domains absent from `weights` are dropped. The data-mixing step
+    of a pretraining pipeline (sample web-heavy raw data to a
+    books/code/web recipe).
+
+    The per-domain keep fraction comes from ONE count aggregate
+    (driver result bounded by the number of domains) using pure
+    integer arithmetic::
+
+        cut_d = min(1e6, (1e6 * total * w_d) // (sum(w) * n_d))
+
+    so any engine derives identical cuts, and the selection itself is
+    the `hash_sample` bucket filter — layout/retry independent,
+    nested (a smaller `total` with the same weights selects a subset
+    of a larger one), and a pure filter on the data path (the only
+    shuffle is the partial-aggregated domain count).
+
+    A domain with fewer rows than its target keeps every row (the cut
+    saturates): the mixture is best-effort, never fabricating rows.
+    Achieved counts are binomial around the target (hash buckets are
+    uniform, so stddev ~ sqrt(target)); use `stratified_sample` when
+    exact per-stratum quotas matter more than a shuffle-free plan.
+    """
+    if total <= 0:
+        raise ValueError(f"total must be positive, got {total}")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for d, w in weights.items():
+        if not isinstance(w, int) or w <= 0:
+            raise ValueError(f"weight for {d!r} must be a positive int, got {w!r}")
+    wsum = sum(weights.values())
+    dom = F.col(domain_col)
+    counts = dict(
+        df.where(dom.isin(list(weights)))
+        .groupBy(domain_col)
+        .count()
+        .collect()
+    )
+    cuts = {
+        d: min(
+            HASH_BUCKETS,
+            (HASH_BUCKETS * total * weights[d]) // (wsum * counts[d]),
+        )
+        for d in weights
+        if counts.get(d)
+    }
+    if not cuts:
+        return df.where(F.lit(False))
+    cut_map = F.create_map(
+        *[F.lit(x) for d, c in sorted(cuts.items()) for x in (d, c)]
+    )
+    return df.where(
+        dom.isin(list(cuts)) & (sample_hash(F.col(key_col), salt) < cut_map[dom])
+    )
+
+
 def sessionize(
     df: DataFrame,
     entity_col: str,

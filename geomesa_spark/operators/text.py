@@ -19,7 +19,7 @@ dedup pipeline (dedup.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # deterministic marker-token sets for the language heuristic —
@@ -261,4 +261,83 @@ def repetition_profile(
         .otherwise(F.lit(0.0))
         .alias("top_bigram_frac"),
         s["max_token_run"].alias("max_token_run"),
+    )
+
+
+def term_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-(document, token) term frequencies: one explode plus one
+    partial-aggregated groupBy on the composite (doc, token) key —
+    the key space is as wide as the corpus itself, so the shuffle is
+    uniformly spread (no per-token hot key at this stage). NULL text
+    folds to zero rows (the empty document)."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("token"),
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary with document frequency and total term
+    frequency — the corpus statistics a tokenizer-training /
+    vocab-building pass needs. Built from `term_stats`, so df is a
+    plain count (term_stats is already one row per (doc, token)) and
+    both aggregations are map-side partial: two shuffles total, each
+    combiner-reduced before the wire."""
+    ts = term_stats(df, text_col, id_col)
+    v = ts.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+    if min_df > 1:
+        v = v.where(F.col("df") >= min_df)
+    return v
+
+
+def keyword_topk(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic keywords per document by a TF-IDF-style
+    relevance weight. The score is FIXED-POINT — ``score_fp =
+    (tf * 1e6) // df`` — pure integer arithmetic, so ranking and
+    values reproduce bit-exactly on any engine (a float idf =
+    ln(N/df) would rank identically but hash differently across libm
+    implementations; callers who want the classical value can compute
+    ln from the returned tf/df).
+
+    Plan: term_stats (one uniform composite-key shuffle) → vocab
+    (token-keyed partial agg) → a token-keyed equi-join back (AQE
+    handles stopword-token skew; the join fan-out is bounded by the
+    term_stats row count) → per-doc top-k window (shuffle on the doc
+    key, never global). Ties break lexicographically on the token so
+    the selected set is deterministic."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    ts = term_stats(df, text_col, id_col)
+    v = ts.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # true integer division (Spark DIV / DuckDB //): floor of a double
+    # quotient can round a near-integer ratio the wrong way
+    scored = ts.join(v, "token").withColumn(
+        "score_fp", F.expr("CAST((tf * 1000000L) DIV df AS BIGINT)")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_fp").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select(id_col, "token", F.col("tf").cast("long").alias("tf"), "df", "score_fp")
     )

@@ -132,3 +132,75 @@ def test_no_single_partition_and_no_python(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan
         assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_mixture_sample_recipe_and_nesting(spark):
+    from geomesa_spark.operators.sample import (
+        HASH_BUCKETS,
+        mixture_sample,
+        sample_hash,
+    )
+
+    docs = _docs(spark, 4000)  # 1000 per lang en/fr/de/zz
+    weights = {"en": 3, "fr": 1}
+    out = mixture_sample(docs, "doc_id", "lang", weights, total=400).toPandas()
+    # unlisted domains are dropped
+    assert set(out["lang"]) <= {"en", "fr"}
+    # achieved counts are binomial around the integer-cut targets
+    got = out.groupby("lang")["doc_id"].count()
+    assert abs(got.get("en", 0) - 300) < 60 and abs(got.get("fr", 0) - 100) < 40
+    # selection is exactly the hash filter at the integer cuts the
+    # docstring promises (python recomputation)
+    cut = {
+        "en": (HASH_BUCKETS * 400 * 3) // (4 * 1000),
+        "fr": (HASH_BUCKETS * 400 * 1) // (4 * 1000),
+    }
+    buckets = (
+        docs.select("doc_id", "lang", sample_hash(F.col("doc_id")).alias("b"))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    expect = {
+        i
+        for i, r in buckets.iterrows()
+        if r["lang"] in cut and r["b"] < cut[r["lang"]]
+    }
+    assert set(out["doc_id"]) == expect
+    # nested: a smaller total selects a subset of a larger one
+    small = mixture_sample(docs, "doc_id", "lang", weights, total=100).toPandas()
+    assert set(small["doc_id"]) <= set(out["doc_id"])
+    # layout independence
+    relaid = mixture_sample(
+        _docs(spark, 4000, parts=13), "doc_id", "lang", weights, total=400
+    ).toPandas()
+    assert set(relaid["doc_id"]) == set(out["doc_id"])
+
+
+def test_mixture_sample_saturates_small_domain(spark):
+    from geomesa_spark.operators.sample import mixture_sample
+
+    # fr has 1000 rows but its target is 5000 -> keep ALL fr rows
+    docs = _docs(spark, 4000)
+    out = (
+        mixture_sample(docs, "doc_id", "lang", {"fr": 1}, total=5000)
+        .toPandas()
+    )
+    assert len(out) == 1000 and set(out["lang"]) == {"fr"}
+
+
+def test_mixture_sample_validation(spark):
+    from geomesa_spark.operators.sample import mixture_sample
+
+    docs = _docs(spark, 40)
+    with pytest.raises(ValueError):
+        mixture_sample(docs, "doc_id", "lang", {"en": 1}, total=0)
+    with pytest.raises(ValueError):
+        mixture_sample(docs, "doc_id", "lang", {}, total=10)
+    with pytest.raises(ValueError):
+        mixture_sample(docs, "doc_id", "lang", {"en": 0}, total=10)
+    # a weights-only domain with zero rows yields an empty frame, not
+    # a divide-by-zero
+    assert (
+        mixture_sample(docs, "doc_id", "lang", {"nope": 1}, total=10).count()
+        == 0
+    )

@@ -686,3 +686,110 @@ def test_decontaminate_overlap_counts(spark):
     }
     for k in out:
         assert out[k] == out2[k]
+
+
+def _kw_docs(spark):
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana date"),
+        (3, "apple elder elder elder fig"),
+        (4, ""),
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_vocab_and_term_stats(spark):
+    from geomesa_spark.operators.text import term_stats, vocab
+
+    docs = _kw_docs(spark)
+    ts = term_stats(docs).toPandas()
+    assert (
+        ts.set_index(["doc_id", "token"])["tf"].to_dict()[(1, "apple")] == 2
+    )
+    # NULL/empty docs contribute no rows
+    assert set(ts["doc_id"]) == {1, 2, 3}
+    v = vocab(docs).toPandas().set_index("token")
+    assert v.loc["apple", "df"] == 2 and v.loc["apple", "total_tf"] == 3
+    assert v.loc["elder", "df"] == 1 and v.loc["elder", "total_tf"] == 3
+    assert vocab(docs, min_df=2).toPandas()["token"].tolist() == ["apple"] or set(
+        vocab(docs, min_df=2).toPandas()["token"]
+    ) == {"apple", "banana"}
+
+
+def test_keyword_topk_scores_and_ties(spark):
+    from geomesa_spark.operators.text import keyword_topk
+
+    docs = _kw_docs(spark)
+    out = keyword_topk(docs, k=2).toPandas()
+    by_doc = {d: g.sort_values("score_fp", ascending=False) for d, g in out.groupby("doc_id")}
+    # doc 3: elder tf=3 df=1 -> 3e6; fig tf=1 df=1 -> 1e6; apple tf=1 df=2
+    d3 = by_doc[3]
+    assert d3.iloc[0]["token"] == "elder" and d3.iloc[0]["score_fp"] == 3_000_000
+    assert d3.iloc[1]["token"] == "fig"
+    # doc 1: apple tf=2 df=2 -> 1e6, cherry tf=1 df=1 -> 1e6: tie broken
+    # lexicographically -> apple before cherry, banana (tf1 df2=5e5) out
+    d1 = by_doc[1]
+    assert list(d1["token"]) == ["apple", "cherry"]
+    # at most k rows per doc, no rows for empty/NULL docs
+    assert out.groupby("doc_id")["token"].count().max() <= 2
+    assert set(out["doc_id"]) == {1, 2, 3}
+    with pytest.raises(ValueError):
+        keyword_topk(docs, k=0)
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from geomesa_spark.operators.ann import dequantize_col, quantize_embeddings
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    rows.append((200, [0.0] * 16))  # all-zero vector
+    rows.append((201, None))  # NULL vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = quantize_embeddings(df).withColumn(
+        "deq", dequantize_col("qvec", "qscale")
+    )
+    pdf = out.toPandas().set_index("vec_id")
+    # codes span [-127, 127]; every vector's max-|v| element hits ±127
+    for i in range(200):
+        q = np.array(pdf.loc[i, "qvec"])
+        assert q.min() >= -127 and q.max() <= 127
+        assert np.abs(q).max() == 127
+        # reconstruction error bounded by scale/2 per element
+        err = np.abs(np.array(pdf.loc[i, "deq"]) - vecs[i].astype(np.float64))
+        assert err.max() <= pdf.loc[i, "qscale"] / 2 + 1e-12
+    assert pdf.loc[200, "qscale"] == 1.0 and not any(pdf.loc[200, "qvec"])
+    assert pdf.loc[201, "qvec"] is None or pdf.loc[201, "qvec"] is pd.NA
+
+
+def test_quantized_ann_recall(spark):
+    """Dequantized int8 embeddings preserve brute-force top-1
+    neighbors almost everywhere (the candidate-generation use)."""
+    from geomesa_spark.operators.ann import (
+        cosine_topk,
+        dequantize_col,
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 24))
+    vecs = (
+        centers[rng.integers(0, 8, size=300)]
+        + 0.15 * rng.normal(size=(300, 24))
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.limit(40)
+    exact = cosine_topk(df, queries, k=1).toPandas()
+    deq = quantize_embeddings(df).select(
+        "vec_id", dequantize_col("qvec", "qscale").alias("embedding")
+    )
+    qdeq = deq.join(queries.select("vec_id"), "vec_id")
+    approx = cosine_topk(deq, qdeq, k=1).toPandas()
+    e = exact.set_index("qid")["vec_id"].to_dict()
+    a = approx.set_index("qid")["vec_id"].to_dict()
+    hits = sum(1 for q in e if a.get(q) == e[q])
+    assert hits / len(e) >= 0.9

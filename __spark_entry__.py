@@ -1249,6 +1249,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embed_quantize"] = embed_quantize_gate
 
+    def line_dedup_gate(spark, sf):
+        """Corpus-wide line-level dedup (C4/RefinedWeb boilerplate
+        removal): documents are first reshaped into 3-token lines
+        (the synthetic corpus has no newlines; ~19% of 3-token lines
+        repeat at sf0.01), then every line occurring >=2 times
+        anywhere in the corpus is removed from every document.
+        One posexplode + one partial-aggregated count + a left_anti
+        join (AQE broadcasts the duplicate set) + per-doc reassembly."""
+        docs = _load(spark, sf, "documents")
+        toks = F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != ""
+        )
+        arr = docs.select("doc_id", F.explode(F.array(toks)).alias("_tk"))
+        n = F.size("_tk")
+        nl = F.ceil(n / F.lit(3)).cast("int")
+        lined = arr.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.when(n > 0, F.sequence(F.lit(0), nl - 1)).otherwise(
+                        F.array().cast("array<int>")
+                    ),
+                    lambda i: F.array_join(F.slice(F.col("_tk"), i * 3 + 1, 3), " "),
+                ),
+                "\n",
+            ).alias("text"),
+        )
+        return D.line_dedup(lined, min_count=2)
+
+    q["line_dedup"] = line_dedup_gate
+
+    def pii_redact_gate(spark, sf):
+        """PII scrub: deterministic synthetic PII (email / dotted-quad
+        IP / phone derived from doc_id) appended to a text prefix,
+        then redacted by the fixed email->ip->phone regexp_replace
+        chain — a narrow all-JVM per-row map, no shuffle."""
+        docs = _load(spark, sf, "documents")
+        d = F.col("doc_id")
+        salted = docs.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 60),
+                F.concat(F.lit("user"), d, F.lit("@ex-ample.org")),
+                F.concat(F.lit("10."), (d % 256), F.lit(".0."), (d % 250) + 1),
+                F.concat(F.lit("tel +1 415 555 0"), F.lpad(d % 1000, 3, "0")),
+            ).alias("t"),
+        )
+        return salted.select("doc_id", X.redact_pii(F.col("t")).alias("redacted"))
+
+    q["pii_redact"] = pii_redact_gate
+
+    def chunk_docs_gate(spark, sf):
+        """Training-window chunking: every document split into
+        32-token windows at stride 24 (overlapping sliding window,
+        short final suffix kept) — one Generate-barriered explode,
+        no shuffle, no Python."""
+        from geomesa_spark.operators.pack import chunk_tokens
+
+        return chunk_tokens(
+            _load(spark, sf, "documents"), chunk_size=32, stride=24
+        )
+
+    q["chunk_docs"] = chunk_docs_gate
+
+    def substring_dedup_gate(spark, sf):
+        """Exact-substring dedup (Lee et al. ExactSubstr): every token
+        covered by a duplicated 8-token rolling window (>=2 corpus
+        occurrences — the engineered near-dup docs share long spans)
+        is excised; offset-free, unlike line_dedup. One window
+        posexplode + partial-aggregated count + semi-join + bounded
+        covered-position explode + in-order reassembly."""
+        docs = _load(spark, sf, "documents").select("doc_id", "text")
+        return D.substring_dedup(docs, length=8, min_count=2)
+
+    q["substring_dedup"] = substring_dedup_gate
+
     return q
 
 
@@ -2207,6 +2284,107 @@ sc AS (SELECT vec_id, v,
 SELECT vec_id, qscale, CAST(i - 1 AS INT) AS i,
        CAST(floor(v[i]/qscale + 0.5) AS INT) AS q
 FROM sc, unnest(generate_series(1, len(v))) AS t(i)
+"""
+
+    # line-level dedup: same 3-token line reshaping, corpus count,
+    # <2-occurrence filter, in-order reassembly
+    o["line_dedup"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(coalesce(text,''),' '), t -> t <> '') AS tk
+  FROM documents),
+lx AS (
+  SELECT doc_id, i,
+         array_to_string(tk[i*3+1 : i*3+3], ' ') AS line
+  FROM (SELECT doc_id, tk,
+               unnest(range(0, CAST(ceil(len(tk)/3.0) AS BIGINT))) AS i
+        FROM toks)),
+c AS (SELECT line, count(*) AS n FROM lx GROUP BY 1),
+kept AS (SELECT lx.doc_id, lx.i, lx.line
+         FROM lx JOIN c USING (line) WHERE c.n < 2),
+clean AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text,
+                 CAST(count(*) AS BIGINT) AS n_kept
+          FROM kept GROUP BY 1),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM lx GROUP BY 1)
+SELECT d.doc_id,
+  coalesce(clean.text, '') AS text,
+  CAST(coalesce(per.n_lines, 0) AS BIGINT) AS n_lines,
+  CAST(coalesce(per.n_lines, 0) - coalesce(clean.n_kept, 0) AS BIGINT) AS n_removed
+FROM documents d
+LEFT JOIN per ON d.doc_id = per.doc_id
+LEFT JOIN clean ON d.doc_id = clean.doc_id
+"""
+
+    # PII redaction: identical synthetic-PII construction + the same
+    # ordered email -> ip -> phone patterns (RE2 'g' = Java-regex
+    # replace-all; the patterns avoid lookaround/backrefs so both
+    # engines match identical spans)
+    o["pii_redact"] = r"""
+WITH salted AS (
+  SELECT doc_id,
+    concat_ws(' ',
+      substr(coalesce(text,''), 1, 60),
+      'user' || CAST(doc_id AS VARCHAR) || '@ex-ample.org',
+      '10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+            || CAST(doc_id % 250 + 1 AS VARCHAR),
+      'tel +1 415 555 0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+    ) AS t
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '\+?\d[\d().\- ]{6,}\d\b', '<PHONE>', 'g') AS redacted
+FROM salted
+"""
+
+    # token-window chunking: ceil(n/stride) windows of chunk_size
+    # tokens, 1-based inclusive list slice == Spark's slice()
+    o["chunk_docs"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(coalesce(text,''),' '), t -> t <> '') AS tk
+  FROM documents),
+ex AS (
+  SELECT doc_id, tk,
+         unnest(range(0, CAST(ceil(len(tk)/24.0) AS BIGINT))) AS chunk_id
+  FROM toks)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+  CAST(len(tk[chunk_id*24+1 : chunk_id*24+32]) AS BIGINT) AS n_tokens,
+  array_to_string(tk[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk_text
+FROM ex
+"""
+
+    # exact-substring dedup: duplicated 8-token rolling windows cover
+    # token positions; covered tokens are excised everywhere
+    o["substring_dedup"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(coalesce(text,''),' '), t -> t <> '') AS tk
+  FROM documents),
+w AS (
+  SELECT doc_id, i, array_to_string(tk[i+1 : i+8], ' ') AS w
+  FROM (SELECT doc_id, tk,
+               unnest(range(0, greatest(len(tk)-7, 0))) AS i
+        FROM toks)),
+c AS (SELECT w, count(*) AS n FROM w GROUP BY 1),
+dupstart AS (SELECT w.doc_id, w.i FROM w JOIN c USING (w) WHERE c.n >= 2),
+covered AS (SELECT DISTINCT doc_id, i + d AS pos
+            FROM dupstart, unnest(range(0, 8)) AS t(d)),
+tok AS (SELECT doc_id, generate_subscripts(tk,1) - 1 AS pos, unnest(tk) AS tok
+        FROM toks),
+kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+         LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+         WHERE c.pos IS NULL),
+clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+                 CAST(count(*) AS BIGINT) AS n_kept
+          FROM kept GROUP BY 1)
+SELECT d.doc_id,
+  coalesce(clean.text, '') AS text,
+  CAST(len(t.tk) AS BIGINT) AS n_tokens,
+  CAST(len(t.tk) - coalesce(clean.n_kept, 0) AS BIGINT) AS n_removed
+FROM documents d
+JOIN toks t ON d.doc_id = t.doc_id
+LEFT JOIN clean ON d.doc_id = clean.doc_id
 """
 
     return o

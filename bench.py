@@ -58,6 +58,11 @@ HEADLINE = [
     "keyword_topk",
     "mixture_sample",
     "embed_quantize",
+    # sixth-session operators (corpus cleaning)
+    "line_dedup",
+    "pii_redact",
+    "chunk_docs",
+    "substring_dedup",
 ]
 
 

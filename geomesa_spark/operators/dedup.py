@@ -760,3 +760,192 @@ def decontaminate(
         .alias("overlap_frac"),
         (F.col("n_overlap") > 0).cast("int").alias("contaminated"),
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_count: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide line-level deduplication (the C4 / RefinedWeb
+    "boilerplate removal" pass): every line whose EXACT text occurs
+    ``min_count`` or more times anywhere in the corpus is removed
+    from every document that contains it — navigation bars, cookie
+    banners, license footers.
+
+    Returns the input frame with ``text_col`` rewritten (kept lines
+    re-joined by ``sep`` in original order) plus ``n_lines`` (lines
+    before removal) and ``n_removed``. Lines shorter than
+    ``min_chars`` after splitting are treated as formatting and
+    dropped unconditionally (they are neither counted nor kept —
+    blank lines would otherwise always trip ``min_count`` corpus-wide
+    and dominate the duplicate-line shuffle key space).
+
+    Scale: one posexplode (position preserved for reassembly), one
+    map-side-combined groupBy on the line text (partial counts cross
+    the wire, not occurrences), a left_anti join of occurrences
+    against the duplicate-line set — boilerplate is rare DISTINCT
+    text, so AQE turns this into a broadcast anti-join in practice —
+    and one groupBy(id) reassembly whose sort_array runs per row.
+    Docs whose every line was removed (or whose text was NULL/empty)
+    survive with empty text — the caller decides whether an emptied
+    document is still a document.
+    """
+    import re as _re
+
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(txt, _re.escape(sep))).alias("_pos", "_line"),
+    ).where(F.length("_line") >= min_chars)
+    dup = (
+        lines.groupBy("_line")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("_line")
+    )
+    kept = lines.join(dup, "_line", "left_anti")
+    per_doc = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    clean = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            sep,
+        ).alias("_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    out_cols = [
+        F.coalesce(clean["_clean"], F.lit("")).alias(text_col)
+        if c == text_col
+        else df[c]
+        for c in df.columns
+    ]
+    return (
+        df.join(per_doc, id_col, "left")
+        .join(clean, id_col, "left")
+        .select(
+            *out_cols,
+            F.coalesce(per_doc["n_lines"], F.lit(0)).cast("long").alias("n_lines"),
+            (
+                F.coalesce(per_doc["n_lines"], F.lit(0))
+                - F.coalesce(clean["_n_kept"], F.lit(0))
+            )
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    length: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring deduplication (the ExactSubstr pass of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"):
+    every token covered by ANY ``length``-token rolling window whose
+    exact text occurs ``min_count`` or more times corpus-wide
+    (including repeats inside one document) is excised from every
+    document; the surviving tokens are re-joined in order. Unlike
+    `line_dedup` this is position-free — a copied span is caught at
+    any offset, not only on line boundaries.
+
+    All occurrences are removed (the deterministic, order-free policy
+    of the public deduplicate-text-datasets tool); keep-one-copy
+    would need a global document order. Docs shorter than ``length``
+    tokens have no windows and pass through intact.
+
+    Returns the input frame with ``text_col`` rewritten plus
+    ``n_tokens`` (before) and ``n_removed``.
+
+    Scale: windows are a posexplode bounded by corpus tokens; the
+    duplicate-window set comes from one map-side-combined count (the
+    window string is the shuffle key — hash it to 8 bytes upstream if
+    window text is long); covered positions are a semi-join of window
+    starts against that set (AQE broadcasts it — duplicated spans are
+    rare distinct text) exploded by ``length`` and deduped on
+    (doc, pos), so the fan-out is length x duplicate occurrences, not
+    corpus size. Reassembly is one groupBy(id) with a per-row
+    array_sort. Three passes read the token Generate output; at
+    warehouse scale materialize the tokenized frame once (the same
+    amortization as the stored MinHash signature table).
+    """
+    if length < 2:
+        raise ValueError(f"length must be >= 2, got {length}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(txt, " "), lambda x: x != "")
+    # let-bind the token array behind a Generate barrier (explode of a
+    # 1-element array): CollapseProject would otherwise inline the
+    # lambda-bearing split into every downstream use, and lambda
+    # expressions are excluded from codegen subexpression elimination
+    arr = df.select(F.col(id_col), F.explode(F.array(toks)).alias("_tk"))
+    n = F.size("_tk")
+    n_win = n - (length - 1)
+    windows = F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.array_join(F.slice(F.col("_tk"), i + 1, length), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    win = arr.select(F.col(id_col), F.posexplode(windows).alias("_wpos", "_w"))
+    dup = (
+        win.groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("_w")
+    )
+    covered = (
+        win.join(dup, "_w", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("_wpos"), F.col("_wpos") + (length - 1))
+            ).alias("_pos"),
+        )
+        .dropDuplicates([id_col, "_pos"])
+    )
+    tok_rows = arr.select(F.col(id_col), F.posexplode("_tk").alias("_pos", "_tok"))
+    kept = tok_rows.join(covered, [id_col, "_pos"], "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    per_doc = arr.select(F.col(id_col), n.cast("long").alias("_n_tokens"))
+    out_cols = [
+        F.coalesce(clean["_clean"], F.lit("")).alias(text_col)
+        if c == text_col
+        else df[c]
+        for c in df.columns
+    ]
+    return (
+        df.join(per_doc, id_col, "left")
+        .join(clean, id_col, "left")
+        .select(
+            *out_cols,
+            F.coalesce(per_doc["_n_tokens"], F.lit(0)).alias("n_tokens"),
+            (
+                F.coalesce(per_doc["_n_tokens"], F.lit(0))
+                - F.coalesce(clean["_n_kept"], F.lit(0))
+            )
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

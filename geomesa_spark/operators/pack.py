@@ -134,3 +134,60 @@ def token_shards(
             f" div {int(budget)}"
         ),
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 512,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split each document into fixed-size token windows — the
+    example-shaping step between cleaning and `token_shards` packing.
+    Windows start at 0, ``stride``, 2*stride, … while the start is
+    inside the document, so a doc with n tokens emits
+    ``ceil(n / stride)`` chunks (0 for empty/NULL text); the last
+    window is the (possibly short) suffix. ``stride < chunk_size``
+    gives the standard overlapping sliding window.
+
+    Output: (id_col, chunk_id, n_tokens, chunk_text) — one row per
+    window, chunk_id dense from 0 in document order.
+
+    Scale: a narrow per-row explode — no shuffle, no Python, no
+    driver state; the generate fan-out is bounded by corpus tokens /
+    stride. The token array is let-bound through the explode (the
+    sequence length n is computed once per row), and an empty
+    sequence guard keeps zero-token docs from raising on
+    sequence(0, -1) — same hazard as media.frame_sample_plan.
+    """
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+    stride = chunk_size if stride is None else stride
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "), lambda x: x != ""
+    )
+    # let-bind the token array behind a Generate barrier (explode of a
+    # 1-element array): CollapseProject would otherwise inline the
+    # lambda-bearing split into BOTH size() and slice(), and lambda
+    # expressions are excluded from codegen subexpression elimination
+    with_toks = df.select(F.col(id_col), F.explode(F.array(toks)).alias("_tk"))
+    n = F.size("_tk")
+    n_chunks = F.ceil(n / F.lit(stride)).cast("long")
+    starts = F.when(n > 0, F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    ex = with_toks.select(
+        F.col(id_col),
+        F.col("_tk"),
+        F.explode(starts).alias("chunk_id"),
+    )
+    window = F.slice(F.col("_tk"), F.col("chunk_id") * stride + 1, chunk_size)
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(window).cast("long").alias("n_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )

@@ -341,3 +341,39 @@ def keyword_topk(
         .where(F.col("_rk") <= k)
         .select(id_col, "token", F.col("tf").cast("long").alias("tf"), "df", "score_fp")
     )
+
+
+# PII scrubbing patterns, chosen to behave identically under Java's
+# regex (Spark) and RE2 (DuckDB oracle): no backreferences, no
+# lookaround, ASCII \d / \b only. Application ORDER matters and is
+# fixed: emails first (a numeric local part would otherwise leave a
+# digit run for the phone pass), then IPs (dotted quads are a strict
+# subset of the phone pattern's alphabet), then phones.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d().\- ]{6,}\d\b", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column, kinds: tuple[str, ...] | None = None) -> Column:
+    """Replace emails / dotted-quad IPs / phone-number-shaped digit
+    runs with typed placeholder tokens — the standard pre-training
+    privacy scrub. Pure chained ``regexp_replace`` (whole-stage
+    codegen, a narrow per-row map: no shuffle, no Python, full
+    pushdown of any surrounding filter). ``kinds`` subsets/reorders
+    the pass list; default is the safe fixed order in
+    ``PII_PATTERNS`` (see ordering note there). Heuristic by design —
+    a recall-first scrub catches formatted numbers, not prose-embedded
+    PII; pair with a model-based pass where that matters."""
+    order = list(PII_PATTERNS)
+    if kinds is not None:
+        by_kind = {k: (k, p, t) for k, p, t in PII_PATTERNS}
+        unknown = set(kinds) - set(by_kind)
+        if unknown:
+            raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+        order = [by_kind[k] for k in kinds]
+    out = text
+    for _, pat, tok in order:
+        out = F.regexp_replace(out, pat, tok)
+    return out

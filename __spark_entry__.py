@@ -1326,6 +1326,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["substring_dedup"] = substring_dedup_gate
 
+    def ingest_dedup_gate(spark, sf):
+        """Streaming ingest-dedup batch twin (`replay_dedup` — the
+        state `ingest_dedup_stream` converges to on an in-order
+        feed): first record per content fingerprint by (ts, seq),
+        computed as ONE partial-aggregated min-struct groupBy, never
+        a row_number sort. Fingerprints engineered as
+        (user_id % 311, event_type) so the corpus has real duplicate
+        pressure; pytest drives the live multi-batch stream,
+        cross-batch rejection, and TTL-horizon eviction."""
+        from geomesa_spark.streaming import replay_dedup
+
+        ev = _load(spark, sf, "events")
+        log = ev.select(
+            F.concat_ws(
+                ":", (F.col("user_id") % 311).cast("string"), F.col("event_type")
+            ).alias("fp"),
+            F.unix_timestamp("ts").cast("double").alias("ts"),
+            F.col("event_id").alias("seq"),
+            F.col("event_type").alias("val"),
+        )
+        return replay_dedup(log, ["fp"], ["ts", "seq"])
+
+    q["ingest_dedup"] = ingest_dedup_gate
+
     return q
 
 
@@ -2385,6 +2409,22 @@ SELECT d.doc_id,
 FROM documents d
 JOIN toks t ON d.doc_id = t.doc_id
 LEFT JOIN clean ON d.doc_id = clean.doc_id
+"""
+
+    # streaming ingest-dedup batch twin: global event-order first
+    # record per fingerprint (unix_timestamp truncates to seconds,
+    # hence the floor(epoch))
+    o["ingest_dedup"] = """
+WITH log AS (
+  SELECT CAST(user_id % 311 AS VARCHAR) || ':' || event_type AS fp,
+         CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) AS ts,
+         event_id AS seq,
+         event_type AS val
+  FROM events)
+SELECT fp, ts, seq, val FROM (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY ts, seq) AS rn
+  FROM log
+) WHERE rn = 1
 """
 
     return o

@@ -63,6 +63,7 @@ HEADLINE = [
     "pii_redact",
     "chunk_docs",
     "substring_dedup",
+    "ingest_dedup",
 ]
 
 

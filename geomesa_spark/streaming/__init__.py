@@ -11,3 +11,9 @@ from geomesa_spark.streaming.upsert import (  # noqa: F401
     replay_state,
     upsert_stream,
 )
+from geomesa_spark.streaming.ingest import (  # noqa: F401
+    dedup_batch,
+    ingest_dedup_stream,
+    read_accepted,
+    replay_dedup,
+)

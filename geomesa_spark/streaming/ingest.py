@@ -120,10 +120,12 @@ def ingest_dedup_stream(
         else:
             fresh = win
         # the anti-join output feeds BOTH the accepted write and the
-        # state union; pin it so the two writes see one evaluation
-        fresh = fresh.localCheckpoint(eager=True)
+        # state union: commit the accepted version first, then derive
+        # the state mark from the WRITTEN files — one evaluation, no
+        # localCheckpoint blocks accumulating across micro-batches of
+        # a long-running stream
         accepted_io.write_version(fresh, batch_id)
-        mark = fresh.select(
+        mark = accepted_io.read_version(batch_id).select(
             *fingerprint_cols, F.col(ts_col).cast("double").alias("_seen_ts")
         )
         new_seen = mark if seen is None else seen.unionByName(mark)

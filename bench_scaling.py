@@ -157,20 +157,26 @@ def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
     spark.sparkContext.setLogLevel("ERROR")
     if kind == "shuffle":
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    if kind == "dedup":
-        from geomesa_spark.operators.dedup import minhash_lsh_pairs
+    if kind in ("dedup", "clean"):
+        from geomesa_spark.operators.dedup import minhash_lsh_pairs, substring_dedup
 
         texts = spark.read.parquet(TEXT_CORPUS)
 
-        def dedup_pipeline():
-            out = minhash_lsh_pairs(texts, 0.5, n=3, hash_fn="xxhash")
+        def pipeline():
+            if kind == "dedup":
+                out = minhash_lsh_pairs(texts, 0.5, n=3, hash_fn="xxhash")
+            else:
+                # corpus cleaning: exact-substring excision — the
+                # engineered near-dup groups share long token spans,
+                # so the duplicate-window set is real, not hash noise
+                out = substring_dedup(texts, length=8, min_count=2)
             out.write.format("noop").mode("overwrite").save()
 
-        dedup_pipeline()  # warm-up
+        pipeline()  # warm-up
         wall = float("inf")
         for _ in range(3):
             t0 = time.time()
-            dedup_pipeline()
+            pipeline()
             wall = min(wall, time.time() - t0)
         n = texts.count()
         spark.stop()
@@ -299,7 +305,6 @@ def main() -> None:
         return
 
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
-    build_corpus(n_docs)
 
     # the whole two-level protocol repeats (interleaved) and each
     # level keeps its MINIMUM wall across repeats: ambient co-tenant
@@ -308,11 +313,14 @@ def main() -> None:
     # of the engine's own cost (same rationale as the in-process
     # min-of-3)
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
-    VALID_KINDS = ("broadcast", "shuffle", "bucketed", "geom", "knn", "dedup")
+    VALID_KINDS = (
+        "broadcast", "shuffle", "bucketed", "geom", "knn", "dedup", "clean",
+    )
     kinds = [
         k.strip()
         for k in os.environ.get(
-            "SPARK_GRAFT_SCALING_KINDS", "broadcast,shuffle,bucketed,geom,knn,dedup"
+            "SPARK_GRAFT_SCALING_KINDS",
+            "broadcast,shuffle,bucketed,geom,knn,dedup,clean",
         ).split(",")
         if k.strip()
     ]
@@ -324,10 +332,14 @@ def main() -> None:
             f"invalid SPARK_GRAFT_SCALING_KINDS "
             f"({bad or 'empty'}); valid: {VALID_KINDS}"
         )
-    if "dedup" in kinds:
-        # 1/16 of the spatial corpus keeps the timed dedup job tens
-        # of seconds at local[4] (signature+band+verify is ~25x the
-        # per-row cost of the broadcast PIP pipeline)
+    if any(k in kinds for k in ("broadcast", "shuffle", "bucketed", "geom", "knn")):
+        # the spatial corpus is only needed by the spatial kinds — a
+        # text-only protocol run shouldn't pay the 16M-doc build
+        build_corpus(n_docs)
+    if "dedup" in kinds or "clean" in kinds:
+        # 1/16 of the spatial corpus keeps the timed dedup/clean jobs
+        # tens of seconds at local[4] (signature+band+verify is ~25x
+        # the per-row cost of the broadcast PIP pipeline)
         build_text_corpus(n_docs // 16)
     walls: dict[tuple[str, int], float] = {
         (k, c): float("inf") for k in kinds for c in (4, 16)

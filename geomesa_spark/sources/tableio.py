@@ -175,3 +175,81 @@ class IcebergVersionedIO:
             if int((r.summary or {}).get("batch", -1)) == int(version):
                 return int(r.snapshot_id)
         raise KeyError(f"no snapshot for batch {version}")
+
+
+def compact_versions(io: ParquetVersionedIO, upto: int | None = None) -> int | None:
+    """Merge every committed version <= `upto` (default: all) of an
+    INCREMENT-shaped versioned dir (disjoint row sets per version —
+    `streaming.ingest`'s accepted output) into the single top slot
+    `v=<upto>`, so readers union O(1) versions instead of O(batches).
+    The analog of the tablet compactions the reference's Accumulo
+    layer relies on for the same read-amplification problem.
+
+    Crash-safe single-writer maintenance (NOT concurrent with an
+    active writer on the same dir, and readers during the swap can
+    observe a partial union — run it between ingest runs, like any
+    compaction window):
+
+      1. union -> staging dir ``compact_tmp_<target>`` (the target
+         slot is encoded in the NAME; parquet's own ``_SUCCESS``
+         marks it committed);
+      2. delete the input ``v=<i>`` dirs (i < target);
+      3. delete ``v=<target>`` and rename staging into its place.
+
+    A crash between 2 and 3 loses nothing: the staging dir holds a
+    committed superset, and the next `compact_versions` call resumes
+    at step 3 (a staging dir WITHOUT ``_SUCCESS`` is a torn step-1
+    write and is discarded instead). Returns the surviving version,
+    or None when the dir has no committed versions."""
+    from functools import reduce
+
+    jvm, root, fs = io._fs()
+
+    def _path(name: str):
+        return jvm.org.apache.hadoop.fs.Path(f"{io.root}/{name}")
+
+    def _swap(target_version: int) -> int:
+        for v in io.versions():
+            if v <= target_version:
+                fs.delete(_path(f"v={v}"), True)
+        fs.rename(_path(f"compact_tmp_{target_version}"), _path(f"v={target_version}"))
+        return target_version
+
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith("compact_tmp_"):
+                continue
+            if fs.exists(_path(f"{name}/_SUCCESS")):
+                # interrupted run: staging is a committed superset of
+                # every remaining version at-or-below its target slot
+                return _swap(int(name[len("compact_tmp_"):]))
+            fs.delete(st.getPath(), True)  # torn step-1 write
+
+    vs = [v for v in io.versions() if upto is None or v <= upto]
+    if not vs:
+        return None
+    target = vs[-1]
+    if len(vs) == 1:
+        return target  # nothing to merge
+    union = reduce(
+        lambda a, b: a.unionByName(b), (io.read_version(v) for v in vs)
+    )
+    union.write.mode("overwrite").parquet(f"{io.root}/compact_tmp_{target}")
+    return _swap(target)
+
+
+def truncate_history(io: ParquetVersionedIO, keep_last: int = 1) -> list[int]:
+    """Drop old versions of a FULL-STATE-shaped dir (every version is
+    the complete keyed state — `upsert_stream` / the ingest seen
+    state), keeping the newest `keep_last`. Bounds the time-travel /
+    replay window, which otherwise grows with every micro-batch.
+    Returns the versions removed."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    jvm, root, fs = io._fs()
+    vs = io.versions()
+    drop = vs[:-keep_last] if keep_last < len(vs) else []
+    for v in drop:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{io.root}/v={v}"), True)
+    return drop

@@ -1350,6 +1350,138 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ingest_dedup"] = ingest_dedup_gate
 
+    def asof_join_gate(spark, sf):
+        """As-of join: each click gains the most recent at-or-before
+        view of the same user — union-tag + one per-key running
+        window, so the plan has one Exchange on the key and NO range
+        join (operators/temporal.py). Right side reduced unique per
+        (user, ts) first; fixed-point value keeps raw doubles out of
+        the row hash."""
+        from geomesa_spark.operators.temporal import asof_join
+
+        ev = _load(spark, sf, "events")
+        left = ev.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        right = (
+            ev.where(F.col("event_type") == "view")
+            .withColumn(
+                "vfx", F.floor(F.col("value") * F.lit(1000000.0)).cast("long")
+            )
+            .groupBy("user_id", "ts")
+            .agg(
+                F.max("event_id").alias("view_id"),
+                F.max("vfx").alias("view_vfx"),
+            )
+        )
+        out = asof_join(left, right, "user_id", "ts")
+        return out.select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("es"),
+            F.unix_micros(F.col("r_ts").cast("timestamp")).alias("r_es"),
+            F.col("r_view_id"),
+            F.col("r_view_vfx"),
+        )
+
+    q["asof_join"] = asof_join_gate
+
+    def interval_join_gate(spark, sf):
+        """Point-in-interval join: views matched to the same user's
+        one-day post-click windows. Intervals explode over their
+        O(len/width) time buckets and the match is a plain
+        (key, bucket) equi-join + exact filter — no
+        BroadcastNestedLoopJoin theta join at any scale."""
+        from geomesa_spark.operators.temporal import interval_join
+
+        ev = _load(spark, sf, "events")
+        wins = ev.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("wid"),
+            "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("end"),
+        )
+        pts = ev.where(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts"
+        )
+        out = interval_join(
+            pts, wins, "user_id", "ts", "start", "end", bucket_width=86400.0
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("es"),
+            F.col("i_wid"),
+            F.unix_micros(F.col("i_start").cast("timestamp")).alias("i_ses"),
+        )
+
+    q["interval_join"] = interval_join_gate
+
+    def overlap_join_gate(spark, sf):
+        """Interval-overlap join: 12-hour click windows x 12-hour
+        view windows per user, each overlapping pair emitted exactly
+        once — both sides explode over shared time buckets and the
+        bucket containing max(start_l, start_r) is the pair's single
+        responsible one (no post-join dedup Exchange)."""
+        from geomesa_spark.operators.temporal import overlap_join
+
+        ev = _load(spark, sf, "events")
+
+        def win(event_type, idc):
+            return ev.where(F.col("event_type") == event_type).select(
+                F.col("event_id").alias(idc),
+                "user_id",
+                F.col("ts").alias("s"),
+                (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("e"),
+            )
+
+        out = overlap_join(
+            win("click", "aid"),
+            win("view", "bid"),
+            "user_id",
+            "s",
+            "e",
+            "s",
+            "e",
+            bucket_width=43200.0,
+        )
+        return out.select(
+            "user_id",
+            F.col("l_aid"),
+            F.col("r_bid"),
+            F.unix_micros(F.col("l_s").cast("timestamp")).alias("l_ses"),
+            F.unix_micros(F.col("r_s").cast("timestamp")).alias("r_ses"),
+        )
+
+    q["overlap_join"] = overlap_join_gate
+
+    def attr_stats_gate(spark, sf):
+        """Attribute stats collection (the query-planning metadata of
+        geomesa-utils stats/Cardinality.scala:11-16): bounds, counts,
+        exact distinct counts and the high/low cardinality class per
+        attribute, in ONE partial-aggregated pass."""
+        from geomesa_spark.operators.stats import attr_stats
+
+        ev = _load(spark, sf, "events")
+        return attr_stats(ev, ["event_id", "user_id", "event_type"])
+
+    q["attr_stats"] = attr_stats_gate
+
+    def numeric_profile_gate(spark, sf):
+        """Exact numeric moments + quantiles of the value column on a
+        1e-6 fixed-point lattice: integer sums are order-independent,
+        so mean/std are bit-reproducible across partitionings, and
+        the dyadic quantile fractions (.25/.5/.75) interpolate
+        exactly in both engines."""
+        from geomesa_spark.operators.stats import numeric_profile
+
+        ev = _load(spark, sf, "events")
+        return numeric_profile(
+            ev, "value", scale=1_000_000, quantiles=(0.25, 0.5, 0.75)
+        )
+
+    q["numeric_profile"] = numeric_profile_gate
+
     return q
 
 
@@ -2425,6 +2557,96 @@ SELECT fp, ts, seq, val FROM (
   SELECT *, row_number() OVER (PARTITION BY fp ORDER BY ts, seq) AS rn
   FROM log
 ) WHERE rn = 1
+"""
+
+    # as-of join: DuckDB's native ASOF JOIN is the independent oracle
+    # (the engine never builds a range join; it uses union+window)
+    o["asof_join"] = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts, max(event_id) AS view_id,
+         max(CAST(floor(value * 1000000) AS BIGINT)) AS view_vfx
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS es,
+       epoch_us(r.ts) AS r_es,
+       r.view_id AS r_view_id, r.view_vfx AS r_view_vfx
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+    o["interval_join"] = """
+WITH w AS (
+  SELECT event_id AS wid, user_id, ts AS start_ts,
+         ts + INTERVAL 1 DAY AS end_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS es,
+       w.wid AS i_wid, epoch_us(w.start_ts) AS i_ses
+FROM p JOIN w ON p.user_id = w.user_id
+            AND p.ts >= w.start_ts AND p.ts < w.end_ts
+"""
+
+    o["overlap_join"] = """
+WITH a AS (
+  SELECT event_id AS aid, user_id, ts AS s, ts + INTERVAL 12 HOURS AS e
+  FROM events WHERE event_type = 'click'
+),
+b AS (
+  SELECT event_id AS bid, user_id, ts AS s, ts + INTERVAL 12 HOURS AS e
+  FROM events WHERE event_type = 'view'
+)
+SELECT a.user_id, a.aid AS l_aid, b.bid AS r_bid,
+       epoch_us(a.s) AS l_ses, epoch_us(b.s) AS r_ses
+FROM a JOIN b ON a.user_id = b.user_id AND a.s < b.e AND b.s < a.e
+"""
+
+    # attr_stats: one UNION ALL row per profiled attribute; min/max
+    # string-rendered (bigint/varchar casts are engine-identical)
+    def _attr_stat_row(col):
+        return f"""
+SELECT '{col}' AS "column", count(*) AS n_rows, count({col}) AS n_values,
+       count(DISTINCT {col}) AS n_distinct,
+       CAST(min({col}) AS VARCHAR) AS min_value,
+       CAST(max({col}) AS VARCHAR) AS max_value,
+       CASE WHEN count(DISTINCT {col}) <= 1000 THEN 'low' ELSE 'high' END
+         AS cardinality
+FROM events"""
+
+    o["attr_stats"] = " UNION ALL ".join(
+        _attr_stat_row(c) for c in ("event_id", "user_id", "event_type")
+    )
+
+    # numeric_profile: exact integer moments on the fixed-point
+    # lattice; dyadic quantile fractions interpolate exactly in both
+    # engines (lo + f*(hi-lo) with f in {.25,.5,.75} is exact IEEE)
+    o["numeric_profile"] = """
+WITH f AS (
+  SELECT CAST(round(value * 1000000) AS BIGINT) AS fx FROM events
+),
+m AS (
+  SELECT count(*) AS n_rows, count(fx) AS n_values,
+         min(fx) AS min_fx, max(fx) AS max_fx,
+         sum(fx) AS sum_fx,
+         sum(CAST(fx AS HUGEINT) * fx) AS sumsq,
+         count(DISTINCT fx) AS n_distinct_fx,
+         quantile_cont(fx, 0.25) AS p25_fx,
+         quantile_cont(fx, 0.5) AS p50_fx,
+         quantile_cont(fx, 0.75) AS p75_fx
+  FROM f
+)
+SELECT n_rows, n_values, min_fx, max_fx, sum_fx,
+       CAST(sumsq AS VARCHAR) AS sumsq_fx, n_distinct_fx,
+       CAST(sum_fx AS DOUBLE) / n_values AS mean_fx,
+       sqrt(greatest(CAST(sumsq AS DOUBLE) / n_values
+                     - (CAST(sum_fx AS DOUBLE) / n_values)
+                       * (CAST(sum_fx AS DOUBLE) / n_values), 0.0)) AS std_fx,
+       p25_fx, p50_fx, p75_fx
+FROM m
 """
 
     return o

@@ -435,6 +435,15 @@ def main() -> None:
                  "shingles). Signature compute is embarrassingly "
                  "parallel; the band join and verify join are the "
                  "exchange-bound fraction",
+        "clean": "exact-substring excision (substring_dedup, L=8, "
+                 "min_count=2) over the same engineered-near-dup text "
+                 "corpus — the Lee-et-al ExactSubstr cleanup: rolling "
+                 "window hash, corpus-wide duplicated-window count, "
+                 "covered-position fan-out bounded by L x duplicate "
+                 "occurrences, in-order token reassembly. A "
+                 "token-explode-heavy aggregation profile (rows "
+                 "amplified ~48x into the window groupBy) distinct "
+                 "from the dedup row's band join",
     }
     sections = []
     for k in kinds:

@@ -64,6 +64,11 @@ HEADLINE = [
     "chunk_docs",
     "substring_dedup",
     "ingest_dedup",
+    # seventh-session operators (temporal joins + stats)
+    "asof_join",
+    "interval_join",
+    "overlap_join",
+    "numeric_profile",
 ]
 
 

@@ -75,6 +75,11 @@ BBOX = (-30.005, -20.005, 40.005, 35.005)
 SCAN_T0 = datetime(2024, 1, 5, tzinfo=timezone.utc)
 SCAN_T1 = datetime(2024, 1, 20, tzinfo=timezone.utc)
 DOC_IDS = [3, 17, 42, 99, 123, 256]
+BM25_QUERIES = {
+    "q1": ["spark", "query"],
+    "q2": ["vector", "the", "zqxwv"],  # one term absent from the corpus
+    "q3": ["table"],
+}
 JACCARD_N = 2
 JACCARD_THRESHOLD = 0.2
 NEARDUP_COS = 0.45
@@ -1228,6 +1233,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return X.keyword_topk(_load(spark, sf, "documents"), k=5)
 
     q["keyword_topk"] = keyword_topk_gate
+
+    def lm_quality_gate(spark, sf):
+        """Bigram-LM quality scoring (the CCNet perplexity-filter
+        analog): train an add-1-smoothed bigram model on the corpus,
+        score every document with the fixed-point mean smoothed
+        conditional likelihood (int64 DIV arithmetic — engine-exact;
+        the float log-prob variant is pytest-checked vs numpy)."""
+        docs = _load(spark, sf, "documents")
+        model = X.bigram_lm(docs)
+        return X.lm_score(docs, model)
+
+    q["lm_quality"] = lm_quality_gate
+
+    def bm25_gate(spark, sf):
+        """BM25 keyword search top-10 per query (fixed-point scoring:
+        exact rational tf-saturation with k1=6/5, b=3/4 cleared of
+        fractions; linear idf surrogate — see bm25_topk). Postings
+        restricted by a broadcast of the query terms before any agg;
+        per-query-key top-k window, no global sort."""
+        docs = _load(spark, sf, "documents")
+        return X.bm25_topk(docs, BM25_QUERIES, k=10)
+
+    q["bm25_topk"] = bm25_gate
 
     def embed_quantize_gate(spark, sf):
         """Symmetric per-vector int8 quantization of the embedding
@@ -2425,6 +2453,78 @@ SELECT doc_id, token, tf, df, score_fp FROM (
     PARTITION BY doc_id ORDER BY score_fp DESC, token) AS rk
   FROM scored)
 WHERE rk <= 5
+"""
+
+    # bigram LM: identical integer smoothing arithmetic; contexts
+    # derive from the collapsed bigram table (sum(c12) per w1) and
+    # the vocab size is the distinct continuation count
+    o["lm_quality"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents),
+bg AS (
+  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-1)) AS i
+        FROM toks)),
+m12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+m1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM m12 GROUP BY 1),
+vv AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bg),
+pos AS (
+  SELECT b.doc_id,
+         CASE WHEN m12.c12 IS NULL THEN 1 ELSE 0 END AS oov,
+         ((COALESCE(m12.c12, 0) + 1) * 1000000)
+           // (COALESCE(m1.c1, 0) + (SELECT v FROM vv)) AS p
+  FROM bg b
+  LEFT JOIN m12 ON m12.w1 = b.w1 AND m12.w2 = b.w2
+  LEFT JOIN m1 ON m1.w1 = b.w1),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(oov) AS BIGINT) AS oov_bigrams,
+         CAST(CAST(sum(p) AS BIGINT) // count(*) AS BIGINT) AS score_fp
+  FROM pos GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       COALESCE(a.oov_bigrams, 0) AS oov_bigrams, a.score_fp
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+    bm25_vals = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in BM25_QUERIES.items() for t in ts
+    )
+    # constants below clear k1=6/5, b=3/4 of fractions:
+    # (b1+a)*d=44, b1*d=20, a*(d-c)=6, a*c=18
+    o["bm25_topk"] = f"""
+WITH q(query_id, term) AS (VALUES {bm25_vals}),
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+tt AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS t FROM toks),
+ts AS (SELECT doc_id, tok AS token, CAST(count(*) AS BIGINT) AS tf
+       FROM (SELECT doc_id, unnest(tk) AS tok FROM toks) GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM ts GROUP BY 1),
+terms AS (SELECT DISTINCT term FROM q),
+post AS (SELECT ts.* FROM ts JOIN terms ON ts.token = terms.term),
+dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+sc AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(
+           ((((SELECT n FROM nn) - dfq.df) * 1000000) // dfq.df)
+           * (p.tf * 44 * (SELECT t FROM tt))
+           // (p.tf * 20 * (SELECT t FROM tt)
+               + 6 * (SELECT t FROM tt)
+               + dl.dl * 18 * (SELECT n FROM nn))
+         ) AS BIGINT) AS score_fp
+  FROM post p
+  JOIN q ON q.term = p.token
+  JOIN dfq USING (token)
+  JOIN dl USING (doc_id)
+  GROUP BY 1, 2)
+SELECT query_id, doc_id, n_terms, score_fp, CAST(rk AS INT) AS "rank"
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rk
+      FROM sc)
+WHERE rk <= 10
 """
 
     # int8 quantization: one IEEE division + floor, both

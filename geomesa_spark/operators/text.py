@@ -377,3 +377,278 @@ def redact_pii(text: Column, kinds: tuple[str, ...] | None = None) -> Column:
     for _, pat, tok in order:
         out = F.regexp_replace(out, pat, tok)
     return out
+
+
+# ---------------------------------------------------------------------------
+# n-gram language-model quality scoring (the CCNet/KenLM perplexity
+# filter analog) and BM25 keyword search
+# ---------------------------------------------------------------------------
+
+
+def bigram_pairs(text: Column) -> Column:
+    """Adjacent token pairs as ``array<struct<w1,w2>>``. The token
+    array is let-bound behind an outer single-element ``transform``
+    (lambda-bearing expressions are excluded from codegen
+    subexpression elimination — referencing ``tokens(text)`` inside
+    the pair lambda would re-split the document once per position).
+    Documents with fewer than two tokens yield an empty array."""
+
+    def build(toks):
+        count = F.size(toks) - 1
+        return F.when(
+            count >= 1,
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    return F.transform(F.array(tokens(text)), build)[0]
+
+
+def bigram_lm(
+    train: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, int]:
+    """Train an add-alpha-smoothed bigram language model: returns
+    ``(bigrams, contexts, vocab_size)`` where ``bigrams`` is one row
+    per distinct (w1, w2) with its corpus count ``c12``, ``contexts``
+    is one row per distinct left context w1 with ``c1 = sum(c12)``
+    (so P(·|w1) sums to 1 before smoothing by construction), and
+    ``vocab_size`` is the number of distinct continuation tokens —
+    the smoothing denominator's outcome count.
+
+    Scale: one explode plus two partial-aggregated groupBys (the
+    (w1, w2) key space is corpus-wide, so the first shuffle has no
+    hot key; the contexts rollup runs over the already-collapsed
+    bigram table, not the corpus). ``vocab_size`` is a single bounded
+    driver scalar — the same class of decision as the kNN round
+    scalar. The counts frames are the model; at warehouse scale they
+    persist as tables and amortize across scoring runs like the
+    bucketed spatial layouts."""
+    bg = train.select(F.explode(bigram_pairs(F.col(text_col))).alias("bg")).select(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    # lazy localCheckpoint: contexts and the scoring join both consume
+    # the collapsed bigram table; without the pin the explode+groupBy
+    # would re-execute per consumer (the minhash band-join lesson)
+    bigrams = bigrams.localCheckpoint(eager=False)
+    contexts = bigrams.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    vocab_size = bigrams.select("w2").distinct().count()
+    return bigrams, contexts, int(vocab_size)
+
+
+def lm_score(
+    df: DataFrame,
+    model: tuple[DataFrame, DataFrame, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: int = 1,
+    scale: int = 1_000_000,
+    log_space: bool = False,
+) -> DataFrame:
+    """Score documents under a trained bigram LM — the perplexity
+    quality filter of the CCNet pipeline (docs whose text the model
+    finds improbable are low-quality/out-of-domain candidates).
+
+    Default output is FIXED-POINT and bit-reproducible on any engine
+    (the repo's oracle convention, like ``keyword_topk``): per
+    position ``p_fp = ((c12 + alpha) * scale) DIV (c1 + alpha * V)``
+    — pure int64 arithmetic — and per document
+
+    - ``n_bigrams``: scored positions (0 for <2-token docs),
+    - ``oov_bigrams``: positions whose bigram the model never saw,
+    - ``score_fp``: ``sum(p_fp) DIV n_bigrams`` (NULL when n=0) —
+      the mean smoothed conditional likelihood, monotone in fluency.
+
+    ``log_space=True`` instead returns ``avg_logprob = avg(ln p)``
+    (the classical per-token log-likelihood; ``perplexity =
+    exp(-avg_logprob)``) — float, for production ranking, pytest-
+    checked against numpy rather than hash-gated (ln is not
+    ULP-portable across engines).
+
+    Plan shape: explode_outer keeps empty documents (the
+    ``decontaminate`` idiom); two token-keyed equi-joins against the
+    collapsed model tables (stopword contexts are hot — AQE skew
+    handles them, and the fan-out is bounded by the document's own
+    length); one partial-aggregated groupBy back to the doc key. No
+    Python anywhere in the plan."""
+    bigrams, contexts, vocab_size = model
+    pos = df.select(
+        F.col(id_col),
+        F.explode_outer(bigram_pairs(F.col(text_col))).alias("bg"),
+    ).select(
+        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    joined = pos.join(bigrams, ["w1", "w2"], "left").join(
+        contexts, ["w1"], "left"
+    )
+    denom = F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha * vocab_size)
+    num = F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha)
+    if log_space:
+        p = F.when(
+            F.col("w1").isNotNull(),
+            F.ln(num.cast("double") / denom.cast("double")),
+        )
+        agg = joined.groupBy(id_col).agg(
+            F.count("w1").cast("long").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("w1").isNotNull() & F.col("c12").isNull(), 1).otherwise(0)
+            ).cast("long").alias("oov_bigrams"),
+            F.avg(p).alias("avg_logprob"),
+        )
+        return agg
+    p_fp = F.when(F.col("w1").isNotNull(), (num * F.lit(scale)).cast("long"))
+    agg = (
+        joined.withColumn("_pnum", p_fp)
+        .withColumn("_pden", denom.cast("long"))
+        .groupBy(id_col)
+        .agg(
+            F.count("w1").cast("long").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("w1").isNotNull() & F.col("c12").isNull(), 1).otherwise(0)
+            ).cast("long").alias("oov_bigrams"),
+            F.sum(F.expr("_pnum DIV _pden")).cast("long").alias("_sum_fp"),
+        )
+        .withColumn(
+            "score_fp",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.expr("_sum_fp DIV n_bigrams"),
+            ).cast("long"),
+        )
+        .drop("_sum_fp")
+    )
+    return agg
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: tuple[int, int] = (6, 5),
+    b: tuple[int, int] = (3, 4),
+    idf_scale: int = 1_000_000,
+    scoring: str = "fixed",
+) -> DataFrame:
+    """Keyword search: top-k documents per query under BM25 — the
+    retrieval pass a decontamination / curation pipeline runs against
+    the training corpus (and the text analog of the reference's
+    attribute-index query path: term postings play the role of the
+    attribute index, geomesa-accumulo AttributeIndexStrategy).
+
+    ``queries`` is a DataFrame of ``(query_id, term)`` rows or a
+    ``{query_id: [terms]}`` dict (set-of-terms semantics; duplicate
+    terms collapse). ``k1``/``b`` are exact rationals ``(num, den)``
+    — the defaults are the classic 1.2 / 0.75.
+
+    ``scoring="fixed"`` (the oracle path, bit-reproducible): with
+    k1=a/b1, b=c/d and corpus totals N docs / T tokens, each matched
+    term contributes
+
+        idf_fp  = ((N - df) * idf_scale) DIV df          -- linear idf
+        term_fp = (idf_fp * tf*(b1+a)*d*T)
+                  DIV (tf*b1*d*T + a*(d-c)*T + a*c*dl*N)
+
+    — the exact BM25 tf-saturation curve (numerator/denominator
+    cleared of fractions), with a linear idf surrogate in place of
+    ln((N-df+.5)/(df+.5)) (ln is not ULP-portable across engines;
+    both weights are strictly decreasing in df). int64 range: safe
+    while idf_scale * N * tf * 44 * T stays under 2^63 — lower
+    ``idf_scale`` for trillion-token corpora. ``scoring="float"`` is
+    classic BM25 (double, ln idf) for production ranking, tested
+    against numpy rather than hash-gated.
+
+    Plan shape: the postings list is ONE corpus scan (term_stats)
+    semi-restricted by a broadcast of the distinct query terms before
+    any aggregation — document frequencies and matches are computed
+    over that restricted frame, never the full vocabulary. Doc
+    lengths ride the same term_stats frame (no second corpus scan);
+    N and T are two bounded driver scalars. Final top-k is a per-
+    query-key window, never a global sort."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if scoring not in ("fixed", "float"):
+        raise ValueError(f"scoring must be fixed|float, got {scoring!r}")
+    spark = df.sparkSession
+    if isinstance(queries, dict):
+        rows = [(qid, t) for qid, terms in queries.items() for t in terms]
+        queries = spark.createDataFrame(rows, "query_id string, term string")
+    qterms = queries.select("query_id", "term").distinct()
+
+    ts = term_stats(df, text_col, id_col)
+    # one corpus scan feeds postings, doc-frequency AND doc length:
+    # pin it (lazy) so the three consumers don't re-run the explode
+    ts = ts.localCheckpoint(eager=False)
+    n_docs, total_tokens = df.select(
+        F.count(F.lit(1)), F.coalesce(F.sum(token_count(F.col(text_col))), F.lit(0))
+    ).first()
+    n_docs, total_tokens = int(n_docs), int(total_tokens)
+
+    terms_only = qterms.select("term").distinct()
+    postings = ts.join(
+        F.broadcast(terms_only), ts["token"] == F.col("term"), "inner"
+    ).drop("term")
+    postings = postings.localCheckpoint(eager=False)
+    dfreq = postings.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    dl = ts.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+
+    a, b1 = int(k1[0]), int(k1[1])
+    c, d = int(b[0]), int(b[1])
+    matched = (
+        postings.join(F.broadcast(qterms), postings["token"] == qterms["term"])
+        .drop("term")
+        .join(dfreq, "token")
+        .join(dl, id_col)
+    )
+    if scoring == "float":
+        idf = F.ln(
+            (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        k1f, bf = a / b1, c / d
+        avgdl = total_tokens / max(n_docs, 1)
+        term = (
+            idf
+            * (F.col("tf") * F.lit(k1f + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1f) * (F.lit(1.0 - bf) + F.lit(bf) * F.col("dl") / F.lit(avgdl))
+            )
+        )
+        scored = matched.groupBy("query_id", id_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(term).alias("score"),
+        )
+        order = [F.col("score").desc(), F.col(id_col).asc()]
+    else:
+        T, N = total_tokens, n_docs
+        idf_fp = F.expr(f"(({N}L - df) * {idf_scale}L) DIV df")
+        num = F.col("tf") * F.lit((b1 + a) * d * T)
+        den = (
+            F.col("tf") * F.lit(b1 * d * T)
+            + F.lit(a * (d - c) * T)
+            + F.col("dl") * F.lit(a * c * N)
+        )
+        scored = (
+            matched.withColumn("_n", (idf_fp * num).cast("long"))
+            .withColumn("_d", den.cast("long"))
+            .groupBy("query_id", id_col)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_terms"),
+                F.sum(F.expr("_n DIV _d")).cast("long").alias("score_fp"),
+            )
+        )
+        order = [F.col("score_fp").desc(), F.col(id_col).asc()]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )

@@ -1,0 +1,201 @@
+"""Bigram-LM quality scoring (lm_score) and BM25 search (bm25_topk)."""
+
+import math
+from collections import Counter
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators import text as X
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the cat sat on the hat"),
+    (2, "dog runs fast dog runs far"),
+    (3, "the"),          # 1 token -> zero bigrams
+    (4, ""),             # empty -> zero bigrams
+    (5, "  the   cat  "),  # padded whitespace, 2 tokens
+    (6, "zz yy xx ww"),  # every bigram unseen elsewhere
+]
+
+
+def _train(rows):
+    c12, c1, w2 = Counter(), Counter(), set()
+    for _, t in rows:
+        tk = [w for w in t.split(" ") if w]
+        for i in range(len(tk) - 1):
+            c12[(tk[i], tk[i + 1])] += 1
+            c1[tk[i]] += 1
+            w2.add(tk[i + 1])
+    return c12, c1, len(w2)
+
+
+def test_lm_score_fixed_oracle(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    model = X.bigram_lm(df)
+    got = {r.doc_id: r for r in X.lm_score(df, model).collect()}
+    c12, c1, V = _train(DOCS)
+    assert V == model[2]
+    for did, t in DOCS:
+        tk = [w for w in t.split(" ") if w]
+        n = max(len(tk) - 1, 0)
+        r = got[did]
+        assert r.n_bigrams == n
+        if n == 0:
+            assert r.score_fp is None and r.oov_bigrams == 0
+            continue
+        ps = [
+            ((c12[(tk[i], tk[i + 1])] + 1) * 1_000_000) // (c1[tk[i]] + V)
+            for i in range(n)
+        ]
+        assert r.score_fp == sum(ps) // n
+        assert r.oov_bigrams == sum(
+            1 for i in range(n) if c12[(tk[i], tk[i + 1])] == 0
+        )
+
+
+def test_lm_score_heldout_oov_and_ranking(spark):
+    """A held-out in-domain doc outscores gibberish; unseen bigrams
+    count as OOV and unseen contexts fall back to the uniform
+    smoothed floor."""
+    train = spark.createDataFrame(DOCS, "doc_id long, text string")
+    model = X.bigram_lm(train)
+    test = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "qq pp rr ss tt")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in X.lm_score(test, model).collect()}
+    assert got[101].oov_bigrams == 4
+    assert got[100].score_fp > got[101].score_fp
+    # unseen context w1: denominator is exactly alpha*V
+    _, _, V = model
+    assert got[101].score_fp == ((0 + 1) * 1_000_000) // V
+
+
+def test_lm_score_log_space_matches_numpy(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    model = X.bigram_lm(df)
+    got = {r.doc_id: r for r in X.lm_score(df, model, log_space=True).collect()}
+    c12, c1, V = _train(DOCS)
+    for did, t in DOCS:
+        tk = [w for w in t.split(" ") if w]
+        if len(tk) < 2:
+            assert got[did].avg_logprob is None
+            continue
+        lp = np.mean([
+            math.log((c12[(tk[i], tk[i + 1])] + 1) / (c1[tk[i]] + V))
+            for i in range(len(tk) - 1)
+        ])
+        assert abs(got[did].avg_logprob - lp) < 1e-12
+
+
+def _bm25_fixed_oracle(rows, queries, k):
+    texts = dict(rows)
+    tf = {d: Counter(w for w in t.split(" ") if w) for d, t in rows}
+    N = len(rows)
+    T = sum(sum(c.values()) for c in tf.values())
+    allterms = {t for ts in queries.values() for t in ts}
+    dfreq = {t: sum(1 for d in tf if tf[d].get(t, 0) > 0) for t in allterms}
+    out = {}
+    for qid, terms in queries.items():
+        sc = {}
+        for d in tf:
+            dl = sum(tf[d].values())
+            s, m = 0, 0
+            for t in set(terms):
+                f = tf[d].get(t, 0)
+                if f == 0:
+                    continue
+                m += 1
+                idf = ((N - dfreq[t]) * 1_000_000) // dfreq[t]
+                s += (idf * (f * 44 * T)) // (f * 20 * T + 6 * T + dl * 18 * N)
+            if m:
+                sc[d] = (s, m)
+        out[qid] = sorted(sc.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
+    return out
+
+
+def test_bm25_fixed_oracle(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = {"a": ["cat", "dog"], "b": ["the", "nosuch"], "c": ["mat"]}
+    got = X.bm25_topk(df, queries, k=3).collect()
+    want = _bm25_fixed_oracle(DOCS, queries, 3)
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {q for q, w in want.items() if w}
+    for qid, rows_ in by_q.items():
+        assert [r.doc_id for r in rows_] == [d for d, _ in want[qid]]
+        assert [r.score_fp for r in rows_] == [s for d, (s, m) in want[qid]]
+        assert [r.n_terms for r in rows_] == [m for d, (s, m) in want[qid]]
+        assert [r.rank for r in rows_] == list(range(1, len(rows_) + 1))
+
+
+def test_bm25_float_matches_numpy(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = {"a": ["cat", "dog", "runs"]}
+    got = X.bm25_topk(df, queries, k=4, scoring="float").collect()
+    tf = {d: Counter(w for w in t.split(" ") if w) for d, t in DOCS}
+    N = len(DOCS)
+    T = sum(sum(c.values()) for c in tf.values())
+    avgdl = T / N
+    dfreq = {t: sum(1 for d in tf if tf[d].get(t, 0) > 0) for t in queries["a"]}
+    sc = {}
+    for d in tf:
+        dl = sum(tf[d].values())
+        s = 0.0
+        for t in set(queries["a"]):
+            f = tf[d].get(t, 0)
+            if f == 0:
+                continue
+            idf = math.log((N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * f * 2.2 / (f + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        if s != 0.0:
+            sc[d] = s
+    want = sorted(sc.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    rows_ = sorted(got, key=lambda r: r.rank)
+    assert [r.doc_id for r in rows_] == [d for d, _ in want]
+    for r, (_, s) in zip(rows_, want):
+        assert abs(r.score - s) < 1e-12
+
+
+def test_bm25_validation(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        X.bm25_topk(df, {"a": ["x"]}, k=0)
+    with pytest.raises(ValueError):
+        X.bm25_topk(df, {"a": ["x"]}, scoring="exact")
+
+
+def test_lm_and_bm25_no_python_in_plan(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    model = X.bigram_lm(df)
+    plans = [
+        X.lm_score(df, model)._jdf.queryExecution().executedPlan().toString(),
+        X.bm25_topk(df, {"a": ["cat"]}, k=2)
+        ._jdf.queryExecution().executedPlan().toString(),
+    ]
+    for p in plans:
+        assert "Python" not in p and "Pandas" not in p
+
+
+def test_bm25_query_dataframe_input(spark):
+    """DataFrame query input (the distributed form) matches the dict
+    form, and duplicate terms collapse (set semantics)."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        [("a", "cat"), ("a", "cat"), ("a", "dog")],
+        "query_id string, term string",
+    )
+    got1 = sorted(
+        X.bm25_topk(df, qdf, k=3).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    got2 = sorted(
+        X.bm25_topk(df, {"a": ["cat", "dog"]}, k=3).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    assert [(r.doc_id, r.score_fp) for r in got1] == [
+        (r.doc_id, r.score_fp) for r in got2
+    ]

@@ -88,6 +88,9 @@ ANN_NQ = 5
 IVF_LISTS = 16
 IVF_PROBES = 2
 IVF_SEED = 7
+PQ_M = 4
+PQ_K = 8
+PQ_SEED = 11
 SIMHASH_MAX_HAMMING = 3
 HEATMAP_RADIUS_PX = 2
 PIPE_QUALITY = 0.55
@@ -832,6 +835,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ivf_topk"] = ivf_topk
+
+    def pq_topk_gate(spark, sf):
+        """Product-quantization ADC search: corpus compressed to
+        PQ_M one-byte codes/vector, query keeps full precision,
+        distance = integer table-lookup sum (exact, engine-exact)."""
+        emb = _load(spark, sf, "embeddings")
+        cb = N.pq_hyperplane_codebooks(64, PQ_M, PQ_K, seed=PQ_SEED)
+        return N.pq_topk(emb, emb.filter(F.col("vec_id") < ANN_NQ), ANN_K, cb)
+
+    q["pq_topk"] = pq_topk_gate
 
     # --- BIN export: pack -> distributed unpack roundtrip, fields
     # compared against the oracle (lat/lon as exact centidegrees —
@@ -2128,6 +2141,45 @@ scored AS (
 SELECT qid, vec_id, cos, CAST(rk AS INT) AS "rank" FROM (
   SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
   FROM scored
+) WHERE rk <= {ANN_K}
+"""
+
+    # PQ: the deterministic fixed-point codebooks are inlined verbatim
+    # (the ivf_topk convention) as a 512-row VALUES table; distances
+    # are exact integer sums so the ADC ranking hashes identically.
+    PQCB = N.pq_hyperplane_codebooks(64, PQ_M, PQ_K, seed=PQ_SEED)
+    _pq_ds = 64 // PQ_M
+    pq_vals = ", ".join(
+        f"({m}, {c}, {m * _pq_ds + i + 1}, {int(PQCB[m][c][i])})"
+        for m in range(PQ_M)
+        for c in range(PQ_K)
+        for i in range(_pq_ds)
+    )
+    o["pq_topk"] = f"""
+WITH {_EMB_FIXED_CTE},
+cb(m, code, i, cbv) AS (VALUES {pq_vals}),
+d AS (
+  SELECT ex.vec_id, cb.m, cb.code,
+         CAST(sum((ex.v - cb.cbv) * (ex.v - cb.cbv)) AS BIGINT) AS dist
+  FROM ex JOIN cb ON cb.i = ex.i
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, code, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rk
+    FROM d
+  ) WHERE rk = 1
+),
+ad AS (
+  SELECT q.vec_id AS qid, c.vec_id AS vec_id, CAST(sum(q.dist) AS BIGINT) AS adist
+  FROM codes c
+  JOIN d q ON q.m = c.m AND q.code = c.code
+          AND q.vec_id < {ANN_NQ} AND c.vec_id <> q.vec_id
+  GROUP BY 1, 2
+)
+SELECT qid, vec_id, adist, CAST(rk AS INT) AS "rank" FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk
+  FROM ad
 ) WHERE rk <= {ANN_K}
 """
 

@@ -69,6 +69,8 @@ HEADLINE = [
     "interval_join",
     "overlap_join",
     "numeric_profile",
+    # eighth-session operators
+    "pq_topk",
 ]
 
 

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from geomesa_spark.operators.dedup import FIXED_SCALE as FIXED
 from geomesa_spark.operators.dedup import _dot, _fixed
 
 
@@ -580,3 +581,270 @@ def dequantize_col(q_col, scale_col) -> F.Column:
     s = F.col(scale_col) if isinstance(scale_col, str) else scale_col
     q = F.col(q_col) if isinstance(q_col, str) else q_col
     return F.transform(q, lambda x: x.cast("double") * s)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — codebook compression + ADC search
+# ---------------------------------------------------------------------------
+
+
+def pq_hyperplane_codebooks(
+    dim: int, n_sub: int, k: int, seed: int = 42, scale: float = 0.25
+) -> np.ndarray:
+    """Deterministic fixed-point PQ codebooks with NO training pass:
+    per-subspace pseudo-gaussian points (the `hyperplanes` splitmix64
+    stream, one seed offset per subspace, scaled toward the data's
+    magnitude) quantized onto the dedup.FIXED_SCALE integer lattice.
+    Shape (n_sub, k, dim/n_sub), dtype int64 — the same constants are
+    inlined verbatim into the SQL oracle, so encode and ADC search
+    reproduce bit-exactly on any engine (the `ivf_topk` gate
+    convention). For recall-grade codebooks train with `pq_train`."""
+    if dim % n_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    ds = dim // n_sub
+    books = [
+        np.floor(hyperplanes(ds, k, seed=seed + 7919 * m) * scale * FIXED)
+        for m in range(n_sub)
+    ]
+    return np.stack(books).astype(np.int64)
+
+
+def _codebook_lit(codebooks: np.ndarray) -> F.Column:
+    """(n_sub, k, ds) int64 array as a nested array literal column."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(int(v)) for v in cent])
+                    for cent in book
+                ]
+            )
+            for book in codebooks
+        ]
+    )
+
+
+def _pq_codes_and_dists(fv, codebooks: np.ndarray):
+    """Per-subspace L2 distances to every centroid and the argmin
+    code, as pure column expressions over a fixed-point vector `fv`.
+    Returns (codes array<int>, dists array<array<long>>). The
+    centroid loop is a `transform` over the codebook LITERAL — plan
+    size is O(n_sub) regardless of dim or k, and everything stays in
+    whole-stage codegen."""
+    n_sub, _, ds = codebooks.shape
+    cb = _codebook_lit(codebooks)
+
+    def dist_fn(sub):
+        # a single-arg closure, NOT `lambda cent, s=sub`: PySpark
+        # reads a second Python parameter (even defaulted) as the
+        # (element, index) lambda form and binds it to the int index
+        def to_cent(cent):
+            return F.aggregate(
+                F.zip_with(sub, cent, lambda x, c: (x - c) * (x - c)),
+                F.lit(0).cast("long"),
+                lambda acc, d: acc + d,
+            )
+
+        return to_cent
+
+    dist_arrays = []
+    for m in range(n_sub):
+        sub = F.slice(fv, m * ds + 1, ds)
+        dists = F.transform(F.element_at(cb, m + 1), dist_fn(sub))
+        dist_arrays.append(dists)
+    dist_col = F.array(*dist_arrays)
+    codes = F.transform(
+        dist_col,
+        lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
+    )
+    return codes, dist_col
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Append PQ codes (array<int>, one centroid index per subspace;
+    argmin L2 in the fixed-point lattice, first-index tie-break).
+    A narrow per-row map — no shuffle, no Python: at corpus scale the
+    codes column is (n_sub bytes)/vector vs 4*dim, the classic
+    32-64x ANN compression, and encode runs at parquet-scan speed.
+
+    Like `faiss.IndexPQ.add`; the engine analog of the reference's
+    attribute-index write path (a derived compact key persisted next
+    to the record, geomesa-accumulo AttributeTable)."""
+
+    def build(fv):
+        codes, _ = _pq_codes_and_dists(fv, codebooks)
+        return codes
+
+    # let-bind the fixed vector behind a single-element transform so
+    # the float->fixed conversion runs once, not once per subspace
+    return df.withColumn(
+        out_col, F.transform(F.array(_fixed(F.col(vec_col))), build)[0]
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    codes_col: str | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query keeps full
+    precision, the corpus is its PQ codes, and each candidate's
+    distance is a table lookup sum — `faiss.IndexPQ.search`.
+
+    Per query row the subspace-distance table (n_sub x k int64,
+    computed by the same expressions as encode) rides the broadcast;
+    each corpus row then costs n_sub array lookups — no per-pair
+    arithmetic over dim elements, which is the entire point of ADC:
+    the scan is bandwidth-bound on the codes column (n_sub bytes/row)
+    instead of compute-bound on 4*dim floats. Exact integer sums, so
+    results are engine-exact. Pre-encoded corpora pass their stored
+    column via `codes_col` (the warehouse layout: encode once, scan
+    many); otherwise codes are derived inline.
+
+    At 10^12 vectors compose with the IVF list key (bucketed table,
+    `ivf_topk`) so each query's ADC scan touches only its probed
+    lists; this operator is the in-list scan of that composition and
+    the exhaustive baseline on its own. Returns
+    (qid, vec_id, adist, rank) — adist in the FIXED_SCALE^2 lattice.
+    """
+    n_sub = codebooks.shape[0]
+    if codes_col is None:
+        enc = pq_encode(corpus, codebooks, vec_col=vec_col, out_col="_pq")
+        codes = F.col("_pq")
+    else:
+        enc = corpus
+        codes = F.col(codes_col)
+    c = enc.select(F.col(id_col).alias("c_id"), codes.alias("c_codes"))
+
+    def qbuild(fv):
+        _, dists = _pq_codes_and_dists(fv, codebooks)
+        return dists
+
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.transform(F.array(_fixed(F.col(q_vec_col))), qbuild)[0].alias("q_tab"),
+    )
+    adist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(n_sub)),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc
+        + F.element_at(
+            F.element_at(F.col("q_tab"), m),
+            F.element_at(F.col("c_codes"), m) + 1,
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adist").asc(), F.col("vec_id").asc())
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("qid"),
+            F.col("c_id").alias("vec_id"),
+            adist.alias("adist"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    n_sub: int,
+    k: int,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 3,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train PQ codebooks with distributed per-subspace L2 k-means.
+
+    Seeding is the reproducible hash sample (the k vectors with
+    smallest splitmix64-grade xxhash64(id), sliced per subspace);
+    each Lloyd iteration is ONE corpus pass: `pq_encode` with the
+    current codebooks assigns every subspace simultaneously (argmin
+    L2 — true k-means assignment, unlike the spherical max-dot of
+    `ivf_assign`), then a mapInPandas partial-sum pass accumulates
+    (subspace, code) -> (sum, count) with O(n_sub*k) rows per
+    partition — O(1) plan size in dim, the `ivf_centroids` pattern.
+    Returns (n_sub, k, ds) int64 fixed-point codebooks ready for
+    `pq_encode`/`pq_topk`."""
+    if dim % n_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    ds = dim // n_sub
+    seeds = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("h", F.xxhash64(F.col("id"), F.lit(seed)))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    S = np.array([[float(x) for x in r.v] for r in seeds], dtype=np.float64)
+    if S.shape[0] < k:  # tiny corpus: pad by repeating the last seed
+        S = np.vstack([S, np.repeat(S[-1:], k - S.shape[0], axis=0)])
+    CB = np.stack(
+        [np.floor(S[:, m * ds:(m + 1) * ds] * FIXED) for m in range(n_sub)]
+    ).astype(np.int64)
+
+    psum_schema = T.StructType(
+        [
+            T.StructField("m", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+            T.StructField("psum", T.ArrayType(T.DoubleType())),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    for _ in range(iters):
+        assigned = pq_encode(corpus, CB, vec_col=vec_col).select(vec_col, "codes")
+
+        def partial_sums(batches):
+            acc: dict[tuple[int, int], tuple[np.ndarray, int]] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+                C = np.array(pdf["codes"].to_list(), dtype=np.int64)
+                for m in range(n_sub):
+                    sub = V[:, m * ds:(m + 1) * ds]
+                    for code in np.unique(C[:, m]):
+                        msk = C[:, m] == code
+                        s, c = acc.get(
+                            (m, int(code)), (np.zeros(ds), 0)
+                        )
+                        acc[(m, int(code))] = (
+                            s + sub[msk].sum(axis=0),
+                            c + int(msk.sum()),
+                        )
+            if acc:
+                yield pd.DataFrame(
+                    {
+                        "m": [mk[0] for mk in acc],
+                        "code": [mk[1] for mk in acc],
+                        "psum": [acc[mk][0].tolist() for mk in acc],
+                        "cnt": [acc[mk][1] for mk in acc],
+                    }
+                )
+
+        sums: dict[tuple[int, int], np.ndarray] = {}
+        cnts: dict[tuple[int, int], int] = {}
+        for r in assigned.mapInPandas(partial_sums, psum_schema).collect():
+            key = (int(r.m), int(r.code))
+            sums[key] = sums.get(key, np.zeros(ds)) + np.array(r.psum)
+            cnts[key] = cnts.get(key, 0) + int(r.cnt)
+        for (m, code), c in cnts.items():
+            if c > 0:
+                CB[m][code] = np.floor(sums[(m, code)] / c * FIXED).astype(
+                    np.int64
+                )
+    return CB

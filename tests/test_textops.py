@@ -793,3 +793,98 @@ def test_quantized_ann_recall(spark):
     a = approx.set_index("qid")["vec_id"].to_dict()
     hits = sum(1 for q in e if a.get(q) == e[q])
     assert hits / len(e) >= 0.9
+
+
+# --- product quantization ---
+
+
+def _np_pq_codes(v, CB):
+    n_sub, _, ds = CB.shape
+    fv = np.floor(np.array(v, dtype=np.float64) * 1e6).astype(np.int64)
+    codes = []
+    for m in range(n_sub):
+        sub = fv[m * ds:(m + 1) * ds]
+        d = ((sub[None, :] - CB[m]) ** 2).sum(axis=1)
+        codes.append(int(np.flatnonzero(d == d.min())[0]))
+    return codes
+
+
+def test_pq_encode_matches_numpy(emb_df):
+    df, rows = emb_df
+    CB = N.pq_hyperplane_codebooks(16, 4, 4, seed=3)
+    got = {r.vec_id: list(r.codes)
+           for r in N.pq_encode(df, CB).select("vec_id", "codes").collect()}
+    for i, v in rows:
+        assert got[i] == _np_pq_codes(v, CB), i
+
+
+def test_pq_topk_adc_parity(emb_df):
+    """ADC distances are exact integer table-lookup sums — engine-exact
+    vs the numpy oracle, including the (adist, vec_id) tie order."""
+    df, rows = emb_df
+    CB = N.pq_hyperplane_codebooks(16, 4, 4, seed=3)
+    n_sub, _, ds = CB.shape
+    fvs = {i: np.floor(np.array(v, dtype=np.float64) * 1e6).astype(np.int64)
+           for i, v in rows}
+    codes = {i: _np_pq_codes(v, CB) for i, v in rows}
+    res = N.pq_topk(df, df.filter(F.col("vec_id") < 3), 5, CB).collect()
+    got = {}
+    for r in sorted(res, key=lambda r: (r.qid, r.rank)):
+        got.setdefault(r.qid, []).append((r.vec_id, r.adist))
+    for q in range(3):
+        tab = np.stack(
+            [((fvs[q][m * ds:(m + 1) * ds][None, :] - CB[m]) ** 2).sum(axis=1)
+             for m in range(n_sub)]
+        )
+        sc = {i: int(sum(tab[m][codes[i][m]] for m in range(n_sub)))
+              for i in fvs if i != q}
+        want = sorted(sc.items(), key=lambda kv: (kv[1], kv[0]))[:5]
+        assert got[q] == want, q
+
+
+def test_pq_precomputed_codes_path(emb_df):
+    """The warehouse layout: encode once, scan many — pq_topk over a
+    stored codes column matches the inline-encode path exactly."""
+    df, _ = emb_df
+    CB = N.pq_hyperplane_codebooks(16, 4, 4, seed=3)
+    stored = N.pq_encode(df, CB, out_col="codes")
+    q = df.filter(F.col("vec_id") < 3)
+    inline = {(r.qid, r.rank): (r.vec_id, r.adist)
+              for r in N.pq_topk(df, q, 5, CB).collect()}
+    pre = {(r.qid, r.rank): (r.vec_id, r.adist)
+           for r in N.pq_topk(stored, q, 5, CB, codes_col="codes").collect()}
+    assert inline == pre
+
+
+def test_pq_train_reduces_quantization_error(clustered_emb):
+    """Lloyd iterations on the per-subspace L2 objective cut the
+    quantization error well below the untrained hyperplane books."""
+    df = clustered_emb
+    rows = [(r.vec_id, list(r.embedding))
+            for r in df.select("vec_id", "embedding").collect()]
+    CB0 = N.pq_hyperplane_codebooks(16, 4, 8, seed=3)
+    CBt = N.pq_train(df, 4, 8, 16, iters=3, seed=3)
+    assert CBt.shape == (4, 8, 4)
+
+    def qerr(CB):
+        n_sub, _, ds = CB.shape
+        tot = 0.0
+        for _, v in rows:
+            fv = np.floor(np.array(v, dtype=np.float64) * 1e6).astype(np.int64)
+            for m in range(n_sub):
+                sub = fv[m * ds:(m + 1) * ds]
+                tot += float(((sub[None, :] - CB[m]) ** 2).sum(axis=1).min())
+        return tot / len(rows)
+
+    assert qerr(CBt) < 0.5 * qerr(CB0)
+
+
+def test_pq_plan_no_python(emb_df):
+    """encode + ADC search stay entirely in JVM codegen — no Python
+    eval anywhere in the physical plan (training is the only
+    mapInPandas stage, and it runs offline)."""
+    df, _ = emb_df
+    CB = N.pq_hyperplane_codebooks(16, 4, 4, seed=3)
+    plan = N.pq_topk(df, df.filter(F.col("vec_id") < 3), 5, CB)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan

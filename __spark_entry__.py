@@ -846,6 +846,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pq_topk"] = pq_topk_gate
 
+    def ivfpq_topk_gate(spark, sf):
+        """IVF x PQ composition (IndexIVFPQ, flat codebook): probe
+        IVF_PROBES lists, ADC-scan only their codes. Constants
+        pre-normalized + sequential-fold dots for oracle parity."""
+        emb = _load(spark, sf, "embeddings")
+        cents = N.normalize_centroids(N.hyperplanes(64, IVF_LISTS, seed=IVF_SEED))
+        cb = N.pq_hyperplane_codebooks(64, PQ_M, PQ_K, seed=PQ_SEED)
+        return N.ivf_pq_topk(
+            emb,
+            emb.filter(F.col("vec_id") < ANN_NQ),
+            ANN_K,
+            cents,
+            cb,
+            n_probes=IVF_PROBES,
+            normalize=False,
+            exact_fold=True,
+        )
+
+    q["ivfpq_topk"] = ivfpq_topk_gate
+
     # --- BIN export: pack -> distributed unpack roundtrip, fields
     # compared against the oracle (lat/lon as exact centidegrees —
     # the float32 roundtrip is lossless on the 0.01-degree grid) ---
@@ -2175,6 +2195,55 @@ ad AS (
   FROM codes c
   JOIN d q ON q.m = c.m AND q.code = c.code
           AND q.vec_id < {ANN_NQ} AND c.vec_id <> q.vec_id
+  GROUP BY 1, 2
+)
+SELECT qid, vec_id, adist, CAST(rk AS INT) AS "rank" FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk
+  FROM ad
+) WHERE rk <= {ANN_K}
+"""
+
+    # IVF x PQ: same inverted-list CTEs as ivf_topk, same codebook
+    # VALUES as pq_topk — ADC sum restricted to the probed lists.
+    o["ivfpq_topk"] = f"""
+WITH di AS ({ivf_long}),
+asg AS (
+  SELECT vec_id, li FROM (
+    SELECT vec_id, li,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, li) AS rk
+    FROM di
+  ) WHERE rk = 1
+),
+qp AS (
+  SELECT vec_id AS q_id, li FROM (
+    SELECT vec_id, li,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, li) AS rk
+    FROM di WHERE vec_id < {ANN_NQ}
+  ) WHERE rk <= {IVF_PROBES}
+),
+{_EMB_FIXED_CTE},
+cb(m, code, i, cbv) AS (VALUES {pq_vals}),
+d AS (
+  SELECT ex.vec_id, cb.m, cb.code,
+         CAST(sum((ex.v - cb.cbv) * (ex.v - cb.cbv)) AS BIGINT) AS dist
+  FROM ex JOIN cb ON cb.i = ex.i
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rk
+    FROM d
+  ) WHERE rk = 1
+),
+cand AS (
+  SELECT qp.q_id AS qid, a.vec_id AS vid
+  FROM qp JOIN asg a ON a.li = qp.li AND a.vec_id <> qp.q_id
+),
+ad AS (
+  SELECT cand.qid, cand.vid AS vec_id, CAST(sum(qd.dist) AS BIGINT) AS adist
+  FROM cand
+  JOIN codes c ON c.vec_id = cand.vid
+  JOIN d qd ON qd.vec_id = cand.qid AND qd.m = c.m AND qd.code = c.code
   GROUP BY 1, 2
 )
 SELECT qid, vec_id, adist, CAST(rk AS INT) AS "rank" FROM (

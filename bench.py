@@ -71,6 +71,7 @@ HEADLINE = [
     "numeric_profile",
     # eighth-session operators
     "pq_topk",
+    "ivfpq_topk",
 ]
 
 

@@ -687,6 +687,21 @@ def pq_encode(
     )
 
 
+def _adc_dist(n_sub: int) -> F.Column:
+    """The ADC lookup sum over joined (q_tab, c_codes) columns:
+    sum_m q_tab[m][c_codes[m]] — n_sub integer array lookups per
+    candidate, zero per-dimension arithmetic."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(n_sub)),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc
+        + F.element_at(
+            F.element_at(F.col("q_tab"), m),
+            F.element_at(F.col("c_codes"), m) + 1,
+        ),
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -735,15 +750,7 @@ def pq_topk(
         F.col(q_id_col).alias("q_id"),
         F.transform(F.array(_fixed(F.col(q_vec_col))), qbuild)[0].alias("q_tab"),
     )
-    adist = F.aggregate(
-        F.sequence(F.lit(1), F.lit(n_sub)),
-        F.lit(0).cast("long"),
-        lambda acc, m: acc
-        + F.element_at(
-            F.element_at(F.col("q_tab"), m),
-            F.element_at(F.col("c_codes"), m) + 1,
-        ),
-    )
+    adist = _adc_dist(n_sub)
     w = Window.partitionBy("qid").orderBy(F.col("adist").asc(), F.col("vec_id").asc())
     return (
         c.crossJoin(F.broadcast(q))
@@ -848,3 +855,112 @@ def pq_train(
                     np.int64
                 )
     return CB
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    normalize: bool = True,
+    exact_fold: bool = False,
+    broadcast_queries: bool | None = None,
+    broadcast_threshold: int = 1_000_000,
+    list_col: str | None = None,
+    codes_col: str | None = None,
+) -> DataFrame:
+    """IVF x PQ composition — the 10^12-vector ANN architecture
+    (`faiss.IndexIVFPQ` with by_residual=False): each query probes
+    its `n_probes` nearest inverted lists and scans ONLY those lists'
+    PQ codes with the ADC table-lookup distance.
+
+    Why this is the scale answer: the corpus representation per
+    vector is one int (list id) + n_sub small ints (codes) — ~40
+    bytes instead of 4*dim — and a probe touches ~n_probes/n_lists
+    of it, so a query's scan cost is (n_probes/n_lists) * n_sub
+    lookups/row over a column that fits in a fraction of the raw
+    data's footprint. In the warehouse layout both derived columns
+    are materialized once (`pq_encode` + `ivf_assign`, both narrow
+    single-pass) and the table is bucketed on the list id, making
+    the probe join a zero-Exchange bucket lookup; pass them back via
+    `list_col=`/`codes_col=`. Flat (non-residual) PQ: one global
+    codebook, so the per-query distance table is computed ONCE, not
+    once per probed list — residual encoding would buy recall at the
+    cost of an n_probes-times-larger query table and a per-list
+    centroid subtraction in the hot scan.
+
+    Probe selection is fully distributed (`ivf_probes`) and the
+    query-side join strategy auto-selects broadcast vs shuffle
+    exactly like `ivf_topk` (the broadcast side is the
+    probe-exploded frame carrying the n_sub x k distance table).
+    Distances are exact integer sums (engine-exact); the
+    approximation is IVF pruning + PQ quantization. Returns
+    (qid, vec_id, adist, rank) — adist in the FIXED_SCALE^2 lattice.
+    """
+    Cn = normalize_centroids(centroids) if normalize else np.asarray(centroids)
+    Cn = np.ascontiguousarray(Cn, dtype=np.float64)
+    n_sub = codebooks.shape[0]
+
+    if list_col is not None and codes_col is not None:
+        c = corpus.select(
+            F.col(id_col).alias("c_id"),
+            F.col(list_col).alias("c_list"),
+            F.col(codes_col).alias("c_codes"),
+        )
+    else:
+        enc = pq_encode(corpus, codebooks, vec_col=vec_col, out_col="_pq")
+        c = ivf_assign(
+            enc, Cn, vec_col=vec_col, out_col="c_list",
+            normalize=False, exact_fold=exact_fold,
+        ).select(
+            F.col(id_col).alias("c_id"),
+            F.col("c_list"),
+            F.col("_pq").alias("c_codes"),
+        )
+
+    def qbuild(fv):
+        _, dists = _pq_codes_and_dists(fv, codebooks)
+        return dists
+
+    q_base = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.transform(F.array(_fixed(F.col(q_vec_col))), qbuild)[0].alias("q_tab"),
+        F.col(q_vec_col).alias("_raw"),
+    )
+    q = (
+        ivf_probes(
+            q_base, Cn, n_probes, vec_col="_raw", out_col="_probes",
+            normalize=False, exact_fold=exact_fold,
+        )
+        .withColumn("c_list", F.explode(F.col("_probes")))
+        .drop("_raw", "_probes")
+    )
+    if broadcast_queries is None:
+        eff_probes = min(max(n_probes, 1), len(Cn))
+        limit = broadcast_threshold // eff_probes
+        if limit < 1:
+            broadcast_queries = False
+        else:
+            n_q = queries.limit(limit + 1).count()
+            broadcast_queries = n_q <= limit
+    q_side = F.broadcast(q) if broadcast_queries else q
+    w = Window.partitionBy("qid").orderBy(
+        F.col("adist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        c.join(q_side, ["c_list"], "inner")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("qid"),
+            F.col("c_id").alias("vec_id"),
+            _adc_dist(n_sub).alias("adist"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -888,3 +888,63 @@ def test_pq_plan_no_python(emb_df):
     plan = N.pq_topk(df, df.filter(F.col("vec_id") < 3), 5, CB)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_ivf_pq_topk_numpy_parity(emb_df):
+    """IVF x PQ composition: probes + ADC within probed lists match a
+    numpy oracle exactly (integer distances, stable tie order)."""
+    df, rows = emb_df
+    CB = N.pq_hyperplane_codebooks(16, 4, 4, seed=3)
+    C = N.normalize_centroids(N.hyperplanes(16, 4, seed=9))
+    n_sub, _, ds = CB.shape
+    fvs = {i: np.floor(np.array(v, dtype=np.float64) * 1e6).astype(np.int64)
+           for i, v in rows}
+    raw = {i: np.array(v, dtype=np.float64) for i, v in rows}
+    codes = {i: _np_pq_codes(v, CB) for i, v in rows}
+    lists = {i: int(np.argmax(raw[i] @ C.T)) for i in raw}
+    res = N.ivf_pq_topk(
+        df, df.filter(F.col("vec_id") < 3), 5, C, CB,
+        n_probes=2, normalize=False,
+    ).collect()
+    got = {}
+    for r in sorted(res, key=lambda r: (r.qid, r.rank)):
+        got.setdefault(r.qid, []).append((r.vec_id, r.adist))
+    for q in range(3):
+        dots = raw[q] @ C.T
+        order = np.argsort(-dots, kind="stable")[:2]
+        probed = set(int(x) for x in order)
+        tab = np.stack(
+            [((fvs[q][m * ds:(m + 1) * ds][None, :] - CB[m]) ** 2).sum(axis=1)
+             for m in range(n_sub)]
+        )
+        sc = {i: int(sum(tab[m][codes[i][m]] for m in range(n_sub)))
+              for i in fvs if i != q and lists[i] in probed}
+        want = sorted(sc.items(), key=lambda kv: (kv[1], kv[0]))[:5]
+        assert got[q] == want, q
+
+
+def test_ivf_pq_stored_layout(emb_df):
+    """The warehouse path: pre-materialized (list_id, codes) columns
+    produce identical results to the inline derivation — and the
+    stored-layout plan contains no Python stage at query time (probe
+    selection on the tiny query side is the only mapInPandas)."""
+    df, _ = emb_df
+    CB = N.pq_hyperplane_codebooks(16, 4, 4, seed=3)
+    C = N.normalize_centroids(N.hyperplanes(16, 4, seed=9))
+    stored = N.ivf_assign(
+        N.pq_encode(df, CB, out_col="codes"), C, out_col="list_id",
+        normalize=False,
+    ).select("vec_id", "embedding", "list_id", "codes")
+    stored = stored.sparkSession.createDataFrame(
+        stored.collect(), stored.schema
+    )  # materialize: simulates a read from the bucketed table
+    q = df.filter(F.col("vec_id") < 3)
+    inline = {(r.qid, r.rank): (r.vec_id, r.adist)
+              for r in N.ivf_pq_topk(df, q, 5, C, CB, n_probes=2,
+                                     normalize=False).collect()}
+    pre = N.ivf_pq_topk(
+        stored, q, 5, C, CB, n_probes=2, normalize=False,
+        list_col="list_id", codes_col="codes",
+    )
+    got = {(r.qid, r.rank): (r.vec_id, r.adist) for r in pre.collect()}
+    assert inline == got

@@ -365,3 +365,76 @@ def test_salt_buckets_mismatch_raises(spark, tmp_path_factory):
                          clear_stale_location=True)
     n = pip_join_bucketed(spark, "mm_pts", "mm_cov", polys, bits=6).count()
     assert n == 200  # every point is inside the box
+
+
+def test_ivfpq_bucketed_corpus_no_corpus_exchange(spark):
+    """The 10^12-vector ANN layout end-to-end: embeddings stored
+    bucketed on the IVF list id with PQ codes materialized, queried
+    via ivf_pq_topk's shuffle path — the corpus side joins straight
+    off its buckets (no Exchange above its scan; the only exchanges
+    are the tiny probe-exploded query side and the final top-k
+    window)."""
+    import shutil
+
+    from geomesa_spark.operators import ann as N
+
+    spark.sql("DROP TABLE IF EXISTS ivfpq_corpus")
+    shutil.rmtree("spark-warehouse/ivfpq_corpus", ignore_errors=True)
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(4, 16))
+    rows = [
+        (i, [float(x) for x in base[i % 4] + rng.normal(scale=0.3, size=16)])
+        for i in range(600)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    CB = N.pq_hyperplane_codebooks(16, 4, 4, seed=3)
+    C16 = N.normalize_centroids(N.hyperplanes(16, 4, seed=9))
+    stored = N.ivf_assign(
+        N.pq_encode(emb, CB, out_col="codes"), C16, out_col="list_id",
+        normalize=False,
+    )
+    write_bucketed(
+        stored, "ivfpq_corpus", bucket_col="list_id", n_buckets=8,
+        sort_cols=["list_id"],
+    )
+    corpus = read_bucketed(spark, "ivfpq_corpus")
+    q = emb.filter(F.col("vec_id") < 3)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        res = N.ivf_pq_topk(
+            corpus, q, 5, C16, CB, n_probes=2, normalize=False,
+            broadcast_queries=False, list_col="list_id", codes_col="codes",
+        )
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        # corpus scan feeds the join with no shuffle: every Exchange
+        # in the plan sits on the query/window side, so there must be
+        # no Exchange whose subtree contains the bucketed FileScan
+        scan_seg = plan[plan.index("ivfpq_corpus"):]
+        assert "Bucketed: true" in plan
+        before_scan = plan[: plan.index("ivfpq_corpus")]
+        # the scan's operator column prefix: count Exchanges between
+        # the SMJ and the scan on the corpus branch by checking the
+        # lines from the join to the scan
+        lines = plan.splitlines()
+        scan_i = next(i for i, l in enumerate(lines) if "ivfpq_corpus" in l)
+        smj_i = max(
+            i for i, l in enumerate(lines[:scan_i]) if "SortMergeJoin" in l
+        )
+        corpus_branch = "\n".join(lines[smj_i:scan_i])
+        assert "Exchange" not in corpus_branch, corpus_branch
+
+        # parity vs the inline path over the raw frame
+        inline = {
+            (r.qid, r.rank): (r.vec_id, r.adist)
+            for r in N.ivf_pq_topk(
+                emb, q, 5, C16, CB, n_probes=2, normalize=False
+            ).collect()
+        }
+        got = {(r.qid, r.rank): (r.vec_id, r.adist) for r in res.collect()}
+        assert got == inline
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS ivfpq_corpus")

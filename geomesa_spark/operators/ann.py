@@ -609,30 +609,24 @@ def pq_hyperplane_codebooks(
     return np.stack(books).astype(np.int64)
 
 
-def _codebook_lit(codebooks: np.ndarray) -> F.Column:
-    """(n_sub, k, ds) int64 array as a nested array literal column."""
+def _subbook_lit(book: np.ndarray) -> F.Column:
+    """(k, ds) int64 subspace codebook as an array<array<long>>
+    literal column."""
     return F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(int(v)) for v in cent])
-                    for cent in book
-                ]
-            )
-            for book in codebooks
-        ]
+        *[F.array(*[F.lit(int(v)) for v in cent]) for cent in book]
     )
 
 
 def _pq_codes_and_dists(fv, codebooks: np.ndarray):
     """Per-subspace L2 distances to every centroid and the argmin
     code, as pure column expressions over a fixed-point vector `fv`.
-    Returns (codes array<int>, dists array<array<long>>). The
-    centroid loop is a `transform` over the codebook LITERAL — plan
-    size is O(n_sub) regardless of dim or k, and everything stays in
-    whole-stage codegen."""
+    Returns (codes array<int>, dists array<array<long>>). Each
+    subspace's `transform` runs over ITS OWN (k, ds) literal slice —
+    embedding the whole codebook once per subspace would make the
+    plan O(n_sub * dim * k) nodes (Janino death at M=96/k=256/
+    dim=768); this way it is O(dim * k) total, the size of the
+    codebook itself, and everything stays in whole-stage codegen."""
     n_sub, _, ds = codebooks.shape
-    cb = _codebook_lit(codebooks)
 
     def dist_fn(sub):
         # a single-arg closure, NOT `lambda cent, s=sub`: PySpark
@@ -650,7 +644,7 @@ def _pq_codes_and_dists(fv, codebooks: np.ndarray):
     dist_arrays = []
     for m in range(n_sub):
         sub = F.slice(fv, m * ds + 1, ds)
-        dists = F.transform(F.element_at(cb, m + 1), dist_fn(sub))
+        dists = F.transform(_subbook_lit(codebooks[m]), dist_fn(sub))
         dist_arrays.append(dists)
     dist_col = F.array(*dist_arrays)
     codes = F.transform(

@@ -32,6 +32,7 @@ from geomesa_spark.operators import analytics as A
 from geomesa_spark.operators import ann as N
 from geomesa_spark.operators import dedup as D
 from geomesa_spark.operators import text as X
+from geomesa_spark.operators import url as UOP
 from geomesa_spark.operators.knn import knn_join
 from geomesa_spark.operators.spatial_join import (
     pip_join_broadcast,
@@ -91,6 +92,27 @@ IVF_SEED = 7
 PQ_M = 4
 PQ_K = 8
 PQ_SEED = 11
+DOMAIN_QUOTA = 3
+# deterministic URL synthesis over doc_id — ANSI expression accepted
+# verbatim by BOTH Spark SQL and DuckDB (mixed-case schemes/hosts,
+# www, default + non-default ports, tracking params, fragments,
+# trailing slashes, two-label public suffixes)
+URL_SYNTH_EXPR = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://' || "
+    "CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END || "
+    "CASE WHEN doc_id % 8 = 0 THEN 'Site' ELSE 'site' END || "
+    "CAST(doc_id % 7 AS STRING) || "
+    "CASE WHEN doc_id % 4 = 0 THEN '.co.uk' WHEN doc_id % 4 = 1 THEN '.com' "
+    "WHEN doc_id % 4 = 2 THEN '.org.au' ELSE '.news.example.com' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN ':80' WHEN doc_id % 5 = 1 THEN ':8080' "
+    "WHEN doc_id % 5 = 2 THEN ':443' ELSE '' END || "
+    "'/p/' || CAST(doc_id % 11 AS STRING) || "
+    "CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END || "
+    "CASE WHEN doc_id % 6 = 0 THEN '?utm_source=x&b=2&a=1' "
+    "WHEN doc_id % 6 = 1 THEN '?b=2&a=1' "
+    "WHEN doc_id % 6 = 2 THEN '?fbclid=zz' ELSE '' END || "
+    "CASE WHEN doc_id % 9 = 0 THEN '#frag' ELSE '' END"
+)
 SIMHASH_MAX_HAMMING = 3
 HEATMAP_RADIUS_PX = 2
 PIPE_QUALITY = 0.55
@@ -865,6 +887,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ivfpq_topk"] = ivfpq_topk_gate
+
+    # --- URL canonicalization (documents carries no URL column, so
+    # the gate derives one deterministically from doc_id — the
+    # bin_export convention — via ONE shared SQL expression valid in
+    # both engines) ---
+    def url_normalize_gate(spark, sf):
+        docs = _load(spark, sf, "documents")
+        urls = docs.select("doc_id", F.expr(URL_SYNTH_EXPR).alias("url"))
+        return UOP.url_profile(urls)
+
+    q["url_normalize"] = url_normalize_gate
+
+    def domain_quota_gate(spark, sf):
+        docs = _load(spark, sf, "documents")
+        urls = docs.select("doc_id", F.expr(URL_SYNTH_EXPR).alias("url"))
+        return UOP.domain_quota_sample(urls, DOMAIN_QUOTA)
+
+    q["domain_quota"] = domain_quota_gate
 
     # --- BIN export: pack -> distributed unpack roundtrip, fields
     # compared against the oracle (lat/lon as exact centidegrees —
@@ -2250,6 +2290,69 @@ SELECT qid, vec_id, adist, CAST(rk AS INT) AS "rank" FROM (
   SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk
   FROM ad
 ) WHERE rk <= {ANN_K}
+"""
+
+    # URL canonicalization: the full normalization spec re-expressed
+    # in DuckDB (RE2) — every regex is lookaround-free so Java regex
+    # and RE2 agree byte-for-byte.
+    _sufs = ", ".join(f"'{s}'" for s in UOP.TWO_LABEL_SUFFIXES)
+    _URL_NORM_CTE = f"""urls AS (
+  SELECT doc_id, {URL_SYNTH_EXPR} AS url FROM documents
+),
+u1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM urls),
+parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(lower(regexp_extract(u,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?:]*)', 1)), '^www\\.', '') AS host,
+    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?:]*:([0-9]+)', 1) AS port,
+    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS path,
+    regexp_extract(u, '\\?(.*)$', 1) AS query
+  FROM u1
+),
+norm AS (
+  SELECT doc_id, url, scheme, host,
+    CASE WHEN (scheme = 'http' AND port = '80')
+          OR (scheme = 'https' AND port = '443')
+          OR port = '' THEN '' ELSE ':' || port END AS portseg,
+    CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(path, '/+$', '') END AS npath,
+    coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+      x -> x <> '' AND NOT regexp_matches(x,
+        '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)'))), '&'), '') AS qs
+  FROM parts
+),
+canon AS (
+  SELECT doc_id, url, host,
+    scheme || '://' || host || portseg || npath
+      || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS nurl,
+    CASE WHEN len(string_split(host, '.')) >= 3
+          AND string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+              IN ({_sufs})
+         THEN string_split(host, '.')[-3] || '.'
+              || string_split(host, '.')[-2] || '.'
+              || string_split(host, '.')[-1]
+         WHEN len(string_split(host, '.')) >= 2
+         THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+         ELSE host END AS domain
+  FROM norm
+)"""
+    o["url_normalize"] = f"""
+WITH {_URL_NORM_CTE}
+SELECT doc_id, url, nurl, host, domain FROM canon
+"""
+
+    o["domain_quota"] = f"""
+WITH {_URL_NORM_CTE},
+pages AS (
+  SELECT nurl, domain, min(doc_id) AS doc_id
+  FROM canon GROUP BY 1, 2
+)
+SELECT doc_id, nurl, domain FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY domain ORDER BY doc_id, nurl) AS rk
+  FROM pages
+) WHERE rk <= {DOMAIN_QUOTA}
 """
 
     o["bin_export"] = """

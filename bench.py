@@ -72,6 +72,8 @@ HEADLINE = [
     # eighth-session operators
     "pq_topk",
     "ivfpq_topk",
+    "url_normalize",
+    "domain_quota",
 ]
 
 

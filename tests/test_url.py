@@ -1,0 +1,134 @@
+"""URL canonicalization vs a python oracle implementing the same
+spec, plus determinism/plan checks for the dedup/quota operators."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators import url as U
+
+_SKIP = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+
+
+def py_normalize(url: str) -> str:
+    u = re.sub(r"#.*$", "", url)
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", u)
+    scheme = m.group(1).lower() if m else ""
+    hm = re.match(_SKIP + r"([^/?:]*)", u)
+    host = re.sub(r"^www\.", "", hm.group(1).lower()) if hm else ""
+    pm = re.match(_SKIP + r"[^/?:]*:([0-9]+)", u)
+    port = pm.group(1) if pm else ""
+    am = re.match(_SKIP + r"[^/?]*([^?]*)", u)
+    path = am.group(1) if am else ""
+    qm = re.search(r"\?(.*)$", u)
+    query = qm.group(1) if qm else ""
+    if (scheme, port) in (("http", "80"), ("https", "443")) or port == "":
+        portseg = ""
+    else:
+        portseg = ":" + port
+    path = re.sub(r"/+$", "", path) or "/"
+    params = sorted(
+        x for x in query.split("&")
+        if x and not re.match(r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)", x)
+    )
+    qs = "&".join(params)
+    return scheme + "://" + host + portseg + path + ("?" + qs if qs else "")
+
+
+def py_domain(host: str) -> str:
+    labels = host.split(".")
+    if len(labels) >= 3 and ".".join(labels[-2:]) in U.TWO_LABEL_SUFFIXES:
+        return ".".join(labels[-3:])
+    if len(labels) >= 2:
+        return ".".join(labels[-2:])
+    return host
+
+
+CASES = [
+    "http://www.Example.COM/a/b?utm_source=tw&b=2&a=1#frag",
+    "HTTPS://example.com:443/a/",
+    "http://example.com:80/",
+    "http://example.com:8080/x?fbclid=abc&z=9",
+    "https://news.site.co.uk/story//",
+    "https://www.sub.deep.example.org.au/p?ref=rss&q=term",
+    "http://single",
+    "http://EXAMPLE.com",
+    "https://example.com/path?b=2&b=1&a=3",
+    "http://example.com/?utm_campaign=x&utm_medium=y",
+    "https://host.com/p?a",
+    "http://host.com/p?&&a=1",
+    "https://www.example.co.jp:9443/x/y/z/",
+    "http://a.b.c.d.com/deep?gclid=1&msclkid=2&keep=3",
+    "https://example.com",
+    "http://www.example.com#only-frag",
+    "https://example.com/UPPER/Case/Path",
+    "http://example.com/p?z=26&y=25&x=24&utm_term=t",
+]
+
+
+@pytest.fixture(scope="module")
+def url_df(spark):
+    return spark.createDataFrame(
+        [(i, u) for i, u in enumerate(CASES)], "doc_id long, url string"
+    )
+
+
+def test_normalize_matches_python(url_df):
+    got = {r.doc_id: r.nurl for r in U.url_profile(url_df).collect()}
+    for i, u in enumerate(CASES):
+        assert got[i] == py_normalize(u), (u, got[i], py_normalize(u))
+
+
+def test_domain_matches_python(url_df):
+    rows = U.url_profile(url_df).collect()
+    for r in rows:
+        assert r.domain == py_domain(r.host), (r.url, r.domain)
+
+
+def test_url_dedup_min_id_wins(spark):
+    variants = [
+        (7, "http://www.Example.com/page?utm_source=a"),
+        (3, "http://example.com/page/"),
+        (9, "HTTP://EXAMPLE.COM:80/page#x"),
+        (5, "https://other.com/page"),
+    ]
+    df = spark.createDataFrame(variants, "doc_id long, url string")
+    got = {r.nurl: r.doc_id for r in U.url_dedup(df).collect()}
+    assert got == {
+        "http://example.com/page": 3,
+        "https://other.com/page": 5,
+    }
+
+
+def test_domain_quota_sample(spark):
+    rows = [(i, f"http://site{'a' if i < 8 else 'b'}.com/p{i}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = U.domain_quota_sample(df, 3).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r.domain, []).append(r.doc_id)
+    assert sorted(by_dom["sitea.com"]) == [0, 1, 2]  # lowest ids kept
+    assert sorted(by_dom["siteb.com"]) == [8, 9, 10]
+
+
+def test_domain_counts_blocklist(spark):
+    rows = [
+        (1, "http://spam.com/x"),
+        (2, "http://spam.com/y"),
+        (3, "http://ok.com/a"),
+        (4, "http://www.ok.com/a/"),  # same canonical page as 3
+        (5, "http://ok.com/b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.domain: r.n_pages
+           for r in U.domain_counts(df, blocklist=("spam.com",)).collect()}
+    assert got == {"ok.com": 2}
+
+
+def test_url_plan_all_jvm(url_df):
+    plan = (
+        U.url_profile(url_df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan and "InPandas" not in plan

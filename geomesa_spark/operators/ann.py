@@ -721,10 +721,13 @@ def pq_topk(
     column via `codes_col` (the warehouse layout: encode once, scan
     many); otherwise codes are derived inline.
 
-    At 10^12 vectors compose with the IVF list key (bucketed table,
-    `ivf_topk`) so each query's ADC scan touches only its probed
-    lists; this operator is the in-list scan of that composition and
-    the exhaustive baseline on its own. Returns
+    At 10^12 vectors compose with the IVF list key (`ivf_pq_topk`,
+    the bucketed stored layout) so each query's ADC scan touches only
+    its probed lists; this operator is the in-list scan of that
+    composition and the exhaustive baseline on its own. The query
+    table is broadcast unconditionally (n_sub*k longs per query —
+    fine up to ~10^5 queries); larger query sets belong on
+    `ivf_pq_topk`'s auto shuffle path. Returns
     (qid, vec_id, adist, rank) — adist in the FIXED_SCALE^2 lattice.
     """
     n_sub = codebooks.shape[0]

@@ -174,13 +174,21 @@ def domain_quota_sample(
     max_per_domain: int,
     url_col: str = "url",
     id_col: str = "doc_id",
+    n_salts: int = 16,
 ) -> DataFrame:
     """At most `max_per_domain` canonical URLs per registered domain,
     chosen deterministically (lowest id per URL, then lowest-id URLs
-    within the domain). The per-domain rank is one window over the
-    deduped URL set — cardinality = distinct pages, already orders of
-    magnitude below raw rows; a skewed mega-domain bounds its own
-    output at max_per_domain."""
+    within the domain).
+
+    Skew-safe two-stage top-N: a mega-domain (crawls routinely have
+    one domain with 10^9 pages) would force the whole domain through
+    ONE window partition, so the first rank runs over (domain, salt)
+    — `n_salts` bounded partitions per domain, each keeping its local
+    top max_per_domain — and only the surviving
+    n_salts * max_per_domain rows per domain reach the exact final
+    window. The union of per-salt top-Ns contains the global top-N
+    under the same ordering, so the result is identical to the
+    single-window form."""
     p = url_parts(F.col(url_col))
     host = F.regexp_replace(p["host"], "^www\\.", "")
     deduped = (
@@ -192,9 +200,15 @@ def domain_quota_sample(
         .groupBy("nurl", "domain")
         .agg(F.min(F.col(id_col)).alias(id_col))
     )
-    w = Window.partitionBy("domain").orderBy(F.col(id_col).asc(), F.col("nurl").asc())
+    order = [F.col(id_col).asc(), F.col("nurl").asc()]
+    pre = Window.partitionBy(
+        "domain", F.pmod(F.xxhash64("nurl"), F.lit(n_salts))
+    ).orderBy(*order)
+    w = Window.partitionBy("domain").orderBy(*order)
     return (
-        deduped.withColumn("_rk", F.row_number().over(w))
+        deduped.withColumn("_prk", F.row_number().over(pre))
+        .filter(F.col("_prk") <= max_per_domain)
+        .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= max_per_domain)
         .select(id_col, "nurl", "domain")
     )

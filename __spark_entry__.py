@@ -93,6 +93,7 @@ PQ_M = 4
 PQ_K = 8
 PQ_SEED = 11
 DOMAIN_QUOTA = 3
+RERANK_KPRIME = 30
 # deterministic URL synthesis over doc_id — ANSI expression accepted
 # verbatim by BOTH Spark SQL and DuckDB (mixed-case schemes/hosts,
 # www, default + non-default ports, tracking params, fragments,
@@ -887,6 +888,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ivfpq_topk"] = ivfpq_topk_gate
+
+    def ivfpq_rerank_gate(spark, sf):
+        """The production ANN composition: IVF x PQ nominates
+        RERANK_KPRIME candidates per query by ADC, then the final
+        ANN_K are ordered by the exact fixed-point cosine on full
+        vectors (rerank_exact) — the recall-recovery stage."""
+        emb = _load(spark, sf, "embeddings")
+        cents = N.normalize_centroids(N.hyperplanes(64, IVF_LISTS, seed=IVF_SEED))
+        cb = N.pq_hyperplane_codebooks(64, PQ_M, PQ_K, seed=PQ_SEED)
+        qs = emb.filter(F.col("vec_id") < ANN_NQ)
+        cand = N.ivf_pq_topk(
+            emb, qs, RERANK_KPRIME, cents, cb,
+            n_probes=IVF_PROBES, normalize=False, exact_fold=True,
+        )
+        return N.rerank_exact(cand, emb, qs, ANN_K)
+
+    q["ivfpq_rerank"] = ivfpq_rerank_gate
 
     # --- URL canonicalization (documents carries no URL column, so
     # the gate derives one deterministically from doc_id — the
@@ -2245,8 +2263,8 @@ SELECT qid, vec_id, adist, CAST(rk AS INT) AS "rank" FROM (
 
     # IVF x PQ: same inverted-list CTEs as ivf_topk, same codebook
     # VALUES as pq_topk — ADC sum restricted to the probed lists.
-    o["ivfpq_topk"] = f"""
-WITH di AS ({ivf_long}),
+    # The CTE chain is shared by ivfpq_topk and ivfpq_rerank.
+    _IVFPQ_CTES = f"""di AS ({ivf_long}),
 asg AS (
   SELECT vec_id, li FROM (
     SELECT vec_id, li,
@@ -2285,10 +2303,40 @@ ad AS (
   JOIN codes c ON c.vec_id = cand.vid
   JOIN d qd ON qd.vec_id = cand.qid AND qd.m = c.m AND qd.code = c.code
   GROUP BY 1, 2
-)
+)"""
+    o["ivfpq_topk"] = f"""
+WITH {_IVFPQ_CTES}
 SELECT qid, vec_id, adist, CAST(rk AS INT) AS "rank" FROM (
   SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk
   FROM ad
+) WHERE rk <= {ANN_K}
+"""
+
+    o["ivfpq_rerank"] = f"""
+WITH {_IVFPQ_CTES},
+cand_k AS (
+  SELECT qid, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk
+    FROM ad
+  ) WHERE rk <= {RERANK_KPRIME}
+),
+rdots AS (
+  SELECT cand_k.qid, cand_k.vec_id, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+  FROM cand_k
+  JOIN ex a ON a.vec_id = cand_k.qid
+  JOIN ex b ON b.vec_id = cand_k.vec_id AND b.i = a.i
+  GROUP BY 1, 2
+),
+rscored AS (
+  SELECT rdots.qid, rdots.vec_id,
+         dot / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)) AS cos
+  FROM rdots
+  JOIN nrm x ON x.vec_id = rdots.qid
+  JOIN nrm y ON y.vec_id = rdots.vec_id
+)
+SELECT qid, vec_id, cos, CAST(rk AS INT) AS "rank" FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+  FROM rscored
 ) WHERE rk <= {ANN_K}
 """
 

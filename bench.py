@@ -74,6 +74,7 @@ HEADLINE = [
     "ivfpq_topk",
     "url_normalize",
     "domain_quota",
+    "ivfpq_rerank",
 ]
 
 

@@ -961,3 +961,47 @@ def ivf_pq_topk(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def rerank_exact(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-distance re-rank of ANN candidates — the recall-recovery
+    stage every production PQ/IVF deployment runs: a candidate
+    generator (`pq_topk`/`ivf_pq_topk`/`lsh_topk` with k' > k)
+    nominates cheaply, then the final k are ordered by the EXACT
+    fixed-point cosine on the full vectors.
+
+    `candidates` is any (qid, vec_id) frame. Cost model at scale:
+    the candidate set is |queries| * k' rows — orders of magnitude
+    below the corpus — so the full-vector fetch is one equi-join on
+    the corpus id (bucketed/sorted corpora make it a pruned lookup),
+    the query side rides a broadcast keyed by qid, and the exact
+    arithmetic runs only on nominated pairs. No per-pair work ever
+    touches non-candidates. Returns (qid, vec_id, cos, rank) —
+    identical shape to `cosine_topk`, so a rerank composition is a
+    drop-in replacement for the brute-force baseline."""
+    cand = candidates.select("qid", "vec_id")
+    c = _with_fixed(corpus, id_col, vec_col, "c_")
+    q = _with_fixed(queries, q_id_col, q_vec_col, "q_")
+    joined = (
+        cand.join(c, cand["vec_id"] == c["c_id"])
+        .join(F.broadcast(q), cand["qid"] == q["q_id"])
+    )
+    cos = (
+        _dot(F.col("c_fv"), F.col("q_fv"))
+        / F.sqrt(F.col("c_nrm").cast("double") * F.col("q_nrm").cast("double"))
+    ).alias("cos")
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        joined.select(cand["qid"], cand["vec_id"], cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

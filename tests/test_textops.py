@@ -987,3 +987,45 @@ def test_pq_trained_recall_beats_untrained(clustered_emb):
     # floor holds.
     assert r1 >= r0 - 0.04, (r0, r1)
     assert r1 >= 0.3, (r0, r1)
+
+
+def test_rerank_exact_matches_oracle(emb_df):
+    """ivf_pq_topk(k') -> rerank_exact(k): result equals the numpy
+    two-stage oracle exactly, and matches cosine_topk's shape."""
+    df, rows = emb_df
+    CB = N.pq_hyperplane_codebooks(16, 4, 4, seed=3)
+    C = N.normalize_centroids(N.hyperplanes(16, 4, seed=9))
+    q = df.filter(F.col("vec_id") < 3)
+    cand = N.ivf_pq_topk(df, q, 15, C, CB, n_probes=2, normalize=False)
+    res = N.rerank_exact(cand, df, q, 5).collect()
+    got = {}
+    for r in sorted(res, key=lambda r: (r.qid, r.rank)):
+        got.setdefault(r.qid, []).append(r.vec_id)
+
+    # numpy oracle: replicate the candidate stage, then exact cosine
+    n_sub, _, ds = CB.shape
+    fvs = {i: np.floor(np.array(v, dtype=np.float64) * 1e6).astype(np.int64)
+           for i, v in rows}
+    raw = {i: np.array(v, dtype=np.float64) for i, v in rows}
+    codes = {i: _np_pq_codes(v, CB) for i, v in rows}
+    lists = {i: int(np.argmax(raw[i] @ C.T)) for i in raw}
+    for qi in range(3):
+        probed = set(
+            int(x) for x in np.argsort(-(raw[qi] @ C.T), kind="stable")[:2]
+        )
+        tab = np.stack(
+            [((fvs[qi][m * ds:(m + 1) * ds][None, :] - CB[m]) ** 2).sum(axis=1)
+             for m in range(n_sub)]
+        )
+        sc = {i: int(sum(tab[m][codes[i][m]] for m in range(n_sub)))
+              for i in fvs if i != qi and lists[i] in probed}
+        cands = [i for _, i in sorted((v, i) for i, v in sc.items())[:15]]
+        exact = sorted(
+            cands,
+            key=lambda i: (
+                -int(np.sum(fvs[qi] * fvs[i]))
+                / np.sqrt(float((fvs[qi] ** 2).sum()) * float((fvs[i] ** 2).sum())),
+                i,
+            ),
+        )[:5]
+        assert got[qi] == exact, qi

@@ -34,6 +34,9 @@ CORPUS = os.environ.get(
 TEXT_CORPUS = os.environ.get(
     "SPARK_GRAFT_SCALE_TEXT_CORPUS", "/tmp/geomesa_spark_scale_textcorpus"
 )
+EMB_CORPUS = os.environ.get(
+    "SPARK_GRAFT_SCALE_EMB_CORPUS", "/tmp/geomesa_spark_scale_embcorpus"
+)
 WAREHOUSE = "/tmp/geomesa_spark_scale_warehouse"
 POLYS = [
     ("rect", "POLYGON ((10.005 20.005, 80.005 20.005, 80.005 60.005, 10.005 60.005, 10.005 20.005))"),
@@ -126,6 +129,48 @@ def build_text_corpus(n_docs: int) -> None:
     spark.stop()
 
 
+def build_emb_corpus(n_vecs: int) -> None:
+    """One-time deterministic embedding corpus for the ann row
+    (untimed): 64-dim uniform [-1, 1) vectors from splitmix64
+    counters — partition-count independent, identical input at both
+    parallelism levels. Throughput scaling of encode/probe/ADC does
+    not depend on cluster structure, so uniform vectors suffice."""
+    if os.path.exists(f"{EMB_CORPUS}/_SUCCESS"):
+        return
+    shutil.rmtree(EMB_CORPUS, ignore_errors=True)
+    import numpy as np
+    import pandas as pd
+
+    from geomesa_spark.sources.docs import _splitmix64
+
+    DIM = 64
+
+    def gen(batches):
+        for pdf in batches:
+            idx = pdf["id"].to_numpy()
+            pos = np.arange(DIM, dtype=np.uint64)
+            h = _splitmix64(
+                idx[:, None].astype(np.uint64) * np.uint64(DIM) + pos
+            )
+            v = (
+                (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+            ) * 2.0 - 1.0
+            v = v.astype(np.float32)
+            yield pd.DataFrame(
+                {"vec_id": idx, "embedding": [row.tolist() for row in v]}
+            )
+
+    spark = session(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    (
+        spark.range(0, n_vecs, 1, 256)
+        .mapInPandas(gen, schema="vec_id long, embedding array<float>")
+        .write.mode("overwrite")
+        .parquet(EMB_CORPUS)
+    )
+    spark.stop()
+
+
 def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
     """The measured job. kind='broadcast': extract -> encode -> salted
     broadcast PIP join + tiles (the shuffle-free headline path).
@@ -158,6 +203,37 @@ def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
     spark.sparkContext.setLogLevel("ERROR")
     if kind == "shuffle":
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    if kind == "ann":
+        # IVF x PQ end-to-end: corpus-side list assignment + PQ
+        # encode (the stored-layout build, timed here as the
+        # dominant per-row work), distributed probe selection, and
+        # the probed-list ADC scan + top-k — the embedding analog of
+        # the broadcast row's extract/encode/join pipeline
+        from geomesa_spark.operators.ann import (
+            hyperplanes,
+            ivf_pq_topk,
+            normalize_centroids,
+            pq_hyperplane_codebooks,
+        )
+
+        emb = spark.read.parquet(EMB_CORPUS)
+        cents = normalize_centroids(hyperplanes(64, 64, seed=5))
+        cb = pq_hyperplane_codebooks(64, 8, 16, seed=7)
+        queries = emb.filter(F.pmod(F.col("vec_id"), F.lit(8000)) == 0)
+
+        def pipeline():
+            out = ivf_pq_topk(emb, queries, 10, cents, cb, n_probes=2)
+            out.write.format("noop").mode("overwrite").save()
+
+        pipeline()  # warm-up
+        wall = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            pipeline()
+            wall = min(wall, time.time() - t0)
+        n = emb.count()
+        spark.stop()
+        return wall, n
     if kind in ("dedup", "clean"):
         from geomesa_spark.operators.dedup import minhash_lsh_pairs, substring_dedup
 
@@ -316,12 +392,13 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
     VALID_KINDS = (
         "broadcast", "shuffle", "bucketed", "geom", "knn", "dedup", "clean",
+        "ann",
     )
     kinds = [
         k.strip()
         for k in os.environ.get(
             "SPARK_GRAFT_SCALING_KINDS",
-            "broadcast,shuffle,bucketed,geom,knn,dedup,clean",
+            "broadcast,shuffle,bucketed,geom,knn,dedup,clean,ann",
         ).split(",")
         if k.strip()
     ]
@@ -342,6 +419,10 @@ def main() -> None:
         # tens of seconds at local[4] (signature+band+verify is ~25x
         # the per-row cost of the broadcast PIP pipeline)
         build_text_corpus(n_docs // 16)
+    if "ann" in kinds:
+        # 1/4 of the nominal row count: IVFPQ encode+probe+ADC costs
+        # ~4x the broadcast pipeline's per-row work
+        build_emb_corpus(n_docs // 4)
     walls: dict[tuple[str, int], float] = {
         (k, c): float("inf") for k in kinds for c in (4, 16)
     }
@@ -445,6 +526,15 @@ def main() -> None:
                  "token-explode-heavy aggregation profile (rows "
                  "amplified ~48x into the window groupBy) distinct "
                  "from the dedup row's band join",
+        "ann": "IVF x PQ similarity search end-to-end (ivf_pq_topk, "
+               "64 lists / 2 probes, M=8 k=16 codebooks): corpus-side "
+               "list assignment (Arrow matmul) + PQ encode (JVM "
+               "codegen) — the stored-layout build, the dominant "
+               "per-row work — plus distributed probe selection and "
+               "the probed-list ADC scan + top-k for a "
+               "1-in-8000-vector query sample, over 64-dim splitmix64 "
+               "vectors. The embedding analog of the broadcast row's "
+               "extract/encode/join pipeline",
     }
     sections_by_kind: dict[str, str] = {}
     for k in kinds:

@@ -94,6 +94,7 @@ PQ_K = 8
 PQ_SEED = 11
 DOMAIN_QUOTA = 3
 RERANK_KPRIME = 30
+HLL_P = 4
 # deterministic URL synthesis over doc_id — ANSI expression accepted
 # verbatim by BOTH Spark SQL and DuckDB (mixed-case schemes/hosts,
 # www, default + non-default ports, tracking params, fragments,
@@ -905,6 +906,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return N.rerank_exact(cand, emb, qs, ANN_K)
 
     q["ivfpq_rerank"] = ivfpq_rerank_gate
+
+    def hll_distinct_gate(spark, sf):
+        """Deterministic HyperLogLog distinct users per event_type:
+        integer register math end-to-end, so the approximate estimate
+        itself hashes identically cross-engine. p=4 keeps the gate on
+        the raw-estimate branch (150 distinct >> 2.5m=40) — no libm
+        ln anywhere."""
+        ev = _load(spark, sf, "events")
+        return A.hll_distinct(ev, "user_id", p=HLL_P, group_by=["event_type"])
+
+    q["hll_distinct"] = hll_distinct_gate
 
     # --- URL canonicalization (documents carries no URL column, so
     # the gate derives one deterministically from doc_id — the
@@ -2338,6 +2350,56 @@ SELECT qid, vec_id, cos, CAST(rk AS INT) AS "rank" FROM (
   SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
   FROM rscored
 ) WHERE rk <= {ANN_K}
+"""
+
+    # HLL: the same integer register math, generated for DuckDB. The
+    # bit_length CASE chain checks thresholds descending (first match
+    # = highest set bit), matching the Spark chain's resolution order.
+    _hll_m = 1 << HLL_P
+    _hll_rem = 60 - HLL_P
+    _hll_maxr = _hll_rem + 1
+    from geomesa_spark.operators.analytics import _hll_alpha
+
+    _hll_num = repr(_hll_alpha(_hll_m) * _hll_m * _hll_m * float(1 << _hll_maxr))
+    _hll_bitlen = (
+        "CASE "
+        + " ".join(
+            f"WHEN rem >= {1 << (k - 1)} THEN {k}"
+            for k in range(_hll_rem, 0, -1)
+        )
+        + " ELSE 0 END"
+    )
+    o["hll_distinct"] = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS v
+  FROM events WHERE user_id IS NOT NULL
+),
+br AS (
+  SELECT event_type, v >> {_hll_rem} AS b, v % {1 << _hll_rem} AS rem FROM h
+),
+rk AS (SELECT event_type, b, {_hll_maxr} - ({_hll_bitlen}) AS r FROM br),
+regs AS (SELECT event_type, b, max(r) AS mr FROM rk GROUP BY 1, 2),
+agg AS (
+  SELECT event_type,
+         CAST(sum(CAST(1 AS BIGINT) << ({_hll_maxr} - mr)) AS BIGINT) AS s,
+         count(*) AS nreg
+  FROM regs GROUP BY 1
+),
+fin AS (
+  SELECT event_type, nreg, {_hll_m} - nreg AS zeros,
+         s + ({_hll_m} - nreg) * (CAST(1 AS BIGINT) << {_hll_maxr}) AS s_units
+  FROM agg
+)
+SELECT event_type,
+       CASE WHEN zeros > 0
+             AND ({_hll_num} / CAST(s_units AS DOUBLE)) <= {2.5 * _hll_m}
+            THEN {float(_hll_m)} * ln({float(_hll_m)} / CAST(zeros AS DOUBLE))
+            ELSE {_hll_num} / CAST(s_units AS DOUBLE) END AS approx_distinct,
+       CAST(nreg AS BIGINT) AS n_registers,
+       s_units AS sum_units,
+       CAST(zeros AS BIGINT) AS zero_registers
+FROM fin
 """
 
     # URL canonicalization: the full normalization spec re-expressed

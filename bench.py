@@ -75,6 +75,7 @@ HEADLINE = [
     "url_normalize",
     "domain_quota",
     "ivfpq_rerank",
+    "hll_distinct",
 ]
 
 

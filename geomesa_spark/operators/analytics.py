@@ -505,3 +505,113 @@ def histogram_job(
     return df.groupBy(*(group_by + [attribute])).agg(
         F.count(F.lit(1)).alias("count")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct counting — mergeable cardinality at 100 TB
+# ---------------------------------------------------------------------------
+
+# 60 hash bits: 15 md5 hex chars parse into a signed BIGINT without
+# overflow on any engine (2^60 < 2^63)
+_HLL_HASH_BITS = 60
+
+
+def _hll_alpha(m: int) -> float:
+    """The standard HLL bias constant (Flajolet et al. 2007)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _bit_length_col(x: Column, max_bits: int) -> Column:
+    """bit_length(x) for 0 <= x < 2^max_bits as a CASE chain of
+    integer comparisons — exact and engine-portable, unlike
+    floor(log2(x)) whose last-ulp behavior differs across libm
+    implementations at/near powers of two."""
+    expr = F.lit(0)
+    for k in range(1, max_bits + 1):
+        # built bottom-up: the outermost WHEN checks the highest
+        # threshold, so the chain resolves on the first (largest)
+        # power of two <= x
+        expr = F.when(x >= F.lit(1 << (k - 1)).cast("long"), F.lit(k)).otherwise(expr)
+    return expr
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    p: int = 12,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Approximate distinct count via a from-scratch HyperLogLog
+    whose every step is DETERMINISTIC and engine-exact — unlike
+    `approx_count_distinct`, whose sketch is Spark-private, this one
+    reproduces bit-for-bit on any engine (the DuckDB oracle runs the
+    same integer register math), so estimates are stable across
+    partitionings, retries, and engines.
+
+    Why it scales: exact countDistinct shuffles every distinct value;
+    HLL reduces each partition to m = 2^p registers with a map-side
+    combinable MAX — the shuffle carries O(m) rows per partition no
+    matter how many distinct values exist, and register sets merge
+    associatively (the same property the reference exploits in its
+    Stat iterators' mergeable summaries, geomesa-utils stats).
+
+    Register math: 60 hash bits from md5 (15 hex chars -> BIGINT),
+    top p bits = register index, rank = leading zeros of the
+    remaining (60-p) bits + 1 (CASE-chain bit_length, no libm). The
+    harmonic sum is computed in INTEGER units of 2^-(60-p+1):
+    sum(2^(60-p+1-rank)) as BIGINT — float summation order never
+    enters, so partial aggregation order cannot perturb the result.
+    The raw estimate alpha*m^2/S is one IEEE multiply+divide. The
+    small-range linear-counting correction (zeros present and
+    E <= 2.5m) uses ln() — documented caveat: ln's last ulp may
+    differ across engines; the oracle gate pins the raw branch.
+
+    Returns (group_by..., approx_distinct double, n_registers,
+    sum_units, zero_registers) — the raw components expose the
+    mergeable state for callers persisting sketches."""
+    gb = list(group_by or [])
+    m = 1 << p
+    rem_bits = _HLL_HASH_BITS - p
+    max_rank = rem_bits + 1
+    v = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    # top p bits via shiftright — NOT float division, which would
+    # round: a 60-bit value exceeds a double's 53-bit mantissa
+    bucket = F.shiftright(v, rem_bits)
+    rem = v % F.lit(1 << rem_bits).cast("long")
+    rank = (F.lit(max_rank) - _bit_length_col(rem, rem_bits)).cast("int")
+    regs = (
+        df.where(F.col(col).isNotNull())
+        .select(*gb, bucket.alias("_b"), rank.alias("_r"))
+        .groupBy(*gb, "_b")
+        .agg(F.max("_r").alias("_mr"))
+    )
+    # integer harmonic sum: 2^-rank in units of 2^-max_rank
+    # (F.shiftleft requires a literal int bit count; the SQL form
+    # accepts a column)
+    unit = F.expr(f"shiftleft(cast(1 as bigint), {max_rank} - _mr)")
+    agg = regs.groupBy(*gb).agg(
+        F.sum(unit).alias("_s"),
+        F.count(F.lit(1)).alias("_nreg"),
+    )
+    zeros = F.lit(m) - F.col("_nreg")
+    # absent registers contribute 2^0 = 1 each -> max_rank units each
+    s_units = F.col("_s") + zeros * F.lit(1 << max_rank).cast("long")
+    alpha = _hll_alpha(m)
+    raw = F.lit(alpha * m * m * float(1 << max_rank)) / s_units.cast("double")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((zeros > 0) & (raw <= F.lit(2.5 * m)), lc).otherwise(raw)
+    return agg.select(
+        *gb,
+        est.alias("approx_distinct"),
+        F.col("_nreg").alias("n_registers"),
+        s_units.alias("sum_units"),
+        zeros.cast("long").alias("zero_registers"),
+    )

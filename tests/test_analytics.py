@@ -169,3 +169,72 @@ def test_histogram_job_semantics(spark):
     # the reference's 8-attribute tuple bound (HistogramJob.scala:68)
     with pytest.raises(ValueError):
         A.histogram_job(df, "kind", group_by=["a"] * 5, unique_by=["b"] * 4)
+
+
+# --- HyperLogLog ---
+
+
+def _py_hll(values, p):
+    import hashlib
+    import math
+
+    m = 1 << p
+    rem_bits = 60 - p
+    max_rank = rem_bits + 1
+    regs = {}
+    for x in values:
+        v = int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+        b = v >> rem_bits
+        rem = v % (1 << rem_bits)
+        rank = max_rank - rem.bit_length()
+        regs[b] = max(regs.get(b, 0), rank)
+    s = sum(1 << (max_rank - r) for r in regs.values())
+    zeros = m - len(regs)
+    s += zeros * (1 << max_rank)
+    from geomesa_spark.operators.analytics import _hll_alpha
+
+    raw = _hll_alpha(m) * m * m * float(1 << max_rank) / float(s)
+    if zeros > 0 and raw <= 2.5 * m:
+        return m * math.log(m / zeros), len(regs), s, zeros
+    return raw, len(regs), s, zeros
+
+
+def test_hll_matches_python_oracle(spark):
+    from geomesa_spark.operators.analytics import hll_distinct
+
+    vals = [f"user{i % 1377}" for i in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "u string")
+    for p in (6, 12):
+        r = hll_distinct(df, "u", p=p).collect()[0]
+        est, nreg, s, zeros = _py_hll(set(vals), p)
+        assert r.n_registers == nreg and r.sum_units == s
+        assert r.zero_registers == zeros
+        assert r.approx_distinct == pytest.approx(est, rel=1e-12)
+
+
+def test_hll_accuracy_and_grouping(spark):
+    from geomesa_spark.operators.analytics import hll_distinct
+
+    rows = [(i % 3, f"v{(i * 2654435761) % (1000 * (1 + i % 3))}")
+            for i in range(60000)]
+    df = spark.createDataFrame(rows, "g int, u string")
+    out = {r.g: r.approx_distinct for r in
+           hll_distinct(df, "u", p=12, group_by=["g"]).collect()}
+    exact = {g: len({u for gg, u in rows if gg == g}) for g in (0, 1, 2)}
+    for g in (0, 1, 2):
+        assert abs(out[g] - exact[g]) / exact[g] < 0.1, (g, out[g], exact[g])
+
+
+def test_hll_partitioning_invariant(spark):
+    """The sketch is deterministic under ANY partitioning — integer
+    register math, no float-order dependence."""
+    from geomesa_spark.operators.analytics import hll_distinct
+
+    rows = [(f"x{i}",) for i in range(4000)]
+    a = hll_distinct(
+        spark.createDataFrame(rows, "u string").repartition(1), "u"
+    ).collect()[0]
+    b = hll_distinct(
+        spark.createDataFrame(rows, "u string").repartition(37), "u"
+    ).collect()[0]
+    assert (a.approx_distinct, a.sum_units) == (b.approx_distinct, b.sum_units)

@@ -2414,8 +2414,11 @@ parts AS (
   SELECT doc_id, url,
     lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
     regexp_replace(lower(regexp_extract(u,
-      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?:]*)', 1)), '^www\\.', '') AS host,
-    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?:]*:([0-9]+)', 1) AS port,
+      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]]*\\]|[^/?:@]*)', 1)),
+      '^www\\.', '') AS host,
+    regexp_extract(u,
+      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(?:\\[[^\\]]*\\]|[^/?:@]*):([0-9]+)',
+      1) AS port,
     regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS path,
     regexp_extract(u, '\\?(.*)$', 1) AS query
   FROM u1
@@ -2434,8 +2437,9 @@ norm AS (
 ),
 canon AS (
   SELECT doc_id, url, host,
-    scheme || '://' || host || portseg || npath
-      || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS nurl,
+    CASE WHEN scheme = '' THEN url
+         ELSE scheme || '://' || host || portseg || npath
+           || CASE WHEN qs = '' THEN '' ELSE '?' || qs END END AS nurl,
     CASE WHEN len(string_split(host, '.')) >= 3
           AND string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
               IN ({_sufs})

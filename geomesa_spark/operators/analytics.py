@@ -587,19 +587,24 @@ def hll_distinct(
     bucket = F.shiftright(v, rem_bits)
     rem = v % F.lit(1 << rem_bits).cast("long")
     rank = (F.lit(max_rank) - _bit_length_col(rem, rem_bits)).cast("int")
+    # NULL values hash to a NULL bucket (md5(NULL) = NULL cascades)
+    # rather than being filtered out, so a group whose values are ALL
+    # NULL still emits a row — countDistinct semantics report 0 for
+    # such groups, not absence (the linear-counting branch returns
+    # m*ln(m/m) = 0 exactly, engine-exact since ln(1) is exact).
     regs = (
-        df.where(F.col(col).isNotNull())
-        .select(*gb, bucket.alias("_b"), rank.alias("_r"))
+        df.select(*gb, bucket.alias("_b"), rank.alias("_r"))
         .groupBy(*gb, "_b")
         .agg(F.max("_r").alias("_mr"))
     )
     # integer harmonic sum: 2^-rank in units of 2^-max_rank
     # (F.shiftleft requires a literal int bit count; the SQL form
-    # accepts a column)
+    # accepts a column); the NULL-bucket row contributes NULL -> the
+    # sum skips it and count(_b) excludes it
     unit = F.expr(f"shiftleft(cast(1 as bigint), {max_rank} - _mr)")
     agg = regs.groupBy(*gb).agg(
-        F.sum(unit).alias("_s"),
-        F.count(F.lit(1)).alias("_nreg"),
+        F.coalesce(F.sum(unit), F.lit(0).cast("long")).alias("_s"),
+        F.count(F.col("_b")).alias("_nreg"),
     )
     zeros = F.lit(m) - F.col("_nreg")
     # absent registers contribute 2^0 = 1 each -> max_rank units each

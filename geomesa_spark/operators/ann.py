@@ -443,6 +443,47 @@ def ivf_probes(
     return df.mapInPandas(gen, schema=schema)
 
 
+def _probed_query_side(
+    queries: DataFrame,
+    q_base: DataFrame,
+    Cn: np.ndarray,
+    n_probes: int,
+    exact_fold: bool,
+    broadcast_queries: bool | None,
+    broadcast_threshold: int,
+) -> DataFrame:
+    """Shared by ivf_topk and ivf_pq_topk: distributed probe
+    selection over the prepped query frame (`q_base`, carrying the
+    `_raw` vector column plus whatever payload the caller needs),
+    exploded to one row per (query, probed list) on `c_list`, then
+    the auto broadcast-vs-shuffle decision.
+
+    The side actually broadcast is the PROBE-EXPLODED frame —
+    min(n_probes, n_lists) rows per query (ivf_probes clamps) — so
+    the threshold bounds query_rows * probes, not raw query rows. A
+    limit of 0 means even one query explodes past the threshold:
+    never broadcast (flooring it to 1 would). The count is
+    early-stopping: it scans at most limit+1 query rows and never
+    materializes probes to decide."""
+    q = (
+        ivf_probes(
+            q_base, Cn, n_probes, vec_col="_raw", out_col="_probes",
+            normalize=False, exact_fold=exact_fold,
+        )
+        .withColumn("c_list", F.explode(F.col("_probes")))
+        .drop("_raw", "_probes")
+    )
+    if broadcast_queries is None:
+        eff_probes = min(max(n_probes, 1), len(Cn))
+        limit = broadcast_threshold // eff_probes
+        if limit < 1:
+            broadcast_queries = False
+        else:
+            n_q = queries.limit(limit + 1).count()
+            broadcast_queries = n_q <= limit
+    return F.broadcast(q) if broadcast_queries else q
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -500,36 +541,10 @@ def ivf_topk(
         _fixed(F.col(q_vec_col)).alias("q_fv"),
         F.col(q_vec_col).alias("_raw"),
     ).withColumn("q_nrm", _dot(F.col("q_fv"), F.col("q_fv")))
-    q = (
-        ivf_probes(
-            q_base,
-            Cn,
-            n_probes,
-            vec_col="_raw",
-            out_col="_probes",
-            normalize=False,
-            exact_fold=exact_fold,
-        )
-        .withColumn("c_list", F.explode(F.col("_probes")))
-        .drop("_raw", "_probes")
+    q_side = _probed_query_side(
+        queries, q_base, Cn, n_probes, exact_fold,
+        broadcast_queries, broadcast_threshold,
     )
-    if broadcast_queries is None:
-        # the side actually broadcast is the PROBE-EXPLODED q —
-        # min(n_probes, n_lists) rows per query (ivf_probes clamps),
-        # each carrying the fixed-point vector — so the threshold
-        # must bound query_rows * probes, not raw query rows. A
-        # limit of 0 means even one query explodes past the
-        # threshold: never broadcast (flooring it to 1 would). Count
-        # is early-stopping: scans at most limit+1 query rows, never
-        # materializes probes to decide.
-        eff_probes = min(max(n_probes, 1), len(Cn))
-        limit = broadcast_threshold // eff_probes
-        if limit < 1:
-            broadcast_queries = False
-        else:
-            n_q = queries.limit(limit + 1).count()
-            broadcast_queries = n_q <= limit
-    q_side = F.broadcast(q) if broadcast_queries else q
     joined = c.join(q_side, ["c_list"], "inner").filter(
         F.col("c_id") != F.col("q_id")
     )
@@ -794,6 +809,8 @@ def pq_train(
         .limit(k)
         .collect()
     )
+    if not seeds:
+        raise ValueError("pq_train requires a non-empty corpus to seed from")
     S = np.array([[float(x) for x in r.v] for r in seeds], dtype=np.float64)
     if S.shape[0] < k:  # tiny corpus: pad by repeating the last seed
         S = np.vstack([S, np.repeat(S[-1:], k - S.shape[0], axis=0)])
@@ -930,23 +947,10 @@ def ivf_pq_topk(
         F.transform(F.array(_fixed(F.col(q_vec_col))), qbuild)[0].alias("q_tab"),
         F.col(q_vec_col).alias("_raw"),
     )
-    q = (
-        ivf_probes(
-            q_base, Cn, n_probes, vec_col="_raw", out_col="_probes",
-            normalize=False, exact_fold=exact_fold,
-        )
-        .withColumn("c_list", F.explode(F.col("_probes")))
-        .drop("_raw", "_probes")
+    q_side = _probed_query_side(
+        queries, q_base, Cn, n_probes, exact_fold,
+        broadcast_queries, broadcast_threshold,
     )
-    if broadcast_queries is None:
-        eff_probes = min(max(n_probes, 1), len(Cn))
-        limit = broadcast_threshold // eff_probes
-        if limit < 1:
-            broadcast_queries = False
-        else:
-            n_q = queries.limit(limit + 1).count()
-            broadcast_queries = n_q <= limit
-    q_side = F.broadcast(q) if broadcast_queries else q
     w = Window.partitionBy("qid").orderBy(
         F.col("adist").asc(), F.col("vec_id").asc()
     )
@@ -987,8 +991,13 @@ def rerank_exact(
     arithmetic runs only on nominated pairs. No per-pair work ever
     touches non-candidates. Returns (qid, vec_id, cos, rank) —
     identical shape to `cosine_topk`, so a rerank composition is a
-    drop-in replacement for the brute-force baseline."""
-    cand = candidates.select("qid", "vec_id")
+    drop-in replacement for the brute-force baseline.
+
+    Candidates are deduplicated on (qid, vec_id) first: ensembled
+    generators (lsh_topk UNION ivf_pq_topk) nominate overlapping
+    pairs, and without the dedup a doubly-nominated vector would
+    occupy two top-k slots and push a real neighbor out."""
+    cand = candidates.select("qid", "vec_id").dropDuplicates(["qid", "vec_id"])
     c = _with_fixed(corpus, id_col, vec_col, "c_")
     q = _with_fixed(queries, q_id_col, q_vec_col, "q_")
     joined = (

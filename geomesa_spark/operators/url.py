@@ -50,24 +50,42 @@ _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 # same prefix without a capture group, for patterns whose group 1 is
 # the part AFTER the scheme
 _SCHEME_SKIP = "^[A-Za-z][A-Za-z0-9+.-]*://"
+# optional RFC 3986 userinfo ("user:pass@") before the host — cannot
+# cross the end of the authority (no /, ?, #)
+_USERINFO_SKIP = "(?:[^/?#@]*@)?"
+# host: an IPv6 bracket literal or a regular reg-name
+_HOST_INNER = r"\[[^\]]*\]|[^/?:@]*"
 
 
 def url_parts(url) -> dict[str, F.Column]:
     """Decompose a URL column into scheme/host/port/path/query
     columns (fragment already stripped). Pure regexp_extract — one
-    projection, no UDF."""
+    projection, no UDF. Handles userinfo and IPv6 bracket hosts;
+    scheme-less input yields scheme '' (normalize_url_col then
+    passes the URL through unchanged)."""
     u = F.regexp_replace(url, "#.*$", "")
+    auth = _SCHEME_SKIP + _USERINFO_SKIP
     return {
         "scheme": F.lower(F.regexp_extract(u, _SCHEME_RE, 1)),
-        "host": F.lower(F.regexp_extract(u, _SCHEME_SKIP + "([^/?:]*)", 1)),
-        "port": F.regexp_extract(u, _SCHEME_SKIP + "[^/?:]*:([0-9]+)", 1),
+        "host": F.lower(
+            F.regexp_extract(u, auth + "(" + _HOST_INNER + ")", 1)
+        ),
+        "port": F.regexp_extract(
+            u, auth + "(?:" + _HOST_INNER + "):([0-9]+)", 1
+        ),
         "path": F.regexp_extract(u, _SCHEME_SKIP + "[^/?]*([^?]*)", 1),
         "query": F.regexp_extract(u, r"\?(.*)$", 1),
     }
 
 
 def normalize_url_col(url) -> F.Column:
-    """The canonical URL as one column expression (spec above)."""
+    """The canonical URL as one column expression (spec above).
+
+    Scheme-less / non-hierarchical inputs (no '://') canonicalize to
+    THEMSELVES: without an authority the spec's parts are undefined,
+    and mapping such rows onto a shared degenerate key would silently
+    merge unrelated documents in url_dedup (distinct crawl rows must
+    never collapse on a parse failure — fail open, keep identity)."""
     p = url_parts(url)
     host = F.regexp_replace(p["host"], "^www\\.", "")
     default_port = (
@@ -88,7 +106,8 @@ def normalize_url_col(url) -> F.Column:
     )
     qs = F.array_join(params, "&")
     query = F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs))
-    return F.concat(p["scheme"], F.lit("://"), host, port, path, query)
+    canon = F.concat(p["scheme"], F.lit("://"), host, port, path, query)
+    return F.when(p["scheme"] == "", url).otherwise(canon)
 
 
 def registered_domain_col(host, extra_suffixes: tuple[str, ...] = ()) -> F.Column:
@@ -112,10 +131,15 @@ def registered_domain_col(host, extra_suffixes: tuple[str, ...] = ()) -> F.Colum
 
 
 def url_profile(
-    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    extra_suffixes: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, url, nurl, host, domain) — the canonicalized URL plus
-    its host and registered domain, one narrow projection."""
+    its host and registered domain, one narrow projection.
+    `extra_suffixes` extends the embedded PSL subset (pass the full
+    public-suffix list's two-label entries for exact eTLD+1)."""
     p = url_parts(F.col(url_col))
     host = F.regexp_replace(p["host"], "^www\\.", "")
     return df.select(
@@ -123,7 +147,7 @@ def url_profile(
         F.col(url_col),
         normalize_url_col(F.col(url_col)).alias("nurl"),
         host.alias("host"),
-        registered_domain_col(host).alias("domain"),
+        registered_domain_col(host, extra_suffixes).alias("domain"),
     )
 
 
@@ -149,6 +173,7 @@ def domain_counts(
     df: DataFrame,
     url_col: str = "url",
     blocklist: tuple[str, ...] = (),
+    extra_suffixes: tuple[str, ...] = (),
 ) -> DataFrame:
     """Pages per registered domain after canonical-URL dedup, with a
     domain blocklist applied — the quota/filter summary a crawl
@@ -159,7 +184,7 @@ def domain_counts(
     host = F.regexp_replace(p["host"], "^www\\.", "")
     base = df.select(
         normalize_url_col(F.col(url_col)).alias("nurl"),
-        registered_domain_col(host).alias("domain"),
+        registered_domain_col(host, extra_suffixes).alias("domain"),
     )
     if blocklist:
         base = base.filter(~F.col("domain").isin(list(blocklist)))
@@ -175,6 +200,7 @@ def domain_quota_sample(
     url_col: str = "url",
     id_col: str = "doc_id",
     n_salts: int = 16,
+    extra_suffixes: tuple[str, ...] = (),
 ) -> DataFrame:
     """At most `max_per_domain` canonical URLs per registered domain,
     chosen deterministically (lowest id per URL, then lowest-id URLs
@@ -195,7 +221,7 @@ def domain_quota_sample(
         df.select(
             F.col(id_col),
             normalize_url_col(F.col(url_col)).alias("nurl"),
-            registered_domain_col(host).alias("domain"),
+            registered_domain_col(host, extra_suffixes).alias("domain"),
         )
         .groupBy("nurl", "domain")
         .agg(F.min(F.col(id_col)).alias(id_col))

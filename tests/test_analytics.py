@@ -238,3 +238,17 @@ def test_hll_partitioning_invariant(spark):
         spark.createDataFrame(rows, "u string").repartition(37), "u"
     ).collect()[0]
     assert (a.approx_distinct, a.sum_units) == (b.approx_distinct, b.sum_units)
+
+
+def test_hll_all_null_group_reports_zero(spark):
+    """countDistinct semantics: a group whose values are all NULL
+    appears with estimate 0.0, not silently missing (review fix)."""
+    from geomesa_spark.operators.analytics import hll_distinct
+
+    rows = [("a", f"v{i}") for i in range(200)] + [("b", None)] * 50
+    df = spark.createDataFrame(rows, "g string, u string")
+    out = {r.g: r for r in hll_distinct(df, "u", p=4, group_by=["g"]).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["b"].approx_distinct == 0.0
+    assert out["b"].n_registers == 0 and out["b"].zero_registers == 16
+    assert abs(out["a"].approx_distinct - 200) / 200 < 0.5  # p=4: coarse

@@ -1029,3 +1029,29 @@ def test_rerank_exact_matches_oracle(emb_df):
             ),
         )[:5]
         assert got[qi] == exact, qi
+
+
+def test_pq_train_empty_corpus_raises(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="non-empty corpus"):
+        N.pq_train(df, 4, 8, 16)
+
+
+def test_rerank_dedups_ensembled_candidates(emb_df):
+    """A vector nominated by two generators occupies ONE slot
+    (review fix): union the same candidate set twice — identical
+    result to the single set."""
+    df, _ = emb_df
+    q = df.filter(F.col("vec_id") < 2)
+    CB = N.pq_hyperplane_codebooks(16, 4, 4, seed=3)
+    cand = N.pq_topk(df, q, 8, CB).select("qid", "vec_id")
+    single = {(r.qid, r.rank): r.vec_id
+              for r in N.rerank_exact(cand, df, q, 5).collect()}
+    doubled = {(r.qid, r.rank): r.vec_id
+               for r in N.rerank_exact(cand.union(cand), df, q, 5).collect()}
+    assert single == doubled
+    assert len({k[0] for k in single}) == 2
+    for qid in (0, 1):
+        ranks = sorted(k[1] for k in single if k[0] == qid)
+        vids = [single[(qid, r)] for r in ranks]
+        assert len(set(vids)) == len(vids)  # no duplicate slots

@@ -1,0 +1,518 @@
+"""S2-style spherical cell ids: cube-face quadtree + Hilbert curve.
+
+The north-star re-imagination of the reference's space-filling-curve
+keys (geomesa-z3/.../curve/Z3.scala, geomesa-utils geohash/*) on the
+sphere instead of the lon/lat plane: points project onto the six
+faces of a circumscribed cube, each face carries a quadtree whose
+leaves are ordered by a Hilbert curve, and a cell id packs
+(face, hilbert position, level) into one 64-bit key.  Like the
+engine's Z2/Z3 cells this is a *pure Spark column expression* —
+bitwise ops, CASE, sqrt, one sin/cos pair — that stays inside
+whole-stage codegen with no Python on the hot path, plus numpy twins
+for the driver-side planner and tests.
+
+Published geometry (the s2geometry library's public cell model,
+re-derived here — no code copied):
+
+- face = axis of the largest |XYZ| component (+x,+y,+z,-x,-y,-z ->
+  0..5); (u,v) are the two remaining components divided by the
+  dominant one (a gnomonic projection onto the cube face).
+- s = uv->st quadratic reprojection ``0.5*sqrt(1+3u)`` /
+  ``1-0.5*sqrt(1-3u)`` that equalizes cell areas across a face.
+- (i, j) = ``floor(s * 2^level)`` clamped to the grid.
+- Hilbert position: per level, (i-bit, j-bit) maps to a curve
+  quadrant through a 4-orientation lookup table; the orientation
+  starts at ``face & 1`` and flips per quadrant, which is what makes
+  consecutive positions spatially adjacent (verified by the
+  continuity test in tests/test_s2.py).
+- 64-bit layout: ``face << 61 | pos << (2*(30-level)+1) |
+  1 << (2*(30-level))`` — the trailing set bit encodes the level, so
+  a parent's id range ``[id - lsb + 1, id + lsb - 1]`` contains
+  exactly its descendants and an ancestor scan is ONE contiguous
+  integer range (the property that makes this an index, not just a
+  label: a `cell BETWEEN lo AND hi` predicate pushes down to
+  parquet min/max stats like the engine's Z2 scans).
+
+Signedness: ids are the S2 bit layout reinterpreted as int64 (Spark
+LongType has no unsigned).  Faces 4-5 have the top bit set and sort
+before faces 0-3 in signed order; WITHIN a face — where every
+ancestor range lives — ordering and BETWEEN semantics are identical
+to the unsigned layout, so range scans are unaffected.
+
+Angle conversion note: radians are ``deg * 0.017453292519943295``
+(one correctly-rounded multiply) rather than ``radians()`` — Java's
+``toRadians`` divides by 180 before multiplying by pi while C
+libraries multiply by pi/180, and the differing op order would make
+the JVM and the DuckDB oracle disagree in the last ulp *before* the
+trig even runs.  With the shared constant, only sin/cos themselves
+can diverge (sqrt and division are IEEE-exact), and a divergence
+flips a cell only when the true coordinate sits within ~1e-16 of a
+1/2^level grid boundary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MAX_LEVEL = 30
+DEG2RAD = 0.017453292519943295  # double nearest pi/180
+
+# Hilbert sub-cell tables, flattened [orientation*4 + key].
+# _IJ_TO_POS: (i-bit, j-bit) pair (ij = 2i+j) -> position on the curve.
+# _NEXT_ORIENT: orientation for the child quadrant just entered.
+# _POS_TO_IJ: inverse (decode); _POS_TO_ORIENT xors into the
+# orientation after emitting pos (decode side).
+_IJ_TO_POS = (0, 1, 3, 2, 0, 3, 1, 2, 2, 3, 1, 0, 2, 1, 3, 0)
+_NEXT_ORIENT = (1, 0, 3, 0, 0, 2, 1, 1, 2, 1, 2, 3, 3, 3, 0, 2)
+_POS_TO_IJ = (0, 1, 3, 2, 0, 2, 3, 1, 3, 2, 0, 1, 3, 1, 0, 2)
+_POS_TO_ORIENT = (1, 0, 0, 3)
+def _walk_py(i: int, j: int, o: int, c: int) -> tuple[int, int]:
+    """Reference per-level walk over `c` levels (table generator)."""
+    pos = 0
+    for k in range(c - 1, -1, -1):
+        idx = o * 4 + (((i >> k) & 1) * 2 + ((j >> k) & 1))
+        pos = (pos << 2) | _IJ_TO_POS[idx]
+        o = _NEXT_ORIENT[idx]
+    return pos, o
+
+
+def _chunk_table(c: int) -> tuple[int, ...]:
+    """Flattened c-level step table: index (ic << (c+2)) | (jc << 2)
+    | orientation -> pos(2c bits)*4 | next_orientation.  The classic
+    S2 multi-level lookup — c=4 turns a 12-level walk into 3 steps."""
+    out = []
+    for ic in range(1 << c):
+        for jc in range(1 << c):
+            for o in range(4):
+                pos, oo = _walk_py(ic, jc, o, c)
+                out.append(pos * 4 + oo)
+    return tuple(out)
+
+
+_CHUNK_TABLES = {c: _chunk_table(c) for c in (1, 2, 3, 4)}
+
+
+# ---------------------------------------------------------------------------
+# Spark column expressions
+# ---------------------------------------------------------------------------
+
+
+def _xyz_cols(lon: Column, lat: Column) -> tuple[Column, Column, Column]:
+    lonr = lon * F.lit(DEG2RAD)
+    latr = lat * F.lit(DEG2RAD)
+    cl = F.cos(latr)
+    return cl * F.cos(lonr), cl * F.sin(lonr), F.sin(latr)
+
+
+def face_col(lon: Column, lat: Column) -> Column:
+    """Dominant-axis cube face 0..5 (+x,+y,+z,-x,-y,-z)."""
+    x, y, z = _xyz_cols(lon, lat)
+    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
+    return (
+        F.when((ax >= ay) & (ax >= az), F.when(x >= 0, 0).otherwise(3))
+        .when(ay >= az, F.when(y >= 0, 1).otherwise(4))
+        .otherwise(F.when(z >= 0, 2).otherwise(5))
+    ).cast("int")
+
+
+def _uv_cols(lon: Column, lat: Column, face: Column) -> tuple[Column, Column]:
+    x, y, z = _xyz_cols(lon, lat)
+    u = (
+        F.when(face == 0, y / x)
+        .when(face == 1, -x / y)
+        .when(face == 2, -x / z)
+        .when(face == 3, z / x)
+        .when(face == 4, z / y)
+        .otherwise(-y / z)
+    )
+    v = (
+        F.when(face == 0, z / x)
+        .when(face == 1, z / y)
+        .when(face == 2, -y / z)
+        .when(face == 3, y / x)
+        .when(face == 4, -x / y)
+        .otherwise(-x / z)
+    )
+    return u, v
+
+
+def st_from_uv(u: Column) -> Column:
+    """Area-equalizing quadratic projection, uv [-1,1] -> st [0,1]."""
+    return F.when(
+        u >= 0, F.lit(0.5) * F.sqrt(F.lit(1.0) + F.lit(3.0) * u)
+    ).otherwise(F.lit(1.0) - F.lit(0.5) * F.sqrt(F.lit(1.0) - F.lit(3.0) * u))
+
+
+def uv_from_st(s: Column) -> Column:
+    return F.when(
+        s >= 0.5, (F.lit(4.0) * s * s - F.lit(1.0)) / F.lit(3.0)
+    ).otherwise(
+        (F.lit(1.0) - F.lit(4.0) * (F.lit(1.0) - s) * (F.lit(1.0) - s))
+        / F.lit(3.0)
+    )
+
+
+def _ij_col(s: Column, level: int) -> Column:
+    n = 1 << level
+    ix = F.floor(s * F.lit(float(n)))
+    return F.greatest(F.lit(0), F.least(F.lit(n - 1), ix)).cast("long")
+
+
+def _hilbert_fold_col(face: Column, i: Column, j: Column, level: int) -> Column:
+    """Hilbert position as ONE atomic fold expression.
+
+    The walk is sequential (each level's orientation feeds the next),
+    which rules out two naive formulations:
+    - a nested Column expression re-embeds each level's subtrees and
+      grows exponentially (codegen OOM at level 12);
+    - staged per-level projections stay linear in the plan, but a
+      filter on the derived cell gets pushed back through the
+      projections by PushPredicateThroughNonJoin, whose alias
+      substitution re-creates the same exponential tree (observed:
+      heap OOM planning `cell BETWEEN lo AND hi` over the staged
+      form).
+    An `aggregate()` fold is a single expression node — pushdown
+    substitutes it once, CSE and plan size stay O(level).  Lambda
+    bodies are interpreted rather than codegen'd, so the walk uses
+    the classic S2 multi-level trick: 4-level chunk tables (1024
+    entries, pos byte + orientation nibble fused) collapse a
+    level-12 walk to 3 fold steps, with the remainder levels folded
+    into the init state through the matching 1-3 level table."""
+    init = face.bitwiseAND(F.lit(1)).cast("long")
+    r = level % 4
+    if r:
+        # fold the non-multiple-of-4 remainder (the HIGH bits) into
+        # the init state with the matching small table — one lookup,
+        # still inside the single aggregate expression
+        tab_r = F.array(*[F.lit(t) for t in _CHUNK_TABLES[r]])
+        mask = (1 << r) - 1
+        idx_r = (
+            F.shiftrightunsigned(i, level - r).bitwiseAND(F.lit(mask))
+            * F.lit(1 << (r + 2))
+            + F.shiftrightunsigned(j, level - r).bitwiseAND(F.lit(mask))
+            * F.lit(4)
+            + init
+        ).cast("int")
+        init = F.element_at(tab_r, idx_r + F.lit(1)).cast("long")
+    chunks = level // 4
+    if chunks == 0:
+        return F.shiftrightunsigned(init, 2)
+    tab4 = F.array(*[F.lit(t) for t in _CHUNK_TABLES[4]])
+    elems = F.array(
+        *[
+            (
+                F.shiftrightunsigned(i, 4 * m).bitwiseAND(F.lit(15)) * F.lit(64)
+                + F.shiftrightunsigned(j, 4 * m).bitwiseAND(F.lit(15)) * F.lit(4)
+            ).cast("int")
+            for m in range(chunks - 1, -1, -1)
+        ]
+    )
+    return F.aggregate(
+        elems,
+        init,
+        lambda acc, e: F.shiftleft(F.shiftrightunsigned(acc, 2), 10).bitwiseOR(
+            F.element_at(
+                tab4, (e + acc.bitwiseAND(F.lit(3)).cast("int")) + F.lit(1)
+            ).cast("long")
+        ),
+        lambda acc: F.shiftrightunsigned(acc, 2),
+    )
+
+
+def with_s2_cell(df, lon: Column, lat: Column, level: int, out: str = "s2_cell"):
+    """Add an S2-layout cell id column at `level`.
+
+    A DataFrame transform, not a single Column expression: face/i/j
+    are materialized as projection stages (their DAG has bounded
+    fan-out, so Catalyst substitution stays linear), and the
+    sequential Hilbert walk is one atomic fold (_hilbert_fold_col)
+    so that predicates on the output column — the range scans that
+    make this an index — survive pushdown without exponential alias
+    substitution.  No Python anywhere in the plan (asserted by the
+    plan-shape test)."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be 0..{MAX_LEVEL}, got {level}")
+    P = "__s2_"
+    x, y, z = _xyz_cols(lon, lat)
+    df = df.withColumns({P + "x": x, P + "y": y, P + "z": z})
+    cx, cy, cz = F.col(P + "x"), F.col(P + "y"), F.col(P + "z")
+    ax, ay, az = F.abs(cx), F.abs(cy), F.abs(cz)
+    face = (
+        F.when((ax >= ay) & (ax >= az), F.when(cx >= 0, 0).otherwise(3))
+        .when(ay >= az, F.when(cy >= 0, 1).otherwise(4))
+        .otherwise(F.when(cz >= 0, 2).otherwise(5))
+    ).cast("int")
+    df = df.withColumn(P + "face", face)
+    fc = F.col(P + "face")
+    u = (
+        F.when(fc == 0, cy / cx)
+        .when(fc == 1, -cx / cy)
+        .when(fc == 2, -cx / cz)
+        .when(fc == 3, cz / cx)
+        .when(fc == 4, cz / cy)
+        .otherwise(-cy / cz)
+    )
+    v = (
+        F.when(fc == 0, cz / cx)
+        .when(fc == 1, cz / cy)
+        .when(fc == 2, -cy / cz)
+        .when(fc == 3, cy / cx)
+        .when(fc == 4, -cx / cy)
+        .otherwise(-cx / cz)
+    )
+    df = df.withColumns(
+        {
+            P + "i": _ij_col(st_from_uv(u), level),
+            P + "j": _ij_col(st_from_uv(v), level),
+        }
+    )
+    pos = _hilbert_fold_col(fc, F.col(P + "i"), F.col(P + "j"), level)
+    shift = 2 * (MAX_LEVEL - level) + 1
+    lsb = 1 << (2 * (MAX_LEVEL - level))
+    df = df.withColumn(
+        out,
+        F.shiftleft(fc.cast("long"), 61)
+        .bitwiseOR(F.shiftleft(pos, shift))
+        .bitwiseOR(F.lit(lsb)),
+    )
+    return df.drop(*[c for c in df.columns if c.startswith(P)])
+
+
+def s2_decode_face_pos(cell: Column, level: int) -> tuple[Column, Column]:
+    face = F.shiftrightunsigned(cell, 61).cast("int")
+    shift = 2 * (MAX_LEVEL - level) + 1
+    pos = F.shiftrightunsigned(cell, shift).bitwiseAND(
+        F.lit((1 << (2 * level)) - 1)
+    )
+    return face, pos
+
+
+# fused decode step: child ij pair and next orientation in one nibble,
+# indexed by orientation*4 + pos-quadrant
+_DCOMB = tuple(
+    _POS_TO_IJ[o * 4 + p] * 4 + (o ^ _POS_TO_ORIENT[p])
+    for o in range(4)
+    for p in range(4)
+)
+
+
+def _unhilbert_fold_col(face: Column, pos: Column, level: int) -> Column:
+    """Inverse Hilbert walk as ONE atomic fold (same rationale as
+    _hilbert_fold_col): fold state packs i<<32 | j<<2 | orientation,
+    returned packed (callers shift out the halves)."""
+    comb = F.array(*[F.lit(c) for c in _DCOMB])
+    p_arr = F.array(
+        *[
+            F.shiftrightunsigned(pos, 2 * k).bitwiseAND(F.lit(3)).cast("int")
+            for k in range(level - 1, -1, -1)
+        ]
+    )
+    init = face.bitwiseAND(F.lit(1)).cast("long")
+
+    def step(acc: Column, p: Column) -> Column:
+        nib = F.element_at(
+            comb, (acc.bitwiseAND(F.lit(3)).cast("int") * F.lit(4) + p) + F.lit(1)
+        ).cast("long")
+        i = F.shiftleft(F.shiftrightunsigned(acc, 32), 1).bitwiseOR(
+            F.shiftrightunsigned(nib, 3).bitwiseAND(F.lit(1))
+        )
+        j = F.shiftleft(
+            F.shiftrightunsigned(acc, 2).bitwiseAND(F.lit(0x3FFFFFFF)), 1
+        ).bitwiseOR(F.shiftrightunsigned(nib, 2).bitwiseAND(F.lit(1)))
+        return (
+            F.shiftleft(i, 32)
+            .bitwiseOR(F.shiftleft(j, 2))
+            .bitwiseOR(nib.bitwiseAND(F.lit(3)))
+        )
+
+    return F.aggregate(p_arr, init, step)
+
+
+def s2_decode_ij(cell: Column, level: int) -> tuple[Column, Column, Column]:
+    """cell id -> (face, i, j) at `level` (inverse Hilbert walk).
+
+    i and j each carry their own copy of the atomic fold; pass a
+    materialized column reference for `cell` to keep the shared
+    face/pos subexpressions cheap."""
+    face, pos = s2_decode_face_pos(cell, level)
+    packed = _unhilbert_fold_col(face, pos, level)
+    i = F.shiftrightunsigned(packed, 32)
+    j = F.shiftrightunsigned(packed, 2).bitwiseAND(F.lit(0x3FFFFFFF))
+    return face, i, j
+
+
+def s2_parent_col(cell: Column, parent_level: int) -> Column:
+    """Ancestor id at `parent_level` (clear low bits, set new lsb)."""
+    new_lsb = 1 << (2 * (MAX_LEVEL - parent_level))
+    return cell.bitwiseAND(F.lit(-new_lsb)).bitwiseOR(F.lit(new_lsb))
+
+
+def s2_range_cols(cell: Column, level: int) -> tuple[Column, Column]:
+    """[range_min, range_max] covering all descendants of `cell`."""
+    lsb = 1 << (2 * (MAX_LEVEL - level))
+    return cell - F.lit(lsb - 1), cell + F.lit(lsb - 1)
+
+
+def s2_token_col(cell: Column) -> Column:
+    """S2-convention token: lowercase hex, trailing zeros stripped."""
+    h = F.lower(F.lpad(F.hex(cell), 16, "0"))
+    return F.regexp_replace(h, "0+$", "")
+
+
+# ---------------------------------------------------------------------------
+# numpy twins (planner + tests)
+# ---------------------------------------------------------------------------
+
+
+def _xyz_np(lon: np.ndarray, lat: np.ndarray):
+    lonr = np.asarray(lon, dtype=np.float64) * DEG2RAD
+    latr = np.asarray(lat, dtype=np.float64) * DEG2RAD
+    cl = np.cos(latr)
+    return cl * np.cos(lonr), cl * np.sin(lonr), np.sin(latr)
+
+
+def face_uv_np(lon: np.ndarray, lat: np.ndarray):
+    x, y, z = _xyz_np(lon, lat)
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(
+        (ax >= ay) & (ax >= az),
+        np.where(x >= 0, 0, 3),
+        np.where(ay >= az, np.where(y >= 0, 1, 4), np.where(z >= 0, 2, 5)),
+    ).astype(np.int64)
+    num_u = [y, -x, -x, z, z, -y]
+    num_v = [z, z, -y, y, -x, -x]
+    den = [x, y, z, x, y, z]
+    u = np.empty_like(x)
+    v = np.empty_like(x)
+    for f in range(6):
+        m = face == f
+        u[m] = num_u[f][m] / den[f][m]
+        v[m] = num_v[f][m] / den[f][m]
+    return face, u, v
+
+
+def st_from_uv_np(u: np.ndarray) -> np.ndarray:
+    u = np.asarray(u, dtype=np.float64)
+    # clip only shields the UNSELECTED where-branch from sqrt(<0)
+    return np.where(
+        u >= 0,
+        0.5 * np.sqrt(1.0 + 3.0 * np.clip(u, 0.0, None)),
+        1.0 - 0.5 * np.sqrt(1.0 - 3.0 * np.clip(u, None, 0.0)),
+    )
+
+
+def uv_from_st_np(s: np.ndarray) -> np.ndarray:
+    s = np.asarray(s, dtype=np.float64)
+    return np.where(
+        s >= 0.5, (4.0 * s * s - 1.0) / 3.0, (1.0 - 4.0 * (1.0 - s) ** 2) / 3.0
+    )
+
+
+def ij_np(s: np.ndarray, level: int) -> np.ndarray:
+    n = 1 << level
+    return np.clip(np.floor(s * float(n)), 0, n - 1).astype(np.int64)
+
+
+def hilbert_pos_np(
+    face: np.ndarray, i: np.ndarray, j: np.ndarray, level: int
+) -> np.ndarray:
+    ij2pos = np.asarray(_IJ_TO_POS, dtype=np.int64)
+    nexto = np.asarray(_NEXT_ORIENT, dtype=np.int64)
+    orient = np.asarray(face, dtype=np.int64) & 1
+    pos = np.zeros_like(orient)
+    for k in range(level - 1, -1, -1):
+        ij = ((i >> k) & 1) * 2 + ((j >> k) & 1)
+        idx = orient * 4 + ij
+        pos = (pos << 2) | ij2pos[idx]
+        orient = nexto[idx]
+    return pos
+
+
+def hilbert_ij_np(
+    face: np.ndarray, pos: np.ndarray, level: int
+) -> tuple[np.ndarray, np.ndarray]:
+    pos2ij = np.asarray(_POS_TO_IJ, dtype=np.int64)
+    pos2o = np.asarray(_POS_TO_ORIENT, dtype=np.int64)
+    orient = np.asarray(face, dtype=np.int64) & 1
+    pos = np.asarray(pos, dtype=np.int64)
+    i = np.zeros_like(pos)
+    j = np.zeros_like(pos)
+    for k in range(level - 1, -1, -1):
+        p = (pos >> (2 * k)) & 3
+        ij = pos2ij[orient * 4 + p]
+        i = (i << 1) | (ij >> 1)
+        j = (j << 1) | (ij & 1)
+        orient = orient ^ pos2o[p]
+    return i, j
+
+
+def s2_cell_np(lon: np.ndarray, lat: np.ndarray, level: int) -> np.ndarray:
+    face, u, v = face_uv_np(lon, lat)
+    i = ij_np(st_from_uv_np(u), level)
+    j = ij_np(st_from_uv_np(v), level)
+    return cell_from_face_ij_np(face, i, j, level)
+
+
+def cell_from_face_ij_np(
+    face: np.ndarray, i: np.ndarray, j: np.ndarray, level: int
+) -> np.ndarray:
+    pos = hilbert_pos_np(face, i, j, level)
+    shift = 2 * (MAX_LEVEL - level) + 1
+    lsb = 1 << (2 * (MAX_LEVEL - level))
+    raw = (
+        (np.asarray(face, dtype=np.uint64) << np.uint64(61))
+        | (pos.astype(np.uint64) << np.uint64(shift))
+        | np.uint64(lsb)
+    )
+    return raw.astype(np.int64)
+
+
+def s2_decode_np(cell: np.ndarray, level: int):
+    """cell -> (face, i, j) at `level`."""
+    c = np.asarray(cell, dtype=np.int64).astype(np.uint64)
+    face = (c >> np.uint64(61)).astype(np.int64)
+    shift = 2 * (MAX_LEVEL - level) + 1
+    pos = ((c >> np.uint64(shift)) & np.uint64((1 << (2 * level)) - 1)).astype(
+        np.int64
+    )
+    i, j = hilbert_ij_np(face, pos, level)
+    return face, i, j
+
+
+def s2_center_np(cell: np.ndarray, level: int):
+    """cell -> (lon, lat) of the cell-center direction."""
+    face, i, j = s2_decode_np(cell, level)
+    n = float(1 << level)
+    u = uv_from_st_np((i.astype(np.float64) + 0.5) / n)
+    v = uv_from_st_np((j.astype(np.float64) + 0.5) / n)
+    one = np.ones_like(u)
+    xyz_by_face = [
+        (one, u, v),
+        (-u, one, v),
+        (-u, -v, one),
+        (-one, -v, -u),
+        (v, -one, -u),
+        (v, u, -one),
+    ]
+    x = np.empty_like(u)
+    y = np.empty_like(u)
+    z = np.empty_like(u)
+    for f in range(6):
+        m = face == f
+        fx, fy, fz = xyz_by_face[f]
+        x[m], y[m], z[m] = fx[m], fy[m], fz[m]
+    lon = np.degrees(np.arctan2(y, x))
+    lat = np.degrees(np.arctan2(z, np.sqrt(x * x + y * y)))
+    return lon, lat
+
+
+def s2_range_np(cell: int, level: int) -> tuple[int, int]:
+    lsb = 1 << (2 * (MAX_LEVEL - level))
+    return int(cell) - (lsb - 1), int(cell) + (lsb - 1)
+
+
+def s2_parent_np(cell: np.ndarray, parent_level: int) -> np.ndarray:
+    new_lsb = np.int64(1 << (2 * (MAX_LEVEL - parent_level)))
+    return (np.asarray(cell, dtype=np.int64) & -new_lsb) | new_lsb

@@ -63,6 +63,23 @@ PENTAGON = [
 ]
 SITES = [("s1", 2.345, 48.855, 3.0), ("s2", -73.985, 40.755, 5.0),
          ("s3", 139.695, 35.685, 4.0)]
+# S2 gates: level-12 cells; the range gate scans the level-2 ancestor
+# of a fixed seed point — the ids are pure integers computed once on
+# the driver and inlined as literals into BOTH engines
+S2_LEVEL = 12
+
+
+def _s2_seed_range() -> tuple[int, int]:
+    import numpy as _np
+
+    from geomesa_spark.functions import s2 as _S2
+
+    seed = _S2.s2_cell_np(_np.array([10.0]), _np.array([45.0]), S2_LEVEL)
+    parent = int(_S2.s2_parent_np(seed, 2)[0])
+    return _S2.s2_range_np(parent, 2)
+
+
+S2_RANGE = _s2_seed_range()
 KNN_QUERIES = [("q1", 0.0, 0.0), ("q2", 100.0, 45.0), ("q3", -150.0, -60.0)]
 KNN_K = 7
 TUBE_TRACK = [
@@ -281,6 +298,83 @@ def _z3_cell_sql() -> str:
 def _hash32_sql(expr: str) -> str:
     """uint32 from md5 prefix — mirrors dedup.shingle_hash."""
     return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def _s2_cell_sql(level: int) -> str:
+    """CTE chain (append after PTS_CTE): (event_id, face, i, j, cell)
+    — S2-style cell encode in pure SQL, mirroring functions/s2.py
+    step for step. Radians use the shared deg->rad double constant so
+    only sin/cos themselves can differ from the JVM (sqrt and
+    division are IEEE-exact); the Hilbert walk uses the SAME chunked
+    lookup tables as the engine, unrolled textually."""
+    from geomesa_spark.functions import s2 as _S2
+
+    n = 1 << level
+    d2r = "0.017453292519943295"
+    t4 = list(_S2._CHUNK_TABLES[4])
+    r = level % 4
+    chunks = level // 4
+    tabs = f"s2tabs AS (SELECT {t4} AS t4)"
+    xyz = (
+        f"s2xyz AS (SELECT event_id, "
+        f"COS(lat*{d2r})*COS(lon*{d2r}) AS x, "
+        f"COS(lat*{d2r})*SIN(lon*{d2r}) AS y, "
+        f"SIN(lat*{d2r}) AS z FROM pts)"
+    )
+    fc = (
+        "s2f AS (SELECT event_id, x, y, z, "
+        "CASE WHEN ABS(x) >= ABS(y) AND ABS(x) >= ABS(z) "
+        "THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END "
+        "WHEN ABS(y) >= ABS(z) THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END "
+        "ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END END AS face FROM s2xyz)"
+    )
+    uv = (
+        "s2uv AS (SELECT event_id, face, "
+        "CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z "
+        "WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u, "
+        "CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z "
+        "WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v FROM s2f)"
+    )
+    st = (
+        "s2st AS (SELECT event_id, face, "
+        "CASE WHEN u >= 0 THEN 0.5*SQRT(1.0+3.0*u) "
+        "ELSE 1.0-0.5*SQRT(1.0-3.0*u) END AS s, "
+        "CASE WHEN v >= 0 THEN 0.5*SQRT(1.0+3.0*v) "
+        "ELSE 1.0-0.5*SQRT(1.0-3.0*v) END AS t FROM s2uv)"
+    )
+    ij = (
+        f"s2ij AS (SELECT event_id, face, "
+        f"CAST(LEAST({n - 1}, GREATEST(0, FLOOR(s*{float(n)!r}))) AS BIGINT) AS i, "
+        f"CAST(LEAST({n - 1}, GREATEST(0, FLOOR(t*{float(n)!r}))) AS BIGINT) AS j "
+        f"FROM s2st)"
+    )
+    acc = "(face & 1)"
+    if r:
+        tr = list(_S2._CHUNK_TABLES[r])
+        mask = (1 << r) - 1
+        acc = (
+            f"({tr})[((i >> {level - r}) & {mask})*{1 << (r + 2)} "
+            f"+ ((j >> {level - r}) & {mask})*4 + (face & 1) + 1]"
+        )
+    for m in range(chunks - 1, -1, -1):
+        acc = (
+            f"((({acc} >> 2) << 10) | "
+            f"t4[((i >> {4 * m}) & 15)*64 + ((j >> {4 * m}) & 15)*4 "
+            f"+ ({acc} & 3) + 1])"
+        )
+    shift = 2 * (_S2.MAX_LEVEL - level) + 1
+    lsb = 1 << (2 * (_S2.MAX_LEVEL - level))
+    hv = (
+        f"(CAST(face AS HUGEINT)*2305843009213693952 "
+        f"+ CAST(({acc} >> 2) AS HUGEINT)*{1 << shift} + {lsb})"
+    )
+    cell = (
+        f"s2cell AS (SELECT event_id, face, i, j, "
+        f"CAST(CASE WHEN {hv} >= 9223372036854775808 "
+        f"THEN {hv} - 18446744073709551616 ELSE {hv} END AS BIGINT) AS cell "
+        f"FROM s2ij CROSS JOIN s2tabs)"
+    )
+    return ",\n".join([tabs, xyz, fc, uv, st, ij, cell])
 
 
 SHINGLES_CTE = f"""toks AS (
@@ -1211,6 +1305,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["geohash_cover"] = geohash_cover_gate
+
+    # --- S2-style spherical cells (cube-face quadtree + Hilbert) ---
+    def s2_encode_gate(spark, sf):
+        """Encode every point to a level-12 S2-style cell
+        (functions/s2.py: face projection + st quadratic + Hilbert
+        fold), then decode the CELL back to (face, i, j) in Spark —
+        the oracle recomputes face/i/j from lon/lat and rebuilds the
+        id through the same chunked Hilbert tables in SQL, so a hash
+        match proves encode and decode are exact inverses AND the
+        JVM and DuckDB agree on the full trig+fold pipeline.
+        North-star surface: Z2/Z3 curve keys re-imagined as
+        vectorized S2 cell encoding (BASELINE.json north_star);
+        curve-key parity model: geomesa-z3/.../curve/Z3.scala."""
+        from geomesa_spark.functions import s2 as S2
+
+        ge = geo_events(spark, sf)
+        d = S2.with_s2_cell(
+            ge, F.col("lon"), F.col("lat"), S2_LEVEL, out="cell"
+        )
+        face, i, j = S2.s2_decode_ij(F.col("cell"), S2_LEVEL)
+        return d.select(
+            "event_id",
+            "cell",
+            face.alias("face"),
+            i.cast("long").alias("i"),
+            j.cast("long").alias("j"),
+        )
+
+    q["s2_encode"] = s2_encode_gate
+
+    def s2_range_gate(spark, sf):
+        """Ancestor-range scan: one BETWEEN predicate on the encoded
+        cell column selects exactly the descendants of a fixed
+        level-2 parent cell (the contiguous-range property that makes
+        the Hilbert id an index key — the analog of the reference's
+        Z3 range scan, Z3IdxStrategy.scala). The parent id and its
+        [min, max] range are driver-computed integers inlined as
+        literals into BOTH engines; `parent6` re-derives the level-6
+        ancestor from the cell id alone (pure bit math)."""
+        from geomesa_spark.functions import s2 as S2
+
+        ge = geo_events(spark, sf)
+        d = S2.with_s2_cell(
+            ge, F.col("lon"), F.col("lat"), S2_LEVEL, out="cell"
+        )
+        lo, hi = S2_RANGE
+        return d.where(F.col("cell").between(lo, hi)).select(
+            "event_id",
+            "cell",
+            S2.s2_parent_col(F.col("cell"), 6).alias("parent6"),
+        )
+
+    q["s2_range"] = s2_range_gate
 
     # --- token-budget shard packing (distributed prefix sum) ---
     def shard_pack(spark, sf):
@@ -2629,6 +2776,23 @@ ev AS (
 )
 SELECT cov.gh AS geohash, CAST(COALESCE(ev.n, 0) AS BIGINT) AS n
 FROM cov LEFT JOIN ev USING (gh)
+"""
+
+    # S2 cells: full trig + chunked-Hilbert recompute in SQL; the
+    # range gate adds the BETWEEN literals and pure-bit parent6
+    o["s2_encode"] = f"""
+WITH {PTS_CTE},
+{_s2_cell_sql(S2_LEVEL)}
+SELECT event_id, face, i, j, cell FROM s2cell
+"""
+
+    s2_lo, s2_hi = S2_RANGE
+    _lsb6 = 1 << (2 * (30 - 6))
+    o["s2_range"] = f"""
+WITH {PTS_CTE},
+{_s2_cell_sql(S2_LEVEL)}
+SELECT event_id, cell, ((cell & {-_lsb6}) | {_lsb6}) AS parent6
+FROM s2cell WHERE cell BETWEEN {s2_lo} AND {s2_hi}
 """
 
     # token-budget shard packing: the oracle IS the naive global

@@ -76,6 +76,9 @@ HEADLINE = [
     "domain_quota",
     "ivfpq_rerank",
     "hll_distinct",
+    # ninth-session operators
+    "s2_encode",
+    "s2_range",
 ]
 
 

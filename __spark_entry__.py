@@ -80,6 +80,10 @@ def _s2_seed_range() -> tuple[int, int]:
 
 
 S2_RANGE = _s2_seed_range()
+EPOCH_SEED = 3
+EPOCH_SHARDS = 8
+DSIR_B = 4096
+DSIR_K = 150
 KNN_QUERIES = [("q1", 0.0, 0.0), ("q2", 100.0, 45.0), ("q3", -150.0, -60.0)]
 KNN_K = 7
 TUBE_TRACK = [
@@ -1358,6 +1362,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["s2_range"] = s2_range_gate
+
+    # --- deterministic epoch shuffle (training-order permutation) ---
+    def epoch_shuffle_gate(spark, sf):
+        """Epoch-3 training order over `documents`: md5-hash
+        permutation, contiguous-range shards, per-shard positions
+        (operators/sample.epoch_shuffle). The oracle re-derives the
+        same (shard, pos) with a plain window — fine single-threaded
+        in DuckDB; the operator's point is that Spark does it with a
+        per-shard window and NO SinglePartition collapse (asserted
+        in test_sample)."""
+        from geomesa_spark.operators.sample import epoch_shuffle
+
+        docs = _load(spark, sf, "documents").select("doc_id")
+        return epoch_shuffle(
+            docs, "doc_id", seed=EPOCH_SEED, n_shards=EPOCH_SHARDS
+        ).select("doc_id", F.col("shard").cast("long").alias("shard"), "pos")
+
+    q["epoch_shuffle"] = epoch_shuffle_gate
+
+    # --- DSIR importance selection (target-vs-source reweighting) ---
+    def dsir_select_gate(spark, sf):
+        """DSIR fixed-point selection: target = every 5th document,
+        source = the full corpus, candidates = the rest; hashed-
+        bigram models (4096 buckets), per-occurrence likelihood-ratio
+        mean in pure int64, top-150 by (score_fp DESC, doc_id). The
+        oracle rebuilds both models and the scoring chain from the
+        same md5 bucket arithmetic (operators/dsir.py docstring
+        records why the gate path is normalizer-free and the float
+        log path is numpy-tested instead)."""
+        from geomesa_spark.operators import dsir as DS
+
+        docs = _load(spark, sf, "documents").select("doc_id", "text")
+        target = docs.where(F.col("doc_id") % 5 == 0)
+        cand = docs.where(F.col("doc_id") % 5 != 0)
+        tm = DS.dsir_model(target, buckets=DSIR_B)
+        sm = DS.dsir_model(docs, buckets=DSIR_B)
+        return DS.dsir_sample(cand, tm, sm, k=DSIR_K)
+
+    q["dsir_select"] = dsir_select_gate
 
     # --- token-budget shard packing (distributed prefix sum) ---
     def shard_pack(spark, sf):
@@ -2793,6 +2836,55 @@ WITH {PTS_CTE},
 {_s2_cell_sql(S2_LEVEL)}
 SELECT event_id, cell, ((cell & {-_lsb6}) | {_lsb6}) AS parent6
 FROM s2cell WHERE cell BETWEEN {s2_lo} AND {s2_hi}
+"""
+
+    # deterministic epoch shuffle: same md5 bucket, contiguous-range
+    # shard, per-shard window (single-threaded window is fine here)
+    o["epoch_shuffle"] = f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('epoch{EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 1000000 AS bucket
+  FROM documents)
+SELECT doc_id,
+       CAST((bucket * {EPOCH_SHARDS}) // 1000000 AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY (bucket * {EPOCH_SHARDS}) // 1000000
+         ORDER BY bucket, doc_id) AS BIGINT) AS pos
+FROM b
+"""
+
+    # DSIR: hashed-bigram models + fixed-point likelihood-ratio mean,
+    # same md5 bucket arithmetic and integer op order as the engine
+    o["dsir_select"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents),
+fb AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1]), 1, 8)) AS BIGINT)
+           % {DSIR_B} AS bucket
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-1)) AS i
+        FROM toks)),
+tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_t FROM fb
+       WHERE doc_id % 5 = 0 GROUP BY 1),
+sc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_s FROM fb GROUP BY 1),
+cf AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM fb
+       WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+j AS (
+  SELECT cf.doc_id, cf.cnt,
+         ((COALESCE(tc.c_t, 0) + 1) * 1000000)
+           // (COALESCE(sc.c_s, 0) + 1) AS r
+  FROM cf LEFT JOIN tc USING (bucket) LEFT JOIN sc USING (bucket)),
+agg AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+         CAST(CAST(sum(cnt * r) AS BIGINT) // sum(cnt) AS BIGINT) AS score_fp
+  FROM j GROUP BY 1)
+SELECT d.doc_id, COALESCE(a.n_feats, 0) AS n_feats, a.score_fp
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
+LEFT JOIN agg a USING (doc_id)
+ORDER BY score_fp DESC NULLS LAST, d.doc_id
+LIMIT {DSIR_K}
 """
 
     # token-budget shard packing: the oracle IS the naive global

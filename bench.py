@@ -79,6 +79,8 @@ HEADLINE = [
     # ninth-session operators
     "s2_encode",
     "s2_range",
+    "epoch_shuffle",
+    "dsir_select",
 ]
 
 

@@ -169,3 +169,42 @@ def sessionize(
     return df.withColumn(
         session_col, F.sum(is_start).over(run).cast("long")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    seed: int,
+    n_shards: int,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: assign every row
+    a (shard, position-in-shard) for epoch `seed`.
+
+    The permutation is the hash order ``md5(seed || key)`` — the same
+    order on any cluster, any partitioning, any retry (the module's
+    reproducibility contract), and a fresh independent order per
+    seed/epoch.  Shards are CONTIGUOUS ranges of the hash space
+    (``bucket * n_shards DIV 1e6``), so concatenating shards 0..n-1
+    replays the full permutation, and a writer can emit one file per
+    shard with no extra pass.
+
+    Plan shape: one shuffle on the shard key, then a per-shard
+    row_number window — parallelism = n_shards, never a
+    SinglePartition collapse (the operators/pack.py discipline; the
+    naive global ``row_number() OVER (ORDER BY hash)`` is exactly
+    what this refuses to become).  Shard sizes concentrate near
+    rows/n_shards (multinomial), so no skew mitigation is needed
+    beyond choosing n_shards >= target parallelism."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    bucket = sample_hash(F.col(key_col), salt=f"epoch{seed}:")
+    out = df.withColumn("_bucket", bucket).withColumn(
+        shard_col,
+        F.expr(f"(_bucket * {n_shards}) DIV {HASH_BUCKETS}").cast("int"),
+    )
+    w = Window.partitionBy(shard_col).orderBy("_bucket", key_col)
+    return out.withColumn(pos_col, F.row_number().over(w).cast("long")).drop(
+        "_bucket"
+    )

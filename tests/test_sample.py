@@ -204,3 +204,60 @@ def test_mixture_sample_validation(spark):
         mixture_sample(docs, "doc_id", "lang", {"nope": 1}, total=10).count()
         == 0
     )
+
+
+# --- epoch_shuffle -------------------------------------------------------
+
+
+def _epoch_oracle(n, seed, n_shards):
+    """Python twin: md5 bucket, contiguous shard ranges, in-shard
+    order by (bucket, key)."""
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        b = int(
+            hashlib.md5(f"epoch{seed}:{i}".encode()).hexdigest()[:8], 16
+        ) % 1_000_000
+        rows.append((i, b, (b * n_shards) // 1_000_000))
+    out = {}
+    for shard in range(n_shards):
+        members = sorted(
+            [(b, i) for i, b, s in rows if s == shard]
+        )
+        for pos, (_, i) in enumerate(members, start=1):
+            out[i] = (shard, pos)
+    return out
+
+
+def test_epoch_shuffle_matches_oracle_and_layouts(spark):
+    from geomesa_spark.operators.sample import epoch_shuffle
+
+    want = _epoch_oracle(4000, seed=7, n_shards=8)
+    for parts in (3, 11):
+        got = {
+            r["doc_id"]: (r["shard"], r["pos"])
+            for r in epoch_shuffle(
+                _docs(spark, parts=parts), "doc_id", seed=7, n_shards=8
+            ).collect()
+        }
+        assert got == want
+
+
+def test_epoch_shuffle_seeds_independent_and_no_single_partition(spark):
+    from geomesa_spark.operators.sample import epoch_shuffle
+
+    d = _docs(spark, n=2000)
+    a = epoch_shuffle(d, "doc_id", seed=1, n_shards=4)
+    b = epoch_shuffle(d, "doc_id", seed=2, n_shards=4)
+    pa = {r["doc_id"]: (r["shard"], r["pos"]) for r in a.collect()}
+    pb = {r["doc_id"]: (r["shard"], r["pos"]) for r in b.collect()}
+    assert pa != pb  # fresh permutation per epoch
+    # every shard is a contiguous hash range covering all rows exactly once
+    assert sorted(pa) == list(range(2000))
+    # the per-shard window never collapses to a single partition
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+    with pytest.raises(ValueError):
+        epoch_shuffle(d, "doc_id", seed=1, n_shards=0)

@@ -1363,6 +1363,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s2_range"] = s2_range_gate
 
+    def s2_bbox_gate(spark, sf):
+        """BBox scan THROUGH the S2 index: driver-side interval-
+        arithmetic BFS cover (functions/s2.s2_cover_ranges, the Z2
+        cover-planner analog on the sphere) -> contiguous cell-id
+        range predicates -> exact lon/lat refine. The oracle filters
+        the bbox directly, so any under-cover (a pruned cell that
+        actually intersects RECT) loses rows and fails the hash —
+        the cover's conservativeness is the thing under test.
+        Reference analog: geohash-range scanning, IndexSchema /
+        Z2IdxStrategy."""
+        from geomesa_spark.functions import s2 as S2
+
+        ge = geo_events(spark, sf)
+        scanned = S2.s2_bbox_scan(
+            ge, F.col("lon"), F.col("lat"), RECT, S2_LEVEL
+        )
+        return S2.with_s2_cell(
+            scanned, F.col("lon"), F.col("lat"), S2_LEVEL, out="cell"
+        ).select("event_id", "cell")
+
+    q["s2_bbox"] = s2_bbox_gate
+
     # --- deterministic epoch shuffle (training-order permutation) ---
     def epoch_shuffle_gate(spark, sf):
         """Epoch-3 training order over `documents`: md5-hash
@@ -2836,6 +2858,18 @@ WITH {PTS_CTE},
 {_s2_cell_sql(S2_LEVEL)}
 SELECT event_id, cell, ((cell & {-_lsb6}) | {_lsb6}) AS parent6
 FROM s2cell WHERE cell BETWEEN {s2_lo} AND {s2_hi}
+"""
+
+    # S2 bbox scan: the oracle is the DIRECT filter — the engine must
+    # reproduce it through cover ranges + refine
+    xmin, ymin, xmax, ymax = RECT
+    o["s2_bbox"] = f"""
+WITH {PTS_CTE},
+{_s2_cell_sql(S2_LEVEL)}
+SELECT s.event_id, s.cell
+FROM s2cell s JOIN pts p USING (event_id)
+WHERE p.lon BETWEEN {xmin!r} AND {xmax!r}
+  AND p.lat BETWEEN {ymin!r} AND {ymax!r}
 """
 
     # deterministic epoch shuffle: same md5 bucket, contiguous-range

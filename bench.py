@@ -79,6 +79,7 @@ HEADLINE = [
     # ninth-session operators
     "s2_encode",
     "s2_range",
+    "s2_bbox",
     "epoch_shuffle",
     "dsir_select",
 ]

@@ -516,3 +516,219 @@ def s2_range_np(cell: int, level: int) -> tuple[int, int]:
 def s2_parent_np(cell: np.ndarray, parent_level: int) -> np.ndarray:
     new_lsb = np.int64(1 << (2 * (MAX_LEVEL - parent_level)))
     return (np.asarray(cell, dtype=np.int64) & -new_lsb) | new_lsb
+
+
+# ---------------------------------------------------------------------------
+# region cover + range scan (the S2 analog of the Z2 cover planner)
+# ---------------------------------------------------------------------------
+
+# face frames as (x, y, z) component descriptors: each component is
+# ('c', +-1) constant, ('u', +-1) or ('v', +-1) — XYZ is LINEAR in
+# (u, v) on a face, which is what makes exact interval bounds trivial
+_FACE_FRAME = (
+    (("c", 1), ("u", 1), ("v", 1)),     # face 0: ( 1,  u,  v)
+    (("u", -1), ("c", 1), ("v", 1)),    # face 1: (-u,  1,  v)
+    (("u", -1), ("v", -1), ("c", 1)),   # face 2: (-u, -v,  1)
+    (("c", -1), ("v", -1), ("u", -1)),  # face 3: (-1, -v, -u)
+    (("v", 1), ("c", -1), ("u", -1)),   # face 4: ( v, -1, -u)
+    (("v", 1), ("u", 1), ("c", -1)),    # face 5: ( v,  u, -1)
+)
+
+_COVER_EPS = 1e-9  # degrees of conservative padding on cell bounds
+
+
+def _comp_interval(desc, u0, u1, v0, v1):
+    kind, sgn = desc
+    if kind == "c":
+        return (sgn, sgn) if sgn > 0 else (sgn, sgn)
+    lo, hi = (u0, u1) if kind == "u" else (v0, v1)
+    return (sgn * lo, sgn * hi) if sgn > 0 else (sgn * hi, sgn * lo)
+
+
+def _cell_lonlat_bounds(face, level, i, j):
+    """Conservative lon/lat bounds of cell (face, i, j) via interval
+    arithmetic on the linear face frame — the outer box can only be
+    too WIDE, so a disjointness prune is always safe.  Returns
+    (lat0, lat1, lon_arcs) where lon_arcs is 1-2 [lo, hi] intervals
+    (2 when the cell's longitude span crosses the +-180 seam) or
+    None for full longitude (cell touches a pole axis)."""
+    import math
+
+    n = 1 << level
+    u0, u1 = (uv_from_st_np(np.array([i / n, (i + 1) / n]))).tolist()
+    v0, v1 = (uv_from_st_np(np.array([j / n, (j + 1) / n]))).tolist()
+    fx, fy, fz = _FACE_FRAME[face]
+    x0, x1 = _comp_interval(fx, u0, u1, v0, v1)
+    y0, y1 = _comp_interval(fy, u0, u1, v0, v1)
+    z0, z1 = _comp_interval(fz, u0, u1, v0, v1)
+    ax0 = 0.0 if x0 <= 0.0 <= x1 else min(abs(x0), abs(x1))
+    ax1 = max(abs(x0), abs(x1))
+    ay0 = 0.0 if y0 <= 0.0 <= y1 else min(abs(y0), abs(y1))
+    ay1 = max(abs(y0), abs(y1))
+    rho0 = math.hypot(ax0, ay0)
+    rho1 = math.hypot(ax1, ay1)
+    # lat monotone: increasing in z, decreasing in rho
+    lat0 = math.degrees(math.atan2(z0, rho1 if z0 >= 0 else rho0))
+    lat1 = math.degrees(math.atan2(z1, rho0 if z1 >= 0 else rho1))
+    lat0 -= _COVER_EPS
+    lat1 += _COVER_EPS
+    if x0 <= 0.0 <= x1 and y0 <= 0.0 <= y1:
+        return lat0, lat1, None  # (x,y) rect contains the origin
+    # convex rect not containing origin -> angle extremes at corners,
+    # arc span < 180 deg; take the minimal arc containing all corners
+    corners = [
+        math.degrees(math.atan2(y, x))
+        for x in (x0, x1)
+        for y in (y0, y1)
+    ]
+    corners.sort()
+    gaps = [
+        (corners[(k + 1) % 4] - corners[k]) % 360.0 for k in range(4)
+    ]
+    kmax = max(range(4), key=gaps.__getitem__)
+    lo = corners[(kmax + 1) % 4] - _COVER_EPS
+    hi = corners[kmax] + _COVER_EPS
+    if lo <= hi:
+        return lat0, lat1, [(lo, hi)]
+    # arc wraps through the +-180 seam -> two plain intervals
+    return lat0, lat1, [(-180.0 - _COVER_EPS, hi), (lo, 180.0 + _COVER_EPS)]
+
+
+def _arcs_relate(arcs, xmin, xmax):
+    """-1 disjoint / 0 partial / 1 lon-contained for query [xmin,xmax]."""
+    if arcs is None:
+        return 0
+    hit = any(not (a1 < xmin or a0 > xmax) for a0, a1 in arcs)
+    if not hit:
+        return -1
+    inside = all(xmin <= a0 and a1 <= xmax for a0, a1 in arcs)
+    return 1 if inside else 0
+
+
+def s2_cover_ranges(
+    bbox: tuple[float, float, float, float],
+    max_level: int,
+    max_cells: int = 256,
+) -> list[tuple[int, int]]:
+    """Cell-id ranges covering a lon/lat bbox — the driver-side BFS
+    cover planner (the Z2 `cover.py` analog on the sphere).
+
+    Conservative by construction: a cell is pruned only when its
+    interval-arithmetic outer bounds are disjoint from the bbox, so
+    the union of ranges is a superset of the region and an exact
+    refine downstream loses nothing.  Cells FULLY inside the bbox
+    emit their whole subtree range without descending (mixed-level
+    covering — the trailing-bit layout makes every ancestor range
+    contiguous).  Descent stops at `max_level` or when the frontier
+    would exceed `max_cells` (budget degrade to coarser cells, the
+    geom_data.py discipline).  Adjacent/overlapping ranges merge, so
+    the scan predicate is a few BETWEENs, not max_cells of them.
+    IDL note: callers split antimeridian boxes first (planner.scan
+    convention); this function requires xmin <= xmax."""
+    xmin, ymin, xmax, ymax = bbox
+    if xmin > xmax:
+        raise ValueError("IDL boxes must be split by the caller (xmin > xmax)")
+    out: list[tuple[int, int]] = []
+
+    def emit(face: int, level: int, i: int, j: int) -> None:
+        cell = int(
+            cell_from_face_ij_np(
+                np.array([face]), np.array([i]), np.array([j]), level
+            )[0]
+        )
+        out.append(s2_range_np(cell, level))
+
+    frontier: list[tuple[int, int, int, int]] = [
+        (f, 0, 0, 0) for f in range(6)
+    ]
+    while frontier:
+        descend: list[tuple[int, int, int, int]] = []
+        for face, level, i, j in frontier:
+            lat0, lat1, arcs = _cell_lonlat_bounds(face, level, i, j)
+            if lat1 < ymin or lat0 > ymax:
+                continue
+            lon_rel = _arcs_relate(arcs, xmin, xmax)
+            if lon_rel < 0:
+                continue
+            contained = lon_rel == 1 and ymin <= lat0 and lat1 <= ymax
+            if contained or level >= max_level:
+                emit(face, level, i, j)
+            else:
+                descend.append((face, level, i, j))
+        if len(out) + 4 * len(descend) > max_cells:
+            # budget: keep these cells coarse instead of subdividing
+            for face, level, i, j in descend:
+                emit(face, level, i, j)
+            break
+        frontier = [
+            (face, level + 1, 2 * i + di, 2 * j + dj)
+            for face, level, i, j in descend
+            for di in (0, 1)
+            for dj in (0, 1)
+        ]
+    out.sort()
+    merged: list[tuple[int, int]] = []
+    for lo, hi in out:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
+def s2_bbox_scan(
+    df,
+    lon: Column,
+    lat: Column,
+    bbox: tuple[float, float, float, float],
+    level: int,
+    cell_col: str | None = None,
+    max_cells: int = 256,
+):
+    """BBox scan through the S2 index: cover the box with cell-id
+    ranges (driver BFS above), filter with OR-of-BETWEENs on the
+    cell column, then refine with the exact lon/lat predicate.
+
+    With a STORED `cell_col` (the 10^12-row layout: cells written at
+    ingest like docs.write_docs_table's z-cells), the ranges are
+    decomposable predicates that push down to parquet row-group
+    min/max stats.  With `cell_col=None` the cell is derived on the
+    fly, and the naive form of the SAME predicate is a double trap:
+    optimizer alias substitution inlines the encode expression once
+    per cell reference (R BETWEENs reference it 2R times — observed
+    driver heap death at ~114 ranges), and routing the ranges through
+    an `exists()` HOF instead substitutes the encode into the lambda
+    BODY, re-running the interpreted Hilbert fold once per range per
+    row (observed 25x wall blowup).  The derived path therefore
+    let-binds the cell behind a Generate barrier (explode of a
+    1-element array — CollapseProject cannot merge through Generate,
+    the dedup.py idiom), after which the BETWEENs reference a plain
+    attribute: the encode runs exactly once per row and the filter
+    stays whole-stage codegen."""
+    xmin, ymin, xmax, ymax = bbox
+    ranges = s2_cover_ranges(bbox, level, max_cells)
+    refine = lon.between(F.lit(xmin), F.lit(xmax)) & lat.between(
+        F.lit(ymin), F.lit(ymax)
+    )
+    if not ranges:
+        return df.where(F.lit(False))
+
+    def or_between(col: Column) -> Column:
+        cond = None
+        for lo, hi in ranges:
+            c = col.between(F.lit(lo), F.lit(hi))
+            cond = c if cond is None else (cond | c)
+        return cond
+
+    if cell_col is not None:
+        return df.where(or_between(F.col(cell_col))).where(refine)
+    cols = df.columns
+    barr = with_s2_cell(df, lon, lat, level, out="__scan_cell").select(
+        *cols,
+        F.explode(F.array(F.col("__scan_cell"))).alias("__s2_cell_b"),
+    )
+    return (
+        barr.where(or_between(F.col("__s2_cell_b")))
+        .where(refine)
+        .drop("__s2_cell_b")
+    )

@@ -224,3 +224,97 @@ def test_filter_on_derived_cell_plans_and_runs(spark):
 def test_level_validation(spark):
     with pytest.raises(ValueError):
         S.with_s2_cell(spark.range(1), F.lit(0.0), F.lit(0.0), 31)
+
+
+# --- region cover + range scan ------------------------------------------
+
+
+COVER_BOXES = [
+    (10.0, 20.0, 80.0, 60.0),
+    (-30.0, 70.0, 30.0, 90.0),      # touches the north pole
+    (100.0, -90.0, 140.0, -60.0),   # south polar band
+    (-0.5, -0.5, 0.5, 0.5),         # tiny equatorial
+    (170.0, -10.0, 180.0, 10.0),    # seam-adjacent
+    (-179.9, -89.9, 179.9, 89.9),   # near-world
+]
+
+
+def test_cover_is_conservative_and_budgeted():
+    lon, lat = rand_lonlat(100_000)
+    for bb in COVER_BOXES:
+        xmin, ymin, xmax, ymax = bb
+        inside = (lon >= xmin) & (lon <= xmax) & (lat >= ymin) & (lat <= ymax)
+        cells = S.s2_cell_np(lon, lat, 12)
+        ranges = S.s2_cover_ranges(bb, 12, max_cells=256)
+        assert 0 < len(ranges) <= 256
+        covered = np.zeros(len(lon), dtype=bool)
+        for lo, hi in ranges:
+            covered |= (cells >= lo) & (cells <= hi)
+        # NEVER misses an inside point (safe prune)...
+        assert not (inside & ~covered).any(), bb
+        # ...and the ranges are sorted, merged, non-overlapping
+        flat = [b for r in ranges for b in r]
+        assert flat == sorted(flat)
+        assert all(
+            ranges[k + 1][0] > ranges[k][1] + 1 for k in range(len(ranges) - 1)
+        )
+
+
+def test_cover_rejects_idl_box():
+    with pytest.raises(ValueError):
+        S.s2_cover_ranges((170.0, 0.0, -170.0, 10.0), 8)
+
+
+def test_s2_bbox_scan_matches_direct_filter(spark):
+    lon, lat = rand_lonlat(20_000)
+    pdf = spark.createDataFrame(
+        [(int(k), float(a), float(b)) for k, (a, b) in enumerate(zip(lon, lat))],
+        "id long, lon double, lat double",
+    )
+    for bb in COVER_BOXES[:4]:
+        xmin, ymin, xmax, ymax = bb
+        got = sorted(
+            r["id"]
+            for r in S.s2_bbox_scan(
+                pdf, F.col("lon"), F.col("lat"), bb, 12
+            ).select("id").collect()
+        )
+        want = np.nonzero(
+            (lon >= xmin) & (lon <= xmax) & (lat >= ymin) & (lat <= ymax)
+        )[0].tolist()
+        assert got == want, bb
+
+
+def test_s2_bbox_scan_stored_cell_column(spark, tmp_path):
+    """The 10^12-row layout: cells STORED at ingest (parquet round
+    trip), scan filters the stored column with plain BETWEENs — same
+    rows as the direct filter, and the range predicates reach the
+    parquet source as PushedFilters (row-group min/max pruning).
+    `cell_col=` must point at a stored/materialized column; pointing
+    it at a derived expression re-creates the substitution blowup
+    the derived path avoids (s2_bbox_scan docstring)."""
+    lon, lat = rand_lonlat(10_000)
+    pdf = spark.createDataFrame(
+        [(int(k), float(a), float(b)) for k, (a, b) in enumerate(zip(lon, lat))],
+        "id long, lon double, lat double",
+    )
+    path = str(tmp_path / "s2_store")
+    S.with_s2_cell(pdf, F.col("lon"), F.col("lat"), 12, out="cell").write.parquet(
+        path
+    )
+    stored = spark.read.parquet(path)
+    bb = COVER_BOXES[0]
+    scan = S.s2_bbox_scan(
+        stored, F.col("lon"), F.col("lat"), bb, 12, cell_col="cell",
+        max_cells=32,
+    )
+    got = sorted(r["id"] for r in scan.select("id").collect())
+    xmin, ymin, xmax, ymax = bb
+    want = np.nonzero(
+        (lon >= xmin) & (lon <= xmax) & (lat >= ymin) & (lat <= ymax)
+    )[0].tolist()
+    assert got == want
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "cell" in plan.split(
+        "PushedFilters", 1
+    )[1][:2000]

@@ -732,3 +732,164 @@ def s2_bbox_scan(
         .where(refine)
         .drop("__s2_cell_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# polygon polyfill (mixed-level region cover for spatial joins)
+# ---------------------------------------------------------------------------
+
+
+def _box_poly_relate(members, verts, segs, xmin, ymin, xmax, ymax):
+    """-1 disjoint / 0 partial / 1 box fully inside the polygon.
+
+    Exact even-odd relate of an axis-aligned box against a polygon
+    given as member list + flattened vertex/segment arrays.  The
+    decomposition is the geom_intersects one (vertex containment +
+    proper edge crossings): with the box's 4 corners tested against
+    the members (member-OR, the contains_geom_col convention) and
+    polygon vertices tested against the box,
+      * no corner inside, no vertex in box, no crossing  -> disjoint
+        (a polygon containing the box would put all corners inside;
+        a box containing the polygon would put vertices in the box);
+      * all corners inside AND no vertex in box AND no crossing ->
+        the box (holes included — a hole reaching into the box would
+        put its vertices inside or cross the box edges) lies in the
+        interior;
+      * anything else -> partial.
+    Tangencies that are neither proper crossings nor vertex hits are
+    degenerate at the callers' epsilon-padded bounds and resolve to
+    partial-or-disjoint, never to a wrong `interior`."""
+    from geomesa_spark.functions import geometry as G
+
+    bx = np.array([xmin, xmax, xmax, xmin], dtype=np.float64)
+    by = np.array([ymin, ymin, ymax, ymax], dtype=np.float64)
+    corners_in = np.zeros(4, dtype=bool)
+    for m in members:
+        corners_in |= G.contains(m, bx, by)
+    vert_in = bool(
+        (
+            (verts[:, 0] >= xmin)
+            & (verts[:, 0] <= xmax)
+            & (verts[:, 1] >= ymin)
+            & (verts[:, 1] <= ymax)
+        ).any()
+    )
+    box_segs = np.array(
+        [
+            (xmin, ymin, xmax, ymin),
+            (xmax, ymin, xmax, ymax),
+            (xmax, ymax, xmin, ymax),
+            (xmin, ymax, xmin, ymin),
+        ],
+        dtype=np.float64,
+    )
+    crossing = G.segments_cross(box_segs, segs)
+    if corners_in.all() and not vert_in and not crossing:
+        return 1
+    if not corners_in.any() and not vert_in and not crossing:
+        return -1
+    return 0
+
+
+def s2_polyfill(
+    geom,
+    max_level: int,
+    max_cells: int = 4096,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Mixed-level S2 cover of a polygon: (cells, levels, interior).
+
+    The spherical analog of plans/cover.polyfill_detail (reference:
+    GeohashUtils.scala:779-794 decomposition) as a BFS from the six
+    face cells:
+
+    * a cell whose conservative lon/lat bounds (interval arithmetic
+      on the linear face frame, `_cell_lonlat_bounds`) are DISJOINT
+      from the polygon is pruned — safe, the bounds only over-cover;
+    * a cell whose bounds lie fully INSIDE the polygon is emitted at
+      its own (coarse) level with interior=True — joins skip the
+      exact refine for points in such cells (the covering-index fast
+      path), and no descent is paid for the polygon's interior;
+    * boundary cells descend until `max_level`, or until the budget
+      `max_cells` would be exceeded, at which point the remaining
+      frontier is emitted coarse with interior=False (budget degrade
+      — the refine absorbs the looser cover, geom_data.py
+      discipline).
+
+    `geom` must be IDL-normalized (G.normalize_idl) — every member
+    then has xmin <= xmax, and a cell's seam-wrapping lon arcs are
+    tested piecewise.  MULTIPOLYGON members are tested member-OR
+    (the contains_geom_col convention); layers with OVERLAPPING
+    members must be pre-dissolved for the downstream flattened-edge
+    refine, matching poly_edges_df's documented contract."""
+    from geomesa_spark.functions import geometry as G
+    from geomesa_spark.functions import geometry_sql as GS
+
+    members = GS.geom_members(geom)
+    verts = G._all_vertices(geom)
+    segs = G._all_segments(geom)
+    gxmin, gymin, gxmax, gymax = geom.bounds
+
+    cells: list[int] = []
+    levels: list[int] = []
+    interiors: list[bool] = []
+
+    def emit(face, level, i, j, interior):
+        cells.append(
+            int(
+                cell_from_face_ij_np(
+                    np.array([face]), np.array([i]), np.array([j]), level
+                )[0]
+            )
+        )
+        levels.append(level)
+        interiors.append(interior)
+
+    def relate_cell(face, level, i, j):
+        lat0, lat1, arcs = _cell_lonlat_bounds(face, level, i, j)
+        if lat1 < gymin or lat0 > gymax:
+            return -1
+        pieces = arcs if arcs is not None else [(-180.0, 180.0)]
+        rels = []
+        for a0, a1 in pieces:
+            if a1 < gxmin or a0 > gxmax:
+                rels.append(-1)  # bbox-disjoint piece is exact-disjoint
+                continue
+            rels.append(
+                _box_poly_relate(members, verts, segs, a0, lat0, a1, lat1)
+            )
+        if all(r == -1 for r in rels):
+            return -1
+        # the pieces jointly cover the cell: interior only if EVERY
+        # piece is inside (a disjoint piece breaks containment)
+        if all(r == 1 for r in rels):
+            return 1
+        return 0
+
+    frontier = [(f, 0, 0, 0) for f in range(6)]
+    while frontier:
+        descend = []
+        for face, level, i, j in frontier:
+            rel = relate_cell(face, level, i, j)
+            if rel < 0:
+                continue
+            if rel > 0:
+                emit(face, level, i, j, True)
+            elif level >= max_level:
+                emit(face, level, i, j, False)
+            else:
+                descend.append((face, level, i, j))
+        if len(cells) + 4 * len(descend) > max_cells:
+            for face, level, i, j in descend:
+                emit(face, level, i, j, False)
+            break
+        frontier = [
+            (face, level + 1, 2 * i + di, 2 * j + dj)
+            for face, level, i, j in descend
+            for di in (0, 1)
+            for dj in (0, 1)
+        ]
+    return (
+        np.asarray(cells, dtype=np.int64),
+        np.asarray(levels, dtype=np.int64),
+        np.asarray(interiors, dtype=bool),
+    )

@@ -662,6 +662,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pip_bucketed"] = pip_bucketed
 
+    def pip_s2(spark, sf):
+        """Fourth PIP strategy: the S2 spherical index
+        (operators/s2_join.pip_join_s2) — mixed-level polygon covers
+        (interior cells skip the refine), points explode ancestors at
+        the cover's distinct levels, ONE broadcast hash join. Same
+        polygon layer and oracle as pip_broadcast: the two physical
+        strategies on two different curves must agree exactly."""
+        from geomesa_spark.operators.s2_join import pip_join_s2
+
+        return pip_join_s2(geo_events(spark, sf), _polys, level=S2_LEVEL).select(
+            "event_id", "poly_id"
+        )
+
+    q["pip_s2"] = pip_s2
+
     # --- non-point data geometries: line/polygon rows vs the query
     # polygon layer (STIdxStrategy.scala:218-243 generalized; dedup
     # of multi-cell rows IndexSchema.scala:300-307). WKT is built in
@@ -1896,6 +1911,7 @@ SELECT event_id, 'pent' AS poly_id FROM pts WHERE {_convex_cond(PENTAGON)}
 """
     o["pip_broadcast"] = pip_sql
     o["pip_partitioned"] = pip_sql
+    o["pip_s2"] = pip_sql
 
     # --- non-point geometry gates: derived vertices as SQL
     # expressions, query-polygon constants pre-folded ---

@@ -82,6 +82,8 @@ HEADLINE = [
     "s2_bbox",
     "epoch_shuffle",
     "dsir_select",
+    # tenth-session operators
+    "pip_s2",
 ]
 
 

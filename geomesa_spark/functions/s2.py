@@ -739,56 +739,154 @@ def s2_bbox_scan(
 # ---------------------------------------------------------------------------
 
 
-def _box_poly_relate(members, verts, segs, xmin, ymin, xmax, ymax):
-    """-1 disjoint / 0 partial / 1 box fully inside the polygon.
+def _cell_lonlat_bounds_batch(face, level, i, j):
+    """Vectorized `_cell_lonlat_bounds` over F cells at one level.
 
-    Exact even-odd relate of an axis-aligned box against a polygon
-    given as member list + flattened vertex/segment arrays.  The
-    decomposition is the geom_intersects one (vertex containment +
-    proper edge crossings): with the box's 4 corners tested against
-    the members (member-OR, the contains_geom_col convention) and
-    polygon vertices tested against the box,
-      * no corner inside, no vertex in box, no crossing  -> disjoint
-        (a polygon containing the box would put all corners inside;
-        a box containing the polygon would put vertices in the box);
+    Returns (lat0, lat1, arcs) with arcs shaped (F, 2, 2) — up to two
+    [lo, hi] longitude intervals per cell, NaN-padded when the span
+    does not wrap the +-180 seam; pole-axis cells get one full
+    (-180, 180) arc (the scalar form's `None`).  Same interval
+    arithmetic on the linear face frame, so the outer box can only be
+    too WIDE and a disjointness prune stays safe."""
+    face = np.asarray(face, dtype=np.int64)
+    i = np.asarray(i, dtype=np.int64)
+    j = np.asarray(j, dtype=np.int64)
+    n = float(1 << level)
+    u0 = uv_from_st_np(i / n)
+    u1 = uv_from_st_np((i + 1) / n)
+    v0 = uv_from_st_np(j / n)
+    v1 = uv_from_st_np((j + 1) / n)
+    m_ = len(face)
+    x0 = np.empty(m_)
+    x1 = np.empty(m_)
+    y0 = np.empty(m_)
+    y1 = np.empty(m_)
+    z0 = np.empty(m_)
+    z1 = np.empty(m_)
+    for f in range(6):
+        sel = face == f
+        if not sel.any():
+            continue
+        for (lo_a, hi_a), desc in zip(
+            ((x0, x1), (y0, y1), (z0, z1)), _FACE_FRAME[f]
+        ):
+            kind, sgn = desc
+            if kind == "c":
+                lo_a[sel] = sgn
+                hi_a[sel] = sgn
+            else:
+                a, b = (u0, u1) if kind == "u" else (v0, v1)
+                if sgn > 0:
+                    lo_a[sel] = a[sel]
+                    hi_a[sel] = b[sel]
+                else:
+                    lo_a[sel] = -b[sel]
+                    hi_a[sel] = -a[sel]
+    ax0 = np.where((x0 <= 0.0) & (x1 >= 0.0), 0.0, np.minimum(np.abs(x0), np.abs(x1)))
+    ax1 = np.maximum(np.abs(x0), np.abs(x1))
+    ay0 = np.where((y0 <= 0.0) & (y1 >= 0.0), 0.0, np.minimum(np.abs(y0), np.abs(y1)))
+    ay1 = np.maximum(np.abs(y0), np.abs(y1))
+    rho0 = np.hypot(ax0, ay0)
+    rho1 = np.hypot(ax1, ay1)
+    # lat monotone: increasing in z, decreasing in rho
+    lat0 = np.degrees(np.arctan2(z0, np.where(z0 >= 0.0, rho1, rho0))) - _COVER_EPS
+    lat1 = np.degrees(np.arctan2(z1, np.where(z1 >= 0.0, rho0, rho1))) + _COVER_EPS
+    pole = (x0 <= 0.0) & (x1 >= 0.0) & (y0 <= 0.0) & (y1 >= 0.0)
+    # convex (x,y) rect not containing the origin -> angle extremes at
+    # corners, arc span < 180 deg; minimal arc containing all corners
+    cx = np.stack([x0, x0, x1, x1], axis=1)
+    cy = np.stack([y0, y1, y0, y1], axis=1)
+    ang = np.degrees(np.arctan2(cy, cx))
+    ang.sort(axis=1)
+    gaps = (np.roll(ang, -1, axis=1) - ang) % 360.0
+    kmax = gaps.argmax(axis=1)
+    rows = np.arange(m_)
+    hi = ang[rows, kmax] + _COVER_EPS
+    lo = ang[rows, (kmax + 1) % 4] - _COVER_EPS
+    arcs = np.full((m_, 2, 2), np.nan)
+    one = ~pole & (lo <= hi)
+    arcs[one, 0, 0] = lo[one]
+    arcs[one, 0, 1] = hi[one]
+    wrap = ~pole & (lo > hi)  # arc wraps through the +-180 seam
+    arcs[wrap, 0, 0] = -180.0 - _COVER_EPS
+    arcs[wrap, 0, 1] = hi[wrap]
+    arcs[wrap, 1, 0] = lo[wrap]
+    arcs[wrap, 1, 1] = 180.0 + _COVER_EPS
+    arcs[pole, 0, 0] = -180.0
+    arcs[pole, 0, 1] = 180.0
+    return lat0, lat1, arcs
+
+
+def _box_poly_relate_batch(members, verts, segs, xmin, ymin, xmax, ymax):
+    """-1 disjoint / 0 partial / 1 fully-inside, vectorized over B
+    axis-aligned boxes against one polygon (member list + flattened
+    vertex/segment arrays).
+
+    Decomposition per box (the geom_intersects convention — vertex
+    containment + proper edge crossings), with the box's 4 corners
+    tested member-OR (the contains_geom_col convention):
+      * no corner inside, no polygon vertex in the box, no crossing
+        -> disjoint (a polygon containing the box would put all
+        corners inside; a box containing the polygon would put
+        vertices in the box);
       * all corners inside AND no vertex in box AND no crossing ->
         the box (holes included — a hole reaching into the box would
         put its vertices inside or cross the box edges) lies in the
-        interior;
+        polygon interior;
       * anything else -> partial.
     Tangencies that are neither proper crossings nor vertex hits are
     degenerate at the callers' epsilon-padded bounds and resolve to
-    partial-or-disjoint, never to a wrong `interior`."""
+    partial-or-disjoint, never to a wrong `interior`.
+
+    Work is chunked so the (boxes x segments) crossing matrix stays
+    bounded regardless of polygon complexity."""
     from geomesa_spark.functions import geometry as G
 
-    bx = np.array([xmin, xmax, xmax, xmin], dtype=np.float64)
-    by = np.array([ymin, ymin, ymax, ymax], dtype=np.float64)
-    corners_in = np.zeros(4, dtype=bool)
-    for m in members:
-        corners_in |= G.contains(m, bx, by)
-    vert_in = bool(
-        (
-            (verts[:, 0] >= xmin)
-            & (verts[:, 0] <= xmax)
-            & (verts[:, 1] >= ymin)
-            & (verts[:, 1] <= ymax)
-        ).any()
-    )
-    box_segs = np.array(
-        [
-            (xmin, ymin, xmax, ymin),
-            (xmax, ymin, xmax, ymax),
-            (xmax, ymax, xmin, ymax),
-            (xmin, ymax, xmin, ymin),
-        ],
-        dtype=np.float64,
-    )
-    crossing = G.segments_cross(box_segs, segs)
-    if corners_in.all() and not vert_in and not crossing:
-        return 1
-    if not corners_in.any() and not vert_in and not crossing:
-        return -1
-    return 0
+    xmin = np.asarray(xmin, dtype=np.float64)
+    ymin = np.asarray(ymin, dtype=np.float64)
+    xmax = np.asarray(xmax, dtype=np.float64)
+    ymax = np.asarray(ymax, dtype=np.float64)
+    b_ = len(xmin)
+    rel = np.zeros(b_, dtype=np.int64)
+    width = max(len(segs), len(verts), 1)
+    chunk = max(1, int(2_000_000 / width))
+    sx0, sy0, sx1, sy1 = (segs[:, k][None, None, :] for k in range(4))
+    vx = verts[None, :, 0]
+    vy = verts[None, :, 1]
+    for s in range(0, b_, chunk):
+        e = min(b_, s + chunk)
+        cxm, cym, cxM, cyM = xmin[s:e], ymin[s:e], xmax[s:e], ymax[s:e]
+        bx = np.stack([cxm, cxM, cxM, cxm], axis=1)
+        by = np.stack([cym, cym, cyM, cyM], axis=1)
+        corners_in = np.zeros(bx.shape, dtype=bool)
+        for m in members:
+            corners_in |= G.contains(m, bx.ravel(), by.ravel()).reshape(bx.shape)
+        vert_in = (
+            (vx >= cxm[:, None])
+            & (vx <= cxM[:, None])
+            & (vy >= cym[:, None])
+            & (vy <= cyM[:, None])
+        ).any(axis=1)
+        # proper crossings: 4 box edges (B,4,1) x polygon segs (1,1,S)
+        ex0 = np.stack([cxm, cxM, cxM, cxm], axis=1)[..., None]
+        ey0 = np.stack([cym, cym, cyM, cyM], axis=1)[..., None]
+        ex1 = np.stack([cxM, cxM, cxm, cxm], axis=1)[..., None]
+        ey1 = np.stack([cym, cyM, cyM, cym], axis=1)[..., None]
+        dx = ex1 - ex0
+        dy = ey1 - ey0
+        d1 = dx * (sy0 - ey0) - dy * (sx0 - ex0)
+        d2 = dx * (sy1 - ey0) - dy * (sx1 - ex0)
+        d3 = (sx1 - sx0) * (ey0 - sy0) - (sy1 - sy0) * (ex0 - sx0)
+        d4 = (sx1 - sx0) * (ey1 - sy0) - (sy1 - sy0) * (ex1 - sx0)
+        crossing = (((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))).any(
+            axis=(1, 2)
+        )
+        clean = ~vert_in & ~crossing
+        r = np.zeros(e - s, dtype=np.int64)
+        r[corners_in.all(axis=1) & clean] = 1
+        r[~corners_in.any(axis=1) & clean] = -1
+        rel[s:e] = r
+    return rel
 
 
 def s2_polyfill(
@@ -799,12 +897,16 @@ def s2_polyfill(
     """Mixed-level S2 cover of a polygon: (cells, levels, interior).
 
     The spherical analog of plans/cover.polyfill_detail (reference:
-    GeohashUtils.scala:779-794 decomposition) as a BFS from the six
-    face cells:
+    GeohashUtils.scala:779-794 decomposition) as a level-synchronous
+    BFS from the six face cells, every step vectorized over the whole
+    frontier (numpy interval bounds + batched box/polygon relates —
+    the per-cell Python form measured 2.5 s for three continental
+    polygons; this one is ~30x faster, and the cover is driver-side
+    work on the broadcast-join path, so it bounds job setup latency):
 
     * a cell whose conservative lon/lat bounds (interval arithmetic
-      on the linear face frame, `_cell_lonlat_bounds`) are DISJOINT
-      from the polygon is pruned — safe, the bounds only over-cover;
+      on the linear face frame) are DISJOINT from the polygon is
+      pruned — safe, the bounds only over-cover;
     * a cell whose bounds lie fully INSIDE the polygon is emitted at
       its own (coarse) level with interior=True — joins skip the
       exact refine for points in such cells (the covering-index fast
@@ -829,67 +931,79 @@ def s2_polyfill(
     segs = G._all_segments(geom)
     gxmin, gymin, gxmax, gymax = geom.bounds
 
-    cells: list[int] = []
-    levels: list[int] = []
-    interiors: list[bool] = []
+    batches: list[tuple[np.ndarray, np.ndarray, np.ndarray, int, np.ndarray]] = []
+    emitted = 0
 
-    def emit(face, level, i, j, interior):
-        cells.append(
-            int(
-                cell_from_face_ij_np(
-                    np.array([face]), np.array([i]), np.array([j]), level
-                )[0]
-            )
-        )
-        levels.append(level)
-        interiors.append(interior)
+    def emit(face, i, j, level, interior):
+        nonlocal emitted
+        if len(face):
+            batches.append((face, i, j, level, np.asarray(interior, dtype=bool)))
+            emitted += len(face)
 
-    def relate_cell(face, level, i, j):
-        lat0, lat1, arcs = _cell_lonlat_bounds(face, level, i, j)
-        if lat1 < gymin or lat0 > gymax:
-            return -1
-        pieces = arcs if arcs is not None else [(-180.0, 180.0)]
-        rels = []
-        for a0, a1 in pieces:
-            if a1 < gxmin or a0 > gxmax:
-                rels.append(-1)  # bbox-disjoint piece is exact-disjoint
-                continue
-            rels.append(
-                _box_poly_relate(members, verts, segs, a0, lat0, a1, lat1)
-            )
-        if all(r == -1 for r in rels):
-            return -1
+    face = np.arange(6, dtype=np.int64)
+    i = np.zeros(6, dtype=np.int64)
+    j = np.zeros(6, dtype=np.int64)
+    level = 0
+    while len(face):
+        lat0, lat1, arcs = _cell_lonlat_bounds_batch(face, level, i, j)
+        f_ = len(face)
+        lat_dis = (lat1 < gymin) | (lat0 > gymax)
+        # per-piece relate: -2 absent, -1 disjoint, 0 partial, 1 inside
+        piece_rel = np.full((f_, 2), -2, dtype=np.int64)
+        for p in range(2):
+            a0 = arcs[:, p, 0]
+            a1 = arcs[:, p, 1]
+            present = ~np.isnan(a0)
+            pr = np.full(f_, -2, dtype=np.int64)
+            # bbox-disjoint piece is exact-disjoint
+            dis = present & ((a1 < gxmin) | (a0 > gxmax))
+            pr[dis] = -1
+            todo = present & ~dis & ~lat_dis
+            if todo.any():
+                idx = np.nonzero(todo)[0]
+                pr[idx] = _box_poly_relate_batch(
+                    members, verts, segs, a0[idx], lat0[idx], a1[idx], lat1[idx]
+                )
+            piece_rel[:, p] = pr
+        present = piece_rel != -2
+        n_present = present.sum(axis=1)
+        rel = np.zeros(f_, dtype=np.int64)
+        rel[(piece_rel == -1).sum(axis=1) == n_present] = -1
         # the pieces jointly cover the cell: interior only if EVERY
         # piece is inside (a disjoint piece breaks containment)
-        if all(r == 1 for r in rels):
-            return 1
-        return 0
-
-    frontier = [(f, 0, 0, 0) for f in range(6)]
-    while frontier:
-        descend = []
-        for face, level, i, j in frontier:
-            rel = relate_cell(face, level, i, j)
-            if rel < 0:
-                continue
-            if rel > 0:
-                emit(face, level, i, j, True)
-            elif level >= max_level:
-                emit(face, level, i, j, False)
-            else:
-                descend.append((face, level, i, j))
-        if len(cells) + 4 * len(descend) > max_cells:
-            for face, level, i, j in descend:
-                emit(face, level, i, j, False)
+        rel[(piece_rel == 1).sum(axis=1) == n_present] = 1
+        rel[lat_dis] = -1
+        interior = rel == 1
+        boundary = rel == 0
+        if level >= max_level:
+            keep = interior | boundary
+            emit(face[keep], i[keep], j[keep], level, interior[keep])
             break
-        frontier = [
-            (face, level + 1, 2 * i + di, 2 * j + dj)
-            for face, level, i, j in descend
-            for di in (0, 1)
-            for dj in (0, 1)
-        ]
-    return (
-        np.asarray(cells, dtype=np.int64),
-        np.asarray(levels, dtype=np.int64),
-        np.asarray(interiors, dtype=bool),
+        emit(face[interior], i[interior], j[interior], level,
+             np.ones(int(interior.sum()), dtype=bool))
+        nd = int(boundary.sum())
+        if emitted + 4 * nd > max_cells:
+            emit(face[boundary], i[boundary], j[boundary], level,
+                 np.zeros(nd, dtype=bool))
+            break
+        face = np.repeat(face[boundary], 4)
+        di = np.tile(np.array([0, 0, 1, 1], dtype=np.int64), nd)
+        dj = np.tile(np.array([0, 1, 0, 1], dtype=np.int64), nd)
+        i = np.repeat(i[boundary], 4) * 2 + di
+        j = np.repeat(j[boundary], 4) * 2 + dj
+        level += 1
+
+    if not batches:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=bool),
+        )
+    cells = np.concatenate(
+        [cell_from_face_ij_np(f, ii, jj, lv) for f, ii, jj, lv, _ in batches]
     )
+    levels = np.concatenate(
+        [np.full(len(f), lv, dtype=np.int64) for f, _, _, lv, _ in batches]
+    )
+    interiors = np.concatenate([it for _, _, _, _, it in batches])
+    return cells, levels, interiors

@@ -943,6 +943,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_neardup"] = emb_neardup
 
+    def semantic_dedup_gate(spark, sf):
+        """SemDeDup (Abbas et al. 2023): nearest-centroid embedding
+        clusters, within-cluster cosine >= NEARDUP_COS pairs only,
+        min-id survivor per near-dup component. Pre-normalized
+        centroid constants + sequential-fold dots (the ivf_topk
+        oracle-parity convention); pair cosines are exact fixed-point
+        int64 dots."""
+        emb = _load(spark, sf, "embeddings")
+        cents = N.normalize_centroids(N.hyperplanes(64, IVF_LISTS, seed=IVF_SEED))
+        return D.semantic_dedup(
+            emb, cents, NEARDUP_COS, normalize=False, exact_fold=True
+        ).select("vec_id", "cluster")
+
+    q["semantic_dedup"] = semantic_dedup_gate
+
     # --- similarity search ---
     def ann_bruteforce(spark, sf):
         emb = _load(spark, sf, "embeddings")
@@ -2460,6 +2475,47 @@ SELECT qid, vec_id, cos, CAST(rk AS INT) AS "rank" FROM (
   SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
   FROM scored
 ) WHERE rk <= {ANN_K}
+"""
+
+    # SemDeDup: same nearest-centroid assignment CTE as ivf_topk,
+    # within-cluster exact fixed-point cosines, recursive-closure
+    # components (the pipeline_dedup convention), min-id survivors
+    o["semantic_dedup"] = f"""
+WITH RECURSIVE d AS ({ivf_long}),
+asg AS (
+  SELECT vec_id, li FROM (
+    SELECT vec_id, li,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, li) AS rk
+    FROM d
+  ) WHERE rk = 1
+),
+{_EMB_FIXED_CTE},
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(sum(xa.v * xb.v) AS BIGINT) AS dot
+  FROM asg a JOIN asg b ON b.li = a.li AND b.vec_id > a.vec_id
+  JOIN ex xa ON xa.vec_id = a.vec_id
+  JOIN ex xb ON xb.vec_id = b.vec_id AND xb.i = xa.i
+  GROUP BY 1, 2
+),
+good AS (
+  SELECT id_a, id_b FROM dots
+  JOIN nrm x ON x.vec_id = id_a JOIN nrm y ON y.vec_id = id_b
+  WHERE dot / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE))
+        >= {NEARDUP_COS!r}
+),
+edges AS (
+  SELECT id_a AS s, id_b AS dd FROM good
+  UNION SELECT id_b, id_a FROM good
+),
+reach AS (
+  SELECT DISTINCT s AS doc, s AS other FROM edges
+  UNION
+  SELECT r.doc, e.dd FROM reach r JOIN edges e ON e.s = r.other
+),
+canon AS (SELECT doc, min(other) AS canon FROM reach GROUP BY doc)
+SELECT asg.vec_id, CAST(asg.li AS INT) AS cluster FROM asg
+WHERE asg.vec_id NOT IN (SELECT doc FROM canon WHERE doc <> canon)
 """
 
     # PQ: the deterministic fixed-point codebooks are inlined verbatim

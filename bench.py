@@ -84,6 +84,7 @@ HEADLINE = [
     "dsir_select",
     # tenth-session operators
     "pip_s2",
+    "semantic_dedup",
 ]
 
 

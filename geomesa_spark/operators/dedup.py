@@ -695,6 +695,78 @@ def dedup_filter(
     return df.join(losers, id_col, "left_anti")
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    centroids,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+    exact_fold: bool = False,
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning via embedding clusters — assign every
+    vector to its nearest centroid, mine cosine >= `threshold` pairs
+    WITHIN each cluster only, and keep the minimum-id member of each
+    near-dup component.  Returns the surviving rows of `emb` plus
+    the cluster id (`cluster_col`).
+
+    Scale shape: the quadratic term is confined to single clusters —
+    the pair join carries the cluster id as an equi-key, so both
+    sides shuffle on cluster and the cross cost is sum(|c|^2) over
+    clusters, never corpus^2 (the entire point of clustering first;
+    size the centroid count so max |c| stays join-able, and train
+    them with ann.ivf_centroids).  Assignment is the distributed
+    Arrow matmul (ann.ivf_probes, O(1) plan size, no driver
+    materialization); components run the O(log diameter)
+    pointer-jumping loop (dup_components).  Cosine comes from exact
+    int64 fixed-point dots (one double division at the end), so
+    results are bit-reproducible across engines and partitionings.
+
+    `normalize=False` + `exact_fold=True` is the oracle-parity mode
+    (pre-normalized centroid constants, sequential-fold dots — the
+    ivf_topk convention)."""
+    from geomesa_spark.operators.ann import ivf_probes
+
+    asg = ivf_probes(
+        emb, centroids, 1, vec_col=vec_col, out_col="_p",
+        normalize=normalize, exact_fold=exact_fold,
+    )
+    asg = asg.withColumn(cluster_col, F.element_at("_p", 1)).drop("_p")
+    # materialization barrier (the embedding_neardup_pairs note:
+    # without it the fixed-point transform inlines into every product
+    # of the pair join) + co-locates each cluster for the self-join
+    v = (
+        asg.select(
+            F.col(id_col).alias("id"),
+            F.col(cluster_col).alias("cl"),
+            _fixed(F.col(vec_col)).alias("fv"),
+        )
+        .withColumn("nrm", _dot(F.col("fv"), F.col("fv")))
+        .repartition("cl")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cl") == F.col("b.cl")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                _dot(F.col("a.fv"), F.col("b.fv"))
+                / F.sqrt(
+                    F.col("a.nrm").cast("double") * F.col("b.nrm").cast("double")
+                )
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+    )
+    return dedup_filter(asg, pairs, id_col=id_col, a_col="id_a", b_col="id_b")
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,

@@ -181,6 +181,56 @@ def test_embedding_neardup(emb_df):
         assert r.id_a < r.id_b and r.cos >= 0.99
 
 
+def test_semantic_dedup_matches_numpy(emb_df):
+    """SemDeDup vs a brute numpy oracle: nearest-centroid assignment
+    (stable argmax, ties to the lowest list), within-cluster
+    fixed-point cosine pairs, union-find components, min-id
+    survivors. The clustered fixture guarantees real within-cluster
+    near-dups AND cross-cluster pairs that must NOT merge."""
+    df, rows = emb_df
+    cents = N.normalize_centroids(N.hyperplanes(16, 4, seed=3))
+    tau = 0.997
+    got = {
+        (r.vec_id, r.cluster)
+        for r in D.semantic_dedup(
+            df, cents, tau, normalize=False, exact_fold=True
+        ).select("vec_id", "cluster").collect()
+    }
+
+    V = {i: np.array(v, dtype=np.float64) for i, v in rows}
+    fv = {i: np.floor(V[i] * 1e6).astype(np.int64) for i in V}
+    asg = {}
+    for i in V:
+        dots = cents @ V[i]
+        asg[i] = int(np.argmax(dots))  # first max = lowest list id
+    parent = {i: i for i in V}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_pairs = 0
+    for a in V:
+        for b in V:
+            if a >= b or asg[a] != asg[b]:
+                continue
+            dot = int(np.sum(fv[a] * fv[b]))
+            cos = dot / np.sqrt(
+                float(np.sum(fv[a] ** 2)) * float(np.sum(fv[b] ** 2))
+            )
+            if cos >= tau:
+                n_pairs += 1
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    assert n_pairs > 0  # fixture actually exercises the merge path
+    want = {(i, asg[i]) for i in V if find(i) == i}
+    assert 0 < len(want) < len(rows)  # and the prune path
+    assert got == want
+
+
 def test_dup_components_and_filter(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (5, 6), (8, 1)], "doc_a long, doc_b long"

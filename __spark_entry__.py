@@ -105,6 +105,8 @@ BM25_QUERIES = {
 JACCARD_N = 2
 JACCARD_THRESHOLD = 0.2
 NEARDUP_COS = 0.45
+CM_DEPTH = 4
+CM_WIDTH = 512
 ANN_K = 10
 ANN_NQ = 5
 IVF_LISTS = 16
@@ -957,6 +959,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("vec_id", "cluster")
 
     q["semantic_dedup"] = semantic_dedup_gate
+
+    def cm_sketch_gate(spark, sf):
+        """Count-Min token-frequency sketch over the corpus: depth
+        salted md5 hash rows x width counters, one partial-aggregated
+        groupBy — the mergeable heavy-hitter structure whose shuffle
+        is O(depth*width*partitions) at any corpus size. The md5
+        bucket arithmetic is bit-portable, so the oracle rebuilds the
+        identical counter matrix."""
+        docs = _load(spark, sf, "documents")
+        tok = docs.select(F.explode(X.tokens(F.col("text"))).alias("t"))
+        return A.cm_sketch(tok, "t", depth=CM_DEPTH, width=CM_WIDTH)
+
+    q["cm_sketch"] = cm_sketch_gate
 
     # --- similarity search ---
     def ann_bruteforce(spark, sf):
@@ -2475,6 +2490,23 @@ SELECT qid, vec_id, cos, CAST(rk AS INT) AS "rank" FROM (
   SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
   FROM scored
 ) WHERE rk <= {ANN_K}
+"""
+
+    # Count-Min sketch: identical salted-md5 bucket arithmetic
+    _cm_rows = ", ".join(f"({r})" for r in range(CM_DEPTH))
+    o["cm_sketch"] = f"""
+WITH tok AS (
+  SELECT t FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+b AS (
+  SELECT d.r,
+         CAST(('0x' || substr(md5(t || ':' || d.r), 1, 15)) AS BIGINT)
+           % {CM_WIDTH} AS bucket
+  FROM tok CROSS JOIN (VALUES {_cm_rows}) AS d(r)
+)
+SELECT CAST(r AS INT) AS r, CAST(bucket AS INT) AS bucket, count(*) AS cnt
+FROM b GROUP BY 1, 2
 """
 
     # SemDeDup: same nearest-centroid assignment CTE as ivf_topk,

@@ -85,6 +85,7 @@ HEADLINE = [
     # tenth-session operators
     "pip_s2",
     "semantic_dedup",
+    "cm_sketch",
 ]
 
 

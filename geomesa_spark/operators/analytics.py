@@ -620,3 +620,95 @@ def hll_distinct(
         s_units.alias("sum_units"),
         zeros.cast("long").alias("zero_registers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch
+# ---------------------------------------------------------------------------
+
+
+def _cm_bucket(val: Column, row: int, width: int, hash_fn: str) -> Column:
+    """Row-`row`'s bucket for `val`: salted hash pmod width.
+
+    md5 path: 15 hex chars -> non-negative 60-bit int, bit-portable
+    to any SQL engine (the shingle_hash convention). xxhash path:
+    Spark-native, ~6x faster, masked non-negative before pmod."""
+    salted = F.concat(val, F.lit(f":{row}"))
+    if hash_fn == "xxhash":
+        h = F.xxhash64(salted).bitwiseAND(F.lit((1 << 62) - 1))
+    else:
+        h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(width)).cast("int")
+
+
+def cm_sketch(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Count-Min frequency sketch (Cormode & Muthukrishnan 2005) as a
+    mergeable (r, bucket, cnt) frame — `depth` independent salted
+    hash rows of `width` counters; a point estimate is the MIN of a
+    value's `depth` counters and only ever over-counts.
+
+    The sketch answers "how often does X occur?" over a corpus too
+    big to groupBy per value: one explode to `depth` rows per input
+    row, then one partial-aggregated groupBy — map-side combine
+    collapses every partition to <= depth*width rows before the
+    exchange, so shuffle volume is O(depth * width * partitions)
+    regardless of input size or value cardinality (the reason to
+    sketch instead of counting exactly). Absent (r, bucket) pairs
+    mean zero (cm_lookup coalesces). Sketches over different batches
+    or partitionings merge by union + re-groupBy summing cnt, and the
+    md5 path is bit-portable, so estimates reproduce on any engine.
+
+    `weight_col` sums that column instead of counting rows (weighted
+    frequency). Estimate error: cnt_true <= est <= cnt_true +
+    eps * total with eps = e / width at confidence 1 - (1/e)^depth.
+    """
+    v = F.col(col).cast("string")
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    rows = df.select(
+        F.posexplode(
+            F.array(*[_cm_bucket(v, r, width, hash_fn) for r in range(depth)])
+        ).alias("r", "bucket"),
+        w.alias("_w"),
+    )
+    return rows.groupBy("r", "bucket").agg(F.sum("_w").alias("cnt"))
+
+
+def cm_lookup(
+    sketch: DataFrame,
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    hash_fn: str = "md5",
+    out: str = "est",
+) -> DataFrame:
+    """Point-query a cm_sketch: for each distinct value of `df.col`,
+    the estimate is the MIN over its `depth` counters (0 when a
+    counter row is absent). depth/width/hash_fn must match the
+    sketch's build parameters. The probe side explodes to `depth`
+    rows per distinct value and joins the sketch on (r, bucket) —
+    broadcast-sized whenever depth*width is, which it is by design."""
+    probes = (
+        df.select(F.col(col).cast("string").alias("val"))
+        .distinct()
+        .select(
+            "val",
+            F.posexplode(
+                F.array(
+                    *[_cm_bucket(F.col("val"), r, width, hash_fn) for r in range(depth)]
+                )
+            ).alias("r", "bucket"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bucket"], "left")
+        .groupBy("val")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out))
+    )

@@ -252,3 +252,67 @@ def test_hll_all_null_group_reports_zero(spark):
     assert out["b"].approx_distinct == 0.0
     assert out["b"].n_registers == 0 and out["b"].zero_registers == 16
     assert abs(out["a"].approx_distinct - 200) / 200 < 0.5  # p=4: coarse
+
+
+def test_cm_sketch_overestimates_and_lookup(spark):
+    """Count-Min invariants: every point estimate >= the true count;
+    with width >> cardinality most estimates are exact; the lookup
+    returns 0-floored minima for values never inserted."""
+    from geomesa_spark.operators.analytics import cm_lookup, cm_sketch
+
+    rng = __import__("numpy").random.default_rng(5)
+    vocab = [f"w{i}" for i in range(50)]
+    # zipf-ish: w0 heaviest
+    vals = [vocab[min(int(rng.exponential(8)), 49)] for _ in range(5000)]
+    true = {}
+    for v in vals:
+        true[v] = true.get(v, 0) + 1
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    sk = cm_sketch(df, "t", depth=4, width=256)
+    est = {
+        r.val: r.est
+        for r in cm_lookup(
+            sk, spark.createDataFrame([(v,) for v in vocab], "t string"),
+            "t", depth=4, width=256,
+        ).collect()
+    }
+    assert set(est) == set(vocab)
+    exact = 0
+    for v, t in true.items():
+        assert est[v] >= t, v  # CM never undercounts
+        exact += est[v] == t
+    assert exact >= 0.9 * len(true)  # width 256 >> 50 distinct
+    for v in vocab:
+        if v not in true:
+            assert est[v] >= 0
+
+
+def test_cm_sketch_merge_and_weighted(spark):
+    """Sketches over two halves union+re-aggregate to the whole-corpus
+    sketch (mergeability — the distributed-ingest property), and
+    weight_col sums weights instead of counting rows."""
+    import pyspark.sql.functions as F
+
+    from geomesa_spark.operators.analytics import cm_sketch
+
+    rows = [(i, f"k{i % 7}", i % 3 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "i long, t string, w int")
+    whole = {(r.r, r.bucket): r.cnt for r in cm_sketch(df, "t", 3, 64).collect()}
+    h1 = cm_sketch(df.where("i < 200"), "t", 3, 64)
+    h2 = cm_sketch(df.where("i >= 200"), "t", 3, 64)
+    merged = {
+        (r.r, r.bucket): r.cnt
+        for r in h1.unionByName(h2)
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert merged == whole
+
+    wsk = {
+        (r.r, r.bucket): r.cnt
+        for r in cm_sketch(df, "t", 3, 64, weight_col="w").collect()
+    }
+    # weighted counts: same buckets, each cnt = sum of weights there
+    assert set(wsk) == set(whole)
+    assert sum(wsk.values()) == 3 * sum(w for _, _, w in rows)

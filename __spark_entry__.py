@@ -107,6 +107,7 @@ JACCARD_THRESHOLD = 0.2
 NEARDUP_COS = 0.45
 CM_DEPTH = 4
 CM_WIDTH = 512
+PRI_K = 100
 ANN_K = 10
 ANN_NQ = 5
 IVF_LISTS = 16
@@ -1511,6 +1512,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return stratified_sample(docs, "doc_id", "lang", quota=40)
 
     q["stratified_sample"] = stratified_sample_gate
+
+    def priority_sample_gate(spark, sf):
+        """Weighted top-k sample (Duffield-Lund-Thorup priority
+        sampling, k=PRI_K) of documents by text length, with the
+        Horvitz-Thompson estimate weight max(w, tau) in 6-decimal
+        fixed point — unbiased subset-sum estimation from a
+        deterministic, layout-independent draw."""
+        from geomesa_spark.operators.sample import priority_sample
+
+        docs = _load(spark, sf, "documents").select(
+            "doc_id", F.length("text").cast("int").alias("wt")
+        )
+        return priority_sample(docs, "doc_id", "wt", k=PRI_K)
+
+    q["priority_sample"] = priority_sample_gate
 
     def sessionize_gate(spark, sf):
         """Gap-based sessionization of the events stream per user
@@ -3056,6 +3072,29 @@ SELECT doc_id, lang FROM (
          row_number() OVER (PARTITION BY lang ORDER BY {bucket}, doc_id) AS rk
   FROM documents
 ) WHERE rk <= 40
+"""
+
+    # priority sampling: q_fp = (w * 1e12) // (bucket + 1), top PRI_K
+    # by (q desc, doc_id), tau = the (PRI_K+1)-th priority, HT weight
+    # = max(w*1e6, tau) — all exact integer arithmetic
+    o["priority_sample"] = f"""
+WITH w AS (
+  SELECT doc_id, CAST(length(text) AS INT) AS wt FROM documents
+  WHERE length(text) > 0
+),
+q AS (
+  SELECT doc_id, wt,
+         (CAST(wt AS BIGINT) * 1000000000000) // (({bucket}) + 1) AS qv
+  FROM w
+),
+top AS (SELECT * FROM q ORDER BY qv DESC, doc_id LIMIT {PRI_K + 1}),
+st AS (SELECT count(*) AS n, min(qv) AS tau FROM top)
+SELECT doc_id, wt,
+       CAST(greatest(CAST(wt AS BIGINT) * 1000000,
+                     CASE WHEN st.n > {PRI_K} THEN st.tau ELSE 0 END)
+            AS BIGINT) AS est_weight_fp
+FROM top, st
+QUALIFY row_number() OVER (ORDER BY qv DESC, doc_id) <= {PRI_K}
 """
 
     # sessionize: same lag + cumulative-start window, seconds floored

@@ -86,6 +86,7 @@ HEADLINE = [
     "pip_s2",
     "semantic_dedup",
     "cm_sketch",
+    "priority_sample",
 ]
 
 

@@ -208,3 +208,80 @@ def epoch_shuffle(
     return out.withColumn(pos_col, F.row_number().over(w).cast("long")).drop(
         "_bucket"
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+    est_col: str = "est_weight_fp",
+) -> DataFrame:
+    """Weighted sample of k rows via priority sampling (Duffield,
+    Lund & Thorup, JACM 2007): each row gets priority q = w / u with
+    u a uniform in (0, 1]; the k highest-priority rows are the
+    sample, and `est_col` carries the Horvitz-Thompson weight
+    max(w, tau) — tau the (k+1)-th priority — whose sum over the
+    sample unbiasedly estimates ANY subset's total weight (the
+    paper's result: optimal variance among k+1-sized schemes).
+
+    Determinism: u = (hash+1)/1e6 from the portable md5 bucket
+    (sample_hash), so the sample is reproducible across engines,
+    retries, and layouts — df.sample()'s per-partition RNG is not.
+    Priorities are exact integer arithmetic, q_fp = (w * 1e12) DIV
+    (hash+1), i.e. q in weight units at 6 fixed decimals; `est_col`
+    is likewise fixed-point (weight * 1e6 vs tau_fp). Integer
+    weights must satisfy w < ~9.2e6 (w * 1e12 must fit int64 —
+    validated); rows with w <= 0 are excluded (DLT requires
+    positive weights).
+
+    Scale shape: the top-(k+1) is TakeOrderedAndProject —
+    per-partition top-k then a bounded driver merge, never a global
+    sort; the tau window runs on k+1 rows only (bounded by k, the
+    documented pack.py-style exception to the no-SinglePartition
+    rule)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    scale = HASH_BUCKETS * 1_000_000  # 1e12: 6 fixed decimals in weight units
+    w = F.col(weight_col).cast("long")
+    cand = (
+        df.where(w > 0)
+        .withColumn("__h", sample_hash(F.col(key_col), salt))
+        .withColumn(
+            "__q",
+            F.expr(
+                f"CAST((CAST({weight_col} AS BIGINT) * {scale}L)"
+                f" DIV (__h + 1) AS BIGINT)"
+            ),
+        )
+    )
+    # overflow guard: w * 1e12 must not wrap (non-ANSI mode wraps
+    # silently and corrupts the ranking)
+    cand = cand.withColumn(
+        "__q",
+        F.when(w < F.lit((1 << 63) // scale), F.col("__q")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"priority_sample: {weight_col}="),
+                    w.cast("string"),
+                    F.lit(f" overflows w*{scale}"),
+                )
+            ).cast("long")
+        ),
+    )
+    top = cand.orderBy(F.col("__q").desc(), F.col(key_col).asc()).limit(k + 1)
+    whole = Window.partitionBy()
+    rk = Window.orderBy(F.col("__q").desc(), F.col(key_col).asc())
+    tau = F.when(
+        F.count("*").over(whole) > k, F.min("__q").over(whole)
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        top.withColumn("__tau", tau)
+        .withColumn("__rk", F.row_number().over(rk))
+        .where(F.col("__rk") <= k)
+        .withColumn(
+            est_col, F.greatest(w * F.lit(1_000_000), F.col("__tau"))
+        )
+        .drop("__h", "__q", "__tau", "__rk")
+    )

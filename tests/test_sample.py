@@ -261,3 +261,61 @@ def test_epoch_shuffle_seeds_independent_and_no_single_partition(spark):
 
     with pytest.raises(ValueError):
         epoch_shuffle(d, "doc_id", seed=1, n_shards=0)
+
+
+def test_priority_sample_ht_estimator_and_determinism(spark):
+    """DLT invariants: (1) layout-independent sample; (2) when the
+    population fits in k, everything is kept with est = w*1e6;
+    (3) the HT estimate is unbiased: one draw lands within a few
+    sigma (rel std ~6% here — numpy-simulated; salt "" sits at -17%,
+    2.8 sigma) and the 4-salt mean tightens toward the true total;
+    (4) every est >= its own w*1e6 (tau floors, never shrinks)."""
+    from geomesa_spark.operators.sample import priority_sample
+
+    rng = np.random.default_rng(9)
+    rows = [(i, int(rng.integers(1, 500))) for i in range(2000)]
+    total = sum(w for _, w in rows)
+    df = spark.createDataFrame(rows, "doc_id long, wt int")
+
+    a = priority_sample(df.repartition(1), "doc_id", "wt", 200).collect()
+    b = priority_sample(df.repartition(17), "doc_id", "wt", 200).collect()
+    assert sorted((r.doc_id, r.est_weight_fp) for r in a) == sorted(
+        (r.doc_id, r.est_weight_fp) for r in b
+    )
+    assert len(a) == 200
+    w_of = dict(rows)
+    for r in a:
+        assert r.est_weight_fp >= w_of[r.doc_id] * 1_000_000
+    est_total = sum(r.est_weight_fp for r in a) / 1e6
+    assert abs(est_total - total) / total < 0.25  # ~4 sigma single draw
+    # unbiasedness spot-check on a pinned salt set (numpy-simulated:
+    # this population's single-draw rel std is 6.7%, the 400-salt
+    # mean bias is -0.5% +- 0.3%, and these 8 salts' mean is -4.5%)
+    means = [est_total]
+    for salt in ("s1:", "s2:", "s3:", "x0y", "x1y", "x2y", "x3y"):
+        s = priority_sample(df, "doc_id", "wt", 200, salt=salt).collect()
+        means.append(sum(r.est_weight_fp for r in s) / 1e6)
+    mean_est = sum(means) / len(means)
+    assert abs(mean_est - total) / total < 0.08
+
+    # n <= k: keep all, tau = 0, est = exact weight
+    small = priority_sample(df.where("doc_id < 50"), "doc_id", "wt", 200).collect()
+    assert len(small) == 50
+    assert all(r.est_weight_fp == w_of[r.doc_id] * 1_000_000 for r in small)
+
+
+def test_priority_sample_weight_validation(spark):
+    from geomesa_spark.operators.sample import priority_sample
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, -4)], "doc_id long, wt int"
+    )
+    out = priority_sample(df, "doc_id", "wt", 5).collect()
+    assert [r.doc_id for r in out] == [1]  # non-positive weights excluded
+
+    with pytest.raises(ValueError):
+        priority_sample(df, "doc_id", "wt", 0)
+
+    big = spark.createDataFrame([(1, 10_000_000)], "doc_id long, wt long")
+    with pytest.raises(Exception, match="overflows"):
+        priority_sample(big, "doc_id", "wt", 5).collect()

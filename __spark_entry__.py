@@ -108,6 +108,8 @@ NEARDUP_COS = 0.45
 CM_DEPTH = 4
 CM_WIDTH = 512
 PRI_K = 100
+BLOOM_BITS = 8192
+BLOOM_K = 5
 ANN_K = 10
 ANN_NQ = 5
 IVF_LISTS = 16
@@ -973,6 +975,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return A.cm_sketch(tok, "t", depth=CM_DEPTH, width=CM_WIDTH)
 
     q["cm_sketch"] = cm_sketch_gate
+
+    def bloom_probe_gate(spark, sf):
+        """Deterministic Bloom filter as a semi-join pruner: build
+        the bit set from English documents' word BIGRAMS (the
+        unigram vocab is fully shared across languages, so bigrams
+        are what give the probe real negatives), probe every distinct
+        corpus bigram — false = definitely not English phrasing (safe
+        prune), true = probably present (a couple of the ~9 true
+        negatives may flip to false-positive at this load factor;
+        both engines flip identically). Salted-md5 bit arithmetic and
+        the k-of-k hit test reproduce bit-for-bit in the oracle."""
+        docs = _load(spark, sf, "documents")
+        bg = F.explode(
+            F.transform(
+                X.bigram_pairs(F.col("text")),
+                lambda s: F.concat_ws(" ", s["w1"], s["w2"]),
+            )
+        ).alias("t")
+        en_bg = docs.where("lang = 'en'").select(bg)
+        bloom = A.bloom_build(en_bg, "t", n_bits=BLOOM_BITS, n_hashes=BLOOM_K)
+        all_bg = docs.select(bg).distinct()
+        return A.bloom_probe(
+            bloom, all_bg, "t", id_col="t",
+            n_bits=BLOOM_BITS, n_hashes=BLOOM_K,
+        )
+
+    q["bloom_probe"] = bloom_probe_gate
 
     # --- similarity search ---
     def ann_bruteforce(spark, sf):
@@ -2523,6 +2552,37 @@ b AS (
 )
 SELECT CAST(r AS INT) AS r, CAST(bucket AS INT) AS bucket, count(*) AS cnt
 FROM b GROUP BY 1, 2
+"""
+
+    # Bloom filter: same salted-md5 bit arithmetic; a probe hits only
+    # when all BLOOM_K of its bits are set
+    _bloom_rows = ", ".join(f"({r})" for r in range(BLOOM_K))
+    _bloom_bit = (
+        "CAST(('0x' || substr(md5(t || ':' || d.r), 1, 15)) AS BIGINT)"
+        f" % {BLOOM_BITS}"
+    )
+    o["bloom_probe"] = f"""
+WITH tk AS (
+  SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+),
+bg AS (
+  SELECT lang, ts[i] || ' ' || ts[i+1] AS t
+  FROM tk, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+),
+en AS (SELECT t FROM bg WHERE lang = 'en'),
+bits AS (
+  SELECT DISTINCT {_bloom_bit} AS bit
+  FROM en CROSS JOIN (VALUES {_bloom_rows}) AS d(r)
+),
+alltok AS (SELECT DISTINCT t FROM bg),
+probe AS (
+  SELECT t, {_bloom_bit} AS bit
+  FROM alltok CROSS JOIN (VALUES {_bloom_rows}) AS d(r)
+)
+SELECT p.t, (count(b.bit) = {BLOOM_K}) AS might_contain
+FROM probe p LEFT JOIN bits b USING (bit)
+GROUP BY p.t
 """
 
     # SemDeDup: same nearest-centroid assignment CTE as ivf_topk,

@@ -87,6 +87,7 @@ HEADLINE = [
     "semantic_dedup",
     "cm_sketch",
     "priority_sample",
+    "bloom_probe",
 ]
 
 

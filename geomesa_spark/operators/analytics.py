@@ -712,3 +712,82 @@ def cm_lookup(
         .groupBy("val")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (deterministic, engine-portable)
+# ---------------------------------------------------------------------------
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Bloom filter of `df.col` as a frame of SET bit indices — the
+    semi-join pruning structure: probe misses are definite, hits may
+    be false positives (rate ~ (1 - e^(-kn/m))^k).
+
+    Where Spark's built-in bloom_filter_agg builds an opaque binary
+    whose layout is engine-private, this one is a DETERMINISTIC set
+    of int64 bit positions (salted portable hashes pmod n_bits, the
+    cm_sketch convention): reproducible on any engine, storable as a
+    plain table, and mergeable across batches by union+distinct.
+    Shuffle volume is bounded by min(rows * n_hashes, n_bits)
+    distinct indices after map-side partial aggregation.
+    """
+    v = F.col(col).cast("string")
+    return (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        _cm_bucket(v, r, n_bits, hash_fn).cast("long")
+                        for r in range(n_hashes)
+                    ]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    hash_fn: str = "md5",
+    out: str = "might_contain",
+) -> DataFrame:
+    """Append `out`: false means `col`'s value is DEFINITELY not in
+    the filtered set (safe to prune); true means probably present.
+    Parameters must match bloom_build's; `id_col` must be unique per
+    row (the verdict is computed per id and joined back). The bit set
+    broadcasts — its row count is capped by n_bits — so each probe
+    row costs n_hashes exploded broadcast lookups plus one
+    partial-aggregated count per id; no per-row Python, no UDF."""
+    v = F.col(col).cast("string")
+    probes = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array(
+                *[
+                    _cm_bucket(v, r, n_bits, hash_fn).cast("long")
+                    for r in range(n_hashes)
+                ]
+            )
+        ).alias("bit"),
+    )
+    verdict = (
+        probes.join(F.broadcast(bloom.withColumn("__set", F.lit(1))), "bit", "left")
+        .groupBy("__id")
+        .agg((F.count("__set") == F.lit(n_hashes)).alias(out))
+    )
+    return df.join(
+        verdict, F.col(id_col) == F.col("__id"), "left"
+    ).drop("__id")

@@ -316,3 +316,37 @@ def test_cm_sketch_merge_and_weighted(spark):
     # weighted counts: same buckets, each cnt = sum of weights there
     assert set(wsk) == set(whole)
     assert sum(wsk.values()) == 3 * sum(w for _, _, w in rows)
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    """Bloom invariants: every inserted value probes true (no false
+    negatives, the guarantee pruning relies on); most absent values
+    probe false at a low load factor; filters over disjoint batches
+    merge by union+distinct to the whole-set filter."""
+    from geomesa_spark.operators.analytics import bloom_build, bloom_probe
+
+    members = [(i, f"in{i}") for i in range(500)]
+    others = [(1000 + i, f"out{i}") for i in range(500)]
+    mdf = spark.createDataFrame(members, "id long, v string")
+    bloom = bloom_build(mdf, "v", n_bits=1 << 14, n_hashes=5)
+
+    probed = {
+        r.id: r.might_contain
+        for r in bloom_probe(
+            bloom,
+            spark.createDataFrame(members + others, "id long, v string"),
+            "v", "id", n_bits=1 << 14, n_hashes=5,
+        ).collect()
+    }
+    assert all(probed[i] for i, _ in members)  # no false negatives
+    fp = sum(probed[i] for i, _ in others)
+    assert fp < 25  # ~0.2% expected at this load; 5% is generous
+
+    merged = (
+        bloom_build(mdf.where("id < 250"), "v", 1 << 14, 5)
+        .unionByName(bloom_build(mdf.where("id >= 250"), "v", 1 << 14, 5))
+        .distinct()
+    )
+    assert sorted(r.bit for r in merged.collect()) == sorted(
+        r.bit for r in bloom.collect()
+    )

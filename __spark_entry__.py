@@ -1570,6 +1570,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sessionize"] = sessionize_gate
 
+    def track_metrics_gate(spark, sf):
+        """Per-leg track dynamics (Point2PointProcess.scala:26-111
+        extended with motion): one window over (user_id, ts) gives
+        seq, leg distance, elapsed seconds, speed. Planar metric =
+        the exact-double oracle mode (sqrt/+/* are IEEE
+        correctly-rounded, so values hash-compare exactly)."""
+        from geomesa_spark.operators.tracks import track_metrics
+
+        out = track_metrics(
+            geo_events(spark, sf), "user_id", "dtg",
+            metric="planar", tiebreak_col="event_id",
+        )
+        return out.select(
+            "user_id", "event_id", "seq", "leg_dist", "dt_s", "speed"
+        )
+
+    q["track_metrics"] = track_metrics_gate
+
+    def track_summary_gate(spark, sf):
+        """Per-track rollup on the same key as the metrics window —
+        ONE Exchange total (plan-asserted in tests/test_tracks.py).
+        total_dist_fp is the int64 fixed-point sum (float sums are
+        merge-order dependent; the heatmap convention)."""
+        from geomesa_spark.operators.tracks import track_summary
+
+        out = track_summary(
+            geo_events(spark, sf), "user_id", "dtg",
+            metric="planar", tiebreak_col="event_id", fp_scale=1_000_000,
+        )
+        return out.select(
+            "user_id", "n_points", "duration_s", "total_dist_fp",
+            "min_lon", "max_lon", "min_lat", "max_lat",
+        )
+
+    q["track_summary"] = track_summary_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -3174,6 +3210,52 @@ SELECT event_id, user_id,
             OVER (PARTITION BY user_id ORDER BY es, event_id
                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
 FROM g
+"""
+
+    # track dynamics: same window (user_id; ts, event_id), planar
+    # legs via identical sqrt(dx*dx+dy*dy) expressions — IEEE
+    # correctly-rounded ops, so doubles hash-compare exactly.
+    TRACK_M_CTE = """tp AS (
+  SELECT event_id, user_id,
+         (event_id*9973 % 36000)/100.0 - 180.0 AS lon,
+         (event_id*7919 % 18000)/100.0 - 90.0 AS lat,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es, ts
+  FROM events
+),
+m AS (
+  SELECT user_id, event_id, es, lon, lat,
+         CAST(row_number() OVER w AS INT) AS seq,
+         lag(lon) OVER w AS plon, lag(lat) OVER w AS plat,
+         lag(es) OVER w AS pes
+  FROM tp WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+legs AS (
+  SELECT user_id, event_id, es, pes, lon, lat, seq,
+         CASE WHEN plon IS NULL THEN 0.0
+              ELSE sqrt((lon-plon)*(lon-plon) + (lat-plat)*(lat-plat))
+         END AS leg_dist,
+         CAST(CASE WHEN pes IS NULL THEN 0 ELSE es - pes END AS BIGINT)
+           AS dt_s
+  FROM m
+)"""
+
+    o["track_metrics"] = f"""
+WITH {TRACK_M_CTE}
+SELECT user_id, event_id, seq, leg_dist, dt_s,
+       CASE WHEN dt_s > 0 THEN leg_dist / dt_s END AS speed
+FROM legs
+"""
+
+    o["track_summary"] = f"""
+WITH {TRACK_M_CTE}
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(dt_s) AS BIGINT) AS duration_s,
+       CAST(sum(CAST(floor(leg_dist * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS total_dist_fp,
+       min(lon) AS min_lon, max(lon) AS max_lon,
+       min(lat) AS min_lat, max(lat) AS max_lat
+FROM legs GROUP BY user_id
 """
 
     o["histogram_job"] = """

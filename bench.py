@@ -88,6 +88,9 @@ HEADLINE = [
     "cm_sketch",
     "priority_sample",
     "bloom_probe",
+    # eleventh-session operators
+    "track_metrics",
+    "track_summary",
 ]
 
 

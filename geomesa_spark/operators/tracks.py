@@ -1,0 +1,184 @@
+"""Track dynamics: per-leg motion metrics and per-track summaries.
+
+The reference assembles per-entity point sequences in two places —
+``Point2PointProcess.scala:26-111`` (group by an attribute, sort by a
+Date field, connect consecutive points into line segments, optionally
+breaking on day marks) and the tube-select track builder
+(``TubeBuilder.scala``, transform/buffer over a sorted track) — but
+stops at geometry construction.  These operators extend that surface
+with the motion quantities a trajectory pipeline derives from the
+same (group, sort) shape: per-leg distance, elapsed time, speed,
+bearing, and cumulative distance, plus a one-row-per-track rollup.
+
+Scale design: everything is ONE shuffle on the track key.
+``track_metrics`` is a single window ``partitionBy(track)
+orderBy(ts, tiebreak)`` — per-track cost is the sort of that track's
+own rows, a hot track never multiplies against anything else.
+``track_summary`` groups on the same key, so when composed on top of
+``track_metrics`` Catalyst reuses the window's hash partitioning and
+the groupBy adds NO second Exchange (asserted in
+tests/test_tracks.py).  No Python appears in any physical plan.
+
+Determinism: ``metric="planar"`` legs are sqrt of the exact-double
+planar dist2 — +, *, /, sqrt are all IEEE correctly-rounded, so the
+values reproduce bit-for-bit on any engine (the knn/dwithin gate
+convention; this is the oracle mode).  ``metric="haversine"`` is the
+geodesic production mode (``geometry_sql.haversine_m_col``, same
+sphere as the reference's GeoTools paths) — trig libm differences
+make it tolerance-tested rather than hash-gated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from geomesa_spark.functions import geometry_sql as GS
+
+__all__ = ["track_metrics", "track_summary"]
+
+
+def _leg_dist(
+    metric: str, lon0: Column, lat0: Column, lon1: Column, lat1: Column
+) -> Column:
+    if metric == "planar":
+        dx = lon1 - lon0
+        dy = lat1 - lat0
+        return F.sqrt(dx * dx + dy * dy)
+    if metric == "haversine":
+        return GS.haversine_m_col(lon0, lat0, lon1, lat1)
+    raise ValueError(f"metric must be 'planar' or 'haversine', got {metric!r}")
+
+
+def track_metrics(
+    df: DataFrame,
+    track_col: str,
+    ts_col: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    metric: str = "haversine",
+    tiebreak_col: str | None = None,
+    bearing: bool = False,
+) -> DataFrame:
+    """Append per-point motion columns to a point-track frame:
+
+    - ``seq``        — 1-based position within the track (by ts);
+    - ``leg_dist``   — distance from the previous point (meters for
+      ``haversine``, coordinate units for ``planar``; 0.0 at seq 1);
+    - ``dt_s``       — whole seconds since the previous point (0 at
+      seq 1; sub-second gaps floor to 0);
+    - ``speed``      — leg_dist / dt_s where dt_s > 0, else NULL;
+    - ``cum_dist``   — running distance from the track start;
+    - ``bearing_deg`` (``bearing=True``, haversine only) — initial
+      great-circle bearing from the previous point, [0, 360).
+
+    `tiebreak_col` breaks equal timestamps deterministically (default:
+    the track's rows must have unique ts, or pass an id column — the
+    same contract as Point2PointProcess's sortBy, which is silently
+    unstable on ties)."""
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(track_col).orderBy(*order)
+    plon = F.lag(lon_col).over(w)
+    plat = F.lag(lat_col).over(w)
+    leg = F.when(
+        plon.isNull(), F.lit(0.0)
+    ).otherwise(_leg_dist(metric, plon, plat, F.col(lon_col), F.col(lat_col)))
+    ticks = (
+        F.unix_timestamp(F.col(ts_col))
+        if dict(df.dtypes)[ts_col].startswith("timestamp")
+        else F.col(ts_col).cast("long")
+    )
+    pticks = F.lag(ticks).over(w)
+    dt = F.when(pticks.isNull(), F.lit(0)).otherwise(ticks - pticks)
+    out = (
+        df.withColumn("seq", F.row_number().over(w))
+        .withColumn("leg_dist", leg)
+        .withColumn("dt_s", dt.cast("long"))
+        .withColumn(
+            "speed",
+            F.when(F.col("dt_s") > 0, F.col("leg_dist") / F.col("dt_s")),
+        )
+        .withColumn(
+            "cum_dist",
+            F.sum("leg_dist").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    if bearing:
+        if metric != "haversine":
+            raise ValueError("bearing requires metric='haversine'")
+        rl1 = F.radians(plat)
+        rl2 = F.radians(F.col(lat_col))
+        dlon = F.radians(F.col(lon_col) - plon)
+        y = F.sin(dlon) * F.cos(rl2)
+        x = F.cos(rl1) * F.sin(rl2) - F.sin(rl1) * F.cos(rl2) * F.cos(dlon)
+        out = out.withColumn(
+            "bearing_deg",
+            F.when(
+                plon.isNotNull(),
+                F.pmod(F.degrees(F.atan2(y, x)) + F.lit(360.0), F.lit(360.0)),
+            ),
+        )
+    return out
+
+
+def track_summary(
+    df: DataFrame,
+    track_col: str,
+    ts_col: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    metric: str = "haversine",
+    tiebreak_col: str | None = None,
+    fp_scale: int | None = None,
+) -> DataFrame:
+    """One row per track: point count, time span, total distance,
+    mean speed over the moving time, and the track's bbox.
+
+    Composes ``track_metrics`` then groups on the SAME key, so the
+    aggregation reuses the window's partitioning — one Exchange total
+    (asserted in tests).  ``avg_speed`` is total distance over total
+    elapsed seconds (NULL for single-point or zero-duration tracks) —
+    the time-weighted mean, not the mean of per-leg speeds.
+
+    ``fp_scale`` adds ``total_dist_fp`` = sum of floor(leg *
+    fp_scale) as int64 — float sums depend on partition merge order,
+    so this is the column to use when the rollup must reproduce
+    bit-for-bit across retries/layouts/engines (the heatmap
+    fixed-point convention)."""
+    m = track_metrics(
+        df, track_col, ts_col, lon_col, lat_col, metric, tiebreak_col
+    )
+    extra = []
+    if fp_scale is not None:
+        m = m.withColumn(
+            "_leg_fp",
+            F.floor(F.col("leg_dist") * F.lit(float(fp_scale))).cast("long"),
+        )
+        extra.append(F.sum("_leg_fp").cast("long").alias("total_dist_fp"))
+    agg = (
+        m.groupBy(track_col)
+        .agg(
+            *extra,
+            F.count("*").cast("long").alias("n_points"),
+            F.min(ts_col).alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+            F.sum("leg_dist").alias("total_dist"),
+            F.sum("dt_s").cast("long").alias("duration_s"),
+            F.min(lon_col).alias("min_lon"),
+            F.max(lon_col).alias("max_lon"),
+            F.min(lat_col).alias("min_lat"),
+            F.max(lat_col).alias("max_lat"),
+        )
+        .withColumn(
+            "avg_speed",
+            F.when(
+                F.col("duration_s") > 0,
+                F.col("total_dist") / F.col("duration_s"),
+            ),
+        )
+    )
+    return agg

@@ -1,0 +1,133 @@
+"""Track dynamics: python-oracle parity, edge cases, plan shape."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators.tracks import track_metrics, track_summary
+
+R = 6371008.8
+
+
+def _hav(lon1, lat1, lon2, lat2):
+    rl1, rl2 = math.radians(lat1), math.radians(lat2)
+    dlat = math.radians(lat2 - lat1)
+    dlon = math.radians(lon2 - lon1)
+    a = (
+        math.sin(dlat / 2) ** 2
+        + math.cos(rl1) * math.cos(rl2) * math.sin(dlon / 2) ** 2
+    )
+    return 2 * R * math.asin(math.sqrt(a))
+
+
+ROWS = [
+    # track, epoch_s, lon, lat
+    ("a", 100, 0.0, 0.0),
+    ("a", 200, 0.1, 0.0),
+    ("a", 260, 0.1, 0.1),
+    ("a", 400, -0.2, 0.3),
+    ("b", 50, 10.0, 45.0),
+    ("b", 80, 10.2, 45.1),
+    ("c", 10, -179.9, 2.0),  # single-point track
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, "track string, es long, lon double, lat double")
+
+
+def test_metrics_vs_python_oracle(spark):
+    out = track_metrics(
+        _df(spark), "track", "es", metric="haversine", bearing=True
+    ).orderBy("track", "seq")
+    rows = out.collect()
+    by_track = {}
+    for t, es, lon, lat in sorted(ROWS, key=lambda r: (r[0], r[1])):
+        by_track.setdefault(t, []).append((es, lon, lat))
+    got = {(r["track"], r["seq"]): r for r in rows}
+    for t, pts in by_track.items():
+        cum = 0.0
+        for i, (es, lon, lat) in enumerate(pts):
+            r = got[(t, i + 1)]
+            if i == 0:
+                assert r["leg_dist"] == 0.0 and r["dt_s"] == 0
+                assert r["speed"] is None and r["bearing_deg"] is None
+            else:
+                pes, plon, plat = pts[i - 1]
+                leg = _hav(plon, plat, lon, lat)
+                assert r["leg_dist"] == pytest.approx(leg, rel=1e-9)
+                assert r["dt_s"] == es - pes
+                assert r["speed"] == pytest.approx(leg / (es - pes), rel=1e-9)
+                # bearing sanity on the pure-east leg
+                cum += leg
+            assert r["cum_dist"] == pytest.approx(cum, rel=1e-9)
+    # pure-east leg of track a (0,0)->(0.1,0): bearing ~90
+    assert got[("a", 2)]["bearing_deg"] == pytest.approx(90.0, abs=0.01)
+    # pure-north leg (0.1,0)->(0.1,0.1): bearing ~0
+    assert got[("a", 3)]["bearing_deg"] == pytest.approx(0.0, abs=0.01)
+
+
+def test_planar_metric_exact(spark):
+    out = track_metrics(_df(spark), "track", "es", metric="planar")
+    r = {(x["track"], x["seq"]): x for x in out.collect()}
+    assert r[("a", 2)]["leg_dist"] == math.sqrt(0.1 * 0.1)
+    # bit-identical to the engine: same subtraction on the same doubles
+    assert r[("b", 2)]["leg_dist"] == math.sqrt(
+        (10.2 - 10.0) ** 2 + (45.1 - 45.0) ** 2
+    )
+
+
+def test_equal_ts_tiebreak_deterministic(spark):
+    df = spark.createDataFrame(
+        [("t", 5, 1.0, 1.0, "x2"), ("t", 5, 0.0, 0.0, "x1")],
+        "track string, es long, lon double, lat double, id string",
+    )
+    out = track_metrics(df, "track", "es", tiebreak_col="id").collect()
+    seq = {r["id"]: r["seq"] for r in out}
+    assert seq == {"x1": 1, "x2": 2}
+
+
+def test_summary(spark):
+    out = track_summary(_df(spark), "track", "es", metric="planar").collect()
+    s = {r["track"]: r for r in out}
+    assert s["c"]["n_points"] == 1
+    assert s["c"]["total_dist"] == 0.0
+    assert s["c"]["duration_s"] == 0 and s["c"]["avg_speed"] is None
+    a = s["a"]
+    assert a["n_points"] == 4
+    assert a["duration_s"] == 300  # telescoping sum of dt = max-min
+    assert a["start_ts"] == 100 and a["end_ts"] == 400
+    legs = [
+        math.sqrt(0.1**2),
+        math.sqrt(0.1**2),
+        math.sqrt(0.3**2 + 0.2**2),
+    ]
+    assert a["total_dist"] == pytest.approx(sum(legs), rel=1e-12)
+    assert a["avg_speed"] == pytest.approx(sum(legs) / 300, rel=1e-12)
+    assert (a["min_lon"], a["max_lon"]) == (-0.2, 0.1)
+    assert (a["min_lat"], a["max_lat"]) == (0.0, 0.3)
+
+
+def test_summary_single_exchange_and_no_python(spark):
+    plan = track_summary(
+        _df(spark), "track", "es", metric="haversine"
+    )._jdf.queryExecution().executedPlan().toString()
+    # groupBy(track) reuses the window's hashpartitioning(track):
+    # exactly one real Exchange (ignore AQE re-wraps of the same one)
+    import re
+
+    exchanges = [
+        ln for ln in plan.splitlines() if re.search(r"\bExchange hashpartitioning", ln)
+    ]
+    assert len(exchanges) == 1, plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_timestamp_column_type(spark):
+    df = spark.createDataFrame(
+        [("t", "2024-01-01 00:00:00", 0.0, 0.0), ("t", "2024-01-01 00:01:40", 0.1, 0.0)],
+        "track string, ts string, lon double, lat double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = track_metrics(df, "track", "ts").orderBy("seq").collect()
+    assert out[1]["dt_s"] == 100

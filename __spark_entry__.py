@@ -1606,6 +1606,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["track_summary"] = track_summary_gate
 
+    def geofence_gate(spark, sf):
+        """Geofence transition detection: per-track sequence window +
+        the broadcast PIP join + gap detection over CONTAINED rows
+        only (operators/geofence.py — the engine-side diff of the
+        reference's live-layer polling pattern,
+        LiveKafkaConsumerFeatureSource.scala:136-191)."""
+        from geomesa_spark.operators.geofence import geofence_events
+
+        pts = geo_events(spark, sf).withColumn(
+            "es", F.unix_timestamp("dtg")
+        )
+        out = geofence_events(
+            pts, _polys, "user_id", "es", tiebreak_col="event_id"
+        )
+        return out.select(
+            F.col("track").alias("user_id"), "fence_id", "event",
+            F.col("ts").alias("es"), "seq",
+        )
+
+    q["geofence"] = geofence_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -3256,6 +3277,40 @@ SELECT user_id,
        min(lon) AS min_lon, max(lon) AS max_lon,
        min(lat) AS min_lat, max(lat) AS max_lat
 FROM legs GROUP BY user_id
+"""
+
+    o["geofence"] = f"""
+WITH tp AS (
+  SELECT event_id, user_id,
+         (event_id*9973 % 36000)/100.0 - 180.0 AS lon,
+         (event_id*7919 % 18000)/100.0 - 90.0 AS lat,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+sq AS (
+  SELECT *,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY es, event_id) AS INT) AS seq,
+         CAST(count(*) OVER (PARTITION BY user_id) AS INT) AS n_pts
+  FROM tp
+),
+inside AS (
+  SELECT user_id, es, seq, n_pts, 'rect' AS fence_id FROM sq WHERE {rect_cond}
+  UNION ALL
+  SELECT user_id, es, seq, n_pts, 'tri' FROM sq WHERE {_convex_cond(TRIANGLE)}
+  UNION ALL
+  SELECT user_id, es, seq, n_pts, 'pent' FROM sq WHERE {_convex_cond(PENTAGON)}
+),
+fl AS (
+  SELECT user_id, fence_id, es, seq, n_pts,
+         lag(seq) OVER w AS prev, lead(seq) OVER w AS nxt
+  FROM inside WINDOW w AS (PARTITION BY user_id, fence_id ORDER BY seq)
+)
+SELECT user_id, fence_id, 'enter' AS event, es, seq FROM fl
+WHERE prev IS NULL OR prev <> seq - 1
+UNION ALL
+SELECT user_id, fence_id, 'exit', es, seq FROM fl
+WHERE (nxt IS NULL OR nxt <> seq + 1) AND seq < n_pts
 """
 
     o["histogram_job"] = """

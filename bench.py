@@ -91,6 +91,7 @@ HEADLINE = [
     # eleventh-session operators
     "track_metrics",
     "track_summary",
+    "geofence",
 ]
 
 

@@ -1627,6 +1627,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geofence"] = geofence_gate
 
+    def hotspot_gate(spark, sf):
+        """Getis-Ord Gi* hot spots over the 64x64 grid: exact int64
+        cell/neighborhood/corpus aggregates, z-score from ONE
+        canonical SQL expression evaluated verbatim by both engines
+        (operators/hotspot.py; DensityProcess says where the mass
+        is, Gi* says where it is anomalous)."""
+        from geomesa_spark.operators.hotspot import hotspot_cells
+
+        return hotspot_cells(geo_events(spark, sf), bits=6, ring=1)
+
+    q["hotspot"] = hotspot_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -3311,6 +3323,45 @@ WHERE prev IS NULL OR prev <> seq - 1
 UNION ALL
 SELECT user_id, fence_id, 'exit', es, seq FROM fl
 WHERE (nxt IS NULL OR nxt <> seq + 1) AND seq < n_pts
+"""
+
+    from geomesa_spark.operators.hotspot import gi_star_expr as _gi_expr
+
+    o["hotspot"] = f"""
+WITH tp AS (
+  SELECT (event_id*9973 % 36000)/100.0 - 180.0 AS lon,
+         (event_id*7919 % 18000)/100.0 - 90.0 AS lat
+  FROM events
+),
+g AS (
+  SELECT CAST(greatest(0, least(63, floor((lon+180.0)/360.0*64.0))) AS BIGINT) AS x,
+         CAST(greatest(0, least(63, floor((lat+90.0)/180.0*64.0))) AS BIGINT) AS y
+  FROM tp
+),
+cells AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS w FROM g GROUP BY x, y
+),
+offs AS (
+  SELECT a.dx, b.dy FROM (VALUES (-1),(0),(1)) a(dx), (VALUES (-1),(0),(1)) b(dy)
+),
+contrib AS (
+  SELECT ((x + dx) % 64 + 64) % 64 AS tx, y + dy AS ty, w
+  FROM cells, offs WHERE y + dy BETWEEN 0 AND 63
+),
+nbr AS (
+  SELECT tx AS x, ty AS y, CAST(count(*) AS BIGINT) AS nbr_n,
+         CAST(sum(w) AS BIGINT) AS nbr_sum
+  FROM contrib GROUP BY tx, ty
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(w) AS BIGINT) AS sum_w,
+         CAST(sum(w*w) AS BIGINT) AS sum_q
+  FROM cells
+)
+SELECT c.x, c.y, c.w, nbr_n, nbr_sum,
+       {_gi_expr()} AS gi_star
+FROM cells c JOIN nbr USING (x, y), st
 """
 
     o["histogram_job"] = """

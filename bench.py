@@ -92,6 +92,7 @@ HEADLINE = [
     "track_metrics",
     "track_summary",
     "geofence",
+    "hotspot",
 ]
 
 

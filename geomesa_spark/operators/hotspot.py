@@ -1,0 +1,125 @@
+"""Hot-spot detection: Getis-Ord Gi* over the engine's integer grid.
+
+The reference's DensityProcess (``DensityProcess.scala``, our
+``operators/analytics.density`` / ``rasterize.py``) renders WHERE the
+mass is; Gi* (Getis & Ord 1992, the standard hot-spot statistic)
+says where the mass is SIGNIFICANTLY above the corpus mean — the
+difference between a heat map and an anomaly detector.
+
+Scale design: three bounded stages, no Python, no cartesian —
+
+1. one partial-aggregated groupBy onto grid cells (the density
+   shape: output bounded by 4^bits, not corpus size);
+2. neighborhood sums by exploding each OCCUPIED cell onto its
+   (2·ring+1)² neighbor keys and re-aggregating — a second groupBy
+   bounded by occupied_cells × window size, never corpus², with
+   longitude wrapping at the antimeridian (x is cyclic, y clamps at
+   the poles — the IDL convention everywhere in this engine);
+3. corpus moments (N, Σw, Σw²) as ONE broadcast row.
+
+Determinism: every aggregate is exact int64; the z-score is derived
+from those integers through +,-,*,/ and sqrt only — all IEEE
+correctly-rounded, and the formula is ONE canonical SQL string
+(``GI_STAR_SQL``) evaluated verbatim by Spark (``F.expr``) and by
+the DuckDB oracle, so the doubles hash-compare exactly (the
+url_normalize shared-expression convention).
+
+Gi* here is over the OCCUPIED cells: the statistic's universe N is
+the set of cells with at least one observation, and a cell's
+neighborhood statistics count its occupied neighbors (`nbr_n`, with
+the cell itself — the * variant).  Empty cells carry no sample and
+emit no row; the choice is pinned by the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geomesa_spark.functions import cells as C
+
+__all__ = ["hotspot_cells", "GI_STAR_SQL"]
+
+# (S - mean*n) / (s * sqrt((N*n - n^2) / (N-1))) with
+# mean = W/N, s = sqrt(Q/N - mean^2); NULL when the denominator
+# degenerates (uniform counts or N=1). Placeholders: {S}=nbr_sum,
+# {n}=nbr_n, {N}=n_cells, {W}=sum_w, {Q}=sum_q — all int64 columns.
+GI_STAR_SQL = (
+    "CASE WHEN {N} > 1"
+    " AND sqrt(CAST({Q} AS DOUBLE)/{N} - (CAST({W} AS DOUBLE)/{N})*(CAST({W} AS DOUBLE)/{N})) > 0"
+    " THEN (CAST({S} AS DOUBLE) - (CAST({W} AS DOUBLE)/{N})*{n})"
+    " / (sqrt(CAST({Q} AS DOUBLE)/{N} - (CAST({W} AS DOUBLE)/{N})*(CAST({W} AS DOUBLE)/{N}))"
+    " * sqrt((CAST({N} AS DOUBLE)*{n} - CAST({n} AS DOUBLE)*{n}) / ({N} - 1.0)))"
+    " END"
+)
+
+
+def gi_star_expr(S="nbr_sum", n="nbr_n", N="n_cells", W="sum_w", Q="sum_q") -> str:
+    return GI_STAR_SQL.format(S=S, n=n, N=N, W=W, Q=Q)
+
+
+def hotspot_cells(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    bits: int = 6,
+    ring: int = 1,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Gi* per occupied grid cell at resolution `bits` (2^bits ×
+    2^bits world grid), neighborhood = the (2·ring+1)² window.
+
+    Returns (x, y, w, nbr_n, nbr_sum, gi_star): the cell's own
+    weight, its occupied-neighbor count and weight sum (self
+    included), and the Gi* z-score (NULL when degenerate).
+    `weight_col` (int) sums that column instead of counting rows."""
+    n = 1 << bits
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    cells = (
+        df.select(
+            C.lon_to_x(F.col(lon_col), bits).alias("x"),
+            C.lat_to_y(F.col(lat_col), bits).alias("y"),
+            w.alias("_w"),
+        )
+        .groupBy("x", "y")
+        .agg(F.sum("_w").alias("w"))
+    )
+    offsets = [(dx, dy) for dx in range(-ring, ring + 1)
+               for dy in range(-ring, ring + 1)]
+    # each occupied cell contributes its weight to every neighbor's
+    # window: x wraps (cyclic longitude), y out-of-range drops (poles)
+    contrib = cells.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.pmod(F.col("x") + F.lit(dx), F.lit(n)).alias("tx"),
+                    (F.col("y") + F.lit(dy)).alias("ty"),
+                )
+                for dx, dy in offsets
+            ])
+        ).alias("t"),
+        "w",
+    ).select(
+        F.col("t.tx").alias("x"), F.col("t.ty").alias("y"), "w"
+    ).filter((F.col("y") >= 0) & (F.col("y") < n))
+    nbr = contrib.groupBy("x", "y").agg(
+        F.count("*").cast("long").alias("nbr_n"),
+        F.sum("w").alias("nbr_sum"),
+    )
+    stats = F.broadcast(
+        cells.agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("w").alias("sum_w"),
+            F.sum(F.col("w") * F.col("w")).alias("sum_q"),
+        )
+    )
+    return (
+        cells.join(nbr, ["x", "y"], "inner")  # occupied cells only
+        .crossJoin(stats)
+        .withColumn("gi_star", F.expr(gi_star_expr()))
+        .select("x", "y", "w", "nbr_n", "nbr_sum", "gi_star")
+    )

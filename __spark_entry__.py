@@ -181,6 +181,18 @@ def geo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle SQL builders
 # ---------------------------------------------------------------------------
 
+# co-occurrence motion model: lon drifts with time (full month =
+# 360 deg), lat is a per-user band; jitter decorrelates exact ties.
+# Evaluated verbatim by Spark (F.expr) and DuckDB over (event_id,
+# user_id, es) — exact double arithmetic, no trig.
+# (CASTs force DOUBLE arithmetic: Spark parses `2592000.0` in SQL
+# text as DECIMAL, and decimal division would differ from DuckDB)
+_COOC_LON = (
+    "CAST(es % 2592000 AS DOUBLE)/2592000.0*360.0 - 180.0"
+    " + CAST(event_id % 89 AS DOUBLE)/1000.0"
+)
+_COOC_LAT = "(user_id*3 % 180) - 90 + CAST(event_id % 97 AS DOUBLE)/1000.0"
+
 PTS_CTE = """pts AS (
   SELECT event_id, event_type, value,
          (event_id*9973 % 36000)/100.0 - 180.0 AS lon,
@@ -1638,6 +1650,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hotspot_cells(geo_events(spark, sf), bits=6, ring=1)
 
     q["hotspot"] = hotspot_gate
+
+    def cooccurrence_gate(spark, sf):
+        """Who-met-whom self-join: pairs within 0.5 deg and 2 h via
+        the (cell, time-bucket) composite-key join — each pair
+        matched exactly once (home-key trick), no distinct pass, no
+        cartesian (operators/cooccur.py). Positions come from the
+        _COOC motion model (time-driven lon drift + per-user lat
+        band), ONE shared SQL expression pair evaluated verbatim by
+        both engines, so entities genuinely co-occur."""
+        from geomesa_spark.operators.cooccur import cooccurrence_join
+
+        pts = (
+            _load(spark, sf, "events")
+            .withColumn("es", F.unix_timestamp("ts"))
+            .withColumn("lon", F.expr(_COOC_LON))
+            .withColumn("lat", F.expr(_COOC_LAT))
+        )
+        return cooccurrence_join(pts, 0.5, 7200, "event_id", "es")
+
+    q["cooccurrence"] = cooccurrence_gate
 
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
@@ -3323,6 +3355,25 @@ WHERE prev IS NULL OR prev <> seq - 1
 UNION ALL
 SELECT user_id, fence_id, 'exit', es, seq FROM fl
 WHERE (nxt IS NULL OR nxt <> seq + 1) AND seq < n_pts
+"""
+
+    o["cooccurrence"] = f"""
+WITH mp AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+pts AS (
+  SELECT event_id, es, {_COOC_LON} AS lon, {_COOC_LAT} AS lat FROM mp
+)
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) AS dist2,
+       CAST(abs(a.es - b.es) AS BIGINT) AS dt_s
+FROM pts a JOIN pts b
+  ON a.event_id < b.event_id
+ AND b.es BETWEEN a.es - 7200 AND a.es + 7200
+ AND b.lat BETWEEN a.lat - 0.5 AND a.lat + 0.5
+WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) <= 0.25
+  AND abs(a.es - b.es) <= 7200
 """
 
     from geomesa_spark.operators.hotspot import gi_star_expr as _gi_expr

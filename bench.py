@@ -93,6 +93,7 @@ HEADLINE = [
     "track_summary",
     "geofence",
     "hotspot",
+    "cooccurrence",
 ]
 
 

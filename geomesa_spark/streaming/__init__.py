@@ -17,3 +17,8 @@ from geomesa_spark.streaming.ingest import (  # noqa: F401
     read_accepted,
     replay_dedup,
 )
+from geomesa_spark.streaming.geofence import (  # noqa: F401
+    geofence_stream,
+    read_fence_events,
+    read_inside_now,
+)

@@ -1671,6 +1671,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cooccurrence"] = cooccurrence_gate
 
+    def _cooc_pts(spark, sf):
+        return (
+            _load(spark, sf, "events")
+            .withColumn("es", F.unix_timestamp("ts"))
+            .withColumn("lon", F.expr(_COOC_LON))
+            .withColumn("lat", F.expr(_COOC_LAT))
+        )
+
+    def trips_gate(spark, sf):
+        """Dwell-gap trip extraction (tracks.track_trips): sessionize
+        on the track key + one map-side-combinable endpoint aggregate
+        on the same partitioning. Motion-model positions (the
+        cooccurrence convention) so trips genuinely move."""
+        from geomesa_spark.operators.tracks import track_trips
+
+        return track_trips(
+            _cooc_pts(spark, sf), "user_id", "ts", 3600,
+            tiebreak_col="event_id",
+        ).withColumnRenamed("track", "user_id")
+
+    q["trips"] = trips_gate
+
+    def od_flows_gate(spark, sf):
+        """Origin-destination flow matrix: trips rolled onto
+        (origin cell, dest cell, departure day) — output bounded by
+        the grid, not the corpus (tracks.od_flows)."""
+        from geomesa_spark.operators.tracks import od_flows, track_trips
+
+        trips = track_trips(
+            _cooc_pts(spark, sf), "user_id", "ts", 3600,
+            tiebreak_col="event_id",
+        )
+        return od_flows(trips, bits=6, time_bucket_s=86400)
+
+    q["od_flows"] = od_flows_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -3374,6 +3410,63 @@ FROM pts a JOIN pts b
  AND b.lat BETWEEN a.lat - 0.5 AND a.lat + 0.5
 WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) <= 0.25
   AND abs(a.es - b.es) <= 7200
+"""
+
+    # trips: sessionize (gap > 3600 s on floored epoch, order by full
+    # ts) then first/last endpoint per (user, trip) by (es, event_id)
+    TRIPS_CTE = f"""mp AS (
+  SELECT event_id, user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+pts AS (
+  SELECT event_id, user_id, ts, es,
+         {_COOC_LON} AS lon, {_COOC_LAT} AS lat
+  FROM mp
+),
+g AS (
+  SELECT *, CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 3600
+                 THEN 1 ELSE 0 END AS st
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sgm AS (
+  SELECT *, CAST(SUM(st) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS trip_id
+  FROM g
+),
+ep AS (
+  SELECT user_id, trip_id, es, event_id, lon, lat,
+         row_number() OVER (PARTITION BY user_id, trip_id
+                            ORDER BY es, event_id) AS ra,
+         row_number() OVER (PARTITION BY user_id, trip_id
+                            ORDER BY es DESC, event_id DESC) AS rd,
+         CAST(count(*) OVER (PARTITION BY user_id, trip_id) AS BIGINT) AS np
+  FROM sgm
+),
+trips AS (
+  SELECT o.user_id, o.trip_id,
+         o.es AS o_ts, o.lon AS o_lon, o.lat AS o_lat,
+         d.es AS d_ts, d.lon AS d_lon, d.lat AS d_lat,
+         o.np AS n_points, CAST(d.es - o.es AS BIGINT) AS duration_s
+  FROM (SELECT * FROM ep WHERE ra = 1) o
+  JOIN (SELECT * FROM ep WHERE rd = 1) d
+    USING (user_id, trip_id)
+)"""
+
+    o["trips"] = f"""
+WITH {TRIPS_CTE}
+SELECT * FROM trips
+"""
+
+    o["od_flows"] = f"""
+WITH {TRIPS_CTE}
+SELECT
+  CAST(greatest(0, least(63, floor((o_lon+180.0)/360.0*64.0))) AS BIGINT) AS ox,
+  CAST(greatest(0, least(63, floor((o_lat+90.0)/180.0*64.0))) AS BIGINT) AS oy,
+  CAST(greatest(0, least(63, floor((d_lon+180.0)/360.0*64.0))) AS BIGINT) AS dx,
+  CAST(greatest(0, least(63, floor((d_lat+90.0)/180.0*64.0))) AS BIGINT) AS dy,
+  CAST(floor(CAST(o_ts AS DOUBLE) / 86400.0) AS BIGINT) AS tb,
+  CAST(count(*) AS BIGINT) AS n_trips
+FROM trips GROUP BY 1, 2, 3, 4, 5
 """
 
     from geomesa_spark.operators.hotspot import gi_star_expr as _gi_expr

@@ -94,6 +94,8 @@ HEADLINE = [
     "geofence",
     "hotspot",
     "cooccurrence",
+    "trips",
+    "od_flows",
 ]
 
 

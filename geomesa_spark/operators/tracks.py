@@ -33,9 +33,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from geomesa_spark.functions import cells as C
 from geomesa_spark.functions import geometry_sql as GS
 
-__all__ = ["track_metrics", "track_summary"]
+__all__ = ["track_metrics", "track_summary", "track_trips", "od_flows"]
 
 
 def _leg_dist(
@@ -182,3 +183,98 @@ def track_summary(
         )
     )
     return agg
+
+
+def track_trips(
+    df: DataFrame,
+    track_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Split each track into TRIPS at dwell gaps longer than
+    `gap_seconds` (``sample.sessionize`` on the track key) and roll
+    each trip up to one row: origin/destination point and time,
+    point count, and duration.
+
+    Endpoint selection is a deterministic min/max of
+    struct(epoch, tiebreak, lon, lat) — a map-side-combinable
+    aggregate on the SAME key partitioning the sessionize window
+    already produced, so the whole operator is one shuffle on the
+    track key.  Returns (track, trip_id, o_ts, o_lon, o_lat, d_ts,
+    d_lon, d_lat, n_points, duration_s)."""
+    from geomesa_spark.operators.sample import sessionize
+
+    if dict(df.dtypes)[ts_col].startswith("timestamp"):
+        es = F.unix_timestamp(F.col(ts_col))
+        s = sessionize(df, track_col, ts_col, gap_seconds,
+                       session_col="_trip")
+    else:
+        # sessionize's gap math needs a timestamp column; epoch
+        # seconds convert losslessly (ordering identical)
+        es = F.col(ts_col).cast("long")
+        s = sessionize(
+            df.withColumn("_tts", F.timestamp_seconds(es)),
+            track_col, "_tts", gap_seconds, session_col="_trip",
+        ).drop("_tts")
+    tie = (
+        [F.col(tiebreak_col)] if tiebreak_col is not None else []
+    )
+    point = lambda: [es.alias("es"), *tie, F.col(lon_col).alias("plon"),
+                     F.col(lat_col).alias("plat")]  # noqa: E731
+    agg = (
+        s.groupBy(
+            F.col(track_col).alias("track"),
+            F.col("_trip").alias("trip_id"),
+        )
+        .agg(
+            F.min(F.struct(*point())).alias("_o"),
+            F.max(F.struct(*point())).alias("_d"),
+            F.count("*").cast("long").alias("n_points"),
+        )
+        .select(
+            "track", "trip_id",
+            F.col("_o.es").alias("o_ts"),
+            F.col("_o.plon").alias("o_lon"),
+            F.col("_o.plat").alias("o_lat"),
+            F.col("_d.es").alias("d_ts"),
+            F.col("_d.plon").alias("d_lon"),
+            F.col("_d.plat").alias("d_lat"),
+            "n_points",
+            (F.col("_d.es") - F.col("_o.es")).cast("long").alias("duration_s"),
+        )
+    )
+    return agg
+
+
+def od_flows(
+    trips: DataFrame,
+    bits: int = 6,
+    time_bucket_s: int | None = None,
+) -> DataFrame:
+    """Origin-destination flow matrix over ``track_trips`` output:
+    trips aggregated onto (origin cell, destination cell[, departure
+    time bucket]) with trip counts — the classic mobility rollup
+    (flows between city cells per hour).
+
+    One partial-aggregated groupBy; output is bounded by
+    (4^bits)² × buckets, not trip count.  Returns (ox, oy, dx, dy
+    [, tb], n_trips)."""
+    keys = [
+        C.lon_to_x(F.col("o_lon"), bits).alias("ox"),
+        C.lat_to_y(F.col("o_lat"), bits).alias("oy"),
+        C.lon_to_x(F.col("d_lon"), bits).alias("dx"),
+        C.lat_to_y(F.col("d_lat"), bits).alias("dy"),
+    ]
+    if time_bucket_s is not None:
+        keys.append(
+            F.floor(F.col("o_ts") / F.lit(time_bucket_s))
+            .cast("long")
+            .alias("tb")
+        )
+    return (
+        trips.groupBy(*keys)
+        .agg(F.count("*").cast("long").alias("n_trips"))
+    )

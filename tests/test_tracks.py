@@ -131,3 +131,65 @@ def test_timestamp_column_type(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = track_metrics(df, "track", "ts").orderBy("seq").collect()
     assert out[1]["dt_s"] == 100
+
+
+TRIP_ROWS = [
+    # track a: two trips split by a 1000s dwell gap
+    ("a", 100, 0.0, 0.0),
+    ("a", 200, 1.0, 0.5),
+    ("a", 260, 2.0, 1.0),
+    ("a", 2000, 50.0, 10.0),   # gap 1740 > 600 -> trip 2
+    ("a", 2100, 51.0, 11.0),
+    # track b: single point = single trip
+    ("b", 10, -100.0, -50.0),
+]
+
+
+def test_track_trips(spark):
+    from geomesa_spark.operators.tracks import track_trips
+
+    df = spark.createDataFrame(
+        TRIP_ROWS, "track string, es long, lon double, lat double"
+    )
+    out = {(r.track, r.trip_id): r for r in
+           track_trips(df, "track", "es", 600).collect()}
+    assert set(out) == {("a", 1), ("a", 2), ("b", 1)}
+    t1 = out[("a", 1)]
+    assert (t1.o_ts, t1.o_lon, t1.o_lat) == (100, 0.0, 0.0)
+    assert (t1.d_ts, t1.d_lon, t1.d_lat) == (260, 2.0, 1.0)
+    assert t1.n_points == 3 and t1.duration_s == 160
+    t2 = out[("a", 2)]
+    assert (t2.o_ts, t2.d_ts, t2.n_points, t2.duration_s) == (2000, 2100, 2, 100)
+    b = out[("b", 1)]
+    assert b.o_ts == b.d_ts == 10 and b.n_points == 1 and b.duration_s == 0
+
+
+def test_od_flows(spark):
+    from geomesa_spark.operators.tracks import od_flows, track_trips
+
+    df = spark.createDataFrame(
+        TRIP_ROWS, "track string, es long, lon double, lat double"
+    )
+    trips = track_trips(df, "track", "es", 600)
+    flows = {(r.ox, r.oy, r.dx, r.dy): r.n_trips
+             for r in od_flows(trips, bits=4).collect()}
+    n = 1 << 4
+    # origin (0,0) -> x=8, y=8; dest (2,1) same cell at bits=4
+    assert flows[(8, 8, 8, 8)] == 1
+    assert sum(flows.values()) == 3
+    # time-bucketed variant keeps counts
+    fb = od_flows(trips, bits=4, time_bucket_s=1000).collect()
+    assert sum(r.n_trips for r in fb) == 3
+    assert any(r.tb == 2 for r in fb)  # trip 2 departs at es 2000
+
+
+def test_track_trips_timestamp_input(spark):
+    from geomesa_spark.operators.tracks import track_trips
+
+    df = spark.createDataFrame(
+        [("t", "2024-01-01 00:00:00", 0.0, 0.0),
+         ("t", "2024-01-01 02:00:00", 1.0, 1.0)],
+        "track string, ts string, lon double, lat double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = track_trips(df, "track", "ts", 3600).collect()
+    assert {r.trip_id for r in out} == {1, 2}  # 2h gap splits

@@ -1671,6 +1671,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cooccurrence"] = cooccurrence_gate
 
+    def hotspot_st_gate(spark, sf):
+        """Space-time Gi* (emerging-hotspot bin statistic): occupied
+        (cell, day) bins, 3x3x3 spatiotemporal neighborhood, same
+        canonical z-score expression as `hotspot`."""
+        from geomesa_spark.operators.hotspot import hotspot_cells_st
+
+        return hotspot_cells_st(
+            geo_events(spark, sf), "dtg", bits=6, ring=1,
+            time_bucket_s=86400, time_ring=1,
+        )
+
+    q["hotspot_st"] = hotspot_st_gate
+
     def _cooc_pts(spark, sf):
         return (
             _load(spark, sf, "events")
@@ -3506,6 +3519,47 @@ st AS (
 SELECT c.x, c.y, c.w, nbr_n, nbr_sum,
        {_gi_expr()} AS gi_star
 FROM cells c JOIN nbr USING (x, y), st
+"""
+
+    o["hotspot_st"] = f"""
+WITH tp AS (
+  SELECT (event_id*9973 % 36000)/100.0 - 180.0 AS lon,
+         (event_id*7919 % 18000)/100.0 - 90.0 AS lat,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+g AS (
+  SELECT CAST(greatest(0, least(63, floor((lon+180.0)/360.0*64.0))) AS BIGINT) AS x,
+         CAST(greatest(0, least(63, floor((lat+90.0)/180.0*64.0))) AS BIGINT) AS y,
+         CAST(floor(CAST(es AS DOUBLE) / 86400.0) AS BIGINT) AS tb
+  FROM tp
+),
+cells AS (
+  SELECT x, y, tb, CAST(count(*) AS BIGINT) AS w FROM g GROUP BY x, y, tb
+),
+offs AS (
+  SELECT a.dx, b.dy, c.dt
+  FROM (VALUES (-1),(0),(1)) a(dx), (VALUES (-1),(0),(1)) b(dy),
+       (VALUES (-1),(0),(1)) c(dt)
+),
+contrib AS (
+  SELECT ((x + dx) % 64 + 64) % 64 AS tx, y + dy AS ty, tb + dt AS tt, w
+  FROM cells, offs WHERE y + dy BETWEEN 0 AND 63
+),
+nbr AS (
+  SELECT tx AS x, ty AS y, tt AS tb, CAST(count(*) AS BIGINT) AS nbr_n,
+         CAST(sum(w) AS BIGINT) AS nbr_sum
+  FROM contrib GROUP BY tx, ty, tt
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(w) AS BIGINT) AS sum_w,
+         CAST(sum(w*w) AS BIGINT) AS sum_q
+  FROM cells
+)
+SELECT c.x, c.y, c.tb, c.w, nbr_n, nbr_sum,
+       {_gi_expr()} AS gi_star
+FROM cells c JOIN nbr USING (x, y, tb), st
 """
 
     o["histogram_job"] = """

@@ -96,6 +96,7 @@ HEADLINE = [
     "cooccurrence",
     "trips",
     "od_flows",
+    "hotspot_st",
 ]
 
 

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from geomesa_spark.functions import cells as C
 
-__all__ = ["hotspot_cells", "GI_STAR_SQL"]
+__all__ = ["hotspot_cells", "hotspot_cells_st", "GI_STAR_SQL"]
 
 # (S - mean*n) / (s * sqrt((N*n - n^2) / (N-1))) with
 # mean = W/N, s = sqrt(Q/N - mean^2); NULL when the denominator
@@ -122,4 +122,92 @@ def hotspot_cells(
         .crossJoin(stats)
         .withColumn("gi_star", F.expr(gi_star_expr()))
         .select("x", "y", "w", "nbr_n", "nbr_sum", "gi_star")
+    )
+
+
+def hotspot_cells_st(
+    df: DataFrame,
+    ts_col: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    bits: int = 6,
+    ring: int = 1,
+    time_bucket_s: int = 86400,
+    time_ring: int = 1,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Space-time Gi*: the hot-spot statistic over (cell, time
+    bucket) bins — a cell is hot only if its neighborhood is dense
+    IN THAT TIME WINDOW (the emerging-hotspot bin statistic; plain
+    ``hotspot_cells`` would call a cell hot that was busy once,
+    months ago).
+
+    Same three bounded stages as ``hotspot_cells`` with the
+    neighborhood extended to (2·ring+1)² × (2·time_ring+1) bins:
+    occupied bins explode onto their spatiotemporal neighbor keys
+    (x wraps, y clamps, t is unbounded — edge buckets simply have
+    fewer occupied neighbors, pinned by the oracle), and the corpus
+    moments are over occupied BINS.  Determinism contract identical
+    (exact int64 aggregates + the shared ``GI_STAR_SQL``).
+
+    Returns (x, y, tb, w, nbr_n, nbr_sum, gi_star)."""
+    n = 1 << bits
+    ticks = (
+        F.unix_timestamp(F.col(ts_col))
+        if dict(df.dtypes)[ts_col].startswith("timestamp")
+        else F.col(ts_col).cast("long")
+    )
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    cells = (
+        df.select(
+            C.lon_to_x(F.col(lon_col), bits).alias("x"),
+            C.lat_to_y(F.col(lat_col), bits).alias("y"),
+            F.floor(ticks / F.lit(time_bucket_s)).cast("long").alias("tb"),
+            w.alias("_w"),
+        )
+        .groupBy("x", "y", "tb")
+        .agg(F.sum("_w").alias("w"))
+    )
+    offsets = [
+        (dx, dy, dt)
+        for dx in range(-ring, ring + 1)
+        for dy in range(-ring, ring + 1)
+        for dt in range(-time_ring, time_ring + 1)
+    ]
+    contrib = cells.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.pmod(F.col("x") + F.lit(dx), F.lit(n)).alias("tx"),
+                    (F.col("y") + F.lit(dy)).alias("ty"),
+                    (F.col("tb") + F.lit(dt)).alias("tt"),
+                )
+                for dx, dy, dt in offsets
+            ])
+        ).alias("t"),
+        "w",
+    ).select(
+        F.col("t.tx").alias("x"), F.col("t.ty").alias("y"),
+        F.col("t.tt").alias("tb"), "w",
+    ).filter((F.col("y") >= 0) & (F.col("y") < n))
+    nbr = contrib.groupBy("x", "y", "tb").agg(
+        F.count("*").cast("long").alias("nbr_n"),
+        F.sum("w").alias("nbr_sum"),
+    )
+    stats = F.broadcast(
+        cells.agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("w").alias("sum_w"),
+            F.sum(F.col("w") * F.col("w")).alias("sum_q"),
+        )
+    )
+    return (
+        cells.join(nbr, ["x", "y", "tb"], "inner")
+        .crossJoin(stats)
+        .withColumn("gi_star", F.expr(gi_star_expr()))
+        .select("x", "y", "tb", "w", "nbr_n", "nbr_sum", "gi_star")
     )

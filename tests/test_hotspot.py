@@ -115,3 +115,63 @@ def test_plan_no_python(spark, pts):
     )
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_space_time_matches_oracle(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    # burst: dense blob only in bucket 1; background spread over buckets
+    bl = rng.normal(10, 1.5, 250)
+    bb = rng.normal(20, 1.5, 250)
+    bt = rng.integers(86400, 2 * 86400, 250)  # bucket 1
+    gl = rng.uniform(-179, 179, 250)
+    gb = rng.uniform(-85, 85, 250)
+    gt = rng.integers(0, 4 * 86400, 250)
+    lons = np.concatenate([bl, gl])
+    lats = np.concatenate([bb, gb])
+    ts = np.concatenate([bt, gt])
+    df = spark.createDataFrame(
+        list(zip(lons.tolist(), lats.tolist(), [int(x) for x in ts])),
+        "lon double, lat double, es long",
+    )
+    from geomesa_spark.operators.hotspot import hotspot_cells_st
+
+    got = {
+        (r.x, r.y, r.tb): (r.w, r.nbr_n, r.nbr_sum, r.gi_star)
+        for r in hotspot_cells_st(
+            df, "es", bits=5, ring=1, time_bucket_s=86400, time_ring=1
+        ).collect()
+    }
+    # brute oracle
+    n = 1 << 5
+    xs = np.clip(np.floor((lons + 180.0) / 360.0 * float(n)), 0, n - 1).astype(int)
+    ys = np.clip(np.floor((lats + 90.0) / 180.0 * float(n)), 0, n - 1).astype(int)
+    tb = (ts // 86400).astype(int)
+    bins = {}
+    for k in zip(xs, ys, tb):
+        bins[k] = bins.get(k, 0) + 1
+    N = len(bins)
+    W = sum(bins.values())
+    Q = sum(v * v for v in bins.values())
+    mean = W / N
+    s = math.sqrt(Q / N - mean * mean)
+    assert set(got) == set(bins)
+    for (x, y, t), v in bins.items():
+        nn = ns = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dt in (-1, 0, 1):
+                    k = ((x + dx) % n, y + dy, t + dt)
+                    if 0 <= k[1] < n and k in bins:
+                        nn += 1
+                        ns += bins[k]
+        w, gn, gs_, gi = got[(x, y, t)]
+        assert (w, gn, gs_) == (v, nn, ns)
+        want_gi = (ns - mean * nn) / (
+            s * math.sqrt((N * nn - nn * nn) / (N - 1.0))
+        )
+        assert gi == pytest.approx(want_gi, rel=1e-12)
+    # the burst bin must dominate; the same cell in other buckets must not
+    hot = max(got.items(), key=lambda kv: kv[1][3])
+    assert hot[0][2] == 1 and hot[1][3] > 3.0

@@ -330,6 +330,20 @@ def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
             out = knn_join_df(pts, queries, k=5).select(
                 "qid", "doc_id", "rank"
             )
+        elif kind == "tracks":
+            # window-family evidence: one shuffle on the track key,
+            # then per-track sort (track_metrics window) + same-key
+            # rollup — the only kind whose cost is sort-bound rather
+            # than join/aggregation-bound
+            from geomesa_spark.operators.tracks import track_summary
+
+            tr = pts.withColumn(
+                "track", F.pmod(F.crc32(F.col("doc_id")), F.lit(200_000))
+            )
+            out = track_summary(
+                tr, "track", "dtg", metric="haversine",
+                tiebreak_col="doc_id", fp_scale=1_000_000,
+            )
         elif kind == "bucketed":
             out = pip_join_bucketed(
                 spark, ptbl, ctbl, polys_df, bits=6
@@ -392,13 +406,13 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
     VALID_KINDS = (
         "broadcast", "shuffle", "bucketed", "geom", "knn", "dedup", "clean",
-        "ann",
+        "ann", "tracks",
     )
     kinds = [
         k.strip()
         for k in os.environ.get(
             "SPARK_GRAFT_SCALING_KINDS",
-            "broadcast,shuffle,bucketed,geom,knn,dedup,clean,ann",
+            "broadcast,shuffle,bucketed,geom,knn,dedup,clean,ann,tracks",
         ).split(",")
         if k.strip()
     ]
@@ -410,7 +424,8 @@ def main() -> None:
             f"invalid SPARK_GRAFT_SCALING_KINDS "
             f"({bad or 'empty'}); valid: {VALID_KINDS}"
         )
-    if any(k in kinds for k in ("broadcast", "shuffle", "bucketed", "geom", "knn")):
+    if any(k in kinds for k in ("broadcast", "shuffle", "bucketed", "geom",
+                                "knn", "tracks")):
         # the spatial corpus is only needed by the spatial kinds — a
         # text-only protocol run shouldn't pay the 16M-doc build
         build_corpus(n_docs)
@@ -526,6 +541,16 @@ def main() -> None:
                  "token-explode-heavy aggregation profile (rows "
                  "amplified ~48x into the window groupBy) distinct "
                  "from the dedup row's band join",
+        "tracks": "track dynamics rollup (track_summary over "
+                  "track_metrics): span->geometry extraction, 200k "
+                  "synthetic tracks (~80 points each via "
+                  "crc32(doc_id) % 200k), ONE shuffle on the track key "
+                  "then a per-track sort window (lag/row_number/"
+                  "running sum, haversine legs) and a same-key rollup "
+                  "that reuses the window's partitioning (no second "
+                  "Exchange). The sort-bound window family — a "
+                  "different execution shape from every join/"
+                  "aggregation row above",
         "ann": "IVF x PQ similarity search end-to-end (ivf_pq_topk, "
                "64 lists / 2 probes, M=8 k=16 codebooks): corpus-side "
                "list assignment (Arrow matmul) + PQ encode (JVM "

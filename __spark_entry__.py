@@ -1438,8 +1438,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from geomesa_spark.functions import s2 as S2
 
         ge = geo_events(spark, sf)
+        # Generate-barrier the derived cell (the s2_bbox_scan idiom):
+        # without it, alias substitution inlines the interpreted
+        # Hilbert fold into the BETWEEN (twice) AND both projections
+        # — measured 22.8 s at sf0.1 vs 2.3 s barriered
         d = S2.with_s2_cell(
-            ge, F.col("lon"), F.col("lat"), S2_LEVEL, out="cell"
+            ge, F.col("lon"), F.col("lat"), S2_LEVEL, out="__c"
+        ).select(
+            "event_id", F.explode(F.array(F.col("__c"))).alias("cell")
         )
         lo, hi = S2_RANGE
         return d.where(F.col("cell").between(lo, hi)).select(

@@ -1726,6 +1726,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["od_flows"] = od_flows_gate
 
+    def stop_detect_gate(spark, sf):
+        """Stop (dwell) detection (tracks.stop_detect): maximal runs
+        of consecutive small legs lasting >= min_duration — the
+        stay-point mining step. Motion-model positions drift with
+        time, so closely-spaced fixes dwell and long gaps anchor new
+        segments. Planar metric = exact-double oracle mode; bbox
+        midpoint center is deterministic."""
+        from geomesa_spark.operators.tracks import stop_detect
+
+        return stop_detect(
+            _cooc_pts(spark, sf), "user_id", "ts",
+            radius=0.2, min_duration_s=600,
+            metric="planar", tiebreak_col="event_id",
+        )
+
+    q["stop_detect"] = stop_detect_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -3486,6 +3503,44 @@ SELECT
   CAST(floor(CAST(o_ts AS DOUBLE) / 86400.0) AS BIGINT) AS tb,
   CAST(count(*) AS BIGINT) AS n_trips
 FROM trips GROUP BY 1, 2, 3, 4, 5
+"""
+
+    # stop_detect: anchor on seq==1 OR planar leg > 0.2, running sum
+    # of anchors = stop id, same-key rollup, HAVING span >= 600 s.
+    o["stop_detect"] = f"""
+WITH mp AS (
+  SELECT event_id, user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+pts AS (
+  SELECT event_id, user_id, ts, es,
+         {_COOC_LON} AS lon, {_COOC_LAT} AS lat
+  FROM mp
+),
+m AS (
+  SELECT *, lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+a AS (
+  SELECT *, CASE WHEN plon IS NULL
+               OR sqrt((lon-plon)*(lon-plon) + (lat-plat)*(lat-plat)) > 0.2
+            THEN 1 ELSE 0 END AS st
+  FROM m
+),
+sgm AS (
+  SELECT *, CAST(SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS stop_id
+  FROM a
+)
+SELECT user_id AS track, stop_id,
+       CAST(min(es) AS BIGINT) AS start_ts,
+       CAST(max(es) AS BIGINT) AS end_ts,
+       CAST(max(es) - min(es) AS BIGINT) AS duration_s,
+       CAST(count(*) AS BIGINT) AS n_points,
+       (min(lon) + max(lon)) / 2 AS center_lon,
+       (min(lat) + max(lat)) / 2 AS center_lat
+FROM sgm GROUP BY user_id, stop_id
+HAVING max(es) - min(es) >= 600
 """
 
     from geomesa_spark.operators.hotspot import gi_star_expr as _gi_expr

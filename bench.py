@@ -97,6 +97,8 @@ HEADLINE = [
     "trips",
     "od_flows",
     "hotspot_st",
+    # twelfth-session operators
+    "stop_detect",
 ]
 
 

@@ -36,7 +36,10 @@ from pyspark.sql import functions as F
 from geomesa_spark.functions import cells as C
 from geomesa_spark.functions import geometry_sql as GS
 
-__all__ = ["track_metrics", "track_summary", "track_trips", "od_flows"]
+__all__ = [
+    "track_metrics", "track_summary", "track_trips", "od_flows",
+    "stop_detect",
+]
 
 
 def _leg_dist(
@@ -278,3 +281,86 @@ def od_flows(
         trips.groupBy(*keys)
         .agg(F.count("*").cast("long").alias("n_trips"))
     )
+
+
+def stop_detect(
+    df: DataFrame,
+    track_col: str,
+    ts_col: str,
+    radius: float,
+    min_duration_s: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    metric: str = "haversine",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Stop (dwell) detection: maximal runs of consecutive track
+    points that each moved <= `radius` from their predecessor,
+    lasting >= `min_duration_s` — the stay-point mining step of every
+    trajectory pipeline (home/work inference, port calls, dwell
+    analytics).
+
+    Gaps-and-islands over ``track_metrics``: a point ANCHORS a new
+    segment when its leg exceeds the radius (or it opens the track);
+    the running count of anchors is the segment id; segments reduce
+    to (start/end time, span, point count, bbox center).  Everything
+    runs in the windows' track-key partitioning plus one same-key
+    groupBy — one shuffle total, no Python.
+
+    The run-based criterion is the classic SQL-tractable
+    approximation of Li et al. stay points (which re-anchor on the
+    stop's FIRST point): a slow drift whose every step is under the
+    radius counts as one stop even if it wanders far in total —
+    size `radius` for inter-fix noise, not stop diameter.  Center is
+    the bbox midpoint (deterministic; a float centroid mean would be
+    merge-order dependent).
+
+    Returns (track, stop_id, start_ts, end_ts, duration_s, n_points,
+    center_lon, center_lat)."""
+    m = track_metrics(
+        df, track_col, ts_col, lon_col, lat_col, metric, tiebreak_col
+    )
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(track_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    anchored = m.withColumn(
+        "_anchor",
+        F.when(
+            (F.col("seq") == 1) | (F.col("leg_dist") > F.lit(float(radius))),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("_seg", F.sum("_anchor").over(w).cast("long"))
+    es = (
+        F.unix_timestamp(F.col(ts_col))
+        if dict(df.dtypes)[ts_col].startswith("timestamp")
+        else F.col(ts_col).cast("long")
+    )
+    segs = (
+        anchored.withColumn("_es", es)
+        .groupBy(
+            F.col(track_col).alias("track"), F.col("_seg").alias("stop_id")
+        )
+        .agg(
+            F.min("_es").cast("long").alias("start_ts"),
+            F.max("_es").cast("long").alias("end_ts"),
+            F.count("*").cast("long").alias("n_points"),
+            F.min(lon_col).alias("_lo_x"),
+            F.max(lon_col).alias("_hi_x"),
+            F.min(lat_col).alias("_lo_y"),
+            F.max(lat_col).alias("_hi_y"),
+        )
+        .withColumn(
+            "duration_s", (F.col("end_ts") - F.col("start_ts")).cast("long")
+        )
+        .filter(F.col("duration_s") >= F.lit(int(min_duration_s)))
+        .select(
+            "track", "stop_id", "start_ts", "end_ts", "duration_s",
+            "n_points",
+            ((F.col("_lo_x") + F.col("_hi_x")) / F.lit(2.0)).alias("center_lon"),
+            ((F.col("_lo_y") + F.col("_hi_y")) / F.lit(2.0)).alias("center_lat"),
+        )
+    )
+    return segs

@@ -193,3 +193,49 @@ def test_track_trips_timestamp_input(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = track_trips(df, "track", "ts", 3600).collect()
     assert {r.trip_id for r in out} == {1, 2}  # 2h gap splits
+
+
+def test_stop_detect(spark):
+    from geomesa_spark.operators.tracks import stop_detect
+
+    rows = [
+        # track s: move, dwell 3 pts (300s), move, dwell 2 pts (50s, too short)
+        ("s", 0, 0.0, 0.0),
+        ("s", 100, 5.0, 0.0),     # big jump -> anchor
+        ("s", 200, 5.001, 0.0),   # dwell
+        ("s", 400, 5.002, 0.0),   # dwell
+        ("s", 500, 10.0, 0.0),    # jump -> anchor
+        ("s", 550, 10.001, 0.0),  # dwell but only 50s total
+        # track q: whole track is one dwell
+        ("q", 0, -20.0, 30.0),
+        ("q", 1000, -20.001, 30.0),
+        ("q", 2000, -20.002, 30.001),
+    ]
+    df = spark.createDataFrame(rows, "track string, es long, lon double, lat double")
+    out = {(r.track, r.stop_id): r for r in
+           stop_detect(df, "track", "es", 0.01, 150, metric="planar").collect()}
+    # s: segment at 5.0 spans 100..400 (300s >= 150); others too short
+    assert set(out) == {("s", 2), ("q", 1)}
+    s2_ = out[("s", 2)]
+    assert (s2_.start_ts, s2_.end_ts, s2_.duration_s, s2_.n_points) == (100, 400, 300, 3)
+    assert s2_.center_lon == (5.0 + 5.002) / 2
+    q = out[("q", 1)]
+    assert (q.start_ts, q.end_ts, q.n_points) == (0, 2000, 3)
+
+
+def test_stop_detect_single_shuffle(spark):
+    from geomesa_spark.operators.tracks import stop_detect
+    import re
+
+    df = spark.createDataFrame(
+        [("t", 1, 0.0, 0.0), ("t", 2, 0.0, 0.0)],
+        "track string, es long, lon double, lat double",
+    )
+    plan = stop_detect(df, "track", "es", 10.0, 1)._jdf.queryExecution(
+    ).executedPlan().toString()
+    exchanges = [
+        ln for ln in plan.splitlines()
+        if re.search(r"\bExchange hashpartitioning", ln)
+    ]
+    assert len(exchanges) == 1, plan
+    assert "Python" not in plan

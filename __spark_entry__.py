@@ -1743,6 +1743,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stop_detect"] = stop_detect_gate
 
+    def dbscan_gate(spark, sf):
+        """Grid-partitioned DBSCAN (operators/cluster.py): eps-pair
+        mining via the single-meeting-cell trick, core test, pointer-
+        jumping components (cluster = min core id), min-label border
+        attach. Motion-model positions so clusters genuinely exist
+        (users 60 apart share a lat band and co-travel). Planar
+        metric = exact-double oracle mode."""
+        from geomesa_spark.operators.cluster import dbscan
+
+        out = dbscan(
+            _cooc_pts(spark, sf).withColumn("id", F.col("event_id")),
+            eps=1.0, min_pts=3, id_col="id", metric="planar",
+        )
+        return out.select(
+            "id", "cluster", F.col("is_core").cast("int").alias("is_core")
+        )
+
+    q["dbscan"] = dbscan_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -3541,6 +3560,54 @@ SELECT user_id AS track, stop_id,
        (min(lat) + max(lat)) / 2 AS center_lat
 FROM sgm GROUP BY user_id, stop_id
 HAVING max(es) - min(es) >= 600
+"""
+
+    # dbscan: quadratic pair mining with a lat-band prefilter (fine
+    # single-threaded at sf0.01), core test (min_pts=3 incl. self),
+    # transitive closure for core components, min-label border attach
+    o["dbscan"] = f"""
+WITH RECURSIVE mp AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+pts AS (
+  SELECT event_id AS id, {_COOC_LON} AS lon, {_COOC_LAT} AS lat FROM mp
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM pts a JOIN pts b
+    ON a.id < b.id
+   AND b.lat BETWEEN a.lat - 1.0 AND a.lat + 1.0
+   AND b.lon BETWEEN a.lon - 1.0 AND a.lon + 1.0
+  WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) <= 1.0
+),
+nbrs AS (
+  SELECT id_a AS id, id_b AS nb FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+core AS (
+  SELECT id FROM nbrs GROUP BY id HAVING count(*) + 1 >= 3
+),
+ce AS (
+  SELECT id_a, id_b FROM pairs
+  WHERE id_a IN (SELECT id FROM core) AND id_b IN (SELECT id FROM core)
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM ce
+  UNION SELECT id_b, id_a FROM ce
+),
+reach AS (
+  SELECT id AS doc, id AS other FROM core
+  UNION
+  SELECT r.doc, e.d FROM reach r JOIN edges e ON e.s = r.other
+),
+canon AS (SELECT doc AS id, min(other) AS cluster FROM reach GROUP BY doc)
+SELECT id, cluster, 1 AS is_core FROM canon
+UNION ALL
+SELECT n.id, min(c.cluster) AS cluster, 0 AS is_core
+FROM nbrs n JOIN canon c ON c.id = n.nb
+WHERE n.id NOT IN (SELECT id FROM core)
+GROUP BY n.id
 """
 
     from geomesa_spark.operators.hotspot import gi_star_expr as _gi_expr

@@ -99,6 +99,7 @@ HEADLINE = [
     "hotspot_st",
     # twelfth-session operators
     "stop_detect",
+    "dbscan",
 ]
 
 

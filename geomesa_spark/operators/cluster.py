@@ -1,0 +1,235 @@
+"""Density-based spatial clustering (DBSCAN) as one distributed plan.
+
+The reference community clusters tracking corpora client-side
+(GeoTools loops over a full scan); PostGIS ships it as
+ST_ClusterDBSCAN.  Here it is grid-partitioned PySpark: the quadratic
+term is bounded by the densest eps-cell, the transitive closure is
+the O(log diameter) pointer-jumping component pass the dedup
+subsystem already uses (`dedup.dup_components`), and every step is a
+plain DataFrame op — no Python in the physical plan.
+
+Stages (each one shuffle, all partial-aggregated):
+
+1. **eps-pair mining** (`eps_pairs`): every row gets an integer home
+   cell of width >= eps; the LEFT alias explodes to its 3x3 neighbor
+   cells (lon wraps at the antimeridian), the RIGHT stays home, so a
+   qualifying pair (id_a < id_b) meets EXACTLY once — the
+   `cooccurrence_join` single-meeting-key trick in 2D.  Cost is
+   sum(|cell|^2), bounded by the densest cell, never corpus^2.
+2. **core test**: neighbor counts from the pair list (both
+   directions, map-side combinable count) + 1 for the point itself;
+   core iff >= min_pts — sklearn's convention (the point counts
+   toward its own neighborhood).
+3. **core components**: connected components over core-core pairs
+   via min-label propagation WITH pointer jumping
+   (`dup_components`) — O(log diameter) rounds, localCheckpointed
+   lineage.  Cluster id = the component's minimum core id
+   (deterministic under any partitioning).
+4. **border attach**: non-core points adopt the MINIMUM cluster id
+   among their core neighbors (DBSCAN's classic nondeterminism —
+   border ties broken by scan order — replaced with a total order).
+   Everything else is noise and is simply absent from the output.
+
+Determinism: metric='planar' compares squared degree distance with
+exact IEEE doubles (the oracle gate mode); metric='haversine'
+refines the same candidates geodesically (production mode — derive
+the candidate eps via `cooccur.meters_to_safe_degrees`).
+
+Reference parity: the reference has no distributed clustering; this
+is new §2-adjacent surface (the "analytics a tracking corpus needs"
+layer, like operators/hotspot.py).  Scale notes: hot-cell skew shows
+up exactly like the PIP hot cells (smaller eps + AQE skew join);
+`min_pts` never changes the mining cost, only the core filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geomesa_spark.functions import geometry_sql as GS
+from geomesa_spark.operators.dedup import dup_components
+
+__all__ = ["eps_pairs", "dbscan"]
+
+
+def eps_pairs(
+    df: DataFrame,
+    eps: float,
+    id_col: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    metric: str = "planar",
+    dist_m: float | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) within eps — each pair exactly once.
+
+    metric='planar': eps is degrees, exact squared-degree compare.
+    metric='haversine': eps (degrees) generates candidates; `dist_m`
+    (meters, required) is the exact geodesic predicate.
+    Returns (id_a, id_b, dist2 | dist_m)."""
+    if eps <= 0:
+        raise ValueError("eps must be positive")
+    if metric not in ("planar", "haversine"):
+        raise ValueError(f"unknown metric {metric!r}")
+    if metric == "haversine" and dist_m is None:
+        raise ValueError("metric='haversine' requires dist_m")
+    nx = max(1, int(360.0 // eps))
+    if 360.0 / nx < eps:
+        nx -= 1
+    nx = max(1, nx)
+    ny = max(1, int(180.0 // eps))
+    if 180.0 / ny < eps:
+        ny -= 1
+    ny = max(1, ny)
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(lon_col).alias("lon"),
+        F.col(lat_col).alias("lat"),
+    ).withColumns(
+        {
+            "cx": F.least(
+                F.lit(nx - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("lon") + F.lit(180.0)) / F.lit(360.0 / nx)),
+                ),
+            ).cast("long"),
+            "cy": F.least(
+                F.lit(ny - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("lat") + F.lit(90.0)) / F.lit(180.0 / ny)),
+                ),
+            ).cast("long"),
+        }
+    )
+    left = base.select(
+        F.col("id").alias("id_a"),
+        F.col("lon").alias("lon_a"),
+        F.col("lat").alias("lat_a"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.pmod(F.col("cx") + F.lit(dx), F.lit(nx)).alias("kx"),
+                        (F.col("cy") + F.lit(dy)).alias("ky"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("k"),
+    ).select(
+        "id_a", "lon_a", "lat_a",
+        F.col("k.kx").alias("kx"), F.col("k.ky").alias("ky"),
+    )
+    # lon keys duplicate under pmod only when nx < 3 (ky never wraps)
+    dedup_needed = nx < 3
+    right = base.select(
+        F.col("id").alias("id_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("cx").alias("kx"),
+        F.col("cy").alias("ky"),
+    )
+    cand = left.join(right, ["kx", "ky"], "inner").filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    if metric == "planar":
+        d2 = GS.point_dist2_col(
+            F.col("lon_a"), F.col("lat_a"), F.col("lon_b"), F.col("lat_b")
+        )
+        out = cand.filter(d2 <= F.lit(float(eps) ** 2)).select(
+            "id_a", "id_b", d2.alias("dist2")
+        )
+    else:
+        dm = GS.haversine_m_col(
+            F.col("lon_a"), F.col("lat_a"), F.col("lon_b"), F.col("lat_b")
+        )
+        out = cand.filter(dm <= F.lit(float(dist_m))).select(
+            "id_a", "id_b", dm.alias("dist_m")
+        )
+    return out.distinct() if dedup_needed else out
+
+
+def dbscan(
+    df: DataFrame,
+    eps: float,
+    min_pts: int,
+    id_col: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    metric: str = "planar",
+    dist_m: float | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """DBSCAN over a point table -> (id, cluster, is_core).
+
+    cluster = minimum core id of the component (deterministic);
+    border points attach to the minimum cluster among their core
+    neighbors; noise points are absent from the output (left-join
+    the result back and treat NULL cluster as noise).  min_pts
+    counts the point itself (sklearn min_samples convention).
+
+    Eager: the component pass is a driver-side loop, so the result
+    materializes inside this call (localCheckpointed — O(1) lineage,
+    intermediate caches released before returning)."""
+    if min_pts < 1:
+        raise ValueError("min_pts must be >= 1")
+    pairs = eps_pairs(
+        df, eps, id_col, lon_col, lat_col, metric, dist_m
+    ).select("id_a", "id_b").persist()
+    # both directions once; reused for degree AND border attach
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    )
+    deg = both.groupBy(F.col("id_a").alias("id")).agg(
+        F.count("*").alias("n_neigh")
+    )
+    core = deg.filter(
+        F.col("n_neigh") + F.lit(1) >= F.lit(int(min_pts))
+    ).select("id")
+    if min_pts <= 1:
+        # every point is core, including isolated ones outside `deg`
+        core = df.select(F.col(id_col).alias("id")).distinct()
+    core = core.persist()
+
+    core_edges = (
+        pairs.join(core.withColumnRenamed("id", "id_a"), "id_a", "semi")
+        .join(core.withColumnRenamed("id", "id_b"), "id_b", "semi")
+        .select("id_a", "id_b")
+    )
+    comp = dup_components(
+        core_edges, max_iter=max_iter, a_col="id_a", b_col="id_b"
+    )
+    core_labels = (
+        core.join(comp, core["id"] == comp["doc"], "left")
+        .select(
+            core["id"],
+            F.coalesce(F.col("canon"), core["id"]).alias("cluster"),
+        )
+        .persist()
+    )
+
+    nb_clusters = core_labels.select(
+        F.col("id").alias("id_b"), F.col("cluster").alias("nb_cluster")
+    )
+    border = (
+        both.join(core, both["id_a"] == core["id"], "left_anti")
+        .join(nb_clusters, "id_b")
+        .groupBy(F.col("id_a").alias("id"))
+        .agg(F.min("nb_cluster").alias("cluster"))
+    )
+    out = (
+        core_labels.withColumn("is_core", F.lit(True))
+        .unionByName(border.withColumn("is_core", F.lit(False)))
+        .localCheckpoint(eager=True)
+    )
+    pairs.unpersist()
+    core.unpersist()
+    core_labels.unpersist()
+    return out

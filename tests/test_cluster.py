@@ -1,0 +1,144 @@
+"""DBSCAN: brute-force python oracle parity + plan shape."""
+
+import math
+
+import numpy as np
+import pytest
+
+from geomesa_spark.operators.cluster import dbscan, eps_pairs
+
+
+def _brute_dbscan(pts, eps, min_pts):
+    """Reference DBSCAN with the operator's deterministic label
+    rules: cluster = min core id of the core component, border =
+    min cluster among core neighbors, noise absent."""
+    n = len(pts)
+    ids = sorted(pts)
+    nb = {i: set() for i in ids}
+    for i in ids:
+        for j in ids:
+            if i < j:
+                dx = pts[i][0] - pts[j][0]
+                dy = pts[i][1] - pts[j][1]
+                if dx * dx + dy * dy <= eps * eps:
+                    nb[i].add(j)
+                    nb[j].add(i)
+    core = {i for i in ids if len(nb[i]) + 1 >= min_pts}
+    # components over core-core edges
+    label = {i: i for i in core}
+
+    def find(x):
+        while label[x] != x:
+            label[x] = label[label[x]]
+            x = label[x]
+        return x
+
+    for i in core:
+        for j in nb[i]:
+            if j in core:
+                a, b = find(i), find(j)
+                if a != b:
+                    label[max(a, b)] = min(a, b)
+    out = {}
+    for i in core:
+        out[i] = (find(i), True)
+    for i in ids:
+        if i in core:
+            continue
+        cand = [out[j][0] for j in nb[i] if j in core]
+        if cand:
+            out[i] = (min(cand), False)
+    return out
+
+
+def test_dbscan_oracle_parity(spark):
+    rng = np.random.default_rng(7)
+    pts = {}
+    pid = 0
+    # three blobs + sparse noise
+    for cx, cy, k in [(0.0, 0.0, 60), (3.0, 3.0, 40), (-4.0, 1.0, 25)]:
+        for _ in range(k):
+            pts[pid] = (
+                cx + float(rng.normal(0, 0.15)),
+                cy + float(rng.normal(0, 0.15)),
+            )
+            pid += 1
+    for _ in range(30):
+        pts[pid] = (
+            float(rng.uniform(-10, 10)),
+            float(rng.uniform(-8, 8)),
+        )
+        pid += 1
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in pts.items()],
+        "id long, lon double, lat double",
+    )
+    got = {
+        r.id: (r.cluster, r.is_core)
+        for r in dbscan(df, 0.5, 5, "id", metric="planar").collect()
+    }
+    exp = _brute_dbscan(pts, 0.5, 5)
+    assert got == exp
+    # sanity: the three blobs exist as distinct clusters
+    assert len({c for c, _ in exp.values()}) >= 3
+
+
+def test_dbscan_min_pts_1_isolated_points(spark):
+    # every point core; isolated points are singleton clusters
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.001, 0.0), (3, 50.0, 50.0)],
+        "id long, lon double, lat double",
+    )
+    got = {
+        r.id: (r.cluster, r.is_core)
+        for r in dbscan(df, 0.01, 1, "id").collect()
+    }
+    assert got == {1: (1, True), 2: (1, True), 3: (3, True)}
+
+
+def test_eps_pairs_exactly_once_antimeridian(spark):
+    # pair straddling the dateline: wrap keys generate the candidate
+    # but the PLANAR predicate correctly rejects it (360 deg apart);
+    # a same-side pair emits exactly one row
+    df = spark.createDataFrame(
+        [(1, 179.95, 0.0), (2, -179.95, 0.0), (3, 179.96, 0.0)],
+        "id long, lon double, lat double",
+    )
+    rows = eps_pairs(df, 0.5, "id").collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 3)]
+
+
+def test_eps_pairs_haversine(spark):
+    # haversine mode: dateline neighbors DO match geodesically
+    df = spark.createDataFrame(
+        [(1, 179.95, 0.0), (2, -179.95, 0.0)],
+        "id long, lon double, lat double",
+    )
+    rows = eps_pairs(
+        df, 0.5, "id", metric="haversine", dist_m=12000.0
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].dist_m == pytest.approx(
+        math.radians(0.1) * 6371008.8, rel=1e-6
+    )
+
+
+def test_dbscan_plan_no_python_no_cartesian(spark):
+    df = spark.createDataFrame(
+        [(i, float(i) * 0.001, 0.0) for i in range(50)],
+        "id long, lon double, lat double",
+    )
+    out = dbscan(df, 0.01, 3, "id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # result is checkpointed; assert on the BUILD plan of eps_pairs
+    pplan = (
+        eps_pairs(df, 0.01, "id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for p in (plan, pplan):
+        assert "Python" not in p, p
+        assert "CartesianProduct" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+    assert out.count() == 50

@@ -1762,6 +1762,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dbscan"] = dbscan_gate
 
+    def track_resample_gate(spark, sf):
+        """Time-regular track resampling (tracks.track_resample):
+        each segment owns the grid ticks in (es_i, es_{i+1}], linear
+        interpolation in exact-double arithmetic — one window + one
+        sequence() explode, fan-out bounded by the cadence."""
+        from geomesa_spark.operators.tracks import track_resample
+
+        return track_resample(
+            _cooc_pts(spark, sf), "user_id", "ts", 3600,
+            tiebreak_col="event_id",
+        )
+
+    q["track_resample"] = track_resample_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -3608,6 +3622,46 @@ SELECT n.id, min(c.cluster) AS cluster, 0 AS is_core
 FROM nbrs n JOIN canon c ON c.id = n.nb
 WHERE n.id NOT IN (SELECT id FROM core)
 GROUP BY n.id
+"""
+
+    # track_resample: segments own ticks in (es, nes]; the first
+    # point owns its own tick when grid-aligned; exact-double interp
+    o["track_resample"] = f"""
+WITH mp AS (
+  SELECT event_id, user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+pts AS (
+  SELECT event_id, user_id, ts, es,
+         {_COOC_LON} AS lon, {_COOC_LAT} AS lat
+  FROM mp
+),
+seg AS (
+  SELECT user_id, es, lon, lat,
+         row_number() OVER w AS seq,
+         lead(es) OVER w AS nes,
+         lead(lon) OVER w AS nlon, lead(lat) OVER w AS nlat
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ticks AS (
+  SELECT user_id, es, nes, lon, lat, nlon, nlat, u.k
+  FROM seg, UNNEST(generate_series(es // 3600 + 1, nes // 3600)) AS u(k)
+  WHERE nes IS NOT NULL
+  UNION ALL
+  SELECT user_id, es, nes, lon, lat, nlon, nlat, es // 3600
+  FROM seg WHERE seq = 1 AND es % 3600 = 0
+)
+SELECT user_id AS track,
+       CAST(k * 3600 AS BIGINT) AS tick_ts,
+       CASE WHEN k * 3600 = es THEN lon
+            ELSE lon + (nlon - lon)
+                 * (CAST(k*3600 - es AS DOUBLE) / CAST(nes - es AS DOUBLE))
+       END AS lon,
+       CASE WHEN k * 3600 = es THEN lat
+            ELSE lat + (nlat - lat)
+                 * (CAST(k*3600 - es AS DOUBLE) / CAST(nes - es AS DOUBLE))
+       END AS lat
+FROM ticks
 """
 
     from geomesa_spark.operators.hotspot import gi_star_expr as _gi_expr

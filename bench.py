@@ -100,6 +100,7 @@ HEADLINE = [
     # twelfth-session operators
     "stop_detect",
     "dbscan",
+    "track_resample",
 ]
 
 

@@ -38,7 +38,7 @@ from geomesa_spark.functions import geometry_sql as GS
 
 __all__ = [
     "track_metrics", "track_summary", "track_trips", "od_flows",
-    "stop_detect",
+    "stop_detect", "track_resample",
 ]
 
 
@@ -364,3 +364,107 @@ def stop_detect(
         )
     )
     return segs
+
+
+def track_resample(
+    df: DataFrame,
+    track_col: str,
+    ts_col: str,
+    step_s: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    value_cols: list[str] | None = None,
+    tiebreak_col: str | None = None,
+    max_gap_s: int | None = None,
+) -> DataFrame:
+    """Resample each track onto the regular time grid t = k*step_s,
+    linearly interpolating position (and any `value_cols`) between
+    the bracketing fixes — the alignment step before comparing or
+    joining tracks point-for-point (co-travel scoring, grid rollups,
+    model features at fixed cadence).
+
+    Each segment (p_i, p_{i+1}) OWNS the grid ticks in the half-open
+    interval (es_i, es_{i+1}]; the track's first point additionally
+    owns its own tick when exactly aligned.  Every grid tick inside
+    [first, last] therefore materializes exactly once, with no
+    distinct pass — the stop_detect/cooccur single-owner convention
+    applied to time.  Zero-length segments (duplicate timestamps)
+    own no ticks.  `max_gap_s` refuses to hallucinate positions
+    across long outages: segments with dt > max_gap_s own nothing.
+
+    All JVM: one track window for lead(), one sequence() explode
+    whose fan-out per segment is dt/step_s (the caller's cadence
+    choice bounds the blow-up; a year-long gap at 1 Hz is the
+    pathological case and exactly what max_gap_s is for).
+
+    Interpolation is the exact-double form p + (n - p) * frac with
+    frac = (t - es_i) / dt — reproducible against any engine with
+    IEEE arithmetic.  Returns (track, tick_ts, lon, lat,
+    *value_cols) with tick_ts in epoch seconds."""
+    if step_s <= 0:
+        raise ValueError("step_s must be positive")
+    vals = list(value_cols or [])
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(track_col).orderBy(*order)
+    es = (
+        F.unix_timestamp(F.col(ts_col))
+        if dict(df.dtypes)[ts_col].startswith("timestamp")
+        else F.col(ts_col).cast("long")
+    )
+    cols = [lon_col, lat_col] + vals
+    seg = (
+        df.withColumn("_es", es)
+        .withColumn("_seq", F.row_number().over(w))
+        .select(
+            F.col(track_col).alias("track"), "_seq", "_es",
+            *[F.col(c).alias(f"_v_{c}") for c in cols],
+            F.lead("_es").over(w).alias("_nes"),
+            *[F.lead(c).over(w).alias(f"_nv_{c}") for c in cols],
+        )
+    )
+    step = F.lit(int(step_s))
+    # ticks owned by this segment: es < k*step <= nes  (plus the
+    # first point's own tick when exactly on the grid)
+    lo = F.floor(F.col("_es") / step) + F.lit(1)
+    hi = F.floor(F.col("_nes") / step)
+    own_first = (F.col("_seq") == 1) & (F.pmod(F.col("_es"), step) == 0)
+    ticks_arr = F.when(
+        F.col("_nes").isNull()
+        | (hi < lo)
+        | (
+            F.lit(max_gap_s is not None)
+            & ((F.col("_nes") - F.col("_es")) > F.lit(max_gap_s or 0))
+        ),
+        F.array().cast("array<bigint>"),
+    ).otherwise(F.sequence(lo.cast("long"), hi.cast("long")))
+    ticks_arr = F.when(
+        own_first,
+        F.concat(
+            F.array((F.col("_es") / step).cast("long")), ticks_arr
+        ),
+    ).otherwise(ticks_arr)
+    ex = seg.select(
+        "track", "_es", "_nes",
+        *[F.col(f"_v_{c}") for c in cols],
+        *[F.col(f"_nv_{c}") for c in cols],
+        F.explode(ticks_arr).alias("_k"),
+    ).withColumn("_t", F.col("_k") * step)
+    frac = F.when(
+        F.col("_t") == F.col("_es"), F.lit(0.0)
+    ).otherwise(
+        (F.col("_t") - F.col("_es")).cast("double")
+        / (F.col("_nes") - F.col("_es")).cast("double")
+    )
+
+    def interp(c):
+        p = F.col(f"_v_{c}").cast("double")
+        nxt = F.col(f"_nv_{c}").cast("double")
+        return F.when(frac == 0.0, p).otherwise(p + (nxt - p) * frac)
+
+    return ex.select(
+        "track",
+        F.col("_t").alias("tick_ts"),
+        *[interp(c).alias(c) for c in cols],
+    )

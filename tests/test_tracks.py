@@ -239,3 +239,105 @@ def test_stop_detect_single_shuffle(spark):
     ]
     assert len(exchanges) == 1, plan
     assert "Python" not in plan
+
+
+def _resample_oracle(pts, step, max_gap=None):
+    """pts: sorted [(es, lon, lat)]; returns {tick_es: (lon, lat)}."""
+    out = {}
+    es0 = pts[0][0]
+    if es0 % step == 0:
+        out[es0] = (pts[0][1], pts[0][2])
+    for (e0, x0, y0), (e1, x1, y1) in zip(pts, pts[1:]):
+        if max_gap is not None and e1 - e0 > max_gap:
+            continue
+        k = e0 // step + 1
+        while k * step <= e1:
+            t = k * step
+            fr = (t - e0) / (e1 - e0)
+            out[t] = (x0 + (x1 - x0) * fr, y0 + (y1 - y0) * fr)
+            k += 1
+    return out
+
+
+def test_track_resample_oracle(spark):
+    from geomesa_spark.operators.tracks import track_resample
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows, oracle = [], {}
+    for t in range(20):
+        es = int(rng.integers(0, 500))
+        pts = []
+        for _ in range(30):
+            es += int(rng.integers(1, 400))
+            pts.append(
+                (es, float(rng.uniform(-10, 10)), float(rng.uniform(-5, 5)))
+            )
+        rows += [(f"t{t}", e, x, y) for e, x, y in pts]
+        oracle[f"t{t}"] = _resample_oracle(pts, 100)
+    df = spark.createDataFrame(
+        rows, "track string, es long, lon double, lat double"
+    )
+    got = {}
+    for r in track_resample(df, "track", "es", 100).collect():
+        key = (r.track, r.tick_ts)
+        assert key not in got, f"duplicate tick {key}"
+        got[key] = (r.lon, r.lat)
+    exp = {(t, e): v for t, d in oracle.items() for e, v in d.items()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == exp[k], (k, got[k], exp[k])  # exact doubles
+
+
+def test_track_resample_edges(spark):
+    from geomesa_spark.operators.tracks import track_resample
+
+    rows = [
+        ("a", 100, 0.0, 0.0),   # aligned first point -> own tick
+        ("a", 100, 9.0, 9.0),   # duplicate ts: zero-length segment
+        ("a", 250, 3.0, 0.0),
+        ("a", 10250, 5.0, 1.0),  # 10000 s gap
+        ("b", 55, 1.0, 1.0),     # unaligned single point -> nothing
+    ]
+    df = spark.createDataFrame(
+        rows, "track string, es long, lon double, lat double"
+    )
+    got = {(r.track, r.tick_ts): (r.lon, r.lat)
+           for r in track_resample(df, "track", "es", 100).collect()}
+    assert ("a", 100) in got and got[("a", 100)] == (0.0, 0.0)
+    assert ("a", 200) in got  # interpolated inside (100, 250]
+    assert ("a", 300) in got and ("a", 10200) in got
+    assert not any(t == "b" for t, _ in got)
+    # max_gap_s: the 10000 s outage owns nothing
+    capped = {(r.track, r.tick_ts)
+              for r in track_resample(
+                  df, "track", "es", 100, max_gap_s=1000).collect()}
+    assert capped == {("a", 100), ("a", 200)}
+
+
+def test_track_resample_values_and_ts_type(spark):
+    from geomesa_spark.operators.tracks import track_resample
+
+    df = spark.createDataFrame(
+        [("x", "2024-01-01 00:00:00", 0.0, 0.0, 10.0),
+         ("x", "2024-01-01 00:02:00", 2.0, 0.0, 30.0)],
+        "track string, ts string, lon double, lat double, alt double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.tick_ts: (r.lon, r.alt)
+           for r in track_resample(
+               df, "track", "ts", 60, value_cols=["alt"]).collect()}
+    base = 1704067200  # 2024-01-01 UTC
+    assert got == {base: (0.0, 10.0), base + 60: (1.0, 20.0),
+                   base + 120: (2.0, 30.0)}
+
+
+def test_track_resample_plan_no_python(spark):
+    from geomesa_spark.operators.tracks import track_resample
+
+    df = spark.createDataFrame(
+        [("t", 0, 0.0, 0.0), ("t", 500, 1.0, 1.0)],
+        "track string, es long, lon double, lat double",
+    )
+    plan = track_resample(df, "track", "es", 100)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Python" not in plan

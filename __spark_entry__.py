@@ -1776,6 +1776,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["track_resample"] = track_resample_gate
 
+    def co_travel_gate(spark, sf):
+        """Co-travel mining (cooccur.co_travel): track_resample
+        aligns every track to the hourly grid, a per-tick eps-join
+        pairs tracks within 0.5 deg, one count aggregate keeps pairs
+        sharing >= 200 ticks. Users 60 apart share a lat band and
+        drift in lockstep, so convoys genuinely exist."""
+        from geomesa_spark.operators.cooccur import co_travel
+
+        return co_travel(
+            _cooc_pts(spark, sf), 0.5, 3600, 200,
+            "user_id", "ts", tiebreak_col="event_id",
+        )
+
+    q["co_travel"] = co_travel_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -3626,8 +3641,7 @@ GROUP BY n.id
 
     # track_resample: segments own ticks in (es, nes]; the first
     # point owns its own tick when grid-aligned; exact-double interp
-    o["track_resample"] = f"""
-WITH mp AS (
+    RESAMPLE_CTE = f"""mp AS (
   SELECT event_id, user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es
   FROM events
 ),
@@ -3650,18 +3664,41 @@ ticks AS (
   UNION ALL
   SELECT user_id, es, nes, lon, lat, nlon, nlat, es // 3600
   FROM seg WHERE seq = 1 AND es % 3600 = 0
-)
-SELECT user_id AS track,
-       CAST(k * 3600 AS BIGINT) AS tick_ts,
-       CASE WHEN k * 3600 = es THEN lon
-            ELSE lon + (nlon - lon)
-                 * (CAST(k*3600 - es AS DOUBLE) / CAST(nes - es AS DOUBLE))
-       END AS lon,
-       CASE WHEN k * 3600 = es THEN lat
-            ELSE lat + (nlat - lat)
-                 * (CAST(k*3600 - es AS DOUBLE) / CAST(nes - es AS DOUBLE))
-       END AS lat
-FROM ticks
+),
+rs AS (
+  SELECT user_id AS track,
+         CAST(k * 3600 AS BIGINT) AS tick_ts,
+         CASE WHEN k * 3600 = es THEN lon
+              ELSE lon + (nlon - lon)
+                   * (CAST(k*3600 - es AS DOUBLE) / CAST(nes - es AS DOUBLE))
+         END AS lon,
+         CASE WHEN k * 3600 = es THEN lat
+              ELSE lat + (nlat - lat)
+                   * (CAST(k*3600 - es AS DOUBLE) / CAST(nes - es AS DOUBLE))
+         END AS lat
+  FROM ticks
+)"""
+
+    o["track_resample"] = f"""
+WITH {RESAMPLE_CTE}
+SELECT track, tick_ts, lon, lat FROM rs
+"""
+
+    # co_travel: per-tick eps self-join over the resampled grid,
+    # count aggregate with the min_shared threshold
+    o["co_travel"] = f"""
+WITH {RESAMPLE_CTE}
+SELECT a.track AS track_a, b.track AS track_b,
+       CAST(count(*) AS BIGINT) AS n_shared,
+       CAST(min(a.tick_ts) AS BIGINT) AS first_ts,
+       CAST(max(a.tick_ts) AS BIGINT) AS last_ts
+FROM rs a JOIN rs b
+  ON a.tick_ts = b.tick_ts
+ AND a.track < b.track
+ AND b.lat BETWEEN a.lat - 0.5 AND a.lat + 0.5
+WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) <= 0.25
+GROUP BY 1, 2
+HAVING count(*) >= 200
 """
 
     from geomesa_spark.operators.hotspot import gi_star_expr as _gi_expr

@@ -101,6 +101,7 @@ HEADLINE = [
     "stop_detect",
     "dbscan",
     "track_resample",
+    "co_travel",
 ]
 
 

@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from geomesa_spark.functions import geometry_sql as GS
 
-__all__ = ["cooccurrence_join", "meters_to_safe_degrees"]
+__all__ = ["cooccurrence_join", "co_travel", "meters_to_safe_degrees"]
 
 # one degree of great-circle arc on the refine sphere (see
 # functions/geometry.py DEG_M): 2*pi*R/360 for R=6371008.8
@@ -189,3 +189,127 @@ def cooccurrence_join(
             "id_a", "id_b", dm.alias("dist_m"), dt.cast("long").alias("dt_s")
         )
     return out.distinct() if dedup_needed else out
+
+
+def co_travel(
+    df: DataFrame,
+    dist_deg: float,
+    step_s: int,
+    min_shared: int,
+    track_col: str,
+    ts_col: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    tiebreak_col: str | None = None,
+    max_gap_s: int | None = None,
+) -> DataFrame:
+    """Track pairs that travel TOGETHER: co-located on at least
+    `min_shared` aligned time-grid ticks.
+
+    Raw co-occurrence (`cooccurrence_join`) fires on any chance
+    encounter; sustained proximity needs positions compared at the
+    SAME instants, which irregular fixes never give you.  This is
+    the classic composition: `track_resample` aligns every track to
+    the t = k*step_s grid (linear interpolation, `max_gap_s` guards
+    outages), then a per-tick eps-join pairs tracks within
+    `dist_deg` (planar), and one count aggregate keeps pairs sharing
+    >= min_shared ticks.
+
+    The per-tick join is the single-meeting-cell trick with the tick
+    in the composite key: LEFT explodes 3x3 neighbor cells (lon
+    wraps), RIGHT stays home, ids ordered — each (pair, tick)
+    matches exactly once, cost bounded by the densest (tick x cell).
+    A track has ONE interpolated position per tick, so no dedup pass
+    exists anywhere.
+
+    Returns (track_a, track_b, n_shared, first_ts, last_ts)."""
+    from geomesa_spark.operators.tracks import track_resample
+
+    if dist_deg <= 0 or min_shared < 1:
+        raise ValueError("dist_deg must be > 0 and min_shared >= 1")
+    r = track_resample(
+        df, track_col, ts_col, step_s, lon_col, lat_col,
+        tiebreak_col=tiebreak_col, max_gap_s=max_gap_s,
+    )
+    nx = max(1, int(360.0 // dist_deg))
+    if 360.0 / nx < dist_deg:
+        nx -= 1
+    nx = max(1, nx)
+    ny = max(1, int(180.0 // dist_deg))
+    if 180.0 / ny < dist_deg:
+        ny -= 1
+    ny = max(1, ny)
+    base = r.select(
+        F.col("track").alias("id"),
+        F.col("tick_ts").alias("tk"),
+        "lon", "lat",
+    ).withColumns(
+        {
+            "cx": F.least(
+                F.lit(nx - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("lon") + F.lit(180.0)) / F.lit(360.0 / nx)),
+                ),
+            ).cast("long"),
+            "cy": F.least(
+                F.lit(ny - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("lat") + F.lit(90.0)) / F.lit(180.0 / ny)),
+                ),
+            ).cast("long"),
+        }
+    )
+    left = base.select(
+        F.col("id").alias("id_a"),
+        F.col("lon").alias("lon_a"),
+        F.col("lat").alias("lat_a"),
+        "tk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.pmod(F.col("cx") + F.lit(dx), F.lit(nx)).alias("kx"),
+                        (F.col("cy") + F.lit(dy)).alias("ky"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("k"),
+    ).select(
+        "id_a", "lon_a", "lat_a", "tk",
+        F.col("k.kx").alias("kx"), F.col("k.ky").alias("ky"),
+    )
+    dedup_needed = nx < 3
+    right = base.select(
+        F.col("id").alias("id_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("tk").alias("tk"),
+        F.col("cx").alias("kx"),
+        F.col("cy").alias("ky"),
+    )
+    d2 = GS.point_dist2_col(
+        F.col("lon_a"), F.col("lat_a"), F.col("lon_b"), F.col("lat_b")
+    )
+    hits = (
+        left.join(right, ["kx", "ky", "tk"], "inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(d2 <= F.lit(float(dist_deg) ** 2))
+        .select("id_a", "id_b", "tk")
+    )
+    if dedup_needed:
+        hits = hits.distinct()
+    return (
+        hits.groupBy(
+            F.col("id_a").alias("track_a"), F.col("id_b").alias("track_b")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_shared"),
+            F.min("tk").cast("long").alias("first_ts"),
+            F.max("tk").cast("long").alias("last_ts"),
+        )
+        .filter(F.col("n_shared") >= F.lit(int(min_shared)))
+    )

@@ -1791,6 +1791,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["co_travel"] = co_travel_gate
 
+    def idw_gate(spark, sf):
+        """IDW interpolation surface (operators/interp.py): samples
+        scatter to (2*ring+1)^2 neighbor cells with integer smoothed
+        inverse-distance-squared weights (the smooth_density_fixed
+        convention), one partial-aggregated groupBy; value = one
+        division of two canonical int64 sums — bit-exact."""
+        from geomesa_spark.operators.interp import idw_grid
+
+        return idw_grid(
+            geo_events(spark, sf), "wfp", bits=6, ring=2, fixed=True
+        )
+
+    q["idw_surface"] = idw_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -3699,6 +3713,56 @@ FROM rs a JOIN rs b
 WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) <= 0.25
 GROUP BY 1, 2
 HAVING count(*) >= 200
+"""
+
+    # idw_surface: scatter to the 5x5 neighbor cells, smoothed
+    # 1/d^2 integer weights, int64 sums, one final division.
+    # cw=5.625, ch=2.8125, h2=cw^2=31.640625 — all exact binary.
+    o["idw_surface"] = """
+WITH pts AS (
+  SELECT (event_id*9973 % 36000)/100.0 - 180.0 AS lon,
+         (event_id*7919 % 18000)/100.0 - 90.0 AS lat,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v
+  FROM events
+),
+hx AS (
+  SELECT lon, lat, v,
+         CAST(greatest(0, least(63, floor((lon+180.0)/360.0*64.0))) AS BIGINT) AS x,
+         CAST(greatest(0, least(63, floor((lat+90.0)/180.0*64.0))) AS BIGINT) AS y
+  FROM pts
+),
+sc AS (
+  SELECT ((x + dx.k + 64) % 64) AS tx, (y + dy.k) AS ty, lon, lat, v
+  FROM hx,
+       UNNEST(generate_series(-2, 2)) dx(k),
+       UNNEST(generate_series(-2, 2)) dy(k)
+  WHERE y + dy.k BETWEEN 0 AND 63
+),
+wts AS (
+  SELECT tx, ty, v,
+         CAST(floor(1000000.0 * 31.640625 / (31.640625 + d2)) AS BIGINT) AS w
+  FROM (
+    SELECT tx, ty, v,
+           least(abs(lon - ((tx+0.5)*5.625 - 180.0)),
+                 360.0 - abs(lon - ((tx+0.5)*5.625 - 180.0)))
+           * least(abs(lon - ((tx+0.5)*5.625 - 180.0)),
+                   360.0 - abs(lon - ((tx+0.5)*5.625 - 180.0)))
+           + (lat - ((ty+0.5)*2.8125 - 90.0))
+           * (lat - ((ty+0.5)*2.8125 - 90.0)) AS d2
+    FROM sc
+  )
+),
+agg AS (
+  SELECT tx AS x, ty AS y,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(sum(w) AS BIGINT) AS den,
+         CAST(sum(w * v) AS BIGINT) AS num
+  FROM wts GROUP BY 1, 2
+)
+SELECT x, y, n_samples, den, num,
+       CASE WHEN den > 0
+            THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS value
+FROM agg
 """
 
     from geomesa_spark.operators.hotspot import gi_star_expr as _gi_expr

@@ -102,6 +102,7 @@ HEADLINE = [
     "dbscan",
     "track_resample",
     "co_travel",
+    "idw_surface",
 ]
 
 

@@ -1805,6 +1805,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["idw_surface"] = idw_gate
 
+    def snap_gate(spark, sf):
+        """Nearest-segment snap (operators/snap.py): the map-matching
+        primitive — segments scatter to expanded-bbox cells, points
+        join their single home cell, exact planar projection, one
+        min(struct) winner with a total tie order. Layer = every
+        50th gate line (segments_table over geom_table_native)."""
+        from geomesa_spark.operators import geom_data as GD
+        from geomesa_spark.operators.snap import (
+            segments_table, snap_nearest,
+        )
+
+        ge = geo_events(spark, sf)
+        lines = _gate_lines(ge.filter(F.col("event_id") % 50 == 0))
+        segs = segments_table(GD.geom_table_native(lines))
+        return snap_nearest(ge, segs, 2.0, "event_id", bits=6)
+
+    q["snap_nearest"] = snap_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -3763,6 +3781,55 @@ SELECT x, y, n_samples, den, num,
        CASE WHEN den > 0
             THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS value
 FROM agg
+"""
+
+    # snap_nearest: the gate-line constants mirrored arithmetically
+    # (the WKT round-trip is value-exact: Double.toString is
+    # re-parse-exact and string->double casts are correctly rounded),
+    # exact planar projection, (d2, gid, seg) total tie order
+    o["snap_nearest"] = """
+WITH pts AS (
+  SELECT event_id,
+         (event_id*9973 % 36000)/100.0 - 180.0 AS lon,
+         (event_id*7919 % 18000)/100.0 - 90.0 AS lat
+  FROM events
+),
+lx AS (
+  SELECT event_id AS gid, lon*0.96 AS x0, lat*0.9 AS y0
+  FROM pts WHERE event_id % 50 = 0
+),
+segs AS (
+  SELECT gid, 0 AS seg, x0, y0, x0 + 3.007 AS x1, y0 + 1.003 AS y1 FROM lx
+  UNION ALL
+  SELECT gid, 1, x0 + 3.007, y0 + 1.003, x0 + 6.014, y0 - 1.003 FROM lx
+),
+cand AS (
+  SELECT p.event_id, s.gid, s.seg,
+         CASE WHEN (s.x1-s.x0)*(s.x1-s.x0) + (s.y1-s.y0)*(s.y1-s.y0) > 0
+              THEN least(1.0, greatest(0.0,
+                   ((p.lon-s.x0)*(s.x1-s.x0) + (p.lat-s.y0)*(s.y1-s.y0))
+                   / ((s.x1-s.x0)*(s.x1-s.x0) + (s.y1-s.y0)*(s.y1-s.y0))))
+              ELSE 0.0 END AS frac,
+         s.x0, s.y0, s.x1, s.y1, p.lon, p.lat
+  FROM pts p JOIN segs s
+    ON p.lat BETWEEN least(s.y0, s.y1) - 2.0 AND greatest(s.y0, s.y1) + 2.0
+   AND p.lon BETWEEN least(s.x0, s.x1) - 2.0 AND greatest(s.x0, s.x1) + 2.0
+),
+scored AS (
+  SELECT event_id, gid, seg, frac,
+         x0 + frac*(x1-x0) AS snap_lon,
+         y0 + frac*(y1-y0) AS snap_lat,
+         (lon - (x0 + frac*(x1-x0))) * (lon - (x0 + frac*(x1-x0)))
+         + (lat - (y0 + frac*(y1-y0))) * (lat - (y0 + frac*(y1-y0))) AS dist2
+  FROM cand
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_id
+                               ORDER BY dist2, gid, seg) AS rn
+  FROM scored WHERE dist2 <= 4.0
+)
+SELECT event_id, gid, seg, dist2, frac, snap_lon, snap_lat
+FROM ranked WHERE rn = 1
 """
 
     from geomesa_spark.operators.hotspot import gi_star_expr as _gi_expr

@@ -103,6 +103,7 @@ HEADLINE = [
     "track_resample",
     "co_travel",
     "idw_surface",
+    "snap_nearest",
 ]
 
 

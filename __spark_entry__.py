@@ -1823,6 +1823,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["snap_nearest"] = snap_gate
 
+    def moran_gate(spark, sf):
+        """Global + local Moran's I (operators/moran.py): exact
+        integer corpus moments (N, W, Q, S0, A, B, C), statistics
+        derived through ONE canonical SQL string both engines
+        evaluate verbatim — doubles hash-compare (the GI_STAR_SQL
+        convention). Self-excluded queen contiguity, occupied cells."""
+        from geomesa_spark.operators.moran import morans_i
+
+        return morans_i(geo_events(spark, sf), bits=6, ring=1)
+
+    q["morans_i"] = moran_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -3830,6 +3842,60 @@ ranked AS (
 )
 SELECT event_id, gid, seg, dist2, frac, snap_lon, snap_lat
 FROM ranked WHERE rn = 1
+"""
+
+    # morans_i: integer moments + the shared canonical expressions
+    from geomesa_spark.operators.moran import (
+        moran_global_expr as _mge,
+        moran_local_expr as _mle,
+    )
+
+    o["morans_i"] = f"""
+WITH tp AS (
+  SELECT (event_id*9973 % 36000)/100.0 - 180.0 AS lon,
+         (event_id*7919 % 18000)/100.0 - 90.0 AS lat
+  FROM events
+),
+g AS (
+  SELECT CAST(greatest(0, least(63, floor((lon+180.0)/360.0*64.0))) AS BIGINT) AS x,
+         CAST(greatest(0, least(63, floor((lat+90.0)/180.0*64.0))) AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS w
+  FROM tp GROUP BY 1, 2
+),
+nb AS (
+  SELECT ((g.x + dx.k + 64) % 64) AS x, (g.y + dy.k) AS y, g.w
+  FROM g,
+       UNNEST(generate_series(-1, 1)) dx(k),
+       UNNEST(generate_series(-1, 1)) dy(k)
+  WHERE NOT (dx.k = 0 AND dy.k = 0)
+    AND g.y + dy.k BETWEEN 0 AND 63
+),
+nbr AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS nbr_n,
+         CAST(sum(w) AS BIGINT) AS nbr_sum
+  FROM nb GROUP BY 1, 2
+),
+j AS (
+  SELECT g.x, g.y, g.w,
+         COALESCE(nbr.nbr_n, 0) AS nbr_n,
+         COALESCE(nbr.nbr_sum, 0) AS nbr_sum
+  FROM g LEFT JOIN nbr USING (x, y)
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(w) AS BIGINT) AS sum_w,
+         CAST(sum(w*w) AS BIGINT) AS sum_q,
+         CAST(sum(nbr_n) AS BIGINT) AS s0,
+         CAST(sum(w*nbr_n) AS BIGINT) AS sum_b,
+         CAST(sum(nbr_sum) AS BIGINT) AS sum_c,
+         CAST(sum(w*nbr_sum) AS BIGINT) AS sum_a
+  FROM j
+)
+SELECT j.x, j.y, j.w, j.nbr_n, j.nbr_sum,
+       {_mle(x="j.w", S="j.nbr_sum", n="j.nbr_n")} AS local_i,
+       {_mge()} AS global_i,
+       st.s0, st.n_cells
+FROM j, st
 """
 
     from geomesa_spark.operators.hotspot import gi_star_expr as _gi_expr

@@ -104,6 +104,7 @@ HEADLINE = [
     "co_travel",
     "idw_surface",
     "snap_nearest",
+    "morans_i",
 ]
 
 

@@ -1,0 +1,159 @@
+"""Moran's I spatial autocorrelation over the engine's integer grid.
+
+`hotspot_cells` (Gi*) scores each cell; Moran's I answers the prior
+question — is there ANY spatial structure?  The global statistic
+(Moran 1950) is the correlation between a cell's weight and its
+neighbors'; the per-cell decomposition (local Moran / LISA, Anselin
+1995) classifies each cell as a high-high / low-low cluster core or
+a high-low outlier.  Same universe convention as Gi*: OCCUPIED cells
+only, binary queen contiguity over the (2·ring+1)² window (self
+EXCLUDED — Moran's w_ii = 0, unlike Gi*'s self-included star), x
+cyclic at the antimeridian, y clamped at the poles.
+
+Scale design (the hotspot shape): one partial-aggregated groupBy
+onto cells, one bounded neighbor-key explode + re-aggregate, then
+ONE reduce to six integer corpus moments
+
+    N  = occupied cells            W  = Σ x_i       Q  = Σ x_i²
+    S0 = Σ n_i (directed pairs)    B  = Σ x_i·n_i
+    C  = Σ S_i                     A  = Σ x_i·S_i
+
+(x_i = cell weight, n_i / S_i = occupied-neighbor count / weight
+sum).  Both statistics are algebraic in these integers:
+
+    Σ_i z_i·(Σ_j w_ij z_j) = A − m·B − m·C + m²·S0   (z = x − m,
+    m = W/N), Σ z_i² = Q − 2mW + m²N
+
+so every SUM the engines compute is exact int64 (order-independent)
+and the doubles are derived through ONE canonical SQL string
+evaluated verbatim by Spark and DuckDB (the GI_STAR_SQL convention)
+— the statistics hash-compare bit-for-bit.  Overflow bound:
+A ≤ N·max(x)²·window, the idw_grid caveat family — at planetary
+count scales pre-divide the weight column.
+
+Returns one row per occupied cell: (x, y, w, nbr_n, nbr_sum,
+local_i, global_i, s0, n_cells) — global columns constant (one
+broadcast row), local_i NULL only when the variance degenerates
+(all cells equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geomesa_spark.functions import cells as C
+
+__all__ = ["morans_i", "MORAN_LOCAL_SQL", "MORAN_GLOBAL_SQL"]
+
+# m = W/N and m2 = (Q - 2mW + m^2 N)/N spelled inline; placeholders
+# are int64 column names. Local: I_i = z_i * (S_i - n_i*m) / m2.
+_M = "(CAST({W} AS DOUBLE)/{N})"
+MORAN_LOCAL_SQL = (
+    "CASE WHEN (CAST({Q} AS DOUBLE) - 2*" + _M + "*{W} + " + _M + "*" + _M
+    + "*{N}) > 0 THEN"
+    " (CAST({x} AS DOUBLE) - " + _M + ")"
+    " * (CAST({S} AS DOUBLE) - CAST({n} AS DOUBLE)*" + _M + ")"
+    " / ((CAST({Q} AS DOUBLE) - 2*" + _M + "*{W} + " + _M + "*" + _M
+    + "*{N}) / {N})"
+    " END"
+)
+# Global: (N/S0) * (A - m*B - m*C + m^2*S0) / (Q - 2mW + m^2 N)
+MORAN_GLOBAL_SQL = (
+    "CASE WHEN {S0} > 0 AND (CAST({Q} AS DOUBLE) - 2*" + _M + "*{W} + "
+    + _M + "*" + _M + "*{N}) > 0 THEN"
+    " (CAST({N} AS DOUBLE) / {S0})"
+    " * (CAST({A} AS DOUBLE) - " + _M + "*{B} - " + _M + "*{C} + "
+    + _M + "*" + _M + "*{S0})"
+    " / (CAST({Q} AS DOUBLE) - 2*" + _M + "*{W} + " + _M + "*" + _M
+    + "*{N})"
+    " END"
+)
+
+
+def moran_local_expr(x="w", S="nbr_sum", n="nbr_n", N="n_cells",
+                     W="sum_w", Q="sum_q") -> str:
+    return MORAN_LOCAL_SQL.format(x=x, S=S, n=n, N=N, W=W, Q=Q)
+
+
+def moran_global_expr(A="sum_a", B="sum_b", C="sum_c", S0="s0",
+                      N="n_cells", W="sum_w", Q="sum_q") -> str:
+    return MORAN_GLOBAL_SQL.format(A=A, B=B, C=C, S0=S0, N=N, W=W, Q=Q)
+
+
+def morans_i(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    bits: int = 6,
+    ring: int = 1,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Global + local Moran's I per occupied grid cell (see module
+    docstring for the exact statistic and determinism contract)."""
+    n = 1 << bits
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    cells = (
+        df.select(
+            C.lon_to_x(F.col(lon_col), bits).alias("x"),
+            C.lat_to_y(F.col(lat_col), bits).alias("y"),
+            w.alias("_w"),
+        )
+        .groupBy("x", "y")
+        .agg(F.sum("_w").alias("w"))
+    )
+    offsets = [
+        (dx, dy)
+        for dx in range(-ring, ring + 1)
+        for dy in range(-ring, ring + 1)
+        if not (dx == 0 and dy == 0)  # w_ii = 0
+    ]
+    contrib = cells.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.pmod(F.col("x") + F.lit(dx), F.lit(n)).alias("tx"),
+                    (F.col("y") + F.lit(dy)).alias("ty"),
+                )
+                for dx, dy in offsets
+            ])
+        ).alias("t"),
+        "w",
+    ).select(
+        F.col("t.tx").alias("x"), F.col("t.ty").alias("y"), "w"
+    ).filter((F.col("y") >= 0) & (F.col("y") < n))
+    nbr = contrib.groupBy("x", "y").agg(
+        F.count("*").cast("long").alias("nbr_n"),
+        F.sum("w").alias("nbr_sum"),
+    )
+    # isolated occupied cells keep n_i = S_i = 0 (left join): they
+    # contribute to N/W/Q but not to the pair terms
+    joined = cells.join(nbr, ["x", "y"], "left").select(
+        "x", "y", "w",
+        F.coalesce(F.col("nbr_n"), F.lit(0).cast("long")).alias("nbr_n"),
+        F.coalesce(F.col("nbr_sum"), F.lit(0).cast("long")).alias("nbr_sum"),
+    )
+    stats = F.broadcast(
+        joined.agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("w").alias("sum_w"),
+            F.sum(F.col("w") * F.col("w")).alias("sum_q"),
+            F.sum("nbr_n").alias("s0"),
+            F.sum(F.col("w") * F.col("nbr_n")).alias("sum_b"),
+            F.sum("nbr_sum").alias("sum_c"),
+            F.sum(F.col("w") * F.col("nbr_sum")).alias("sum_a"),
+        )
+    )
+    return (
+        joined.crossJoin(stats)
+        .withColumn("local_i", F.expr(moran_local_expr()))
+        .withColumn("global_i", F.expr(moran_global_expr()))
+        .select(
+            "x", "y", "w", "nbr_n", "nbr_sum",
+            "local_i", "global_i", "s0", "n_cells",
+        )
+    )

@@ -1,0 +1,90 @@
+"""morans_i: numpy oracle parity + statistical sanity."""
+
+import numpy as np
+import pytest
+
+from geomesa_spark.operators.moran import morans_i
+
+
+def _oracle(weights, n, ring=1):
+    """weights: {(x,y): w} occupied cells. Mirrors the operator's
+    integer-moment algebra EXACTLY (incl. the double forms)."""
+    occ = dict(weights)
+    per = {}
+    for (x, y), w in occ.items():
+        nn = ns = 0
+        for dx in range(-ring, ring + 1):
+            for dy in range(-ring, ring + 1):
+                if dx == 0 and dy == 0:
+                    continue
+                k = ((x + dx) % n, y + dy)
+                if k in occ:
+                    nn += 1
+                    ns += occ[k]
+        per[(x, y)] = (w, nn, ns)
+    N = len(occ)
+    W = sum(w for w, _, _ in per.values())
+    Q = sum(w * w for w, _, _ in per.values())
+    S0 = sum(nn for _, nn, _ in per.values())
+    B = sum(w * nn for w, nn, _ in per.values())
+    Cs = sum(ns for _, _, ns in per.values())
+    A = sum(w * ns for w, _, ns in per.values())
+    m = float(W) / N
+    denom = float(Q) - 2 * m * W + m * m * N
+    g = None
+    if S0 > 0 and denom > 0:
+        g = (float(N) / S0) * (float(A) - m * B - m * Cs + m * m * S0) / denom
+    out = {}
+    for k, (w, nn, ns) in per.items():
+        li = None
+        if denom > 0:
+            li = (float(w) - m) * (float(ns) - float(nn) * m) / (denom / N)
+        out[k] = (w, nn, ns, li, g, S0, N)
+    return out
+
+
+def test_moran_oracle_parity(spark):
+    rng = np.random.default_rng(23)
+    pts = []
+    # clustered mass (positive autocorrelation) + scatter
+    for _ in range(400):
+        pts.append((float(rng.normal(20, 8)), float(rng.normal(10, 5))))
+    for _ in range(200):
+        pts.append((float(rng.uniform(-180, 180)),
+                    float(rng.uniform(-90, 90))))
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    got = {
+        (r.x, r.y): (r.w, r.nbr_n, r.nbr_sum, r.local_i, r.global_i,
+                     r.s0, r.n_cells)
+        for r in morans_i(df, bits=5).collect()
+    }
+    n = 1 << 5
+    weights = {}
+    for lon, lat in pts:
+        x = int(min(n - 1, max(0, np.floor((lon + 180.0) / 360.0 * n))))
+        y = int(min(n - 1, max(0, np.floor((lat + 90.0) / 180.0 * n))))
+        weights[(x, y)] = weights.get((x, y), 0) + 1
+    exp = _oracle(weights, n)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == exp[k], (k, got[k], exp[k])
+    g = next(iter(got.values()))[4]
+    assert g > 0.15  # clustered mass -> clear positive autocorrelation
+
+
+def test_moran_uniform_degenerates_null(spark):
+    # every occupied cell weight 1, perfectly uniform 2x2 block:
+    # variance 0 -> NULL statistics, not a crash or a fake number
+    df = spark.createDataFrame(
+        [(0.1, 0.1), (10.1, 0.1), (0.1, 10.1), (10.1, 10.1)],
+        "lon double, lat double",
+    )
+    rows = morans_i(df, bits=5).collect()
+    assert all(r.local_i is None and r.global_i is None for r in rows)
+
+
+def test_moran_plan_no_python(spark):
+    df = spark.createDataFrame([(0.0, 0.0)], "lon double, lat double")
+    plan = morans_i(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "BroadcastExchange" in plan  # the one-row moments join

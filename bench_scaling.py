@@ -264,6 +264,51 @@ def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
         # deterministic 1/8 subset: identical input at both levels
         docs = docs.filter(F.pmod(F.crc32(F.col("doc_id")), F.lit(8)) == 0)
 
+    if kind == "cluster":
+        # iterative-family evidence: DBSCAN = bounded eps-pair mining
+        # + core test + DRIVER-SYNCHRONIZED pointer-jumping component
+        # rounds — the only kind whose critical path includes repeated
+        # whole-frame joins with a driver convergence scalar between
+        # them. 1/64 corpus (~250k points) rehashed into ~12.5k
+        # engineered blobs (20 pts each, ±0.01 deg; lattice-adjacent
+        # blobs chain, so components span blobs and the jump rounds
+        # do real work) — eps=0.01, min_pts=5. Sized so the timed job
+        # is ~1 min at N: the round count is O(log diameter) and the
+        # per-round fixed costs (driver barrier, convergence count)
+        # are the honest Amdahl fraction of this family.
+        from geomesa_spark.operators.cluster import dbscan
+
+        base = docs.filter(
+            F.pmod(F.crc32(F.col("doc_id")), F.lit(64)) == 0
+        ).select("doc_id")
+        blob = F.pmod(F.crc32(F.col("doc_id")), F.lit(12_500))
+        jx = (F.pmod(F.crc32(F.concat(F.col("doc_id"), F.lit("x"))),
+                     F.lit(2001)) - F.lit(1000)) / F.lit(100_000.0)
+        jy = (F.pmod(F.crc32(F.concat(F.col("doc_id"), F.lit("y"))),
+                     F.lit(2001)) - F.lit(1000)) / F.lit(100_000.0)
+        cpts = base.select(
+            "doc_id",
+            ((blob * 9973 % 36000) / F.lit(100.0) - F.lit(180.0) + jx
+             ).alias("lon"),
+            ((blob * 7919 % 17800) / F.lit(100.0) - F.lit(89.0) + jy
+             ).alias("lat"),
+        ).localCheckpoint(eager=True)  # input build untimed
+
+        def pipeline():
+            out = dbscan(cpts, 0.01, 5, "doc_id", metric="planar")
+            out.write.format("noop").mode("overwrite").save()
+            out.unpersist()
+
+        pipeline()  # warm-up
+        wall = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            pipeline()
+            wall = min(wall, time.time() - t0)
+        n = cpts.count()
+        spark.stop()
+        return wall, n
+
     if kind == "bucketed":
         # UNTIMED one-time layout build (the whole point of the stored
         # layout: its shuffle amortizes across every subsequent join).
@@ -406,13 +451,13 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
     VALID_KINDS = (
         "broadcast", "shuffle", "bucketed", "geom", "knn", "dedup", "clean",
-        "ann", "tracks",
+        "ann", "tracks", "cluster",
     )
     kinds = [
         k.strip()
         for k in os.environ.get(
             "SPARK_GRAFT_SCALING_KINDS",
-            "broadcast,shuffle,bucketed,geom,knn,dedup,clean,ann,tracks",
+            "broadcast,shuffle,bucketed,geom,knn,dedup,clean,ann,tracks,cluster",
         ).split(",")
         if k.strip()
     ]
@@ -425,7 +470,7 @@ def main() -> None:
             f"({bad or 'empty'}); valid: {VALID_KINDS}"
         )
     if any(k in kinds for k in ("broadcast", "shuffle", "bucketed", "geom",
-                                "knn", "tracks")):
+                                "knn", "tracks", "cluster")):
         # the spatial corpus is only needed by the spatial kinds — a
         # text-only protocol run shouldn't pay the 16M-doc build
         build_corpus(n_docs)
@@ -560,6 +605,18 @@ def main() -> None:
                "1-in-8000-vector query sample, over 64-dim splitmix64 "
                "vectors. The embedding analog of the broadcast row's "
                "extract/encode/join pipeline",
+        "cluster": "DBSCAN (cluster.dbscan, eps=0.01, min_pts=5) over "
+                   "1/32 of the corpus rehashed into ~25k engineered "
+                   "20-point blobs: grid-bounded eps-pair mining "
+                   "(single-meeting-cell self-join), core test, then "
+                   "POINTER-JUMPING connected components — the only "
+                   "row whose critical path is iterative: repeated "
+                   "whole-frame joins with a driver convergence "
+                   "scalar between rounds (the dedup_filter/"
+                   "semantic_dedup execution family). Per-round "
+                   "barriers make the fixed fraction visible at 4N; "
+                   "component diameters bound the round count at "
+                   "O(log d) regardless of corpus size",
     }
     sections_by_kind: dict[str, str] = {}
     for k in kinds:

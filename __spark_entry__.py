@@ -1835,6 +1835,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["morans_i"] = moran_gate
 
+    def pyramid_gate(spark, sf):
+        """Multi-resolution tile rollup (analytics.tile_pyramid):
+        one finest-cell groupBy then ancestor explode over the
+        AGGREGATED cells (geohash-prefix containment, cell_parent) —
+        the level fan-out never multiplies the corpus."""
+        from geomesa_spark.operators.analytics import tile_pyramid
+
+        return tile_pyramid(
+            geo_events(spark, sf), max_bits=8, min_bits=0,
+            weight_col="wfp",
+        )
+
+    q["tile_pyramid"] = pyramid_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -3896,6 +3910,26 @@ SELECT j.x, j.y, j.w, j.nbr_n, j.nbr_sum,
        {_mge()} AS global_i,
        st.s0, st.n_cells
 FROM j, st
+"""
+
+    # tile_pyramid: full-res Z2 (the z_encode SQL), parent at 8 bits,
+    # then the ancestor explode over AGGREGATED cells
+    o["tile_pyramid"] = f"""
+WITH {PTS_CTE},
+z2 AS ({_z2_cell_sql()}),
+fine AS (
+  SELECT (z2.cell >> 26) AS cell,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(p.value * 1000000.0) AS BIGINT)) AS BIGINT) AS w
+  FROM z2 JOIN pts p USING (event_id)
+  GROUP BY 1
+)
+SELECT CAST(b.k AS INT) AS bits,
+       (fine.cell >> (2 * (8 - b.k))) AS cell,
+       CAST(sum(n) AS BIGINT) AS n,
+       CAST(sum(w) AS BIGINT) AS w
+FROM fine, UNNEST(generate_series(0, 8)) b(k)
+GROUP BY 1, 2
 """
 
     from geomesa_spark.operators.hotspot import gi_star_expr as _gi_expr

@@ -105,6 +105,7 @@ HEADLINE = [
     "idw_surface",
     "snap_nearest",
     "morans_i",
+    "tile_pyramid",
 ]
 
 

@@ -791,3 +791,73 @@ def bloom_probe(
     return df.join(
         verdict, F.col(id_col) == F.col("__id"), "left"
     ).drop("__id")
+
+
+def tile_pyramid(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    max_bits: int = 8,
+    min_bits: int = 0,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Multi-resolution tile rollup: per-cell counts/weights at EVERY
+    zoom level in [min_bits, max_bits] — the pre-aggregation a map
+    tile server (or the reference's geohash-prefix IndexSchema
+    levels, `IndexSchema.scala`) reads instead of rescanning the
+    corpus per zoom.
+
+    Two bounded phases: one partial-aggregated groupBy onto the
+    FINEST cells (corpus -> <= 4^max_bits rows), then each finest
+    cell explodes to its ancestor chain (Z2 parent = drop 2 low bits
+    per level, `cells.cell_parent` — the geohash-prefix containment
+    property) and re-aggregates.  The level fan-out multiplies the
+    AGGREGATED cells, never the corpus: total phase-2 input is
+    <= (levels+1) * occupied(max_bits), and the whole pyramid is
+    SUM-mergeable (ingest a new partition, aggregate its pyramid,
+    add — the rollup never rescans history).
+
+    Returns (bits, cell, n, w): level, cell id at that level, row
+    count, weight sum (= n when weight_col is None; int64 both)."""
+    if not 0 <= min_bits <= max_bits <= C.XY_BITS:
+        raise ValueError("need 0 <= min_bits <= max_bits <= XY_BITS")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    fine = (
+        df.select(
+            C.cell_parent(
+                C.z2_cell(F.col(lon_col), F.col(lat_col)),
+                C.XY_BITS, max_bits,
+            ).alias("cell"),
+            w.alias("_w"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("_w").alias("w"),
+        )
+    )
+    levels = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("bits"),
+                    C.cell_parent(F.col("cell"), max_bits, b).alias("pcell"),
+                )
+                for b in range(min_bits, max_bits + 1)
+            ]
+        )
+    )
+    return (
+        fine.select("n", "w", levels.alias("l"))
+        .groupBy(
+            F.col("l.bits").alias("bits"), F.col("l.pcell").alias("cell")
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("w").cast("long").alias("w"),
+        )
+    )

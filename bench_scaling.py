@@ -606,8 +606,8 @@ def main() -> None:
                "vectors. The embedding analog of the broadcast row's "
                "extract/encode/join pipeline",
         "cluster": "DBSCAN (cluster.dbscan, eps=0.01, min_pts=5) over "
-                   "1/32 of the corpus rehashed into ~25k engineered "
-                   "20-point blobs: grid-bounded eps-pair mining "
+                   "1/64 of the corpus rehashed into ~12.5k engineered "
+                   "20-point blobs (lattice-adjacent blobs chain): grid-bounded eps-pair mining "
                    "(single-meeting-cell self-join), core test, then "
                    "POINTER-JUMPING connected components — the only "
                    "row whose critical path is iterative: repeated "

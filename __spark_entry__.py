@@ -193,6 +193,20 @@ _COOC_LON = (
 )
 _COOC_LAT = "(user_id*3 % 180) - 90 + CAST(event_id % 97 AS DOUBLE)/1000.0"
 
+# dbscan blob model: 977 hash blobs of ±0.02 deg — cluster DIAMETER
+# is scale-invariant (blobs densify with sf, never lengthen), so the
+# component rounds stay O(1) at any corpus size. Shared verbatim by
+# Spark (F.expr) and DuckDB; CASTs keep the arithmetic in doubles
+# (Spark parses the 100.0 literal as DECIMAL).
+_BLOB_LON = (
+    "CAST((event_id % 977) * 9973 % 35000 AS DOUBLE)/100.0 - 174.0"
+    " + CAST(event_id % 101 AS DOUBLE)/2500.0 - 0.02"
+)
+_BLOB_LAT = (
+    "CAST((event_id % 977) * 7919 % 17000 AS DOUBLE)/100.0 - 84.0"
+    " + CAST(event_id * 7 % 103 AS DOUBLE)/2575.0 - 0.02"
+)
+
 PTS_CTE = """pts AS (
   SELECT event_id, event_type, value,
          (event_id*9973 % 36000)/100.0 - 180.0 AS lon,
@@ -1747,15 +1761,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Grid-partitioned DBSCAN (operators/cluster.py): eps-pair
         mining via the single-meeting-cell trick, core test, pointer-
         jumping components (cluster = min core id), min-label border
-        attach. Motion-model positions so clusters genuinely exist
-        (users 60 apart share a lat band and co-travel). Planar
-        metric = exact-double oracle mode."""
+        attach. Positions = 977 hash-blob clusters (±0.02 deg) whose
+        DIAMETER is scale-invariant: blobs densify with sf but stay
+        a few eps-hops wide, so the component rounds stay O(1) at
+        any corpus size (the first motion-model version chained
+        along the month's lon drift — diameter grew linearly with
+        sf and the jump rounds blew past max_iter at sf0.1).
+        Planar metric = exact-double oracle mode."""
         from geomesa_spark.operators.cluster import dbscan
 
-        out = dbscan(
-            _cooc_pts(spark, sf).withColumn("id", F.col("event_id")),
-            eps=1.0, min_pts=3, id_col="id", metric="planar",
+        pts = _load(spark, sf, "events").select(
+            F.col("event_id").alias("id"),
+            F.expr(_BLOB_LON).alias("lon"),
+            F.expr(_BLOB_LAT).alias("lat"),
         )
+        out = dbscan(pts, eps=0.02, min_pts=4, id_col="id",
+                     metric="planar")
         return out.select(
             "id", "cluster", F.col("is_core").cast("int").alias("is_core")
         )
@@ -3649,31 +3670,29 @@ FROM sgm GROUP BY user_id, stop_id
 HAVING max(es) - min(es) >= 600
 """
 
-    # dbscan: quadratic pair mining with a lat-band prefilter (fine
-    # single-threaded at sf0.01), core test (min_pts=3 incl. self),
+    # dbscan: quadratic pair mining with a bbox prefilter (fine
+    # single-threaded at sf0.01), core test (min_pts=4 incl. self),
     # transitive closure for core components, min-label border attach
     o["dbscan"] = f"""
-WITH RECURSIVE mp AS (
-  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+WITH RECURSIVE pts AS (
+  SELECT event_id AS id, {_BLOB_LON} AS lon, {_BLOB_LAT} AS lat
   FROM events
-),
-pts AS (
-  SELECT event_id AS id, {_COOC_LON} AS lon, {_COOC_LAT} AS lat FROM mp
 ),
 pairs AS (
   SELECT a.id AS id_a, b.id AS id_b
   FROM pts a JOIN pts b
     ON a.id < b.id
-   AND b.lat BETWEEN a.lat - 1.0 AND a.lat + 1.0
-   AND b.lon BETWEEN a.lon - 1.0 AND a.lon + 1.0
-  WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) <= 1.0
+   AND b.lat BETWEEN a.lat - 0.02 AND a.lat + 0.02
+   AND b.lon BETWEEN a.lon - 0.02 AND a.lon + 0.02
+  WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)
+        <= 0.02 * 0.02
 ),
 nbrs AS (
   SELECT id_a AS id, id_b AS nb FROM pairs
   UNION ALL SELECT id_b, id_a FROM pairs
 ),
 core AS (
-  SELECT id FROM nbrs GROUP BY id HAVING count(*) + 1 >= 3
+  SELECT id FROM nbrs GROUP BY id HAVING count(*) + 1 >= 4
 ),
 ce AS (
   SELECT id_a, id_b FROM pairs

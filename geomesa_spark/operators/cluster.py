@@ -163,9 +163,15 @@ def dbscan(
     lat_col: str = "lat",
     metric: str = "planar",
     dist_m: float | None = None,
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """DBSCAN over a point table -> (id, cluster, is_core).
+
+    max_iter bounds the component rounds: min-label propagation with
+    pointer jumping reaches ~2^k hops after k rounds, so 50 covers
+    any physical chain (a 2^50-hop component); the loop exits at
+    convergence, so typical corpora stop in <= ~log2(diameter)+1
+    rounds and the bound is never the cost.
 
     cluster = minimum core id of the component (deterministic);
     border points attach to the minimum cluster among their core

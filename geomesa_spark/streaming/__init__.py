@@ -22,3 +22,9 @@ from geomesa_spark.streaming.geofence import (  # noqa: F401
     read_fence_events,
     read_inside_now,
 )
+from geomesa_spark.streaming.stops import (  # noqa: F401
+    flush_open_stops,
+    read_dwelling_now,
+    read_stops,
+    stop_stream,
+)

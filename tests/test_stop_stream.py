@@ -152,3 +152,22 @@ def test_stop_stream_boundary_cases(spark, tmp_path):
     assert _stream_stops(spark, tmp_path, "b") == _batch_twin(
         spark, b1 + b2 + b3
     )
+
+
+def test_stop_stream_replay_idempotent(spark, tmp_path):
+    rows = [
+        ("r", 0, 0.0, 0.0), ("r", 100, 0.01, 0.0),
+        ("r", 300, 0.02, 0.0), ("r", 400, 5.0, 5.0),
+    ]
+    src = tmp_path / "s3"
+    _write(src, "b1.json", rows)
+    _run(spark, src, tmp_path, "3")
+    first = _stream_stops(spark, tmp_path, "3")
+    assert first == _batch_twin(spark, rows)
+    # wipe the checkpoint -> the file source redelivers batch 0; the
+    # versioned writes must overwrite, not double-append
+    import shutil
+
+    shutil.rmtree(tmp_path / "ck3")
+    _run(spark, src, tmp_path, "3")
+    assert _stream_stops(spark, tmp_path, "3") == first

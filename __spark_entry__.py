@@ -1870,6 +1870,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tile_pyramid"] = pyramid_gate
 
+    def hausdorff_gate(spark, sf):
+        """Trajectory similarity (operators/trajsim.py): symmetric
+        discrete Hausdorff per CANDIDATE pair (the co_travel output)
+        over an every-12th-tick sample of the resampled grid — the
+        |A|x|B| term bounded by both caller choices, min/max over
+        exact planar d2, one sqrt at the end."""
+        from geomesa_spark.operators.cooccur import co_travel
+        from geomesa_spark.operators.tracks import track_resample
+        from geomesa_spark.operators.trajsim import hausdorff_join
+
+        base = _cooc_pts(spark, sf)
+        sub = track_resample(
+            base, "user_id", "ts", 3600, tiebreak_col="event_id"
+        ).filter(F.pmod(F.col("tick_ts"), F.lit(43200)) == 0)
+        prs = co_travel(
+            base, 0.5, 3600, 200, "user_id", "ts",
+            tiebreak_col="event_id",
+        ).select("track_a", "track_b")
+        return hausdorff_join(sub, prs)
+
+    q["hausdorff"] = hausdorff_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -3776,6 +3798,42 @@ FROM rs a JOIN rs b
 WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) <= 0.25
 GROUP BY 1, 2
 HAVING count(*) >= 200
+"""
+
+    # hausdorff: co_travel pairs (as a CTE) x 12-hourly resample
+    # sample; per-(pair, side, probe) min over exact planar d2, pair
+    # max, one final sqrt
+    o["hausdorff"] = f"""
+WITH {RESAMPLE_CTE},
+sub AS (SELECT track, lon, lat FROM rs WHERE tick_ts % 43200 = 0),
+ct AS (
+  SELECT a.track AS track_a, b.track AS track_b
+  FROM rs a JOIN rs b
+    ON a.tick_ts = b.tick_ts
+   AND a.track < b.track
+   AND b.lat BETWEEN a.lat - 0.5 AND a.lat + 0.5
+  WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) <= 0.25
+  GROUP BY 1, 2
+  HAVING count(*) >= 200
+),
+inner_min AS (
+  SELECT p.track_a, p.track_b, 0 AS side, a.lon AS px, a.lat AS py,
+         min((a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat))
+           AS md
+  FROM ct p
+  JOIN sub a ON a.track = p.track_a
+  JOIN sub b ON b.track = p.track_b
+  GROUP BY 1, 2, 3, 4, 5
+  UNION ALL
+  SELECT p.track_a, p.track_b, 1, b.lon, b.lat,
+         min((a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat))
+  FROM ct p
+  JOIN sub a ON a.track = p.track_a
+  JOIN sub b ON b.track = p.track_b
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT track_a, track_b, sqrt(max(md)) AS hausdorff
+FROM inner_min GROUP BY 1, 2
 """
 
     # idw_surface: scatter to the 5x5 neighbor cells, smoothed

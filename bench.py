@@ -106,6 +106,7 @@ HEADLINE = [
     "snap_nearest",
     "morans_i",
     "tile_pyramid",
+    "hausdorff",
 ]
 
 

@@ -1892,6 +1892,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hausdorff"] = hausdorff_gate
 
+    def zonal_gate(spark, sf):
+        """Zonal statistics (analytics.zonal_stats): broadcast PIP
+        join + one partial-aggregated groupBy; exact count/min/max,
+        int64 fixed-point sum, mean = one division of canonical
+        integers."""
+        from geomesa_spark.operators.analytics import zonal_stats
+
+        return zonal_stats(geo_events(spark, sf), _polys, "value")
+
+    q["zonal_stats"] = zonal_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -2309,6 +2320,25 @@ SELECT event_id, 'pent' AS poly_id FROM pts WHERE {_convex_cond(PENTAGON)}
     o["pip_broadcast"] = pip_sql
     o["pip_partitioned"] = pip_sql
     o["pip_s2"] = pip_sql
+
+    # zonal_stats: the pip conditions x fixed-point value stats
+    def _zonal_sel(zone: str, cond: str) -> str:
+        return f"""
+SELECT '{zone}' AS zone,
+       CAST(count(*) AS BIGINT) AS n,
+       min(value) AS vmin, max(value) AS vmax,
+       CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS sum_fp,
+       CAST(CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_fp
+FROM pts WHERE {cond}"""
+
+    o["zonal_stats"] = f"""
+WITH {PTS_CTE}
+{_zonal_sel('rect', rect_cond)}
+UNION ALL {_zonal_sel('tri', _convex_cond(TRIANGLE))}
+UNION ALL {_zonal_sel('pent', _convex_cond(PENTAGON))}
+"""
 
     # --- non-point geometry gates: derived vertices as SQL
     # expressions, query-polygon constants pre-folded ---

@@ -107,6 +107,7 @@ HEADLINE = [
     "morans_i",
     "tile_pyramid",
     "hausdorff",
+    "zonal_stats",
 ]
 
 

@@ -861,3 +861,53 @@ def tile_pyramid(
             F.sum("w").cast("long").alias("w"),
         )
     )
+
+
+def zonal_stats(
+    df: DataFrame,
+    zones: list[tuple[str, str]],
+    value_col: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    fp_scale: int = 1_000_000,
+    **pip_kwargs,
+) -> DataFrame:
+    """Zonal statistics: per-polygon aggregates of a point value
+    column — the classic raster/GIS summary (mean sensor reading per
+    district, count per AOI) as ONE broadcast PIP join + one
+    partial-aggregated groupBy. `zones` is the (zone_id, wkt) layer
+    (broadcast — use geom_data joins for huge layers).
+
+    Deterministic contract: count/min/max are exact; the sum is the
+    int64 fixed-point `sum_fp` = Σ floor(v·fp_scale) (float sums are
+    merge-order dependent — the heatmap convention) and `mean_fp` =
+    CAST(sum_fp AS DOUBLE)/n, one division of canonical integers
+    (divide by fp_scale for units).
+
+    Returns (zone, n, vmin, vmax, sum_fp, mean_fp)."""
+    from geomesa_spark.operators.spatial_join import pip_join_broadcast
+
+    cell_col = pip_kwargs.pop("cell_col", "cell")
+    if cell_col not in df.columns:
+        df = df.withColumn(
+            cell_col, C.z2_cell(F.col(lon_col), F.col(lat_col))
+        )
+    joined = pip_join_broadcast(
+        df, zones, lon_col=lon_col, lat_col=lat_col,
+        cell_col=cell_col, **pip_kwargs
+    )
+    vfp = F.floor(F.col(value_col) * F.lit(float(fp_scale))).cast("long")
+    return (
+        joined.withColumn("_vfp", vfp)
+        .groupBy(F.col("poly_id").alias("zone"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min(value_col).alias("vmin"),
+            F.max(value_col).alias("vmax"),
+            F.sum("_vfp").alias("sum_fp"),
+        )
+        .withColumn(
+            "mean_fp",
+            F.col("sum_fp").cast("double") / F.col("n").cast("double"),
+        )
+    )

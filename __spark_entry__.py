@@ -1903,6 +1903,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["zonal_stats"] = zonal_gate
 
+    def hex_density_gate(spark, sf):
+        """Hex binning (functions/hex.py): axial pointy-top lattice,
+        cube rounding via floor(v+0.5) — exact doubles shared
+        verbatim with the oracle; one partial-aggregated groupBy."""
+        from geomesa_spark.functions.hex import hex_cell_cols
+
+        ge = geo_events(spark, sf)
+        hq, hr = hex_cell_cols(F.col("lon"), F.col("lat"), 2.5)
+        return (
+            ge.select(hq.alias("hq"), hr.alias("hr"))
+            .groupBy("hq", "hr")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+
+    q["hex_density"] = hex_density_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -2338,6 +2354,17 @@ WITH {PTS_CTE}
 {_zonal_sel('rect', rect_cond)}
 UNION ALL {_zonal_sel('tri', _convex_cond(TRIANGLE))}
 UNION ALL {_zonal_sel('pent', _convex_cond(PENTAGON))}
+"""
+
+    # hex_density: the shared axial/cube-round arithmetic
+    from geomesa_spark.functions.hex import hex_cell_sql as _hex_sql
+
+    _hq_sql, _hr_sql = _hex_sql("lon", "lat", 2.5)
+    o["hex_density"] = f"""
+WITH {PTS_CTE}
+SELECT {_hq_sql} AS hq, {_hr_sql} AS hr,
+       CAST(count(*) AS BIGINT) AS n
+FROM pts GROUP BY 1, 2
 """
 
     # --- non-point geometry gates: derived vertices as SQL

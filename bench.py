@@ -108,6 +108,7 @@ HEADLINE = [
     "tile_pyramid",
     "hausdorff",
     "zonal_stats",
+    "hex_density",
 ]
 
 

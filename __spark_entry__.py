@@ -1919,6 +1919,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hex_density"] = hex_density_gate
 
+    def hex_hotspot_gate(spark, sf):
+        """Gi* over the hex lattice (hotspot.hotspot_hex): 6-neighbor
+        + self contiguity (the cube-distance disk), exact int64
+        aggregates, the shared GI_STAR_SQL canonical string."""
+        from geomesa_spark.operators.hotspot import hotspot_hex
+
+        return hotspot_hex(geo_events(spark, sf), size=2.5, ring=1)
+
+    q["hex_hotspot"] = hex_hotspot_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -2365,6 +2375,38 @@ WITH {PTS_CTE}
 SELECT {_hq_sql} AS hq, {_hr_sql} AS hr,
        CAST(count(*) AS BIGINT) AS n
 FROM pts GROUP BY 1, 2
+"""
+
+    from geomesa_spark.operators.hotspot import gi_star_expr as _gi2
+
+    o["hex_hotspot"] = f"""
+WITH {PTS_CTE},
+g AS (
+  SELECT {_hq_sql} AS hq, {_hr_sql} AS hr,
+         CAST(count(*) AS BIGINT) AS w
+  FROM pts GROUP BY 1, 2
+),
+nb AS (
+  SELECT g.hq + dq.k AS hq, g.hr + dr.k AS hr, g.w
+  FROM g,
+       UNNEST(generate_series(-1, 1)) dq(k),
+       UNNEST(generate_series(-1, 1)) dr(k)
+  WHERE greatest(abs(dq.k), abs(dr.k), abs(dq.k + dr.k)) <= 1
+),
+nbr AS (
+  SELECT hq, hr, CAST(count(*) AS BIGINT) AS nbr_n,
+         CAST(sum(w) AS BIGINT) AS nbr_sum
+  FROM nb GROUP BY 1, 2
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(w) AS BIGINT) AS sum_w,
+         CAST(sum(w*w) AS BIGINT) AS sum_q
+  FROM g
+)
+SELECT g.hq, g.hr, g.w, nbr.nbr_n, nbr.nbr_sum,
+       {_gi2()} AS gi_star
+FROM g JOIN nbr USING (hq, hr), st
 """
 
     # --- non-point geometry gates: derived vertices as SQL

@@ -109,6 +109,7 @@ HEADLINE = [
     "hausdorff",
     "zonal_stats",
     "hex_density",
+    "hex_hotspot",
 ]
 
 

@@ -1929,6 +1929,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hex_hotspot"] = hex_hotspot_gate
 
+    def semantic_decon_gate(spark, sf):
+        """Embedding-space benchmark decontamination
+        (dedup.semantic_decontaminate): broadcast benchmark, one
+        narrow corpus scan, threshold filter BEFORE the per-doc
+        argmax; ann fixed-point cosines. Bench = every 37th vector
+        — self-hits at exactly 1.0 plus ~43 genuine nearest
+        neighbors at the 0.3 threshold (this synthetic table has no
+        engineered near-dups; the threshold exercises the argmax on
+        real non-trivial cosines)."""
+        from geomesa_spark.operators.dedup import semantic_decontaminate
+
+        emb = _load(spark, sf, "embeddings")
+        bench = emb.filter(F.col("vec_id") % 37 == 0)
+        return semantic_decontaminate(emb, bench, 0.3)
+
+    q["semantic_decon"] = semantic_decon_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -2407,6 +2424,30 @@ st AS (
 SELECT g.hq, g.hr, g.w, nbr.nbr_n, nbr.nbr_sum,
        {_gi2()} AS gi_star
 FROM g JOIN nbr USING (hq, hr), st
+"""
+
+    # semantic_decon: fixed-point cosines vs the every-37th bench
+    # subset, threshold filter, (cos DESC, bench_id) argmax
+    o["semantic_decon"] = f"""
+WITH {_EMB_FIXED_CTE},
+dots AS (
+  SELECT c.vec_id AS vec_id, b.vec_id AS bid,
+         CAST(sum(c.v * b.v) AS BIGINT) AS dot
+  FROM ex c JOIN ex b ON c.i = b.i AND b.vec_id % 37 = 0
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT dots.vec_id, bid AS bench_id,
+         dot / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)) AS max_sim
+  FROM dots
+  JOIN nrm x ON x.vec_id = dots.vec_id
+  JOIN nrm y ON y.vec_id = dots.bid
+)
+SELECT vec_id, bench_id, max_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY max_sim DESC, bench_id) AS rk
+  FROM scored WHERE max_sim >= 0.3
+) WHERE rk = 1
 """
 
     # --- non-point geometry gates: derived vertices as SQL

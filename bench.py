@@ -110,6 +110,7 @@ HEADLINE = [
     "zonal_stats",
     "hex_density",
     "hex_hotspot",
+    "semantic_decon",
 ]
 
 

@@ -24,7 +24,7 @@ Scale notes (10^12 docs):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from geomesa_spark.operators import text as X
@@ -1020,4 +1020,55 @@ def substring_dedup(
             .cast("long")
             .alias("n_removed"),
         )
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: corpus documents
+    whose max cosine similarity against ANY benchmark vector reaches
+    `threshold` — the semantic complement of `decontaminate`'s exact
+    n-gram check (paraphrased test questions share no 13-gram but sit
+    next to the benchmark in embedding space).
+
+    Scale shape: the benchmark is the SMALL side (broadcast — eval
+    sets are thousands of rows); the corpus streams once, narrow.
+    The threshold filter runs BEFORE the per-doc argmax, so the
+    shuffle carries only candidate hits.  Cosines use the ann
+    fixed-point convention (int64 dots, one division) and the winner
+    is row_number over (cos DESC, bench id ASC) — deterministic under
+    ties, engine-exact.
+
+    Returns (<id_col>, bench_id, max_sim) — one row per flagged doc."""
+    from geomesa_spark.operators.ann import _dot, _with_fixed
+
+    c = _with_fixed(corpus, id_col, vec_col, "c_")
+    b = _with_fixed(bench, bench_id_col, bench_vec_col, "q_")
+    cos = (
+        _dot(F.col("c_fv"), F.col("q_fv"))
+        / F.sqrt(F.col("c_nrm").cast("double") * F.col("q_nrm").cast("double"))
+    )
+    hits = (
+        c.crossJoin(F.broadcast(b))
+        .select(
+            F.col("c_id").alias(id_col),
+            F.col("q_id").alias("bench_id"),
+            cos.alias("max_sim"),
+        )
+        .filter(F.col("max_sim") >= F.lit(float(threshold)))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("max_sim").desc(), F.col("bench_id").asc()
+    )
+    return (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )

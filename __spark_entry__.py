@@ -1946,6 +1946,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["semantic_decon"] = semantic_decon_gate
 
+    def wkb_gate(spark, sf):
+        """WKB codec end-to-end (sources/wkb.py): the gate lines
+        render to WKT, encode to little-endian WKB, decode back, and
+        parse through geom_table_native — the emitted bounds must be
+        VALUE-EXACT vs the oracle's direct arithmetic, proving the
+        float64<->binary<->text chain loses nothing (the reference's
+        WKBUtils storage path)."""
+        from geomesa_spark.operators.geom_data import geom_table_native
+        from geomesa_spark.sources.wkb import decode_wkb, encode_wkb
+
+        lines = _gate_lines(geo_events(spark, sf))
+        wkb = encode_wkb(lines).drop("geom_wkt")
+        return geom_table_native(decode_wkb(wkb)).select(
+            "gid", "xmin", "ymin", "xmax", "ymax"
+        )
+
+    q["wkb_roundtrip"] = wkb_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -2448,6 +2466,23 @@ SELECT vec_id, bench_id, max_sim FROM (
                                ORDER BY max_sim DESC, bench_id) AS rk
   FROM scored WHERE max_sim >= 0.3
 ) WHERE rk = 1
+"""
+
+    # wkb_roundtrip: the gate-line bounds recomputed arithmetically
+    # (vertices: (x0,y0), (x0+3.007,y0+1.003), (x0+6.014,y0-1.003))
+    o["wkb_roundtrip"] = """
+WITH pts AS (
+  SELECT event_id,
+         (event_id*9973 % 36000)/100.0 - 180.0 AS lon,
+         (event_id*7919 % 18000)/100.0 - 90.0 AS lat
+  FROM events
+)
+SELECT event_id AS gid,
+       lon*0.96 AS xmin,
+       least(lat*0.9 + 1.003, lat*0.9 - 1.003) AS ymin,
+       lon*0.96 + 6.014 AS xmax,
+       greatest(lat*0.9 + 1.003, lat*0.9 - 1.003) AS ymax
+FROM pts
 """
 
     # --- non-point geometry gates: derived vertices as SQL

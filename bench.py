@@ -111,6 +111,7 @@ HEADLINE = [
     "hex_density",
     "hex_hotspot",
     "semantic_decon",
+    "wkb_roundtrip",
 ]
 
 

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from geomesa_spark.functions import geometry_sql as GS
 
-__all__ = ["hausdorff_join"]
+__all__ = ["hausdorff_join", "dtw_join"]
 
 
 def hausdorff_join(
@@ -88,4 +88,135 @@ def hausdorff_join(
     return (
         inner.groupBy(F.col("ta").alias(a_col), F.col("tb").alias(b_col))
         .agg(F.sqrt(F.max("_min_d2")).alias("hausdorff"))
+    )
+
+
+def dtw_join(
+    pts: DataFrame,
+    pairs: DataFrame,
+    track_col: str = "track",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    a_col: str = "track_a",
+    b_col: str = "track_b",
+    band: int | None = 10,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Dynamic-time-warping distance per candidate pair — the ORDERED
+    complement of `hausdorff_join` (Hausdorff treats tracks as point
+    sets; DTW respects traversal order, so the same road driven in
+    opposite directions scores far apart).
+
+    Scale shape: candidate pairs only (the hausdorff_join contract);
+    each track folds to ONE row of coordinate arrays (sort_array over
+    (ts, tiebreak) structs — deterministic order without a window),
+    so the pair table carries four double arrays and the O(n·m) DP
+    runs inside an Arrow-batched pandas UDF — the engine's per-pair
+    escape hatch (simplify_tracks' contract: sequential algorithm,
+    numpy row sweeps, no fixed composition of built-ins expresses the
+    recurrence).  `band` is the Sakoe-Chiba radius bounding the DP to
+    n·(2·band+1) cells — the standard speed/flexibility trade; None
+    runs the full matrix.  Resample/simplify tracks first to bound n.
+
+    Returns (track_a, track_b, dtw, path_len): the summed euclidean
+    alignment cost and the warping-path length (divide for the
+    normalized distance)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    tb = tiebreak_col if tiebreak_col else ts_col
+    packed = (
+        pts.groupBy(F.col(track_col).alias("_t"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("o1"),
+                        F.col(tb).alias("o2"),
+                        F.col(lon_col).cast("double").alias("x"),
+                        F.col(lat_col).cast("double").alias("y"),
+                    )
+                )
+            ).alias("_s")
+        )
+        .select(
+            "_t",
+            F.transform(F.col("_s"), lambda s: s["x"]).alias("_xs"),
+            F.transform(F.col("_s"), lambda s: s["y"]).alias("_ys"),
+        )
+    )
+    pr = pairs.select(F.col(a_col).alias("ta"), F.col(b_col).alias("tb"))
+    j = (
+        pr.join(
+            packed.select(
+                F.col("_t").alias("ta"),
+                F.col("_xs").alias("ax"), F.col("_ys").alias("ay"),
+            ),
+            "ta",
+        )
+        .join(
+            packed.select(
+                F.col("_t").alias("tb"),
+                F.col("_xs").alias("bx"), F.col("_ys").alias("by"),
+            ),
+            "tb",
+        )
+    )
+
+    bandr = band
+
+    def _dtw_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_d, out_l = [], []
+        for ax, ay, bx, by in zip(
+            pdf["ax"], pdf["ay"], pdf["bx"], pdf["by"]
+        ):
+            A = np.column_stack([np.asarray(ax), np.asarray(ay)])
+            B = np.column_stack([np.asarray(bx), np.asarray(by)])
+            n, m = len(A), len(B)
+            r = max(bandr, abs(n - m)) if bandr is not None else max(n, m)
+            INF = np.inf
+            prev = np.full(m + 1, INF)
+            prev[0] = 0.0
+            # steps[i, j]: path length ending at (i, j)
+            plen_prev = np.zeros(m + 1, dtype=np.int64)
+            for i in range(1, n + 1):
+                cur = np.full(m + 1, INF)
+                plen_cur = np.zeros(m + 1, dtype=np.int64)
+                lo = max(1, i - r)
+                hi = min(m, i + r)
+                d = np.sqrt(
+                    ((A[i - 1] - B[lo - 1:hi]) ** 2).sum(axis=1)
+                )
+                for idx, jj in enumerate(range(lo, hi + 1)):
+                    opts = (
+                        (prev[jj - 1], plen_prev[jj - 1]),  # diagonal
+                        (prev[jj], plen_prev[jj]),          # up
+                        (cur[jj - 1], plen_cur[jj - 1]),    # left
+                    )
+                    best = min(opts, key=lambda t: t[0])
+                    if best[0] < INF:
+                        cur[jj] = d[idx] + best[0]
+                        plen_cur[jj] = best[1] + 1
+                prev, plen_prev = cur, plen_cur
+            out_d.append(float(prev[m]))
+            out_l.append(int(plen_prev[m]))
+        return pd.DataFrame(
+            {
+                a_col: pdf["ta"], b_col: pdf["tb"],
+                "dtw": out_d, "path_len": out_l,
+            }
+        )
+
+    schema = StructType([
+        StructField(a_col, j.schema["ta"].dataType),
+        StructField(b_col, j.schema["tb"].dataType),
+        StructField("dtw", DoubleType()),
+        StructField("path_len", LongType()),
+    ])
+    return j.groupBy("ta", "tb").applyInPandas(
+        lambda pdf: _dtw_batch(pdf), schema=schema
     )

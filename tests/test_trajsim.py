@@ -67,3 +67,94 @@ def test_hausdorff_plan_no_python_no_cartesian(spark):
     ).executedPlan().toString()
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def _brute_dtw(A, B):
+    import math
+
+    n, m = len(A), len(B)
+    INF = float("inf")
+    D = [[INF] * (m + 1) for _ in range(n + 1)]
+    L = [[0] * (m + 1) for _ in range(n + 1)]
+    D[0][0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            c = math.sqrt(
+                (A[i - 1][0] - B[j - 1][0]) ** 2
+                + (A[i - 1][1] - B[j - 1][1]) ** 2
+            )
+            best = min(
+                (D[i - 1][j - 1], L[i - 1][j - 1]),
+                (D[i - 1][j], L[i - 1][j]),
+                (D[i][j - 1], L[i][j - 1]),
+            )
+            if best[0] < INF:
+                D[i][j] = c + best[0]
+                L[i][j] = best[1] + 1
+    return D[n][m], L[n][m]
+
+
+def test_dtw_oracle(spark):
+    import numpy as np
+
+    from geomesa_spark.operators.trajsim import dtw_join
+
+    rng = np.random.default_rng(44)
+    tracks = {
+        f"t{i}": [
+            (int(k), float(rng.uniform(-5, 5)), float(rng.uniform(-5, 5)))
+            for k in range(int(rng.integers(4, 18)))
+        ]
+        for i in range(8)
+    }
+    prs = [("t0", "t1"), ("t2", "t3"), ("t4", "t4"), ("t5", "t7")]
+    pts = spark.createDataFrame(
+        [(t, ts, x, y) for t, ps in tracks.items() for ts, x, y in ps],
+        "track string, ts long, lon double, lat double",
+    )
+    pairs = spark.createDataFrame(prs, "track_a string, track_b string")
+    got = {(r.track_a, r.track_b): (r.dtw, r.path_len)
+           for r in dtw_join(pts, pairs, band=None).collect()}
+    for a, b in prs:
+        A = [(x, y) for _, x, y in tracks[a]]
+        B = [(x, y) for _, x, y in tracks[b]]
+        d, ln = _brute_dtw(A, B)
+        assert got[(a, b)][1] == ln
+        assert abs(got[(a, b)][0] - d) < 1e-12, (a, b)
+    assert got[("t4", "t4")][0] == 0.0  # self-alignment is free
+
+
+def test_dtw_band_matches_full_when_wide(spark):
+    import numpy as np
+
+    from geomesa_spark.operators.trajsim import dtw_join
+
+    rng = np.random.default_rng(2)
+    pts = spark.createDataFrame(
+        [("a", i, float(i) * 0.1, float(rng.uniform(-1, 1)))
+         for i in range(20)]
+        + [("b", i, float(i) * 0.1 + 0.05, float(rng.uniform(-1, 1)))
+           for i in range(25)],
+        "track string, ts long, lon double, lat double",
+    )
+    pairs = spark.createDataFrame([("a", "b")],
+                                  "track_a string, track_b string")
+    full = dtw_join(pts, pairs, band=None).collect()[0]
+    banded = dtw_join(pts, pairs, band=30).collect()[0]
+    assert (full.dtw, full.path_len) == (banded.dtw, banded.path_len)
+
+
+def test_dtw_direction_sensitivity(spark):
+    # same road both directions: Hausdorff ~0, DTW large
+    from geomesa_spark.operators.trajsim import dtw_join, hausdorff_join
+
+    fwd = [("f", i, float(i), 0.0) for i in range(10)]
+    rev = [("r", i, float(9 - i), 0.0) for i in range(10)]
+    pts = spark.createDataFrame(
+        fwd + rev, "track string, ts long, lon double, lat double"
+    )
+    pairs = spark.createDataFrame([("f", "r")],
+                                  "track_a string, track_b string")
+    h = hausdorff_join(pts, pairs).collect()[0].hausdorff
+    d = dtw_join(pts, pairs, band=None).collect()[0].dtw
+    assert h == 0.0 and d > 30.0

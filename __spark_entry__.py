@@ -1964,6 +1964,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wkb_roundtrip"] = wkb_gate
 
+    def snapshot_diff_gate(spark, sf):
+        """Snapshot diff (temporal.snapshot_diff): one full-outer
+        equi-join, null-safe column compare, output bounded by the
+        churn. Old = even ids, new = non-multiples-of-3 with every
+        7th value bumped — all four change kinds exercised."""
+        from geomesa_spark.operators.temporal import snapshot_diff
+
+        ev = _load(spark, sf, "events")
+        old = ev.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "value"
+        )
+        new = ev.filter(F.col("event_id") % 3 != 0).select(
+            "event_id",
+            F.when(
+                F.col("event_id") % 7 == 0, F.col("value") + F.lit(1.0)
+            ).otherwise(F.col("value")).alias("value"),
+        )
+        return snapshot_diff(old, new, "event_id", ["value"])
+
+    q["snapshot_diff"] = snapshot_diff_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -2483,6 +2504,28 @@ SELECT event_id AS gid,
        lon*0.96 + 6.014 AS xmax,
        greatest(lat*0.9 + 1.003, lat*0.9 - 1.003) AS ymax
 FROM pts
+"""
+
+    # snapshot_diff: full outer + null-safe compare in SQL
+    o["snapshot_diff"] = """
+WITH old AS (
+  SELECT event_id, value FROM events WHERE event_id % 2 = 0
+),
+new AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN value + 1.0 ELSE value END AS value
+  FROM events WHERE event_id % 3 <> 0
+)
+SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+       CASE WHEN o.event_id IS NULL THEN 'added'
+            WHEN n.event_id IS NULL THEN 'removed'
+            WHEN o.value IS DISTINCT FROM n.value THEN 'changed'
+       END AS change
+FROM old o FULL OUTER JOIN new n USING (event_id)
+WHERE CASE WHEN o.event_id IS NULL THEN 'added'
+           WHEN n.event_id IS NULL THEN 'removed'
+           WHEN o.value IS DISTINCT FROM n.value THEN 'changed'
+      END IS NOT NULL
 """
 
     # --- non-point geometry gates: derived vertices as SQL

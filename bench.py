@@ -112,6 +112,7 @@ HEADLINE = [
     "hex_hotspot",
     "semantic_decon",
     "wkb_roundtrip",
+    "snapshot_diff",
 ]
 
 

@@ -50,7 +50,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join", "overlap_join"]
+__all__ = ["asof_join", "interval_join", "overlap_join", "snapshot_diff"]
 
 
 def _keys(on: str | Sequence[str]) -> list[str]:
@@ -324,4 +324,52 @@ def overlap_join(
         *[F.col(f"__ls.{k}").alias(k) for k in keys],
         *[F.col(f"__ls.__lp.{c}").alias(f"{l_prefix}{c}") for c in l_payload],
         *[F.col(f"__rs.__rp.{c}").alias(f"{r_prefix}{c}") for c in r_payload],
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Entity-level diff between two table snapshots: which ids were
+    added, removed, or changed — the day-over-day audit every
+    ingest/live-view pipeline runs (the reference's replay/live
+    consumers answer "what changed" by re-reading; this is the
+    one-pass set form).
+
+    ONE full-outer equi-join on the id (equal partitioning on both
+    sides — no broadcast assumption, snapshots are both corpus-
+    sized); `compare_cols` inequality is null-safe (`<=>` negated),
+    so NULL -> value and value -> NULL count as changes. Unchanged
+    rows are dropped (the output is bounded by the churn, not the
+    corpus). compare_cols=None diffs membership only (added/removed).
+
+    Returns (<id_col>, change) with change in
+    ('added', 'removed', 'changed')."""
+    cols = list(compare_cols or [])
+    o = old.select(
+        F.col(id_col),
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in cols],
+    )
+    n = new.select(
+        F.col(id_col),
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in cols],
+    )
+    j = o.join(n, id_col, "full_outer")
+    changed = F.lit(False)
+    for c in cols:
+        changed = changed | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(id_col, "change")
     )

@@ -1985,6 +1985,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["snapshot_diff"] = snapshot_diff_gate
 
+    def frequent_places_gate(spark, sf):
+        """Top-k dwell locations (tracks.frequent_places): stop
+        centers onto the 64-grid, dwell-ranked top-3 per track with
+        a total (dwell DESC, x, y) tie order."""
+        from geomesa_spark.operators.tracks import frequent_places
+
+        return frequent_places(
+            _cooc_pts(spark, sf), "user_id", "ts",
+            radius=0.2, min_duration_s=600, k=3, bits=6,
+            metric="planar", tiebreak_col="event_id",
+        )
+
+    q["frequent_places"] = frequent_places_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -3874,8 +3888,7 @@ FROM trips GROUP BY 1, 2, 3, 4, 5
 
     # stop_detect: anchor on seq==1 OR planar leg > 0.2, running sum
     # of anchors = stop id, same-key rollup, HAVING span >= 600 s.
-    o["stop_detect"] = f"""
-WITH mp AS (
+    STOPS_CTE = f"""mp AS (
   SELECT event_id, user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es
   FROM events
 ),
@@ -3907,7 +3920,41 @@ SELECT user_id AS track, stop_id,
        (min(lon) + max(lon)) / 2 AS center_lon,
        (min(lat) + max(lat)) / 2 AS center_lat
 FROM sgm GROUP BY user_id, stop_id
-HAVING max(es) - min(es) >= 600
+HAVING max(es) - min(es) >= 600"""
+    # STOPS_CTE ends with the final stop SELECT: stop_detect's oracle
+    # uses it verbatim; frequent_places re-wraps that tail SELECT as
+    # a `stops` CTE (one definition, two gates)
+
+    o["stop_detect"] = f"""
+WITH {STOPS_CTE}
+"""
+
+    # frequent_places: stops onto the 64-grid of their centers,
+    # dwell-ranked top-k per track
+    o["frequent_places"] = f"""
+WITH {STOPS_CTE.replace(
+        chr(10) + ")" + chr(10) + "SELECT user_id AS track",
+        chr(10) + ")," + chr(10) + "stops AS (SELECT user_id AS track",
+    ) + ")"},
+pl AS (
+  SELECT track,
+         CAST(greatest(0, least(63, floor((center_lon+180.0)/360.0*64.0))) AS BIGINT) AS x,
+         CAST(greatest(0, least(63, floor((center_lat+90.0)/180.0*64.0))) AS BIGINT) AS y,
+         duration_s
+  FROM stops
+),
+agg AS (
+  SELECT track, x, y,
+         CAST(count(*) AS BIGINT) AS n_stops,
+         CAST(sum(duration_s) AS BIGINT) AS total_dwell_s
+  FROM pl GROUP BY 1, 2, 3
+)
+SELECT track, x, y, n_stops, total_dwell_s, CAST(rk AS INT) AS "rank"
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY track
+                               ORDER BY total_dwell_s DESC, x, y) AS rk
+  FROM agg
+) WHERE rk <= 3
 """
 
     # dbscan: quadratic pair mining with a bbox prefilter (fine

@@ -113,6 +113,7 @@ HEADLINE = [
     "semantic_decon",
     "wkb_roundtrip",
     "snapshot_diff",
+    "frequent_places",
 ]
 
 

@@ -38,7 +38,7 @@ from geomesa_spark.functions import geometry_sql as GS
 
 __all__ = [
     "track_metrics", "track_summary", "track_trips", "od_flows",
-    "stop_detect", "track_resample",
+    "stop_detect", "track_resample", "frequent_places",
 ]
 
 
@@ -467,4 +467,50 @@ def track_resample(
         "track",
         F.col("_t").alias("tick_ts"),
         *[interp(c).alias(c) for c in cols],
+    )
+
+
+def frequent_places(
+    df: DataFrame,
+    track_col: str,
+    ts_col: str,
+    radius: float,
+    min_duration_s: int,
+    k: int = 3,
+    bits: int = 6,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    metric: str = "haversine",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Top-k dwell locations per track — the home/work/depot
+    inference step: ``stop_detect`` stops land on the grid cell of
+    their center, dwell time aggregates per (track, cell), and the
+    k heaviest cells win (ties broken by (x, y) — deterministic).
+
+    Composition cost: stop_detect's one shuffle + one same-key-ish
+    groupBy (track, x, y) + the rank window on the track key —
+    output bounded by k x tracks.
+
+    Returns (track, x, y, n_stops, total_dwell_s, rank)."""
+    stops = stop_detect(
+        df, track_col, ts_col, radius, min_duration_s,
+        lon_col, lat_col, metric, tiebreak_col,
+    )
+    placed = stops.select(
+        "track",
+        C.lon_to_x(F.col("center_lon"), bits).alias("x"),
+        C.lat_to_y(F.col("center_lat"), bits).alias("y"),
+        "duration_s",
+    )
+    agg = placed.groupBy("track", "x", "y").agg(
+        F.count("*").cast("long").alias("n_stops"),
+        F.sum("duration_s").cast("long").alias("total_dwell_s"),
+    )
+    w = Window.partitionBy("track").orderBy(
+        F.col("total_dwell_s").desc(), F.col("x").asc(), F.col("y").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(k)))
     )

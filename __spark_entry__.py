@@ -1999,6 +1999,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frequent_places"] = frequent_places_gate
 
+    def speed_filter_gate(spark, sf):
+        """Teleport filtering (tracks.speed_filter, mark mode): one
+        window pass over track_metrics legs, exact planar speeds;
+        dt=0 duplicates never flag."""
+        from geomesa_spark.operators.tracks import speed_filter
+
+        out = speed_filter(
+            _cooc_pts(spark, sf), "user_id", "ts",
+            max_speed=0.00002,  # planar deg/s: the motion model's
+            # drift is ~1.4e-5 deg/s, so jitter-dominated short legs
+            # flag and steady drift survives
+            metric="planar", tiebreak_col="event_id",
+        )
+        return out.select(
+            "event_id",
+            F.col("is_ghost").cast("int").alias("is_ghost"),
+        )
+
+    q["speed_filter"] = speed_filter_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -3955,6 +3975,31 @@ FROM (
                                ORDER BY total_dwell_s DESC, x, y) AS rk
   FROM agg
 ) WHERE rk <= 3
+"""
+
+    # speed_filter: per-leg planar speed vs threshold, NULL-safe
+    o["speed_filter"] = f"""
+WITH mp AS (
+  SELECT event_id, user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+pts AS (
+  SELECT event_id, user_id, ts, es,
+         {_COOC_LON} AS lon, {_COOC_LAT} AS lat
+  FROM mp
+),
+m AS (
+  SELECT event_id, es, lon, lat,
+         lag(lon) OVER w AS plon, lag(lat) OVER w AS plat,
+         lag(es) OVER w AS pes
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id,
+       CASE WHEN plon IS NOT NULL AND es - pes > 0
+             AND sqrt((lon-plon)*(lon-plon) + (lat-plat)*(lat-plat))
+                 / (es - pes) > 0.00002
+            THEN 1 ELSE 0 END AS is_ghost
+FROM m
 """
 
     # dbscan: quadratic pair mining with a bbox prefilter (fine

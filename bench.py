@@ -114,6 +114,7 @@ HEADLINE = [
     "wkb_roundtrip",
     "snapshot_diff",
     "frequent_places",
+    "speed_filter",
 ]
 
 

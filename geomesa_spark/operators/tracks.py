@@ -38,7 +38,7 @@ from geomesa_spark.functions import geometry_sql as GS
 
 __all__ = [
     "track_metrics", "track_summary", "track_trips", "od_flows",
-    "stop_detect", "track_resample", "frequent_places",
+    "stop_detect", "track_resample", "frequent_places", "speed_filter",
 ]
 
 
@@ -514,3 +514,46 @@ def frequent_places(
         agg.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= F.lit(int(k)))
     )
+
+
+def speed_filter(
+    df: DataFrame,
+    track_col: str,
+    ts_col: str,
+    max_speed: float,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    metric: str = "haversine",
+    tiebreak_col: str | None = None,
+    mode: str = "mark",
+) -> DataFrame:
+    """GPS teleport filtering: flag (or drop) fixes whose implied
+    speed from the PREVIOUS fix exceeds `max_speed` — the standard
+    noise gate before any track analytics (a 1000 km/h car fix is a
+    multipath ghost, and one ghost poisons legs, stops, and trips).
+
+    This is the ONE-PASS window form: each fix is judged against its
+    raw predecessor (speed = leg/dt from ``track_metrics``; dt=0
+    duplicates are never flagged — speed is NULL there).  The
+    sequential form (drop a ghost, then re-judge the next fix against
+    the ghost's predecessor) differs when ghosts cluster; it is
+    per-track sequential — compose `simplify_tracks`-style
+    applyInPandas if that semantics is required.  One shuffle, no
+    Python (plan-asserted in tests).
+
+    mode='mark' returns all rows + boolean `is_ghost`;
+    mode='drop' returns surviving rows only (columns unchanged)."""
+    if mode not in ("mark", "drop"):
+        raise ValueError(f"mode must be 'mark' or 'drop', got {mode!r}")
+    m = track_metrics(
+        df, track_col, ts_col, lon_col, lat_col, metric, tiebreak_col
+    )
+    ghost = F.coalesce(
+        F.col("speed") > F.lit(float(max_speed)), F.lit(False)
+    )
+    marked = m.withColumn("is_ghost", ghost).drop(
+        "seq", "leg_dist", "dt_s", "speed", "cum_dist"
+    )
+    if mode == "mark":
+        return marked
+    return marked.filter(~F.col("is_ghost")).drop("is_ghost")

@@ -341,3 +341,27 @@ def test_track_resample_plan_no_python(spark):
     plan = track_resample(df, "track", "es", 100)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_speed_filter(spark):
+    from geomesa_spark.operators.tracks import speed_filter
+
+    rows = [
+        ("t", 0, 0.0, 0.0),
+        ("t", 10, 0.001, 0.0),    # 1e-4 deg/s: fine
+        ("t", 20, 5.0, 0.0),      # teleport
+        ("t", 30, 5.001, 0.0),    # judged vs the GHOST (one-pass)
+        ("t", 30, 99.0, 0.0),     # dt=0 duplicate: never flagged
+    ]
+    df = spark.createDataFrame(rows, "track string, es long, lon double, lat double")
+    out = {(r.es, r.lon): r.is_ghost for r in speed_filter(
+        df, "track", "es", 0.01, metric="planar").collect()}
+    assert out == {(0, 0.0): False, (10, 0.001): False,
+                   (20, 5.0): True, (30, 5.001): False,
+                   (30, 99.0): False}
+    kept = speed_filter(df, "track", "es", 0.01, metric="planar",
+                        mode="drop").count()
+    assert kept == 4
+    plan = speed_filter(df, "track", "es", 0.01)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Python" not in plan

@@ -111,7 +111,9 @@ HEADLINE = [
     "hex_density",
     "hex_hotspot",
     "semantic_decon",
-    "wkb_roundtrip",
+    # wkb_roundtrip is gate-only: a per-row Python ingest-boundary
+    # codec (the Avro OCF precedent), not a query — its 12 s at
+    # sf0.1 measures the codec, which correctness gates already pin
     "snapshot_diff",
     "frequent_places",
     "speed_filter",

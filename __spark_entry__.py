@@ -2019,6 +2019,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["speed_filter"] = speed_filter_gate
 
+    def quadkey_gate(spark, sf):
+        """Web-mercator XYZ tiles + quadkeys (functions/tiles.py):
+        the mercator expression is ONE shared SQL string (s2's
+        DEG2RAD convention — only ln/tan could diverge, flipping a
+        tile only within ~1e-16 of a boundary); quadkey = base-4
+        interleave whose prefixes are ancestors."""
+        from geomesa_spark.functions.tiles import quadkey_col, tile_cols
+
+        ge = geo_events(spark, sf)
+        tx, ty = tile_cols("lon", "lat", 9)
+        out = ge.select(
+            "event_id", tx.alias("tx"), ty.alias("ty")
+        )
+        return out.withColumn(
+            "qk", quadkey_col(F.col("tx"), F.col("ty"), 9)
+        )
+
+    q["quadkey_tiles"] = quadkey_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -4000,6 +4019,30 @@ SELECT event_id,
                  / (es - pes) > 0.00002
             THEN 1 ELSE 0 END AS is_ghost
 FROM m
+"""
+
+    # quadkey_tiles: the SAME tile SQL text + a string_agg quadkey
+    from geomesa_spark.functions.tiles import tile_sql as _tile_sql
+
+    _tx_sql, _ty_sql = _tile_sql("lon", "lat", 9)
+    o["quadkey_tiles"] = f"""
+WITH pts AS (
+  SELECT event_id,
+         (event_id*9973 % 36000)/100.0 - 180.0 AS lon,
+         (event_id*7919 % 18000)/100.0 - 90.0 AS lat
+  FROM events
+),
+t AS (
+  SELECT event_id, {_tx_sql} AS tx, {_ty_sql} AS ty FROM pts
+)
+SELECT event_id, tx, ty,
+       (SELECT string_agg(
+           substr('0123',
+                  CAST(1 + ((ty >> (9 - g.k)) & 1) * 2
+                         + ((tx >> (9 - g.k)) & 1) AS INT), 1),
+           '' ORDER BY g.k)
+        FROM generate_series(1, 9) g(k)) AS qk
+FROM t
 """
 
     # dbscan: quadratic pair mining with a bbox prefilter (fine

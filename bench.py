@@ -117,6 +117,7 @@ HEADLINE = [
     "snapshot_diff",
     "frequent_places",
     "speed_filter",
+    "quadkey_tiles",
 ]
 
 

@@ -2038,6 +2038,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quadkey_tiles"] = quadkey_gate
 
+    def zonal_raster_gate(spark, sf):
+        """Raster zonal statistics (raster.zonal_pixel_stats): the
+        synthetic tile pyramid's pixels de-interleaved to centers
+        (squash2_col), broadcast PIP join per center, fixed-point
+        per-zone sums — the GeoTools ZonalStats analog with the
+        raster kept distributed. Fixed synthetic level (16x16 cells
+        of 8x8 px), zones = the pip polygons."""
+        from geomesa_spark.operators.raster import (
+            synth_tiles, zonal_pixel_stats,
+        )
+
+        tiles = synth_tiles(spark, 4, px=8, py=8, limit_cells=256)
+        return zonal_pixel_stats(tiles, _polys, res_bits=4)
+
+    q["zonal_raster"] = zonal_raster_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -4043,6 +4059,68 @@ SELECT event_id, tx, ty,
            '' ORDER BY g.k)
         FROM generate_series(1, 9) g(k)) AS qk
 FROM t
+"""
+
+    # zonal_raster: regenerate the synthetic pixel lattice (ids ->
+    # ix/iy -> spread-interleaved cell -> wrapped-uint64 base value
+    # via HUGEINT mod 2^64), derive exact-double pixel centers, the
+    # pip conditions, fixed-point zone aggregates
+    _zr_inner = (
+        "SELECT t.k AS id, (t.k % 16) AS ix, (t.k // 16) AS iy, "
+        "(t.k % 16) AS x, (t.k // 16) AS y "
+        "FROM generate_series(0, 255) t(k)"
+    )
+    _zr_q = (
+        "SELECT id, ix, iy, (x & 2147483647) AS x, (y & 2147483647) AS y "
+        f"FROM ({_zr_inner})"
+    )
+    for _sh, _mk in C._SPREAD2:
+        _pre = _mk >> _sh
+        _zr_q = (
+            "SELECT id, ix, iy, "
+            f"(((x | ((x & {_pre}) << {_sh})) & {_mk})) AS x, "
+            f"(((y | ((y & {_pre}) << {_sh})) & {_mk})) AS y "
+            f"FROM ({_zr_q})"
+        )
+    _zr_pix = f"""
+cells AS (
+  SELECT id, ix, iy, (x | (y << 1)) AS cell FROM ({_zr_q})
+),
+vals AS (
+  SELECT ix, iy,
+         CAST(((CAST(cell AS HUGEINT) * 11400714819323198485)
+               % 18446744073709551616) // 1099511627776 AS DOUBLE) AS base
+  FROM cells
+),
+pix AS (
+  SELECT
+    (CAST(ix AS DOUBLE)
+     + (CAST(p.k % 8 AS DOUBLE) + 0.5) / 8.0) / 16.0 * 360.0 - 180.0
+      AS lon,
+    (CAST(iy AS DOUBLE)
+     + (CAST(p.k // 8 AS DOUBLE) + 0.5) / 8.0) / 16.0 * 180.0 - 90.0
+      AS lat,
+    base + (CAST(p.k // 8 AS DOUBLE) * 0.01
+            + CAST(p.k % 8 AS DOUBLE) * 0.0001) AS v
+  FROM vals, UNNEST(generate_series(0, 63)) p(k)
+)"""
+
+    def _zr_sel(zone: str, cond: str) -> str:
+        return f"""
+SELECT '{zone}' AS zone,
+       CAST(count(*) AS BIGINT) AS n_px,
+       min(v) AS vmin, max(v) AS vmax,
+       CAST(sum(CAST(floor(v * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS sum_fp,
+       CAST(CAST(sum(CAST(floor(v * 1000000.0) AS BIGINT)) AS BIGINT)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_fp
+FROM pix WHERE {cond}"""
+
+    o["zonal_raster"] = f"""
+WITH {_zr_pix}
+{_zr_sel('rect', rect_cond)}
+UNION ALL {_zr_sel('tri', _convex_cond(TRIANGLE))}
+UNION ALL {_zr_sel('pent', _convex_cond(PENTAGON))}
 """
 
     # dbscan: quadratic pair mining with a bbox prefilter (fine

@@ -118,6 +118,7 @@ HEADLINE = [
     "frequent_places",
     "speed_filter",
     "quadkey_tiles",
+    "zonal_raster",
 ]
 
 

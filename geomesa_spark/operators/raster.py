@@ -441,3 +441,73 @@ def _mosaic_sampled(
     for r in blocks.mapInPandas(sample, schema=sample_schema).collect():
         out[r.oy, r.ox] = r.v
     return out
+
+
+def zonal_pixel_stats(
+    tiles: DataFrame,
+    zones: list[tuple[str, str]],
+    res_bits: int,
+    value_scale: int = 1_000_000,
+    bits: int = 8,
+) -> DataFrame:
+    """Raster zonal statistics: per-polygon aggregates of the PIXEL
+    values under each zone — the classic "mean raster value per
+    district" (GeoTools' ZonalStats process runs it client-side per
+    coverage; here the raster stays distributed).
+
+    Pipeline, all-JVM: tiles of the resolution de-interleave their
+    cell (``cells.squash2_col`` — the shared Morton inverse),
+    posexplode the pixel array (fan-out px·py per tile, the raster's
+    own size), derive each pixel CENTER's lon/lat arithmetically,
+    and feed the centers through the broadcast PIP join; one
+    partial-aggregated groupBy per zone finishes.  Pixel-center
+    membership is the standard raster zonal convention (no partial-
+    pixel area weighting — document, don't approximate silently).
+
+    Determinism: center coordinates are exact double arithmetic
+    ((i + (c+0.5)/px) / n · 360 − 180); count/min/max exact; the sum
+    is int64 fixed point (Σ floor(v·value_scale)) and `mean_fp` one
+    division of canonical integers — the zonal_stats contract.
+
+    Returns (zone, n_px, vmin, vmax, sum_fp, mean_fp)."""
+    from geomesa_spark.operators.spatial_join import pip_join_broadcast
+
+    n = 1 << res_bits
+    t = tiles.filter(F.col("res_bits") == res_bits)
+    ix = C.squash2_col(F.col("cell"))
+    iy = C.squash2_col(F.shiftrightunsigned(F.col("cell"), 1))
+    ex = t.select(
+        ix.alias("_ix"), iy.alias("_iy"), "px", "py",
+        F.posexplode(F.col("tile")).alias("_p", "_v"),
+    )
+    r = F.floor(F.col("_p") / F.col("px")).cast("long")
+    c = F.pmod(F.col("_p"), F.col("px")).cast("long")
+    lon = (
+        (F.col("_ix").cast("double")
+         + (c.cast("double") + F.lit(0.5)) / F.col("px").cast("double"))
+        / F.lit(float(n)) * F.lit(360.0) - F.lit(180.0)
+    )
+    lat = (
+        (F.col("_iy").cast("double")
+         + (r.cast("double") + F.lit(0.5)) / F.col("py").cast("double"))
+        / F.lit(float(n)) * F.lit(180.0) - F.lit(90.0)
+    )
+    pts = ex.select(
+        lon.alias("lon"), lat.alias("lat"), F.col("_v").alias("v")
+    ).withColumn("cell", C.z2_cell(F.col("lon"), F.col("lat")))
+    joined = pip_join_broadcast(pts, zones)
+    vfp = F.floor(F.col("v") * F.lit(float(value_scale))).cast("long")
+    return (
+        joined.withColumn("_vfp", vfp)
+        .groupBy(F.col("poly_id").alias("zone"))
+        .agg(
+            F.count("*").cast("long").alias("n_px"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+            F.sum("_vfp").alias("sum_fp"),
+        )
+        .withColumn(
+            "mean_fp",
+            F.col("sum_fp").cast("double") / F.col("n_px").cast("double"),
+        )
+    )

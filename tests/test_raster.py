@@ -143,3 +143,57 @@ def test_mosaic_forced_distributed_parity(spark, tiles):
     via_driver = R.mosaic(tiles, bbox, 4, 16, 8)
     via_blocks = R.mosaic(tiles, bbox, 4, 16, 8, driver_max_pixels=1)
     np.testing.assert_allclose(via_blocks, via_driver)
+
+
+def test_zonal_pixel_stats_oracle(spark):
+    """Numpy oracle: regenerate the synthetic pixels, test centers
+    against each polygon, mirror the fixed-point aggregates."""
+    import numpy as np
+
+    from geomesa_spark.functions import cells as C
+    from geomesa_spark.functions.geometry import contains, parse_wkt
+    from geomesa_spark.operators.raster import synth_tiles, zonal_pixel_stats
+
+    RB, PX, PY, LIM = 4, 8, 8, 256  # full 16x16 grid, 8x8 tiles
+    tiles = synth_tiles(spark, RB, px=PX, py=PY, limit_cells=LIM)
+    ZONES = [
+        ("east", "POLYGON ((10.0 -60.0, 170.0 -60.0, 170.0 70.0, "
+                 "10.0 70.0, 10.0 -60.0))"),
+        ("tri", "POLYGON ((-150.0 -50.0, -30.0 -70.0, -90.0 40.0, "
+                "-150.0 -50.0))"),
+    ]
+    got = {r.zone: (r.n_px, r.vmin, r.vmax, r.sum_fp, r.mean_fp)
+           for r in zonal_pixel_stats(tiles, ZONES, RB).collect()}
+
+    n = 1 << RB
+    ids = np.arange(LIM)
+    ix = ids % n
+    iy = ids // n
+    zc = C.z2_encode_np(ix, iy)
+    exp = {}
+    for zone, wkt in ZONES:
+        g = parse_wkt(wkt)
+        tot_n = 0
+        vs = []
+        for k in range(LIM):
+            base = float(
+                (np.uint64(zc[k]) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(40)
+            )
+            grid = base + np.add.outer(
+                np.arange(PY) * 0.01, np.arange(PX) * 0.0001
+            )
+            rr, cc = np.meshgrid(np.arange(PY), np.arange(PX),
+                                 indexing="ij")
+            lon = (ix[k] + (cc + 0.5) / PX) / n * 360.0 - 180.0
+            lat = (iy[k] + (rr + 0.5) / PY) / n * 180.0 - 90.0
+            m = contains(g, lon.ravel(), lat.ravel())
+            tot_n += int(m.sum())
+            vs.append(grid.ravel()[m])
+        v = np.concatenate(vs)
+        fp = np.floor(v * 1_000_000.0).astype(np.int64)
+        exp[zone] = (tot_n, float(v.min()), float(v.max()),
+                     int(fp.sum()),
+                     float(float(fp.sum()) / float(tot_n)))
+    assert got == exp
+    assert all(v[0] > 500 for v in exp.values())

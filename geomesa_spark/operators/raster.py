@@ -149,7 +149,12 @@ def synth_tiles(
             zc = C.z2_encode_np(ix, iy)
             rows = []
             for k, cell in enumerate(zc):
-                base = (np.uint64(cell) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+                # uint64 wraparound is the DEFINED mixing step
+                # (the oracle reproduces it as HUGEINT mod 2^64)
+                with np.errstate(over="ignore"):
+                    base = (
+                        np.uint64(cell) * np.uint64(0x9E3779B97F4A7C15)
+                    ) >> np.uint64(40)
                 grid = (
                     float(base)
                     + np.add.outer(np.arange(py) * 0.01, np.arange(px) * 0.0001)

@@ -28,3 +28,8 @@ from geomesa_spark.streaming.stops import (  # noqa: F401
     read_stops,
     stop_stream,
 )
+from geomesa_spark.streaming.cotravel import (  # noqa: F401
+    cotravel_stream,
+    read_alerts,
+    read_pair_counts,
+)

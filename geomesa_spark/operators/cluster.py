@@ -210,7 +210,8 @@ def dbscan(
         .select("id_a", "id_b")
     )
     comp = dup_components(
-        core_edges, max_iter=max_iter, a_col="id_a", b_col="id_b"
+        core_edges, max_iter=max_iter, a_col="id_a", b_col="id_b",
+        unique_pairs=True,  # eps_pairs emits each a<b pair exactly once
     )
     core_labels = (
         core.join(comp, core["id"] == comp["doc"], "left")

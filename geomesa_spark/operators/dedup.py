@@ -593,6 +593,7 @@ def dup_components(
     max_iter: int = 20,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    unique_pairs: bool = False,
 ) -> DataFrame:
     """Connected components over near-dup pairs -> canonical doc.
 
@@ -609,12 +610,22 @@ def dup_components(
 
     Input: pair rows (doc_a, doc_b); output: (doc, canon) where canon
     is the minimum doc id of the component — the keep candidate for
-    dedup filtering.
+    dedup filtering.  `unique_pairs=True` skips the edge-dedup shuffle
+    when the caller guarantees each undirected pair appears exactly
+    once (eps_pairs / single-meeting-cell miners); duplicate edges
+    would not corrupt the labels (min is idempotent), only inflate
+    every round's join, so the flag is purely a cost switch.
     """
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    # repartition on the loop's join key ONCE: the persisted frame
+    # keeps HashPartitioning(src), so every round's edges-side shuffle
+    # vanishes and only the (much smaller) label frame moves.
     edges = fwd.unionByName(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    ).distinct().persist()
+    )
+    if not unique_pairs:
+        edges = edges.distinct()
+    edges = edges.repartition(F.col("src")).persist()
     labels = (
         edges.select(F.col("src").alias("doc"))
         .distinct()
@@ -637,6 +648,7 @@ def dup_components(
             labels.join(neigh, "doc", "left")
             .select(
                 "doc",
+                F.col("canon").alias("old_canon"),
                 F.least(
                     F.col("canon"), F.coalesce(F.col("n_canon"), F.col("canon"))
                 ).alias("canon"),
@@ -648,21 +660,20 @@ def dup_components(
         parents = prop.select(
             F.col("doc").alias("p_doc"), F.col("canon").alias("p_canon")
         )
+        final_canon = F.coalesce(F.col("p_canon"), F.col("canon"))
         new_labels = (
             prop.join(parents, prop["canon"] == parents["p_doc"], "left")
             .select(
                 "doc",
-                F.coalesce(F.col("p_canon"), F.col("canon")).alias("canon"),
+                final_canon.alias("canon"),
+                (final_canon != F.col("old_canon")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.canon") != F.col("o.canon"))
-            .limit(1)
-            .count()
-        )
+        # convergence = a plain scan of the just-checkpointed blocks
+        # (the chg flag rides along); the old form re-joined the new
+        # labels against the old — one extra shuffle join per round.
+        changed = new_labels.filter("chg").limit(1).count()
         labels.unpersist()
         labels = new_labels
         if changed == 0:
@@ -673,7 +684,7 @@ def dup_components(
             f"dup_components did not converge in {max_iter} rounds "
             "(component diameter > 2^max_iter?) — raise max_iter"
         )
-    return labels
+    return labels.select("doc", "canon")
 
 
 def dedup_filter(

@@ -25,6 +25,7 @@ min/max (Hausdorff is a set distance).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -41,12 +42,32 @@ def hausdorff_join(
     lat_col: str = "lat",
     a_col: str = "track_a",
     b_col: str = "track_b",
+    impl: str = "packed",
 ) -> DataFrame:
     """Symmetric discrete Hausdorff distance per candidate pair.
 
     pts: one row per (track, point); pairs: (track_a, track_b)
     candidates. Returns (track_a, track_b, hausdorff) in the
-    coordinate units (planar degrees for lon/lat)."""
+    coordinate units (planar degrees for lon/lat).
+
+    impl='packed' (default): each track folds to ONE coordinate-array
+    row (the dtw_join shape); the |A|x|B| distance matrix runs as a
+    per-pair numpy sweep inside an Arrow-batched pandas UDF.  The
+    giant intermediate of the relational form — |pairs|·|A|·|B|
+    joined rows pushed through a hash aggregate keyed on (pair, side,
+    probe point) — never materializes, and the arithmetic is the
+    identical IEEE sequence (dx*dx + dy*dy, min/max folds, one final
+    correctly-rounded sqrt), so results are bit-equal.
+    impl='join': the pure-JVM two-equi-join + min/max aggregate form
+    (no Python anywhere in the physical plan) — same values, pay the
+    |A|·|B| hash-aggregate; the right choice when Arrow is
+    unavailable or track arrays would be huge."""
+    if impl not in ("packed", "join"):
+        raise ValueError(f"unknown impl {impl!r}")
+    if impl == "packed":
+        return _hausdorff_packed(
+            pts, pairs, track_col, lon_col, lat_col, a_col, b_col
+        )
     p = pts.select(
         F.col(track_col).alias("_t"),
         F.col(lon_col).alias("_x"),
@@ -88,6 +109,87 @@ def hausdorff_join(
     return (
         inner.groupBy(F.col("ta").alias(a_col), F.col("tb").alias(b_col))
         .agg(F.sqrt(F.max("_min_d2")).alias("hausdorff"))
+    )
+
+
+def _hausdorff_packed(
+    pts: DataFrame,
+    pairs: DataFrame,
+    track_col: str,
+    lon_col: str,
+    lat_col: str,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Packed-array Hausdorff: one row per track (coordinate arrays),
+    two equi-joins onto the pair table, then a scalar Arrow pandas UDF
+    sweeps the |A|x|B| matrix per pair with numpy broadcasting.
+
+    No sort_array: Hausdorff is a SET distance, so point order is
+    irrelevant — only the x/y correspondence matters, which the struct
+    collect preserves.  Arithmetic is bit-equal to the relational
+    impl='join' path: float64 dx*dx + dy*dy, min/max folds (exact
+    selections, order-free), one correctly-rounded sqrt at the end."""
+    import math
+
+    import numpy as np
+    from pyspark.sql.types import DoubleType
+
+    packed = (
+        pts.groupBy(F.col(track_col).alias("_t"))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col(lon_col).cast("double").alias("x"),
+                    F.col(lat_col).cast("double").alias("y"),
+                )
+            ).alias("_s")
+        )
+        .select(
+            "_t",
+            F.transform(F.col("_s"), lambda s: s["x"]).alias("_xs"),
+            F.transform(F.col("_s"), lambda s: s["y"]).alias("_ys"),
+        )
+    )
+    pr = pairs.select(F.col(a_col).alias("ta"), F.col(b_col).alias("tb"))
+    j = (
+        pr.join(
+            packed.select(
+                F.col("_t").alias("ta"),
+                F.col("_xs").alias("ax"), F.col("_ys").alias("ay"),
+            ),
+            "ta",
+        )
+        .join(
+            packed.select(
+                F.col("_t").alias("tb"),
+                F.col("_xs").alias("bx"), F.col("_ys").alias("by"),
+            ),
+            "tb",
+        )
+    )
+
+    @F.pandas_udf(DoubleType())
+    def _haus(
+        ax: pd.Series, ay: pd.Series, bx: pd.Series, by: pd.Series
+    ) -> pd.Series:
+        out = np.empty(len(ax), dtype=np.float64)
+        for i in range(len(ax)):
+            axi = np.asarray(ax[i], dtype=np.float64)
+            ayi = np.asarray(ay[i], dtype=np.float64)
+            bxi = np.asarray(bx[i], dtype=np.float64)
+            byi = np.asarray(by[i], dtype=np.float64)
+            dx = axi[:, None] - bxi[None, :]
+            dy = ayi[:, None] - byi[None, :]
+            d2 = dx * dx + dy * dy
+            h = max(d2.min(axis=1).max(), d2.min(axis=0).max())
+            out[i] = math.sqrt(h)
+        return pd.Series(out)
+
+    return j.select(
+        F.col("ta").alias(a_col),
+        F.col("tb").alias(b_col),
+        _haus("ax", "ay", "bx", "by").alias("hausdorff"),
     )
 
 

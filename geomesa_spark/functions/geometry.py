@@ -382,7 +382,14 @@ def _unwrap_ring(ring: np.ndarray) -> list:
 
 def crosses_idl(geom: Geometry) -> bool:
     """True when any ring crosses the antimeridian: consecutive
-    longitude jumps > 180 deg, or coordinates outside [-180, 180]."""
+    longitude jumps > 180 deg, or coordinates outside [-180, 180].
+
+    The jump inference is the reference's DOCUMENTED input contract
+    (GeohashUtils.scala:715-719, via spatial4j dateline inference):
+    a successive lon diff > 180 deg means the segment wraps the IDL;
+    to express a genuinely wide planar geometry (e.g. a full
+    longitude band) the caller must insert waypoints so every
+    consecutive diff is <= 180. A diff of exactly 180 stays planar."""
     for ring in geom.rings:
         xs = ring[:, 0]
         if xs.min() < -180.0 or xs.max() > 180.0:

@@ -70,6 +70,8 @@ def tile_cols(lon: str, lat: str, z: int) -> tuple[Column, Column]:
 def quadkey_col(tx: Column, ty: Column, z: int) -> Column:
     """Base-4 quadkey string of a (tx, ty) tile at level z: digit k
     (MSB first) = ty bit << 1 | tx bit — prefix = ancestor."""
+    if z == 0:
+        return F.lit("")  # the root tile's quadkey is the empty string
     digits = [
         F.substring(
             F.lit("0123"),

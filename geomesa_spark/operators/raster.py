@@ -500,7 +500,7 @@ def zonal_pixel_stats(
     pts = ex.select(
         lon.alias("lon"), lat.alias("lat"), F.col("_v").alias("v")
     ).withColumn("cell", C.z2_cell(F.col("lon"), F.col("lat")))
-    joined = pip_join_broadcast(pts, zones)
+    joined = pip_join_broadcast(pts, zones, bits=bits)
     vfp = F.floor(F.col("v") * F.lit(float(value_scale))).cast("long")
     return (
         joined.withColumn("_vfp", vfp)

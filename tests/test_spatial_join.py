@@ -123,3 +123,35 @@ def test_partitioned_budget_overflow_degrades(spark):
         m = G.contains(g, pdf.lon.to_numpy(), pdf.lat.to_numpy())
         exp |= {(d, pid) for d in pdf.doc_id[m]}
     assert got == exp
+
+
+def test_wide_band_waypoint_contract(spark):
+    """The reference's documented IDL input contract
+    (GeohashUtils.scala:715-719): a successive lon diff > 180 deg is
+    INFERRED as a dateline wrap; a genuinely wide planar polygon must
+    insert waypoints so every diff is <= 180 (a diff of exactly 180
+    stays planar)."""
+    from geomesa_spark.functions import cells as C
+
+    pts = spark.createDataFrame(
+        [(0.0, 0.0), (179.0, 0.0), (-179.0, 0.0)],
+        "lon double, lat double",
+    ).withColumn("cell", C.z2_cell(F.col("lon"), F.col("lat")))
+
+    # waypointed world band: planar, contains all three points
+    band_wp = ("band", "POLYGON((-180 -20, -180 20, 0 20, 180 20, "
+               "180 -20, 0 -20, -180 -20))")
+    got = {r.lon for r in SJ.pip_join_broadcast(pts, [band_wp]).collect()}
+    assert got == {0.0, 179.0, -179.0}
+
+    # same extremes WITHOUT waypoints: the 240-deg jump is inferred
+    # as an IDL wrap -> covers 120..180 / -180..-120 only
+    band_wrap = ("wrap", "POLYGON((-120 -20, -120 20, 120 20, "
+                 "120 -20, -120 -20))")
+    got = {r.lon for r in SJ.pip_join_broadcast(pts, [band_wrap]).collect()}
+    assert got == {179.0, -179.0}
+
+    # diff of exactly 180 stays planar
+    half = ("half", "POLYGON((-90 -20, -90 20, 90 20, 90 -20, -90 -20))")
+    got = {r.lon for r in SJ.pip_join_broadcast(pts, [half]).collect()}
+    assert got == {0.0}

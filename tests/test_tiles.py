@@ -53,3 +53,16 @@ def test_quadkey_prefix_is_ancestor():
 def test_mercator_clamp_poles():
     tx, ty = tile_np(np.array([0.0, 0.0]), np.array([89.9, -89.9]), 4)
     assert ty[0] == 0 and ty[1] == 15  # clamped into the valid band
+
+
+def test_quadkey_root_level(spark):
+    # z=0: the root tile's quadkey is the empty string (matches
+    # quadkey_np), not a concat() error
+    from geomesa_spark.functions.tiles import quadkey_col, quadkey_np
+
+    df = spark.range(1).select(
+        quadkey_col(F.lit(0).cast("long"), F.lit(0).cast("long"), 0)
+        .alias("qk")
+    )
+    assert df.collect()[0].qk == ""
+    assert quadkey_np([0], [0], 0) == [""]

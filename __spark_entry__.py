@@ -1704,6 +1704,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hotspot_st"] = hotspot_st_gate
 
+    def emerging_gate(spark, sf):
+        """Emerging hot spot analysis: per-cell Mann-Kendall trend
+        over the space-time bins + classification vs the Gi* hot
+        flag. hot_z/trend_z = 1.0 (not the production 1.96) so the
+        hash-uniform gate corpus exercises every branch of the
+        classification (new/intensifying/diminishing/persistent/
+        formerly_hot/none) rather than collapsing to 'none'."""
+        from geomesa_spark.operators.hotspot import emerging_hotspots
+
+        return emerging_hotspots(
+            geo_events(spark, sf), "dtg", bits=4, ring=1,
+            time_bucket_s=86400, time_ring=1, hot_z=1.0, trend_z=1.0,
+        )
+
+    q["emerging_hotspots"] = emerging_gate
+
     def _cooc_pts(spark, sf):
         return (
             _load(spark, sf, "events")
@@ -4518,6 +4534,89 @@ st AS (
 SELECT c.x, c.y, c.tb, c.w, nbr_n, nbr_sum,
        {_gi_expr()} AS gi_star
 FROM cells c JOIN nbr USING (x, y, tb), st
+"""
+
+    from geomesa_spark.operators.hotspot import (
+        MK_Z_SQL as _MK_Z,
+        PATTERN_SQL as _PAT,
+    )
+
+    # emerging_hotspots gate: the hotspot_st pipeline at bits=4, then
+    # per-cell Mann-Kendall on bin weights + classification — the MK z
+    # and pattern come from the SAME shared SQL strings the operator
+    # evaluates, so the doubles and labels hash-compare.
+    o["emerging_hotspots"] = f"""
+WITH tp AS (
+  SELECT (event_id*9973 % 36000)/100.0 - 180.0 AS lon,
+         (event_id*7919 % 18000)/100.0 - 90.0 AS lat,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+g AS (
+  SELECT CAST(greatest(0, least(15, floor((lon+180.0)/360.0*16.0))) AS BIGINT) AS x,
+         CAST(greatest(0, least(15, floor((lat+90.0)/180.0*16.0))) AS BIGINT) AS y,
+         CAST(floor(CAST(es AS DOUBLE) / 86400.0) AS BIGINT) AS tb
+  FROM tp
+),
+cells AS (
+  SELECT x, y, tb, CAST(count(*) AS BIGINT) AS w FROM g GROUP BY x, y, tb
+),
+offs AS (
+  SELECT a.dx, b.dy, c.dt
+  FROM (VALUES (-1),(0),(1)) a(dx), (VALUES (-1),(0),(1)) b(dy),
+       (VALUES (-1),(0),(1)) c(dt)
+),
+contrib AS (
+  SELECT ((x + dx) % 16 + 16) % 16 AS tx, y + dy AS ty, tb + dt AS tt, w
+  FROM cells, offs WHERE y + dy BETWEEN 0 AND 15
+),
+nbr AS (
+  SELECT tx AS x, ty AS y, tt AS tb, CAST(count(*) AS BIGINT) AS nbr_n,
+         CAST(sum(w) AS BIGINT) AS nbr_sum
+  FROM contrib GROUP BY tx, ty, tt
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(w) AS BIGINT) AS sum_w,
+         CAST(sum(w*w) AS BIGINT) AS sum_q
+  FROM cells
+),
+bins AS (
+  SELECT c.x, c.y, c.tb, c.w, {_gi_expr()} AS gi_star
+  FROM cells c JOIN nbr USING (x, y, tb), st
+),
+glast AS (SELECT max(tb) AS lt FROM bins),
+agg AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS n_bins,
+         CAST(sum(CASE WHEN gi_star >= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+         CAST(max(CASE WHEN tb = (SELECT lt FROM glast)
+                        AND gi_star >= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS last_hot
+  FROM bins GROUP BY x, y
+),
+prs AS (
+  SELECT a.x, a.y,
+         CAST(sum(CASE WHEN b.w > a.w THEN 1
+                       WHEN b.w < a.w THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM bins a JOIN bins b ON a.x = b.x AND a.y = b.y AND a.tb < b.tb
+  GROUP BY a.x, a.y
+),
+ties AS (
+  SELECT x, y, CAST(sum(c*(c-1)*(2*c+5)) AS BIGINT) AS tt
+  FROM (SELECT x, y, w, CAST(count(*) AS BIGINT) AS c
+        FROM bins GROUP BY x, y, w)
+  GROUP BY x, y
+),
+mk AS (
+  SELECT agg.x, agg.y, n_bins, n_hot, last_hot,
+         CAST(coalesce(prs.s, 0) AS BIGINT) AS s,
+         CAST(n_bins*(n_bins-1)*(2*n_bins+5)
+              - coalesce(ties.tt, 0) AS BIGINT) AS var_num
+  FROM agg LEFT JOIN prs USING (x, y) LEFT JOIN ties USING (x, y)
+)
+SELECT x, y, n_bins, n_hot, last_hot, s, var_num,
+       {_MK_Z.format(S="s", V="var_num")} AS mk_z,
+       {_PAT.format(tz=1.0)} AS pattern
+FROM mk
 """
 
     o["histogram_job"] = """

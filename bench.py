@@ -119,6 +119,7 @@ HEADLINE = [
     "speed_filter",
     "quadkey_tiles",
     "zonal_raster",
+    "emerging_hotspots",
 ]
 
 

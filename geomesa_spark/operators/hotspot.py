@@ -38,7 +38,10 @@ from pyspark.sql import functions as F
 
 from geomesa_spark.functions import cells as C
 
-__all__ = ["hotspot_cells", "hotspot_cells_st", "hotspot_hex", "GI_STAR_SQL"]
+__all__ = [
+    "hotspot_cells", "hotspot_cells_st", "hotspot_hex", "GI_STAR_SQL",
+    "mann_kendall", "emerging_hotspots", "MK_Z_SQL", "PATTERN_SQL",
+]
 
 # (S - mean*n) / (s * sqrt((N*n - n^2) / (N-1))) with
 # mean = W/N, s = sqrt(Q/N - mean^2); NULL when the denominator
@@ -210,6 +213,164 @@ def hotspot_cells_st(
         .crossJoin(stats)
         .withColumn("gi_star", F.expr(gi_star_expr()))
         .select("x", "y", "tb", "w", "nbr_n", "nbr_sum", "gi_star")
+    )
+
+
+# Mann-Kendall z with the continuity correction: z = (S -+ 1)/sqrt(var),
+# 0 when S = 0, NULL when the variance degenerates (n < 2 or all values
+# tied). {S} = the integer sign sum, {V} = 18*var as an exact int64
+# (n(n-1)(2n+5) - tie correction), so the only float ops are one
+# division and one sqrt — the GI_STAR_SQL determinism contract.
+MK_Z_SQL = (
+    "CASE WHEN {V} > 0 THEN"
+    " (CAST({S} AS DOUBLE)"
+    " - CASE WHEN {S} > 0 THEN 1.0 WHEN {S} < 0 THEN -1.0 ELSE 0.0 END)"
+    " / sqrt(CAST({V} AS DOUBLE) / 18.0)"
+    " END"
+)
+
+# Emerging-hotspot classification (the ESRI emerging-hot-spot
+# taxonomy, reduced to the exactly-decidable core): evaluated over
+# (last_hot, n_hot, mk_z) by BOTH engines verbatim.
+PATTERN_SQL = (
+    "CASE WHEN last_hot = 1 AND n_hot = 1 THEN 'new'"
+    " WHEN last_hot = 1 AND mk_z >= {tz} THEN 'intensifying'"
+    " WHEN last_hot = 1 AND mk_z <= -{tz} THEN 'diminishing'"
+    " WHEN last_hot = 1 THEN 'persistent'"
+    " WHEN n_hot > 0 THEN 'formerly_hot'"
+    " ELSE 'none' END"
+)
+
+
+def mk_z_expr(S="s", V="var_num") -> str:
+    return MK_Z_SQL.format(S=S, V=V)
+
+
+def mann_kendall(
+    df: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    v_col: str,
+) -> DataFrame:
+    """Mann-Kendall trend test per key: S = sum over ordered bin
+    pairs of sign(v_j - v_i), tie-corrected variance, and the
+    continuity-corrected z — the standard monotone-trend statistic
+    (Mann 1945, Kendall 1975; the trend stage of ESRI's emerging
+    hot spot analysis).
+
+    Scale shape: the pair term is a per-key equi-join — O(T^2) with
+    T = bins per key, caller-bounded (days per analysis window),
+    never corpus^2 (the hausdorff_join contract).  S, the tie sum,
+    and 18*var are exact int64, so both engines agree bit-for-bit;
+    z adds one division and one sqrt (``MK_Z_SQL``).
+
+    Returns key_cols + (n_bins, s, var_num, mk_z) — var_num = 18*var;
+    mk_z NULL when var degenerates (n < 2 or all values tied)."""
+    b = df.select(
+        *key_cols,
+        F.col(t_col).alias("_t"),
+        F.col(v_col).cast("long").alias("_v"),
+    )
+    n = b.groupBy(*key_cols).agg(F.count("*").cast("long").alias("n_bins"))
+    li = b.select(*key_cols, F.col("_t").alias("_ti"),
+                  F.col("_v").alias("_vi"))
+    rj = b.select(*key_cols, F.col("_t").alias("_tj"),
+                  F.col("_v").alias("_vj"))
+    sgn = (
+        F.when(F.col("_vj") > F.col("_vi"), 1)
+        .when(F.col("_vj") < F.col("_vi"), -1)
+        .otherwise(0)
+    )
+    s = (
+        li.join(rj, key_cols)
+        .filter(F.col("_ti") < F.col("_tj"))
+        .groupBy(*key_cols)
+        .agg(F.sum(sgn).cast("long").alias("s"))
+    )
+    g = F.col("_g")
+    ties = (
+        b.groupBy(*key_cols, "_v")
+        .agg(F.count("*").cast("long").alias("_g"))
+        .groupBy(*key_cols)
+        .agg(
+            F.sum(g * (g - 1) * (2 * g + 5)).cast("long").alias("_tt")
+        )
+    )
+    nb = F.col("n_bins")
+    return (
+        n.join(s, key_cols, "left")
+        .join(ties, key_cols, "left")
+        .select(
+            *key_cols,
+            "n_bins",
+            F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("s"),
+            (nb * (nb - 1) * (2 * nb + 5)
+             - F.coalesce(F.col("_tt"), F.lit(0)))
+            .cast("long").alias("var_num"),
+        )
+        .withColumn("mk_z", F.expr(mk_z_expr()))
+    )
+
+
+def emerging_hotspots(
+    df: DataFrame,
+    ts_col: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    bits: int = 6,
+    ring: int = 1,
+    time_bucket_s: int = 86400,
+    time_ring: int = 1,
+    weight_col: str | None = None,
+    hot_z: float = 1.96,
+    trend_z: float = 1.96,
+) -> DataFrame:
+    """Emerging hot spot analysis: classify each occupied cell by how
+    its space-time Gi* hot bins evolve — the composition ESRI ships
+    on top of the space-time cube (``hotspot_cells_st`` is the bin
+    statistic; this adds the per-cell Mann-Kendall trend on bin
+    weights and a pattern label).
+
+    A bin is HOT when its gi_star >= `hot_z`; "last" is the GLOBAL
+    newest time bucket (a cell absent from it is not currently hot).
+    Patterns (``PATTERN_SQL``): new (hot now, never before),
+    intensifying / diminishing (hot now, weight trend |z| >=
+    `trend_z`), persistent (hot now, no significant trend),
+    formerly_hot, none.
+
+    The bin frame is lazily localCheckpointed: three downstream
+    consumers (per-cell rollup, MK pairs, tie groups) re-read the
+    materialized bins instead of re-running the three-stage Gi*
+    pipeline.  Returns (x, y, n_bins, n_hot, last_hot, s, var_num,
+    mk_z, pattern)."""
+    st = hotspot_cells_st(
+        df, ts_col, lon_col=lon_col, lat_col=lat_col, bits=bits,
+        ring=ring, time_bucket_s=time_bucket_s, time_ring=time_ring,
+        weight_col=weight_col,
+    ).localCheckpoint(eager=False)
+    last = F.broadcast(st.agg(F.max("tb").alias("_lt")))
+    hot = F.when(F.col("gi_star") >= F.lit(float(hot_z)), 1).otherwise(0)
+    per_cell = (
+        st.crossJoin(last)
+        .groupBy("x", "y")
+        .agg(
+            F.sum(hot).cast("long").alias("n_hot"),
+            F.max(
+                F.when((F.col("tb") == F.col("_lt")) & (hot == 1), 1)
+                .otherwise(0)
+            ).cast("long").alias("last_hot"),
+        )
+    )
+    mk = mann_kendall(st, ["x", "y"], "tb", "w")
+    return (
+        per_cell.join(mk, ["x", "y"])
+        .withColumn(
+            "pattern", F.expr(PATTERN_SQL.format(tz=float(trend_z)))
+        )
+        .select(
+            "x", "y", "n_bins", "n_hot", "last_hot", "s", "var_num",
+            "mk_z", "pattern",
+        )
     )
 
 

@@ -175,3 +175,156 @@ def test_space_time_matches_oracle(spark):
     # the burst bin must dominate; the same cell in other buckets must not
     hot = max(got.items(), key=lambda kv: kv[1][3])
     assert hot[0][2] == 1 and hot[1][3] > 3.0
+
+
+def _mk_oracle(series):
+    """(s, var_num, mk_z) for one list of (t, v) — brute force."""
+    vs = [v for _, v in sorted(series)]
+    n = len(vs)
+    s = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s += (vs[j] > vs[i]) - (vs[j] < vs[i])
+    from collections import Counter
+    tt = sum(c * (c - 1) * (2 * c + 5) for c in Counter(vs).values())
+    var_num = n * (n - 1) * (2 * n + 5) - tt
+    if var_num <= 0:
+        return s, var_num, None
+    z = (float(s) - (1.0 if s > 0 else -1.0 if s < 0 else 0.0)) / math.sqrt(
+        var_num / 18.0
+    )
+    return s, var_num, z
+
+
+def test_mann_kendall_oracle(spark):
+    from geomesa_spark.operators.hotspot import mann_kendall
+
+    rng = np.random.default_rng(11)
+    rows, series = [], {}
+    for k in range(50):
+        n = int(rng.integers(1, 13))
+        vs = rng.integers(0, 5, n)  # small range -> heavy ties
+        series[k] = [(t, int(v)) for t, v in enumerate(vs)]
+        rows += [(k, t, int(v)) for t, v in series[k]]
+    df = spark.createDataFrame(rows, "k long, t long, v long")
+    got = {r.k: (r.n_bins, r.s, r.var_num, r.mk_z)
+           for r in mann_kendall(df, ["k"], "t", "v").collect()}
+    assert set(got) == set(series)
+    for k, ser in series.items():
+        s, vn, z = _mk_oracle(ser)
+        nb, gs, gv, gz = got[k]
+        assert (nb, gs, gv) == (len(ser), s, vn), k
+        # identical IEEE sequence: one division, one sqrt -> exact
+        assert gz == z, k
+
+
+def test_emerging_hotspots_patterns(spark):
+    """Engineered corpus: one cell ramps up (intensifying), one is
+    hot only in the final bucket (new), one only early
+    (formerly_hot) — verified against an independent python
+    pipeline (ST-Gi* + Mann-Kendall + the classification rules)."""
+    from geomesa_spark.operators.hotspot import emerging_hotspots
+
+    rng = np.random.default_rng(23)
+    DAY = 86400
+    lons, lats, ts = [], [], []
+
+    def put(lon, lat, day, cnt):
+        lons.extend(lon + rng.uniform(-0.5, 0.5, cnt))
+        lats.extend(lat + rng.uniform(-0.5, 0.5, cnt))
+        ts.extend(rng.integers(day * DAY, (day + 1) * DAY, cnt))
+
+    for d, c in enumerate([2, 4, 8, 16, 32, 64]):
+        put(10.0, 20.0, d, c)          # ramp -> intensifying
+    put(-60.0, -30.0, 5, 60)           # last day only -> new
+    put(120.0, 40.0, 0, 60)            # first day only -> formerly_hot
+    for d in range(6):                 # sparse background
+        put_lon = rng.uniform(-170, 170, 25)
+        put_lat = rng.uniform(-80, 80, 25)
+        lons.extend(put_lon)
+        lats.extend(put_lat)
+        ts.extend(rng.integers(d * DAY, (d + 1) * DAY, 25))
+
+    df = spark.createDataFrame(
+        list(zip([float(x) for x in lons], [float(y) for y in lats],
+                 [int(t) for t in ts])),
+        "lon double, lat double, es long",
+    )
+    got = {(r.x, r.y): r for r in emerging_hotspots(
+        df, "es", bits=5, ring=1, time_bucket_s=DAY, time_ring=1
+    ).collect()}
+
+    # independent python pipeline
+    n = 1 << 5
+    la, lo, ta = np.asarray(lats), np.asarray(lons), np.asarray(ts)
+    xs = np.clip(np.floor((lo + 180.0) / 360.0 * n), 0, n - 1).astype(int)
+    ys = np.clip(np.floor((la + 90.0) / 180.0 * n), 0, n - 1).astype(int)
+    tb = (ta // DAY).astype(int)
+    bins = {}
+    for k in zip(xs, ys, tb):
+        bins[k] = bins.get(k, 0) + 1
+    N, W, Q = len(bins), sum(bins.values()), sum(v * v for v in bins.values())
+    mean = W / N
+    sd = math.sqrt(Q / N - mean * mean)
+    gi = {}
+    for (x, y, t), v in bins.items():
+        nn = ns = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dt in (-1, 0, 1):
+                    k = ((x + dx) % n, y + dy, t + dt)
+                    if 0 <= k[1] < n and k in bins:
+                        nn += 1
+                        ns += bins[k]
+        gi[(x, y, t)] = (ns - mean * nn) / (
+            sd * math.sqrt((N * nn - nn * nn) / (N - 1.0))
+        )
+    last_tb = max(t for _, _, t in bins)
+    exp = {}
+    for (x, y) in {(x, y) for x, y, _ in bins}:
+        ser = [(t, v) for (bx, by, t), v in bins.items()
+               if (bx, by) == (x, y)]
+        s, vn, z = _mk_oracle(ser)
+        hots = [t for (t, _) in ser if gi[(x, y, t)] >= 1.96]
+        n_hot, last_hot = len(hots), int(last_tb in hots)
+        if last_hot and n_hot == 1:
+            pat = "new"
+        elif last_hot and z is not None and z >= 1.96:
+            pat = "intensifying"
+        elif last_hot and z is not None and z <= -1.96:
+            pat = "diminishing"
+        elif last_hot:
+            pat = "persistent"
+        elif n_hot > 0:
+            pat = "formerly_hot"
+        else:
+            pat = "none"
+        exp[(x, y)] = (len(ser), s, vn, n_hot, last_hot, pat)
+
+    assert set(got) == set(exp)
+    for k, (nb, s, vn, n_hot, last_hot, pat) in exp.items():
+        r = got[k]
+        assert (r.n_bins, r.s, r.var_num) == (nb, s, vn), k
+        assert (r.n_hot, r.last_hot, r.pattern) == (n_hot, last_hot, pat), k
+
+    # the three engineered cells land on their intended labels
+    def cell(lon, lat):
+        return (int(np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1)),
+                int(np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, n - 1)))
+
+    assert got[cell(10.0, 20.0)].pattern == "intensifying"
+    assert got[cell(-60.0, -30.0)].pattern == "new"
+    assert got[cell(120.0, 40.0)].pattern == "formerly_hot"
+
+
+def test_emerging_plan_no_python(spark):
+    from geomesa_spark.operators.hotspot import emerging_hotspots
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 0), (1.0, 1.0, 86400)], "lon double, lat double, es long"
+    )
+    plan = (
+        emerging_hotspots(df, "es", bits=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan

@@ -1799,6 +1799,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dbscan"] = dbscan_gate
 
+    def st_dbscan_gate(spark, sf):
+        """ST-DBSCAN (two-eps neighborhood, Birant & Kut): the same
+        blob corpus with event times — a neighbor must be within
+        0.02 deg AND 7 days, so each blob splits into its temporal
+        episodes instead of one month-wide cluster (7 days admits the
+        blob jitter lattice's rank-2-in-time close pairs — adjacent
+        members are deterministically > eps apart). min_pts=3 keeps a
+        live core/border mix at sf0.01 blob density."""
+        from geomesa_spark.operators.cluster import dbscan
+
+        pts = _load(spark, sf, "events").select(
+            F.col("event_id").alias("id"),
+            F.expr(_BLOB_LON).alias("lon"),
+            F.expr(_BLOB_LAT).alias("lat"),
+            F.unix_timestamp("ts").cast("double").alias("es"),
+        )
+        out = dbscan(pts, eps=0.02, min_pts=3, id_col="id",
+                     metric="planar", t_col="es", eps_t=604800.0)
+        return out.select(
+            "id", "cluster", F.col("is_core").cast("int").alias("is_core")
+        )
+
+    q["st_dbscan"] = st_dbscan_gate
+
     def track_resample_gate(spark, sf):
         """Time-regular track resampling (tracks.track_resample):
         each segment owns the grid ticks in (es_i, es_{i+1}], linear
@@ -4162,6 +4186,53 @@ nbrs AS (
 ),
 core AS (
   SELECT id FROM nbrs GROUP BY id HAVING count(*) + 1 >= 4
+),
+ce AS (
+  SELECT id_a, id_b FROM pairs
+  WHERE id_a IN (SELECT id FROM core) AND id_b IN (SELECT id FROM core)
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM ce
+  UNION SELECT id_b, id_a FROM ce
+),
+reach AS (
+  SELECT id AS doc, id AS other FROM core
+  UNION
+  SELECT r.doc, e.d FROM reach r JOIN edges e ON e.s = r.other
+),
+canon AS (SELECT doc AS id, min(other) AS cluster FROM reach GROUP BY doc)
+SELECT id, cluster, 1 AS is_core FROM canon
+UNION ALL
+SELECT n.id, min(c.cluster) AS cluster, 0 AS is_core
+FROM nbrs n JOIN canon c ON c.id = n.nb
+WHERE n.id NOT IN (SELECT id FROM core)
+GROUP BY n.id
+"""
+
+    # st_dbscan: the dbscan chain with the two-eps (spatial AND
+    # temporal) neighborhood predicate and min_pts=3
+    o["st_dbscan"] = f"""
+WITH RECURSIVE pts AS (
+  SELECT event_id AS id, {_BLOB_LON} AS lon, {_BLOB_LAT} AS lat,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM pts a JOIN pts b
+    ON a.id < b.id
+   AND b.lat BETWEEN a.lat - 0.02 AND a.lat + 0.02
+   AND b.lon BETWEEN a.lon - 0.02 AND a.lon + 0.02
+  WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)
+        <= 0.02 * 0.02
+    AND abs(a.es - b.es) <= 604800
+),
+nbrs AS (
+  SELECT id_a AS id, id_b AS nb FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+core AS (
+  SELECT id FROM nbrs GROUP BY id HAVING count(*) + 1 >= 3
 ),
 ce AS (
   SELECT id_a, id_b FROM pairs

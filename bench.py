@@ -120,6 +120,7 @@ HEADLINE = [
     "quadkey_tiles",
     "zonal_raster",
     "emerging_hotspots",
+    "st_dbscan",
 ]
 
 

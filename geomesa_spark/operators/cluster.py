@@ -61,12 +61,21 @@ def eps_pairs(
     lat_col: str = "lat",
     metric: str = "planar",
     dist_m: float | None = None,
+    t_col: str | None = None,
+    eps_t: float | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) within eps — each pair exactly once.
 
     metric='planar': eps is degrees, exact squared-degree compare.
     metric='haversine': eps (degrees) generates candidates; `dist_m`
     (meters, required) is the exact geodesic predicate.
+
+    `t_col`/`eps_t` add the spatiotemporal neighborhood (the
+    ST-DBSCAN two-eps rule, Birant & Kut 2007): a pair must ALSO
+    satisfy |t_a - t_b| <= eps_t.  The time axis becomes a third key
+    dimension (bucket width >= eps_t, left explodes +-1, no wrap),
+    so the quadratic term is bounded by the densest (cell x time
+    bucket) — temporally spread-out hot cells stop being hot.
     Returns (id_a, id_b, dist2 | dist_m)."""
     if eps <= 0:
         raise ValueError("eps must be positive")
@@ -74,6 +83,10 @@ def eps_pairs(
         raise ValueError(f"unknown metric {metric!r}")
     if metric == "haversine" and dist_m is None:
         raise ValueError("metric='haversine' requires dist_m")
+    if (t_col is None) != (eps_t is None):
+        raise ValueError("t_col and eps_t come together")
+    if eps_t is not None and eps_t <= 0:
+        raise ValueError("eps_t must be positive")
     nx = max(1, int(360.0 // eps))
     if 360.0 / nx < eps:
         nx -= 1
@@ -83,10 +96,14 @@ def eps_pairs(
         ny -= 1
     ny = max(1, ny)
 
+    tcols = (
+        [F.col(t_col).cast("double").alias("t")] if t_col else []
+    )
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(lon_col).alias("lon"),
         F.col(lat_col).alias("lat"),
+        *tcols,
     ).withColumns(
         {
             "cx": F.least(
@@ -105,38 +122,56 @@ def eps_pairs(
             ).cast("long"),
         }
     )
+    if t_col:
+        base = base.withColumn(
+            "ct", F.floor(F.col("t") / F.lit(float(eps_t))).cast("long")
+        )
+    dts = (-1, 0, 1) if t_col else (0,)
+    keys = ["kx", "ky"] + (["kt"] if t_col else [])
     left = base.select(
         F.col("id").alias("id_a"),
         F.col("lon").alias("lon_a"),
         F.col("lat").alias("lat_a"),
+        *([F.col("t").alias("t_a")] if t_col else []),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.pmod(F.col("cx") + F.lit(dx), F.lit(nx)).alias("kx"),
                         (F.col("cy") + F.lit(dy)).alias("ky"),
+                        *([
+                            (F.col("ct") + F.lit(dt)).alias("kt")
+                        ] if t_col else []),
                     )
                     for dx in (-1, 0, 1)
                     for dy in (-1, 0, 1)
+                    for dt in dts
                 ]
             )
         ).alias("k"),
     ).select(
         "id_a", "lon_a", "lat_a",
-        F.col("k.kx").alias("kx"), F.col("k.ky").alias("ky"),
+        *(["t_a"] if t_col else []),
+        *[F.col(f"k.{k}").alias(k) for k in keys],
     )
-    # lon keys duplicate under pmod only when nx < 3 (ky never wraps)
+    # lon keys duplicate under pmod only when nx < 3 (ky/kt never wrap)
     dedup_needed = nx < 3
     right = base.select(
         F.col("id").alias("id_b"),
         F.col("lon").alias("lon_b"),
         F.col("lat").alias("lat_b"),
+        *([F.col("t").alias("t_b")] if t_col else []),
         F.col("cx").alias("kx"),
         F.col("cy").alias("ky"),
+        *([F.col("ct").alias("kt")] if t_col else []),
     )
-    cand = left.join(right, ["kx", "ky"], "inner").filter(
+    cand = left.join(right, keys, "inner").filter(
         F.col("id_a") < F.col("id_b")
     )
+    if t_col:
+        cand = cand.filter(
+            F.abs(F.col("t_a") - F.col("t_b")) <= F.lit(float(eps_t))
+        )
     if metric == "planar":
         d2 = GS.point_dist2_col(
             F.col("lon_a"), F.col("lat_a"), F.col("lon_b"), F.col("lat_b")
@@ -164,8 +199,17 @@ def dbscan(
     metric: str = "planar",
     dist_m: float | None = None,
     max_iter: int = 50,
+    t_col: str | None = None,
+    eps_t: float | None = None,
 ) -> DataFrame:
     """DBSCAN over a point table -> (id, cluster, is_core).
+
+    `t_col`/`eps_t` turn it into ST-DBSCAN (Birant & Kut 2007, the
+    two-eps core): neighbors must be within eps spatially AND eps_t
+    temporally, so a place that is busy every day stops being one
+    giant cluster and splits into its temporal episodes.  Everything
+    downstream (core test, components, border attach) is unchanged —
+    only the neighborhood predicate tightens.
 
     max_iter bounds the component rounds: min-label propagation with
     pointer jumping reaches ~2^k hops after k rounds, so 50 covers
@@ -185,7 +229,8 @@ def dbscan(
     if min_pts < 1:
         raise ValueError("min_pts must be >= 1")
     pairs = eps_pairs(
-        df, eps, id_col, lon_col, lat_col, metric, dist_m
+        df, eps, id_col, lon_col, lat_col, metric, dist_m,
+        t_col=t_col, eps_t=eps_t,
     ).select("id_a", "id_b").persist()
     # both directions once; reused for degree AND border attach
     both = pairs.unionByName(

@@ -142,3 +142,116 @@ def test_dbscan_plan_no_python_no_cartesian(spark):
         assert "CartesianProduct" not in p, p
         assert "BroadcastNestedLoopJoin" not in p, p
     assert out.count() == 50
+
+
+def _brute_st_dbscan(pts, eps, eps_t, min_pts):
+    """pts: id -> (x, y, t). Two-eps neighborhood (ST-DBSCAN)."""
+    ids = sorted(pts)
+    nb = {i: set() for i in ids}
+    for i in ids:
+        for j in ids:
+            if i < j:
+                dx = pts[i][0] - pts[j][0]
+                dy = pts[i][1] - pts[j][1]
+                if (dx * dx + dy * dy <= eps * eps
+                        and abs(pts[i][2] - pts[j][2]) <= eps_t):
+                    nb[i].add(j)
+                    nb[j].add(i)
+    core = {i for i in ids if len(nb[i]) + 1 >= min_pts}
+    label = {i: i for i in core}
+
+    def find(x):
+        while label[x] != x:
+            label[x] = label[label[x]]
+            x = label[x]
+        return x
+
+    for i in core:
+        for j in nb[i]:
+            if j in core:
+                a, b = find(i), find(j)
+                if a != b:
+                    label[max(a, b)] = min(a, b)
+    out = {}
+    for i in core:
+        out[i] = (find(i), True)
+    for i in ids:
+        if i in core:
+            continue
+        cand = [out[j][0] for j in nb[i] if j in core]
+        if cand:
+            out[i] = (min(cand), False)
+    return out
+
+
+def test_st_dbscan_oracle_parity(spark):
+    rng = np.random.default_rng(19)
+    pts = {}
+    pid = 0
+    # one PLACE busy in three separate episodes -> three ST clusters
+    # (plain DBSCAN would merge them into one), plus a moving blob
+    for ep in range(3):
+        for _ in range(30):
+            pts[pid] = (
+                float(rng.normal(0, 0.1)),
+                float(rng.normal(0, 0.1)),
+                float(ep * 10000 + rng.uniform(0, 600)),
+            )
+            pid += 1
+    for _ in range(40):
+        pts[pid] = (
+            5.0 + float(rng.normal(0, 0.12)),
+            5.0 + float(rng.normal(0, 0.12)),
+            float(rng.uniform(0, 1200)),
+        )
+        pid += 1
+    for _ in range(25):  # noise
+        pts[pid] = (
+            float(rng.uniform(-10, 10)),
+            float(rng.uniform(-8, 8)),
+            float(rng.uniform(0, 30000)),
+        )
+        pid += 1
+    df = spark.createDataFrame(
+        [(i, x, y, t) for i, (x, y, t) in pts.items()],
+        "id long, lon double, lat double, t double",
+    )
+    got = {
+        r.id: (r.cluster, r.is_core)
+        for r in dbscan(
+            df, 0.5, 5, "id", metric="planar", t_col="t", eps_t=900.0
+        ).collect()
+    }
+    exp = _brute_st_dbscan(pts, 0.5, 900.0, 5)
+    assert got == exp
+    # the one place really did split into its three temporal episodes
+    place_clusters = {exp[i][0] for i in range(90) if i in exp}
+    assert len(place_clusters) == 3
+    # plain DBSCAN on the same points merges them
+    flat = {
+        r.id: r.cluster
+        for r in dbscan(df, 0.5, 5, "id", metric="planar").collect()
+    }
+    assert len({flat[i] for i in range(90) if i in flat}) == 1
+
+
+def test_st_eps_pairs_exactly_once_bucket_straddle(spark):
+    # pair within eps_t but in adjacent time buckets: counted once
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0, 899.0), (2, 0.01, 0.0, 901.0),
+         (3, 0.01, 0.0, 5000.0)],
+        "id long, lon double, lat double, t double",
+    )
+    out = eps_pairs(
+        df, 0.5, "id", metric="planar", t_col="t", eps_t=900.0
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+
+
+def test_st_eps_pairs_args_validation(spark):
+    df = spark.createDataFrame([(1, 0.0, 0.0)],
+                               "id long, lon double, lat double")
+    with pytest.raises(ValueError, match="come together"):
+        eps_pairs(df, 0.5, "id", t_col="t")
+    with pytest.raises(ValueError, match="eps_t"):
+        eps_pairs(df, 0.5, "id", t_col="t", eps_t=0.0)

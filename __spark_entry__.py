@@ -1728,6 +1728,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .withColumn("lat", F.expr(_COOC_LAT))
         )
 
+    def flow_field_gate(spark, sf):
+        """Per-cell aggregate motion (tracks.flow_field): legs onto
+        the origin cell, exact int64 leg/elapsed/fixed-point
+        displacement sums, mean velocity = one division of canonical
+        integers (FLOW_MEAN_SQL). Motion-model positions drift east
+        ~12 deg/day, so u_fp reads strongly positive."""
+        from geomesa_spark.operators.tracks import flow_field
+
+        return flow_field(
+            _cooc_pts(spark, sf), "user_id", "es", bits=5,
+            max_gap_s=86400, tiebreak_col="event_id",
+        )
+
+    q["flow_field"] = flow_field_gate
+
     def trips_gate(spark, sf):
         """Dwell-gap trip extraction (tracks.track_trips): sessionize
         on the track key + one map-side-combinable endpoint aggregate
@@ -3963,6 +3978,48 @@ trips AS (
   JOIN (SELECT * FROM ep WHERE rd = 1) d
     USING (user_id, trip_id)
 )"""
+
+    from geomesa_spark.operators.tracks import FLOW_MEAN_SQL as _FLOW
+
+    o["flow_field"] = f"""
+WITH mp AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+pts AS (
+  SELECT event_id, user_id, es,
+         {_COOC_LON} AS lon, {_COOC_LAT} AS lat
+  FROM mp
+),
+seg AS (
+  SELECT user_id, es, lon, lat,
+         lead(lon) OVER w AS nlon,
+         lead(lat) OVER w AS nlat,
+         lead(es) OVER w AS nes
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+),
+cells AS (
+  SELECT
+    CAST(greatest(0, least(31, floor((lon+180.0)/360.0*32.0))) AS BIGINT) AS x,
+    CAST(greatest(0, least(31, floor((lat+90.0)/180.0*32.0))) AS BIGINT) AS y,
+    nes - es AS dt,
+    CAST(floor((nlon - lon) * 1000000.0) AS BIGINT) AS fdx,
+    CAST(floor((nlat - lat) * 1000000.0) AS BIGINT) AS fdy
+  FROM seg WHERE nes IS NOT NULL AND nes - es <= 86400
+),
+agg AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS n_legs,
+         CAST(sum(dt) AS BIGINT) AS sum_dt_s,
+         CAST(sum(fdx) AS BIGINT) AS sum_fp_dx,
+         CAST(sum(fdy) AS BIGINT) AS sum_fp_dy
+  FROM cells GROUP BY x, y
+)
+SELECT x, y, n_legs, sum_dt_s, sum_fp_dx, sum_fp_dy,
+       {_FLOW.format(X="sum_fp_dx", D="sum_dt_s")} AS u_fp,
+       {_FLOW.format(X="sum_fp_dy", D="sum_dt_s")} AS v_fp
+FROM agg
+"""
 
     o["trips"] = f"""
 WITH {TRIPS_CTE}

@@ -121,6 +121,7 @@ HEADLINE = [
     "zonal_raster",
     "emerging_hotspots",
     "st_dbscan",
+    "flow_field",
 ]
 
 

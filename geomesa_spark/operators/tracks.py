@@ -39,6 +39,7 @@ from geomesa_spark.functions import geometry_sql as GS
 __all__ = [
     "track_metrics", "track_summary", "track_trips", "od_flows",
     "stop_detect", "track_resample", "frequent_places", "speed_filter",
+    "flow_field", "FLOW_MEAN_SQL",
 ]
 
 
@@ -557,3 +558,94 @@ def speed_filter(
     if mode == "mark":
         return marked
     return marked.filter(~F.col("is_ghost")).drop("is_ghost")
+
+
+# mean velocity component: one division of two canonical int64 sums
+# (the zonal_stats / idw fixed-point convention) — NULL when the cell
+# accumulated no elapsed time (single-fix tracks, all-duplicate ts)
+FLOW_MEAN_SQL = (
+    "CASE WHEN {D} > 0 THEN CAST({X} AS DOUBLE) / CAST({D} AS DOUBLE) END"
+)
+
+
+def flow_field(
+    df: DataFrame,
+    track_col: str,
+    ts_col: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    bits: int = 6,
+    fp_scale: int = 1_000_000,
+    max_gap_s: int | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Aggregate motion per grid cell — the traffic flow map: every
+    leg (consecutive fixes of one track) contributes its planar
+    displacement components and duration to its ORIGIN point's cell,
+    so each cell reads as a mean velocity vector (which way and how
+    fast traffic moves through it).
+
+    One window on the track key (the track_metrics partitioning) +
+    one partial-aggregated groupBy onto cells — output bounded by
+    4^bits, never corpus size. Determinism: n_legs / elapsed seconds
+    exact int64; displacement sums are fixed-point
+    Σ floor(Δdeg·fp_scale) (merge-order-independent); the mean
+    velocity components are ONE division of those canonical integers
+    (``FLOW_MEAN_SQL``), in fp-scaled degrees/second.
+
+    `max_gap_s` drops legs spanning tracking outages (the
+    track_resample rule: a 2-day hole is not a velocity).  Legs with
+    dt_s = 0 (duplicate timestamps) contribute displacement but no
+    time, matching the exact-integer mean.
+
+    Returns (x, y, n_legs, sum_dt_s, sum_fp_dx, sum_fp_dy, u_fp,
+    v_fp)."""
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(track_col).orderBy(*order)
+    es = (
+        F.unix_timestamp(F.col(ts_col))
+        if dict(df.dtypes)[ts_col].startswith("timestamp")
+        else F.col(ts_col).cast("long")
+    )
+    legs = (
+        df.select(
+            F.col(lon_col).alias("_lon"),
+            F.col(lat_col).alias("_lat"),
+            es.alias("_es"),
+            F.lead(F.col(lon_col)).over(w).alias("_nlon"),
+            F.lead(F.col(lat_col)).over(w).alias("_nlat"),
+            F.lead(es).over(w).alias("_nes"),
+        )
+        .filter(F.col("_nes").isNotNull())
+    )
+    if max_gap_s is not None:
+        legs = legs.filter(
+            F.col("_nes") - F.col("_es") <= F.lit(int(max_gap_s))
+        )
+    fp = F.lit(float(fp_scale))
+    out = (
+        legs.select(
+            C.lon_to_x(F.col("_lon"), bits).alias("x"),
+            C.lat_to_y(F.col("_lat"), bits).alias("y"),
+            (F.col("_nes") - F.col("_es")).alias("_dt"),
+            F.floor((F.col("_nlon") - F.col("_lon")) * fp)
+            .cast("long").alias("_fdx"),
+            F.floor((F.col("_nlat") - F.col("_lat")) * fp)
+            .cast("long").alias("_fdy"),
+        )
+        .groupBy("x", "y")
+        .agg(
+            F.count("*").cast("long").alias("n_legs"),
+            F.sum("_dt").cast("long").alias("sum_dt_s"),
+            F.sum("_fdx").alias("sum_fp_dx"),
+            F.sum("_fdy").alias("sum_fp_dy"),
+        )
+    )
+    return out.withColumns(
+        {
+            "u_fp": F.expr(FLOW_MEAN_SQL.format(X="sum_fp_dx", D="sum_dt_s")),
+            "v_fp": F.expr(FLOW_MEAN_SQL.format(X="sum_fp_dy", D="sum_dt_s")),
+        }
+    )

@@ -365,3 +365,65 @@ def test_speed_filter(spark):
     plan = speed_filter(df, "track", "es", 0.01)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_flow_field_oracle(spark):
+    """Per-cell aggregate motion vs a brute python fold — exact
+    (int64 sums + one division of canonical integers)."""
+    import numpy as np
+
+    from geomesa_spark.operators.tracks import flow_field
+
+    rng = np.random.default_rng(31)
+    rows = []
+    tracks = {}
+    for t in range(40):
+        n = int(rng.integers(2, 30))
+        es = np.sort(rng.choice(10_000_000, size=n, replace=False))
+        lon = np.cumsum(rng.uniform(-0.8, 1.2, n)) + rng.uniform(-170, 150)
+        lat = np.cumsum(rng.uniform(-0.5, 0.5, n)) + rng.uniform(-60, 60)
+        lon = np.clip(lon, -179.9, 179.9)
+        lat = np.clip(lat, -89.9, 89.9)
+        tracks[t] = list(zip(es.tolist(), lon.tolist(), lat.tolist()))
+        rows += [(t, int(e), float(x), float(y))
+                 for e, x, y in tracks[t]]
+    df = spark.createDataFrame(rows, "trk long, es long, lon double, lat double")
+    BITS, FP, GAP = 5, 1_000_000, 4_000_000
+    got = {(r.x, r.y): (r.n_legs, r.sum_dt_s, r.sum_fp_dx, r.sum_fp_dy,
+                        r.u_fp, r.v_fp)
+           for r in flow_field(df, "trk", "es", bits=BITS,
+                               max_gap_s=GAP).collect()}
+
+    n = 1 << BITS
+    exp = {}
+    for t, pts in tracks.items():
+        for (e0, x0, y0), (e1, x1, y1) in zip(pts, pts[1:]):
+            if e1 - e0 > GAP:
+                continue
+            cx = int(np.clip(np.floor((x0 + 180.0) / 360.0 * n), 0, n - 1))
+            cy = int(np.clip(np.floor((y0 + 90.0) / 180.0 * n), 0, n - 1))
+            a = exp.setdefault((cx, cy), [0, 0, 0, 0])
+            a[0] += 1
+            a[1] += e1 - e0
+            a[2] += int(np.floor((x1 - x0) * float(FP)))
+            a[3] += int(np.floor((y1 - y0) * float(FP)))
+    assert set(got) == set(exp)
+    for k, (nl, sdt, sdx, sdy) in exp.items():
+        u = float(sdx) / float(sdt) if sdt > 0 else None
+        v = float(sdy) / float(sdt) if sdt > 0 else None
+        assert got[k] == (nl, sdt, sdx, sdy, u, v), k
+
+
+def test_flow_field_plan_one_exchange_no_python(spark):
+    from geomesa_spark.operators.tracks import flow_field
+
+    df = spark.createDataFrame(
+        [(1, 0, 0.0, 0.0), (1, 10, 1.0, 1.0)],
+        "trk long, es long, lon double, lat double",
+    )
+    plan = (
+        flow_field(df, "trk", "es")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan

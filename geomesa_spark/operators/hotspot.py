@@ -39,7 +39,8 @@ from pyspark.sql import functions as F
 from geomesa_spark.functions import cells as C
 
 __all__ = [
-    "hotspot_cells", "hotspot_cells_st", "hotspot_hex", "GI_STAR_SQL",
+    "hotspot_cells", "hotspot_cells_st", "hotspot_st_from_bins",
+    "hotspot_hex", "GI_STAR_SQL",
     "mann_kendall", "emerging_hotspots", "MK_Z_SQL", "PATTERN_SQL",
 ]
 
@@ -154,7 +155,6 @@ def hotspot_cells_st(
     (exact int64 aggregates + the shared ``GI_STAR_SQL``).
 
     Returns (x, y, tb, w, nbr_n, nbr_sum, gi_star)."""
-    n = 1 << bits
     ticks = (
         F.unix_timestamp(F.col(ts_col))
         if dict(df.dtypes)[ts_col].startswith("timestamp")
@@ -175,6 +175,21 @@ def hotspot_cells_st(
         .groupBy("x", "y", "tb")
         .agg(F.sum("_w").alias("w"))
     )
+    return hotspot_st_from_bins(cells, bits, ring=ring, time_ring=time_ring)
+
+
+def hotspot_st_from_bins(
+    cells: DataFrame,
+    bits: int,
+    ring: int = 1,
+    time_ring: int = 1,
+) -> DataFrame:
+    """Gi* over PRE-AGGREGATED (x, y, tb, w) bins — the stage
+    ``hotspot_cells_st`` runs after its binning groupBy, exposed so
+    accumulated bin STATE (streaming/hotspot.py merges per-batch
+    deltas into a bounded bin table) feeds the identical statistic.
+    Same neighborhood/moments/z stages and determinism contract."""
+    n = 1 << bits
     offsets = [
         (dx, dy, dt)
         for dx in range(-ring, ring + 1)

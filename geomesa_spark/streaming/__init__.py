@@ -33,3 +33,8 @@ from geomesa_spark.streaming.cotravel import (  # noqa: F401
     read_alerts,
     read_pair_counts,
 )
+from geomesa_spark.streaming.hotspot import (  # noqa: F401
+    hotspot_stream,
+    read_hot_alerts,
+    read_hot_now,
+)

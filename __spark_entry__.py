@@ -3980,6 +3980,11 @@ trips AS (
 )"""
 
     from geomesa_spark.operators.tracks import FLOW_MEAN_SQL as _FLOW
+    from geomesa_spark.operators.tracks import TRK_DLON_SQL as _TRK_DLON
+    from geomesa_spark.operators.tracks import (
+        lon_interp_sql as _lon_interp_sql,
+        stop_center_sql as _stop_center_sql,
+    )
 
     o["flow_field"] = f"""
 WITH mp AS (
@@ -4004,7 +4009,7 @@ cells AS (
     CAST(greatest(0, least(31, floor((lon+180.0)/360.0*32.0))) AS BIGINT) AS x,
     CAST(greatest(0, least(31, floor((lat+90.0)/180.0*32.0))) AS BIGINT) AS y,
     nes - es AS dt,
-    CAST(floor((nlon - lon) * 1000000.0) AS BIGINT) AS fdx,
+    CAST(floor(({_TRK_DLON.format(a="lon", b="nlon")}) * 1000000.0) AS BIGINT) AS fdx,
     CAST(floor((nlat - lat) * 1000000.0) AS BIGINT) AS fdy
   FROM seg WHERE nes IS NOT NULL AND nes - es <= 86400
 ),
@@ -4069,7 +4074,11 @@ SELECT user_id AS track, stop_id,
        CAST(max(es) AS BIGINT) AS end_ts,
        CAST(max(es) - min(es) AS BIGINT) AS duration_s,
        CAST(count(*) AS BIGINT) AS n_points,
-       (min(lon) + max(lon)) / 2 AS center_lon,
+       {_stop_center_sql(
+           "min(lon)", "max(lon)",
+           "min(CASE WHEN lon >= 0 THEN lon END)",
+           "max(CASE WHEN lon < 0 THEN lon END)",
+       )} AS center_lon,
        (min(lat) + max(lat)) / 2 AS center_lat
 FROM sgm GROUP BY user_id, stop_id
 HAVING max(es) - min(es) >= 600"""
@@ -4343,8 +4352,10 @@ rs AS (
   SELECT user_id AS track,
          CAST(k * 3600 AS BIGINT) AS tick_ts,
          CASE WHEN k * 3600 = es THEN lon
-              ELSE lon + (nlon - lon)
-                   * (CAST(k*3600 - es AS DOUBLE) / CAST(nes - es AS DOUBLE))
+              ELSE {_lon_interp_sql(
+                  "lon", "nlon",
+                  "CAST(k*3600 - es AS DOUBLE) / CAST(nes - es AS DOUBLE)",
+              )}
          END AS lon,
          CASE WHEN k * 3600 = es THEN lat
               ELSE lat + (nlat - lat)

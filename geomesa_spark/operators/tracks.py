@@ -39,8 +39,62 @@ from geomesa_spark.functions import geometry_sql as GS
 __all__ = [
     "track_metrics", "track_summary", "track_trips", "od_flows",
     "stop_detect", "track_resample", "frequent_places", "speed_filter",
-    "flow_field", "FLOW_MEAN_SQL",
+    "flow_field", "FLOW_MEAN_SQL", "TRK_DLON_SQL", "LON_NORM_SQL",
+    "lon_interp_sql", "stop_center_sql",
 ]
+
+
+# Consecutive-fix longitude delta with the engine's IDL inference
+# (GeohashUtils.scala:715-719 parity: a raw diff beyond 180° is a
+# dateline wrap, exactly 180 stays planar).  Exact arithmetic — one
+# subtraction plus at most one ±360.0 — so Spark and the DuckDB
+# oracle produce bit-equal doubles from the same string.
+#
+# Scope: this applies to DISPLACEMENT/INTERPOLATION quantities
+# (flow_field, track_resample, stop centers), which have no geodesic
+# fallback.  The planar DISTANCE metric (_leg_dist / point_dist2_col)
+# deliberately stays flat-earth: it is the exact-double oracle mode,
+# and the wrap-safe production metric there is 'haversine' (whose
+# trig is periodic in Δλ).
+TRK_DLON_SQL = (
+    "CASE WHEN ({b}) - ({a}) > 180.0 THEN (({b}) - ({a})) - 360.0"
+    " WHEN ({b}) - ({a}) < -180.0 THEN (({b}) - ({a})) + 360.0"
+    " ELSE ({b}) - ({a}) END"
+)
+
+# normalize a (possibly unwrapped) longitude into [-180, 180) —
+# fmod is exact, so both engines agree bit-for-bit
+LON_NORM_SQL = "((({v}) + 180.0) % 360.0 + 360.0) % 360.0 - 180.0"
+
+
+def lon_interp_sql(p: str, n: str, frac: str) -> str:
+    """Wrap-aware lon interpolation as ONE shared SQL string: when the
+    segment's raw lon diff exceeds 180° (an inferred IDL wrap) the
+    interpolation runs on the wrapped delta and renormalizes; otherwise
+    it is the original exact-double form p + (n - p) * frac,
+    bit-identical to the planar path."""
+    d = TRK_DLON_SQL.format(a=p, b=n)
+    wrapped = LON_NORM_SQL.format(v=f"({p}) + ({d}) * ({frac})")
+    return (
+        f"CASE WHEN (({n}) - ({p})) > 180.0 OR (({n}) - ({p})) < -180.0"
+        f" THEN {wrapped}"
+        f" ELSE ({p}) + (({n}) - ({p})) * ({frac}) END"
+    )
+
+
+def stop_center_sql(lo: str, hi: str, lp: str, hn: str) -> str:
+    """Stop-center longitude as ONE shared SQL string: the bbox
+    midpoint, IDL-aware.  A stop whose raw lon span exceeds 180°
+    straddles the dateline (lons in [-180, 180] can only span >180 by
+    wrapping), so the midpoint runs in shifted coordinates — min over
+    the positive lons ({lp}) to max over the negative lons + 360
+    ({hn}) — and renormalizes.  Exact arithmetic both engines."""
+    mid = f"(({lp}) + (({hn}) + 360.0)) / 2.0"
+    return (
+        f"CASE WHEN ({hi}) - ({lo}) > 180.0"
+        f" THEN {LON_NORM_SQL.format(v=mid)}"
+        f" ELSE (({lo}) + ({hi})) / 2.0 END"
+    )
 
 
 def _leg_dist(
@@ -314,7 +368,10 @@ def stop_detect(
     radius counts as one stop even if it wanders far in total —
     size `radius` for inter-fix noise, not stop diameter.  Center is
     the bbox midpoint (deterministic; a float centroid mean would be
-    merge-order dependent).
+    merge-order dependent), IDL-aware: a stop whose raw lon span
+    exceeds 180° straddles the dateline and midpoints in shifted
+    coordinates (``stop_center_sql``), so a port call at ±179.9°
+    centers near the dateline instead of at lon 0.
 
     Returns (track, stop_id, start_ts, end_ts, duration_s, n_points,
     center_lon, center_lat)."""
@@ -352,6 +409,11 @@ def stop_detect(
             F.max(lon_col).alias("_hi_x"),
             F.min(lat_col).alias("_lo_y"),
             F.max(lat_col).alias("_hi_y"),
+            # IDL straddle support: min positive / max negative lon
+            F.min(F.when(F.col(lon_col) >= 0, F.col(lon_col)))
+            .alias("_lo_pos"),
+            F.max(F.when(F.col(lon_col) < 0, F.col(lon_col)))
+            .alias("_hi_neg"),
         )
         .withColumn(
             "duration_s", (F.col("end_ts") - F.col("start_ts")).cast("long")
@@ -360,7 +422,9 @@ def stop_detect(
         .select(
             "track", "stop_id", "start_ts", "end_ts", "duration_s",
             "n_points",
-            ((F.col("_lo_x") + F.col("_hi_x")) / F.lit(2.0)).alias("center_lon"),
+            F.expr(
+                stop_center_sql("_lo_x", "_hi_x", "_lo_pos", "_hi_neg")
+            ).alias("center_lon"),
             ((F.col("_lo_y") + F.col("_hi_y")) / F.lit(2.0)).alias("center_lat"),
         )
     )
@@ -400,8 +464,12 @@ def track_resample(
 
     Interpolation is the exact-double form p + (n - p) * frac with
     frac = (t - es_i) / dt — reproducible against any engine with
-    IEEE arithmetic.  Returns (track, tick_ts, lon, lat,
-    *value_cols) with tick_ts in epoch seconds."""
+    IEEE arithmetic.  Longitude is wrap-aware (``lon_interp_sql``):
+    a segment whose raw lon diff exceeds 180° is an inferred IDL
+    crossing, so its ticks interpolate the short way and renormalize
+    into [-180, 180); non-wrap segments are bit-identical to the
+    plain form.  Returns (track, tick_ts, lon, lat, *value_cols)
+    with tick_ts in epoch seconds."""
     if step_s <= 0:
         raise ValueError("step_s must be positive")
     vals = list(value_cols or [])
@@ -462,6 +530,24 @@ def track_resample(
     def interp(c):
         p = F.col(f"_v_{c}").cast("double")
         nxt = F.col(f"_nv_{c}").cast("double")
+        if c == lon_col:
+            # wrap-aware (lon_interp_sql): an inferred IDL wrap
+            # interpolates on the wrapped delta and renormalizes;
+            # non-wrap segments keep the original form bit-exactly
+            raw = nxt - p
+            d = (
+                F.when(raw > 180.0, raw - 360.0)
+                .when(raw < -180.0, raw + 360.0)
+                .otherwise(raw)
+            )
+            v = p + d * frac
+            norm = (
+                (v + F.lit(180.0)) % F.lit(360.0) + F.lit(360.0)
+            ) % F.lit(360.0) - F.lit(180.0)
+            body = F.when(
+                (raw > 180.0) | (raw < -180.0), norm
+            ).otherwise(p + raw * frac)
+            return F.when(frac == 0.0, p).otherwise(body)
         return F.when(frac == 0.0, p).otherwise(p + (nxt - p) * frac)
 
     return ex.select(
@@ -596,7 +682,9 @@ def flow_field(
     `max_gap_s` drops legs spanning tracking outages (the
     track_resample rule: a 2-day hole is not a velocity).  Legs with
     dt_s = 0 (duplicate timestamps) contribute displacement but no
-    time, matching the exact-integer mean.
+    time, matching the exact-integer mean.  Lon displacement applies
+    the IDL inference (``TRK_DLON_SQL``): a leg crossing the dateline
+    contributes its short-way delta, not ±360°-ish garbage.
 
     Returns (x, y, n_legs, sum_dt_s, sum_fp_dx, sum_fp_dy, u_fp,
     v_fp)."""
@@ -630,8 +718,9 @@ def flow_field(
             C.lon_to_x(F.col("_lon"), bits).alias("x"),
             C.lat_to_y(F.col("_lat"), bits).alias("y"),
             (F.col("_nes") - F.col("_es")).alias("_dt"),
-            F.floor((F.col("_nlon") - F.col("_lon")) * fp)
-            .cast("long").alias("_fdx"),
+            F.floor(
+                F.expr(TRK_DLON_SQL.format(a="_lon", b="_nlon")) * fp
+            ).cast("long").alias("_fdx"),
             F.floor((F.col("_nlat") - F.col("_lat")) * fp)
             .cast("long").alias("_fdy"),
         )

@@ -427,3 +427,73 @@ def test_flow_field_plan_one_exchange_no_python(spark):
     )
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_idl_wrap_flow_resample_stops(spark):
+    """IDL inference in the track layer: an antimeridian-crossing leg
+    contributes its short-way displacement (flow_field), interpolates
+    the short way with normalized output (track_resample), and a
+    dateline-straddling stop centers near ±180, not lon 0."""
+    from geomesa_spark.operators.tracks import (
+        flow_field, stop_detect, track_resample,
+    )
+
+    # eastbound crossing: 179.8 -> -179.8 is +0.4 deg, not -359.6
+    df = spark.createDataFrame(
+        [(1, 0, 179.8, 5.0), (1, 100, -179.8, 5.0)],
+        "trk long, es long, lon double, lat double",
+    )
+    ff = flow_field(df, "trk", "es", bits=5).collect()
+    assert len(ff) == 1
+    r = ff[0]
+    assert r.sum_fp_dx == int(math.floor((0.4 - 1e-12) * 1e6)) or \
+        r.sum_fp_dx == 400000  # floor of the exact wrapped delta
+    assert abs(r.sum_fp_dx - 400000) <= 1  # never ±359.6e6
+    assert r.u_fp == r.sum_fp_dx / 100.0
+
+    # resample at 25 s ticks: lon walks 179.8 -> 179.9 -> (-180 side)
+    rs = {
+        r.tick_ts: r.lon
+        for r in track_resample(df, "trk", "es", 25).collect()
+    }
+    assert rs[0] == 179.8
+    assert rs[25] == pytest.approx(179.9, abs=1e-9)
+    # 50 s: 179.8 + 0.2 = 180.0 -> normalizes to -180.0
+    assert rs[50] == pytest.approx(-180.0, abs=1e-9)
+    assert rs[75] == pytest.approx(-179.9, abs=1e-9)
+    assert all(-180.0 <= v < 180.0 for v in rs.values())
+
+    # westbound wrap mirrors
+    dfw = spark.createDataFrame(
+        [(2, 0, -179.8, 5.0), (2, 100, 179.8, 5.0)],
+        "trk long, es long, lon double, lat double",
+    )
+    ffw = flow_field(dfw, "trk", "es", bits=5).collect()[0]
+    assert abs(ffw.sum_fp_dx - (-400000)) <= 1
+
+    # straddling stop: fixes alternate across the dateline, every
+    # planar leg is tiny in wrapped terms but the raw span is ~360
+    stop_rows = [
+        (3, t, 179.95 if i % 2 == 0 else -179.95, 1.0)
+        for i, t in enumerate(range(0, 700, 100))
+    ]
+    sdf = spark.createDataFrame(
+        stop_rows, "trk long, es long, lon double, lat double"
+    )
+    stops = stop_detect(
+        sdf, "trk", "es", radius=20_000.0, min_duration_s=600,
+        metric="haversine",  # meters; the 0.1-deg hops are ~11 km
+    ).collect()
+    assert len(stops) == 1
+    c = stops[0].center_lon
+    # shifted midpoint of [179.95, 180.05] = 180.0 -> normalized
+    assert c == pytest.approx(-180.0, abs=1e-9)
+    # non-straddling stops unchanged (bit-exact old midpoint)
+    sdf2 = spark.createDataFrame(
+        [(4, t, 10.0 + (0.001 * (t // 100)), 1.0)
+         for t in range(0, 700, 100)],
+        "trk long, es long, lon double, lat double",
+    )
+    s2 = stop_detect(sdf2, "trk", "es", 200.0, 600).collect()
+    assert len(s2) == 1
+    assert s2[0].center_lon == (10.0 + (10.0 + 0.006)) / 2.0

@@ -2454,6 +2454,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["numeric_profile"] = numeric_profile_gate
 
+    def ripley_k_gate(spark, sf):
+        """Ripley's K/L (pointpat.ripley_k) over the dbscan blob
+        corpus (event_id % 4 subset): 5 radii up to 0.05 deg — the
+        ±0.02-deg blob jitter makes the curve read strongly
+        clustered at small r and flatten beyond blob diameter. Pair
+        mining via eps_pairs (single-meeting-cell), counts exact
+        int64, K/L via the shared RIPLEY_* strings."""
+        from geomesa_spark.operators.pointpat import ripley_k
+
+        pts = _load(spark, sf, "events").filter(
+            F.col("event_id") % 4 == 0
+        ).select(
+            F.col("event_id").alias("id"),
+            F.expr(_BLOB_LON).alias("lon"),
+            F.expr(_BLOB_LAT).alias("lat"),
+        )
+        return ripley_k(pts, "id", 0.05, 5, 59500.0)
+
+    q["ripley_k"] = ripley_k_gate
+
+    def knox_test_gate(spark, sf):
+        """Knox space-time interaction (pointpat.knox_test) on the
+        cooccurrence lattice (event_id % 7 subset), delta=1 deg,
+        tau=12 h. The lattice TIES lon to time-of-month (es %
+        2592000 drives lon), so space-close pairs are also
+        time-close mod the month — a strongly interacting corpus
+        (ratio >> 1). One row; counts exact int64; expected/ratio
+        via the shared KNOX_* strings."""
+        from geomesa_spark.operators.pointpat import knox_test
+
+        mp = _load(spark, sf, "events").filter(
+            F.col("event_id") % 7 == 0
+        ).select(
+            "event_id", "user_id",
+            F.unix_timestamp("ts").alias("es"),
+        )
+        pts = mp.select(
+            F.col("event_id").alias("id"),
+            F.col("es").cast("double").alias("t"),
+            F.expr(_COOC_LON).alias("lon"),
+            F.expr(_COOC_LAT).alias("lat"),
+        )
+        return knox_test(pts, "id", "t", 1.0, 43200.0)
+
+    q["knox_test"] = knox_test_gate
+
+    def colocation_gate(spark, sf):
+        """Colocation participation index (pointpat.colocation_pi)
+        on the cooccurrence lattice (event_id % 3 subset), category
+        = event_type, radius 0.5 deg: which event types co-occur
+        spatially. Participation counts are distinct-participant
+        int64; PR/PI via the shared PART_* strings."""
+        from geomesa_spark.operators.pointpat import colocation_pi
+
+        mp = _load(spark, sf, "events").filter(
+            F.col("event_id") % 3 == 0
+        ).select(
+            "event_id", "user_id", "event_type",
+            F.unix_timestamp("ts").alias("es"),
+        )
+        pts = mp.select(
+            F.col("event_id").alias("id"),
+            F.col("event_type").alias("cat"),
+            F.expr(_COOC_LON).alias("lon"),
+            F.expr(_COOC_LAT).alias("lat"),
+        )
+        return colocation_pi(pts, "id", "cat", 0.5)
+
+    q["colocation"] = colocation_gate
+
     return q
 
 
@@ -5160,6 +5230,146 @@ SELECT n_rows, n_values, min_fx, max_fx, sum_fx,
                        * (CAST(sum_fx AS DOUBLE) / n_values), 0.0)) AS std_fx,
        p25_fx, p50_fx, p75_fx
 FROM m
+"""
+
+    # point-pattern statistics: brute pair joins (bbox-prefiltered,
+    # fine single-threaded at sf0.01 subset sizes) + the operators'
+    # own shared derived-value strings
+    from geomesa_spark.operators.pointpat import (
+        KNOX_EXPECTED_SQL as _KNOX_E,
+        KNOX_RATIO_SQL as _KNOX_R,
+        PAIRS_TOTAL_SQL as _PAIRS_T,
+        PART_PI_SQL as _PART_PI,
+        PART_RATIO_SQL as _PART_PR,
+        RIPLEY_BIN_SQL as _RIP_BIN,
+        RIPLEY_K_SQL as _RIP_K,
+        RIPLEY_L_SQL as _RIP_L,
+        RIPLEY_R_SQL as _RIP_R,
+    )
+
+    _R_DR = repr(0.05 / 5)
+    _R_D2 = repr(0.05 ** 2)
+    _rip_k = _RIP_K.format(A=repr(59500.0), C="cum_pairs", n="n_points")
+    o["ripley_k"] = f"""
+WITH pts AS (
+  SELECT event_id AS id, {_BLOB_LON} AS lon, {_BLOB_LAT} AS lat
+  FROM events WHERE event_id % 4 = 0
+),
+pr AS (
+  SELECT (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) AS dist2
+  FROM pts a JOIN pts b
+    ON a.id < b.id
+   AND b.lat BETWEEN a.lat - 0.05 AND a.lat + 0.05
+   AND b.lon BETWEEN a.lon - 0.05 AND a.lon + 0.05
+  WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)
+        <= {_R_D2}
+),
+binned AS (
+  SELECT {_RIP_BIN.format(nb=5, d2="dist2", dr=_R_DR)} AS bin,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pr GROUP BY 1
+),
+axis AS (SELECT CAST(range AS BIGINT) AS bin FROM range(1, 6)),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM pts),
+c AS (
+  SELECT axis.bin,
+         CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+         CAST(sum(coalesce(n_pairs, 0)) OVER (ORDER BY axis.bin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pairs
+  FROM axis LEFT JOIN binned USING (bin)
+)
+SELECT bin, {_RIP_R.format(bin="bin", dr=_R_DR)} AS r,
+       n_pairs, cum_pairs,
+       {_rip_k} AS k_est,
+       {_RIP_L.format(K=_rip_k)} AS l_est
+FROM c CROSS JOIN np
+"""
+
+    o["knox_test"] = f"""
+WITH mp AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events WHERE event_id % 7 = 0
+),
+pts AS (
+  SELECT event_id AS id, CAST(es AS DOUBLE) AS t,
+         {_COOC_LON} AS lon, {_COOC_LAT} AS lat
+  FROM mp
+),
+pr AS (
+  SELECT (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) AS d2,
+         abs(a.t - b.t) AS dt
+  FROM pts a JOIN pts b ON a.id < b.id
+),
+agg AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM pts) AS n_points,
+         CAST(sum(CASE WHEN d2 <= {repr(1.0 ** 2)} THEN 1 ELSE 0 END)
+              AS BIGINT) AS space_pairs,
+         CAST(sum(CASE WHEN dt <= 43200.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS time_pairs,
+         CAST(sum(CASE WHEN d2 <= {repr(1.0 ** 2)} AND dt <= 43200.0
+              THEN 1 ELSE 0 END) AS BIGINT) AS st_pairs
+  FROM pr
+)
+SELECT n_points,
+       {_PAIRS_T.format(n="n_points")} AS pairs_total,
+       space_pairs, time_pairs, st_pairs,
+       {_KNOX_E.format(X="space_pairs", Y="time_pairs", n="n_points")}
+         AS expected_st,
+       {_KNOX_R.format(O="st_pairs", X="space_pairs", Y="time_pairs",
+                       n="n_points")} AS knox_ratio
+FROM agg
+"""
+
+    _co_pa = _PART_PR.format(c="n_a_with_b", n="n_a")
+    _co_pb = _PART_PR.format(c="n_b_with_a", n="n_b")
+    o["colocation"] = f"""
+WITH mp AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events WHERE event_id % 3 = 0
+),
+pts AS (
+  SELECT event_id AS id, event_type AS cat,
+         {_COOC_LON} AS lon, {_COOC_LAT} AS lat
+  FROM mp
+),
+pr AS (
+  SELECT a.id AS id_a, a.cat AS cat_a, b.id AS id_b, b.cat AS cat_b
+  FROM pts a JOIN pts b
+    ON a.id < b.id
+   AND b.lat BETWEEN a.lat - 0.5 AND a.lat + 0.5
+   AND b.lon BETWEEN a.lon - 0.5 AND a.lon + 0.5
+  WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)
+        <= {repr(0.5 ** 2)}
+),
+directed AS (
+  SELECT id_a AS pid, cat_a AS own, cat_b AS nbr FROM pr
+  UNION
+  SELECT id_b, cat_b, cat_a FROM pr
+),
+part AS (
+  SELECT own, nbr, CAST(count(*) AS BIGINT) AS n_part
+  FROM directed GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cat, CAST(count(*) AS BIGINT) AS n_cat FROM pts GROUP BY 1
+),
+fwd AS (
+  SELECT own AS cat_a, nbr AS cat_b, n_part AS n_a_with_b
+  FROM part WHERE own <= nbr
+),
+rev AS (
+  SELECT nbr AS cat_a, own AS cat_b, n_part AS n_b_with_a
+  FROM part WHERE own >= nbr
+)
+SELECT cat_a, cat_b, sa.n_cat AS n_a, sb.n_cat AS n_b,
+       n_a_with_b, n_b_with_a,
+       {_co_pa} AS pr_ab,
+       {_co_pb} AS pr_ba,
+       {_PART_PI.format(pa=_co_pa, pb=_co_pb)} AS pi
+FROM fwd JOIN rev USING (cat_a, cat_b)
+JOIN sizes sa ON sa.cat = cat_a
+JOIN sizes sb ON sb.cat = cat_b
 """
 
     return o

@@ -122,6 +122,9 @@ HEADLINE = [
     "emerging_hotspots",
     "st_dbscan",
     "flow_field",
+    "ripley_k",
+    "knox_test",
+    "colocation",
 ]
 
 

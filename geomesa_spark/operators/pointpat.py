@@ -1,0 +1,361 @@
+"""Point-pattern statistics: Ripley's K, the Knox space-time
+interaction test, and colocation participation indices.
+
+The reference's analytic layer answers "where is the mass"
+(``DensityProcess.scala``) and this engine's hotspot/moran modules
+answer "where is it anomalous"; these operators answer the pattern
+questions a point-process analyst asks next:
+
+- ``ripley_k`` — is the pattern clustered or dispersed, and AT WHAT
+  SCALE?  (Ripley 1976: K(r) = expected excess neighbors within r,
+  normalized by intensity; L(r) = sqrt(K/pi) linearizes it so CSR is
+  the diagonal.)
+- ``knox_test`` — do events cluster in space AND time TOGETHER
+  (contagion), beyond what the marginal space and time clusterings
+  imply?  (Knox 1964: observed close-pair count vs the independence
+  expectation X*Y/T.)
+- ``colocation_pi`` — which event CATEGORIES co-occur spatially?
+  (Shekhar & Huang 2001 participation index: the weakest directional
+  participation ratio of the category pair.)
+
+Scale design: every statistic reduces to PAIR MINING, and all pair
+mining here reuses the ``cluster.eps_pairs`` single-meeting-cell
+self-join (grid keys at the radius, left side explodes the 3x3[x3]
+neighborhood, right side stays home, each qualifying pair
+materializes exactly once) — the quadratic term is bounded by the
+densest cell, never corpus², and everything else is bounded
+aggregation (bins, category pairs, one stats row).  No Python in any
+plan.
+
+Determinism (the GI_STAR_SQL convention): all counts are exact
+int64; every derived double is ONE shared SQL string over those
+integers (``RIPLEY_K_SQL``/``RIPLEY_L_SQL``/``KNOX_RATIO_SQL``/
+``PART_RATIO_SQL``), evaluated verbatim by Spark and the DuckDB
+oracle, so values hash-compare exactly.
+
+Edge corrections: ``ripley_k`` is the NAIVE (uncorrected) estimator
+— border effects bias K downward near the study-area boundary; the
+standard corrections (Ripley isotropic, translation) need per-pair
+boundary geometry and are a caller-side refinement.  The distance
+metric is the planar oracle mode (flat-earth degrees, the
+point_dist2_col convention); pass pre-projected coordinates for
+metric work near the poles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators.cluster import eps_pairs
+
+__all__ = [
+    "ripley_k", "knox_test", "colocation_pi",
+    "RIPLEY_K_SQL", "RIPLEY_L_SQL", "RIPLEY_BIN_SQL", "RIPLEY_R_SQL",
+    "KNOX_EXPECTED_SQL", "KNOX_RATIO_SQL", "PAIRS_TOTAL_SQL",
+    "PART_RATIO_SQL", "PART_PI_SQL",
+]
+
+
+# K(r) = A * 2*cum / (n * (n - 1)) — cum = unordered pairs within r
+RIPLEY_K_SQL = (
+    "{A} * (2.0 * CAST({C} AS DOUBLE))"
+    " / (CAST({n} AS DOUBLE) * (CAST({n} AS DOUBLE) - 1.0))"
+)
+# L(r) = sqrt(K(r) / pi) — the variance-stabilized form; under CSR
+# L(r) = r, so L(r) - r reads directly as clustering excess
+RIPLEY_L_SQL = "sqrt(({K}) / 3.141592653589793)"
+# distance-bin assignment from the exact squared distance: bin b
+# covers ((b-1)*dr, b*dr]; dist-0 pairs land in bin 1; the LEAST
+# guards the one-ulp case where sqrt(d2) rounds a hair above r_max
+RIPLEY_BIN_SQL = (
+    "LEAST({nb}, GREATEST(1, CAST(ceil(sqrt({d2}) / {dr}) AS BIGINT)))"
+)
+RIPLEY_R_SQL = "CAST({bin} AS DOUBLE) * {dr}"
+
+# n*(n-1) is always even, and the double division is exact below
+# 2^53 (n < ~9.4e7 — document, don't silently wrap)
+PAIRS_TOTAL_SQL = (
+    "CAST(CAST({n} AS DOUBLE) * (CAST({n} AS DOUBLE) - 1.0) / 2.0 AS BIGINT)"
+)
+# E[O] under space/time independence = X*Y/T with T = n(n-1)/2
+KNOX_EXPECTED_SQL = (
+    "2.0 * CAST({X} AS DOUBLE) * CAST({Y} AS DOUBLE)"
+    " / (CAST({n} AS DOUBLE) * (CAST({n} AS DOUBLE) - 1.0))"
+)
+KNOX_RATIO_SQL = (
+    "CASE WHEN {X} > 0 AND {Y} > 0 THEN"
+    " CAST({O} AS DOUBLE) * CAST({n} AS DOUBLE)"
+    " * (CAST({n} AS DOUBLE) - 1.0)"
+    " / (2.0 * CAST({X} AS DOUBLE) * CAST({Y} AS DOUBLE)) END"
+)
+
+PART_RATIO_SQL = "CAST({c} AS DOUBLE) / CAST({n} AS DOUBLE)"
+PART_PI_SQL = "LEAST({pa}, {pb})"
+
+
+def _lit(x: float) -> str:
+    """Shortest round-trip double literal — parsed to the identical
+    double by Spark and DuckDB."""
+    return repr(float(x))
+
+
+def ripley_k(
+    df: DataFrame,
+    id_col: str,
+    r_max: float,
+    n_bins: int,
+    area: float,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Ripley's K (and L) at `n_bins` evenly spaced radii up to
+    `r_max`, naive estimator over a study area of size `area`
+    (squared coordinate units — the caller's region, e.g. the bbox
+    area; intensity normalization only, no edge correction).
+
+    One eps_pairs mining pass at r_max (quadratic term bounded by
+    the densest r_max-cell), one bounded groupBy onto `n_bins`
+    distance bins, one tiny cumulative window over the bin axis, and
+    a broadcast count row.  Empty bins materialize with zero counts
+    (the full K curve, not just occupied radii).
+
+    Returns (bin, r, n_pairs, cum_pairs, k_est, l_est) — n_pairs =
+    unordered pairs in ((bin-1)*dr, bin*dr], k_est NULL-free (zero
+    pairs → K=0), rows ordered by the caller if needed."""
+    if r_max <= 0:
+        raise ValueError("r_max must be positive")
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if area <= 0:
+        raise ValueError("area must be positive")
+    dr = float(r_max) / int(n_bins)
+    pairs = eps_pairs(
+        df, float(r_max), id_col, lon_col=lon_col, lat_col=lat_col,
+        metric="planar",
+    )
+    binned = (
+        pairs.select(
+            F.expr(
+                RIPLEY_BIN_SQL.format(
+                    nb=int(n_bins), d2="dist2", dr=_lit(dr)
+                )
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+    spark = df.sparkSession
+    axis = spark.range(1, int(n_bins) + 1).select(F.col("id").alias("bin"))
+    stats = F.broadcast(
+        df.agg(F.count("*").cast("long").alias("n_points"))
+    )
+    from pyspark.sql import Window
+
+    cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    k_sql = RIPLEY_K_SQL.format(A=_lit(area), C="cum_pairs", n="n_points")
+    return (
+        axis.join(binned, "bin", "left")
+        .withColumn("n_pairs", F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long"))
+        .withColumn("cum_pairs", F.sum("n_pairs").over(cum).cast("long"))
+        .crossJoin(stats)
+        .select(
+            "bin",
+            F.expr(RIPLEY_R_SQL.format(bin="bin", dr=_lit(dr))).alias("r"),
+            "n_pairs",
+            "cum_pairs",
+            F.expr(k_sql).alias("k_est"),
+            F.expr(RIPLEY_L_SQL.format(K=k_sql)).alias("l_est"),
+        )
+    )
+
+
+def _time_close_pairs(
+    df: DataFrame, id_col: str, t_col: str, tau: float
+) -> DataFrame:
+    """Unordered-pair COUNT frame (one row) of pairs with
+    |t_a - t_b| <= tau — the eps_pairs single-meeting-bucket join on
+    the time axis alone (bucket width tau, left explodes ±1, right
+    stays home, id_a < id_b)."""
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(t_col).cast("double").alias("t"),
+    ).withColumn(
+        "tb", F.floor(F.col("t") / F.lit(float(tau))).cast("long")
+    )
+    left = b.select(
+        F.col("id").alias("id_a"),
+        F.col("t").alias("t_a"),
+        F.explode(
+            F.array(*[(F.col("tb") + F.lit(d)).alias("k") for d in (-1, 0, 1)])
+        ).alias("k"),
+    )
+    right = b.select(
+        F.col("id").alias("id_b"),
+        F.col("t").alias("t_b"),
+        F.col("tb").alias("k"),
+    )
+    return (
+        left.join(right, "k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.abs(F.col("t_a") - F.col("t_b")) <= F.lit(float(tau)))
+        .agg(F.count("*").cast("long").alias("time_pairs"))
+    )
+
+
+def knox_test(
+    df: DataFrame,
+    id_col: str,
+    t_col: str,
+    delta: float,
+    tau: float,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Knox space-time interaction test: O = pairs close in space
+    (planar distance <= `delta`) AND time (|dt| <= `tau`), compared
+    with the independence expectation E[O] = X*Y/T (X = space-close
+    pairs, Y = time-close pairs, T = all pairs).  ratio >> 1 reads
+    as contagion — cases near each other in space are ALSO near in
+    time beyond what the two marginals imply.
+
+    Three bounded pair-mining passes (space via eps_pairs, time via
+    the same single-meeting-bucket join on the time axis, both via
+    eps_pairs' two-eps mode) plus one count — each quadratic term
+    bounded by its densest cell/bucket.  `tau` in the units of
+    `t_col` (epoch seconds for timestamps upstream).  Exact for
+    n < ~9.4e7 points (n(n-1) must stay under 2^53; the pair COUNTS
+    are exact int64 at any n).
+
+    Returns ONE row (n_points, pairs_total, space_pairs, time_pairs,
+    st_pairs, expected_st, knox_ratio); knox_ratio NULL when either
+    marginal is empty."""
+    if delta <= 0 or tau <= 0:
+        raise ValueError("delta and tau must be positive")
+    n_row = F.broadcast(df.agg(F.count("*").cast("long").alias("n_points")))
+    space = F.broadcast(
+        eps_pairs(
+            df, float(delta), id_col, lon_col=lon_col, lat_col=lat_col,
+            metric="planar",
+        ).agg(F.count("*").cast("long").alias("space_pairs"))
+    )
+    time_ = F.broadcast(_time_close_pairs(df, id_col, t_col, float(tau)))
+    both = F.broadcast(
+        eps_pairs(
+            df, float(delta), id_col, lon_col=lon_col, lat_col=lat_col,
+            metric="planar", t_col=t_col, eps_t=float(tau),
+        ).agg(F.count("*").cast("long").alias("st_pairs"))
+    )
+    return (
+        n_row.crossJoin(space).crossJoin(time_).crossJoin(both)
+        .select(
+            "n_points",
+            F.expr(PAIRS_TOTAL_SQL.format(n="n_points")).alias("pairs_total"),
+            "space_pairs",
+            "time_pairs",
+            "st_pairs",
+            F.expr(
+                KNOX_EXPECTED_SQL.format(
+                    X="space_pairs", Y="time_pairs", n="n_points"
+                )
+            ).alias("expected_st"),
+            F.expr(
+                KNOX_RATIO_SQL.format(
+                    O="st_pairs", X="space_pairs", Y="time_pairs",
+                    n="n_points",
+                )
+            ).alias("knox_ratio"),
+        )
+    )
+
+
+def colocation_pi(
+    df: DataFrame,
+    id_col: str,
+    cat_col: str,
+    radius: float,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Colocation participation index per unordered category pair
+    (Shekhar & Huang 2001, distance-neighborhood form): PR(a→b) =
+    fraction of category-a points with at least one category-b
+    neighbor within `radius`; PI{a,b} = min of the two directions —
+    the support-style measure colocation miners threshold.
+
+    eps_pairs mining at `radius`, two id-joins to recover
+    categories, a directed distinct (participant, own cat, nbr cat),
+    and category-bounded aggregation — output is category pairs,
+    never points.  Self-pairs (a == b within one category) are
+    reported too (PI of a category with itself = fraction of its
+    points having a same-category neighbor).
+
+    Category pairs with NO qualifying point pair emit no row (their
+    PI is 0; emitting the cross product of all categories would be
+    unbounded output for high-cardinality columns).
+
+    Returns (cat_a, cat_b, n_a, n_b, n_a_with_b, n_b_with_a, pr_ab,
+    pr_ba, pi) with cat_a <= cat_b."""
+    if radius <= 0:
+        raise ValueError("radius must be positive")
+    pts = df.select(
+        F.col(id_col).alias("id"), F.col(cat_col).alias("cat"),
+        F.col(lon_col).alias("_plon"), F.col(lat_col).alias("_plat"),
+    )
+    pairs = eps_pairs(
+        pts, float(radius), "id", lon_col="_plon", lat_col="_plat",
+        metric="planar",
+    )
+    ca = pts.select(F.col("id").alias("id_a"), F.col("cat").alias("cat_a"))
+    cb = pts.select(F.col("id").alias("id_b"), F.col("cat").alias("cat_b"))
+    tagged = pairs.join(ca, "id_a").join(cb, "id_b")
+    directed = tagged.select(
+        F.col("id_a").alias("pid"),
+        F.col("cat_a").alias("own"),
+        F.col("cat_b").alias("nbr"),
+    ).unionByName(
+        tagged.select(
+            F.col("id_b").alias("pid"),
+            F.col("cat_b").alias("own"),
+            F.col("cat_a").alias("nbr"),
+        )
+    ).distinct()
+    part = directed.groupBy("own", "nbr").agg(
+        F.count("*").cast("long").alias("n_part")
+    )
+    sizes = F.broadcast(
+        pts.groupBy("cat").agg(F.count("*").cast("long").alias("n_cat"))
+    )
+    # canonical unordered pair: own <= nbr carries the (a→b) counts,
+    # the swapped direction joins in as (b→a)
+    fwd = (
+        part.filter(F.col("own") <= F.col("nbr"))
+        .select(
+            F.col("own").alias("cat_a"), F.col("nbr").alias("cat_b"),
+            F.col("n_part").alias("n_a_with_b"),
+        )
+    )
+    rev = (
+        part.filter(F.col("own") >= F.col("nbr"))
+        .select(
+            F.col("nbr").alias("cat_a"), F.col("own").alias("cat_b"),
+            F.col("n_part").alias("n_b_with_a"),
+        )
+    )
+    pr_ab = PART_RATIO_SQL.format(c="n_a_with_b", n="n_a")
+    pr_ba = PART_RATIO_SQL.format(c="n_b_with_a", n="n_b")
+    return (
+        fwd.join(rev, ["cat_a", "cat_b"], "inner")
+        .join(sizes.select(F.col("cat").alias("cat_a"),
+                           F.col("n_cat").alias("n_a")), "cat_a")
+        .join(sizes.select(F.col("cat").alias("cat_b"),
+                           F.col("n_cat").alias("n_b")), "cat_b")
+        .select(
+            "cat_a", "cat_b", "n_a", "n_b", "n_a_with_b", "n_b_with_a",
+            F.expr(pr_ab).alias("pr_ab"),
+            F.expr(pr_ba).alias("pr_ba"),
+            F.expr(PART_PI_SQL.format(pa=pr_ab, pb=pr_ba)).alias("pi"),
+        )
+    )

@@ -1,0 +1,151 @@
+"""Point-pattern statistics: brute-force oracle parity + plan shape."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators.pointpat import (
+    colocation_pi,
+    knox_test,
+    ripley_k,
+)
+
+
+def _corpus(n=400, seed=7):
+    rng = np.random.default_rng(seed)
+    # half clustered (20 blobs), half uniform background
+    cx = rng.uniform(-5, 5, 20)
+    cy = rng.uniform(-5, 5, 20)
+    k = rng.integers(0, 20, n // 2)
+    lon = np.concatenate([
+        cx[k] + rng.normal(0, 0.05, n // 2),
+        rng.uniform(-6, 6, n - n // 2),
+    ])
+    lat = np.concatenate([
+        cy[k] + rng.normal(0, 0.05, n // 2),
+        rng.uniform(-6, 6, n - n // 2),
+    ])
+    t = rng.uniform(0, 100000, n)
+    cat = rng.choice(["a", "b", "c"], n, p=[0.5, 0.3, 0.2])
+    return [
+        (i, float(lon[i]), float(lat[i]), float(t[i]), str(cat[i]))
+        for i in range(n)
+    ]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, lon double, lat double, t double, cat string"
+    )
+
+
+def test_ripley_k_vs_brute(spark):
+    rows = _corpus()
+    n = len(rows)
+    R_MAX, BINS, AREA = 0.8, 8, 144.0
+    out = {r["bin"]: r for r in ripley_k(
+        _df(spark, rows), "id", R_MAX, BINS, AREA
+    ).collect()}
+    assert set(out) == set(range(1, BINS + 1))
+
+    pts = np.array([(r[1], r[2]) for r in rows])
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    iu = np.triu_indices(n, 1)
+    # only pairs the operator mines (d2 <= r_max^2, eps_pairs filter)
+    d2p = d2[iu][d2[iu] <= R_MAX * R_MAX]
+    dr = R_MAX / BINS
+    bins = np.ceil(np.sqrt(d2p) / dr).clip(1, BINS)
+    for b in range(1, BINS + 1):
+        exp_bin = int(np.sum(bins == b))
+        exp_cum = int(np.sum(bins <= b))
+        r = out[b]
+        assert r["n_pairs"] == exp_bin
+        assert r["cum_pairs"] == exp_cum
+        k = AREA * 2.0 * r["cum_pairs"] / (n * (n - 1.0))
+        assert r["k_est"] == pytest.approx(k, rel=1e-12)
+        assert r["l_est"] == pytest.approx(math.sqrt(k / math.pi), rel=1e-12)
+        assert r["r"] == pytest.approx(b * dr, rel=1e-12)
+    # the clustered corpus reads clustered: L(r) - r > 0 at small r
+    assert out[1]["l_est"] > out[1]["r"]
+
+
+def test_knox_vs_brute(spark):
+    rows = _corpus(n=300, seed=11)
+    n = len(rows)
+    DELTA, TAU = 0.5, 9000.0
+    got = knox_test(_df(spark, rows), "id", "t", DELTA, TAU).collect()
+    assert len(got) == 1
+    g = got[0]
+    pts = np.array([(r[1], r[2]) for r in rows])
+    ts = np.array([r[3] for r in rows])
+    iu = np.triu_indices(n, 1)
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)[iu]
+    dt = np.abs(ts[:, None] - ts[None, :])[iu]
+    X = int(np.sum(d2 <= DELTA * DELTA))
+    Y = int(np.sum(dt <= TAU))
+    O = int(np.sum((d2 <= DELTA * DELTA) & (dt <= TAU)))
+    T = n * (n - 1) // 2
+    assert (g["n_points"], g["pairs_total"]) == (n, T)
+    assert (g["space_pairs"], g["time_pairs"], g["st_pairs"]) == (X, Y, O)
+    assert g["expected_st"] == pytest.approx(X * Y / T, rel=1e-12)
+    assert g["knox_ratio"] == pytest.approx(O * T / (X * Y), rel=1e-12)
+
+
+def test_colocation_vs_brute(spark):
+    rows = _corpus(n=350, seed=23)
+    R = 0.4
+    got = {
+        (r["cat_a"], r["cat_b"]): r
+        for r in colocation_pi(_df(spark, rows), "id", "cat", R).collect()
+    }
+    pts = np.array([(r[1], r[2]) for r in rows])
+    cats = np.array([r[4] for r in rows])
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    close = d2 <= R * R
+    uniq = sorted(set(cats))
+    exp = {}
+    for a in uniq:
+        for b in uniq:
+            if a > b:
+                continue
+            n_a = int((cats == a).sum())
+            n_b = int((cats == b).sum())
+            ab = int(np.sum((cats == a) & close[:, cats == b].any(1)))
+            ba = int(np.sum((cats == b) & close[:, cats == a].any(1)))
+            if ab or ba:
+                exp[(a, b)] = (n_a, n_b, ab, ba)
+    assert set(got) == set(exp)
+    for k, (n_a, n_b, ab, ba) in exp.items():
+        r = got[k]
+        assert (r["n_a"], r["n_b"]) == (n_a, n_b)
+        assert (r["n_a_with_b"], r["n_b_with_a"]) == (ab, ba)
+        assert r["pr_ab"] == pytest.approx(ab / n_a, rel=1e-12)
+        assert r["pr_ba"] == pytest.approx(ba / n_b, rel=1e-12)
+        assert r["pi"] == pytest.approx(min(ab / n_a, ba / n_b), rel=1e-12)
+
+
+def test_pointpat_args_and_plans(spark):
+    df = _df(spark, _corpus(n=40, seed=3))
+    for bad in (
+        lambda: ripley_k(df, "id", -1.0, 4, 1.0),
+        lambda: ripley_k(df, "id", 1.0, 0, 1.0),
+        lambda: ripley_k(df, "id", 1.0, 4, 0.0),
+        lambda: knox_test(df, "id", "t", 0.0, 1.0),
+        lambda: knox_test(df, "id", "t", 1.0, -1.0),
+        lambda: colocation_pi(df, "id", "cat", 0.0),
+    ):
+        with pytest.raises(ValueError):
+            bad()
+    for frame in (
+        ripley_k(df, "id", 0.5, 4, 144.0),
+        knox_test(df, "id", "t", 0.5, 1000.0),
+        colocation_pi(df, "id", "cat", 0.5),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
+        assert "CartesianProduct" not in plan
+        # BroadcastNestedLoopJoin appears only as the intended
+        # single-row stats crossJoin (the hotspot convention)

@@ -1743,6 +1743,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["flow_field"] = flow_field_gate
 
+    def flow_anomaly_gate(spark, sf):
+        """Per-leg motion anomaly against the cell's LEAVE-ONE-OUT
+        flow (tracks.flow_anomaly): each leg's own int64 sums are
+        subtracted exactly before the comparison; cos_sim and
+        speed_ratio via the shared FLOW_COS_SQL / FLOW_MAGR_SQL
+        strings (products in doubles — identical IEEE sequence both
+        engines)."""
+        from geomesa_spark.operators.tracks import flow_anomaly
+
+        return flow_anomaly(
+            _cooc_pts(spark, sf), "user_id", "es", bits=5,
+            max_gap_s=86400, tiebreak_col="event_id",
+        )
+
+    q["flow_anomaly"] = flow_anomaly_gate
+
     def trips_gate(spark, sf):
         """Dwell-gap trip extraction (tracks.track_trips): sessionize
         on the track key + one map-side-combinable endpoint aggregate
@@ -4094,6 +4110,53 @@ SELECT x, y, n_legs, sum_dt_s, sum_fp_dx, sum_fp_dy,
        {_FLOW.format(X="sum_fp_dx", D="sum_dt_s")} AS u_fp,
        {_FLOW.format(X="sum_fp_dy", D="sum_dt_s")} AS v_fp
 FROM agg
+"""
+
+    from geomesa_spark.operators.tracks import (
+        FLOW_COS_SQL as _FLOW_COS,
+        FLOW_MAGR_SQL as _FLOW_MAGR,
+    )
+
+    _fa_fmt = dict(fx="fp_dx", fy="fp_dy", SX="sx", SY="sy",
+                   dt="dt_s", SD="sd")
+    o["flow_anomaly"] = f"""
+WITH mp AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+pts AS (
+  SELECT event_id, user_id, es,
+         {_COOC_LON} AS lon, {_COOC_LAT} AS lat
+  FROM mp
+),
+seg AS (
+  SELECT user_id, es, lon, lat,
+         lead(lon) OVER w AS nlon,
+         lead(lat) OVER w AS nlat,
+         lead(es) OVER w AS nes
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+),
+legs AS (
+  SELECT user_id AS track, es,
+    CAST(greatest(0, least(31, floor((lon+180.0)/360.0*32.0))) AS BIGINT) AS x,
+    CAST(greatest(0, least(31, floor((lat+90.0)/180.0*32.0))) AS BIGINT) AS y,
+    CAST(nes - es AS BIGINT) AS dt_s,
+    CAST(floor(({_TRK_DLON.format(a="lon", b="nlon")}) * 1000000.0) AS BIGINT) AS fp_dx,
+    CAST(floor((nlat - lat) * 1000000.0) AS BIGINT) AS fp_dy
+  FROM seg WHERE nes IS NOT NULL AND nes - es <= 86400
+),
+field AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS n_cell_legs,
+         CAST(sum(dt_s) AS BIGINT) AS sd,
+         CAST(sum(fp_dx) AS BIGINT) AS sx,
+         CAST(sum(fp_dy) AS BIGINT) AS sy
+  FROM legs GROUP BY x, y
+)
+SELECT track, es, x, y, dt_s, fp_dx, fp_dy, n_cell_legs,
+       {_FLOW_COS.format(**_fa_fmt)} AS cos_sim,
+       {_FLOW_MAGR.format(**_fa_fmt)} AS speed_ratio
+FROM legs JOIN field USING (x, y)
 """
 
     o["trips"] = f"""

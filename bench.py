@@ -125,6 +125,7 @@ HEADLINE = [
     "ripley_k",
     "knox_test",
     "colocation",
+    "flow_anomaly",
 ]
 
 

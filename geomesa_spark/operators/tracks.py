@@ -39,7 +39,8 @@ from geomesa_spark.functions import geometry_sql as GS
 __all__ = [
     "track_metrics", "track_summary", "track_trips", "od_flows",
     "stop_detect", "track_resample", "frequent_places", "speed_filter",
-    "flow_field", "FLOW_MEAN_SQL", "TRK_DLON_SQL", "LON_NORM_SQL",
+    "flow_field", "flow_anomaly", "FLOW_MEAN_SQL", "FLOW_COS_SQL",
+    "FLOW_MAGR_SQL", "TRK_DLON_SQL", "LON_NORM_SQL",
     "lon_interp_sql", "stop_center_sql",
 ]
 
@@ -654,6 +655,61 @@ FLOW_MEAN_SQL = (
 )
 
 
+def _cell_legs(
+    df: DataFrame,
+    track_col: str,
+    ts_col: str,
+    lon_col: str,
+    lat_col: str,
+    bits: int,
+    fp_scale: int,
+    max_gap_s: int | None,
+    tiebreak_col: str | None,
+) -> DataFrame:
+    """Per-leg frame shared by flow_field/flow_anomaly: one window on
+    the track key, each leg keyed by its ORIGIN point's grid cell
+    with exact int64 duration and fixed-point IDL-wrapped
+    displacement.  Returns (_trk, _es, x, y, _dt, _fdx, _fdy)."""
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(track_col).orderBy(*order)
+    es = (
+        F.unix_timestamp(F.col(ts_col))
+        if dict(df.dtypes)[ts_col].startswith("timestamp")
+        else F.col(ts_col).cast("long")
+    )
+    legs = (
+        df.select(
+            F.col(track_col).alias("_trk"),
+            F.col(lon_col).alias("_lon"),
+            F.col(lat_col).alias("_lat"),
+            es.alias("_es"),
+            F.lead(F.col(lon_col)).over(w).alias("_nlon"),
+            F.lead(F.col(lat_col)).over(w).alias("_nlat"),
+            F.lead(es).over(w).alias("_nes"),
+        )
+        .filter(F.col("_nes").isNotNull())
+    )
+    if max_gap_s is not None:
+        legs = legs.filter(
+            F.col("_nes") - F.col("_es") <= F.lit(int(max_gap_s))
+        )
+    fp = F.lit(float(fp_scale))
+    return legs.select(
+        "_trk",
+        "_es",
+        C.lon_to_x(F.col("_lon"), bits).alias("x"),
+        C.lat_to_y(F.col("_lat"), bits).alias("y"),
+        (F.col("_nes") - F.col("_es")).alias("_dt"),
+        F.floor(
+            F.expr(TRK_DLON_SQL.format(a="_lon", b="_nlon")) * fp
+        ).cast("long").alias("_fdx"),
+        F.floor((F.col("_nlat") - F.col("_lat")) * fp)
+        .cast("long").alias("_fdy"),
+    )
+
+
 def flow_field(
     df: DataFrame,
     track_col: str,
@@ -688,41 +744,10 @@ def flow_field(
 
     Returns (x, y, n_legs, sum_dt_s, sum_fp_dx, sum_fp_dy, u_fp,
     v_fp)."""
-    order = [F.col(ts_col).asc()]
-    if tiebreak_col is not None:
-        order.append(F.col(tiebreak_col).asc())
-    w = Window.partitionBy(track_col).orderBy(*order)
-    es = (
-        F.unix_timestamp(F.col(ts_col))
-        if dict(df.dtypes)[ts_col].startswith("timestamp")
-        else F.col(ts_col).cast("long")
-    )
-    legs = (
-        df.select(
-            F.col(lon_col).alias("_lon"),
-            F.col(lat_col).alias("_lat"),
-            es.alias("_es"),
-            F.lead(F.col(lon_col)).over(w).alias("_nlon"),
-            F.lead(F.col(lat_col)).over(w).alias("_nlat"),
-            F.lead(es).over(w).alias("_nes"),
-        )
-        .filter(F.col("_nes").isNotNull())
-    )
-    if max_gap_s is not None:
-        legs = legs.filter(
-            F.col("_nes") - F.col("_es") <= F.lit(int(max_gap_s))
-        )
-    fp = F.lit(float(fp_scale))
     out = (
-        legs.select(
-            C.lon_to_x(F.col("_lon"), bits).alias("x"),
-            C.lat_to_y(F.col("_lat"), bits).alias("y"),
-            (F.col("_nes") - F.col("_es")).alias("_dt"),
-            F.floor(
-                F.expr(TRK_DLON_SQL.format(a="_lon", b="_nlon")) * fp
-            ).cast("long").alias("_fdx"),
-            F.floor((F.col("_nlat") - F.col("_lat")) * fp)
-            .cast("long").alias("_fdy"),
+        _cell_legs(
+            df, track_col, ts_col, lon_col, lat_col, bits, fp_scale,
+            max_gap_s, tiebreak_col,
         )
         .groupBy("x", "y")
         .agg(
@@ -737,4 +762,97 @@ def flow_field(
             "u_fp": F.expr(FLOW_MEAN_SQL.format(X="sum_fp_dx", D="sum_dt_s")),
             "v_fp": F.expr(FLOW_MEAN_SQL.format(X="sum_fp_dy", D="sum_dt_s")),
         }
+    )
+
+
+# cosine between a leg's displacement and its cell's LEAVE-ONE-OUT
+# aggregate displacement (the leg's own contribution subtracted in
+# exact int64 before any float op). NULL when either vector is zero.
+# Products run in doubles (int64 cross-products can exceed 2^63);
+# both engines execute the identical IEEE sequence.
+FLOW_COS_SQL = (
+    "CASE WHEN ({fx} <> 0 OR {fy} <> 0)"
+    " AND ({SX} - {fx} <> 0 OR {SY} - {fy} <> 0)"
+    " THEN (CAST({fx} AS DOUBLE) * CAST({SX} - {fx} AS DOUBLE)"
+    " + CAST({fy} AS DOUBLE) * CAST({SY} - {fy} AS DOUBLE))"
+    " / (sqrt(CAST({fx} AS DOUBLE) * CAST({fx} AS DOUBLE)"
+    " + CAST({fy} AS DOUBLE) * CAST({fy} AS DOUBLE))"
+    " * sqrt(CAST({SX} - {fx} AS DOUBLE) * CAST({SX} - {fx} AS DOUBLE)"
+    " + CAST({SY} - {fy} AS DOUBLE) * CAST({SY} - {fy} AS DOUBLE))) END"
+)
+
+# leg speed over the cell's leave-one-out mean speed — cross-
+# multiplied so it is one division of exact-int-derived doubles;
+# NULL when the leg is instantaneous (dt=0), the rest of the cell
+# carries no time, or the LOO vector is zero.
+FLOW_MAGR_SQL = (
+    "CASE WHEN {dt} > 0 AND {SD} - {dt} > 0"
+    " AND ({SX} - {fx} <> 0 OR {SY} - {fy} <> 0)"
+    " THEN (sqrt(CAST({fx} AS DOUBLE) * CAST({fx} AS DOUBLE)"
+    " + CAST({fy} AS DOUBLE) * CAST({fy} AS DOUBLE))"
+    " * CAST({SD} - {dt} AS DOUBLE))"
+    " / (CAST({dt} AS DOUBLE)"
+    " * sqrt(CAST({SX} - {fx} AS DOUBLE) * CAST({SX} - {fx} AS DOUBLE)"
+    " + CAST({SY} - {fy} AS DOUBLE) * CAST({SY} - {fy} AS DOUBLE))) END"
+)
+
+
+def flow_anomaly(
+    df: DataFrame,
+    track_col: str,
+    ts_col: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    bits: int = 6,
+    fp_scale: int = 1_000_000,
+    max_gap_s: int | None = None,
+    tiebreak_col: str | None = None,
+    broadcast_field: bool | None = None,
+) -> DataFrame:
+    """Score every leg against its cell's aggregate motion — the
+    anomalous-mover detector on top of ``flow_field``: a vessel
+    cutting across the shipping lane (cos_sim << 1) or running at 5×
+    the local traffic speed (speed_ratio >> 1) surfaces per leg.
+
+    The cell statistics are LEAVE-ONE-OUT — each leg's own int64
+    contribution is subtracted exactly before comparison, so a leg
+    never vouches for itself (and a cell's only leg scores NULL
+    instead of a perfect 1.0).  Costs the flow_field window + ONE
+    join of legs against the bounded field frame (4^bits rows —
+    broadcast by default up to bits=10, shuffle join above;
+    `broadcast_field` overrides).  Determinism: the scores are the
+    shared ``FLOW_COS_SQL`` / ``FLOW_MAGR_SQL`` strings over exact
+    int64 leg and cell sums.
+
+    Returns (track, es, x, y, dt_s, fp_dx, fp_dy, n_cell_legs,
+    cos_sim, speed_ratio) — one row per leg, es = the leg's origin
+    fix (epoch seconds)."""
+    legs = _cell_legs(
+        df, track_col, ts_col, lon_col, lat_col, bits, fp_scale,
+        max_gap_s, tiebreak_col,
+    )
+    field = legs.groupBy("x", "y").agg(
+        F.count("*").cast("long").alias("n_cell_legs"),
+        F.sum("_dt").cast("long").alias("_sd"),
+        F.sum("_fdx").alias("_sx"),
+        F.sum("_fdy").alias("_sy"),
+    )
+    if broadcast_field is None:
+        broadcast_field = bits <= 10
+    f = F.broadcast(field) if broadcast_field else field
+    fmt = dict(fx="_fdx", fy="_fdy", SX="_sx", SY="_sy",
+               dt="_dt", SD="_sd")
+    return (
+        legs.join(f, ["x", "y"])
+        .select(
+            F.col("_trk").alias("track"),
+            F.col("_es").alias("es"),
+            "x", "y",
+            F.col("_dt").alias("dt_s"),
+            F.col("_fdx").alias("fp_dx"),
+            F.col("_fdy").alias("fp_dy"),
+            "n_cell_legs",
+            F.expr(FLOW_COS_SQL.format(**fmt)).alias("cos_sim"),
+            F.expr(FLOW_MAGR_SQL.format(**fmt)).alias("speed_ratio"),
+        )
     )

@@ -497,3 +497,89 @@ def test_idl_wrap_flow_resample_stops(spark):
     s2 = stop_detect(sdf2, "trk", "es", 200.0, 600).collect()
     assert len(s2) == 1
     assert s2[0].center_lon == (10.0 + (10.0 + 0.006)) / 2.0
+
+
+def test_flow_anomaly_oracle(spark):
+    """flow_anomaly vs a brute python fold: exact LOO cell sums,
+    bit-equal cos/speed-ratio, NULL degeneracies (zero leg vector,
+    single-leg cell, dt=0, rest-of-cell dt=0)."""
+    import numpy as np
+
+    from geomesa_spark.operators.tracks import flow_anomaly
+
+    rng = np.random.default_rng(5)
+    rows = []
+    tracks = {}
+    for t in range(25):
+        n = int(rng.integers(3, 12))
+        es = np.sort(rng.choice(np.arange(0, 100000, 10), n, replace=False))
+        lon = np.cumsum(rng.uniform(-0.5, 0.7, n)) + rng.uniform(-10, 10)
+        lat = np.cumsum(rng.uniform(-0.4, 0.4, n)) + rng.uniform(-10, 10)
+        pts = list(zip(es.tolist(), lon.tolist(), lat.tolist()))
+        tracks[t] = pts
+        rows += [(t, int(e), float(x), float(y)) for e, x, y in pts]
+    # degeneracies: a duplicate-ts leg and a zero-displacement leg
+    tracks[90] = [(0, 1.0, 1.0), (0, 1.3, 1.0), (100, 1.3, 1.0)]
+    rows += [(90, e, x, y) for e, x, y in tracks[90]]
+    df = spark.createDataFrame(
+        rows, "trk long, es long, lon double, lat double"
+    )
+    BITS, FP, N = 4, 1_000_000, 16
+    got_rows = flow_anomaly(
+        df, "trk", "es", bits=BITS, tiebreak_col="lon"
+    ).collect()
+
+    # python fold
+    legs = []
+    for t, pts in tracks.items():
+        pts = sorted(pts, key=lambda p: (p[0], p[1]))
+        for (e0, x0, y0), (e1, x1, y1) in zip(pts, pts[1:]):
+            cx = int(np.clip(np.floor((x0 + 180.0) / 360.0 * N), 0, N - 1))
+            cy = int(np.clip(np.floor((y0 + 90.0) / 180.0 * N), 0, N - 1))
+            legs.append((t, e0, cx, cy, e1 - e0,
+                         int(np.floor((x1 - x0) * FP)),
+                         int(np.floor((y1 - y0) * FP))))
+    cell = {}
+    for t, e0, cx, cy, dt, fx, fy in legs:
+        a = cell.setdefault((cx, cy), [0, 0, 0, 0])
+        a[0] += 1; a[1] += dt; a[2] += fx; a[3] += fy
+    exp_rows = []
+    for t, e0, cx, cy, dt, fx, fy in legs:
+        nc, sd, sx, sy = cell[(cx, cy)]
+        lx, ly = sx - fx, sy - fy
+        if (fx or fy) and (lx or ly):
+            cos = (fx * lx + fy * ly) / (
+                math.sqrt(float(fx) * fx + float(fy) * fy)
+                * math.sqrt(float(lx) * lx + float(ly) * ly)
+            )
+        else:
+            cos = None
+        if dt > 0 and sd - dt > 0 and (lx or ly):
+            ratio = (math.sqrt(float(fx) * fx + float(fy) * fy)
+                     * (sd - dt)) / (
+                dt * math.sqrt(float(lx) * lx + float(ly) * ly))
+        else:
+            ratio = None
+        exp_rows.append((t, e0, cx, cy, dt, fx, fy, nc, cos, ratio))
+    got_tuples = sorted(
+        (r.track, r.es, r.x, r.y, r.dt_s, r.fp_dx, r.fp_dy,
+         r.n_cell_legs, r.cos_sim, r.speed_ratio)
+        for r in got_rows
+    )
+    exp_tuples = sorted(exp_rows, key=lambda x: tuple(
+        (v is None, v) for v in x))
+    got_tuples = sorted(got_tuples, key=lambda x: tuple(
+        (v is None, v) for v in x))
+    assert len(got_tuples) == len(exp_tuples)
+    for g, e in zip(got_tuples, exp_tuples):
+        assert g[:8] == e[:8], (g, e)
+        for gv, ev in zip(g[8:], e[8:]):
+            if ev is None:
+                assert gv is None, (g, e)
+            else:
+                assert gv == pytest.approx(ev, rel=1e-12), (g, e)
+    # plan: broadcast field join, no Python
+    plan = flow_anomaly(df, "trk", "es", bits=BITS)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan

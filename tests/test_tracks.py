@@ -583,3 +583,51 @@ def test_flow_anomaly_oracle(spark):
         .queryExecution().executedPlan().toString()
     assert "Python" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_idl_shared_string_properties():
+    """Property check of the IDL shared strings through a real SQL
+    engine: the wrapped delta is the shortest representative (|d| <=
+    180, congruent to b-a mod 360), interpolated lons normalize into
+    [-180, 180), and non-wrap segments reproduce the plain form
+    bit-exactly."""
+    import duckdb
+    import numpy as np
+
+    from geomesa_spark.operators.tracks import (
+        TRK_DLON_SQL, lon_interp_sql,
+    )
+
+    rng = np.random.default_rng(77)
+    n = 5000
+    a = rng.uniform(-180, 180, n)
+    b = np.concatenate([
+        rng.uniform(-180, 180, n // 2),
+        # force wraps: b on the far side of a
+        ((a[n // 2:] + rng.uniform(181, 359, n - n // 2) + 180) % 360)
+        - 180,
+    ])
+    fr = rng.uniform(0, 1, n)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a double, b double, fr double)")
+    con.executemany(
+        "INSERT INTO t VALUES (?,?,?)",
+        list(zip(a.tolist(), b.tolist(), fr.tolist())),
+    )
+    d, li, raw = np.array(con.execute(
+        f"SELECT {TRK_DLON_SQL.format(a='a', b='b')},"
+        f" {lon_interp_sql('a', 'b', 'fr')}, b - a FROM t"
+    ).fetchall()).T
+    assert np.all(np.abs(d) <= 180.0)
+    # congruent to the raw delta mod 360
+    assert np.all(np.abs(np.remainder(raw - d + 180.0, 360.0) - 180.0)
+                  < 1e-9)
+    assert np.all((li >= -180.0) & (li < 180.0))
+    nowrap = np.abs(raw) <= 180.0
+    assert np.array_equal(li[nowrap], (a + raw * fr)[nowrap])
+    # wrapped interpolation stays within the wrapped segment's arc
+    wrap = ~nowrap
+    arc = np.abs(d[wrap] * fr[wrap])
+    # distance travelled from a (mod 360, shortest) equals |d*fr|
+    trav = np.abs(np.remainder(li[wrap] - a[wrap] + 180.0, 360.0) - 180.0)
+    assert np.all(np.abs(trav - arc) < 1e-9)

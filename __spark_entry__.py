@@ -2490,6 +2490,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ripley_k"] = ripley_k_gate
 
+    def ripley_cross_gate(spark, sf):
+        """Bivariate Ripley's K (pointpat.ripley_cross_k): do click
+        events cluster around purchase events?  Blob corpus with
+        event_type labels — types mix within every blob, so K_ab
+        reads strongly attractive at blob scale. Cross pairs exact
+        int64; K/L via the shared RIPLEY_XK/RIPLEY_L strings."""
+        from geomesa_spark.operators.pointpat import ripley_cross_k
+
+        pts = _load(spark, sf, "events").select(
+            F.col("event_id").alias("id"),
+            F.col("event_type").alias("cat"),
+            F.expr(_BLOB_LON).alias("lon"),
+            F.expr(_BLOB_LAT).alias("lat"),
+        )
+        return ripley_cross_k(
+            pts, "id", "cat", "click", "purchase", 0.05, 5, 59500.0
+        )
+
+    q["ripley_cross_k"] = ripley_cross_gate
+
     def knox_test_gate(spark, sf):
         """Knox space-time interaction (pointpat.knox_test) on the
         cooccurrence lattice (event_id % 7 subset), delta=1 deg,
@@ -5345,6 +5365,55 @@ SELECT bin, {_RIP_R.format(bin="bin", dr=_R_DR)} AS r,
        n_pairs, cum_pairs,
        {_rip_k} AS k_est,
        {_RIP_L.format(K=_rip_k)} AS l_est
+FROM c CROSS JOIN np
+"""
+
+    from geomesa_spark.operators.pointpat import (
+        RIPLEY_XK_SQL as _RIP_XK,
+    )
+
+    _rip_xk = _RIP_XK.format(A=repr(59500.0), C="cum_pairs",
+                             na="n_a", nb="n_b")
+    o["ripley_cross_k"] = f"""
+WITH pts AS (
+  SELECT event_id AS id, event_type AS cat,
+         {_BLOB_LON} AS lon, {_BLOB_LAT} AS lat
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+pr AS (
+  SELECT (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) AS dist2
+  FROM pts a JOIN pts b
+    ON a.id < b.id
+   AND a.cat <> b.cat
+   AND b.lat BETWEEN a.lat - 0.05 AND a.lat + 0.05
+   AND b.lon BETWEEN a.lon - 0.05 AND a.lon + 0.05
+  WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)
+        <= {_R_D2}
+),
+binned AS (
+  SELECT {_RIP_BIN.format(nb=5, d2="dist2", dr=_R_DR)} AS bin,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pr GROUP BY 1
+),
+axis AS (SELECT CAST(range AS BIGINT) AS bin FROM range(1, 6)),
+np AS (
+  SELECT CAST(sum(CASE WHEN cat = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN cat = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_b
+  FROM pts
+),
+c AS (
+  SELECT axis.bin,
+         CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+         CAST(sum(coalesce(n_pairs, 0)) OVER (ORDER BY axis.bin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pairs
+  FROM axis LEFT JOIN binned USING (bin)
+)
+SELECT bin, {_RIP_R.format(bin="bin", dr=_R_DR)} AS r,
+       n_pairs, cum_pairs,
+       {_rip_xk} AS k_est,
+       {_RIP_L.format(K=_rip_xk)} AS l_est
 FROM c CROSS JOIN np
 """
 

@@ -126,6 +126,7 @@ HEADLINE = [
     "knox_test",
     "colocation",
     "flow_anomaly",
+    "ripley_cross_k",
 ]
 
 

@@ -50,10 +50,10 @@ from pyspark.sql import functions as F
 from geomesa_spark.operators.cluster import eps_pairs
 
 __all__ = [
-    "ripley_k", "knox_test", "colocation_pi",
-    "RIPLEY_K_SQL", "RIPLEY_L_SQL", "RIPLEY_BIN_SQL", "RIPLEY_R_SQL",
-    "KNOX_EXPECTED_SQL", "KNOX_RATIO_SQL", "PAIRS_TOTAL_SQL",
-    "PART_RATIO_SQL", "PART_PI_SQL",
+    "ripley_k", "ripley_cross_k", "knox_test", "colocation_pi",
+    "RIPLEY_K_SQL", "RIPLEY_XK_SQL", "RIPLEY_L_SQL", "RIPLEY_BIN_SQL",
+    "RIPLEY_R_SQL", "KNOX_EXPECTED_SQL", "KNOX_RATIO_SQL",
+    "PAIRS_TOTAL_SQL", "PART_RATIO_SQL", "PART_PI_SQL",
 ]
 
 
@@ -61,6 +61,12 @@ __all__ = [
 RIPLEY_K_SQL = (
     "{A} * (2.0 * CAST({C} AS DOUBLE))"
     " / (CAST({n} AS DOUBLE) * (CAST({n} AS DOUBLE) - 1.0))"
+)
+# bivariate K_ab(r) = A * cross_pairs / (n_a * n_b) — each unordered
+# A-B pair is exactly one term of the double sum when a != b
+RIPLEY_XK_SQL = (
+    "{A} * CAST({C} AS DOUBLE)"
+    " / (CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE))"
 )
 # L(r) = sqrt(K(r) / pi) — the variance-stabilized form; under CSR
 # L(r) = r, so L(r) - r reads directly as clustering excess
@@ -134,28 +140,32 @@ def ripley_k(
         df, float(r_max), id_col, lon_col=lon_col, lat_col=lat_col,
         metric="planar",
     )
+    stats = F.broadcast(
+        df.agg(F.count("*").cast("long").alias("n_points"))
+    )
+    k_sql = RIPLEY_K_SQL.format(A=_lit(area), C="cum_pairs", n="n_points")
+    return _k_curve(df.sparkSession, pairs, int(n_bins), dr, stats, k_sql)
+
+
+def _k_curve(spark, pairs, n_bins, dr, stats, k_sql):
+    """Shared curve assembly: bin mined pair distances, densify the
+    bin axis, cumulative-sum (tiny single-partition window over
+    n_bins rows), broadcast the count row, derive K and L."""
     binned = (
         pairs.select(
             F.expr(
-                RIPLEY_BIN_SQL.format(
-                    nb=int(n_bins), d2="dist2", dr=_lit(dr)
-                )
+                RIPLEY_BIN_SQL.format(nb=n_bins, d2="dist2", dr=_lit(dr))
             ).alias("bin")
         )
         .groupBy("bin")
         .agg(F.count("*").cast("long").alias("n_pairs"))
     )
-    spark = df.sparkSession
-    axis = spark.range(1, int(n_bins) + 1).select(F.col("id").alias("bin"))
-    stats = F.broadcast(
-        df.agg(F.count("*").cast("long").alias("n_points"))
-    )
+    axis = spark.range(1, n_bins + 1).select(F.col("id").alias("bin"))
     from pyspark.sql import Window
 
     cum = Window.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    k_sql = RIPLEY_K_SQL.format(A=_lit(area), C="cum_pairs", n="n_points")
     return (
         axis.join(binned, "bin", "left")
         .withColumn("n_pairs", F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long"))
@@ -170,6 +180,69 @@ def ripley_k(
             F.expr(RIPLEY_L_SQL.format(K=k_sql)).alias("l_est"),
         )
     )
+
+
+def ripley_cross_k(
+    df: DataFrame,
+    id_col: str,
+    cat_col: str,
+    cat_a: str,
+    cat_b: str,
+    r_max: float,
+    n_bins: int,
+    area: float,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Bivariate (cross-type) Ripley's K: K_ab(r) = A * (A-B pairs
+    within r) / (n_a * n_b) — does category `cat_a` cluster AROUND
+    category `cat_b` (attraction, L_ab(r) > r) or avoid it
+    (repulsion)?  The inferential counterpart of ``colocation_pi``'s
+    single-radius participation ratio.
+
+    Mining runs over the two categories' UNION (one eps_pairs pass,
+    same bounded single-meeting-cell join), then keeps the cross
+    pairs — each unordered A-B pair is exactly one term of the
+    double sum.  Same naive-estimator caveat as ``ripley_k``; use
+    ``ripley_k`` for the univariate case (the denominator differs:
+    n(n-1), self-pairs excluded).
+
+    Returns (bin, r, n_pairs, cum_pairs, k_est, l_est)."""
+    if r_max <= 0:
+        raise ValueError("r_max must be positive")
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if area <= 0:
+        raise ValueError("area must be positive")
+    if cat_a == cat_b:
+        raise ValueError("cat_a == cat_b: use ripley_k on that category")
+    dr = float(r_max) / int(n_bins)
+    pts = df.select(
+        F.col(id_col).alias("id"), F.col(cat_col).alias("cat"),
+        F.col(lon_col).alias("_plon"), F.col(lat_col).alias("_plat"),
+    ).filter(F.col("cat").isin([cat_a, cat_b]))
+    pairs = eps_pairs(
+        pts, float(r_max), "id", lon_col="_plon", lat_col="_plat",
+        metric="planar",
+    )
+    ca = pts.select(F.col("id").alias("id_a"), F.col("cat").alias("cat_a"))
+    cb = pts.select(F.col("id").alias("id_b"), F.col("cat").alias("cat_b"))
+    cross = (
+        pairs.join(ca, "id_a").join(cb, "id_b")
+        .filter(F.col("cat_a") != F.col("cat_b"))
+    )
+    stats = F.broadcast(
+        pts.agg(
+            F.sum(F.when(F.col("cat") == cat_a, 1).otherwise(0))
+            .cast("long").alias("n_a"),
+            F.sum(F.when(F.col("cat") == cat_b, 1).otherwise(0))
+            .cast("long").alias("n_b"),
+        )
+    )
+    k_sql = RIPLEY_XK_SQL.format(
+        A=_lit(area), C="cum_pairs", na="n_a", nb="n_b"
+    )
+    return _k_curve(df.sparkSession, cross, int(n_bins), dr, stats, k_sql)
 
 
 def _time_close_pairs(

@@ -149,3 +149,36 @@ def test_pointpat_args_and_plans(spark):
         assert "CartesianProduct" not in plan
         # BroadcastNestedLoopJoin appears only as the intended
         # single-row stats crossJoin (the hotspot convention)
+
+
+def test_ripley_cross_k_vs_brute(spark):
+    rows = _corpus(n=380, seed=31)
+    n = len(rows)
+    R_MAX, BINS, AREA = 0.9, 6, 144.0
+    from geomesa_spark.operators.pointpat import ripley_cross_k
+
+    out = {r["bin"]: r for r in ripley_cross_k(
+        _df(spark, rows), "id", "cat", "a", "b", R_MAX, BINS, AREA
+    ).collect()}
+    assert set(out) == set(range(1, BINS + 1))
+
+    pts = np.array([(r[1], r[2]) for r in rows])
+    cats = np.array([r[4] for r in rows])
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    ia = np.where(cats == "a")[0]
+    ib = np.where(cats == "b")[0]
+    n_a, n_b = len(ia), len(ib)
+    dab = d2[np.ix_(ia, ib)].ravel()
+    dab = dab[dab <= R_MAX * R_MAX]
+    dr = R_MAX / BINS
+    bins = np.ceil(np.sqrt(dab) / dr).clip(1, BINS)
+    for b in range(1, BINS + 1):
+        r = out[b]
+        assert r["n_pairs"] == int((bins == b).sum())
+        assert r["cum_pairs"] == int((bins <= b).sum())
+        k = AREA * r["cum_pairs"] / (n_a * float(n_b))
+        assert r["k_est"] == pytest.approx(k, rel=1e-12)
+        assert r["l_est"] == pytest.approx(math.sqrt(k / math.pi), rel=1e-12)
+    with pytest.raises(ValueError):
+        ripley_cross_k(_df(spark, rows), "id", "cat", "a", "a",
+                       R_MAX, BINS, AREA)

@@ -38,3 +38,8 @@ from geomesa_spark.streaming.hotspot import (  # noqa: F401
     read_hot_alerts,
     read_hot_now,
 )
+from geomesa_spark.streaming.flow import (  # noqa: F401
+    flow_stream,
+    read_flow_alerts,
+    read_flow_field_now,
+)

@@ -2536,6 +2536,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knox_test"] = knox_test_gate
 
+    def space_time_k_gate(spark, sf):
+        """Diggle space-time K surface (pointpat.space_time_k) on the
+        knox corpus: a 4x3 (radius, lag) grid up to 1 deg / 1 day.
+        The lattice's lon-follows-time coupling concentrates mass in
+        the small-lag column. 2-D cumulative = two tiny windows;
+        counts exact int64, K via the shared STK_K_SQL."""
+        from geomesa_spark.operators.pointpat import space_time_k
+
+        mp = _load(spark, sf, "events").filter(
+            F.col("event_id") % 7 == 0
+        ).select(
+            "event_id", "user_id",
+            F.unix_timestamp("ts").alias("es"),
+        )
+        pts = mp.select(
+            F.col("event_id").alias("id"),
+            F.col("es").cast("double").alias("t"),
+            F.expr(_COOC_LON).alias("lon"),
+            F.expr(_COOC_LAT).alias("lat"),
+        )
+        return space_time_k(
+            pts, "id", "t", 1.0, 86400.0, 4, 3, 64800.0, 2592000.0
+        )
+
+    q["space_time_k"] = space_time_k_gate
+
     def colocation_gate(spark, sf):
         """Colocation participation index (pointpat.colocation_pi)
         on the cooccurrence lattice (event_id % 3 subset), category
@@ -5450,6 +5476,68 @@ SELECT n_points,
        {_KNOX_R.format(O="st_pairs", X="space_pairs", Y="time_pairs",
                        n="n_points")} AS knox_ratio
 FROM agg
+"""
+
+    from geomesa_spark.operators.pointpat import (
+        STK_K_SQL as _STK_K,
+        STK_TBIN_SQL as _STK_TB,
+    )
+
+    _stk_k = _STK_K.format(A=repr(64800.0), T=repr(2592000.0),
+                           C="cum_pairs", n="n_points")
+    _stk_dr = repr(1.0 / 4)
+    _stk_dw = repr(86400.0 / 3)
+    o["space_time_k"] = f"""
+WITH mp AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events WHERE event_id % 7 = 0
+),
+pts AS (
+  SELECT event_id AS id, CAST(es AS DOUBLE) AS t,
+         {_COOC_LON} AS lon, {_COOC_LAT} AS lat
+  FROM mp
+),
+pr AS (
+  SELECT (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) AS dist2,
+         abs(a.t - b.t) AS dt
+  FROM pts a JOIN pts b ON a.id < b.id
+  WHERE (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat)
+        <= {repr(1.0 ** 2)}
+    AND abs(a.t - b.t) <= 86400.0
+),
+binned AS (
+  SELECT {_RIP_BIN.format(nb=4, d2="dist2", dr=_stk_dr)} AS rb,
+         {_STK_TB.format(nb=3, d="dt", dw=_stk_dw)} AS tb,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pr GROUP BY 1, 2
+),
+grid AS (
+  SELECT CAST(r.range AS BIGINT) AS rb, CAST(t.range AS BIGINT) AS tb
+  FROM range(1, 5) r CROSS JOIN range(1, 4) t
+),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM pts),
+c0 AS (
+  SELECT grid.rb, grid.tb,
+         CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs
+  FROM grid LEFT JOIN binned USING (rb, tb)
+),
+c1 AS (
+  SELECT *, sum(n_pairs) OVER (PARTITION BY tb ORDER BY rb
+             ROWS UNBOUNDED PRECEDING) AS _cr
+  FROM c0
+),
+c AS (
+  SELECT rb, tb, n_pairs,
+         CAST(sum(_cr) OVER (PARTITION BY rb ORDER BY tb
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pairs
+  FROM c1
+)
+SELECT rb, tb,
+       {_RIP_R.format(bin="rb", dr=_stk_dr)} AS r,
+       {_RIP_R.format(bin="tb", dr=_stk_dw)} AS tau,
+       n_pairs, cum_pairs,
+       {_stk_k} AS k_est
+FROM c CROSS JOIN np
 """
 
     _co_pa = _PART_PR.format(c="n_a_with_b", n="n_a")

@@ -127,6 +127,7 @@ HEADLINE = [
     "colocation",
     "flow_anomaly",
     "ripley_cross_k",
+    "space_time_k",
 ]
 
 

@@ -63,6 +63,7 @@ def eps_pairs(
     dist_m: float | None = None,
     t_col: str | None = None,
     eps_t: float | None = None,
+    with_dt: bool = False,
 ) -> DataFrame:
     """All pairs (id_a < id_b) within eps — each pair exactly once.
 
@@ -76,7 +77,9 @@ def eps_pairs(
     dimension (bucket width >= eps_t, left explodes +-1, no wrap),
     so the quadratic term is bounded by the densest (cell x time
     bucket) — temporally spread-out hot cells stop being hot.
-    Returns (id_a, id_b, dist2 | dist_m)."""
+    `with_dt` (requires t_col) appends the pair's |t_a - t_b| as
+    `dt` (space_time_k consumes it).
+    Returns (id_a, id_b, dist2 | dist_m [, dt])."""
     if eps <= 0:
         raise ValueError("eps must be positive")
     if metric not in ("planar", "haversine"):
@@ -87,6 +90,8 @@ def eps_pairs(
         raise ValueError("t_col and eps_t come together")
     if eps_t is not None and eps_t <= 0:
         raise ValueError("eps_t must be positive")
+    if with_dt and t_col is None:
+        raise ValueError("with_dt requires t_col")
     nx = max(1, int(360.0 // eps))
     if 360.0 / nx < eps:
         nx -= 1
@@ -172,19 +177,22 @@ def eps_pairs(
         cand = cand.filter(
             F.abs(F.col("t_a") - F.col("t_b")) <= F.lit(float(eps_t))
         )
+    extra = (
+        [F.abs(F.col("t_a") - F.col("t_b")).alias("dt")] if with_dt else []
+    )
     if metric == "planar":
         d2 = GS.point_dist2_col(
             F.col("lon_a"), F.col("lat_a"), F.col("lon_b"), F.col("lat_b")
         )
         out = cand.filter(d2 <= F.lit(float(eps) ** 2)).select(
-            "id_a", "id_b", d2.alias("dist2")
+            "id_a", "id_b", d2.alias("dist2"), *extra
         )
     else:
         dm = GS.haversine_m_col(
             F.col("lon_a"), F.col("lat_a"), F.col("lon_b"), F.col("lat_b")
         )
         out = cand.filter(dm <= F.lit(float(dist_m))).select(
-            "id_a", "id_b", dm.alias("dist_m")
+            "id_a", "id_b", dm.alias("dist_m"), *extra
         )
     return out.distinct() if dedup_needed else out
 

@@ -50,9 +50,10 @@ from pyspark.sql import functions as F
 from geomesa_spark.operators.cluster import eps_pairs
 
 __all__ = [
-    "ripley_k", "ripley_cross_k", "knox_test", "colocation_pi",
+    "ripley_k", "ripley_cross_k", "space_time_k", "knox_test",
+    "colocation_pi",
     "RIPLEY_K_SQL", "RIPLEY_XK_SQL", "RIPLEY_L_SQL", "RIPLEY_BIN_SQL",
-    "RIPLEY_R_SQL", "KNOX_EXPECTED_SQL", "KNOX_RATIO_SQL",
+    "RIPLEY_R_SQL", "STK_K_SQL", "KNOX_EXPECTED_SQL", "KNOX_RATIO_SQL",
     "PAIRS_TOTAL_SQL", "PART_RATIO_SQL", "PART_PI_SQL",
 ]
 
@@ -78,6 +79,19 @@ RIPLEY_BIN_SQL = (
     "LEAST({nb}, GREATEST(1, CAST(ceil(sqrt({d2}) / {dr}) AS BIGINT)))"
 )
 RIPLEY_R_SQL = "CAST({bin} AS DOUBLE) * {dr}"
+
+# space-time K (Diggle et al. 1995, naive form): K(s,t) = A * T *
+# ordered-pairs(d<=s, dt<=t) / (n(n-1)) — under spatio-temporal CSR
+# K(s,t) = pi*s^2 * 2t (for |dt| <= t both directions)
+STK_K_SQL = (
+    "{A} * {T} * (2.0 * CAST({C} AS DOUBLE))"
+    " / (CAST({n} AS DOUBLE) * (CAST({n} AS DOUBLE) - 1.0))"
+)
+# linear (no sqrt) bin for the time axis: bin b covers
+# ((b-1)*dw, b*dw]; dt=0 lands in bin 1
+STK_TBIN_SQL = (
+    "LEAST({nb}, GREATEST(1, CAST(ceil(({d}) / {dw}) AS BIGINT)))"
+)
 
 # n*(n-1) is always even, and the double division is exact below
 # 2^53 (n < ~9.4e7 — document, don't silently wrap)
@@ -243,6 +257,98 @@ def ripley_cross_k(
         A=_lit(area), C="cum_pairs", na="n_a", nb="n_b"
     )
     return _k_curve(df.sparkSession, cross, int(n_bins), dr, stats, k_sql)
+
+
+def space_time_k(
+    df: DataFrame,
+    id_col: str,
+    t_col: str,
+    r_max: float,
+    tau_max: float,
+    n_r: int,
+    n_t: int,
+    area: float,
+    t_len: float,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Space-time K function (Diggle et al. 1995, naive estimator):
+    the full K(s, t) surface on an n_r × n_t grid of radii up to
+    `r_max` and time lags up to `tau_max` — where ``knox_test``
+    answers "is there interaction at (delta, tau)?", this shows the
+    interaction at every scale pair (its ratio against the product
+    of the marginal K's is the interaction surface analysts plot).
+
+    ONE eps_pairs pass in two-eps mode with the pair's |dt| carried
+    (`with_dt`), one bounded 2-D bin groupBy, a dense n_r × n_t axis
+    grid, and the 2-D cumulative as two tiny windows (prefix over r
+    within each t row, then over t within each r column).  `area` /
+    `t_len` are the study region's area and time length (intensity
+    normalization only — no edge correction, the ripley_k caveat on
+    both axes).
+
+    Returns (rb, tb, r, tau, n_pairs, cum_pairs, k_est)."""
+    if r_max <= 0 or tau_max <= 0:
+        raise ValueError("r_max and tau_max must be positive")
+    if n_r < 1 or n_t < 1:
+        raise ValueError("n_r and n_t must be >= 1")
+    if area <= 0 or t_len <= 0:
+        raise ValueError("area and t_len must be positive")
+    dr = float(r_max) / int(n_r)
+    dtau = float(tau_max) / int(n_t)
+    pairs = eps_pairs(
+        df, float(r_max), id_col, lon_col=lon_col, lat_col=lat_col,
+        metric="planar", t_col=t_col, eps_t=float(tau_max), with_dt=True,
+    )
+    binned = (
+        pairs.select(
+            F.expr(
+                RIPLEY_BIN_SQL.format(nb=int(n_r), d2="dist2", dr=_lit(dr))
+            ).alias("rb"),
+            F.expr(
+                STK_TBIN_SQL.format(nb=int(n_t), d="dt", dw=_lit(dtau))
+            ).alias("tb"),
+        )
+        .groupBy("rb", "tb")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+    spark = df.sparkSession
+    grid = (
+        spark.range(1, int(n_r) + 1).select(F.col("id").alias("rb"))
+        .crossJoin(
+            spark.range(1, int(n_t) + 1).select(F.col("id").alias("tb"))
+        )
+    )
+    stats = F.broadcast(
+        df.agg(F.count("*").cast("long").alias("n_points"))
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("tb").orderBy("rb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("rb").orderBy("tb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    k_sql = STK_K_SQL.format(
+        A=_lit(area), T=_lit(t_len), C="cum_pairs", n="n_points"
+    )
+    return (
+        grid.join(binned, ["rb", "tb"], "left")
+        .withColumn(
+            "n_pairs", F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long")
+        )
+        .withColumn("_cr", F.sum("n_pairs").over(wr))
+        .withColumn("cum_pairs", F.sum("_cr").over(wt).cast("long"))
+        .crossJoin(stats)
+        .select(
+            "rb", "tb",
+            F.expr(RIPLEY_R_SQL.format(bin="rb", dr=_lit(dr))).alias("r"),
+            F.expr(RIPLEY_R_SQL.format(bin="tb", dr=_lit(dtau))).alias("tau"),
+            "n_pairs", "cum_pairs",
+            F.expr(k_sql).alias("k_est"),
+        )
+    )
 
 
 def _time_close_pairs(

@@ -182,3 +182,36 @@ def test_ripley_cross_k_vs_brute(spark):
     with pytest.raises(ValueError):
         ripley_cross_k(_df(spark, rows), "id", "cat", "a", "a",
                        R_MAX, BINS, AREA)
+
+
+def test_space_time_k_vs_brute(spark):
+    rows = _corpus(n=320, seed=41)
+    n = len(rows)
+    from geomesa_spark.operators.pointpat import space_time_k
+
+    R_MAX, TAU, NR, NT, AREA, TLEN = 0.8, 20000.0, 4, 3, 144.0, 100000.0
+    out = {(r["rb"], r["tb"]): r for r in space_time_k(
+        _df(spark, rows), "id", "t", R_MAX, TAU, NR, NT, AREA, TLEN
+    ).collect()}
+    assert set(out) == {(a, b) for a in range(1, NR + 1)
+                        for b in range(1, NT + 1)}
+    pts = np.array([(r[1], r[2]) for r in rows])
+    ts = np.array([r[3] for r in rows])
+    iu = np.triu_indices(n, 1)
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)[iu]
+    dt = np.abs(ts[:, None] - ts[None, :])[iu]
+    keep = (d2 <= R_MAX * R_MAX) & (dt <= TAU)
+    dr, dw = R_MAX / NR, TAU / NT
+    rb = np.ceil(np.sqrt(d2[keep]) / dr).clip(1, NR)
+    tb = np.ceil(dt[keep] / dw).clip(1, NT)
+    for (a, b), r in out.items():
+        assert r["n_pairs"] == int(((rb == a) & (tb == b)).sum())
+        cum = int(((rb <= a) & (tb <= b)).sum())
+        assert r["cum_pairs"] == cum
+        k = AREA * TLEN * 2.0 * cum / (n * (n - 1.0))
+        assert r["k_est"] == pytest.approx(k, rel=1e-12)
+        assert r["r"] == pytest.approx(a * dr, rel=1e-12)
+        assert r["tau"] == pytest.approx(b * dw, rel=1e-12)
+    with pytest.raises(ValueError):
+        space_time_k(_df(spark, rows), "id", "t", R_MAX, 0.0, 4, 3,
+                     AREA, TLEN)

@@ -78,7 +78,9 @@ def eps_pairs(
     so the quadratic term is bounded by the densest (cell x time
     bucket) — temporally spread-out hot cells stop being hot.
     `with_dt` (requires t_col) appends the pair's |t_a - t_b| as
-    `dt` (space_time_k consumes it).
+    `dt` (space_time_k consumes it).  `t_col` WITHOUT `eps_t` is the
+    carry-only mode: no time key dimension and no time filter, just
+    the dt output column (knox_test's single-pass mining).
     Returns (id_a, id_b, dist2 | dist_m [, dt])."""
     if eps <= 0:
         raise ValueError("eps must be positive")
@@ -86,8 +88,10 @@ def eps_pairs(
         raise ValueError(f"unknown metric {metric!r}")
     if metric == "haversine" and dist_m is None:
         raise ValueError("metric='haversine' requires dist_m")
-    if (t_col is None) != (eps_t is None):
-        raise ValueError("t_col and eps_t come together")
+    if eps_t is not None and t_col is None:
+        raise ValueError("eps_t requires t_col")
+    if t_col is not None and eps_t is None and not with_dt:
+        raise ValueError("t_col without eps_t is only for with_dt")
     if eps_t is not None and eps_t <= 0:
         raise ValueError("eps_t must be positive")
     if with_dt and t_col is None:
@@ -127,12 +131,15 @@ def eps_pairs(
             ).cast("long"),
         }
     )
-    if t_col:
+    # eps_t adds the time KEY dimension + filter; t_col alone (the
+    # with_dt carry mode) just transports t for the dt output column
+    t_keyed = eps_t is not None
+    if t_keyed:
         base = base.withColumn(
             "ct", F.floor(F.col("t") / F.lit(float(eps_t))).cast("long")
         )
-    dts = (-1, 0, 1) if t_col else (0,)
-    keys = ["kx", "ky"] + (["kt"] if t_col else [])
+    dts = (-1, 0, 1) if t_keyed else (0,)
+    keys = ["kx", "ky"] + (["kt"] if t_keyed else [])
     left = base.select(
         F.col("id").alias("id_a"),
         F.col("lon").alias("lon_a"),
@@ -146,7 +153,7 @@ def eps_pairs(
                         (F.col("cy") + F.lit(dy)).alias("ky"),
                         *([
                             (F.col("ct") + F.lit(dt)).alias("kt")
-                        ] if t_col else []),
+                        ] if t_keyed else []),
                     )
                     for dx in (-1, 0, 1)
                     for dy in (-1, 0, 1)
@@ -168,12 +175,12 @@ def eps_pairs(
         *([F.col("t").alias("t_b")] if t_col else []),
         F.col("cx").alias("kx"),
         F.col("cy").alias("ky"),
-        *([F.col("ct").alias("kt")] if t_col else []),
+        *([F.col("ct").alias("kt")] if t_keyed else []),
     )
     cand = left.join(right, keys, "inner").filter(
         F.col("id_a") < F.col("id_b")
     )
-    if t_col:
+    if t_keyed:
         cand = cand.filter(
             F.abs(F.col("t_a") - F.col("t_b")) <= F.lit(float(eps_t))
         )

@@ -141,8 +141,9 @@ def ripley_k(
     (the full K curve, not just occupied radii).
 
     Returns (bin, r, n_pairs, cum_pairs, k_est, l_est) — n_pairs =
-    unordered pairs in ((bin-1)*dr, bin*dr], k_est NULL-free (zero
-    pairs → K=0), rows ordered by the caller if needed."""
+    unordered pairs in ((bin-1)*dr, bin*dr]; zero pairs → K=0.
+    Precondition: n >= 2 points (K divides by n(n-1); below that the
+    statistic is undefined and k_est/l_est come back NULL)."""
     if r_max <= 0:
         raise ValueError("r_max must be positive")
     if n_bins < 1:
@@ -219,7 +220,9 @@ def ripley_cross_k(
     pairs — each unordered A-B pair is exactly one term of the
     double sum.  Same naive-estimator caveat as ``ripley_k``; use
     ``ripley_k`` for the univariate case (the denominator differs:
-    n(n-1), self-pairs excluded).
+    n(n-1), self-pairs excluded).  Precondition: both categories
+    non-empty (K divides by n_a*n_b; otherwise k_est/l_est are
+    NULL).
 
     Returns (bin, r, n_pairs, cum_pairs, k_est, l_est)."""
     if r_max <= 0:
@@ -400,10 +403,11 @@ def knox_test(
     as contagion — cases near each other in space are ALSO near in
     time beyond what the two marginals imply.
 
-    Three bounded pair-mining passes (space via eps_pairs, time via
-    the same single-meeting-bucket join on the time axis, both via
-    eps_pairs' two-eps mode) plus one count — each quadratic term
-    bounded by its densest cell/bucket.  `tau` in the units of
+    Two bounded pair-mining passes — ONE spatial eps_pairs pass with
+    the pair's |dt| carried yields X and O together (the dominant
+    quadratic stage runs once), and the single-meeting-bucket join on
+    the time axis yields Y — each quadratic term bounded by its
+    densest cell/bucket.  `tau` in the units of
     `t_col` (epoch seconds for timestamps upstream).  Exact for
     n < ~9.4e7 points (n(n-1) must stay under 2^53; the pair COUNTS
     are exact int64 at any n).
@@ -414,21 +418,26 @@ def knox_test(
     if delta <= 0 or tau <= 0:
         raise ValueError("delta and tau must be positive")
     n_row = F.broadcast(df.agg(F.count("*").cast("long").alias("n_points")))
-    space = F.broadcast(
+    # ONE spatial mining pass (dt carried) yields both X and O — the
+    # dominant quadratic stage is not duplicated
+    sp = F.broadcast(
         eps_pairs(
             df, float(delta), id_col, lon_col=lon_col, lat_col=lat_col,
-            metric="planar",
-        ).agg(F.count("*").cast("long").alias("space_pairs"))
+            metric="planar", t_col=t_col, with_dt=True,
+        ).agg(
+            F.count("*").cast("long").alias("space_pairs"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("dt") <= F.lit(float(tau)), 1)
+                    .otherwise(0)
+                ),
+                F.lit(0),
+            ).cast("long").alias("st_pairs"),
+        )
     )
     time_ = F.broadcast(_time_close_pairs(df, id_col, t_col, float(tau)))
-    both = F.broadcast(
-        eps_pairs(
-            df, float(delta), id_col, lon_col=lon_col, lat_col=lat_col,
-            metric="planar", t_col=t_col, eps_t=float(tau),
-        ).agg(F.count("*").cast("long").alias("st_pairs"))
-    )
     return (
-        n_row.crossJoin(space).crossJoin(time_).crossJoin(both)
+        n_row.crossJoin(sp).crossJoin(time_)
         .select(
             "n_points",
             F.expr(PAIRS_TOTAL_SQL.format(n="n_points")).alias("pairs_total"),

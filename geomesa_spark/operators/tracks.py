@@ -520,34 +520,32 @@ def track_resample(
         *[F.col(f"_v_{c}") for c in cols],
         *[F.col(f"_nv_{c}") for c in cols],
         F.explode(ticks_arr).alias("_k"),
-    ).withColumn("_t", F.col("_k") * step)
-    frac = F.when(
-        F.col("_t") == F.col("_es"), F.lit(0.0)
-    ).otherwise(
-        (F.col("_t") - F.col("_es")).cast("double")
-        / (F.col("_nes") - F.col("_es")).cast("double")
+    ).withColumn("_t", F.col("_k") * step).withColumn(
+        # the own-first tick (t == es) divides by a possibly-zero dt;
+        # the CASE keeps ANSI mode happy and matches the oracle's
+        # guard (its frac branch only evaluates when t != es)
+        "_frac",
+        F.when(F.col("_t") == F.col("_es"), F.lit(0.0)).otherwise(
+            (F.col("_t") - F.col("_es")).cast("double")
+            / (F.col("_nes") - F.col("_es")).cast("double")
+        ),
     )
+    frac = F.col("_frac")
 
     def interp(c):
         p = F.col(f"_v_{c}").cast("double")
         nxt = F.col(f"_nv_{c}").cast("double")
         if c == lon_col:
-            # wrap-aware (lon_interp_sql): an inferred IDL wrap
-            # interpolates on the wrapped delta and renormalizes;
-            # non-wrap segments keep the original form bit-exactly
-            raw = nxt - p
-            d = (
-                F.when(raw > 180.0, raw - 360.0)
-                .when(raw < -180.0, raw + 360.0)
-                .otherwise(raw)
+            # wrap-aware: evaluate the ONE shared string
+            # (lon_interp_sql — the oracle runs it verbatim), so the
+            # two copies of this logic cannot drift
+            body = F.expr(
+                lon_interp_sql(
+                    f"CAST(`_v_{c}` AS DOUBLE)",
+                    f"CAST(`_nv_{c}` AS DOUBLE)",
+                    "_frac",
+                )
             )
-            v = p + d * frac
-            norm = (
-                (v + F.lit(180.0)) % F.lit(360.0) + F.lit(360.0)
-            ) % F.lit(360.0) - F.lit(180.0)
-            body = F.when(
-                (raw > 180.0) | (raw < -180.0), norm
-            ).otherwise(p + raw * frac)
             return F.when(frac == 0.0, p).otherwise(body)
         return F.when(frac == 0.0, p).otherwise(p + (nxt - p) * frac)
 
@@ -830,7 +828,8 @@ def flow_anomaly(
     legs = _cell_legs(
         df, track_col, ts_col, lon_col, lat_col, bits, fp_scale,
         max_gap_s, tiebreak_col,
-    )
+    ).localCheckpoint(eager=False)  # two consumers (field build +
+    # probe side) share one execution of the track window
     field = legs.groupBy("x", "y").agg(
         F.count("*").cast("long").alias("n_cell_legs"),
         F.sum("_dt").cast("long").alias("_sd"),

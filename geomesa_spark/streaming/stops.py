@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from geomesa_spark.operators.tracks import _leg_dist
+from geomesa_spark.operators.tracks import _leg_dist, stop_center_sql
 
 __all__ = ["stop_stream", "read_stops", "read_dwelling_now",
            "flush_open_stops"]
@@ -43,6 +43,11 @@ __all__ = ["stop_stream", "read_stops", "read_dwelling_now",
 _STATE_COLS = [
     "track", "last_es", "last_lon", "last_lat",
     "seg_start", "seg_n", "lo_x", "hi_x", "lo_y", "hi_y",
+    # IDL straddle support (min positive / max negative lon, NULL
+    # when that side is empty) — the batch twin's stop_center_sql
+    # inputs, carried so cross-batch straddling stops center exactly
+    # like stop_detect's
+    "lo_pos", "hi_neg",
 ]
 
 
@@ -54,8 +59,10 @@ def _stop_row(prefix=""):
         (c(f"{prefix}last_es") - c(f"{prefix}seg_start"))
         .cast("long").alias("duration_s"),
         c(f"{prefix}seg_n").cast("long").alias("n_points"),
-        ((c(f"{prefix}lo_x") + c(f"{prefix}hi_x")) / F.lit(2.0))
-        .alias("center_lon"),
+        F.expr(stop_center_sql(
+            f"{prefix}lo_x", f"{prefix}hi_x",
+            f"{prefix}lo_pos", f"{prefix}hi_neg",
+        )).alias("center_lon"),
         ((c(f"{prefix}lo_y") + c(f"{prefix}hi_y")) / F.lit(2.0))
         .alias("center_lat"),
     ]
@@ -136,6 +143,10 @@ def _batch_stops(
             F.count("*").cast("long").alias("b_n"),
             F.min("lon").alias("b_lo_x"),
             F.max("lon").alias("b_hi_x"),
+            F.min(F.when(F.col("lon") >= 0, F.col("lon")))
+            .alias("b_lo_pos"),
+            F.max(F.when(F.col("lon") < 0, F.col("lon")))
+            .alias("b_hi_neg"),
             F.min("lat").alias("b_lo_y"),
             F.max("lat").alias("b_hi_y"),
         )
@@ -153,6 +164,8 @@ def _batch_stops(
             F.col("seg_n").alias("c_seg_n"),
             F.col("lo_x").alias("c_lo_x"), F.col("hi_x").alias("c_hi_x"),
             F.col("lo_y").alias("c_lo_y"), F.col("hi_y").alias("c_hi_y"),
+            F.col("lo_pos").alias("c_lo_pos"),
+            F.col("hi_neg").alias("c_hi_neg"),
         )
     else:
         cst = None
@@ -166,7 +179,9 @@ def _batch_stops(
         F.col("b_end").cast("long").alias("end_ts"),
         (F.col("b_end") - F.col("b_start")).cast("long").alias("duration_s"),
         F.col("b_n").alias("n_points"),
-        ((F.col("b_lo_x") + F.col("b_hi_x")) / F.lit(2.0)).alias("center_lon"),
+        F.expr(stop_center_sql(
+            "b_lo_x", "b_hi_x", "b_lo_pos", "b_hi_neg"
+        )).alias("center_lon"),
         ((F.col("b_lo_y") + F.col("b_hi_y")) / F.lit(2.0)).alias("center_lat"),
     )
     stops = closed_local
@@ -183,8 +198,11 @@ def _batch_stops(
             (F.col("b_end") - F.col("c_seg_start")).cast("long")
             .alias("duration_s"),
             (F.col("b_n") + F.col("c_seg_n")).cast("long").alias("n_points"),
-            ((F.least("b_lo_x", "c_lo_x") + F.greatest("b_hi_x", "c_hi_x"))
-             / F.lit(2.0)).alias("center_lon"),
+            F.expr(stop_center_sql(
+                "least(b_lo_x, c_lo_x)", "greatest(b_hi_x, c_hi_x)",
+                "least(b_lo_pos, c_lo_pos)",
+                "greatest(b_hi_neg, c_hi_neg)",
+            )).alias("center_lon"),
             ((F.least("b_lo_y", "c_lo_y") + F.greatest("b_hi_y", "c_hi_y"))
              / F.lit(2.0)).alias("center_lat"),
         )
@@ -202,8 +220,9 @@ def _batch_stops(
                 (F.col("c_last_es") - F.col("c_seg_start")).cast("long")
                 .alias("duration_s"),
                 F.col("c_seg_n").cast("long").alias("n_points"),
-                ((F.col("c_lo_x") + F.col("c_hi_x")) / F.lit(2.0))
-                .alias("center_lon"),
+                F.expr(stop_center_sql(
+                    "c_lo_x", "c_hi_x", "c_lo_pos", "c_hi_neg"
+                )).alias("center_lon"),
                 ((F.col("c_lo_y") + F.col("c_hi_y")) / F.lit(2.0))
                 .alias("center_lat"),
             )
@@ -245,16 +264,25 @@ def _batch_stops(
                       ).otherwise(F.col("b_lo_y"))
         hi_y = F.when(F.col("_seg") == 0, F.greatest("b_hi_y", "c_hi_y")
                       ).otherwise(F.col("b_hi_y"))
+        # least/greatest skip NULLs, matching min/max over the union
+        lo_pos = F.when(
+            F.col("_seg") == 0, F.least("b_lo_pos", "c_lo_pos")
+        ).otherwise(F.col("b_lo_pos"))
+        hi_neg = F.when(
+            F.col("_seg") == 0, F.greatest("b_hi_neg", "c_hi_neg")
+        ).otherwise(F.col("b_hi_neg"))
     else:
         start, n_ = F.col("b_start"), F.col("b_n")
         lo_x, hi_x = F.col("b_lo_x"), F.col("b_hi_x")
         lo_y, hi_y = F.col("b_lo_y"), F.col("b_hi_y")
+        lo_pos, hi_neg = F.col("b_lo_pos"), F.col("b_hi_neg")
     present_state = open_segs.select(
         "track",
         start.cast("long").alias("seg_start"),
         n_.cast("long").alias("seg_n"),
         lo_x.alias("lo_x"), hi_x.alias("hi_x"),
         lo_y.alias("lo_y"), hi_y.alias("hi_y"),
+        lo_pos.alias("lo_pos"), hi_neg.alias("hi_neg"),
     ).join(last_pt, "track")
     present_state = present_state.select(*_STATE_COLS)
     if cst is not None:

@@ -251,7 +251,11 @@ def test_st_eps_pairs_exactly_once_bucket_straddle(spark):
 def test_st_eps_pairs_args_validation(spark):
     df = spark.createDataFrame([(1, 0.0, 0.0)],
                                "id long, lon double, lat double")
-    with pytest.raises(ValueError, match="come together"):
+    with pytest.raises(ValueError, match="only for with_dt"):
         eps_pairs(df, 0.5, "id", t_col="t")
+    with pytest.raises(ValueError, match="eps_t requires t_col"):
+        eps_pairs(df, 0.5, "id", eps_t=1.0)
+    with pytest.raises(ValueError, match="with_dt requires t_col"):
+        eps_pairs(df, 0.5, "id", with_dt=True)
     with pytest.raises(ValueError, match="eps_t"):
         eps_pairs(df, 0.5, "id", t_col="t", eps_t=0.0)

@@ -147,14 +147,10 @@ def test_flow_stream_replay_idempotent(spark, tmp_path):
     for i, b in enumerate(batches):
         _write(src, f"b{i}.json", b, order=i)
     _run(spark, src, tmp_path, "a")
-    # wipe the checkpoint (NOT the state/alerts) and replay the
-    # whole source: versions overwrite, outputs identical
-    import shutil
-
-    shutil.rmtree(tmp_path / "cka")
-    _run(spark, src, tmp_path / "re", "a2", )  # fresh dirs control run
-    _run2src = None  # noqa: F841
-    # replay into the ORIGINAL dirs with a fresh checkpoint
+    # control run into fresh dirs, then REPLAY the whole source into
+    # the ORIGINAL state/alert dirs with a new checkpoint: every
+    # batch re-executes and overwrites its version (idempotence)
+    _run(spark, src, tmp_path / "re", "a2")
     stream = spark.readStream.schema(SCHEMA).option(
         "maxFilesPerTrigger", 1
     ).json(str(src))

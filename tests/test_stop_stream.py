@@ -171,3 +171,50 @@ def test_stop_stream_replay_idempotent(spark, tmp_path):
     shutil.rmtree(tmp_path / "ck3")
     _run(spark, src, tmp_path, "3")
     assert _stream_stops(spark, tmp_path, "3") == first
+
+
+def test_stop_stream_idl_straddle_parity(spark, tmp_path):
+    """A dwell that straddles the antimeridian AND micro-batch
+    boundaries: closed+flushed == batch stop_detect bit-exactly,
+    including the shifted-midpoint center (not lon ~0)."""
+    rows = [
+        ("v", t, 179.97 if i % 2 == 0 else -179.97, 3.0)
+        for i, t in enumerate(range(0, 900, 60))
+    ]
+    # split mid-dwell across three batches
+    b = [rows[:5], rows[5:10], rows[10:]]
+    src = tmp_path / "src"
+    for i, rs in enumerate(b):
+        _write(src, f"b{i}.json", rs, order=i)
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    q = stop_stream(
+        stream, 20_000.0, MIN_DUR,
+        str(tmp_path / "stops"), str(tmp_path / "state"),
+        str(tmp_path / "ck"), "track", "es", metric="haversine",
+    )
+    q.awaitTermination(180)
+    flushed = flush_open_stops(
+        spark, str(tmp_path / "state"), MIN_DUR
+    ).collect()
+    closed = read_stops(spark, str(tmp_path / "stops")).collect()
+    got = sorted(
+        (r.track, r.start_ts, r.end_ts, r.duration_s, r.n_points,
+         r.center_lon, r.center_lat)
+        for r in list(closed) + list(flushed)
+    )
+    df = spark.createDataFrame(
+        rows, "track string, es long, lon double, lat double"
+    )
+    exp = sorted(
+        (r.track, r.start_ts, r.end_ts, r.duration_s, r.n_points,
+         r.center_lon, r.center_lat)
+        for r in stop_detect(
+            df, "track", "es", 20_000.0, MIN_DUR, metric="haversine"
+        ).collect()
+    )
+    assert got == exp
+    assert len(got) == 1
+    # shifted midpoint of [179.97, 180.03] -> -180.0, not 0.0
+    assert got[0][5] == -180.0

@@ -1927,6 +1927,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["morans_i"] = moran_gate
 
+    def geary_gate(spark, sf):
+        """Global Geary's C (operators/moran.gearys_c): the squared-
+        neighbor-difference complement of Moran's I — one extra
+        integer moment (sum w^2 * nbr_n) over the same neighbor
+        frame, C via the shared GEARY_GLOBAL_SQL."""
+        from geomesa_spark.operators.moran import gearys_c
+
+        return gearys_c(geo_events(spark, sf), bits=6, ring=1)
+
+    q["geary_c"] = geary_gate
+
     def pyramid_gate(spark, sf):
         """Multi-resolution tile rollup (analytics.tile_pyramid):
         one finest-cell groupBy then ancestor explode over the
@@ -4702,9 +4713,59 @@ FROM ranked WHERE rn = 1
 
     # morans_i: integer moments + the shared canonical expressions
     from geomesa_spark.operators.moran import (
+        geary_global_expr as _gge,
         moran_global_expr as _mge,
         moran_local_expr as _mle,
     )
+
+    # shared CTE chain: blob lattice -> occupied cells -> queen
+    # neighbors -> joined frame (morans_i and geary_c both read it)
+    MORAN_J_CTE = """tp AS (
+  SELECT (event_id*9973 % 36000)/100.0 - 180.0 AS lon,
+         (event_id*7919 % 18000)/100.0 - 90.0 AS lat
+  FROM events
+),
+g AS (
+  SELECT CAST(greatest(0, least(63, floor((lon+180.0)/360.0*64.0))) AS BIGINT) AS x,
+         CAST(greatest(0, least(63, floor((lat+90.0)/180.0*64.0))) AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS w
+  FROM tp GROUP BY 1, 2
+),
+nb AS (
+  SELECT ((g.x + dx.k + 64) % 64) AS x, (g.y + dy.k) AS y, g.w
+  FROM g,
+       UNNEST(generate_series(-1, 1)) dx(k),
+       UNNEST(generate_series(-1, 1)) dy(k)
+  WHERE NOT (dx.k = 0 AND dy.k = 0)
+    AND g.y + dy.k BETWEEN 0 AND 63
+),
+nbr AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS nbr_n,
+         CAST(sum(w) AS BIGINT) AS nbr_sum
+  FROM nb GROUP BY 1, 2
+),
+j AS (
+  SELECT g.x, g.y, g.w,
+         COALESCE(nbr.nbr_n, 0) AS nbr_n,
+         COALESCE(nbr.nbr_sum, 0) AS nbr_sum
+  FROM g LEFT JOIN nbr USING (x, y)
+)"""
+
+    o["geary_c"] = f"""
+WITH {MORAN_J_CTE},
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(nbr_n) AS BIGINT) AS s0,
+         CAST(sum(w) AS BIGINT) AS sum_w,
+         CAST(sum(w*w) AS BIGINT) AS sum_q,
+         CAST(sum(w*nbr_sum) AS BIGINT) AS sum_a,
+         CAST(sum(w*w*nbr_n) AS BIGINT) AS sum_g1
+  FROM j
+)
+SELECT n_cells, s0, sum_w, sum_q, sum_a, sum_g1,
+       {_gge()} AS geary_c
+FROM st
+"""
 
     o["morans_i"] = f"""
 WITH tp AS (

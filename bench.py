@@ -128,6 +128,7 @@ HEADLINE = [
     "flow_anomaly",
     "ripley_cross_k",
     "space_time_k",
+    "geary_c",
 ]
 
 

@@ -44,7 +44,10 @@ from pyspark.sql import functions as F
 
 from geomesa_spark.functions import cells as C
 
-__all__ = ["morans_i", "MORAN_LOCAL_SQL", "MORAN_GLOBAL_SQL"]
+__all__ = [
+    "morans_i", "gearys_c",
+    "MORAN_LOCAL_SQL", "MORAN_GLOBAL_SQL", "GEARY_GLOBAL_SQL",
+]
 
 # m = W/N and m2 = (Q - 2mW + m^2 N)/N spelled inline; placeholders
 # are int64 column names. Local: I_i = z_i * (S_i - n_i*m) / m2.
@@ -71,6 +74,29 @@ MORAN_GLOBAL_SQL = (
 )
 
 
+# Geary's C (Geary 1954): C = ((N-1)/(2·S0)) · Σ w_ij (x_i - x_j)²
+# / Σ (x_i - x̄)².  The pair term needs only ONE extra integer
+# moment: Σ_ij w_ij (x_i - x_j)² = 2·(G1 - A) with G1 = Σ x_i²·n_i
+# (adjacency is symmetric, so Σ_i Σ_j∈N(i) x_j² = G1 too).  Under no
+# structure C ≈ 1; clustering pulls it below 1, dispersion above —
+# the local-difference complement of Moran's covariance form.
+GEARY_GLOBAL_SQL = (
+    "CASE WHEN {S0} > 0 AND (CAST({Q} AS DOUBLE) - 2*" + _M + "*{W} + "
+    + _M + "*" + _M + "*{N}) > 0 THEN"
+    " (CAST({N} AS DOUBLE) - 1.0)"
+    " * (CAST({G1} AS DOUBLE) - CAST({A} AS DOUBLE))"
+    " / (CAST({S0} AS DOUBLE)"
+    " * (CAST({Q} AS DOUBLE) - 2*" + _M + "*{W} + " + _M + "*" + _M
+    + "*{N}))"
+    " END"
+)
+
+
+def geary_global_expr(G1="sum_g1", A="sum_a", S0="s0", N="n_cells",
+                      W="sum_w", Q="sum_q") -> str:
+    return GEARY_GLOBAL_SQL.format(G1=G1, A=A, S0=S0, N=N, W=W, Q=Q)
+
+
 def moran_local_expr(x="w", S="nbr_sum", n="nbr_n", N="n_cells",
                      W="sum_w", Q="sum_q") -> str:
     return MORAN_LOCAL_SQL.format(x=x, S=S, n=n, N=N, W=W, Q=Q)
@@ -81,16 +107,17 @@ def moran_global_expr(A="sum_a", B="sum_b", C="sum_c", S0="s0",
     return MORAN_GLOBAL_SQL.format(A=A, B=B, C=C, S0=S0, N=N, W=W, Q=Q)
 
 
-def morans_i(
+def _neighbor_frame(
     df: DataFrame,
-    lon_col: str = "lon",
-    lat_col: str = "lat",
-    bits: int = 6,
-    ring: int = 1,
-    weight_col: str | None = None,
+    lon_col: str,
+    lat_col: str,
+    bits: int,
+    ring: int,
+    weight_col: str | None,
 ) -> DataFrame:
-    """Global + local Moran's I per occupied grid cell (see module
-    docstring for the exact statistic and determinism contract)."""
+    """Occupied cells with queen-contiguity neighbor aggregates
+    (self excluded): (x, y, w, nbr_n, nbr_sum) — shared by
+    morans_i and gearys_c."""
     n = 1 << bits
     w = (
         F.col(weight_col).cast("long")
@@ -132,11 +159,24 @@ def morans_i(
     )
     # isolated occupied cells keep n_i = S_i = 0 (left join): they
     # contribute to N/W/Q but not to the pair terms
-    joined = cells.join(nbr, ["x", "y"], "left").select(
+    return cells.join(nbr, ["x", "y"], "left").select(
         "x", "y", "w",
         F.coalesce(F.col("nbr_n"), F.lit(0).cast("long")).alias("nbr_n"),
         F.coalesce(F.col("nbr_sum"), F.lit(0).cast("long")).alias("nbr_sum"),
     )
+
+
+def morans_i(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    bits: int = 6,
+    ring: int = 1,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Global + local Moran's I per occupied grid cell (see module
+    docstring for the exact statistic and determinism contract)."""
+    joined = _neighbor_frame(df, lon_col, lat_col, bits, ring, weight_col)
     stats = F.broadcast(
         joined.agg(
             F.count("*").cast("long").alias("n_cells"),
@@ -156,4 +196,38 @@ def morans_i(
             "x", "y", "w", "nbr_n", "nbr_sum",
             "local_i", "global_i", "s0", "n_cells",
         )
+    )
+
+
+def gearys_c(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    bits: int = 6,
+    ring: int = 1,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Global Geary's C over the occupied-cell lattice — the
+    local-difference complement of Moran's I (Moran correlates a
+    cell with its neighborhood; Geary sums squared NEIGHBOR
+    DIFFERENCES, so it is more sensitive to local scale).  Same
+    universe, contiguity, and determinism contract as ``morans_i``;
+    the pair term costs one extra integer moment (module docstring
+    comment on ``GEARY_GLOBAL_SQL``).
+
+    Returns ONE row (n_cells, s0, sum_w, sum_q, sum_a, sum_g1,
+    geary_c) — geary_c NULL when the variance or edge set
+    degenerates; ≈1 under no structure, <1 clustered, >1
+    dispersed."""
+    joined = _neighbor_frame(df, lon_col, lat_col, bits, ring, weight_col)
+    return (
+        joined.agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("nbr_n").alias("s0"),
+            F.sum("w").alias("sum_w"),
+            F.sum(F.col("w") * F.col("w")).alias("sum_q"),
+            F.sum(F.col("w") * F.col("nbr_sum")).alias("sum_a"),
+            F.sum(F.col("w") * F.col("w") * F.col("nbr_n")).alias("sum_g1"),
+        )
+        .withColumn("geary_c", F.expr(geary_global_expr()))
     )

@@ -88,3 +88,94 @@ def test_moran_plan_no_python(spark):
     plan = morans_i(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
     assert "BroadcastExchange" in plan  # the one-row moments join
+
+
+def test_geary_oracle_and_sanity(spark):
+    """gearys_c vs a brute python mirror of the integer algebra,
+    plus statistical sanity: clustered < 1, ~uniform ≈ 1."""
+    import math
+
+    from geomesa_spark.operators.moran import gearys_c
+
+    rng = np.random.default_rng(31)
+
+    def run(pts, bits=5, ring=1):
+        df = spark.createDataFrame(pts, "lon double, lat double")
+        row = gearys_c(df, bits=bits, ring=ring).collect()[0]
+        n = 1 << bits
+        occ = {}
+        for lon, lat in pts:
+            x = int(min(n - 1, max(0, math.floor((lon + 180) / 360 * n))))
+            y = int(min(n - 1, max(0, math.floor((lat + 90) / 180 * n))))
+            occ[(x, y)] = occ.get((x, y), 0) + 1
+        per = {}
+        for (x, y), w in occ.items():
+            nn = ns = 0
+            for dx in range(-ring, ring + 1):
+                for dy in range(-ring, ring + 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    k = ((x + dx) % n, y + dy)
+                    if k in occ and 0 <= y + dy < n:
+                        nn += 1
+                        ns += occ[k]
+            per[(x, y)] = (w, nn, ns)
+        N = len(occ)
+        S0 = sum(nn for _, nn, _ in per.values())
+        W = sum(w for w, _, _ in per.values())
+        Q = sum(w * w for w, _, _ in per.values())
+        A = sum(w * ns for w, _, ns in per.values())
+        G1 = sum(w * w * nn for w, nn, _ in per.values())
+        assert (row.n_cells, row.s0, row.sum_w, row.sum_q,
+                row.sum_a, row.sum_g1) == (N, S0, W, Q, A, G1)
+        m = float(W) / N
+        denom = float(Q) - 2 * m * W + m * m * N
+        if S0 > 0 and denom > 0:
+            c = (float(N) - 1.0) * (float(G1) - float(A)) / (
+                float(S0) * denom)
+            assert row.geary_c == pytest.approx(c, rel=1e-12)
+            return row.geary_c
+        assert row.geary_c is None
+        return None
+
+    # brute direct-definition cross-check on a small pattern:
+    # C = ((N-1)/(2 S0)) * sum w_ij (xi-xj)^2 / sum (xi - mean)^2
+    pts_small = [(float(lon), float(lat))
+                 for lon, lat in zip(rng.uniform(-20, 20, 120),
+                                     rng.uniform(-20, 20, 120))]
+    c_small = run(pts_small, bits=4)
+    n = 1 << 4
+    occ = {}
+    for lon, lat in pts_small:
+        x = int(min(n - 1, max(0, math.floor((lon + 180) / 360 * n))))
+        y = int(min(n - 1, max(0, math.floor((lat + 90) / 180 * n))))
+        occ[(x, y)] = occ.get((x, y), 0) + 1
+    keys = list(occ)
+    num = s0 = 0
+    for i, a in enumerate(keys):
+        for b in keys:
+            if a == b:
+                continue
+            dx = (a[0] - b[0]) % n
+            if min(dx, n - dx) <= 1 and abs(a[1] - b[1]) <= 1:
+                num += (occ[a] - occ[b]) ** 2
+                s0 += 1
+    mean = sum(occ.values()) / len(occ)
+    var = sum((v - mean) ** 2 for v in occ.values())
+    c_direct = (len(occ) - 1) / (2 * s0) * num / var
+    assert c_small == pytest.approx(c_direct, rel=1e-9)
+
+    # clustered: most mass in a few cells, smooth neighborhoods
+    clustered = []
+    for _ in range(12):
+        cx, cy = rng.uniform(-40, 40), rng.uniform(-40, 40)
+        for _ in range(60):
+            clustered.append((float(cx + rng.normal(0, 8)),
+                              float(cy + rng.normal(0, 8))))
+    c_clu = run(clustered, bits=5)
+    # scattered uniform
+    c_uni = run([(float(lon), float(lat))
+                 for lon, lat in zip(rng.uniform(-170, 170, 700),
+                                     rng.uniform(-80, 80, 700))], bits=5)
+    assert c_clu < c_uni
+    assert c_clu < 1.0

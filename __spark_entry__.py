@@ -1938,6 +1938,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geary_c"] = geary_gate
 
+    def join_counts_gate(spark, sf):
+        """Join-count statistics (moran.join_counts): categorical
+        autocorrelation — blob cells labeled by majority event_type,
+        same-label queen joins per label with the Cliff-Ord
+        permutation-null z (MC-validated formula, shared JC_*
+        strings over exact int64 edge/degree counts)."""
+        from geomesa_spark.operators.moran import join_counts
+
+        pts = _load(spark, sf, "events").select(
+            F.expr(_BLOB_LON).alias("lon"),
+            F.expr(_BLOB_LAT).alias("lat"),
+            F.col("event_type").alias("cat"),
+        )
+        return join_counts(pts, "cat", bits=6, ring=1)
+
+    q["join_counts"] = join_counts_gate
+
     def pyramid_gate(spark, sf):
         """Multi-resolution tile rollup (analytics.tile_pyramid):
         one finest-cell groupBy then ancestor explode over the
@@ -4750,6 +4767,72 @@ j AS (
          COALESCE(nbr.nbr_sum, 0) AS nbr_sum
   FROM g LEFT JOIN nbr USING (x, y)
 )"""
+
+    from geomesa_spark.operators.moran import jc_exprs as _jce
+
+    _jc_mu, _jc_var, _jc_z = _jce()
+    o["join_counts"] = f"""
+WITH pts AS (
+  SELECT {_BLOB_LON} AS lon, {_BLOB_LAT} AS lat, event_type AS cat
+  FROM events
+),
+per AS (
+  SELECT CAST(greatest(0, least(63, floor((lon+180.0)/360.0*64.0))) AS BIGINT) AS x,
+         CAST(greatest(0, least(63, floor((lat+90.0)/180.0*64.0))) AS BIGINT) AS y,
+         cat, CAST(count(*) AS BIGINT) AS cnt
+  FROM pts GROUP BY 1, 2, 3
+),
+mx AS (SELECT x, y, max(cnt) AS mc FROM per GROUP BY 1, 2),
+labeled AS (
+  SELECT per.x, per.y, max(per.cat) AS label
+  FROM per JOIN mx ON per.x = mx.x AND per.y = mx.y AND per.cnt = mx.mc
+  GROUP BY 1, 2
+),
+ed AS (
+  SELECT l.x AS ox, l.y AS oy, l.label AS label_a,
+         ((l.x + d.dx + 64) % 64) AS x, (l.y + d.dy) AS y
+  FROM labeled l,
+       (SELECT dx.k AS dx, dy.k AS dy
+        FROM UNNEST(generate_series(-1, 1)) dx(k),
+             UNNEST(generate_series(-1, 1)) dy(k)
+        WHERE dx.k > 0 OR (dx.k = 0 AND dy.k > 0)) d
+  WHERE l.y + d.dy BETWEEN 0 AND 63
+),
+edj AS (
+  SELECT ed.ox, ed.oy, ed.label_a, ed.x, ed.y, l2.label AS label_b
+  FROM ed JOIN labeled l2 ON ed.x = l2.x AND ed.y = l2.y
+),
+ends AS (
+  SELECT x AS kx, y AS ky FROM edj
+  UNION ALL SELECT ox, oy FROM edj
+),
+degs AS (SELECT kx, ky, CAST(count(*) AS BIGINT) AS k
+         FROM ends GROUP BY 1, 2),
+gstats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM labeled) AS n_cells,
+         (SELECT CAST(count(*) AS BIGINT) FROM edj) AS n_edges,
+         (SELECT CAST(coalesce(sum(k*k), 0) AS BIGINT) FROM degs) AS sum_k2
+),
+sizes AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_label
+  FROM labeled GROUP BY 1
+),
+same AS (
+  SELECT label_a AS label, CAST(count(*) AS BIGINT) AS j_same
+  FROM edj WHERE label_a = label_b GROUP BY 1
+),
+base AS (
+  SELECT sizes.label, sizes.n_label,
+         CAST(coalesce(same.j_same, 0) AS BIGINT) AS j_same,
+         gstats.n_cells, gstats.n_edges, gstats.sum_k2
+  FROM sizes LEFT JOIN same USING (label) CROSS JOIN gstats
+)
+SELECT label, n_label, j_same, n_cells, n_edges, sum_k2,
+       {_jc_mu} AS expected_j,
+       {_jc_var} AS var_j,
+       {_jc_z} AS z
+FROM base
+"""
 
     o["geary_c"] = f"""
 WITH {MORAN_J_CTE},

@@ -129,6 +129,7 @@ HEADLINE = [
     "ripley_cross_k",
     "space_time_k",
     "geary_c",
+    "join_counts",
 ]
 
 

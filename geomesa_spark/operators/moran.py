@@ -45,8 +45,9 @@ from pyspark.sql import functions as F
 from geomesa_spark.functions import cells as C
 
 __all__ = [
-    "morans_i", "gearys_c",
+    "morans_i", "gearys_c", "join_counts",
     "MORAN_LOCAL_SQL", "MORAN_GLOBAL_SQL", "GEARY_GLOBAL_SQL",
+    "JC_MU_SQL", "JC_VAR_SQL", "JC_Z_SQL",
 ]
 
 # m = W/N and m2 = (Q - 2mW + m^2 N)/N spelled inline; placeholders
@@ -230,4 +231,178 @@ def gearys_c(
             F.sum(F.col("w") * F.col("w") * F.col("nbr_n")).alias("sum_g1"),
         )
         .withColumn("geary_c", F.expr(geary_global_expr()))
+    )
+
+
+# Join-count statistics (Cliff & Ord 1981): for label L on the
+# occupied-cell lattice, J_LL = same-label rook/queen joins; under
+# nonfree (permutation) sampling with E edges, K2 = sum of squared
+# cell degrees, n cells and nb labeled-L cells:
+#   eta_k = nb(nb-1)...(nb-k+1) / (n(n-1)...(n-k+1))
+#   E[J]  = E * eta2
+#   Var   = E*eta2 + (K2 - 2E)*eta3
+#           + (E^2 + E - K2)*eta4 - (E*eta2)^2
+# (E[J^2] partitions ordered edge pairs: equal (E, two shared
+# cells), sharing one endpoint (sum k_i(k_i-1) = K2 - 2E, three
+# cells), disjoint (the rest, four cells); the pytest validates mean
+# AND variance against a Monte-Carlo permutation null).  All inputs
+# exact int64; mu/var/z are ONE shared string each.
+_JC_N = "CAST({n} AS DOUBLE)"
+_JC_B = "CAST({nb} AS DOUBLE)"
+_JC_ETA2 = (
+    "(" + _JC_B + "*(" + _JC_B + "-1.0))"
+    "/(" + _JC_N + "*(" + _JC_N + "-1.0))"
+)
+_JC_ETA3 = (
+    "(" + _JC_B + "*(" + _JC_B + "-1.0)*(" + _JC_B + "-2.0))"
+    "/(" + _JC_N + "*(" + _JC_N + "-1.0)*(" + _JC_N + "-2.0))"
+)
+_JC_ETA4 = (
+    "(" + _JC_B + "*(" + _JC_B + "-1.0)*(" + _JC_B + "-2.0)"
+    "*(" + _JC_B + "-3.0))"
+    "/(" + _JC_N + "*(" + _JC_N + "-1.0)*(" + _JC_N + "-2.0)"
+    "*(" + _JC_N + "-3.0))"
+)
+JC_MU_SQL = "CAST({E} AS DOUBLE) * " + _JC_ETA2
+JC_VAR_SQL = (
+    "CAST({E} AS DOUBLE) * " + _JC_ETA2
+    + " + (CAST({K2} AS DOUBLE) - 2.0*CAST({E} AS DOUBLE)) * " + _JC_ETA3
+    + " + (CAST({E} AS DOUBLE)*CAST({E} AS DOUBLE)"
+    " + CAST({E} AS DOUBLE) - CAST({K2} AS DOUBLE)) * " + _JC_ETA4
+    + " - (CAST({E} AS DOUBLE) * " + _JC_ETA2 + ")"
+    " * (CAST({E} AS DOUBLE) * " + _JC_ETA2 + ")"
+)
+JC_Z_SQL = (
+    "CASE WHEN {n} > 3 AND ({VAR}) > 0 THEN"
+    " (CAST({J} AS DOUBLE) - ({MU})) / sqrt({VAR}) END"
+)
+
+
+def jc_exprs(J="j_same", E="n_edges", K2="sum_k2", n="n_cells",
+             nb="n_label") -> tuple[str, str, str]:
+    """(mu, var, z) shared strings over the named int64 columns."""
+    mu = JC_MU_SQL.format(E=E, n=n, nb=nb)
+    var = JC_VAR_SQL.format(E=E, K2=K2, n=n, nb=nb)
+    z = JC_Z_SQL.format(J=J, MU=mu, VAR=var, n=n)
+    return mu, var, z
+
+
+def join_counts(
+    df: DataFrame,
+    cat_col: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    bits: int = 6,
+    ring: int = 1,
+) -> DataFrame:
+    """Join-count statistics per label — spatial autocorrelation for
+    CATEGORICAL marks (Moran/Geary need a numeric weight): does land
+    use / event type / language form spatial blocks?  Each occupied
+    cell takes its majority label (ties to the greater label string
+    — deterministic), edges are queen contiguity within `ring`, and
+    every label L gets its same-label join count J_LL with the
+    classical one-vs-rest z-score under the permutation null.
+
+    Bounded everywhere: cells groupBy, one HALF-window explode (each
+    undirected edge materializes exactly once — requires the lattice
+    wider than the window, 2^bits > 2*ring), label-bounded output.
+    Counts exact int64; mu/var/z via the shared JC_* strings
+    (pytest-validated against a Monte-Carlo permutation null).
+
+    Returns (label, n_label, j_same, n_cells, n_edges, sum_k2,
+    expected_j, var_j, z) — z NULL when the variance degenerates or
+    n <= 3."""
+    n = 1 << bits
+    if n <= 2 * ring:
+        raise ValueError("lattice must be wider than the window")
+    per = (
+        df.select(
+            C.lon_to_x(F.col(lon_col), bits).alias("x"),
+            C.lat_to_y(F.col(lat_col), bits).alias("y"),
+            F.col(cat_col).alias("cat"),
+        )
+        .groupBy("x", "y", "cat")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    mx = per.groupBy("x", "y").agg(F.max("cnt").alias("_mc"))
+    labeled = (
+        per.join(mx, ["x", "y"])
+        .filter(F.col("cnt") == F.col("_mc"))
+        .groupBy("x", "y")
+        .agg(F.max("cat").alias("label"))
+    )
+    half = [
+        (dx, dy)
+        for dx in range(-ring, ring + 1)
+        for dy in range(-ring, ring + 1)
+        if dx > 0 or (dx == 0 and dy > 0)
+    ]
+    # HALF-window explode from each labeled cell, keeping the origin:
+    # an undirected edge materializes exactly once (the reverse
+    # displacement is never in the half set, and 2^bits > 2*ring
+    # keeps the pmod wrap from aliasing a second meeting)
+    ed = (
+        labeled.select(
+            F.col("x").alias("ox"), F.col("y").alias("oy"),
+            F.col("label").alias("label_a"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.pmod(F.col("x") + F.lit(dx), F.lit(n)).alias("x"),
+                        (F.col("y") + F.lit(dy)).alias("y"),
+                    )
+                    for dx, dy in half
+                ])
+            ).alias("t"),
+        )
+        .select(
+            "ox", "oy", "label_a",
+            F.col("t.x").alias("x"), F.col("t.y").alias("y"),
+        )
+        .filter((F.col("y") >= 0) & (F.col("y") < n))
+        .join(
+            labeled.select("x", "y", F.col("label").alias("label_b")),
+            ["x", "y"],
+        )
+    )
+    # degrees: each edge counts at BOTH endpoints
+    ends = ed.select(
+        F.col("x").alias("kx"), F.col("y").alias("ky")
+    ).unionAll(
+        ed.select(F.col("ox").alias("kx"), F.col("oy").alias("ky"))
+    )
+    degs = ends.groupBy("kx", "ky").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    glob = F.broadcast(
+        labeled.agg(F.count("*").cast("long").alias("n_cells"))
+        .crossJoin(ed.agg(F.count("*").cast("long").alias("n_edges")))
+        .crossJoin(
+            degs.agg(
+                F.coalesce(F.sum(F.col("k") * F.col("k")), F.lit(0))
+                .cast("long").alias("sum_k2")
+            )
+        )
+    )
+    sizes = labeled.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_label")
+    )
+    same = (
+        ed.filter(F.col("label_a") == F.col("label_b"))
+        .groupBy(F.col("label_a").alias("label"))
+        .agg(F.count("*").cast("long").alias("j_same"))
+    )
+    mu, var, z = jc_exprs()
+    return (
+        sizes.join(same, "label", "left")
+        .withColumn(
+            "j_same", F.coalesce(F.col("j_same"), F.lit(0)).cast("long")
+        )
+        .crossJoin(glob)
+        .select(
+            "label", "n_label", "j_same", "n_cells", "n_edges", "sum_k2",
+            F.expr(mu).alias("expected_j"),
+            F.expr(var).alias("var_j"),
+            F.expr(z).alias("z"),
+        )
     )

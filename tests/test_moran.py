@@ -179,3 +179,111 @@ def test_geary_oracle_and_sanity(spark):
                                      rng.uniform(-80, 80, 700))], bits=5)
     assert c_clu < c_uni
     assert c_clu < 1.0
+
+
+def test_join_counts_oracle_and_mc(spark):
+    """join_counts vs a brute python mirror (labels, edges, degrees,
+    counts exact) AND a Monte-Carlo permutation null validating the
+    analytic expected/variance (the Cliff-Ord moment formula)."""
+    import math
+
+    from geomesa_spark.operators.moran import join_counts
+
+    rng = np.random.default_rng(17)
+    BITS, RING = 4, 1
+    n = 1 << BITS
+    # two spatial blocks of labels + mixed noise
+    pts = []
+    for _ in range(300):
+        lon, lat = rng.uniform(-170, -20), rng.uniform(-80, 0)
+        pts.append((float(lon), float(lat), "red"))
+    for _ in range(300):
+        lon, lat = rng.uniform(20, 170), rng.uniform(0, 80)
+        pts.append((float(lon), float(lat), "blue"))
+    for _ in range(150):
+        pts.append((float(rng.uniform(-170, 170)),
+                    float(rng.uniform(-80, 80)),
+                    str(rng.choice(["red", "blue", "green"]))))
+    df = spark.createDataFrame(pts, "lon double, lat double, cat string")
+    got = {r.label: r for r in join_counts(
+        df, "cat", bits=BITS, ring=RING).collect()}
+
+    # python mirror
+    per = {}
+    for lon, lat, cat in pts:
+        x = int(min(n - 1, max(0, math.floor((lon + 180) / 360 * n))))
+        y = int(min(n - 1, max(0, math.floor((lat + 90) / 180 * n))))
+        per.setdefault((x, y), {}).setdefault(cat, 0)
+        per[(x, y)][cat] += 1
+    labels = {
+        k: max(v.items(), key=lambda it: (it[1], it[0]))[0]
+        for k, v in per.items()
+    }
+    cells = list(labels)
+    edges = []
+    half = [(dx, dy) for dx in range(-RING, RING + 1)
+            for dy in range(-RING, RING + 1)
+            if dx > 0 or (dx == 0 and dy > 0)]
+    for (x, y) in cells:
+        for dx, dy in half:
+            k = ((x + dx) % n, y + dy)
+            if 0 <= y + dy < n and k in labels:
+                edges.append(((x, y), k))
+    E = len(edges)
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    K2 = sum(v * v for v in deg.values())
+    N = len(cells)
+    from collections import Counter
+
+    nb = Counter(labels.values())
+    j_same = Counter()
+    for a, b in edges:
+        if labels[a] == labels[b]:
+            j_same[labels[a]] += 1
+    assert set(got) == set(nb)
+    for lab, r in got.items():
+        assert (r.n_label, r.j_same, r.n_cells, r.n_edges, r.sum_k2) \
+            == (nb[lab], j_same.get(lab, 0), N, E, K2)
+        b = nb[lab]
+        eta2 = b * (b - 1) / (N * (N - 1))
+        eta3 = b * (b - 1) * (b - 2) / (N * (N - 1) * (N - 2))
+        eta4 = (b * (b - 1) * (b - 2) * (b - 3)
+                / (N * (N - 1) * (N - 2) * (N - 3)))
+        mu = E * eta2
+        var = (E * eta2 + (K2 - 2 * E) * eta3
+               + (E * E + E - K2) * eta4 - mu * mu)
+        assert r.expected_j == pytest.approx(mu, rel=1e-12)
+        assert r.var_j == pytest.approx(var, rel=1e-12)
+        if var > 0:
+            assert r.z == pytest.approx(
+                (j_same.get(lab, 0) - mu) / math.sqrt(var), rel=1e-12)
+
+    # the blocked labels read strongly positive
+    assert got["red"].z > 3 and got["blue"].z > 3
+
+    # Monte-Carlo null: permute labels over cells, empirical mean/var
+    # of J_LL must match the analytic formula
+    lab_list = list(labels.values())
+    reds = sum(1 for v in lab_list if v == "red")
+    b = reds
+    eta2 = b * (b - 1) / (N * (N - 1))
+    eta3 = b * (b - 1) * (b - 2) / (N * (N - 1) * (N - 2))
+    eta4 = (b * (b - 1) * (b - 2) * (b - 3)
+            / (N * (N - 1) * (N - 2) * (N - 3)))
+    mu = E * eta2
+    var = (E * eta2 + (K2 - 2 * E) * eta3
+           + (E * E + E - K2) * eta4 - mu * mu)
+    idx = {c: i for i, c in enumerate(cells)}
+    eidx = [(idx[a], idx[b_]) for a, b_ in edges]
+    samples = []
+    arr = np.array(lab_list)
+    for _ in range(4000):
+        p = rng.permutation(arr)
+        mask = p == "red"
+        samples.append(sum(1 for i, j in eidx if mask[i] and mask[j]))
+    s = np.array(samples, dtype=float)
+    assert s.mean() == pytest.approx(mu, rel=0.05)
+    assert s.var() == pytest.approx(var, rel=0.15)

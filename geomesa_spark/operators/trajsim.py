@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from geomesa_spark.functions import geometry_sql as GS
 
-__all__ = ["hausdorff_join", "dtw_join"]
+__all__ = ["hausdorff_join", "dtw_join", "frechet_join"]
 
 
 def hausdorff_join(
@@ -193,6 +193,55 @@ def _hausdorff_packed(
     )
 
 
+def _packed_pairs(
+    pts, pairs, track_col, ts_col, lon_col, lat_col, a_col, b_col,
+    tiebreak_col,
+):
+    """Candidate pairs carrying both tracks' coordinate arrays: each
+    track folds to ONE row (sort_array over (ts, tiebreak) structs —
+    deterministic order without a window), picked up by two
+    equi-joins.  Shared by dtw_join / frechet_join (hausdorff_join's
+    packed path predates it with extra options)."""
+    tb = tiebreak_col if tiebreak_col else ts_col
+    packed = (
+        pts.groupBy(F.col(track_col).alias("_t"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("o1"),
+                        F.col(tb).alias("o2"),
+                        F.col(lon_col).cast("double").alias("x"),
+                        F.col(lat_col).cast("double").alias("y"),
+                    )
+                )
+            ).alias("_s")
+        )
+        .select(
+            "_t",
+            F.transform(F.col("_s"), lambda s: s["x"]).alias("_xs"),
+            F.transform(F.col("_s"), lambda s: s["y"]).alias("_ys"),
+        )
+    )
+    pr = pairs.select(F.col(a_col).alias("ta"), F.col(b_col).alias("tb"))
+    return (
+        pr.join(
+            packed.select(
+                F.col("_t").alias("ta"),
+                F.col("_xs").alias("ax"), F.col("_ys").alias("ay"),
+            ),
+            "ta",
+        )
+        .join(
+            packed.select(
+                F.col("_t").alias("tb"),
+                F.col("_xs").alias("bx"), F.col("_ys").alias("by"),
+            ),
+            "tb",
+        )
+    )
+
+
 def dtw_join(
     pts: DataFrame,
     pairs: DataFrame,
@@ -230,43 +279,9 @@ def dtw_join(
         DoubleType, LongType, StructField, StructType,
     )
 
-    tb = tiebreak_col if tiebreak_col else ts_col
-    packed = (
-        pts.groupBy(F.col(track_col).alias("_t"))
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col(ts_col).alias("o1"),
-                        F.col(tb).alias("o2"),
-                        F.col(lon_col).cast("double").alias("x"),
-                        F.col(lat_col).cast("double").alias("y"),
-                    )
-                )
-            ).alias("_s")
-        )
-        .select(
-            "_t",
-            F.transform(F.col("_s"), lambda s: s["x"]).alias("_xs"),
-            F.transform(F.col("_s"), lambda s: s["y"]).alias("_ys"),
-        )
-    )
-    pr = pairs.select(F.col(a_col).alias("ta"), F.col(b_col).alias("tb"))
-    j = (
-        pr.join(
-            packed.select(
-                F.col("_t").alias("ta"),
-                F.col("_xs").alias("ax"), F.col("_ys").alias("ay"),
-            ),
-            "ta",
-        )
-        .join(
-            packed.select(
-                F.col("_t").alias("tb"),
-                F.col("_xs").alias("bx"), F.col("_ys").alias("by"),
-            ),
-            "tb",
-        )
+    j = _packed_pairs(
+        pts, pairs, track_col, ts_col, lon_col, lat_col,
+        a_col, b_col, tiebreak_col,
     )
 
     bandr = band
@@ -321,4 +336,77 @@ def dtw_join(
     ])
     return j.groupBy("ta", "tb").applyInPandas(
         lambda pdf: _dtw_batch(pdf), schema=schema
+    )
+
+
+def frechet_join(
+    pts: DataFrame,
+    pairs: DataFrame,
+    track_col: str = "track",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    a_col: str = "track_a",
+    b_col: str = "track_b",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Discrete Fréchet distance per candidate pair — the dog-leash
+    measure: the shortest leash that lets two walkers traverse their
+    tracks IN ORDER without backtracking.  Completes the similarity
+    triple: Hausdorff ignores order, DTW sums alignment cost (longer
+    tracks accumulate more), Fréchet is the order-respecting
+    BOTTLENECK (a max, so it reads in distance units and is
+    length-invariant).
+
+    Same scale shape as ``dtw_join``: candidate pairs only, each
+    track packed to one coordinate-array row, the O(n·m) recurrence
+    c[i,j] = max(d_ij, min(c[i-1,j], c[i,j-1], c[i-1,j-1])) inside an
+    Arrow-batched pandas UDF (the per-pair escape hatch — the
+    recurrence is inherently sequential).  Resample/simplify tracks
+    first to bound n·m.
+
+    Returns (track_a, track_b, frechet)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    j = _packed_pairs(
+        pts, pairs, track_col, ts_col, lon_col, lat_col,
+        a_col, b_col, tiebreak_col,
+    )
+
+    def _frechet_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for ax, ay, bx, by in zip(
+            pdf["ax"], pdf["ay"], pdf["bx"], pdf["by"]
+        ):
+            A = np.column_stack([np.asarray(ax), np.asarray(ay)])
+            B = np.column_stack([np.asarray(bx), np.asarray(by)])
+            n, m = len(A), len(B)
+            INF = np.inf
+            prev = np.full(m, INF)
+            for i in range(n):
+                d = np.sqrt(((A[i] - B) ** 2).sum(axis=1))
+                cur = np.full(m, INF)
+                if i == 0:
+                    # first row: leash over B[0..j] with A pinned at 0
+                    cur = np.maximum.accumulate(d)
+                else:
+                    cur[0] = max(d[0], prev[0])
+                    for jj in range(1, m):
+                        reach = min(prev[jj], prev[jj - 1], cur[jj - 1])
+                        cur[jj] = max(d[jj], reach)
+                prev = cur
+            out.append(float(prev[m - 1]))
+        return pd.DataFrame(
+            {a_col: pdf["ta"], b_col: pdf["tb"], "frechet": out}
+        )
+
+    schema = StructType([
+        StructField(a_col, j.schema["ta"].dataType),
+        StructField(b_col, j.schema["tb"].dataType),
+        StructField("frechet", DoubleType()),
+    ])
+    return j.groupBy("ta", "tb").applyInPandas(
+        lambda pdf: _frechet_batch(pdf), schema=schema
     )

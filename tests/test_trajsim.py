@@ -2,6 +2,8 @@
 
 import math
 
+import pytest
+
 import numpy as np
 
 from geomesa_spark.operators.trajsim import hausdorff_join
@@ -177,3 +179,67 @@ def test_dtw_direction_sensitivity(spark):
     h = hausdorff_join(pts, pairs).collect()[0].hausdorff
     d = dtw_join(pts, pairs, band=None).collect()[0].dtw
     assert h == 0.0 and d > 30.0
+
+
+def test_frechet_vs_recursive_oracle(spark):
+    """frechet_join vs the independent RECURSIVE definition
+    (memoized two-walker formulation), plus the classic semantic
+    splits: same road opposite directions (Hausdorff ~0, Fréchet
+    large) and length-invariance vs DTW's accumulation."""
+    import functools
+    import math
+
+    import numpy as np
+
+    from geomesa_spark.operators.trajsim import frechet_join
+
+    rng = np.random.default_rng(13)
+    tracks = {}
+    for t in range(12):
+        n = int(rng.integers(3, 14))
+        xs = np.cumsum(rng.uniform(-1, 1.3, n)) + rng.uniform(-5, 5)
+        ys = np.cumsum(rng.uniform(-1, 1, n)) + rng.uniform(-5, 5)
+        tracks[t] = list(zip(xs.tolist(), ys.tolist()))
+    # a road and its reverse
+    road = [(float(i) * 0.5, 0.0) for i in range(8)]
+    tracks[100] = road
+    tracks[101] = road[::-1]
+    # the same road sampled 4x denser (length-invariance check)
+    dense = [(i * 0.125, 0.0) for i in range(29)]
+    tracks[102] = dense
+
+    rows = []
+    for t, p in tracks.items():
+        for i, (x, y) in enumerate(p):
+            rows.append((t, i, float(x), float(y)))
+    pts = spark.createDataFrame(rows, "track long, ts long, lon double, lat double")
+    keys = sorted(tracks)
+    prs = [(a, b) for i, a in enumerate(keys) for b in keys[i + 1:]]
+    pairs = spark.createDataFrame(prs, "track_a long, track_b long")
+    got = {(r.track_a, r.track_b): r.frechet
+           for r in frechet_join(pts, pairs).collect()}
+    assert set(got) == set(prs)
+
+    def oracle(A, B):
+        @functools.lru_cache(maxsize=None)
+        def c(i, j):
+            d = math.dist(A[i], B[j])
+            if i == 0 and j == 0:
+                return d
+            if i == 0:
+                return max(d, c(0, j - 1))
+            if j == 0:
+                return max(d, c(i - 1, 0))
+            return max(d, min(c(i - 1, j), c(i, j - 1), c(i - 1, j - 1)))
+        return c(len(A) - 1, len(B) - 1)
+
+    import sys
+    sys.setrecursionlimit(10000)
+    for (a, b), v in got.items():
+        assert v == pytest.approx(oracle(tracks[a], tracks[b]), rel=1e-12), (a, b)
+
+    # reverse direction reads far apart (road length 3.5); Hausdorff
+    # of the same pair would be 0
+    assert got[(100, 101)] > 1.5
+    # same road, denser sampling: Fréchet stays small
+    assert got[(100, 102)] < 0.3

@@ -2153,6 +2153,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["zonal_raster"] = zonal_raster_gate
 
+    def map_algebra_gate(spark, sf):
+        """Local raster map algebra (raster.map_algebra): layer B is
+        a derived band (2000 - 2a) on 2/3 of the cells, op = the
+        NDVI-shape normalized difference — one (res_bits, cell)
+        equi-join + ONE zip_with, pure JVM. Output exploded to
+        pixels so the DuckDB oracle replays the identical HUGEINT
+        value model + op arithmetic."""
+        from geomesa_spark.operators.raster import (
+            map_algebra, synth_tiles,
+        )
+
+        a = synth_tiles(spark, 4, px=8, py=8, limit_cells=256)
+        b = a.withColumn(
+            "tile",
+            F.transform("tile", lambda v: F.lit(2000.0) - v * 2.0),
+        ).filter(F.col("cell") % 3 != 0)
+        out = map_algebra(a, b, "ndiff")
+        return out.select(
+            "cell", F.posexplode("tile").alias("idx", "v")
+        )
+
+    q["map_algebra"] = map_algebra_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -4434,6 +4457,34 @@ WITH {_zr_pix}
 {_zr_sel('rect', rect_cond)}
 UNION ALL {_zr_sel('tri', _convex_cond(TRIANGLE))}
 UNION ALL {_zr_sel('pent', _convex_cond(PENTAGON))}
+"""
+
+    # map_algebra: same synthetic value model keyed by (cell, idx);
+    # layer b = 2000 - 2a on cells % 3 != 0, op = ndiff — the
+    # identical double expressions the Spark gate evaluates
+    o["map_algebra"] = f"""
+WITH cells AS (
+  SELECT id, ix, iy, (x | (y << 1)) AS cell FROM ({_zr_q})
+),
+vals AS (
+  SELECT cell,
+         CAST(((CAST(cell AS HUGEINT) * 11400714819323198485)
+               % 18446744073709551616) // 1099511627776 AS DOUBLE) AS base
+  FROM cells
+),
+pixa AS (
+  SELECT cell, CAST(p.k AS INT) AS idx,
+         base + (CAST(p.k // 8 AS DOUBLE) * 0.01
+                 + CAST(p.k % 8 AS DOUBLE) * 0.0001) AS a
+  FROM vals, UNNEST(generate_series(0, 63)) p(k)
+),
+ab AS (
+  SELECT cell, idx, a, 2000.0 - a * 2.0 AS b
+  FROM pixa WHERE cell % 3 != 0
+)
+SELECT cell, idx,
+       CASE WHEN (a + b) <> 0.0 THEN (a - b) / (a + b) END AS v
+FROM ab
 """
 
     # dbscan: quadratic pair mining with a bbox prefilter (fine

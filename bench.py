@@ -130,6 +130,7 @@ HEADLINE = [
     "space_time_k",
     "geary_c",
     "join_counts",
+    "map_algebra",
 ]
 
 

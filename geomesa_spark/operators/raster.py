@@ -516,3 +516,74 @@ def zonal_pixel_stats(
             F.col("sum_fp").cast("double") / F.col("n_px").cast("double"),
         )
     )
+
+
+# local map algebra ops: elementwise (a, b) -> value, all pure-JVM
+# zip_with lambdas; 'div'/'ndiff' go NULL on a zero denominator
+_ALGEBRA_OPS = {
+    "add": lambda a, b: a + b,
+    "sub": lambda a, b: a - b,
+    "mul": lambda a, b: a * b,
+    "div": lambda a, b: F.when(b != 0.0, a / b),
+    "min": lambda a, b: F.least(a, b),
+    "max": lambda a, b: F.greatest(a, b),
+    # normalized difference (the NDVI shape)
+    "ndiff": lambda a, b: F.when((a + b) != 0.0, (a - b) / (a + b)),
+}
+
+
+def map_algebra(
+    layer_a: DataFrame,
+    layer_b: DataFrame,
+    op: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Local (per-pixel) map algebra between two tile layers — the
+    raster workhorse the reference's chunk model implies but leaves
+    to clients: band difference, NDVI-style normalized ratios,
+    masking by min/max.  `op` ∈ add/sub/mul/div/min/max/ndiff.
+
+    One equi-join on (res_bits, cell) — co-partitioned tile tables
+    join with no shuffle of the big side under the same bucketing
+    the spatial joins use — and ONE `zip_with` over the pixel
+    arrays: pure JVM, no Python, cost linear in pixels.  Tiles
+    present in only one layer drop (`how='inner'`, the documented
+    semantics; pass 'left' to keep layer-a tiles with NULL pixels).
+    Mismatched tile dimensions raise at execution (assert_true).
+
+    Returns (res_bits, cell, px, py, tile)."""
+    if op not in _ALGEBRA_OPS:
+        raise ValueError(
+            f"op must be one of {sorted(_ALGEBRA_OPS)}, got {op!r}"
+        )
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    f = _ALGEBRA_OPS[op]
+    b = layer_b.select(
+        "res_bits", "cell",
+        F.col("px").alias("_bpx"), F.col("py").alias("_bpy"),
+        F.col("tile").alias("_btile"),
+    )
+    joined = layer_a.join(b, ["res_bits", "cell"], how)
+    combined = F.when(
+        F.col("_btile").isNull(),  # left-join miss
+        F.transform("tile", lambda a: F.lit(None).cast("double")),
+    ).otherwise(F.zip_with("tile", "_btile", f))
+    dims_ok = F.col("_btile").isNull() | (
+        (F.col("px") == F.col("_bpx")) & (F.col("py") == F.col("_bpy"))
+    )
+    # assert_true returns NULL when the condition holds and raises
+    # otherwise; folding it into the tile expression keeps it from
+    # being pruned away
+    return joined.select(
+        "res_bits",
+        "cell",
+        "px",
+        "py",
+        F.when(
+            F.assert_true(
+                dims_ok, F.lit("map_algebra: tile dimensions differ")
+            ).isNull(),
+            combined,
+        ).alias("tile"),
+    )

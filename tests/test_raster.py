@@ -197,3 +197,57 @@ def test_zonal_pixel_stats_oracle(spark):
                      float(float(fp.sum()) / float(tot_n)))
     assert got == exp
     assert all(v[0] > 500 for v in exp.values())
+
+
+def test_map_algebra_ops_and_edges(spark):
+    """map_algebra vs numpy elementwise oracle for every op, plus
+    inner/left semantics and the dimension-mismatch assert."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from geomesa_spark.operators.raster import map_algebra, synth_tiles
+
+    a = synth_tiles(spark, 3, px=4, py=4, limit_cells=20)
+    b = a.withColumn(
+        "tile", F.transform("tile", lambda v: F.lit(2000.0) - v * 2.0)
+    ).filter(F.col("cell") % 3 != 0)  # some cells missing in b
+
+    a_rows = {r.cell: np.array(r.tile) for r in a.collect()}
+    b_rows = {c: 2000.0 - t * 2.0 for c, t in a_rows.items()
+              if c % 3 != 0}
+
+    for op, fn in (
+        ("add", lambda x, y: x + y),
+        ("sub", lambda x, y: x - y),
+        ("mul", lambda x, y: x * y),
+        ("div", lambda x, y: x / y),
+        ("min", np.minimum),
+        ("max", np.maximum),
+        ("ndiff", lambda x, y: (x - y) / (x + y)),
+    ):
+        got = {r.cell: r.tile for r in map_algebra(a, b, op).collect()}
+        assert set(got) == set(b_rows), op
+        for c, t in got.items():
+            exp = fn(a_rows[c], b_rows[c])
+            assert np.array_equal(np.array(t), exp), (op, c)
+
+    # left join: a-only cells keep NULL pixels
+    left = {r.cell: r.tile for r in
+            map_algebra(a, b, "add", how="left").collect()}
+    assert set(left) == set(a_rows)
+    for c in set(a_rows) - set(b_rows):
+        assert all(v is None for v in left[c])
+
+    # dimension mismatch raises at execution
+    bad = b.withColumn("px", F.lit(99))
+    with pytest.raises(Exception, match="dimensions differ"):
+        map_algebra(a, bad, "add").collect()
+    with pytest.raises(ValueError):
+        map_algebra(a, b, "nope")
+
+    # plan: pure JVM
+    plan = map_algebra(a, b, "ndiff")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

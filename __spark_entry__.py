@@ -2176,6 +2176,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["map_algebra"] = map_algebra_gate
 
+    def focal_stats_gate(spark, sf):
+        """Focal raster statistics (raster.focal_stats): per-pixel
+        3x3 window aggregates ACROSS tile boundaries — global pixel
+        lattice + window-key explode + one partial-aggregated
+        groupBy (the hotspot machinery on pixels). Values fixed-
+        point int64; mean via the shared FOCAL_MEAN_SQL."""
+        from geomesa_spark.operators.raster import (
+            focal_stats, synth_tiles,
+        )
+
+        tiles = synth_tiles(spark, 4, px=8, py=8, limit_cells=256)
+        return focal_stats(tiles, 4, ring=1)
+
+    q["focal_stats"] = focal_stats_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -4485,6 +4500,47 @@ ab AS (
 SELECT cell, idx,
        CASE WHEN (a + b) <> 0.0 THEN (a - b) / (a + b) END AS v
 FROM ab
+"""
+
+    from geomesa_spark.operators.raster import (
+        FOCAL_MEAN_SQL as _FOCAL_MEAN,
+    )
+
+    o["focal_stats"] = f"""
+WITH cells AS (
+  SELECT id, ix, iy, (x | (y << 1)) AS cell FROM ({_zr_q})
+),
+vals AS (
+  SELECT cell, ix, iy,
+         CAST(((CAST(cell AS HUGEINT) * 11400714819323198485)
+               % 18446744073709551616) // 1099511627776 AS DOUBLE) AS base
+  FROM cells
+),
+pix AS (
+  SELECT CAST(ix * 8 + p.k % 8 AS BIGINT) AS gx,
+         CAST(iy * 8 + p.k // 8 AS BIGINT) AS gy,
+         CAST(floor((base + (CAST(p.k // 8 AS DOUBLE) * 0.01
+                             + CAST(p.k % 8 AS DOUBLE) * 0.0001))
+                    * 1000000.0) AS BIGINT) AS v_fp
+  FROM vals, UNNEST(generate_series(0, 63)) p(k)
+),
+contrib AS (
+  SELECT p.gx + d.dx AS gx, p.gy + d.dy AS gy, p.v_fp
+  FROM pix p,
+       (SELECT dx.k AS dx, dy.k AS dy
+        FROM UNNEST(generate_series(-1, 1)) dx(k),
+             UNNEST(generate_series(-1, 1)) dy(k)) d
+),
+win AS (
+  SELECT gx, gy, CAST(count(*) AS BIGINT) AS n_win,
+         CAST(sum(v_fp) AS BIGINT) AS sum_fp,
+         CAST(min(v_fp) AS BIGINT) AS min_fp,
+         CAST(max(v_fp) AS BIGINT) AS max_fp
+  FROM contrib GROUP BY 1, 2
+)
+SELECT p.gx, p.gy, p.v_fp, w.n_win, w.sum_fp, w.min_fp, w.max_fp,
+       {_FOCAL_MEAN.format(S="w.sum_fp", n="w.n_win")} AS mean_fp
+FROM pix p JOIN win w USING (gx, gy)
 """
 
     # dbscan: quadratic pair mining with a bbox prefilter (fine

@@ -131,6 +131,7 @@ HEADLINE = [
     "geary_c",
     "join_counts",
     "map_algebra",
+    "focal_stats",
 ]
 
 

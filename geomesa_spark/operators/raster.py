@@ -587,3 +587,95 @@ def map_algebra(
             combined,
         ).alias("tile"),
     )
+
+
+# focal mean: one division of two canonical int64 sums (the
+# flow_field FLOW_MEAN_SQL convention) — NULL never occurs (every
+# pixel has itself in its window)
+FOCAL_MEAN_SQL = "CAST({S} AS DOUBLE) / CAST({n} AS DOUBLE)"
+
+
+def focal_stats(
+    tiles: DataFrame,
+    res_bits: int,
+    ring: int = 1,
+    fp_scale: int = 1_000_000,
+    tile_px: int | None = None,
+    tile_py: int | None = None,
+) -> DataFrame:
+    """Focal (neighborhood) statistics per pixel — the third raster
+    algebra class next to LOCAL (``map_algebra``) and ZONAL
+    (``zonal_pixel_stats``): each pixel aggregates its
+    (2·ring+1)² window ACROSS TILE BOUNDARIES, giving smoothing
+    (mean), erosion (min), dilation (max) in one pass.
+
+    Tiles de-interleave to GLOBAL pixel coordinates (gx, gy), each
+    pixel explodes onto its window keys, and one partial-aggregated
+    groupBy collects the window — the hotspot_cells machinery on the
+    pixel lattice, so there is no per-tile halo exchange to
+    hand-build and no Python anywhere.  Cost: pixels × window size.
+    World edges and absent tiles follow the occupied convention:
+    n_win counts the pixels actually present.
+
+    Determinism: values enter as floor(v·fp_scale) int64, so
+    sum/min/max are exact and the mean is ONE shared-string division
+    (``FOCAL_MEAN_SQL``).
+
+    Returns (gx, gy, v_fp, n_win, sum_fp, min_fp, max_fp, mean_fp)."""
+    if ring < 1:
+        raise ValueError("ring must be >= 1")
+    px = tile_px
+    py = tile_py
+    if px is None or py is None:
+        first = tiles.select("px", "py").first()
+        if first is None:
+            raise ValueError("empty tile table")
+        px = px or first["px"]
+        py = py or first["py"]
+    fp = F.lit(float(fp_scale))
+    pixels = (
+        tiles.filter(F.col("res_bits") == res_bits)
+        .select(
+            C.squash2_col(F.col("cell")).alias("_ix"),
+            C.squash2_col(F.shiftrightunsigned(F.col("cell"), 1))
+            .alias("_iy"),
+            F.posexplode("tile").alias("_k", "_v"),
+        )
+        .select(
+            (F.col("_ix") * px + F.col("_k") % px).alias("gx"),
+            (F.col("_iy") * py + (F.col("_k") / px).cast("int")).alias("gy"),
+            F.floor(F.col("_v") * fp).cast("long").alias("v_fp"),
+        )
+    )
+    offsets = [
+        (dx, dy)
+        for dx in range(-ring, ring + 1)
+        for dy in range(-ring, ring + 1)
+    ]
+    contrib = pixels.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("gx") + F.lit(dx)).alias("tx"),
+                    (F.col("gy") + F.lit(dy)).alias("ty"),
+                )
+                for dx, dy in offsets
+            ])
+        ).alias("t"),
+        "v_fp",
+    ).select(
+        F.col("t.tx").alias("gx"), F.col("t.ty").alias("gy"), "v_fp"
+    )
+    win = contrib.groupBy("gx", "gy").agg(
+        F.count("*").cast("long").alias("n_win"),
+        F.sum("v_fp").alias("sum_fp"),
+        F.min("v_fp").alias("min_fp"),
+        F.max("v_fp").alias("max_fp"),
+    )
+    return (
+        pixels.join(win, ["gx", "gy"])  # occupied pixels only
+        .withColumn(
+            "mean_fp",
+            F.expr(FOCAL_MEAN_SQL.format(S="sum_fp", n="n_win")),
+        )
+    )

@@ -251,3 +251,52 @@ def test_map_algebra_ops_and_edges(spark):
     plan = map_algebra(a, b, "ndiff")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_focal_stats_vs_numpy(spark):
+    """focal_stats vs a numpy sliding-window oracle, including
+    cross-tile windows and world-edge shrinkage."""
+    import numpy as np
+    import pytest
+    from geomesa_spark.operators.raster import focal_stats, synth_tiles
+
+    BITS, PX, PY, FP, RING = 2, 4, 4, 1_000_000, 1
+    n = 1 << BITS
+    tiles = synth_tiles(spark, BITS, px=PX, py=PY)  # full 4x4 level
+    got = {(r.gx, r.gy): r for r in focal_stats(
+        tiles, BITS, ring=RING, fp_scale=FP).collect()}
+
+    # numpy: assemble the full world raster in fp ints
+    from geomesa_spark.functions import cells as C
+
+    world = np.zeros((n * PY, n * PX), dtype=np.int64)
+    for r in tiles.collect():
+        ix, iy = C.z2_decode_np(np.asarray([r.cell], dtype=np.int64))
+        t = np.floor(np.array(r.tile) * float(FP)).astype(np.int64)
+        world[int(iy[0]) * PY:(int(iy[0]) + 1) * PY,
+              int(ix[0]) * PX:(int(ix[0]) + 1) * PX] = \
+            t.reshape(PY, PX)
+    H, W = world.shape
+    assert len(got) == H * W
+    for gy in range(H):
+        for gx in range(W):
+            y0, y1 = max(0, gy - RING), min(H, gy + RING + 1)
+            x0, x1 = max(0, gx - RING), min(W, gx + RING + 1)
+            win = world[y0:y1, x0:x1]
+            r = got[(gx, gy)]
+            assert r.v_fp == world[gy, gx]
+            assert r.n_win == win.size
+            assert r.sum_fp == int(win.sum())
+            assert r.min_fp == int(win.min())
+            assert r.max_fp == int(win.max())
+            assert r.mean_fp == pytest.approx(
+                win.sum() / win.size, rel=1e-12)
+    # edge pixels have shrunken windows; interior are full 3x3
+    assert got[(0, 0)].n_win == 4
+    assert got[(1, 1)].n_win == 9
+    with pytest.raises(ValueError):
+        focal_stats(tiles, BITS, ring=0)
+    # no Python in the focal plan beyond the synthetic generator
+    plan = focal_stats(tiles, BITS)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan

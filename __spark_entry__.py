@@ -2191,6 +2191,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["focal_stats"] = focal_stats_gate
 
+    def raster_overview_gate(spark, sf):
+        """Overview/pyramid build (raster.downsample): factor-2
+        block mean of the synthetic level-4 lattice re-assembled as
+        level-3 tiles — the raster twin of tile_pyramid, the coarser
+        level selectResolution later picks. Block sums exact int64;
+        each pixel value is ONE division of canonical moments
+        (OVERVIEW_MEAN_SQL). Output exploded to (cell, idx, v) so
+        the DuckDB oracle replays the HUGEINT value model, the
+        coarse grouping, and the spread-interleave parent key."""
+        from geomesa_spark.operators.raster import (
+            downsample, synth_tiles,
+        )
+
+        tiles = synth_tiles(spark, 4, px=8, py=8, limit_cells=256)
+        out = downsample(tiles, 4, factor=2)
+        return out.select(
+            "cell", F.posexplode("tile").alias("idx", "v")
+        )
+
+    q["raster_overview"] = raster_overview_gate
+
+    def terrain_slope_gate(spark, sf):
+        """Horn terrain gradients (raster.terrain) over the
+        synthetic lattice: exact int64 weighted gradient sums per
+        interior pixel (windows cross tile seams), dzdx/dzdy/
+        slope_ratio via the shared TERRAIN_* strings — only
+        IEEE-exact ops (*, /, sqrt), so the doubles hash-compare;
+        the atan/cos surface columns (slope_deg/aspect/hillshade)
+        are pytest-verified against numpy instead (the hll_distinct
+        precedent for non-correctly-rounded libm)."""
+        from geomesa_spark.operators.raster import (
+            synth_tiles, terrain,
+        )
+
+        tiles = synth_tiles(spark, 4, px=8, py=8, limit_cells=256)
+        t = terrain(tiles, 4, x_cellsize=30.0, y_cellsize=25.0)
+        return t.select(
+            "gx", "gy", "v_fp", "gx_fp", "gy_fp",
+            "dzdx", "dzdy", "slope_ratio",
+        )
+
+    q["terrain_slope"] = terrain_slope_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -4541,6 +4584,96 @@ win AS (
 SELECT p.gx, p.gy, p.v_fp, w.n_win, w.sum_fp, w.min_fp, w.max_fp,
        {_FOCAL_MEAN.format(S="w.sum_fp", n="w.n_win")} AS mean_fp
 FROM pix p JOIN win w USING (gx, gy)
+"""
+
+    # the level-4 synthetic pixel lattice in fixed-point (shared by
+    # the raster_overview / terrain_slope oracles), same CTE text as
+    # focal_stats
+    _ras_pix = f"""
+cells AS (
+  SELECT id, ix, iy, (x | (y << 1)) AS cell FROM ({_zr_q})
+),
+vals AS (
+  SELECT cell, ix, iy,
+         CAST(((CAST(cell AS HUGEINT) * 11400714819323198485)
+               % 18446744073709551616) // 1099511627776 AS DOUBLE) AS base
+  FROM cells
+),
+pix AS (
+  SELECT CAST(ix * 8 + p.k % 8 AS BIGINT) AS gx,
+         CAST(iy * 8 + p.k // 8 AS BIGINT) AS gy,
+         CAST(floor((base + (CAST(p.k // 8 AS DOUBLE) * 0.01
+                             + CAST(p.k % 8 AS DOUBLE) * 0.0001))
+                    * 1000000.0) AS BIGINT) AS v_fp
+  FROM vals, UNNEST(generate_series(0, 63)) p(k)
+)"""
+
+    # raster_overview: factor-2 coarse grouping, parent (pcx, pcy)
+    # spread-interleaved through the same mask chain as _zr_q, pixel
+    # value = the shared OVERVIEW_MEAN_SQL division
+    from geomesa_spark.operators.raster import (
+        OVERVIEW_MEAN_SQL as _OV_MEAN,
+    )
+
+    _ov_keyed = """
+  SELECT cgx // 8 AS x, cgy // 8 AS y,
+         CAST((cgy % 8) * 8 + (cgx % 8) AS INT) AS idx,
+         {v} AS v
+  FROM coarse
+""".format(v=_OV_MEAN.format(S="sum_fp", n="n_in", fp=1_000_000))
+    _ov_q = (
+        "SELECT idx, v, (x & 2147483647) AS x, (y & 2147483647) AS y "
+        f"FROM ({_ov_keyed})"
+    )
+    for _sh, _mk in C._SPREAD2:
+        _pre = _mk >> _sh
+        _ov_q = (
+            "SELECT idx, v, "
+            f"(((x | ((x & {_pre}) << {_sh})) & {_mk})) AS x, "
+            f"(((y | ((y & {_pre}) << {_sh})) & {_mk})) AS y "
+            f"FROM ({_ov_q})"
+        )
+    o["raster_overview"] = f"""
+WITH {_ras_pix},
+coarse AS (
+  SELECT gx // 2 AS cgx, gy // 2 AS cgy,
+         CAST(count(*) AS BIGINT) AS n_in,
+         CAST(sum(v_fp) AS BIGINT) AS sum_fp
+  FROM pix GROUP BY 1, 2
+)
+SELECT (x | (y << 1)) AS cell, idx, v FROM ({_ov_q})
+"""
+
+    # terrain_slope: Horn weight pairs per window offset, exact
+    # int64 gradient sums (interior pixels only), derived doubles
+    # via the shared TERRAIN_* strings (IEEE-exact ops only)
+    from geomesa_spark.operators.raster import (
+        TERRAIN_DZ_SQL as _TER_DZ,
+        TERRAIN_SLOPE_SQL as _TER_SLOPE,
+    )
+
+    _ter_zx = _TER_DZ.format(g="gx_fp", cs=repr(30.0), fp=repr(1e6))
+    _ter_zy = _TER_DZ.format(g="gy_fp", cs=repr(25.0), fp=repr(1e6))
+    o["terrain_slope"] = f"""
+WITH {_ras_pix},
+contrib AS (
+  SELECT p.gx - d.dx AS gx, p.gy - d.dy AS gy,
+         p.v_fp * d.wx AS cx, p.v_fp * d.wy AS cy
+  FROM pix p,
+       (VALUES (-1,-1,-1,-1),(-1,0,-2,0),(-1,1,-1,1),
+               (0,-1,0,-2),(0,0,0,0),(0,1,0,2),
+               (1,-1,1,-1),(1,0,2,0),(1,1,1,1)) d(dx,dy,wx,wy)
+),
+grad AS (
+  SELECT gx, gy,
+         CAST(sum(cx) AS BIGINT) AS gx_fp,
+         CAST(sum(cy) AS BIGINT) AS gy_fp
+  FROM contrib GROUP BY 1, 2 HAVING count(*) = 9
+)
+SELECT p.gx, p.gy, p.v_fp, g.gx_fp, g.gy_fp,
+       {_ter_zx} AS dzdx, {_ter_zy} AS dzdy,
+       {_TER_SLOPE.format(zx=_ter_zx, zy=_ter_zy)} AS slope_ratio
+FROM pix p JOIN grad g USING (gx, gy)
 """
 
     # dbscan: quadratic pair mining with a bbox prefilter (fine

@@ -132,6 +132,8 @@ HEADLINE = [
     "join_counts",
     "map_algebra",
     "focal_stats",
+    "raster_overview",
+    "terrain_slope",
 ]
 
 

@@ -21,6 +21,8 @@ mosaic is a per-query `applyInPandas` over the covering tiles
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -595,6 +597,43 @@ def map_algebra(
 FOCAL_MEAN_SQL = "CAST({S} AS DOUBLE) / CAST({n} AS DOUBLE)"
 
 
+def _pixel_lattice(
+    tiles: DataFrame,
+    res_bits: int,
+    fp_scale: int,
+    tile_px: int | None,
+    tile_py: int | None,
+) -> tuple[DataFrame, int, int]:
+    """De-interleave one resolution's tiles to the GLOBAL pixel
+    lattice (gx, gy, v_fp) — fixed-point int64 values so every
+    downstream aggregate is exact.  Shared by focal_stats /
+    downsample / terrain.  Returns (pixels, px, py)."""
+    px = tile_px
+    py = tile_py
+    if px is None or py is None:
+        first = tiles.select("px", "py").first()
+        if first is None:
+            raise ValueError("empty tile table")
+        px = px if px is not None else first["px"]
+        py = py if py is not None else first["py"]
+    fp = F.lit(float(fp_scale))
+    pixels = (
+        tiles.filter(F.col("res_bits") == res_bits)
+        .select(
+            C.squash2_col(F.col("cell")).alias("_ix"),
+            C.squash2_col(F.shiftrightunsigned(F.col("cell"), 1))
+            .alias("_iy"),
+            F.posexplode("tile").alias("_k", "_v"),
+        )
+        .select(
+            (F.col("_ix") * px + F.col("_k") % px).alias("gx"),
+            (F.col("_iy") * py + (F.col("_k") / px).cast("int")).alias("gy"),
+            F.floor(F.col("_v") * fp).cast("long").alias("v_fp"),
+        )
+    )
+    return pixels, int(px), int(py)
+
+
 def focal_stats(
     tiles: DataFrame,
     res_bits: int,
@@ -624,28 +663,8 @@ def focal_stats(
     Returns (gx, gy, v_fp, n_win, sum_fp, min_fp, max_fp, mean_fp)."""
     if ring < 1:
         raise ValueError("ring must be >= 1")
-    px = tile_px
-    py = tile_py
-    if px is None or py is None:
-        first = tiles.select("px", "py").first()
-        if first is None:
-            raise ValueError("empty tile table")
-        px = px or first["px"]
-        py = py or first["py"]
-    fp = F.lit(float(fp_scale))
-    pixels = (
-        tiles.filter(F.col("res_bits") == res_bits)
-        .select(
-            C.squash2_col(F.col("cell")).alias("_ix"),
-            C.squash2_col(F.shiftrightunsigned(F.col("cell"), 1))
-            .alias("_iy"),
-            F.posexplode("tile").alias("_k", "_v"),
-        )
-        .select(
-            (F.col("_ix") * px + F.col("_k") % px).alias("gx"),
-            (F.col("_iy") * py + (F.col("_k") / px).cast("int")).alias("gy"),
-            F.floor(F.col("_v") * fp).cast("long").alias("v_fp"),
-        )
+    pixels, px, py = _pixel_lattice(
+        tiles, res_bits, fp_scale, tile_px, tile_py
     )
     offsets = [
         (dx, dy)
@@ -678,4 +697,220 @@ def focal_stats(
             "mean_fp",
             F.expr(FOCAL_MEAN_SQL.format(S="sum_fp", n="n_win")),
         )
+    )
+
+
+# overview pixel value: ONE division of canonical int64 moments —
+# mean = sum_fp / (n_in * fp_scale); min/max = extreme_fp / fp_scale
+OVERVIEW_MEAN_SQL = "CAST({S} AS DOUBLE) / CAST({n} * {fp} AS DOUBLE)"
+OVERVIEW_EXT_SQL = "CAST({m} AS DOUBLE) / CAST({fp} AS DOUBLE)"
+
+
+def downsample(
+    tiles: DataFrame,
+    res_bits: int,
+    factor: int = 2,
+    agg: str = "mean",
+    fp_scale: int = 1_000_000,
+    tile_px: int | None = None,
+    tile_py: int | None = None,
+) -> DataFrame:
+    """Overview (pyramid-level) build: aggregate `factor`×`factor`
+    pixel blocks of the global lattice into one coarser pixel and
+    re-assemble TILE rows at `res_bits - log2(factor)` — the raster
+    twin of ``tile_pyramid`` and the layer a map server pre-builds
+    so zoomed-out queries read 1/factor² of the data.  The
+    reference stores one chunk table per resolution and picks with
+    selectResolution (AccumuloRasterQueryPlanner.scala:94-106);
+    this operator MAKES those coarser levels.
+
+    Shape: de-interleave to (gx, gy, v_fp), ONE partial-aggregated
+    groupBy on the coarse key (gx//factor, gy//factor), then ONE
+    groupBy per parent cell assembling the px·py array via a sorted
+    (k, v) map — all JVM, cost linear in pixels.  Parent tiles keep
+    the child tiles' px×py dims; blocks missing source pixels
+    (absent child tiles under partial coverage) still aggregate
+    what exists (`n_in` tells the truth) and pixels with NO source
+    stay NULL in the parent array.
+
+    Determinism: `agg='mean'` divides two canonical int64 moments
+    (``OVERVIEW_MEAN_SQL``); 'min'/'max' rescale one exact extreme
+    (``OVERVIEW_EXT_SQL``).  Chained levels re-quantize per level —
+    the standard overview semantics (mean of means), documented.
+
+    Returns TILE_SCHEMA rows at res_bits - log2(factor)."""
+    if factor < 2 or factor & (factor - 1):
+        raise ValueError("factor must be a power of two >= 2")
+    drop = factor.bit_length() - 1
+    if res_bits - drop < 0:
+        raise ValueError(f"res_bits {res_bits} too coarse for factor {factor}")
+    if agg not in ("mean", "min", "max"):
+        raise ValueError(f"agg must be mean/min/max, got {agg!r}")
+    pixels, px, py = _pixel_lattice(
+        tiles, res_bits, fp_scale, tile_px, tile_py
+    )
+    coarse = (
+        pixels.groupBy(
+            (F.col("gx") / factor).cast("long").alias("cgx"),
+            (F.col("gy") / factor).cast("long").alias("cgy"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_in"),
+            F.sum("v_fp").alias("sum_fp"),
+            F.min("v_fp").alias("min_fp"),
+            F.max("v_fp").alias("max_fp"),
+        )
+    )
+    if agg == "mean":
+        val = F.expr(
+            OVERVIEW_MEAN_SQL.format(S="sum_fp", n="n_in", fp=fp_scale)
+        )
+    else:
+        val = F.expr(
+            OVERVIEW_EXT_SQL.format(m=f"{agg}_fp", fp=fp_scale)
+        )
+    keyed = coarse.select(
+        C.z2_combine(
+            (F.col("cgx") / px).cast("long"),
+            (F.col("cgy") / py).cast("long"),
+        ).alias("cell"),
+        (
+            (F.col("cgy") % py) * px + (F.col("cgx") % px)
+        ).cast("int").alias("k"),
+        val.alias("v"),
+    )
+    assembled = keyed.groupBy("cell").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("k"), F.col("v")))
+        ).alias("_m")
+    )
+    idx = F.sequence(F.lit(0), F.lit(px * py - 1))
+    return assembled.select(
+        F.lit(res_bits - drop).cast("int").alias("res_bits"),
+        "cell",
+        F.lit(px).cast("int").alias("px"),
+        F.lit(py).cast("int").alias("py"),
+        F.transform(
+            idx, lambda i: F.element_at(F.col("_m"), i.cast("int"))
+        ).alias("tile"),
+    )
+
+
+# Horn gradient, slope as shared strings over EXACT integer moments:
+# dz = g_fp / (8 * cellsize * fp_scale) — one division of a
+# canonical int64 by a product of exact literals; slope_ratio uses
+# only IEEE-exact ops (*, +, /, sqrt) so both engines bit-agree.
+TERRAIN_DZ_SQL = "CAST({g} AS DOUBLE) / (8.0 * {cs} * {fp})"
+TERRAIN_SLOPE_SQL = "sqrt(({zx}) * ({zx}) + ({zy}) * ({zy}))"
+
+
+def terrain(
+    tiles: DataFrame,
+    res_bits: int,
+    x_cellsize: float = 1.0,
+    y_cellsize: float = 1.0,
+    fp_scale: int = 1_000_000,
+    tile_px: int | None = None,
+    tile_py: int | None = None,
+    sun_azimuth_deg: float = 315.0,
+    sun_altitude_deg: float = 45.0,
+) -> DataFrame:
+    """Terrain surface derivatives — slope, aspect, hillshade via
+    Horn's 3×3 method (Horn 1981, the GDAL/ESRI standard) over the
+    global pixel lattice, windows crossing tile boundaries exactly
+    like ``focal_stats``.
+
+    Shape: each pixel explodes onto the 9 window keys it
+    participates in, carrying the Horn weight pair for its offset;
+    ONE partial-aggregated groupBy yields EXACT int64 weighted
+    gradient sums (weights ±1/±2 · fixed-point values).  Interior
+    pixels only (n_win == 9): world edges and absent-tile seams do
+    not fabricate gradients.
+
+    Determinism: gx_fp/gy_fp are exact integers; dzdx/dzdy/
+    slope_ratio derive via shared strings using only IEEE-exact
+    arithmetic (gate-comparable bit-for-bit).  slope_deg /
+    aspect_deg / hillshade use atan/atan2/cos — NOT correctly-
+    rounded across libms, so they are pytest-verified against numpy
+    instead of hash-gated (the hll_distinct precedent).
+
+    aspect_deg: compass degrees clockwise from north, NULL on flat
+    cells (the ESRI convention).  hillshade: 0..255.
+
+    Returns (gx, gy, v_fp, gx_fp, gy_fp, dzdx, dzdy, slope_ratio,
+    slope_deg, aspect_deg, hillshade)."""
+    if x_cellsize <= 0 or y_cellsize <= 0:
+        raise ValueError("cellsizes must be positive")
+    pixels, px, py = _pixel_lattice(
+        tiles, res_bits, fp_scale, tile_px, tile_py
+    )
+    # source at offset (dx, dy) from target (dy=+1 north):
+    #   wx = dx * (2 if dy==0 else 1)   — east minus west
+    #   wy = dy * (2 if dx==0 else 1)   — north minus south
+    offsets = [
+        (dx, dy, dx * (2 if dy == 0 else 1), dy * (2 if dx == 0 else 1))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ]
+    contrib = pixels.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("gx") - F.lit(dx)).alias("tx"),
+                    (F.col("gy") - F.lit(dy)).alias("ty"),
+                    (F.col("v_fp") * F.lit(wx)).alias("cx"),
+                    (F.col("v_fp") * F.lit(wy)).alias("cy"),
+                )
+                for dx, dy, wx, wy in offsets
+            ])
+        ).alias("t")
+    ).select("t.tx", "t.ty", "t.cx", "t.cy")
+    grad = (
+        contrib.groupBy(
+            F.col("tx").alias("gx"), F.col("ty").alias("gy")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_win"),
+            F.sum("cx").alias("gx_fp"),
+            F.sum("cy").alias("gy_fp"),
+        )
+        .filter(F.col("n_win") == 9)
+        .drop("n_win")
+    )
+    cs_x, cs_y, fp = repr(float(x_cellsize)), repr(float(y_cellsize)), repr(float(fp_scale))
+    zx = TERRAIN_DZ_SQL.format(g="gx_fp", cs=cs_x, fp=fp)
+    zy = TERRAIN_DZ_SQL.format(g="gy_fp", cs=cs_y, fp=fp)
+    out = (
+        pixels.join(grad, ["gx", "gy"])
+        .withColumn("dzdx", F.expr(zx))
+        .withColumn("dzdy", F.expr(zy))
+        .withColumn(
+            "slope_ratio", F.expr(TERRAIN_SLOPE_SQL.format(zx=zx, zy=zy))
+        )
+    )
+    zen = math.radians(90.0 - sun_altitude_deg)
+    az = math.radians(sun_azimuth_deg)
+    slope_rad = F.atan(F.col("slope_ratio"))
+    # downslope vector = (-dzdx, -dzdy) in (east, north) coords;
+    # compass bearing of (e, n) = atan2(e, n), normalized to [0, 360)
+    compass = (
+        F.degrees(F.atan2(-F.col("dzdx"), -F.col("dzdy"))) + F.lit(360.0)
+    ) % 360.0
+    flat = (F.col("gx_fp") == 0) & (F.col("gy_fp") == 0)
+    hs = F.round(
+        F.lit(255.0)
+        * F.greatest(
+            F.lit(0.0),
+            F.lit(math.cos(zen)) * F.cos(slope_rad)
+            + F.lit(math.sin(zen))
+            * F.sin(slope_rad)
+            * F.cos(F.lit(az) - (F.radians(compass))),
+        )
+    ).cast("int")
+    return (
+        out.withColumn("slope_deg", F.degrees(slope_rad))
+        .withColumn(
+            "aspect_deg", F.when(~flat, compass)
+        )
+        .withColumn("hillshade", hs)
     )

@@ -300,3 +300,136 @@ def test_focal_stats_vs_numpy(spark):
     plan = focal_stats(tiles, BITS)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_downsample_vs_numpy(spark):
+    """downsample vs a numpy block-reduce oracle: mean/min/max
+    aggs, partial coverage leaving NULL holes, factor-4 level drop,
+    argument validation, no Python in the plan."""
+    from geomesa_spark.operators.raster import downsample, synth_tiles
+
+    BITS, PX, PY, FP = 2, 4, 4, 1_000_000
+    n = 1 << BITS
+    tiles = synth_tiles(spark, BITS, px=PX, py=PY).cache()
+
+    world = np.full((n * PY, n * PX), np.nan)
+    for r in tiles.collect():
+        ix, iy = C.z2_decode_np(np.asarray([r.cell], dtype=np.int64))
+        world[int(iy[0]) * PY:(int(iy[0]) + 1) * PY,
+              int(ix[0]) * PX:(int(ix[0]) + 1) * PX] = \
+            np.array(r.tile).reshape(PY, PX)
+    wfp = np.floor(world * FP).astype(np.int64)
+
+    for agg in ("mean", "min", "max"):
+        out = downsample(tiles, BITS, factor=2, agg=agg).collect()
+        # parent level: 2x2 cells, same tile dims
+        assert {r.res_bits for r in out} == {BITS - 1}
+        assert len(out) == (n // 2) ** 2
+        for r in out:
+            assert (r.px, r.py) == (PX, PY)
+            ix, iy = C.z2_decode_np(np.asarray([r.cell], dtype=np.int64))
+            t = np.array(r.tile, dtype=float).reshape(PY, PX)
+            for yy in range(PY):
+                for xx in range(PX):
+                    cgx, cgy = int(ix[0]) * PX + xx, int(iy[0]) * PY + yy
+                    blk = wfp[cgy * 2:cgy * 2 + 2, cgx * 2:cgx * 2 + 2]
+                    want = {
+                        "mean": blk.sum() / (4 * FP),
+                        "min": blk.min() / FP,
+                        "max": blk.max() / FP,
+                    }[agg]
+                    assert t[yy, xx] == want, (agg, r.cell, xx, yy)
+
+    # factor 4 drops two levels in one pass (block mean of 16)
+    out4 = downsample(tiles, BITS, factor=4).collect()
+    assert {r.res_bits for r in out4} == {BITS - 2}
+    assert len(out4) == 1
+    t4 = np.array(out4[0].tile, dtype=float).reshape(PY, PX)
+    blk = wfp[0:4, 0:4]
+    assert t4[0, 0] == blk.sum() / (16 * FP)
+
+    # partial coverage: one child tile only -> the parent pixel
+    # positions with no source stay NULL, covered blocks aggregate
+    # what exists
+    one = tiles.filter(F.col("cell") == 0)
+    outp = downsample(one, BITS, factor=2).collect()
+    assert len(outp) == 1
+    tp = outp[0].tile
+    covered = [v for v in tp if v is not None]
+    assert len(covered) == (PX // 2) * (PY // 2)
+    assert tp[0] == wfp[0:2, 0:2].sum() / (4 * FP)
+
+    with pytest.raises(ValueError):
+        downsample(tiles, BITS, factor=3)
+    with pytest.raises(ValueError):
+        downsample(tiles, BITS, factor=2, agg="median")
+    with pytest.raises(ValueError):
+        downsample(tiles, 0, factor=2)
+
+    plan = downsample(tiles, BITS)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
+def test_terrain_vs_numpy(spark):
+    """terrain vs a numpy Horn-kernel oracle: exact integer
+    gradient sums, slope/aspect/hillshade full-precision parity,
+    interior-only emission, flat-cell NULL aspect."""
+    import math
+
+    from geomesa_spark.operators.raster import terrain, synth_tiles
+
+    BITS, PX, PY, FP = 2, 4, 4, 1_000_000
+    XCS, YCS, AZ, ALT = 30.0, 25.0, 315.0, 45.0
+    n = 1 << BITS
+    tiles = synth_tiles(spark, BITS, px=PX, py=PY)
+    got = {(r.gx, r.gy): r for r in terrain(
+        tiles, BITS, x_cellsize=XCS, y_cellsize=YCS,
+        sun_azimuth_deg=AZ, sun_altitude_deg=ALT).collect()}
+
+    world = np.zeros((n * PY, n * PX))
+    for r in tiles.collect():
+        ix, iy = C.z2_decode_np(np.asarray([r.cell], dtype=np.int64))
+        world[int(iy[0]) * PY:(int(iy[0]) + 1) * PY,
+              int(ix[0]) * PX:(int(ix[0]) + 1) * PX] = \
+            np.array(r.tile).reshape(PY, PX)
+    wfp = np.floor(world * FP).astype(np.int64)
+    H, W = wfp.shape
+    # interior pixels only
+    assert len(got) == (H - 2) * (W - 2)
+    zen = math.radians(90.0 - ALT)
+    azr = math.radians(AZ)
+    for gy in range(1, H - 1):
+        for gx in range(1, W - 1):
+            w = wfp[gy - 1:gy + 2, gx - 1:gx + 2]
+            # row index grows with gy (north); columns with gx (east)
+            a, b, c = w[2, 0], w[2, 1], w[2, 2]   # north row
+            d, _, f_ = w[1, 0], w[1, 1], w[1, 2]
+            g, h, i = w[0, 0], w[0, 1], w[0, 2]   # south row
+            gxs = (c + 2 * f_ + i) - (a + 2 * d + g)
+            gys = (a + 2 * b + c) - (g + 2 * h + i)
+            r = got[(gx, gy)]
+            assert r.gx_fp == gxs and r.gy_fp == gys
+            dzdx = gxs / (8.0 * XCS * FP)
+            dzdy = gys / (8.0 * YCS * FP)
+            assert r.dzdx == pytest.approx(dzdx, abs=1e-18)
+            assert r.dzdy == pytest.approx(dzdy, abs=1e-18)
+            slope = math.atan(math.hypot(dzdx, dzdy))
+            assert r.slope_deg == pytest.approx(math.degrees(slope), abs=1e-9)
+            if gxs == 0 and gys == 0:
+                assert r.aspect_deg is None
+            else:
+                aspect = math.degrees(
+                    math.atan2(-dzdx, -dzdy)) % 360.0
+                assert r.aspect_deg == pytest.approx(aspect, abs=1e-9)
+                hs = 255.0 * max(0.0, (
+                    math.cos(zen) * math.cos(slope)
+                    + math.sin(zen) * math.sin(slope)
+                    * math.cos(azr - math.radians(aspect))))
+                assert r.hillshade == int(round(hs))
+
+    with pytest.raises(ValueError):
+        terrain(tiles, BITS, x_cellsize=0.0)
+    plan = terrain(tiles, BITS)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan

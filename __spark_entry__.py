@@ -2599,6 +2599,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ripley_k"] = ripley_k_gate
 
+    def g_function_gate(spark, sf):
+        """Nearest-neighbor G function (pointpat.g_function) on the
+        ripley_k corpus: the first-order complement of K — CDF of
+        each point's distance to its FIRST neighbor, censored at
+        0.05 deg. Blob members sit within jitter distance of their
+        blob-mates, so G saturates fast. One eps_pairs pass + one
+        min per point; counts exact int64; bin/r/G via the shared
+        RIPLEY_BIN/RIPLEY_R/NN_G strings."""
+        from geomesa_spark.operators.pointpat import g_function
+
+        pts = _load(spark, sf, "events").filter(
+            F.col("event_id") % 4 == 0
+        ).select(
+            F.col("event_id").alias("id"),
+            F.expr(_BLOB_LON).alias("lon"),
+            F.expr(_BLOB_LAT).alias("lat"),
+        )
+        return g_function(pts, 0.05, 5, "id")
+
+    q["g_function"] = g_function_gate
+
     def ripley_cross_gate(spark, sf):
         """Bivariate Ripley's K (pointpat.ripley_cross_k): do click
         events cluster around purchase events?  Blob corpus with
@@ -5742,6 +5763,50 @@ FROM m
 
     _R_DR = repr(0.05 / 5)
     _R_D2 = repr(0.05 ** 2)
+
+    # g_function: brute per-point nearest neighbor (bbox prefilter —
+    # any neighbor within r_max is inside the box, so the censoring
+    # HAVING sees every relevant candidate), then the identical
+    # bin/axis/cumsum/division pipeline
+    from geomesa_spark.operators.pointpat import NN_G_SQL as _NN_G
+
+    o["g_function"] = f"""
+WITH pts AS (
+  SELECT event_id AS id, {_BLOB_LON} AS lon, {_BLOB_LAT} AS lat
+  FROM events WHERE event_id % 4 = 0
+),
+nn AS (
+  SELECT a.id,
+         min((a.lon-b.lon)*(a.lon-b.lon)
+             + (a.lat-b.lat)*(a.lat-b.lat)) AS nn_d2
+  FROM pts a JOIN pts b
+    ON a.id <> b.id
+   AND b.lat BETWEEN a.lat - 0.05 AND a.lat + 0.05
+   AND b.lon BETWEEN a.lon - 0.05 AND a.lon + 0.05
+  GROUP BY a.id
+  HAVING min((a.lon-b.lon)*(a.lon-b.lon)
+             + (a.lat-b.lat)*(a.lat-b.lat)) <= {_R_D2}
+),
+binned AS (
+  SELECT {_RIP_BIN.format(nb=5, d2="nn_d2", dr=_R_DR)} AS bin,
+         CAST(count(*) AS BIGINT) AS n_pts
+  FROM nn GROUP BY 1
+),
+axis AS (SELECT CAST(range AS BIGINT) AS bin FROM range(1, 6)),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM pts),
+c AS (
+  SELECT axis.bin,
+         CAST(coalesce(n_pts, 0) AS BIGINT) AS n_pts,
+         CAST(sum(coalesce(n_pts, 0)) OVER (ORDER BY axis.bin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pts
+  FROM axis LEFT JOIN binned USING (bin)
+)
+SELECT bin, {_RIP_R.format(bin="bin", dr=_R_DR)} AS r,
+       n_pts, cum_pts,
+       {_NN_G.format(C="cum_pts", n="n_points")} AS g_est
+FROM c CROSS JOIN np
+"""
+
     _rip_k = _RIP_K.format(A=repr(59500.0), C="cum_pairs", n="n_points")
     o["ripley_k"] = f"""
 WITH pts AS (

@@ -134,6 +134,7 @@ HEADLINE = [
     "focal_stats",
     "raster_overview",
     "terrain_slope",
+    "g_function",
 ]
 
 

@@ -547,3 +547,105 @@ def colocation_pi(
             F.expr(PART_PI_SQL.format(pa=pr_ab, pb=pr_ba)).alias("pi"),
         )
     )
+
+
+# G(r) = fraction of points whose nearest neighbor is within r —
+# one division of canonical int64 counts
+NN_G_SQL = "CAST({C} AS DOUBLE) / CAST({n} AS DOUBLE)"
+
+
+def nn_dist(
+    df: DataFrame,
+    r_max: float,
+    id_col: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Per-point nearest-neighbor distance, censored at `r_max`:
+    one eps_pairs mining pass at r_max (quadratic term bounded by
+    the densest r_max-cell, never corpus²), both directions of each
+    unordered pair, one partial-aggregated min per point.  Points
+    with NO neighbor within r_max are ABSENT from the output (the
+    censoring convention G-function analysis expects — they count
+    in the denominator, not in any bin).
+
+    Returns (id, nn_d2, nn_dist) — nn_d2 the exact squared degree
+    distance, nn_dist its IEEE-exact sqrt."""
+    pairs = eps_pairs(
+        df, float(r_max), id_col, lon_col=lon_col, lat_col=lat_col,
+        metric="planar",
+    )
+    both = pairs.select(F.col("id_a").alias("id"), "dist2").unionAll(
+        pairs.select(F.col("id_b").alias("id"), "dist2")
+    )
+    return (
+        both.groupBy("id")
+        .agg(F.min("dist2").alias("nn_d2"))
+        .withColumn("nn_dist", F.sqrt(F.col("nn_d2")))
+    )
+
+
+def g_function(
+    df: DataFrame,
+    r_max: float,
+    n_bins: int,
+    id_col: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Nearest-neighbor distance CDF — the G function, the
+    first-order complement of Ripley's K (K counts ALL neighbors
+    per radius; G asks only about the FIRST).  Under CSR
+    G(r) = 1 - exp(-λπr²); clustered patterns rise faster, inhibited
+    patterns slower.  Same estimator family as ``ripley_k``: naive
+    (border-uncorrected), censored at r_max.
+
+    Shape: nn_dist (one eps_pairs pass + one min) binned once onto
+    the r axis, dense axis join, one tiny cumulative window, one
+    broadcast count row.  g_est = cum_pts / n (ALL points — the
+    censored ones hold the denominator down, exactly as spatstat's
+    raw G does).
+
+    Returns (bin, r, n_pts, cum_pts, g_est)."""
+    if r_max <= 0:
+        raise ValueError("r_max must be positive")
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    dr = float(r_max) / int(n_bins)
+    nn = nn_dist(df, r_max, id_col, lon_col=lon_col, lat_col=lat_col)
+    binned = (
+        nn.select(
+            F.expr(
+                RIPLEY_BIN_SQL.format(nb=int(n_bins), d2="nn_d2", dr=_lit(dr))
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n_pts"))
+    )
+    spark = df.sparkSession
+    axis = spark.range(1, int(n_bins) + 1).select(F.col("id").alias("bin"))
+    from pyspark.sql import Window
+
+    cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stats = F.broadcast(
+        df.agg(F.count("*").cast("long").alias("n_points"))
+    )
+    return (
+        axis.join(binned, "bin", "left")
+        .withColumn(
+            "n_pts", F.coalesce(F.col("n_pts"), F.lit(0)).cast("long")
+        )
+        .withColumn("cum_pts", F.sum("n_pts").over(cum).cast("long"))
+        .crossJoin(stats)
+        .select(
+            "bin",
+            F.expr(RIPLEY_R_SQL.format(bin="bin", dr=_lit(dr))).alias("r"),
+            "n_pts",
+            "cum_pts",
+            F.expr(
+                NN_G_SQL.format(C="cum_pts", n="n_points")
+            ).alias("g_est"),
+        )
+    )

@@ -215,3 +215,54 @@ def test_space_time_k_vs_brute(spark):
     with pytest.raises(ValueError):
         space_time_k(_df(spark, rows), "id", "t", R_MAX, 0.0, 4, 3,
                      AREA, TLEN)
+
+
+def test_g_function_vs_brute(spark):
+    """nn_dist + g_function vs a numpy brute nearest-neighbor
+    oracle, including censoring and the CSR/clustered ordering."""
+    from geomesa_spark.operators.pointpat import g_function, nn_dist
+
+    rows = _corpus()
+    n = len(rows)
+    R_MAX, BINS = 0.5, 5
+    df = _df(spark, rows)
+
+    pts = np.array([(r[1], r[2]) for r in rows])
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    nn2 = d2.min(axis=1)
+
+    # nn_dist: exact min d2 per point, censored beyond r_max
+    got = {r["id"]: r for r in nn_dist(df, R_MAX, "id").collect()}
+    exp_ids = {i for i in range(n) if nn2[i] <= R_MAX * R_MAX}
+    assert set(got) == exp_ids
+    for i in exp_ids:
+        assert got[i]["nn_d2"] == nn2[i]
+        assert got[i]["nn_dist"] == math.sqrt(nn2[i])
+
+    out = {r["bin"]: r for r in g_function(
+        df, R_MAX, BINS, "id").collect()}
+    assert set(out) == set(range(1, BINS + 1))
+    dr = R_MAX / BINS
+    kept = np.sqrt(nn2[nn2 <= R_MAX * R_MAX])
+    bins = np.ceil(kept / dr).clip(1, BINS)
+    for b in range(1, BINS + 1):
+        r = out[b]
+        assert r["n_pts"] == int(np.sum(bins == b))
+        assert r["cum_pts"] == int(np.sum(bins <= b))
+        assert r["g_est"] == r["cum_pts"] / n
+        assert r["r"] == pytest.approx(b * dr, rel=1e-12)
+    # the clustered half pulls G above CSR at small r:
+    # G_csr(r) = 1 - exp(-lambda * pi * r^2) over the 12x12 window
+    lam = n / 144.0
+    r1 = out[1]["r"]
+    g_csr = 1.0 - math.exp(-lam * math.pi * r1 * r1)
+    assert out[1]["g_est"] > g_csr
+
+    with pytest.raises(ValueError):
+        g_function(df, 0.0, 5, "id")
+    with pytest.raises(ValueError):
+        g_function(df, 1.0, 0, "id")
+    plan = g_function(df, R_MAX, BINS, "id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan

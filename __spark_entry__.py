@@ -2620,6 +2620,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["g_function"] = g_function_gate
 
+    def j_function_gate(spark, sf):
+        """Empty-space F + van Lieshout–Baddeley J
+        (pointpat.f_function/j_function) on the blob corpus: a
+        35x17 probe_grid lattice (10-deg spacing over the blob
+        extent) measures void distances to 8 deg; the blob pattern
+        leaves big voids, so F trails G and J reads clustered (<1).
+        Both curves are exact int64 counts; F/G/J are shared-string
+        divisions (NN_G_SQL / J_SQL) — every step IEEE-exact."""
+        from geomesa_spark.operators.pointpat import (
+            j_function, probe_grid,
+        )
+
+        pts = _load(spark, sf, "events").filter(
+            F.col("event_id") % 4 == 0
+        ).select(
+            F.col("event_id").alias("id"),
+            F.expr(_BLOB_LON).alias("lon"),
+            F.expr(_BLOB_LAT).alias("lat"),
+        )
+        ref = probe_grid(spark, (-174.0, -84.0, 176.0, 86.0), 35, 17)
+        return j_function(pts, ref, 8.0, 5, "id")
+
+    q["j_function"] = j_function_gate
+
     def ripley_cross_gate(spark, sf):
         """Bivariate Ripley's K (pointpat.ripley_cross_k): do click
         events cluster around purchase events?  Blob corpus with
@@ -5805,6 +5829,83 @@ SELECT bin, {_RIP_R.format(bin="bin", dr=_R_DR)} AS r,
        n_pts, cum_pts,
        {_NN_G.format(C="cum_pts", n="n_points")} AS g_est
 FROM c CROSS JOIN np
+"""
+
+    # j_function: both curves brute in DuckDB — G over point pairs,
+    # F over probe->pattern cross NN (probe lattice arithmetic
+    # rendered with the IDENTICAL literals probe_grid embeds), J
+    # from the four exact counts via the shared J_SQL
+    from geomesa_spark.operators.pointpat import J_SQL as _J_SQL
+
+    _FJ_DR = repr(8.0 / 5)
+    _FJ_D2 = repr(8.0 ** 2)
+    _fj_wx = repr((176.0 - -174.0) / 35)
+    _fj_wy = repr((86.0 - -84.0) / 17)
+    o["j_function"] = f"""
+WITH pts AS (
+  SELECT event_id AS id, {_BLOB_LON} AS lon, {_BLOB_LAT} AS lat
+  FROM events WHERE event_id % 4 = 0
+),
+probes AS (
+  SELECT CAST(t.k AS BIGINT) AS rid,
+         -174.0 + (CAST(t.k % 35 AS DOUBLE) + 0.5) * {_fj_wx} AS lon,
+         -84.0 + (CAST(t.k // 35 AS DOUBLE) + 0.5) * {_fj_wy} AS lat
+  FROM generate_series(0, {35 * 17 - 1}) t(k)
+),
+gnn AS (
+  SELECT a.id,
+         min((a.lon-b.lon)*(a.lon-b.lon)
+             + (a.lat-b.lat)*(a.lat-b.lat)) AS nn_d2
+  FROM pts a JOIN pts b
+    ON a.id <> b.id
+   AND b.lat BETWEEN a.lat - 8.0 AND a.lat + 8.0
+   AND b.lon BETWEEN a.lon - 8.0 AND a.lon + 8.0
+  GROUP BY a.id
+  HAVING min((a.lon-b.lon)*(a.lon-b.lon)
+             + (a.lat-b.lat)*(a.lat-b.lat)) <= {_FJ_D2}
+),
+fnn AS (
+  SELECT a.rid,
+         min((a.lon-b.lon)*(a.lon-b.lon)
+             + (a.lat-b.lat)*(a.lat-b.lat)) AS nn_d2
+  FROM probes a JOIN pts b
+    ON b.lat BETWEEN a.lat - 8.0 AND a.lat + 8.0
+   AND b.lon BETWEEN a.lon - 8.0 AND a.lon + 8.0
+  GROUP BY a.rid
+  HAVING min((a.lon-b.lon)*(a.lon-b.lon)
+             + (a.lat-b.lat)*(a.lat-b.lat)) <= {_FJ_D2}
+),
+gbin AS (
+  SELECT {_RIP_BIN.format(nb=5, d2="nn_d2", dr=_FJ_DR)} AS bin,
+         CAST(count(*) AS BIGINT) AS n_pts
+  FROM gnn GROUP BY 1
+),
+fbin AS (
+  SELECT {_RIP_BIN.format(nb=5, d2="nn_d2", dr=_FJ_DR)} AS bin,
+         CAST(count(*) AS BIGINT) AS n_ref
+  FROM fnn GROUP BY 1
+),
+axis AS (SELECT CAST(range AS BIGINT) AS bin FROM range(1, 6)),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM pts),
+nr AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probes),
+c AS (
+  SELECT axis.bin,
+         CAST(coalesce(g.n_pts, 0) AS BIGINT) AS n_pts,
+         CAST(sum(coalesce(g.n_pts, 0)) OVER (ORDER BY axis.bin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pts,
+         CAST(coalesce(f.n_ref, 0) AS BIGINT) AS n_ref,
+         CAST(sum(coalesce(f.n_ref, 0)) OVER (ORDER BY axis.bin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ref
+  FROM axis LEFT JOIN gbin g USING (bin) LEFT JOIN fbin f USING (bin)
+)
+SELECT bin, {_RIP_R.format(bin="bin", dr=_FJ_DR)} AS r,
+       n_pts, cum_pts,
+       {_NN_G.format(C="cum_pts", n="n_points")} AS g_est,
+       n_ref, cum_ref,
+       {_NN_G.format(C="cum_ref", n="n_probes")} AS f_est,
+       {_J_SQL.format(cg="cum_pts", ng="n_points",
+                      cf="cum_ref", nf="n_probes")} AS j_est
+FROM c CROSS JOIN np CROSS JOIN nr
 """
 
     _rip_k = _RIP_K.format(A=repr(59500.0), C="cum_pairs", n="n_points")

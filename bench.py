@@ -135,6 +135,7 @@ HEADLINE = [
     "raster_overview",
     "terrain_slope",
     "g_function",
+    "j_function",
 ]
 
 

@@ -649,3 +649,218 @@ def g_function(
             ).alias("g_est"),
         )
     )
+
+
+# J(r) = (1 - G(r)) / (1 - F(r)) from the four exact int64 counts —
+# every step (int->double casts, two subtractions, three divisions)
+# is IEEE-exact, so both engines bit-agree; undefined once F hits 1
+J_SQL = (
+    "CASE WHEN {cf} < {nf} THEN"
+    " ((CAST({ng} AS DOUBLE) - CAST({cg} AS DOUBLE))"
+    " / CAST({ng} AS DOUBLE))"
+    " / ((CAST({nf} AS DOUBLE) - CAST({cf} AS DOUBLE))"
+    " / CAST({nf} AS DOUBLE)) END"
+)
+
+
+def probe_grid(
+    spark,
+    bbox: tuple[float, float, float, float],
+    nx: int,
+    ny: int,
+) -> DataFrame:
+    """Deterministic empty-space probe lattice for ``f_function``:
+    nx·ny cell centers over `bbox`, distributed via spark.range (no
+    driver data).  Returns (rid, lon, lat)."""
+    if nx < 1 or ny < 1:
+        raise ValueError("nx and ny must be >= 1")
+    xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+    if xmax <= xmin or ymax <= ymin:
+        raise ValueError("bbox must have positive extent")
+    wx = (xmax - xmin) / nx
+    wy = (ymax - ymin) / ny
+    gy = (F.col("id") / nx).cast("long").cast("double")
+    return spark.range(0, nx * ny).select(
+        F.col("id").alias("rid"),
+        (F.lit(xmin) + (F.col("id") % nx + F.lit(0.5)) * F.lit(wx))
+        .alias("lon"),
+        (F.lit(ymin) + (gy + F.lit(0.5)) * F.lit(wy)).alias("lat"),
+    )
+
+
+def nn_dist_cross(
+    ref: DataFrame,
+    pts: DataFrame,
+    r_max: float,
+    ref_id_col: str,
+    id_col: str,
+    ref_lon_col: str = "lon",
+    ref_lat_col: str = "lat",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Distance from each REF point to its nearest PATTERN point,
+    censored at r_max — the empty-space measurement under the F
+    function.  One eps_pairs pass over the tagged union (the
+    ripley_cross_k trick), cross pairs only, one min per ref point.
+
+    Ids are carried as strings internally (the union must share one
+    id type); the output `rid` is the ref id CAST TO STRING.
+
+    Returns (rid, nn_d2, nn_dist); refs with no pattern point
+    within r_max are absent (censored)."""
+    a = ref.select(
+        F.struct(
+            F.lit(0).alias("c"),
+            F.col(ref_id_col).cast("string").alias("k"),
+        ).alias("_id"),
+        F.col(ref_lon_col).alias("_lon"),
+        F.col(ref_lat_col).alias("_lat"),
+    )
+    b = pts.select(
+        F.struct(
+            F.lit(1).alias("c"),
+            F.col(id_col).cast("string").alias("k"),
+        ).alias("_id"),
+        F.col(lon_col).alias("_lon"),
+        F.col(lat_col).alias("_lat"),
+    )
+    pairs = eps_pairs(
+        a.unionAll(b), float(r_max), "_id",
+        lon_col="_lon", lat_col="_lat", metric="planar",
+    )
+    # cross pairs: exactly one endpoint is a ref (c=0)
+    cross = pairs.filter(F.col("id_a.c") != F.col("id_b.c")).select(
+        F.when(F.col("id_a.c") == 0, F.col("id_a.k"))
+        .otherwise(F.col("id_b.k")).alias("rid"),
+        "dist2",
+    )
+    return (
+        cross.groupBy("rid")
+        .agg(F.min("dist2").alias("nn_d2"))
+        .withColumn("nn_dist", F.sqrt(F.col("nn_d2")))
+    )
+
+
+def f_function(
+    pts: DataFrame,
+    ref: DataFrame,
+    r_max: float,
+    n_bins: int,
+    id_col: str,
+    ref_id_col: str = "rid",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    ref_lon_col: str = "lon",
+    ref_lat_col: str = "lat",
+) -> DataFrame:
+    """Empty-space F function: the CDF of the distance from a probe
+    location (``probe_grid`` or any reference frame) to the nearest
+    pattern point.  Under CSR F = G; clustering leaves big voids
+    (F < G), inhibition fills space evenly (F > G).
+
+    Same pipeline as ``g_function`` with the cross-NN distances;
+    f_est = cum_ref / n_ref (ALL probes — censored ones hold the
+    denominator).  Returns (bin, r, n_ref, cum_ref, f_est)."""
+    if r_max <= 0:
+        raise ValueError("r_max must be positive")
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    dr = float(r_max) / int(n_bins)
+    nn = nn_dist_cross(
+        ref, pts, r_max, ref_id_col, id_col,
+        ref_lon_col=ref_lon_col, ref_lat_col=ref_lat_col,
+        lon_col=lon_col, lat_col=lat_col,
+    )
+    binned = (
+        nn.select(
+            F.expr(
+                RIPLEY_BIN_SQL.format(
+                    nb=int(n_bins), d2="nn_d2", dr=_lit(dr)
+                )
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n_ref"))
+    )
+    spark = pts.sparkSession
+    axis = spark.range(1, int(n_bins) + 1).select(F.col("id").alias("bin"))
+    from pyspark.sql import Window
+
+    cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stats = F.broadcast(
+        ref.agg(F.count("*").cast("long").alias("n_probes"))
+    )
+    return (
+        axis.join(binned, "bin", "left")
+        .withColumn(
+            "n_ref", F.coalesce(F.col("n_ref"), F.lit(0)).cast("long")
+        )
+        .withColumn("cum_ref", F.sum("n_ref").over(cum).cast("long"))
+        .crossJoin(stats)
+        .select(
+            "bin",
+            F.expr(RIPLEY_R_SQL.format(bin="bin", dr=_lit(dr))).alias("r"),
+            "n_ref",
+            "cum_ref",
+            F.expr(
+                NN_G_SQL.format(C="cum_ref", n="n_probes")
+            ).alias("f_est"),
+        )
+    )
+
+
+def j_function(
+    pts: DataFrame,
+    ref: DataFrame,
+    r_max: float,
+    n_bins: int,
+    id_col: str,
+    ref_id_col: str = "rid",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    ref_lon_col: str = "lon",
+    ref_lat_col: str = "lat",
+) -> DataFrame:
+    """The van Lieshout–Baddeley J function: J = (1−G)/(1−F) — the
+    scale-free one-number-per-radius summary (CSR J=1, clustered
+    J<1, inhibited J>1), assembled from the G and F curves on the
+    same radius axis by ONE bin equi-join.  All four inputs to J
+    are exact int64 counts; the ratio is the shared J_SQL (every
+    step IEEE-exact).  J is NULL once F saturates at 1.
+
+    Returns (bin, r, n_pts, cum_pts, g_est, n_ref, cum_ref, f_est,
+    j_est)."""
+    g = g_function(
+        pts, r_max, n_bins, id_col, lon_col=lon_col, lat_col=lat_col
+    ).withColumnRenamed("r", "_rg")
+    # the G side carries n_points through its stats row; recover the
+    # denominators for J from the counts themselves
+    gstats = F.broadcast(
+        pts.agg(F.count("*").cast("long").alias("n_points"))
+    )
+    fstats = F.broadcast(
+        ref.agg(F.count("*").cast("long").alias("n_probes"))
+    )
+    f = f_function(
+        pts, ref, r_max, n_bins, id_col, ref_id_col=ref_id_col,
+        lon_col=lon_col, lat_col=lat_col,
+        ref_lon_col=ref_lon_col, ref_lat_col=ref_lat_col,
+    )
+    return (
+        g.join(f, "bin")
+        .crossJoin(gstats)
+        .crossJoin(fstats)
+        .select(
+            "bin", "r", "n_pts", "cum_pts", "g_est",
+            "n_ref", "cum_ref", "f_est",
+            F.expr(
+                J_SQL.format(
+                    cg="cum_pts", ng="n_points",
+                    cf="cum_ref", nf="n_probes",
+                )
+            ).alias("j_est"),
+        )
+    )

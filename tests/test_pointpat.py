@@ -266,3 +266,69 @@ def test_g_function_vs_brute(spark):
     plan = g_function(df, R_MAX, BINS, "id")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_f_and_j_function_vs_brute(spark):
+    """f_function/j_function vs numpy brute cross-NN, plus the
+    CSR/clustered/inhibited J ordering."""
+    from geomesa_spark.operators.pointpat import (
+        f_function, j_function, probe_grid,
+    )
+
+    rows = _corpus()
+    n = len(rows)
+    R_MAX, BINS, NX, NY = 0.5, 5, 12, 12
+    df = _df(spark, rows)
+    ref = probe_grid(spark, (-6.0, -6.0, 6.0, 6.0), NX, NY)
+    refs = ref.collect()
+    assert len(refs) == NX * NY
+    # grid geometry: first center at (-5.5, -5.5), steps of 1.0
+    by_rid = {r.rid: (r.lon, r.lat) for r in refs}
+    assert by_rid[0] == (-5.5, -5.5)
+    assert by_rid[1] == (-4.5, -5.5)
+    assert by_rid[NX] == (-5.5, -4.5)
+
+    pts = np.array([(r[1], r[2]) for r in rows])
+    rpts = np.array([by_rid[i] for i in range(NX * NY)])
+    d2 = ((rpts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    nn2 = d2.min(axis=1)
+    kept = np.sqrt(nn2[nn2 <= R_MAX * R_MAX])
+    dr = R_MAX / BINS
+    bins = np.ceil(kept / dr).clip(1, BINS)
+
+    out = {r["bin"]: r for r in f_function(
+        df, ref, R_MAX, BINS, "id").collect()}
+    assert set(out) == set(range(1, BINS + 1))
+    for b in range(1, BINS + 1):
+        r = out[b]
+        assert r["n_ref"] == int(np.sum(bins == b))
+        assert r["cum_ref"] == int(np.sum(bins <= b))
+        assert r["f_est"] == r["cum_ref"] / (NX * NY)
+
+    # J: join of the two curves; brute both sides
+    dpp = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(dpp, np.inf)
+    gnn = np.sqrt(dpp.min(1))
+    gk = gnn[gnn <= R_MAX]
+    gbins = np.ceil(gk / dr).clip(1, BINS)
+    jout = {r["bin"]: r for r in j_function(
+        df, ref, R_MAX, BINS, "id").collect()}
+    for b in range(1, BINS + 1):
+        r = jout[b]
+        cg, cf = int(np.sum(gbins <= b)), int(np.sum(bins <= b))
+        assert (r["cum_pts"], r["cum_ref"]) == (cg, cf)
+        if cf < NX * NY:
+            want = ((n - cg) / n) / ((NX * NY - cf) / (NX * NY))
+            assert r["j_est"] == want
+        else:
+            assert r["j_est"] is None
+    # the clustered corpus: voids push F below G -> J < 1 at small r
+    assert jout[2]["j_est"] is None or jout[2]["j_est"] < 1.0
+
+    with pytest.raises(ValueError):
+        probe_grid(spark, (0.0, 0.0, 1.0, 1.0), 0, 5)
+    with pytest.raises(ValueError):
+        probe_grid(spark, (1.0, 0.0, 1.0, 1.0), 5, 5)
+    plan = j_function(df, ref, R_MAX, BINS, "id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan

@@ -2234,6 +2234,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["terrain_slope"] = terrain_slope_gate
 
+    def contour_gate(spark, sf):
+        """Marching-squares contour extraction (raster.contour) at
+        the synthetic corpus midline (2^23): the tile bases straddle
+        the level, so the contour traces tile seams — marching
+        cells assembled ACROSS tiles prove the lattice composition.
+        Every vertex is one exact-int subtraction pair + one
+        division via the shared contour_coord_sql CASE tables, so
+        the doubles hash-compare."""
+        from geomesa_spark.operators.raster import contour, synth_tiles
+
+        tiles = synth_tiles(spark, 4, px=8, py=8, limit_cells=256)
+        return contour(tiles, 4, 8388608.0)
+
+    q["contour"] = contour_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -4719,6 +4734,54 @@ SELECT p.gx, p.gy, p.v_fp, g.gx_fp, g.gy_fp,
        {_ter_zx} AS dzdx, {_ter_zy} AS dzdy,
        {_TER_SLOPE.format(zx=_ter_zx, zy=_ter_zy)} AS slope_ratio
 FROM pix p JOIN grad g USING (gx, gy)
+"""
+
+    # contour: corner assembly via three pix self-joins, the 4-bit
+    # case, and the IDENTICAL generated CASE tables for each vertex
+    # coordinate (contour_coord_sql — exact-int subtractions + one
+    # division per coordinate)
+    from geomesa_spark.operators.raster import (
+        contour_coord_sql as _ms_coord,
+    )
+
+    _MS_LFP = 8388608 * 1_000_000  # floor(2^23 * fp_scale)
+    _ms_fmt = dict(L=str(_MS_LFP), bl="bl", br="br", tr="tr", tl="tl")
+    _ms_x0 = _ms_coord(0).format(**_ms_fmt)
+    _ms_y0 = _ms_coord(1).format(**_ms_fmt)
+    _ms_x1 = _ms_coord(2).format(**_ms_fmt)
+    _ms_y1 = _ms_coord(3).format(**_ms_fmt)
+    o["contour"] = f"""
+WITH {_ras_pix},
+cells2 AS (
+  SELECT p00.gx AS cx, p00.gy AS cy,
+         p00.v_fp AS bl, p10.v_fp AS br,
+         p11.v_fp AS tr, p01.v_fp AS tl
+  FROM pix p00
+  JOIN pix p10 ON p10.gx = p00.gx + 1 AND p10.gy = p00.gy
+  JOIN pix p01 ON p01.gx = p00.gx AND p01.gy = p00.gy + 1
+  JOIN pix p11 ON p11.gx = p00.gx + 1 AND p11.gy = p00.gy + 1
+),
+cased AS (
+  SELECT cx, cy, bl, br, tr, tl,
+         CAST((CASE WHEN bl >= {_MS_LFP} THEN 1 ELSE 0 END)
+            + (CASE WHEN br >= {_MS_LFP} THEN 2 ELSE 0 END)
+            + (CASE WHEN tr >= {_MS_LFP} THEN 4 ELSE 0 END)
+            + (CASE WHEN tl >= {_MS_LFP} THEN 8 ELSE 0 END) AS INT)
+           AS mcase
+  FROM cells2
+),
+segs AS (
+  SELECT c.*, s.sidx
+  FROM cased c, (SELECT 0 AS sidx UNION ALL SELECT 1) s
+  WHERE c.mcase NOT IN (0, 15)
+    AND (s.sidx = 0 OR c.mcase IN (5, 10))
+)
+SELECT cx, cy, mcase, sidx,
+       CAST(cx AS DOUBLE) + ({_ms_x0}) AS x0,
+       CAST(cy AS DOUBLE) + ({_ms_y0}) AS y0,
+       CAST(cx AS DOUBLE) + ({_ms_x1}) AS x1,
+       CAST(cy AS DOUBLE) + ({_ms_y1}) AS y1
+FROM segs
 """
 
     # dbscan: quadratic pair mining with a bbox prefilter (fine

@@ -136,6 +136,7 @@ HEADLINE = [
     "terrain_slope",
     "g_function",
     "j_function",
+    "contour",
 ]
 
 

@@ -914,3 +914,145 @@ def terrain(
         )
         .withColumn("hillshade", hs)
     )
+
+
+# ---------------------------------------------------------------------------
+# marching-squares contour extraction (raster -> vector)
+# ---------------------------------------------------------------------------
+
+# local-coordinate edge crossing parameters: the linear interpolation
+# t = (level - v_a) / (v_b - v_a) over exact int64 fixed-point corner
+# values — one subtraction pair + one division, IEEE-exact, so both
+# engines bit-agree on every vertex
+_MS_T = {
+    "B": "(CAST({L} - {bl} AS DOUBLE) / CAST({br} - {bl} AS DOUBLE))",
+    "R": "(CAST({L} - {br} AS DOUBLE) / CAST({tr} - {br} AS DOUBLE))",
+    "T": "(CAST({L} - {tl} AS DOUBLE) / CAST({tr} - {tl} AS DOUBLE))",
+    "L": "(CAST({L} - {bl} AS DOUBLE) / CAST({tl} - {bl} AS DOUBLE))",
+}
+# edge -> (local x, local y) of the crossing point
+_MS_PT = {
+    "B": (_MS_T["B"], "0.0"),
+    "R": ("1.0", _MS_T["R"]),
+    "T": (_MS_T["T"], "1.0"),
+    "L": ("0.0", _MS_T["L"]),
+}
+# case index: bit0=BL bit1=BR bit2=TR bit3=TL, set = corner >= level.
+# Saddles (5, 10) use the fixed convention below (no center probe),
+# documented; every other case is the standard table.
+_MS_SEGS: dict[int, list[tuple[str, str]]] = {
+    1: [("L", "B")], 2: [("B", "R")], 3: [("L", "R")],
+    4: [("T", "R")], 5: [("L", "T"), ("B", "R")], 6: [("B", "T")],
+    7: [("L", "T")], 8: [("L", "T")], 9: [("B", "T")],
+    10: [("L", "B"), ("T", "R")], 11: [("T", "R")], 12: [("L", "R")],
+    13: [("B", "R")], 14: [("L", "B")],
+}
+
+
+def contour_coord_sql(which: int) -> str:
+    """Shared CASE expression for one segment coordinate (0..3 =
+    x0, y0, x1, y1) in CELL-LOCAL coordinates, selected by columns
+    `mcase` (the 4-bit corner configuration) and `sidx` (0/1, the
+    segment ordinal within a saddle).  Placeholders: {L} {bl} {br}
+    {tr} {tl}.  Rendered identically into the Spark plan and the
+    DuckDB oracle."""
+    branches = []
+    for case, segs in _MS_SEGS.items():
+        for sidx, (e0, e1) in enumerate(segs):
+            e = (e0, e1)[which // 2]
+            expr = _MS_PT[e][which % 2]
+            branches.append(
+                f"WHEN mcase = {case} AND sidx = {sidx} THEN {expr}"
+            )
+    return "CASE " + " ".join(branches) + " END"
+
+
+def contour(
+    tiles: DataFrame,
+    res_bits: int,
+    level: float,
+    fp_scale: int = 1_000_000,
+    tile_px: int | None = None,
+    tile_py: int | None = None,
+) -> DataFrame:
+    """Iso-contour extraction (marching squares) — the raster→vector
+    inverse of ``rasterize``: the level set `v = level` as line
+    segments over the global pixel lattice, windows crossing tile
+    boundaries like every lattice operator here.
+
+    Shape: each pixel explodes onto the ≤4 marching cells it
+    corners (the focal trick), one partial-aggregated groupBy
+    assembles complete cells (all 4 corners present — seams and
+    world edges emit nothing rather than guessing), the 4-bit case
+    index selects segments, and every vertex is ONE exact-int
+    subtraction pair + ONE division (``contour_coord_sql`` —
+    IEEE-exact, so the gate hash-compares the vertices).  Saddle
+    cells (cases 5/10) use the fixed no-center-probe convention of
+    the classic table; `>= level` counts as inside, so crossing
+    edges always have distinct corner values and no division is
+    degenerate.  Cost: pixels × 4; output bounded by crossing
+    cells.
+
+    Coordinates are GLOBAL PIXEL positions (corner (gx, gy) is
+    pixel (gx, gy)'s center); scale by the pixel pitch for lon/lat.
+
+    Returns (cx, cy, mcase, sidx, x0, y0, x1, y1)."""
+    pixels, px, py = _pixel_lattice(
+        tiles, res_bits, fp_scale, tile_px, tile_py
+    )
+    lfp = int(math.floor(float(level) * fp_scale))
+    # pixel (gx,gy) corners cells keyed by bottom-left corner:
+    # BL of (gx,gy), BR of (gx-1,gy), TL of (gx,gy-1), TR of (gx-1,gy-1)
+    corners = pixels.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("gx").alias("cx"), F.col("gy").alias("cy"),
+                         F.lit(0).alias("tag")),
+                F.struct((F.col("gx") - 1).alias("cx"),
+                         F.col("gy").alias("cy"), F.lit(1).alias("tag")),
+                F.struct((F.col("gx") - 1).alias("cx"),
+                         (F.col("gy") - 1).alias("cy"),
+                         F.lit(2).alias("tag")),
+                F.struct(F.col("gx").alias("cx"),
+                         (F.col("gy") - 1).alias("cy"),
+                         F.lit(3).alias("tag")),
+            )
+        ).alias("c"),
+        "v_fp",
+    ).select("c.cx", "c.cy", "c.tag", "v_fp")
+    cells = (
+        corners.groupBy("cx", "cy")
+        .agg(
+            F.count("*").alias("_n"),
+            F.map_from_entries(
+                F.collect_list(F.struct("tag", "v_fp"))
+            ).alias("_m"),
+        )
+        .filter(F.col("_n") == 4)
+        .select(
+            "cx", "cy",
+            F.element_at("_m", 0).alias("bl"),
+            F.element_at("_m", 1).alias("br"),
+            F.element_at("_m", 2).alias("tr"),
+            F.element_at("_m", 3).alias("tl"),
+        )
+    )
+    above = [
+        F.when(F.col(c) >= F.lit(lfp), F.lit(1 << i)).otherwise(F.lit(0))
+        for i, c in enumerate(["bl", "br", "tr", "tl"])
+    ]
+    cased = cells.withColumn(
+        "mcase", sum(above[1:], above[0]).cast("int")
+    ).filter(~F.col("mcase").isin(0, 15))
+    segs = cased.select(
+        "*", F.explode(F.array(F.lit(0), F.lit(1))).alias("sidx")
+    ).filter(
+        (F.col("sidx") == 0) | F.col("mcase").isin(5, 10)
+    )
+    fmt = dict(L=str(lfp), bl="bl", br="br", tr="tr", tl="tl")
+    out_cols = []
+    for i, name in enumerate(["x0", "y0", "x1", "y1"]):
+        base = F.expr(contour_coord_sql(i).format(**fmt))
+        anchor = F.col("cx" if i % 2 == 0 else "cy").cast("double")
+        out_cols.append((anchor + base).alias(name))
+    return segs.select("cx", "cy", "mcase", "sidx", *out_cols)

@@ -433,3 +433,86 @@ def test_terrain_vs_numpy(spark):
     plan = terrain(tiles, BITS)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_contour_vs_reference(spark):
+    """contour vs an independent per-cell python marching-squares
+    sweep, plus the level-set invariant: every emitted vertex
+    interpolates the field to EXACTLY the level (in the same
+    fixed-point arithmetic)."""
+    from geomesa_spark.operators.raster import contour, synth_tiles
+
+    BITS, PX, PY, FP = 2, 4, 4, 1_000_000
+    n = 1 << BITS
+    tiles = synth_tiles(spark, BITS, px=PX, py=PY).cache()
+    # synthetic bases differ per tile by ~1e5, so tile seams carry
+    # crossings for a level between two base plateaus
+    vals = sorted(
+        v for r in tiles.collect() for v in r.tile
+    )
+    level = vals[len(vals) // 2] + 0.004  # mid-corpus, off-grid
+    got = contour(tiles, BITS, level, fp_scale=FP).collect()
+
+    world = np.zeros((n * PY, n * PX))
+    for r in tiles.collect():
+        ix, iy = C.z2_decode_np(np.asarray([r.cell], dtype=np.int64))
+        world[int(iy[0]) * PY:(int(iy[0]) + 1) * PY,
+              int(ix[0]) * PX:(int(ix[0]) + 1) * PX] = \
+            np.array(r.tile).reshape(PY, PX)
+    wfp = np.floor(world * FP).astype(np.int64)
+    lfp = int(np.floor(level * FP))
+
+    SEGS = {1: [("L", "B")], 2: [("B", "R")], 3: [("L", "R")],
+            4: [("T", "R")], 5: [("L", "T"), ("B", "R")],
+            6: [("B", "T")], 7: [("L", "T")], 8: [("L", "T")],
+            9: [("B", "T")], 10: [("L", "B"), ("T", "R")],
+            11: [("T", "R")], 12: [("L", "R")], 13: [("B", "R")],
+            14: [("L", "B")]}
+
+    def pt(edge, bl, br, tr, tl, cx, cy):
+        if edge == "B":
+            return (cx + (lfp - bl) / (br - bl), cy + 0.0)
+        if edge == "R":
+            return (cx + 1.0, cy + (lfp - br) / (tr - br))
+        if edge == "T":
+            return (cx + (lfp - tl) / (tr - tl), cy + 1.0)
+        return (cx + 0.0, cy + (lfp - bl) / (tl - bl))
+
+    exp = set()
+    H, W = wfp.shape
+    for cy in range(H - 1):
+        for cx in range(W - 1):
+            bl, br = int(wfp[cy, cx]), int(wfp[cy, cx + 1])
+            tl, tr = int(wfp[cy + 1, cx]), int(wfp[cy + 1, cx + 1])
+            case = ((bl >= lfp) + 2 * (br >= lfp)
+                    + 4 * (tr >= lfp) + 8 * (tl >= lfp))
+            for sidx, (e0, e1) in enumerate(SEGS.get(case, [])):
+                p0 = pt(e0, bl, br, tr, tl, cx, cy)
+                p1 = pt(e1, bl, br, tr, tl, cx, cy)
+                exp.add((cx, cy, case, sidx, *p0, *p1))
+    assert exp  # the level genuinely crosses
+    got_set = {
+        (r.cx, r.cy, r.mcase, r.sidx, r.x0, r.y0, r.x1, r.y1)
+        for r in got
+    }
+    assert got_set == exp
+
+    # level-set invariant: interpolating the fixed-point field along
+    # the crossing edge at each vertex recovers the level exactly
+    for r in got:
+        for (x, y) in ((r.x0, r.y0), (r.x1, r.y1)):
+            # reconstruct from whichever axis is fractional; a
+            # corner-exact vertex (both integral) means the corner
+            # value IS >= level by the case test, nothing to check
+            if x != float(int(x)):
+                a, b = wfp[int(y), int(np.floor(x))], wfp[int(y), int(np.floor(x)) + 1]
+                t = x - np.floor(x)
+                assert a + t * (b - a) == pytest.approx(lfp, rel=1e-12)
+            elif y != float(int(y)):
+                a, b = wfp[int(np.floor(y)), int(x)], wfp[int(np.floor(y)) + 1, int(x)]
+                t = y - np.floor(y)
+                assert a + t * (b - a) == pytest.approx(lfp, rel=1e-12)
+
+    plan = contour(tiles, BITS, level)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan

@@ -88,11 +88,9 @@ def kalman_np(
         )
         p00, p01, p11 = pf[k]
         x0, v0 = xf[k]
-    # RTS backward
+    # RTS backward (positions/velocities only; the smoothed
+    # covariances are not propagated — nothing downstream reads them)
     xs = xf.copy()
-    ps00, ps01, ps11 = pf[n - 1]
-    ps = np.empty((n, 3))
-    ps[n - 1] = pf[n - 1]
     for k in range(n - 2, -1, -1):
         dt = float(ts[k + 1] - ts[k])
         f00, f01, f11 = pf[k]

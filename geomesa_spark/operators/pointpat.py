@@ -592,6 +592,7 @@ def g_function(
     id_col: str,
     lon_col: str = "lon",
     lat_col: str = "lat",
+    _with_n: bool = False,
 ) -> DataFrame:
     """Nearest-neighbor distance CDF — the G function, the
     first-order complement of Ripley's K (K counts ALL neighbors
@@ -632,7 +633,7 @@ def g_function(
     stats = F.broadcast(
         df.agg(F.count("*").cast("long").alias("n_points"))
     )
-    return (
+    out = (
         axis.join(binned, "bin", "left")
         .withColumn(
             "n_pts", F.coalesce(F.col("n_pts"), F.lit(0)).cast("long")
@@ -647,8 +648,10 @@ def g_function(
             F.expr(
                 NN_G_SQL.format(C="cum_pts", n="n_points")
             ).alias("g_est"),
+            "n_points",  # j_function reuses the denominator
         )
     )
+    return out if _with_n else out.drop("n_points")
 
 
 # J(r) = (1 - G(r)) / (1 - F(r)) from the four exact int64 counts —
@@ -753,6 +756,7 @@ def f_function(
     lat_col: str = "lat",
     ref_lon_col: str = "lon",
     ref_lat_col: str = "lat",
+    _with_n: bool = False,
 ) -> DataFrame:
     """Empty-space F function: the CDF of the distance from a probe
     location (``probe_grid`` or any reference frame) to the nearest
@@ -793,7 +797,7 @@ def f_function(
     stats = F.broadcast(
         ref.agg(F.count("*").cast("long").alias("n_probes"))
     )
-    return (
+    out = (
         axis.join(binned, "bin", "left")
         .withColumn(
             "n_ref", F.coalesce(F.col("n_ref"), F.lit(0)).cast("long")
@@ -808,8 +812,10 @@ def f_function(
             F.expr(
                 NN_G_SQL.format(C="cum_ref", n="n_probes")
             ).alias("f_est"),
+            "n_probes",  # j_function reuses the denominator
         )
     )
+    return out if _with_n else out.drop("n_probes")
 
 
 def j_function(
@@ -833,26 +839,20 @@ def j_function(
 
     Returns (bin, r, n_pts, cum_pts, g_est, n_ref, cum_ref, f_est,
     j_est)."""
+    # each curve carries its own denominator (one aggregation per
+    # side total — no re-count of the pattern or probe frames here)
     g = g_function(
-        pts, r_max, n_bins, id_col, lon_col=lon_col, lat_col=lat_col
+        pts, r_max, n_bins, id_col, lon_col=lon_col, lat_col=lat_col,
+        _with_n=True,
     ).withColumnRenamed("r", "_rg")
-    # the G side carries n_points through its stats row; recover the
-    # denominators for J from the counts themselves
-    gstats = F.broadcast(
-        pts.agg(F.count("*").cast("long").alias("n_points"))
-    )
-    fstats = F.broadcast(
-        ref.agg(F.count("*").cast("long").alias("n_probes"))
-    )
     f = f_function(
         pts, ref, r_max, n_bins, id_col, ref_id_col=ref_id_col,
         lon_col=lon_col, lat_col=lat_col,
         ref_lon_col=ref_lon_col, ref_lat_col=ref_lat_col,
+        _with_n=True,
     )
     return (
         g.join(f, "bin")
-        .crossJoin(gstats)
-        .crossJoin(fstats)
         .select(
             "bin", "r", "n_pts", "cum_pts", "g_est",
             "n_ref", "cum_ref", "f_est",

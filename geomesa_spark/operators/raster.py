@@ -607,24 +607,37 @@ def _pixel_lattice(
     """De-interleave one resolution's tiles to the GLOBAL pixel
     lattice (gx, gy, v_fp) — fixed-point int64 values so every
     downstream aggregate is exact.  Shared by focal_stats /
-    downsample / terrain.  Returns (pixels, px, py)."""
+    downsample / terrain / contour.
+
+    NULL tile elements (the holes ``downsample`` leaves under
+    partial coverage) are DROPPED here — posexplode emits them as
+    rows, and a NULL-valued lattice row would silently corrupt
+    every count(*)-based completeness/denominator guard downstream
+    (deflated overview means, fabricated gradients at hole borders,
+    phantom contour segments).  A missing pixel behaves exactly
+    like a missing tile.
+
+    The level's own rows decide px/py (a multi-resolution pyramid
+    table may store different dims per level).  Returns
+    (pixels, px, py)."""
+    lvl = tiles.filter(F.col("res_bits") == res_bits)
     px = tile_px
     py = tile_py
     if px is None or py is None:
-        first = tiles.select("px", "py").first()
+        first = lvl.select("px", "py").first()
         if first is None:
-            raise ValueError("empty tile table")
+            raise ValueError(f"no tiles at res_bits={res_bits}")
         px = px if px is not None else first["px"]
         py = py if py is not None else first["py"]
     fp = F.lit(float(fp_scale))
     pixels = (
-        tiles.filter(F.col("res_bits") == res_bits)
-        .select(
+        lvl.select(
             C.squash2_col(F.col("cell")).alias("_ix"),
             C.squash2_col(F.shiftrightunsigned(F.col("cell"), 1))
             .alias("_iy"),
             F.posexplode("tile").alias("_k", "_v"),
         )
+        .filter(F.col("_v").isNotNull())
         .select(
             (F.col("_ix") * px + F.col("_k") % px).alias("gx"),
             (F.col("_iy") * py + (F.col("_k") / px).cast("int")).alias("gy"),

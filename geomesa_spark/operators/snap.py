@@ -106,7 +106,7 @@ def snap_candidates(
         F.raise_error(
             F.concat(
                 F.lit(
-                    f"snap_nearest: a segment covers more than "
+                    f"snap_candidates: a segment covers more than "
                     f"{cell_budget} grid cells at bits={bits} — "
                     f"use coarser bits or split the layer: "
                 ),
@@ -256,8 +256,13 @@ def map_match(
       road-change prior practical matchers add — a flip must buy
       2·switch_cost of emission advantage.  0 = pure
       Newson-Krakauer);
-    - Viterbi per track, ties resolved to the lowest candidate
-      index (total order above), so output is deterministic.
+    - Viterbi per track.  Exact score ties resolve to the path
+      whose REVERSED index tuple is lexicographically smallest
+      (the final fix takes its lowest-indexed optimal state, then
+      each step backward its lowest-indexed optimal predecessor —
+      argmax-first at every step).  Deterministic under any
+      partitioning; candidate index = the (dist2, sid, sord) total
+      order above.
 
     σ defaults to max_dist/4, β to max_dist.  Points with NO
     candidate are absent from the output; the transition then spans

@@ -516,3 +516,73 @@ def test_contour_vs_reference(spark):
     plan = contour(tiles, BITS, level)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_null_pixels_behave_like_missing_tiles(spark):
+    """Regression (review finding): NULL tile elements — the holes
+    downsample leaves under partial coverage — must behave exactly
+    like missing tiles in every lattice operator, not silently
+    enter count(*) denominators/guards."""
+    from geomesa_spark.operators.raster import (
+        contour, downsample, focal_stats, synth_tiles, terrain,
+    )
+
+    BITS, PX, PY, FP = 2, 4, 4, 1_000_000
+    n = 1 << BITS
+    base = synth_tiles(spark, BITS, px=PX, py=PY)
+    # a constant layer is easiest to reason about: all pixels 1.0
+    ones = base.withColumn(
+        "tile", F.transform("tile", lambda _: F.lit(1.0))
+    )
+    # drop one whole tile -> level-1 overview has NULL holes
+    partial = ones.filter(F.col("cell") != 0)
+    lvl1 = downsample(partial, BITS, factor=2)
+    holes = sum(
+        1 for r in lvl1.collect() for v in r.tile if v is None
+    )
+    assert holes == (PX // 2) * (PY // 2)  # the missing tile's block
+
+    # chained downsample: the mean over the holey parent must stay
+    # 1.0 (pre-fix it deflated: NULLs counted in n_in but not sum)
+    lvl0 = downsample(lvl1, BITS - 1, factor=2)
+    vals = [v for r in lvl0.collect() for v in r.tile if v is not None]
+    assert vals and all(v == 1.0 for v in vals)
+
+    # terrain: gradients at hole borders must NOT be fabricated —
+    # a window touching the hole is incomplete and emits nothing
+    ter = terrain(lvl1, BITS - 1).collect()
+    # constant field: every emitted gradient is exactly zero
+    assert ter and all(r.gx_fp == 0 and r.gy_fp == 0 for r in ter)
+    got_px = {(r.gx, r.gy) for r in ter}
+    # reconstruct which global pixels are holes
+    from geomesa_spark.functions import cells as C2
+    present = np.zeros(((n // 2) * PY, (n // 2) * PX), dtype=bool)
+    for r in lvl1.collect():
+        ix, iy = C2.z2_decode_np(np.asarray([r.cell], dtype=np.int64))
+        t = np.array([v is not None for v in r.tile]).reshape(PY, PX)
+        present[int(iy[0]) * PY:(int(iy[0]) + 1) * PY,
+                int(ix[0]) * PX:(int(ix[0]) + 1) * PX] = t
+    H, W = present.shape
+    exp_px = {
+        (gx, gy)
+        for gy in range(1, H - 1) for gx in range(1, W - 1)
+        if present[gy - 1:gy + 2, gx - 1:gx + 2].all()
+    }
+    assert got_px == exp_px
+
+    # contour: a hole corner means the marching cell is incomplete
+    # and emits NOTHING (pre-fix: NULL >= level read as 'below' and
+    # produced segments with NULL vertices)
+    segs = contour(lvl1, BITS - 1, 0.5).collect()
+    assert segs == []  # constant 1.0 field: no crossing anywhere
+
+    # focal: n_win counts only real pixels next to a hole
+    foc = {(r.gx, r.gy): r for r in focal_stats(
+        lvl1, BITS - 1, ring=1).collect()}
+    assert set(foc) == {  # occupied pixels only
+        (gx, gy) for gy in range(H) for gx in range(W) if present[gy, gx]
+    }
+    for (gx, gy), r in foc.items():
+        y0, y1 = max(0, gy - 1), min(H, gy + 2)
+        x0, x1 = max(0, gx - 1), min(W, gx + 2)
+        assert r.n_win == int(present[y0:y1, x0:x1].sum())

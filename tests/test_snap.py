@@ -132,9 +132,14 @@ def _brute_viterbi(track_pts, cand_by_ts, sig2, bt, sw=0.0):
                 score += -abs(dq - dpp) / bt
                 if gid != pgid:
                     score -= sw
-        # strictly greater: first-found (lexicographically lowest
-        # path) wins ties, matching the operator's argmax-first rule
-        if score > best_score:
+        # the operator's documented tie rule: among optimal paths,
+        # the one whose REVERSED index tuple is lexicographically
+        # smallest (final state argmax-first, then each backward
+        # predecessor argmax-first)
+        key = tuple(reversed(path))
+        if score > best_score or (
+            score == best_score and key < tuple(reversed(best_path))
+        ):
             best_score, best_path = score, path
     return {t: best_path[s] for s, t in enumerate(tss)}
 
@@ -251,3 +256,30 @@ def test_map_match_args(spark):
     # single-fix track: emission argmax = nearest segment
     out = map_match(pdf, sdf, 2.0).collect()
     assert len(out) == 1 and out[0].gid == 0 and out[0].snap_lat == 0.0
+
+
+def test_map_match_exact_tie_rule(spark):
+    """An engineered exact tie (fixes on the midline between two
+    identical parallel segments) pins the documented rule: the
+    reversed-path-lexicographic minimum among optimal paths."""
+    from geomesa_spark.operators.snap import map_match
+
+    segs = [
+        (0, 0, 0.0, -1.0, 10.0, -1.0),
+        (1, 0, 0.0, 1.0, 10.0, 1.0),
+    ]
+    sdf = spark.createDataFrame(
+        segs, "gid long, seg int, x0 double, y0 double, x1 double, y1 double"
+    )
+    # both fixes exactly on y=0: emissions tie (d2=1 to each road);
+    # transitions tie by symmetry (stay-stay vs flip-flip)
+    rows = [("t", 0.0, 2.0, 0.0), ("t", 1.0, 4.0, 0.0)]
+    pdf = spark.createDataFrame(
+        rows, "track string, ts double, lon double, lat double")
+    got = sorted(
+        (r.ts, r.gid) for r in map_match(pdf, sdf, 2.0).collect()
+    )
+    # candidates per fix sort (d2, gid, seg) -> index 0 = gid 0.
+    # staying (0,0) has dq == dpp (zero transition penalty) and ties
+    # (1,1); reversed-lex minimum picks (0,0).
+    assert got == [(0.0, 0), (1.0, 0)]

@@ -2249,6 +2249,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["contour"] = contour_gate
 
+    def spatial_split_gate(spark, sf):
+        """Spatially blocked train/test split (sample.spatial_split)
+        on the blob corpus at bits=4: whole 22.5-deg blocks land on
+        one side via the portable md5 bucket of the block's Z2 cell
+        — the block-CV leakage guard. Pure column expressions; the
+        oracle replays the clamp/floor grid, the spread interleave,
+        and the md5 bucket verbatim."""
+        from geomesa_spark.operators.sample import spatial_split
+
+        pts = _load(spark, sf, "events").select(
+            "event_id",
+            F.expr(_BLOB_LON).alias("lon"),
+            F.expr(_BLOB_LAT).alias("lat"),
+        )
+        return spatial_split(pts, 0.3, bits=4).select(
+            "event_id", "split_block", "is_test"
+        )
+
+    q["spatial_split"] = spatial_split_gate
+
+    def areal_interp_gate(spark, sf):
+        """Areal interpolation (interp.areal_interpolate): the pip
+        polygon layer's magnitudes reallocated onto the bits=5 grid
+        by uniform center-count weighting — per-zone share = one
+        exact integer division, per-cell totals int64 sums, value =
+        the shared AREAL_VALUE_SQL division. The overlap of rect
+        and tri exercises cross-zone summation."""
+        from geomesa_spark.operators.interp import areal_interpolate
+
+        zones = [
+            (pid, wkt, val)
+            for (pid, wkt), val in zip(
+                _polys, (1000.0, 500.5, 250.25)
+            )
+        ]
+        return areal_interpolate(spark, zones, 5)
+
+    q["areal_interp"] = areal_interp_gate
+
     def histogram_job_gate(spark, sf):
         """HistogramJob analog (geomesa-jobs HistogramJob.scala:33-108):
         histogram event_type per derived day, unique-by user_id (one
@@ -4782,6 +4821,87 @@ SELECT cx, cy, mcase, sidx,
        CAST(cx AS DOUBLE) + ({_ms_x1}) AS x1,
        CAST(cy AS DOUBLE) + ({_ms_y1}) AS y1
 FROM segs
+"""
+
+    # spatial_split: clamp/floor grid at bits=4, spread interleave,
+    # the portable md5 block bucket — all verbatim
+    _ss_q = (
+        "SELECT event_id, "
+        "CAST(least(15, greatest(0, floor((lon+180.0)/360.0*16.0)))"
+        " AS BIGINT) AS x, "
+        "CAST(least(15, greatest(0, floor((lat+90.0)/180.0*16.0)))"
+        " AS BIGINT) AS y "
+        f"FROM (SELECT event_id, {_BLOB_LON} AS lon, {_BLOB_LAT} AS lat"
+        " FROM events)"
+    )
+    for _sh, _mk in C._SPREAD2:
+        _pre = _mk >> _sh
+        _ss_q = (
+            "SELECT event_id, "
+            f"(((x | ((x & {_pre}) << {_sh})) & {_mk})) AS x, "
+            f"(((y | ((y & {_pre}) << {_sh})) & {_mk})) AS y "
+            f"FROM ({_ss_q})"
+        )
+    o["spatial_split"] = f"""
+WITH cells AS (
+  SELECT event_id, (x | (y << 1)) AS split_block FROM ({_ss_q})
+)
+SELECT event_id, split_block,
+       (CAST(('0x' || substr(md5('spatial-split'
+            || CAST(split_block AS VARCHAR)), 1, 8)) AS BIGINT)
+        % 1000000) < 300000 AS is_test
+FROM cells
+"""
+
+    # areal_interp: full bits=5 grid (a superset of the engine's
+    # bbox candidates — membership needs the center inside the
+    # polygon, which lies inside its bbox), the same zone
+    # conditions the zonal gates use, one integer division per
+    # zone, int64 per-cell totals
+    from geomesa_spark.operators.interp import (
+        AREAL_VALUE_SQL as _AREAL_VAL,
+    )
+
+    _ai_q = (
+        "SELECT "
+        "(CAST(gx.k AS DOUBLE)+0.5)/32.0*360.0-180.0 AS lon, "
+        "(CAST(gy.k AS DOUBLE)+0.5)/32.0*180.0-90.0 AS lat, "
+        "CAST(gx.k AS BIGINT) AS x, CAST(gy.k AS BIGINT) AS y "
+        "FROM UNNEST(generate_series(0, 31)) gx(k), "
+        "UNNEST(generate_series(0, 31)) gy(k)"
+    )
+    for _sh, _mk in C._SPREAD2:
+        _pre = _mk >> _sh
+        _ai_q = (
+            "SELECT lon, lat, "
+            f"(((x | ((x & {_pre}) << {_sh})) & {_mk})) AS x, "
+            f"(((y | ((y & {_pre}) << {_sh})) & {_mk})) AS y "
+            f"FROM ({_ai_q})"
+        )
+    o["areal_interp"] = f"""
+WITH cells AS (
+  SELECT (x | (y << 1)) AS cell, lon, lat FROM ({_ai_q})
+),
+inside AS (
+  SELECT 'rect' AS zid, cell FROM cells WHERE {rect_cond}
+  UNION ALL SELECT 'tri', cell FROM cells WHERE {_convex_cond(TRIANGLE)}
+  UNION ALL SELECT 'pent', cell FROM cells WHERE {_convex_cond(PENTAGON)}
+),
+counts AS (
+  SELECT zid, CAST(count(*) AS BIGINT) AS n_cells FROM inside GROUP BY 1
+),
+vals(zid, v_fp) AS (VALUES
+  ('rect', CAST(1000000000 AS BIGINT)),
+  ('tri', CAST(500500000 AS BIGINT)),
+  ('pent', CAST(250250000 AS BIGINT))
+),
+shares AS (
+  SELECT cell, v_fp // n_cells AS share_fp
+  FROM inside JOIN counts USING (zid) JOIN vals USING (zid)
+)
+SELECT cell, CAST(sum(share_fp) AS BIGINT) AS total_fp,
+       {_AREAL_VAL.format(S="total_fp", fp=1_000_000)} AS value
+FROM shares GROUP BY cell
 """
 
     # dbscan: quadratic pair mining with a bbox prefilter (fine

@@ -137,6 +137,8 @@ HEADLINE = [
     "g_function",
     "j_function",
     "contour",
+    "spatial_split",
+    "areal_interp",
 ]
 
 

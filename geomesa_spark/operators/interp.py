@@ -37,6 +37,8 @@ the antimeridian, matching the cyclic x key.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -141,3 +143,125 @@ def idw_grid(
         F.sum("_wv").alias("num"),
     )
     return agg.withColumn("value", F.col("num") / F.col("den"))
+
+
+AREAL_VALUE_SQL = "CAST({S} AS DOUBLE) / CAST({fp} AS DOUBLE)"
+
+
+def areal_interpolate(
+    spark,
+    zones: list[tuple[str, str, float]],
+    bits: int,
+    fp_scale: int = 1_000_000,
+    cell_budget: int = 2_000_000,
+) -> DataFrame:
+    """Areal interpolation: reallocate zone-level magnitudes
+    (population per district, emissions per state) onto the Z2 grid
+    at `bits` — the polygon→surface mass transfer every choropleth
+    downstream pipeline needs.  `zones` is [(zone_id, wkt, value)],
+    the broadcast-scale layer convention of ``zonal_stats``.
+
+    Method: each zone's value spreads UNIFORMLY over the grid cells
+    whose CENTER falls inside it (the simple areal weighting
+    estimator on the center-point approximation — cell/area
+    fractions degenerate to center tests at fine `bits`).  Candidate
+    cells come from each zone's bbox (driver-side bounds over the
+    broadcast layer, `cell_budget` guard), dedup to one distributed
+    centers frame, and membership is ONE ``pip_join_broadcast``.
+
+    Determinism: per-zone share = v_fp div n (exact integer
+    division — values must be >= 0, where div == floor-div in both
+    engines; the dropped remainder is the defined quantization,
+    < n/fp_scale per zone).  Per-cell totals are int64 sums —
+    merge-order independent, mergeable across ingest partitions.
+    A zone whose bbox grid catches NO center (a sliver narrower
+    than a cell) falls back to the single cell containing its bbox
+    center, so no mass vanishes silently.
+
+    Returns (cell, total_fp, value) with value = total_fp/fp_scale
+    (one division, AREAL_VALUE_SQL)."""
+    import numpy as np
+
+    from geomesa_spark.functions import cells as C
+    from geomesa_spark.functions import geometry as G
+    from geomesa_spark.operators.spatial_join import pip_join_broadcast
+
+    if not zones:
+        raise ValueError("zones must be non-empty")
+    if any(v < 0 for _, _, v in zones):
+        raise ValueError("zone values must be >= 0 (mass)")
+    n = 1 << bits
+    ranges = []
+    fallback = {}
+    total_cand = 0
+    for zid, wkt, v in zones:
+        g = G.parse_wkt(wkt)
+        xmin, ymin, xmax, ymax = g.bounds
+        ix0 = int(C.lon_to_x_np(np.asarray([xmin]), bits)[0])
+        ix1 = int(C.lon_to_x_np(np.asarray([xmax]), bits)[0])
+        iy0 = int(C.lat_to_y_np(np.asarray([ymin]), bits)[0])
+        iy1 = int(C.lat_to_y_np(np.asarray([ymax]), bits)[0])
+        total_cand += (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+        ranges.append((zid, ix0, ix1, iy0, iy1))
+        cxm = int(C.lon_to_x_np(np.asarray([(xmin + xmax) / 2.0]), bits)[0])
+        cym = int(C.lat_to_y_np(np.asarray([(ymin + ymax) / 2.0]), bits)[0])
+        fallback[zid] = int(
+            C.z2_encode_np(np.asarray([cxm]), np.asarray([cym]))[0]
+        )
+    if total_cand > cell_budget:
+        raise ValueError(
+            f"areal_interpolate: {total_cand} candidate cells exceeds "
+            f"cell_budget={cell_budget} — use coarser bits"
+        )
+    rng_df = spark.createDataFrame(
+        ranges, "zid string, ix0 long, ix1 long, iy0 long, iy1 long"
+    )
+    centers = (
+        rng_df.select(
+            F.explode(F.sequence("ix0", "ix1")).alias("ix"), "iy0", "iy1"
+        )
+        .select("ix", F.explode(F.sequence("iy0", "iy1")).alias("iy"))
+        .distinct()
+        .select(
+            C.z2_combine(F.col("ix"), F.col("iy")).alias("cell"),
+            ((F.col("ix").cast("double") + F.lit(0.5)) / F.lit(float(n))
+             * F.lit(360.0) - F.lit(180.0)).alias("lon"),
+            ((F.col("iy").cast("double") + F.lit(0.5)) / F.lit(float(n))
+             * F.lit(180.0) - F.lit(90.0)).alias("lat"),
+        )
+        .withColumn("pcell", C.z2_cell(F.col("lon"), F.col("lat")))
+    )
+    inside = pip_join_broadcast(
+        centers, [(zid, wkt) for zid, wkt, _ in zones],
+        cell_col="pcell",
+    ).select("cell", F.col("poly_id").alias("zid"))
+    vals = F.broadcast(spark.createDataFrame(
+        [(zid, int(math.floor(v * fp_scale))) for zid, _, v in zones],
+        "zid string, v_fp long",
+    ))
+    counts = inside.groupBy("zid").agg(
+        F.count("*").cast("long").alias("n_cells")
+    )
+    shares = (
+        inside.join(F.broadcast(counts), "zid")
+        .join(vals, "zid")
+        .select("cell", F.expr("v_fp div n_cells").alias("share_fp"))
+    )
+    hit_zones = {r["zid"] for r in counts.select("zid").collect()}
+    missed = [
+        (fallback[zid], int(math.floor(v * fp_scale)))
+        for zid, _, v in zones
+        if zid not in hit_zones
+    ]
+    if missed:
+        shares = shares.unionAll(
+            spark.createDataFrame(missed, "cell long, share_fp long")
+        )
+    return (
+        shares.groupBy("cell")
+        .agg(F.sum("share_fp").alias("total_fp"))
+        .withColumn(
+            "value",
+            F.expr(AREAL_VALUE_SQL.format(S="total_fp", fp=fp_scale)),
+        )
+    )

@@ -110,3 +110,82 @@ def test_idw_plan_no_python(spark):
                                "lon double, lat double, v long")
     plan = idw_grid(df, "v")._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_areal_interpolate_vs_brute(spark):
+    """areal_interpolate vs a python center-in-polygon oracle:
+    exact shares, overlap summation, sliver fallback, guards."""
+    import math
+
+    import numpy as np
+
+    from geomesa_spark.functions import cells as C
+    from geomesa_spark.operators.interp import areal_interpolate
+
+    BITS, FP = 5, 1_000_000
+    n = 1 << BITS
+    zones = [
+        ("a", "POLYGON ((0 0, 40 0, 40 30, 0 30, 0 0))", 1000.0),
+        ("b", "POLYGON ((20 10, 70 10, 70 50, 20 50, 20 10))", 500.5),
+        # sliver smaller than one cell at bits=5 (11.25 x 5.6 deg)
+        ("s", "POLYGON ((100 20, 100.1 20, 100.1 20.1, 100 20.1, 100 20))",
+         77.0),
+    ]
+    got = {r.cell: (r.total_fp, r.value) for r in areal_interpolate(
+        spark, zones, BITS, fp_scale=FP).collect()}
+
+    def inside(px, py, ring):
+        # even-odd ray cast
+        c = False
+        for i in range(len(ring) - 1):
+            (x0, y0), (x1, y1) = ring[i], ring[i + 1]
+            if (y0 > py) != (y1 > py):
+                xi = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
+                if px < xi:
+                    c = not c
+        return c
+
+    rings = {
+        "a": [(0, 0), (40, 0), (40, 30), (0, 30), (0, 0)],
+        "b": [(20, 10), (70, 10), (70, 50), (20, 50), (20, 10)],
+        "s": [(100, 20), (100.1, 20), (100.1, 20.1), (100, 20.1),
+              (100, 20)],
+    }
+    exp: dict[int, int] = {}
+    for zid, _, v in zones:
+        cells_in = []
+        for ix in range(n):
+            for iy in range(n):
+                lon = (ix + 0.5) / n * 360.0 - 180.0
+                lat = (iy + 0.5) / n * 180.0 - 90.0
+                if inside(lon, lat, rings[zid]):
+                    cells_in.append(int(C.z2_encode_np(
+                        np.asarray([ix]), np.asarray([iy]))[0]))
+        vfp = int(math.floor(v * FP))
+        if cells_in:
+            share = vfp // len(cells_in)
+            for c in cells_in:
+                exp[c] = exp.get(c, 0) + share
+        else:
+            assert zid == "s"
+            # fallback: bbox-center cell
+            cxm = min(n - 1, max(0, int((100.05 + 180) / 360 * n)))
+            cym = min(n - 1, max(0, int((20.05 + 90) / 180 * n)))
+            c = int(C.z2_encode_np(
+                np.asarray([cxm]), np.asarray([cym]))[0])
+            exp[c] = exp.get(c, 0) + vfp
+    assert {k: v for k, v in got.items()} == {
+        k: (v, v / FP) for k, v in exp.items()}
+    # mass conservation up to the documented quantization
+    tot = sum(v for v, _ in got.values())
+    vtot = sum(int(math.floor(v * FP)) for _, _, v in zones)
+    assert 0 <= vtot - tot < sum(
+        1 for _ in exp) * 1  # < one unit per (zone, cell)
+
+    with pytest.raises(ValueError):
+        areal_interpolate(spark, [("x", "POLYGON ((0 0, 1 0, 1 1, 0 0))",
+                                   -1.0)], BITS)
+    with pytest.raises(ValueError):
+        areal_interpolate(spark, zones, 14, cell_budget=10)
+    with pytest.raises(ValueError):
+        areal_interpolate(spark, [], BITS)

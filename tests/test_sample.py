@@ -319,3 +319,51 @@ def test_priority_sample_weight_validation(spark):
     big = spark.createDataFrame([(1, 10_000_000)], "doc_id long, wt long")
     with pytest.raises(Exception, match="overflows"):
         priority_sample(big, "doc_id", "wt", 5).collect()
+
+
+def test_spatial_split_blocked(spark):
+    """spatial_split: block purity, determinism, nested fractions,
+    pure-filter plan."""
+    import numpy as np
+
+    from geomesa_spark.functions import cells as C
+    from geomesa_spark.operators.sample import spatial_split
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (i, float(rng.uniform(-179, 179)), float(rng.uniform(-89, 89)))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "id long, lon double, lat double")
+    out = spatial_split(df, 0.3, bits=4).collect()
+    assert len(out) == 4000
+    # block purity: every block entirely test or entirely train
+    by_block = {}
+    for r in out:
+        by_block.setdefault(r.split_block, set()).add(r.is_test)
+    assert all(len(v) == 1 for v in by_block.values())
+    # the block id is the coarse z2 cell
+    for r in out[:100]:
+        lon = next(x for i, x, y in rows if i == r.id)
+        lat = next(y for i, x, y in rows if i == r.id)
+        ix = min(15, max(0, int((lon + 180.0) / 360.0 * 16)))
+        iy = min(15, max(0, int((lat + 90.0) / 180.0 * 16)))
+        assert r.split_block == int(
+            C.z2_encode_np(np.asarray([ix]), np.asarray([iy]))[0])
+    # fraction lands near target at block granularity
+    frac = sum(1 for r in out if r.is_test) / len(out)
+    assert 0.15 < frac < 0.45
+    # nested: the 0.1 test set is a subset of the 0.3 test set
+    t1 = {r.id for r in spatial_split(df, 0.1, bits=4).collect()
+          if r.is_test}
+    t3 = {r.id for r in out if r.is_test}
+    assert t1 <= t3
+    # determinism under repartition
+    out2 = spatial_split(df.repartition(7), 0.3, bits=4).collect()
+    assert {(r.id, r.is_test) for r in out2} == {
+        (r.id, r.is_test) for r in out}
+    with pytest.raises(ValueError):
+        spatial_split(df, 1.5)
+    plan = spatial_split(df, 0.3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan

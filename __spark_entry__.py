@@ -2269,6 +2269,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["spatial_split"] = spatial_split_gate
 
+    def flow_direction_gate(spark, sf):
+        """D8 flow direction (raster.flow_direction) over the
+        synthetic lattice: steepest-descent neighbor per interior
+        pixel — exact int64 drops, one IEEE-exact division per
+        neighbor (D8_RATE_SQL with the sqrt2 literal), ESRI
+        power-of-two codes, ties to the lowest precedence index,
+        pits/flats 0. The in-tile gradient drains south; tile-seam
+        base jumps carve channels and pits."""
+        from geomesa_spark.operators.raster import (
+            flow_direction, synth_tiles,
+        )
+
+        tiles = synth_tiles(spark, 4, px=8, py=8, limit_cells=256)
+        return flow_direction(tiles, 4)
+
+    q["flow_direction"] = flow_direction_gate
+
+    def flow_accumulation_gate(spark, sf):
+        """Flow accumulation (raster.flow_accumulation): upstream
+        drainage counts over the D8 field — the iterative
+        partial-sum propagation (one join + one groupBy per round,
+        driver-synchronized convergence, the dbscan loop contract).
+        Oracle = a recursive transitive-closure CTE (paths in a
+        functional acyclic field are unique, so UNION ALL counts
+        each ancestor once)."""
+        from geomesa_spark.operators.raster import (
+            flow_accumulation, flow_direction, synth_tiles,
+        )
+
+        tiles = synth_tiles(spark, 4, px=8, py=8, limit_cells=256)
+        return flow_accumulation(flow_direction(tiles, 4))
+
+    q["flow_accumulation"] = flow_accumulation_gate
+
     def areal_interp_gate(spark, sf):
         """Areal interpolation (interp.areal_interpolate): the pip
         polygon layer's magnitudes reallocated onto the bits=5 grid
@@ -4821,6 +4855,81 @@ SELECT cx, cy, mcase, sidx,
        CAST(cx AS DOUBLE) + ({_ms_x1}) AS x1,
        CAST(cy AS DOUBLE) + ({_ms_y1}) AS y1
 FROM segs
+"""
+
+    # flow_direction / flow_accumulation: the D8 neighbor VALUES
+    # table with the same precedence indices, codes, and dist
+    # literals; rates via the shared D8_RATE_SQL divisor semantics
+    # (a DOUBLE column equal to the literal divides identically);
+    # accumulation = 1 + unique-path transitive closure
+    from geomesa_spark.operators.raster import _D8 as _D8T
+
+    _d8_vals = ", ".join(
+        f"({dx}, {dy}, {i}, {code}, {repr(float(dist))})"
+        for i, (dx, dy, code, dist) in enumerate(_D8T)
+    )
+    _fd_core = f"""
+{_ras_pix},
+nbr AS (
+  SELECT p.gx - d.dx AS gx, p.gy - d.dy AS gy, d.tag, d.code,
+         d.dist, p.v_fp AS vn
+  FROM pix p,
+       (VALUES {_d8_vals}) d(dx, dy, tag, code, dist)
+),
+cand AS (
+  SELECT n.gx, n.gy, n.tag, n.code,
+         CAST(p.v_fp - n.vn AS DOUBLE) / n.dist AS rate,
+         p.v_fp - n.vn AS dropi, p.v_fp
+  FROM nbr n JOIN pix p ON p.gx = n.gx AND p.gy = n.gy
+),
+full8 AS (
+  SELECT gx, gy FROM cand GROUP BY 1, 2 HAVING count(*) = 8
+),
+win AS (
+  SELECT c.*,
+         row_number() OVER (PARTITION BY c.gx, c.gy
+                            ORDER BY -c.rate, c.tag) AS rk
+  FROM cand c JOIN full8 USING (gx, gy)
+),
+dirs AS (
+  SELECT gx, gy, v_fp,
+         CAST(CASE WHEN rate <= 0 THEN 0 ELSE code END AS INT) AS d8,
+         CAST(CASE WHEN rate <= 0 THEN 0 ELSE dropi END AS BIGINT)
+           AS drop_fp
+  FROM win WHERE rk = 1
+)"""
+    o["flow_direction"] = f"""
+WITH {_fd_core}
+SELECT gx, gy, v_fp, d8, drop_fp FROM dirs
+"""
+
+    _d8_step = " ".join(
+        f"WHEN {code} THEN {dx}" for dx, dy, code, _ in _D8T
+    )
+    _d8_step_y = " ".join(
+        f"WHEN {code} THEN {dy}" for dx, dy, code, _ in _D8T
+    )
+    o["flow_accumulation"] = f"""
+WITH RECURSIVE {_fd_core},
+edges AS (
+  SELECT gx, gy,
+         gx + CASE d8 {_d8_step} END AS tx,
+         gy + CASE d8 {_d8_step_y} END AS ty
+  FROM dirs WHERE d8 > 0
+),
+reach AS (
+  SELECT gx AS src_gx, gy AS src_gy, tx AS gx, ty AS gy FROM edges
+  UNION ALL
+  SELECT r.src_gx, r.src_gy, e.tx, e.ty
+  FROM reach r JOIN edges e ON e.gx = r.gx AND e.gy = r.gy
+),
+ups AS (
+  SELECT gx, gy, CAST(count(*) AS BIGINT) AS n_up
+  FROM reach GROUP BY 1, 2
+)
+SELECT d.gx, d.gy,
+       CAST(1 + coalesce(u.n_up, 0) AS BIGINT) AS acc
+FROM dirs d LEFT JOIN ups u USING (gx, gy)
 """
 
     # spatial_split: clamp/floor grid at bits=4, spread interleave,

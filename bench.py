@@ -139,6 +139,8 @@ HEADLINE = [
     "contour",
     "spatial_split",
     "areal_interp",
+    "flow_direction",
+    "flow_accumulation",
 ]
 
 

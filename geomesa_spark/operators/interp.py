@@ -231,10 +231,13 @@ def areal_interpolate(
         )
         .withColumn("pcell", C.z2_cell(F.col("lon"), F.col("lat")))
     )
+    # bounded by cell_budget rows; pinned because three consumers
+    # (counts, shares, the hit_zones collect) would otherwise each
+    # re-run the broadcast PIP join
     inside = pip_join_broadcast(
         centers, [(zid, wkt) for zid, wkt, _ in zones],
         cell_col="pcell",
-    ).select("cell", F.col("poly_id").alias("zid"))
+    ).select("cell", F.col("poly_id").alias("zid")).localCheckpoint()
     vals = F.broadcast(spark.createDataFrame(
         [(zid, int(math.floor(v * fp_scale))) for zid, _, v in zones],
         "zid string, v_fp long",

@@ -1069,3 +1069,260 @@ def contour(
         anchor = F.col("cx" if i % 2 == 0 else "cy").cast("double")
         out_cols.append((anchor + base).alias(name))
     return segs.select("cx", "cy", "mcase", "sidx", *out_cols)
+
+
+# ---------------------------------------------------------------------------
+# D8 hydrology: flow direction + flow accumulation
+# ---------------------------------------------------------------------------
+
+# ESRI D8 neighbor order: precedence index -> (dx, dy, code, dist);
+# dy=+1 is north (larger gy).  Codes are the classic powers of two
+# (E=1, SE=2, S=4, SW=8, W=16, NW=32, N=64, NE=128); ties resolve to
+# the LOWEST precedence index — a fixed total order.
+_D8 = [
+    (1, 0, 1, 1.0), (1, -1, 2, math.sqrt(2.0)), (0, -1, 4, 1.0),
+    (-1, -1, 8, math.sqrt(2.0)), (-1, 0, 16, 1.0),
+    (-1, 1, 32, math.sqrt(2.0)), (0, 1, 64, 1.0),
+    (1, 1, 128, math.sqrt(2.0)),
+]
+
+# drop rate to one neighbor: exact int64 elevation difference, ONE
+# IEEE-exact division by the (1 or sqrt2) literal — both engines
+# bit-agree, so comparisons (and the argmax) are deterministic
+D8_RATE_SQL = "CAST({vp} - {vn} AS DOUBLE) / {dist}"
+
+
+def flow_direction(
+    tiles: DataFrame,
+    res_bits: int,
+    fp_scale: int = 1_000_000,
+    tile_px: int | None = None,
+    tile_py: int | None = None,
+) -> DataFrame:
+    """D8 flow direction per interior pixel — hydrology step one:
+    each cell drains to the steepest-descent neighbor of its 3×3
+    window (drop / distance, diagonals √2 further), code = the
+    classic power-of-two compass (E=1 … NE=128), 0 for pits and
+    flats (no positive drop).  Interior pixels only (all 8
+    neighbors present) — seams and holes never fabricate drainage.
+
+    Shape: the terrain contribution explode (each pixel posts its
+    value to the 8 windows it borders, tagged with the receiving
+    side's precedence index), one join to the pixel's own value,
+    one partial-aggregated min(struct) argmax — exact int64 drops,
+    one IEEE-exact division per neighbor (``D8_RATE_SQL``), ties to
+    the lowest precedence index.
+
+    Returns (gx, gy, v_fp, d8, drop_fp): `d8` the direction code,
+    `drop_fp` the winning raw int64 drop (0 for pits/flats)."""
+    pixels, px, py = _pixel_lattice(
+        tiles, res_bits, fp_scale, tile_px, tile_py
+    )
+    contrib = pixels.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("gx") - F.lit(dx)).alias("tx"),
+                    (F.col("gy") - F.lit(dy)).alias("ty"),
+                    F.lit(i).alias("tag"),
+                    F.col("v_fp").alias("vn"),
+                )
+                for i, (dx, dy, _, _) in enumerate(_D8)
+            ])
+        ).alias("c")
+    ).select("c.tx", "c.ty", "c.tag", "c.vn")
+    j = contrib.join(
+        pixels.select(
+            F.col("gx").alias("tx"), F.col("gy").alias("ty"), "v_fp"
+        ),
+        ["tx", "ty"],
+    )
+    rate = F.when(
+        F.col("tag") == 0,
+        F.expr(D8_RATE_SQL.format(vp="v_fp", vn="vn", dist="1.0")),
+    )
+    for i, (_, _, _, dist) in enumerate(_D8):
+        if i == 0:
+            continue
+        rate = rate.when(
+            F.col("tag") == i,
+            F.expr(
+                D8_RATE_SQL.format(vp="v_fp", vn="vn", dist=repr(dist))
+            ),
+        )
+    best = (
+        j.withColumn("_rate", rate)
+        .groupBy(
+            F.col("tx").alias("gx"), F.col("ty").alias("gy")
+        )
+        .agg(
+            F.count("*").alias("_n"),
+            F.min(
+                F.struct(
+                    (-F.col("_rate")).alias("nr"),
+                    F.col("tag").alias("tag"),
+                    (F.col("v_fp") - F.col("vn")).alias("drop_fp"),
+                )
+            ).alias("b"),
+            F.first("v_fp").alias("v_fp"),
+        )
+        .filter(F.col("_n") == 8)
+    )
+    code_expr = None
+    for i, (_, _, code, _) in enumerate(_D8):
+        c = F.when(F.col("b.tag") == i, F.lit(code))
+        code_expr = c if code_expr is None else code_expr.when(
+            F.col("b.tag") == i, F.lit(code)
+        )
+    return best.select(
+        "gx", "gy", "v_fp",
+        F.when(F.col("b.nr") >= 0, F.lit(0))
+        .otherwise(code_expr).cast("int").alias("d8"),
+        F.when(F.col("b.nr") >= 0, F.lit(0))
+        .otherwise(F.col("b.drop_fp")).cast("long").alias("drop_fp"),
+    )
+
+
+def flow_accumulation(
+    dirs: DataFrame,
+    max_iter: int = 64,
+    method: str = "doubling",
+) -> DataFrame:
+    """Flow accumulation over a D8 direction field: for every cell,
+    the count of cells draining through it (itself included) — the
+    stream-network extractor.  Input is ``flow_direction`` output.
+
+    The drainage graph is functional (out-degree ≤ 1) and acyclic
+    (strictly positive drops), and paths are UNIQUE — so the
+    ancestor count of `t` equals the number of (source, t) pairs in
+    the transitive closure, and the closure builds by POINTER
+    DOUBLING (`method='doubling'`, default): keep `jump` = the
+    exact-2^k-hop successor (functional, one row per surviving
+    source) and `reach` = all ≤2^k-hop pairs; each round composes
+    both — ceil(log2(longest path)) rounds instead of one round per
+    hop.  Space is O(Σ path lengths) = O(cells · mean depth); for
+    lattices whose drainage depth makes that prohibitive,
+    `method='linear'` keeps the O(cells) partial-sum propagation
+    (acc_{k+1}(t) = 1 + Σ acc_k(upstream), one round per hop).
+    Both are driver-synchronized loops with localCheckpoint-pinned
+    lineage (the dbscan contract) and raise past `max_iter` (a
+    cycle means the input was not a true direction field).
+
+    Returns (gx, gy, acc)."""
+    if method not in ("doubling", "linear"):
+        raise ValueError(f"unknown method {method!r}")
+    edges = dirs.filter(F.col("d8") > 0)
+    off = None
+    for _, (dx, dy, code, _) in enumerate(_D8):
+        c = F.when(
+            F.col("d8") == code,
+            F.struct(
+                (F.col("gx") + F.lit(dx)).alias("tx"),
+                (F.col("gy") + F.lit(dy)).alias("ty"),
+            ),
+        )
+        off = c if off is None else off.when(
+            F.col("d8") == code,
+            F.struct(
+                (F.col("gx") + F.lit(dx)).alias("tx"),
+                (F.col("gy") + F.lit(dy)).alias("ty"),
+            ),
+        )
+    edges = edges.select(
+        "gx", "gy", off.getField("tx").alias("tx"),
+        off.getField("ty").alias("ty"),
+    ).localCheckpoint()
+    if method == "doubling":
+        # jump: exact 2^k-hop successor; reach: all pairs within
+        # 2^k hops.  reach' = reach ∪ (jump ∘ reach) — a source at
+        # exactly 2^k hops extends by everything its landing point
+        # reaches within 2^k more; jump' = jump ∘ jump.
+        jump = edges
+        reach = edges
+        for _ in range(max_iter):
+            j2 = jump.select(
+                F.col("gx").alias("_jx"), F.col("gy").alias("_jy"),
+                "tx", "ty",
+            )
+            ext = (
+                jump.join(
+                    reach.select(
+                        F.col("gx").alias("tx"),
+                        F.col("gy").alias("ty"),
+                        F.col("tx").alias("_ex"),
+                        F.col("ty").alias("_ey"),
+                    ),
+                    ["tx", "ty"],
+                )
+                .select(
+                    "gx", "gy",
+                    F.col("_ex").alias("tx"), F.col("_ey").alias("ty"),
+                )
+            )
+            # unique paths: ext pairs have hop counts in
+            # (2^k, 2^{k+1}], disjoint from reach — unionAll is safe
+            reach = reach.unionAll(ext).localCheckpoint()
+            jump = (
+                j2.join(
+                    jump.select(
+                        F.col("gx").alias("tx"),
+                        F.col("gy").alias("ty"),
+                        F.col("tx").alias("_nx"),
+                        F.col("ty").alias("_ny"),
+                    ),
+                    ["tx", "ty"],
+                )
+                .select(
+                    F.col("_jx").alias("gx"), F.col("_jy").alias("gy"),
+                    F.col("_nx").alias("tx"), F.col("_ny").alias("ty"),
+                )
+            ).localCheckpoint()
+            if jump.limit(1).count() == 0:
+                ups = reach.groupBy(
+                    F.col("tx").alias("gx"), F.col("ty").alias("gy")
+                ).agg(F.count("*").alias("_up"))
+                return dirs.select("gx", "gy").join(
+                    ups, ["gx", "gy"], "left"
+                ).select(
+                    "gx", "gy",
+                    (F.lit(1) + F.coalesce(F.col("_up"), F.lit(0)))
+                    .cast("long").alias("acc"),
+                )
+        raise RuntimeError(
+            f"flow_accumulation(doubling) did not converge in "
+            f"{max_iter} rounds — the direction field has a cycle"
+        )
+    acc = dirs.select(
+        "gx", "gy", F.lit(1).cast("long").alias("acc")
+    ).localCheckpoint()
+    for it in range(max_iter):
+        up = (
+            edges.join(
+                acc.select(
+                    F.col("gx"), F.col("gy"), F.col("acc").alias("_ua")
+                ),
+                ["gx", "gy"],
+            )
+            .groupBy(F.col("tx").alias("gx"), F.col("ty").alias("gy"))
+            .agg(F.sum("_ua").alias("_in"))
+        )
+        nxt = (
+            acc.join(up, ["gx", "gy"], "left")
+            .select(
+                "gx", "gy",
+                (F.lit(1) + F.coalesce(F.col("_in"), F.lit(0)))
+                .cast("long").alias("acc"),
+                (F.col("acc") !=
+                 (F.lit(1) + F.coalesce(F.col("_in"), F.lit(0))))
+                .alias("_chg"),
+            )
+        ).localCheckpoint()
+        changed = nxt.filter(F.col("_chg")).limit(1).count()
+        acc = nxt.drop("_chg")
+        if changed == 0:
+            return acc
+    raise RuntimeError(
+        f"flow_accumulation did not converge in {max_iter} rounds — "
+        "longest drainage path exceeds max_iter or the direction "
+        "field has a cycle"
+    )

@@ -586,3 +586,86 @@ def test_null_pixels_behave_like_missing_tiles(spark):
         y0, y1 = max(0, gy - 1), min(H, gy + 2)
         x0, x1 = max(0, gx - 1), min(W, gx + 2)
         assert r.n_win == int(present[y0:y1, x0:x1].sum())
+
+
+def test_flow_direction_and_accumulation(spark):
+    """D8 hydrology vs a python oracle: steepest-descent codes with
+    the ESRI tie precedence, pits/flats as 0, and accumulation as
+    exact upstream counts (checked against transitive closure)."""
+    import math
+
+    from geomesa_spark.operators.raster import (
+        TILE_SCHEMA, flow_accumulation, flow_direction,
+    )
+
+    BITS, PX, PY, FP = 1, 8, 8, 1_000_000
+    n = 1 << BITS
+    rng = np.random.default_rng(31)
+    world = rng.normal(500.0, 60.0, (n * PY, n * PX))
+    # a deterministic valley so real channels exist
+    for gy in range(n * PY):
+        for gx in range(n * PX):
+            world[gy, gx] += 3.0 * abs(gx - 7.3) + 0.5 * gy
+    rows = []
+    for cix in range(n):
+        for ciy in range(n):
+            cell = int(C.z2_encode_np(
+                np.asarray([cix]), np.asarray([ciy]))[0])
+            t = world[ciy*PY:(ciy+1)*PY, cix*PX:(cix+1)*PX]
+            rows.append((BITS, cell, PX, PY,
+                         [float(v) for v in t.ravel()]))
+    tiles = spark.createDataFrame(rows, TILE_SCHEMA)
+    wfp = np.floor(world * FP).astype(np.int64)
+
+    D8 = [(1, 0, 1, 1.0), (1, -1, 2, math.sqrt(2)), (0, -1, 4, 1.0),
+          (-1, -1, 8, math.sqrt(2)), (-1, 0, 16, 1.0),
+          (-1, 1, 32, math.sqrt(2)), (0, 1, 64, 1.0),
+          (1, 1, 128, math.sqrt(2))]
+    H, W = wfp.shape
+    exp_dir = {}
+    for gy in range(1, H - 1):
+        for gx in range(1, W - 1):
+            best = None
+            for i, (dx, dy, code, dist) in enumerate(D8):
+                rate = float(wfp[gy, gx] - wfp[gy + dy, gx + dx]) / dist
+                key = (-rate, i)
+                if best is None or key < best[0]:
+                    best = (key, code, wfp[gy, gx] - wfp[gy + dy, gx + dx])
+            rate_best = -best[0][0]
+            exp_dir[(gx, gy)] = (
+                (0, 0) if rate_best <= 0 else (best[1], best[2]))
+    dirs = flow_direction(tiles, BITS, fp_scale=FP)
+    got = {(r.gx, r.gy): (r.d8, r.drop_fp) for r in dirs.collect()}
+    assert got == exp_dir
+
+    # accumulation: exact ancestor counts via python propagation
+    down = {}
+    for (gx, gy), (code, _) in exp_dir.items():
+        if code:
+            dx, dy = next((dx, dy) for dx, dy, c, _ in D8 if c == code)
+            down[(gx, gy)] = (gx + dx, gy + dy)
+    # fixed point of acc(t) = 1 + sum of direct-upstream acc
+    acc_exp = {p: 1 for p in exp_dir}
+    guard = 0
+    while True:
+        guard += 1
+        assert guard < 200
+        nxt = {p: 1 for p in exp_dir}
+        for p, q in down.items():
+            if q in nxt:
+                nxt[q] += acc_exp[p]
+        if nxt == acc_exp:
+            break
+        acc_exp = nxt
+    got_acc = {(r.gx, r.gy): r.acc
+               for r in flow_accumulation(dirs).collect()}
+    assert got_acc == acc_exp
+    # the linear method computes the identical fixed point
+    got_lin = {(r.gx, r.gy): r.acc
+               for r in flow_accumulation(dirs, method="linear").collect()}
+    assert got_lin == acc_exp
+    with pytest.raises(ValueError):
+        flow_accumulation(dirs, method="bogus")
+    # sanity: the engineered valley accumulates the most
+    hot = max(got_acc.items(), key=lambda kv: kv[1])
+    assert hot[1] > 10

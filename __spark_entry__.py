@@ -2303,6 +2303,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["flow_accumulation"] = flow_accumulation_gate
 
+    def watershed_gate(spark, sf):
+        """Watershed delineation (raster.watershed): every interior
+        pixel labeled by the terminal cell its D8 path ends at —
+        pointer jumping (each round doubles the hop distance,
+        terminals absorb), ceil(log2(depth)) driver-synced rounds.
+        Oracle follows the unique path with a recursive CTE and
+        keeps the row whose cell has no outgoing edge."""
+        from geomesa_spark.operators.raster import (
+            flow_direction, synth_tiles, watershed,
+        )
+
+        tiles = synth_tiles(spark, 4, px=8, py=8, limit_cells=256)
+        return watershed(flow_direction(tiles, 4))
+
+    q["watershed"] = watershed_gate
+
     def areal_interp_gate(spark, sf):
         """Areal interpolation (interp.areal_interpolate): the pip
         polygon layer's magnitudes reallocated onto the bits=5 grid
@@ -4930,6 +4946,33 @@ ups AS (
 SELECT d.gx, d.gy,
        CAST(1 + coalesce(u.n_up, 0) AS BIGINT) AS acc
 FROM dirs d LEFT JOIN ups u USING (gx, gy)
+"""
+
+    o["watershed"] = f"""
+WITH RECURSIVE {_fd_core},
+edges AS (
+  SELECT gx, gy,
+         gx + CASE d8 {_d8_step} END AS tx,
+         gy + CASE d8 {_d8_step_y} END AS ty
+  FROM dirs WHERE d8 > 0
+),
+walk AS (
+  SELECT gx AS src_gx, gy AS src_gy, tx AS gx, ty AS gy FROM edges
+  UNION ALL
+  SELECT r.src_gx, r.src_gy, e.tx, e.ty
+  FROM walk r JOIN edges e ON e.gx = r.gx AND e.gy = r.gy
+),
+outs AS (
+  SELECT src_gx, src_gy, gx AS out_gx, gy AS out_gy
+  FROM walk t
+  WHERE NOT EXISTS (SELECT 1 FROM edges e
+                    WHERE e.gx = t.gx AND e.gy = t.gy)
+)
+SELECT d.gx, d.gy,
+       CAST(coalesce(o.out_gx, d.gx) AS BIGINT) AS out_gx,
+       CAST(coalesce(o.out_gy, d.gy) AS BIGINT) AS out_gy
+FROM dirs d LEFT JOIN outs o
+  ON o.src_gx = d.gx AND o.src_gy = d.gy
 """
 
     # spatial_split: clamp/floor grid at bits=4, spread interleave,

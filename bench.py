@@ -141,6 +141,7 @@ HEADLINE = [
     "areal_interp",
     "flow_direction",
     "flow_accumulation",
+    "watershed",
 ]
 
 

@@ -1326,3 +1326,78 @@ def flow_accumulation(
         "longest drainage path exceeds max_iter or the direction "
         "field has a cycle"
     )
+
+
+def watershed(
+    dirs: DataFrame,
+    max_iter: int = 64,
+) -> DataFrame:
+    """Watershed delineation: label every cell with its TERMINAL
+    cell — the pit or edge outlet its D8 path ends at — so equal
+    labels = one drainage basin.  Input is ``flow_direction``
+    output; cells whose path exits the interior are labeled by the
+    first non-interior cell they reach (the edge outlet).
+
+    Pointer jumping on the functional flow graph: ptr(u) = next(u),
+    then ptr'(u) = ptr(ptr(u)) where defined — each round doubles
+    the distance covered, terminals absorb (a pointer to a cell
+    with no pointer is final), so ceil(log2(longest path)) driver-
+    synced rounds (the flow_accumulation doubling contract).
+
+    Returns (gx, gy, out_gx, out_gy): pits/flats are their own
+    outlet."""
+    edges = dirs.filter(F.col("d8") > 0)
+    off = None
+    for _, (dx, dy, code, _) in enumerate(_D8):
+        s = F.struct(
+            (F.col("gx") + F.lit(dx)).alias("tx"),
+            (F.col("gy") + F.lit(dy)).alias("ty"),
+        )
+        off = (
+            F.when(F.col("d8") == code, s) if off is None
+            else off.when(F.col("d8") == code, s)
+        )
+    ptr = edges.select(
+        "gx", "gy", off.getField("tx").alias("tx"),
+        off.getField("ty").alias("ty"),
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        hop = (
+            ptr.join(
+                ptr.select(
+                    F.col("gx").alias("tx"), F.col("gy").alias("ty"),
+                    F.col("tx").alias("_nx"), F.col("ty").alias("_ny"),
+                ),
+                ["tx", "ty"],
+                "left",
+            )
+            .select(
+                "gx", "gy",
+                F.coalesce(F.col("_nx"), F.col("tx")).alias("ntx"),
+                F.coalesce(F.col("_ny"), F.col("ty")).alias("nty"),
+                (
+                    F.col("_nx").isNotNull()
+                    & ((F.col("_nx") != F.col("tx"))
+                       | (F.col("_ny") != F.col("ty")))
+                ).alias("_chg"),
+            )
+        ).localCheckpoint()
+        changed = hop.filter(F.col("_chg")).limit(1).count()
+        ptr = hop.select(
+            "gx", "gy",
+            F.col("ntx").alias("tx"), F.col("nty").alias("ty"),
+        )
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"watershed did not converge in {max_iter} doubling "
+            "rounds — the direction field has a cycle"
+        )
+    return dirs.select("gx", "gy").join(
+        ptr, ["gx", "gy"], "left"
+    ).select(
+        "gx", "gy",
+        F.coalesce(F.col("tx"), F.col("gx")).alias("out_gx"),
+        F.coalesce(F.col("ty"), F.col("gy")).alias("out_gy"),
+    )

@@ -669,3 +669,22 @@ def test_flow_direction_and_accumulation(spark):
     # sanity: the engineered valley accumulates the most
     hot = max(got_acc.items(), key=lambda kv: kv[1])
     assert hot[1] > 10
+
+    # watershed: every cell labeled by its terminal outlet
+    from geomesa_spark.operators.raster import watershed
+
+    def term(p):
+        seen = set()
+        while p in down:
+            assert p not in seen
+            seen.add(p)
+            p = down[p]
+        return p
+
+    exp_ws = {p: term(p) for p in exp_dir}
+    got_ws = {(r.gx, r.gy): (r.out_gx, r.out_gy)
+              for r in watershed(dirs).collect()}
+    assert got_ws == exp_ws
+    # basins exist: more than one outlet, fewer outlets than cells
+    outs = set(exp_ws.values())
+    assert 1 < len(outs) < len(exp_ws)

@@ -190,6 +190,9 @@ def areal_interpolate(
         raise ValueError("zones must be non-empty")
     if any(v < 0 for _, _, v in zones):
         raise ValueError("zone values must be >= 0 (mass)")
+    ids = [zid for zid, _, _ in zones]
+    if len(set(ids)) != len(ids):
+        raise ValueError("zone ids must be unique")
     n = 1 << bits
     ranges = []
     fallback = {}

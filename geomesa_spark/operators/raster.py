@@ -1170,9 +1170,9 @@ def flow_direction(
     )
     code_expr = None
     for i, (_, _, code, _) in enumerate(_D8):
-        c = F.when(F.col("b.tag") == i, F.lit(code))
-        code_expr = c if code_expr is None else code_expr.when(
-            F.col("b.tag") == i, F.lit(code)
+        code_expr = (
+            F.when(F.col("b.tag") == i, F.lit(code)) if code_expr is None
+            else code_expr.when(F.col("b.tag") == i, F.lit(code))
         )
     return best.select(
         "gx", "gy", "v_fp",
@@ -1183,9 +1183,29 @@ def flow_direction(
     )
 
 
+def _d8_edges(dirs: DataFrame) -> DataFrame:
+    """(gx, gy) -> downstream (tx, ty) pairs from a D8 field — the
+    ONE code->offset mapping flow_accumulation and watershed share
+    (flow_direction owns the inverse)."""
+    off = None
+    for dx, dy, code, _ in _D8:
+        s = F.struct(
+            (F.col("gx") + F.lit(dx)).alias("tx"),
+            (F.col("gy") + F.lit(dy)).alias("ty"),
+        )
+        off = (
+            F.when(F.col("d8") == code, s) if off is None
+            else off.when(F.col("d8") == code, s)
+        )
+    return dirs.filter(F.col("d8") > 0).select(
+        "gx", "gy", off.getField("tx").alias("tx"),
+        off.getField("ty").alias("ty"),
+    ).localCheckpoint()
+
+
 def flow_accumulation(
     dirs: DataFrame,
-    max_iter: int = 64,
+    max_iter: int | None = None,
     method: str = "doubling",
 ) -> DataFrame:
     """Flow accumulation over a D8 direction field: for every cell,
@@ -1211,27 +1231,12 @@ def flow_accumulation(
     Returns (gx, gy, acc)."""
     if method not in ("doubling", "linear"):
         raise ValueError(f"unknown method {method!r}")
-    edges = dirs.filter(F.col("d8") > 0)
-    off = None
-    for _, (dx, dy, code, _) in enumerate(_D8):
-        c = F.when(
-            F.col("d8") == code,
-            F.struct(
-                (F.col("gx") + F.lit(dx)).alias("tx"),
-                (F.col("gy") + F.lit(dy)).alias("ty"),
-            ),
-        )
-        off = c if off is None else off.when(
-            F.col("d8") == code,
-            F.struct(
-                (F.col("gx") + F.lit(dx)).alias("tx"),
-                (F.col("gy") + F.lit(dy)).alias("ty"),
-            ),
-        )
-    edges = edges.select(
-        "gx", "gy", off.getField("tx").alias("tx"),
-        off.getField("ty").alias("ty"),
-    ).localCheckpoint()
+    # the two methods need very different round budgets: linear is
+    # one round PER HOP (deep channels are normal — default 4096),
+    # doubling one round per depth DOUBLING (64 covers 2^64)
+    if max_iter is None:
+        max_iter = 64 if method == "doubling" else 4096
+    edges = _d8_edges(dirs)
     if method == "doubling":
         # jump: exact 2^k-hop successor; reach: all pairs within
         # 2^k hops.  reach' = reach ∪ (jump ∘ reach) — a source at
@@ -1239,7 +1244,13 @@ def flow_accumulation(
         # reaches within 2^k more; jump' = jump ∘ jump.
         jump = edges
         reach = edges
-        for _ in range(max_iter):
+        # a cycle breaks the unique-path disjointness behind the
+        # bare unionAll and reach would grow exponentially — bound
+        # rounds by the log of the deepest POSSIBLE path (n cells)
+        # so corrupt input fails fast instead of filling the disk
+        n_cells = dirs.count()
+        log_bound = max(2, int(math.ceil(math.log2(max(n_cells, 2)))) + 1)
+        for _ in range(min(max_iter, log_bound)):
             j2 = jump.select(
                 F.col("gx").alias("_jx"), F.col("gy").alias("_jy"),
                 "tx", "ty",
@@ -1277,6 +1288,14 @@ def flow_accumulation(
                     F.col("_nx").alias("tx"), F.col("_ny").alias("ty"),
                 )
             ).localCheckpoint()
+            # an even-length cycle shows up as a jump self-pair long
+            # before the round bound — fail with the honest error
+            if jump.filter(
+                (F.col("tx") == F.col("gx")) & (F.col("ty") == F.col("gy"))
+            ).limit(1).count():
+                raise RuntimeError(
+                    "flow_accumulation: the direction field has a cycle"
+                )
             if jump.limit(1).count() == 0:
                 ups = reach.groupBy(
                     F.col("tx").alias("gx"), F.col("ty").alias("gy")
@@ -1289,8 +1308,8 @@ def flow_accumulation(
                     .cast("long").alias("acc"),
                 )
         raise RuntimeError(
-            f"flow_accumulation(doubling) did not converge in "
-            f"{max_iter} rounds — the direction field has a cycle"
+            "flow_accumulation(doubling) did not converge within the "
+            "log2(cells) round bound — the direction field has a cycle"
         )
     acc = dirs.select(
         "gx", "gy", F.lit(1).cast("long").alias("acc")
@@ -1346,22 +1365,13 @@ def watershed(
 
     Returns (gx, gy, out_gx, out_gy): pits/flats are their own
     outlet."""
-    edges = dirs.filter(F.col("d8") > 0)
-    off = None
-    for _, (dx, dy, code, _) in enumerate(_D8):
-        s = F.struct(
-            (F.col("gx") + F.lit(dx)).alias("tx"),
-            (F.col("gy") + F.lit(dy)).alias("ty"),
-        )
-        off = (
-            F.when(F.col("d8") == code, s) if off is None
-            else off.when(F.col("d8") == code, s)
-        )
-    ptr = edges.select(
-        "gx", "gy", off.getField("tx").alias("tx"),
-        off.getField("ty").alias("ty"),
-    ).localCheckpoint()
-    for _ in range(max_iter):
+    ptr = _d8_edges(dirs)
+    # a DAG's longest path is < n cells, so doubling needs at most
+    # ceil(log2(n)) + 1 rounds — corrupt (odd-cycle) input fails at
+    # the bound instead of burning max_iter rounds
+    n_cells = dirs.count()
+    log_bound = max(2, int(math.ceil(math.log2(max(n_cells, 2)))) + 1)
+    for _ in range(min(max_iter, log_bound)):
         hop = (
             ptr.join(
                 ptr.select(
@@ -1391,8 +1401,18 @@ def watershed(
             break
     else:
         raise RuntimeError(
-            f"watershed did not converge in {max_iter} doubling "
-            "rounds — the direction field has a cycle"
+            "watershed did not converge within the log2(cells) "
+            "doubling bound — the direction field has a cycle"
+        )
+    # an EVEN-length cycle converges to self-pointers instead of
+    # burning rounds (a 2^m-cycle reaches the self-pointing fixed
+    # point); a cell WITH an outgoing edge can never be its own
+    # terminal in a DAG, so any such row is corrupt input
+    if ptr.filter(
+        (F.col("tx") == F.col("gx")) & (F.col("ty") == F.col("gy"))
+    ).limit(1).count():
+        raise RuntimeError(
+            "watershed: the direction field has a cycle"
         )
     return dirs.select("gx", "gy").join(
         ptr, ["gx", "gy"], "left"

@@ -176,11 +176,17 @@ def test_areal_interpolate_vs_brute(spark):
             exp[c] = exp.get(c, 0) + vfp
     assert {k: v for k, v in got.items()} == {
         k: (v, v / FP) for k, v in exp.items()}
-    # mass conservation up to the documented quantization
+    # mass conservation up to the documented quantization: the
+    # dropped remainder is < 1 fixed-point unit per (zone, cell)
+    # MEMBERSHIP (overlapping zones each contribute their own)
     tot = sum(v for v, _ in got.values())
     vtot = sum(int(math.floor(v * FP)) for _, _, v in zones)
-    assert 0 <= vtot - tot < sum(
-        1 for _ in exp) * 1  # < one unit per (zone, cell)
+    memberships = sum(
+        max(1, sum(1 for ix in range(n) for iy in range(n)
+                   if inside((ix + 0.5) / n * 360.0 - 180.0,
+                             (iy + 0.5) / n * 180.0 - 90.0, rings[z])))
+        for z, _, _ in zones)
+    assert 0 <= vtot - tot < memberships
 
     with pytest.raises(ValueError):
         areal_interpolate(spark, [("x", "POLYGON ((0 0, 1 0, 1 1, 0 0))",
@@ -189,3 +195,8 @@ def test_areal_interpolate_vs_brute(spark):
         areal_interpolate(spark, zones, 14, cell_budget=10)
     with pytest.raises(ValueError):
         areal_interpolate(spark, [], BITS)
+    with pytest.raises(ValueError):
+        areal_interpolate(
+            spark,
+            [("a", rings and zones[0][1], 1.0),
+             ("a", zones[1][1], 2.0)], BITS)

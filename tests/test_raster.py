@@ -688,3 +688,39 @@ def test_flow_direction_and_accumulation(spark):
     # basins exist: more than one outlet, fewer outlets than cells
     outs = set(exp_ws.values())
     assert 1 < len(outs) < len(exp_ws)
+
+
+def test_hydrology_cycle_detection(spark):
+    """Corrupt direction fields (cycles) must raise, not silently
+    converge: even-length cycles previously reached the
+    self-pointing fixed point in watershed and blew up reach in
+    accumulation; odd cycles burn the round bound."""
+    from geomesa_spark.operators.raster import (
+        flow_accumulation, watershed,
+    )
+
+    def dirs_df(rows):
+        return spark.createDataFrame(
+            rows, "gx long, gy long, v_fp long, d8 int, drop_fp long"
+        )
+
+    # 2-cycle: A(0,0) -> E -> B(1,0) -> W -> A
+    two = dirs_df([(0, 0, 0, 1, 1), (1, 0, 0, 16, 1)])
+    with pytest.raises(Exception, match="cycle"):
+        watershed(two).collect()
+    with pytest.raises(Exception, match="cycle"):
+        flow_accumulation(two).collect()
+    # 3-cycle: (0,0) -E-> (1,0) -N-> (1,1) -SW-> (0,0)
+    three = dirs_df([
+        (0, 0, 0, 1, 1), (1, 0, 0, 64, 1), (1, 1, 0, 8, 1)])
+    with pytest.raises(Exception, match="cycle|converge"):
+        watershed(three).collect()
+    with pytest.raises(Exception, match="cycle|converge"):
+        flow_accumulation(three).collect()
+    # linear method: a 70-hop straight channel converges fine with
+    # the per-method default (the old shared 64 default raised)
+    chain = dirs_df([(gx, 0, 0, 1, 1) for gx in range(70)]
+                    + [(70, 0, 0, 0, 0)])
+    acc = {(r.gx, r.gy): r.acc
+           for r in flow_accumulation(chain, method="linear").collect()}
+    assert acc[(70, 0)] == 71 and acc[(0, 0)] == 1

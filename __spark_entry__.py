@@ -2319,6 +2319,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["watershed"] = watershed_gate
 
+    def cost_distance_gate(spark, sf):
+        """Cost-distance over the event-count surface
+        (operators/route.py): the 8x8 occupied-cell lattice becomes
+        a weighted graph (entering a cell costs its event count),
+        multi-source frontier Bellman-Ford from the west column with
+        rounds=16 — the gate pins the EXACTLY-16-round bounded-hop
+        distances (a deterministic quantity of its own; pytest
+        proves the converged form against an independent Dijkstra).
+        Oracle = 16 unrolled min-relaxation CTE stages over packed
+        (dist, src) int64 keys."""
+        from geomesa_spark.operators.route import grid_cost_edges, sssp
+
+        n = 8
+        lon, lat = F.col("lon"), F.col("lat")
+        gx = F.greatest(
+            F.lit(0), F.least(F.lit(n - 1), F.floor((lon + 180.0) / 360.0 * n))
+        ).cast("long")
+        gy = F.greatest(
+            F.lit(0), F.least(F.lit(n - 1), F.floor((lat + 90.0) / 180.0 * n))
+        ).cast("long")
+        cells = (
+            geo_events(spark, sf)
+            .select(gx.alias("gx"), gy.alias("gy"))
+            .groupBy("gx", "gy")
+            .agg(F.count("*").cast("long").alias("cost"))
+        )
+        edges = grid_cost_edges(cells)
+        sources = cells.filter("gx = 0").select(
+            (F.col("gx") * F.lit(4294967296) + F.col("gy")).alias("node")
+        )
+        out = sssp(edges, sources, rounds=16)
+        return out.select(
+            F.expr("node div 4294967296").alias("gx"),
+            (F.col("node") % F.lit(4294967296)).alias("gy"),
+            "dist",
+            F.expr("src div 4294967296").alias("src_gx"),
+            (F.col("src") % F.lit(4294967296)).alias("src_gy"),
+        )
+
+    q["cost_distance"] = cost_distance_gate
+
     def areal_interp_gate(spark, sf):
         """Areal interpolation (interp.areal_interpolate): the pip
         polygon layer's magnitudes reallocated onto the bits=5 grid
@@ -4973,6 +5014,62 @@ SELECT d.gx, d.gy,
        CAST(coalesce(o.out_gy, d.gy) AS BIGINT) AS out_gy
 FROM dirs d LEFT JOIN outs o
   ON o.src_gx = d.gx AND o.src_gy = d.gy
+"""
+
+    # cost_distance: 16 unrolled Bellman-Ford stages.  (dist, src)
+    # packs into ONE int64 (dist * 2^35 + node: node < 2^35 on the
+    # 8x8 lattice, dist < 2^28 at oracle scale) so each stage is a
+    # single MIN group-by — the lexicographic (dist, src) min the
+    # engine's min-struct computes.  Node ids are gx * 2^32 + gy,
+    # verbatim the engine's grid_node packing.
+    _cd_pack = 34359738368  # 2^35
+    # MATERIALIZED: each stage references its predecessor twice, and
+    # DuckDB inlines plain CTEs — 16 stages would expand to 2^16
+    # scans of the base table without it
+    _cd_relax = "\n".join(
+        f"""d{i} AS MATERIALIZED (
+  SELECT node, MIN(p) AS p FROM (
+    SELECT node, p FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node,
+           (d.p // {_cd_pack} + e.w) * {_cd_pack} + d.p % {_cd_pack} AS p
+    FROM d{i - 1} d JOIN cd_edges e ON e.src = d.node
+  ) GROUP BY node
+),"""
+        for i in range(1, 17)
+    )
+    o["cost_distance"] = f"""
+WITH tp AS (
+  SELECT (event_id*9973 % 36000)/100.0 - 180.0 AS lon,
+         (event_id*7919 % 18000)/100.0 - 90.0 AS lat
+  FROM events
+),
+cd_cells AS (
+  SELECT CAST(greatest(0, least(7, floor((lon+180.0)/360.0*8.0))) AS BIGINT) AS gx,
+         CAST(greatest(0, least(7, floor((lat+90.0)/180.0*8.0))) AS BIGINT) AS gy,
+         CAST(count(*) AS BIGINT) AS cost
+  FROM tp GROUP BY 1, 2
+),
+cd_edges AS (
+  SELECT a.gx*4294967296 + a.gy AS src,
+         b.gx*4294967296 + b.gy AS dst,
+         b.cost AS w
+  FROM cd_cells a JOIN cd_cells b
+    ON abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1
+),
+d0 AS (
+  SELECT gx*4294967296 + gy AS node,
+         CAST(0 AS BIGINT) * {_cd_pack} + gx*4294967296 + gy AS p
+  FROM cd_cells WHERE gx = 0
+),
+{_cd_relax}
+fin AS (SELECT node, p FROM d16)
+SELECT node // 4294967296 AS gx,
+       node % 4294967296 AS gy,
+       p // {_cd_pack} AS dist,
+       (p % {_cd_pack}) // 4294967296 AS src_gx,
+       (p % {_cd_pack}) % 4294967296 AS src_gy
+FROM fin
 """
 
     # spatial_split: clamp/floor grid at bits=4, spread interleave,

@@ -142,6 +142,7 @@ HEADLINE = [
     "flow_direction",
     "flow_accumulation",
     "watershed",
+    "cost_distance",
 ]
 
 

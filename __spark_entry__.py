@@ -2234,6 +2234,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["terrain_slope"] = terrain_slope_gate
 
+    def viewshed_gate(spark, sf):
+        """Observer line-of-sight (raster.viewshed): three observers
+        on the synthetic 128x128 lattice, radius 10 — R3 viewshed
+        with round-half-up nearest-pixel sampling (non-negative
+        integer `div` only) and the strict cross-multiplied blocking
+        test (VIEWSHED_BLOCK_SQL, exact int64, no division or trig).
+        The oracle replays pairing, sampling, and blocking verbatim
+        over the shared pixel CTE."""
+        from geomesa_spark.operators.raster import synth_tiles, viewshed
+
+        tiles = synth_tiles(spark, 4, px=8, py=8, limit_cells=256)
+        obs = spark.createDataFrame(
+            [(10, 10), (64, 100), (100, 30)], "gx long, gy long"
+        )
+        return viewshed(tiles, obs, 4, radius=10)
+
+    q["viewshed"] = viewshed_gate
+
     def contour_gate(spark, sf):
         """Marching-squares contour extraction (raster.contour) at
         the synthetic corpus midline (2^23): the tile bases straddle
@@ -4864,6 +4882,49 @@ SELECT p.gx, p.gy, p.v_fp, g.gx_fp, g.gy_fp,
        {_ter_zx} AS dzdx, {_ter_zy} AS dzdy,
        {_TER_SLOPE.format(zx=_ter_zx, zy=_ter_zy)} AS slope_ratio
 FROM pix p JOIN grad g USING (gx, gy)
+"""
+
+    # viewshed: pairing, round-half-up nearest-pixel sampling
+    # (non-negative `//`), and the shared strict cross-multiplied
+    # blocking string — all verbatim over the shared pixel CTE
+    from geomesa_spark.operators.raster import (
+        VIEWSHED_BLOCK_SQL as _VS_BLK,
+    )
+
+    o["viewshed"] = f"""
+WITH {_ras_pix},
+obse AS (
+  SELECT CAST(o.ogx AS BIGINT) AS ogx, CAST(o.ogy AS BIGINT) AS ogy,
+         p.v_fp AS oe
+  FROM (VALUES (10, 10), (64, 100), (100, 30)) o(ogx, ogy)
+  JOIN pix p ON p.gx = o.ogx AND p.gy = o.ogy
+),
+vpairs AS (
+  SELECT e.ogx, e.ogy, e.oe, p.gx, p.gy, p.v_fp AS te,
+         greatest(abs(p.gx - e.ogx), abs(p.gy - e.ogy)) AS d
+  FROM obse e JOIN pix p
+    ON abs(p.gx - e.ogx) <= 10 AND abs(p.gy - e.ogy) <= 10
+),
+vsamp AS (
+  SELECT pr.ogx, pr.ogy, pr.oe, pr.gx, pr.gy, pr.te, pr.d, s.k,
+         (2*(pr.ogx*(pr.d - s.k) + pr.gx*s.k) + pr.d) // (2*pr.d) AS sx,
+         (2*(pr.ogy*(pr.d - s.k) + pr.gy*s.k) + pr.d) // (2*pr.d) AS sy
+  FROM vpairs pr, UNNEST(generate_series(1, pr.d - 1)) s(k)
+  WHERE pr.d >= 2
+),
+vblk AS (
+  SELECT s.ogx, s.ogy, s.gx, s.gy,
+         bool_or(ek IS NOT NULL AND ({_VS_BLK})) AS any_blk
+  FROM (SELECT s0.*, p.v_fp AS ek
+        FROM vsamp s0
+        LEFT JOIN pix p ON p.gx = s0.sx AND p.gy = s0.sy) s
+  GROUP BY 1, 2, 3, 4
+)
+SELECT pr.ogx AS obs_gx, pr.ogy AS obs_gy, pr.gx, pr.gy, pr.d,
+       NOT coalesce(b.any_blk, FALSE) AS visible
+FROM vpairs pr LEFT JOIN vblk b
+  ON b.ogx = pr.ogx AND b.ogy = pr.ogy
+ AND b.gx = pr.gx AND b.gy = pr.gy
 """
 
     # contour: corner assembly via three pix self-joins, the 4-bit

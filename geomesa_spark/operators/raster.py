@@ -1421,3 +1421,158 @@ def watershed(
         F.coalesce(F.col("tx"), F.col("gx")).alias("out_gx"),
         F.coalesce(F.col("ty"), F.col("gy")).alias("out_gy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# viewshed (observer line-of-sight)
+# ---------------------------------------------------------------------------
+
+# blocked iff an intermediate sample rises strictly above the
+# observer->target sightline; slopes compare cross-multiplied so the
+# test is EXACT int64 (no division anywhere): a sample at step k of d
+# blocks iff (e_k - e_o) * d > (e_t - e_o) * k.  Grazing contact
+# (equality) does NOT block — a perfectly flat plane is fully visible.
+VIEWSHED_BLOCK_SQL = "(ek - oe) * d > (te - oe) * k"
+
+
+def viewshed(
+    tiles: DataFrame,
+    observers: DataFrame,
+    res_bits: int,
+    radius: int,
+    *,
+    observer_height_fp: int = 0,
+    fp_scale: int = 1_000_000,
+    tile_px: int | None = None,
+    tile_py: int | None = None,
+) -> DataFrame:
+    """Observer visibility over the elevation lattice — which pixels
+    within `radius` (Chebyshev) can each observer see.
+
+    The classic R3 viewshed with NEAREST-PIXEL line sampling: the
+    observer->target sightline is sampled at integer steps
+    k = 1..d-1 along the dominant axis (d = max(|dx|, |dy|)); the
+    sample pixel is the round-half-up nearest center,
+    ``(2*(o*(d-k) + t*k) + d) div (2*d)`` — non-negative integer
+    arithmetic only, so truncating and flooring division agree and
+    the DuckDB oracle replays it verbatim.  The visibility test is
+    the cross-multiplied slope comparison (``VIEWSHED_BLOCK_SQL``) —
+    exact int64, no division, no trig: results are bit-identical
+    under any partitioning.
+
+    Shape (all JVM): observers gain their base elevation by one
+    lattice join, pair with every lattice pixel in the Chebyshev
+    window via a BROADCAST range join (the observer set is small —
+    the ``per_source`` contract), explode their d-1 sample steps,
+    and resolve sample elevations through ONE equi-join against the
+    lattice on the sample pixel key; one partial-aggregated bool_or
+    per (observer, target) decides visibility.  Cost is
+    O(observers x radius^3) sample rows — bounded, corpus-size
+    independent — and the lattice is scanned, never crossed with
+    itself.
+
+    Conventions: `observer_height_fp` (fixed-point units) raises the
+    eye above the surface at the observer only; samples on MISSING
+    pixels (absent tiles / NULL holes) do not block (missing data
+    never fabricates an obstruction — the `_pixel_lattice` hole
+    convention); observers standing on missing pixels emit nothing;
+    self and adjacent targets (d <= 1) have no intermediate samples
+    and are always visible.  Overflow bound: |elevation span in fp
+    units| * radius must fit int64 — ~9.2e18 / radius, far beyond
+    any real surface.
+
+    `observers`: rows (gx, gy) in LATTICE pixel coordinates.
+    Returns (obs_gx, obs_gy, gx, gy, d, visible).
+
+    Reference parity: the reference's raster layer stops at
+    query/mosaic (RasterStore / mosaicChunks); viewshed extends the
+    terrain family (`terrain`, `flow_direction`) the way `hotspot`
+    extends density.
+    """
+    if radius < 1:
+        raise ValueError("radius must be >= 1")
+    pixels, px, py = _pixel_lattice(
+        tiles, res_bits, fp_scale, tile_px, tile_py
+    )
+    # observers gain their base elevation by ONE broadcast hash join
+    # against the lattice (the observer set is the small side)
+    obs = pixels.join(
+        F.broadcast(
+            observers.select(
+                F.col("gx").cast("long"),
+                F.col("gy").cast("long"),
+            ).distinct()
+        ),
+        ["gx", "gy"],
+    ).select(
+        F.col("gx").alias("ogx"),
+        F.col("gy").alias("ogy"),
+        (F.col("v_fp") + F.lit(int(observer_height_fp))).alias("oe"),
+    )
+    # bounded O(observers x (2r+1)^2) frame, materialized ONCE so the
+    # d<=1 rows and the sample explode below don't each re-scan the
+    # lattice (the sssp localCheckpoint convention)
+    pairs = pixels.join(
+        F.broadcast(obs),
+        (F.abs(F.col("gx") - F.col("ogx")) <= radius)
+        & (F.abs(F.col("gy") - F.col("ogy")) <= radius),
+    ).select(
+        "ogx", "ogy", "oe", "gx", "gy",
+        F.col("v_fp").alias("te"),
+        F.greatest(
+            F.abs(F.col("gx") - F.col("ogx")),
+            F.abs(F.col("gy") - F.col("ogy")),
+        ).alias("d"),
+    ).localCheckpoint(eager=True)
+    # sample steps: k = 1..d-1 (empty for d <= 1); sample pixel =
+    # round-half-up nearest center of the exact rational LOS point
+    samples = (
+        pairs.filter(F.col("d") >= 2)
+        .select(
+            "ogx", "ogy", "oe", "gx", "gy", "te", "d",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("d") - 1)
+            ).alias("k"),
+        )
+        .withColumn(
+            "sxn",
+            2 * (F.col("ogx") * (F.col("d") - F.col("k"))
+                 + F.col("gx") * F.col("k")) + F.col("d"),
+        )
+        .withColumn(
+            "syn",
+            2 * (F.col("ogy") * (F.col("d") - F.col("k"))
+                 + F.col("gy") * F.col("k")) + F.col("d"),
+        )
+        # integer `div`, never double `/`: exact at any lattice size
+        .withColumn("sx", F.expr("sxn div (2 * d)"))
+        .withColumn("sy", F.expr("syn div (2 * d)"))
+        .drop("sxn", "syn")
+    )
+    elev = pixels.select(
+        F.col("gx").alias("sx"),
+        F.col("gy").alias("sy"),
+        F.col("v_fp").alias("ek"),
+    )
+    blocked = (
+        samples.join(elev, ["sx", "sy"], "left")
+        .withColumn(
+            "blk",
+            F.when(F.col("ek").isNull(), F.lit(False)).otherwise(
+                F.expr(VIEWSHED_BLOCK_SQL)
+            ),
+        )
+        .groupBy("ogx", "ogy", "gx", "gy")
+        .agg(F.max("blk").alias("any_blk"))
+    )
+    return (
+        pairs.join(blocked, ["ogx", "ogy", "gx", "gy"], "left")
+        .select(
+            F.col("ogx").alias("obs_gx"),
+            F.col("ogy").alias("obs_gy"),
+            "gx", "gy", "d",
+            (~F.coalesce(F.col("any_blk"), F.lit(False))).alias(
+                "visible"
+            ),
+        )
+    )

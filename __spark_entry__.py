@@ -2807,6 +2807,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["j_function"] = j_function_gate
 
+    def sd_ellipse_gate(spark, sf):
+        """Centrography (pointpat.centrography) per event_type over
+        the geo events: mean center, raw-moment variance/covariance,
+        standard distance. Coordinate moments are fp-quantized
+        int64 summed as decimal(38,0) (HUGEINT in the oracle);
+        every emitted double is a shared CENTRO_* string. The
+        ellipse axes/bearing need atan2 (libm) and are
+        pytest-verified instead — this gate pins the exact moment
+        surface they derive from."""
+        from geomesa_spark.operators.pointpat import centrography
+
+        out = centrography(geo_events(spark, sf), by=["event_type"])
+        return out.select(
+            "event_type", "n", "mean_x", "mean_y",
+            "vx", "vy", "cxy", "sd_dist",
+        )
+
+    q["sd_ellipse"] = sd_ellipse_gate
+
+    def quadrat_gate(spark, sf):
+        """Quadrat CSR analysis (pointpat.quadrat_counts/
+        quadrat_test): occupied counts on an 8x6 grid over a
+        (-120,-60,120,60) window of the geo events, each row
+        carrying the window-wide chi-square statistics (one-row
+        broadcast cross join) — chi2 = nq·Σc²/n − n folds the empty
+        quadrats into the closed form, so no empty-cell rows
+        materialize anywhere."""
+        from geomesa_spark.operators.pointpat import (
+            quadrat_counts, quadrat_test,
+        )
+
+        pts = geo_events(spark, sf)
+        bbox = (-120.0, -60.0, 120.0, 60.0)
+        counts = quadrat_counts(pts, bbox, 8, 6)
+        stats = quadrat_test(pts, bbox, 8, 6)
+        return counts.crossJoin(F.broadcast(stats))
+
+    q["quadrat"] = quadrat_gate
+
     def ripley_cross_gate(spark, sf):
         """Bivariate Ripley's K (pointpat.ripley_cross_k): do click
         events cluster around purchase events?  Blob corpus with
@@ -6435,6 +6474,87 @@ SELECT bin, {_RIP_R.format(bin="bin", dr=_R_DR)} AS r,
        {_rip_k} AS k_est,
        {_RIP_L.format(K=_rip_k)} AS l_est
 FROM c CROSS JOIN np
+"""
+
+    # sd_ellipse: fp-quantized HUGEINT moments per event_type, every
+    # emitted double the shared CENTRO_* string verbatim
+    from geomesa_spark.operators.pointpat import (
+        CENTRO_COV_SQL as _CEN_COV,
+        CENTRO_MEAN_SQL as _CEN_MEAN,
+        CENTRO_SDD_SQL as _CEN_SDD,
+        CENTRO_VAR_SQL as _CEN_VAR,
+    )
+
+    _cen_fp = repr(10000000.0)
+    _cen_mx = _CEN_MEAN.format(S="sx", n="n", fp=_cen_fp)
+    _cen_my = _CEN_MEAN.format(S="sy", n="n", fp=_cen_fp)
+    _cen_vx = _CEN_VAR.format(S2="sxx", n="n", fp=_cen_fp, m=_cen_mx)
+    _cen_vy = _CEN_VAR.format(S2="syy", n="n", fp=_cen_fp, m=_cen_my)
+    o["sd_ellipse"] = f"""
+WITH tq AS (
+  SELECT event_type,
+         CAST(round(((event_id*9973 % 36000)/100.0 - 180.0)
+              * 10000000.0) AS BIGINT) AS xq,
+         CAST(round(((event_id*7919 % 18000)/100.0 - 90.0)
+              * 10000000.0) AS BIGINT) AS yq
+  FROM events
+),
+mom AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(xq AS HUGEINT)) AS sx,
+         sum(CAST(yq AS HUGEINT)) AS sy,
+         sum(CAST(xq AS HUGEINT) * xq) AS sxx,
+         sum(CAST(yq AS HUGEINT) * yq) AS syy,
+         sum(CAST(xq AS HUGEINT) * yq) AS sxy
+  FROM tq GROUP BY 1
+)
+SELECT event_type, n,
+       {_cen_mx} AS mean_x, {_cen_my} AS mean_y,
+       {_cen_vx} AS vx, {_cen_vy} AS vy,
+       {_CEN_COV.format(Sxy="sxy", n="n", fp=_cen_fp,
+                        mx=_cen_mx, my=_cen_my)} AS cxy,
+       {_CEN_SDD.format(vx=_cen_vx, vy=_cen_vy)} AS sd_dist
+FROM mom
+"""
+
+    # quadrat: occupied-cell counts over the window grid + the
+    # closed-form chi-square via the shared QUADRAT_* strings
+    from geomesa_spark.operators.pointpat import (
+        QUADRAT_CHI2_SQL as _QD_CHI2,
+        QUADRAT_VMR_SQL as _QD_VMR,
+    )
+
+    _qd_chi2 = _QD_CHI2.format(nq="nq", ssq="ssq", n="n")
+    o["quadrat"] = f"""
+WITH tp AS (
+  SELECT (event_id*9973 % 36000)/100.0 - 180.0 AS lon,
+         (event_id*7919 % 18000)/100.0 - 90.0 AS lat
+  FROM events
+),
+qin AS (
+  SELECT least(7, CAST(floor((lon - -120.0) / 240.0 * 8) AS BIGINT))
+           AS cx,
+         least(5, CAST(floor((lat - -60.0) / 120.0 * 6) AS BIGINT))
+           AS cy
+  FROM tp
+  WHERE lon >= -120.0 AND lon <= 120.0
+    AND lat >= -60.0 AND lat <= 60.0
+),
+qcounts AS (
+  SELECT cx, cy, CAST(count(*) AS BIGINT) AS c
+  FROM qin GROUP BY 1, 2
+),
+qstats AS (
+  SELECT CAST(48 AS BIGINT) AS nq,
+         CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+         CAST(coalesce(sum(c * c), 0) AS BIGINT) AS ssq
+  FROM qcounts
+)
+SELECT cx, cy, c, nq, n, ssq,
+       {_qd_chi2} AS chi2,
+       {_QD_VMR.format(chi2=_qd_chi2, nq="nq")} AS vmr
+FROM qcounts CROSS JOIN qstats
 """
 
     from geomesa_spark.operators.pointpat import (

@@ -144,6 +144,8 @@ HEADLINE = [
     "watershed",
     "cost_distance",
     "viewshed",
+    "sd_ellipse",
+    "quadrat",
 ]
 
 

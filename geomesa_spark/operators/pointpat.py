@@ -864,3 +864,237 @@ def j_function(
             ).alias("j_est"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# centrography: mean center, standard distance, deviational ellipse
+# ---------------------------------------------------------------------------
+
+# coordinate moments quantize to fp int64 and sum as DECIMAL(38,0)
+# (HUGEINT in the oracle) — exact at any corpus size; every derived
+# double is one shared string over those integers, evaluated verbatim
+# by both engines.  Var/cov use the raw-moment form S2/n - mean²:
+# deterministic IEEE composition (the TERRAIN_* convention), with the
+# catastrophic-cancellation caveat documented on `centrography`.
+CENTRO_MEAN_SQL = "CAST({S} AS DOUBLE) / CAST({n} AS DOUBLE) / {fp}"
+CENTRO_VAR_SQL = (
+    "CAST({S2} AS DOUBLE) / CAST({n} AS DOUBLE) / ({fp} * {fp})"
+    " - ({m}) * ({m})"
+)
+CENTRO_COV_SQL = (
+    "CAST({Sxy} AS DOUBLE) / CAST({n} AS DOUBLE) / ({fp} * {fp})"
+    " - ({mx}) * ({my})"
+)
+CENTRO_SDD_SQL = "sqrt(({vx}) + ({vy}))"
+
+
+def centrography(
+    pts: DataFrame,
+    *,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    weight_col: str | None = None,
+    by: list[str] | None = None,
+    fp_scale: int = 10_000_000,
+) -> DataFrame:
+    """Centrographic summary — mean center, standard distance, and
+    the standard deviational ellipse (Yuill 1971, the CrimeStat /
+    ESRI "directional distribution" statistic) — per group.
+
+    ONE partial-aggregated groupBy computes the exact integer
+    moments (n or Σw, Σx, Σy, Σx², Σy², Σxy on fp-quantized
+    coordinates, summed as decimal(38,0) so planetary corpora cannot
+    overflow); every derived quantity is arithmetic on that single
+    row.  mean/var/cov/std-distance use only IEEE-exact shared
+    strings (``CENTRO_*_SQL`` — gate-comparable); the ellipse
+    orientation and axes need atan2/sqrt of intermediate products,
+    so ``theta_deg``/``sigma_major``/``sigma_minor`` are
+    numpy-verified in pytest rather than hash-gated (the terrain
+    aspect precedent).
+
+    Variance uses the raw-moment form S2/n - mean² — exact integer
+    inputs, but the subtraction cancels catastrophically when the
+    pattern's extent is tiny relative to its distance from the
+    origin (sub-meter clusters thousands of km from (0,0) lose ~9
+    significant digits and stay fine at fp_scale=1e7); pre-shift
+    coordinates for finer work.
+
+    Ellipse convention: axes are the RAW standard deviations along
+    the principal directions (no ESRI sqrt(2) inflation);
+    theta_deg is the major axis' compass bearing in [0, 180).
+
+    Returns (by..., n, mean_x, mean_y, vx, vy, cxy, sd_dist,
+    theta_deg, sigma_major, sigma_minor).
+    """
+    keys = list(by) if by else []
+    fp = float(fp_scale)
+    xq = F.round(F.col(lon_col) * F.lit(fp)).cast("long")
+    yq = F.round(F.col(lat_col) * F.lit(fp)).cast("long")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    dec = "decimal(38,0)"
+    # cast BEFORE multiplying: xq² fits int64 but xq²·w need not —
+    # decimal arithmetic keeps every per-row product exact
+    xd, yd = xq.cast(dec), yq.cast(dec)
+    base = pts.select(
+        *keys,
+        (w).alias("_w"),
+        (xd * w).alias("_sx"),
+        (yd * w).alias("_sy"),
+        (xd * xq * w).alias("_sxx"),
+        (yd * yq * w).alias("_syy"),
+        (xd * yq * w).alias("_sxy"),
+    )
+    mom = base.groupBy(*keys).agg(
+        F.sum("_w").alias("n"),
+        F.sum("_sx").alias("sx"),
+        F.sum("_sy").alias("sy"),
+        F.sum("_sxx").alias("sxx"),
+        F.sum("_syy").alias("syy"),
+        F.sum("_sxy").alias("sxy"),
+    )
+    fp_r = repr(fp)
+    mx = CENTRO_MEAN_SQL.format(S="sx", n="n", fp=fp_r)
+    my = CENTRO_MEAN_SQL.format(S="sy", n="n", fp=fp_r)
+    vx = CENTRO_VAR_SQL.format(S2="sxx", n="n", fp=fp_r, m=mx)
+    vy = CENTRO_VAR_SQL.format(S2="syy", n="n", fp=fp_r, m=my)
+    cxy = CENTRO_COV_SQL.format(Sxy="sxy", n="n", fp=fp_r, mx=mx, my=my)
+    out = mom.select(
+        *keys,
+        "n",
+        F.expr(mx).alias("mean_x"),
+        F.expr(my).alias("mean_y"),
+        F.expr(vx).alias("vx"),
+        F.expr(vy).alias("vy"),
+        F.expr(cxy).alias("cxy"),
+        F.expr(CENTRO_SDD_SQL.format(vx=vx, vy=vy)).alias("sd_dist"),
+    )
+    # principal axes: sigma² = (vx+vy)/2 ± sqrt(((vx-vy)/2)² + cxy²);
+    # major-axis bearing from the eigenvector — atan2 is libm, so
+    # these columns are pytest-verified, not hash-gated
+    half_tr = (F.col("vx") + F.col("vy")) / 2.0
+    disc = F.sqrt(
+        ((F.col("vx") - F.col("vy")) / 2.0) ** 2 + F.col("cxy") ** 2
+    )
+    # eigenvector for the larger eigenvalue, expressed as the compass
+    # bearing of the major axis (clockwise from north, [0, 180))
+    theta = (
+        F.degrees(
+            F.atan2(
+                F.col("cxy"),
+                (F.col("vy") - F.col("vx")) / 2.0 + disc,
+            )
+        )
+        + F.lit(360.0)
+    ) % 180.0
+    return (
+        out.withColumn(
+            "sigma_major", F.sqrt(F.greatest(half_tr + disc, F.lit(0.0)))
+        )
+        .withColumn(
+            "sigma_minor", F.sqrt(F.greatest(half_tr - disc, F.lit(0.0)))
+        )
+        .withColumn(
+            "theta_deg",
+            # axis-aligned degenerates: atan2(0, 0) would misreport
+            F.when(
+                (F.col("cxy") == 0.0) & (F.col("vy") >= F.col("vx")),
+                F.lit(0.0),
+            )
+            .when(F.col("cxy") == 0.0, F.lit(90.0))
+            .otherwise(theta),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# quadrat analysis (chi-square CSR test)
+# ---------------------------------------------------------------------------
+
+# chi² = Σ(c - n/nq)² / (n/nq) = nq·Σc² / n - n over ALL nq window
+# cells (empties contribute their expectation only — folded into the
+# closed form, no empty-cell rows materialize); VMR = chi² / (nq - 1)
+QUADRAT_CHI2_SQL = (
+    "CASE WHEN {n} = 0 THEN NULL ELSE"
+    " CAST({nq} AS DOUBLE) * CAST({ssq} AS DOUBLE) / CAST({n} AS DOUBLE)"
+    " - CAST({n} AS DOUBLE) END"
+)
+QUADRAT_VMR_SQL = (
+    "CASE WHEN {nq} = 1 THEN NULL ELSE"
+    " ({chi2}) / (CAST({nq} AS DOUBLE) - 1.0) END"
+)
+
+
+def quadrat_counts(
+    pts: DataFrame,
+    bbox: tuple[float, float, float, float],
+    nx: int,
+    ny: int,
+    *,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Occupied quadrat counts over an nx x ny grid of the window:
+    (cx, cy, c).  Points outside the window are dropped; the right/
+    top edges close into the last row/column (the grid_snap
+    convention).  Pure filter + one partial-aggregated groupBy."""
+    if nx < 1 or ny < 1:
+        raise ValueError("nx and ny must be >= 1")
+    x0, y0, x1, y1 = (float(v) for v in bbox)
+    if not (x1 > x0 and y1 > y0):
+        raise ValueError("bbox must have positive extent")
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    cx = F.least(
+        F.lit(nx - 1),
+        F.floor((lon - x0) / F.lit(x1 - x0) * nx),
+    ).cast("long")
+    cy = F.least(
+        F.lit(ny - 1),
+        F.floor((lat - y0) / F.lit(y1 - y0) * ny),
+    ).cast("long")
+    return (
+        pts.filter(
+            (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+        )
+        .select(cx.alias("cx"), cy.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def quadrat_test(
+    pts: DataFrame,
+    bbox: tuple[float, float, float, float],
+    nx: int,
+    ny: int,
+    *,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Quadrat chi-square test of complete spatial randomness
+    (Fisher's index-of-dispersion form): one row (nq, n, ssq, chi2,
+    vmr) where chi² = nq·Σc²/n − n over ALL nq = nx·ny quadrats —
+    empty cells never materialize (their contribution is the closed
+    form's), so the plan is the occupied groupBy plus one global
+    aggregate.  Under CSR chi² ~ χ²(nq−1): VMR ≈ 1, >1 clustered,
+    <1 dispersed/inhibited."""
+    counts = quadrat_counts(
+        pts, bbox, nx, ny, lon_col=lon_col, lat_col=lat_col
+    )
+    nq = nx * ny
+    stats = counts.agg(
+        F.lit(nq).cast("long").alias("nq"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum(F.col("c") * F.col("c")), F.lit(0))
+        .cast("long")
+        .alias("ssq"),
+    )
+    chi2 = QUADRAT_CHI2_SQL.format(nq="nq", ssq="ssq", n="n")
+    return stats.select(
+        "nq", "n", "ssq",
+        F.expr(chi2).alias("chi2"),
+        F.expr(QUADRAT_VMR_SQL.format(chi2=chi2, nq="nq")).alias("vmr"),
+    )

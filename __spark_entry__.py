@@ -2846,6 +2846,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quadrat"] = quadrat_gate
 
+    def convex_hull_gate(spark, sf):
+        """Distributed convex hull (hull.convex_hull/hull_edges) per
+        event_type over a 1/37 slice of the geo events: two exact
+        integer monotone-chain rounds (shard-local then final), CCW
+        edges via the successor-index join. The oracle is the O(n³)
+        directed hull-edge characterization — (a,b) is a CCW hull
+        edge iff every other point is strictly left or
+        collinear-within — which needs no chain at all; every group
+        here is non-degenerate (≥3 non-collinear points), where that
+        characterization picks each undirected edge in exactly one
+        direction."""
+        from geomesa_spark.operators.hull import convex_hull, hull_edges
+
+        pts = geo_events(spark, sf).filter(F.col("event_id") % 37 == 0)
+        verts = convex_hull(pts, by=["event_type"])
+        return hull_edges(verts, by=["event_type"])
+
+    q["convex_hull"] = convex_hull_gate
+
     def ripley_cross_gate(spark, sf):
         """Bivariate Ripley's K (pointpat.ripley_cross_k): do click
         events cluster around purchase events?  Blob corpus with
@@ -6516,6 +6535,45 @@ SELECT event_type, n,
                         mx=_cen_mx, my=_cen_my)} AS cxy,
        {_CEN_SDD.format(vx=_cen_vx, vy=_cen_vy)} AS sd_dist
 FROM mom
+"""
+
+    # convex_hull: the O(n³) directed hull-edge characterization —
+    # no chain, no recursion: (a,b) is a CCW hull edge iff every
+    # other point is strictly left (integer cross > 0) or
+    # collinear-within the segment
+    o["convex_hull"] = """
+WITH tq AS (
+  SELECT DISTINCT event_type AS g,
+         CAST(round(((event_id*9973 % 36000)/100.0 - 180.0)
+              * 10000000.0) AS BIGINT) AS xq,
+         CAST(round(((event_id*7919 % 18000)/100.0 - 90.0)
+              * 10000000.0) AS BIGINT) AS yq
+  FROM events WHERE event_id % 37 = 0
+)
+SELECT c.g AS event_type,
+       CAST(c.ax AS DOUBLE) / 10000000.0 AS ax,
+       CAST(c.ay AS DOUBLE) / 10000000.0 AS ay,
+       CAST(c.bx AS DOUBLE) / 10000000.0 AS bx,
+       CAST(c.by2 AS DOUBLE) / 10000000.0 AS by_
+FROM (
+  SELECT a.g, a.xq AS ax, a.yq AS ay, b.xq AS bx, b.yq AS by2
+  FROM tq a JOIN tq b
+    ON a.g = b.g AND (a.xq <> b.xq OR a.yq <> b.yq)
+) c
+WHERE NOT EXISTS (
+  SELECT 1 FROM tq p
+  WHERE p.g = c.g
+    AND NOT (
+      (c.bx - c.ax) * (p.yq - c.ay)
+        - (c.by2 - c.ay) * (p.xq - c.ax) > 0
+      OR (
+        (c.bx - c.ax) * (p.yq - c.ay)
+          - (c.by2 - c.ay) * (p.xq - c.ax) = 0
+        AND p.xq BETWEEN least(c.ax, c.bx) AND greatest(c.ax, c.bx)
+        AND p.yq BETWEEN least(c.ay, c.by2) AND greatest(c.ay, c.by2)
+      )
+    )
+)
 """
 
     # quadrat: occupied-cell counts over the window grid + the

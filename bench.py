@@ -146,6 +146,7 @@ HEADLINE = [
     "viewshed",
     "sd_ellipse",
     "quadrat",
+    "convex_hull",
 ]
 
 

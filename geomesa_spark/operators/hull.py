@@ -1,0 +1,176 @@
+"""Distributed convex hull per group.
+
+The classic per-category footprint question ("the extent of each
+fleet's activity", "the envelope of each event type") — the reference
+leaves hulls to GeoTools' client-side ``ConvexHull``; here the
+reduction runs distributed and only hull-sized remainders ever meet
+the sequential step.
+
+Shape: hull(S) = hull(hull(S₁) ∪ … ∪ hull(Sₚ)), so the operator runs
+TWO rounds of the same exact monotone chain (Andrew 1979):
+
+1. points salt into (group, salt) shards — bounded pandas groups —
+   and each shard reduces to its LOCAL hull vertices (output is hull-
+   sized, typically O(log n) for random data, O(shard) worst case on
+   a circle);
+2. each group's surviving candidates (≤ shards × local hull size)
+   run the final chain in one ``applyInPandas`` group — the
+   ``simplify``/``dtw_join`` escape-hatch contract for inherently
+   sequential per-group algorithms.
+
+Exactness: coordinates quantize to fp int64 and every turn decision
+is an INTEGER cross product (python ints in the chain — no overflow
+at any fp_scale), so the hull is deterministic under any partitioning
+and any shard assignment: local hulls are exact subsets, and the
+final chain sees the same candidate SET regardless of layout.
+Duplicates dedup; collinear boundary points are NOT vertices (strict
+turns); orientation is counter-clockwise starting from the
+lexicographically-least vertex.
+
+Overflow bound (cross products in the DuckDB oracle's int64): the
+quantized extent must satisfy span_x · span_y < 2^63 — at the default
+fp_scale=1e7 the whole world is 3.6e9 × 1.8e9 = 6.5e18, inside the
+bound; the operator itself uses python ints and has no bound.
+
+Degenerates: a single distinct point yields one vertex and no edges;
+a collinear set yields its two extremes (one edge).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["convex_hull", "hull_edges"]
+
+
+def _chain(pts: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Monotone chain on deduped int pairs: CCW, strict turns,
+    starting at the lexicographic minimum."""
+    pts = sorted(set(pts))
+    if len(pts) <= 1:
+        return pts
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (
+            b[0] - o[0]
+        )
+
+    lower: list[tuple[int, int]] = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list[tuple[int, int]] = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return lower[:-1] + upper[:-1]
+
+
+def convex_hull(
+    pts: DataFrame,
+    *,
+    by: list[str] | None = None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    fp_scale: int = 10_000_000,
+    shards: int = 64,
+) -> DataFrame:
+    """Hull vertices per group: (by..., vertex_idx, x, y) in CCW
+    order from the lexicographically-least vertex.  Coordinates are
+    the de-quantized vertex positions (exact multiples of
+    1/fp_scale)."""
+    user_keys = list(by) if by else []
+    fp = float(fp_scale)
+    xq = F.round(F.col(lon_col) * F.lit(fp)).cast("long")
+    yq = F.round(F.col(lat_col) * F.lit(fp)).cast("long")
+    base = pts.select(
+        *user_keys, xq.alias("xq"), yq.alias("yq")
+    ).dropDuplicates([*user_keys, "xq", "yq"])
+    # internal constant group when ungrouped — one code path
+    keys = user_keys or ["_g"]
+    if not user_keys:
+        base = base.withColumn("_g", F.lit(1))
+    key_fields = ", ".join(
+        f"{c} {dict(base.dtypes)[c]}" for c in keys
+    )
+
+    def _hulls(with_idx: bool):
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            hull = _chain(
+                list(
+                    zip(
+                        pdf["xq"].astype(object),
+                        pdf["yq"].astype(object),
+                    )
+                )
+            )
+            out = pd.DataFrame(hull, columns=["xq", "yq"])
+            if with_idx:
+                out["vertex_idx"] = range(len(hull))
+            for c in keys:
+                out[c] = pdf[c].iloc[0]
+            cols = [*keys, "xq", "yq"] + (
+                ["vertex_idx"] if with_idx else []
+            )
+            return out[cols]
+
+        return fn
+
+    salt = F.pmod(
+        F.xxhash64(F.col("xq"), F.col("yq")), F.lit(int(shards))
+    ).alias("_salt")
+    reduced = (
+        base.select(*keys, "xq", "yq", salt)
+        .groupBy(*keys, "_salt")
+        .applyInPandas(
+            _hulls(False), schema=f"{key_fields}, xq long, yq long"
+        )
+    )
+    verts = reduced.groupBy(*keys).applyInPandas(
+        _hulls(True),
+        schema=f"{key_fields}, xq long, yq long, vertex_idx long",
+    )
+    return verts.select(
+        *user_keys,
+        "vertex_idx",
+        (F.col("xq").cast("double") / F.lit(fp)).alias("x"),
+        (F.col("yq").cast("double") / F.lit(fp)).alias("y"),
+    )
+
+
+def hull_edges(
+    verts: DataFrame, *, by: list[str] | None = None
+) -> DataFrame:
+    """Consecutive CCW vertex pairs (cyclic) per group:
+    (by..., ax, ay, bx, by_).  Pure JVM: one max(vertex_idx) window
+    per group + an equi-join on the successor index.  A 1-vertex
+    hull emits no edges; a 2-vertex (collinear) hull emits its
+    single segment once (no back-edge)."""
+    user_keys = list(by) if by else []
+    keys = user_keys or ["_g"]
+    if not user_keys:
+        verts = verts.withColumn("_g", F.lit(1))
+    w = Window.partitionBy(*keys)
+    v = verts.withColumn("_nv", F.max("vertex_idx").over(w) + 1)
+    a = v.filter(
+        (F.col("_nv") > 2)
+        | ((F.col("_nv") == 2) & (F.col("vertex_idx") == 0))
+    ).select(
+        *keys,
+        F.pmod(F.col("vertex_idx") + 1, F.col("_nv")).alias("_j"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+    )
+    b = v.select(
+        *keys,
+        F.col("vertex_idx").alias("_j"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by_"),
+    )
+    return a.join(b, [*keys, "_j"]).select(
+        *user_keys, "ax", "ay", "bx", "by_"
+    )

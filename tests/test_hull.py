@@ -1,0 +1,140 @@
+"""Distributed convex hull vs an independent exhaustive hull-edge
+oracle (all-pairs half-plane characterization, not a chain)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators.hull import convex_hull, hull_edges
+
+FP = 10_000_000
+
+
+def _pts(spark, xy, grp=None):
+    rows = [
+        (float(x), float(y), grp[i] if grp is not None else "a")
+        for i, (x, y) in enumerate(xy)
+    ]
+    return spark.createDataFrame(rows, "lon double, lat double, g string")
+
+
+def _oracle_vertices(xy):
+    """Exhaustive: q is a hull vertex iff some directed edge (q, r)
+    has every other point strictly left or collinear-within — i.e.
+    q is an endpoint of a hull edge.  Single/collinear degenerates
+    handled by direct reasoning (extremes)."""
+    q = {(int(round(x * FP)), int(round(y * FP))) for x, y in xy}
+    pts = sorted(q)
+    if len(pts) <= 2:
+        return set(pts)
+    P = np.array(pts, dtype=object)
+    n = len(P)
+    verts = set()
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            a, b = P[i], P[j]
+            d = P - a
+            cr = (b[0] - a[0]) * d[:, 1] - (b[1] - a[1]) * d[:, 0]
+            on = cr == 0
+            within = (
+                on
+                & (np.minimum(a[0], b[0]) <= P[:, 0])
+                & (P[:, 0] <= np.maximum(a[0], b[0]))
+                & (np.minimum(a[1], b[1]) <= P[:, 1])
+                & (P[:, 1] <= np.maximum(a[1], b[1]))
+            )
+            if np.all((cr > 0) | within):
+                verts.add(tuple(a))
+                verts.add(tuple(b))
+    return verts
+
+
+def _got_vertices(verts_df, g=None):
+    rows = verts_df.collect()
+    if g is not None:
+        rows = [r for r in rows if r.g == g]
+    return {
+        (int(round(r.x * FP)), int(round(r.y * FP))): r.vertex_idx
+        for r in rows
+    }
+
+
+def test_hull_matches_exhaustive_oracle(spark):
+    rng = np.random.default_rng(3)
+    blobs = {
+        "gauss": rng.normal(0, 3, (300, 2)) + [10, 20],
+        "ring": np.c_[np.cos(np.linspace(0, 2 * np.pi, 40, False)),
+                      np.sin(np.linspace(0, 2 * np.pi, 40, False))] * 5,
+        "box": rng.uniform(-1, 1, (200, 2)) * [30, 0.5],
+    }
+    xy = np.vstack(list(blobs.values()))
+    grp = sum([[g] * len(v) for g, v in blobs.items()], [])
+    out = convex_hull(_pts(spark, xy, grp), by=["g"])
+    for g, v in blobs.items():
+        got = set(_got_vertices(out, g))
+        want = _oracle_vertices(v)
+        assert got == want, (g, len(got), len(want))
+    # the ring's 40 generators are all extreme (worst case: no
+    # reduction possible) — every one survives
+    assert len(_got_vertices(out, "ring")) == 40
+
+
+def test_hull_ccw_order_and_containment(spark):
+    rng = np.random.default_rng(8)
+    xy = rng.normal(0, 2, (500, 2))
+    vd = convex_hull(_pts(spark, xy))
+    ed = hull_edges(vd).collect()
+    verts = sorted(
+        ((r.vertex_idx, r.x, r.y) for r in vd.collect())
+    )
+    # starts at the lexicographic minimum
+    assert (verts[0][1], verts[0][2]) == min((x, y) for _, x, y in verts)
+    # CCW: positive signed area, every input point left of every edge
+    area2 = sum(
+        e.ax * e.by_ - e.bx * e.ay for e in ed
+    )
+    assert area2 > 0
+    for e in ed:
+        cr = (e.bx - e.ax) * (xy[:, 1] - e.ay) - (e.by_ - e.ay) * (
+            xy[:, 0] - e.ax
+        )
+        assert (cr >= -1e-6).all()
+    assert len(ed) == len(verts)  # cyclic: one edge per vertex
+
+
+def test_hull_degenerates_and_duplicates(spark):
+    # collinear -> two extremes, one edge; single point -> no edges
+    xy = [(0.0, 0.0), (1.0, 1.0), (2.0, 2.0), (1.0, 1.0), (0.5, 0.5)]
+    grp = ["line"] * 5
+    xy += [(7.0, 7.0), (7.0, 7.0)]
+    grp += ["dot"] * 2
+    vd = convex_hull(_pts(spark, xy, grp), by=["g"])
+    ed = hull_edges(vd, by=["g"])
+    line_v = _got_vertices(vd, "line")
+    assert set(line_v) == {(0, 0), (2 * FP, 2 * FP)}
+    dot_v = _got_vertices(vd, "dot")
+    assert set(dot_v) == {(7 * FP, 7 * FP)}
+    edges = {r.g: [] for r in ed.collect()}
+    for r in ed.collect():
+        edges[r.g].append((r.ax, r.ay, r.bx, r.by_))
+    assert len(edges.get("line", [])) == 1
+    assert "dot" not in edges
+
+
+def test_hull_shard_invariance(spark):
+    rng = np.random.default_rng(21)
+    xy = rng.uniform(-50, 50, (400, 2))
+    one = _got_vertices(convex_hull(_pts(spark, xy), shards=1))
+    many = _got_vertices(convex_hull(_pts(spark, xy), shards=64))
+    assert one == many  # same vertices AND same CCW indices
+
+
+def test_hull_plan_is_two_pandas_stages(spark):
+    rng = np.random.default_rng(2)
+    xy = rng.normal(0, 1, (100, 2))
+    plan = convex_hull(_pts(spark, xy))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 2
+    assert "CartesianProduct" not in plan

@@ -2378,6 +2378,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cost_distance"] = cost_distance_gate
 
+    def route_paths_gate(spark, sf):
+        """Route extraction (route.sssp(return_parent=True) +
+        shortest_paths): CONVERGED cost-distance labels over the 8x8
+        event-count lattice, parents as the third min-struct tie key
+        (min node id among all optimal-value offers — deterministic
+        under any schedule), then the east column's optimal routes
+        walked target-first. Oracle = 66 unrolled min-relaxation
+        stages over packed (dist, src6, par6) int64 (66 > the
+        64-node hop diameter + tie settling) + one recursive-CTE
+        parent walk."""
+        from geomesa_spark.operators.route import (
+            grid_cost_edges, shortest_paths, sssp,
+        )
+
+        n = 8
+        lon, lat = F.col("lon"), F.col("lat")
+        gx = F.greatest(
+            F.lit(0), F.least(F.lit(n - 1), F.floor((lon + 180.0) / 360.0 * n))
+        ).cast("long")
+        gy = F.greatest(
+            F.lit(0), F.least(F.lit(n - 1), F.floor((lat + 90.0) / 180.0 * n))
+        ).cast("long")
+        cells = (
+            geo_events(spark, sf)
+            .select(gx.alias("gx"), gy.alias("gy"))
+            .groupBy("gx", "gy")
+            .agg(F.count("*").cast("long").alias("cost"))
+        )
+        edges = grid_cost_edges(cells)
+        node = (F.col("gx") * F.lit(4294967296) + F.col("gy")).alias("node")
+        labels = sssp(
+            edges, cells.filter("gx = 0").select(node),
+            return_parent=True,
+        )
+        paths = shortest_paths(labels, cells.filter("gx = 7").select(node))
+        return paths.select(
+            F.expr("tgt div 4294967296").alias("tgt_gx"),
+            (F.col("tgt") % F.lit(4294967296)).alias("tgt_gy"),
+            "seq",
+            F.expr("node div 4294967296").alias("gx"),
+            (F.col("node") % F.lit(4294967296)).alias("gy"),
+        )
+
+    q["route_paths"] = route_paths_gate
+
     def areal_interp_gate(spark, sf):
         """Areal interpolation (interp.areal_interpolate): the pip
         polygon layer's magnitudes reallocated onto the bits=5 grid
@@ -5189,6 +5234,67 @@ SELECT node // 4294967296 AS gx,
        (p % {_cd_pack}) // 4294967296 AS src_gx,
        (p % {_cd_pack}) % 4294967296 AS src_gy
 FROM fin
+"""
+
+    # route_paths: CONVERGED relaxation (66 unrolled stages — past
+    # the 64-node hop diameter plus tie settling) over packed
+    # (dist, src6, par6) = dist*4096 + src6*64 + par6, node6 =
+    # gx*8+gy (monotone with the engine's gx*2^32+gy ids, so the
+    # lexicographic mins agree), then a recursive-CTE parent walk
+    # from the east column.  The min-accumulation over ALL-node
+    # offers per stage equals the engine's frontier-only offers:
+    # repeat offers are idempotent under min.
+    _rp_relax = "\n".join(
+        f"""r{i} AS MATERIALIZED (
+  SELECT node, MIN(p) AS p FROM (
+    SELECT node, p FROM r{i - 1}
+    UNION ALL
+    SELECT e.dst AS node,
+           (d.p // 4096 + e.w) * 4096
+             + ((d.p % 4096) // 64) * 64 + e.src AS p
+    FROM r{i - 1} d JOIN rp_edges e ON e.src = d.node
+  ) GROUP BY node
+),"""
+        for i in range(1, 67)
+    )
+    o["route_paths"] = f"""
+WITH RECURSIVE tp AS (
+  SELECT (event_id*9973 % 36000)/100.0 - 180.0 AS lon,
+         (event_id*7919 % 18000)/100.0 - 90.0 AS lat
+  FROM events
+),
+rp_cells AS (
+  SELECT CAST(greatest(0, least(7, floor((lon+180.0)/360.0*8.0))) AS BIGINT) AS gx,
+         CAST(greatest(0, least(7, floor((lat+90.0)/180.0*8.0))) AS BIGINT) AS gy,
+         CAST(count(*) AS BIGINT) AS cost
+  FROM tp GROUP BY 1, 2
+),
+rp_edges AS (
+  SELECT a.gx*8 + a.gy AS src,
+         b.gx*8 + b.gy AS dst,
+         b.cost AS w
+  FROM rp_cells a JOIN rp_cells b
+    ON abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1
+),
+r0 AS (
+  SELECT gx*8 + gy AS node,
+         (gx*8 + gy) * 64 + (gx*8 + gy) AS p
+  FROM rp_cells WHERE gx = 0
+),
+{_rp_relax}
+fin AS (SELECT node, p FROM r66),
+walk AS (
+  SELECT f.node AS tgt, 0 AS seq, f.node AS node
+  FROM fin f WHERE f.node // 8 = 7
+  UNION ALL
+  SELECT w.tgt, w.seq + 1, f.p % 64
+  FROM walk w JOIN fin f ON f.node = w.node
+  WHERE f.p % 64 <> w.node
+)
+SELECT tgt // 8 AS tgt_gx, tgt % 8 AS tgt_gy,
+       CAST(seq AS BIGINT) AS seq,
+       node // 8 AS gx, node % 8 AS gy
+FROM walk
 """
 
     # spatial_split: clamp/floor grid at bits=4, spread interleave,

@@ -143,6 +143,7 @@ HEADLINE = [
     "flow_accumulation",
     "watershed",
     "cost_distance",
+    "route_paths",
     "viewshed",
     "sd_ellipse",
     "quadrat",

@@ -54,6 +54,7 @@ __all__ = [
     "edges_from_segments",
     "segment_nodes",
     "sssp",
+    "shortest_paths",
     "isochrone",
     "od_matrix",
 ]
@@ -198,6 +199,7 @@ def sssp(
     per_source: bool = False,
     rounds: int | None = None,
     max_rounds: int = 100,
+    return_parent: bool = False,
 ) -> DataFrame:
     """Multi-source shortest-path distances by frontier Bellman-Ford.
 
@@ -222,6 +224,16 @@ def sssp(
     optimal paths by one edge — the textbook Bellman-Ford
     invariant); `rounds=None` iterates to convergence and RAISES if
     `max_rounds` arrives while labels still change.
+
+    `return_parent=True` adds `par` — the node's predecessor on an
+    optimal path (= itself at sources), feeding ``shortest_paths``.
+    Parents ride the min-struct as a third tie key, so the winner is
+    the MINIMUM node id among optimal predecessors: deterministic
+    under any partitioning and any round schedule (every optimal
+    predecessor re-offers when it last changes, and min is
+    order-free).  Parent-only changes never re-enter the frontier —
+    a node's offers to its neighbors carry its OWN id, not its
+    parent — so the flag costs no extra rounds.
     """
     e = edges.select(
         F.col("src").alias("e_src"),
@@ -242,6 +254,7 @@ def sssp(
             "node",
             F.lit(0).cast("long").alias("dist"),
             F.col("node").alias("s_src"),
+            F.col("node").alias("par"),
             F.lit(True).alias("chg"),
         )
         .localCheckpoint(eager=True)
@@ -262,12 +275,14 @@ def sssp(
             F.col("e_dst").alias("node"),
             (F.col("dist") + F.col("e_w")).alias("dist"),
             "s_src",
+            # the offer's parent is the OFFERING node itself
+            F.col("e_src").alias("par"),
         )
         merged = (
-            labels.select("node", "dist", "s_src")
+            labels.select("node", "dist", "s_src", "par")
             .unionByName(relaxed)
             .groupBy(*keys)
-            .agg(F.min(F.struct("dist", "s_src")).alias("_m"))
+            .agg(F.min(F.struct("dist", "s_src", "par")).alias("_m"))
         )
         old = labels.select(
             F.col("node").alias("o_node"),
@@ -278,6 +293,7 @@ def sssp(
             "node",
             F.col("_m.dist").alias("dist"),
             F.col("_m.s_src").alias("s_src"),
+            F.col("_m.par").alias("par"),
         )
         cond = newm["node"] == old["o_node"]
         if per_source:
@@ -288,6 +304,9 @@ def sssp(
                 "node",
                 "dist",
                 "s_src",
+                "par",
+                # parent-only changes deliberately excluded: a node's
+                # offers carry its own id, never its parent
                 (
                     F.col("o_dist").isNull()
                     | (F.col("dist") != F.col("o_dist"))
@@ -311,9 +330,14 @@ def sssp(
             f"sssp did not converge in {max_rounds} rounds; raise "
             "max_rounds (weighted-hop diameter exceeds the budget)"
         )
-    out = labels.select("node", "dist", F.col("s_src").alias("src"))
+    cols = ["node", "dist", F.col("s_src").alias("src")] + (
+        ["par"] if return_parent else []
+    )
+    out = labels.select(*cols)
     if per_source:
-        return out.select("node", "src", "dist")
+        return out.select(
+            "node", "src", "dist", *(["par"] if return_parent else [])
+        )
     return out
 
 
@@ -356,3 +380,71 @@ def od_matrix(
     )
     tgt = targets.select(F.col(node_col).cast("long").alias("node")).distinct()
     return dists.join(tgt, "node").select("src", "node", "dist")
+
+
+def shortest_paths(
+    labels: DataFrame,
+    targets: DataFrame,
+    *,
+    node_col: str = "node",
+    max_hops: int = 10_000,
+) -> DataFrame:
+    """Materialize optimal source->target routes by walking the
+    `par` pointers of ``sssp(..., return_parent=True)`` output.
+
+    Returns (tgt, seq, node): seq counts hops FROM THE TARGET (seq 0
+    = the target row, the largest seq = the source) — reverse per
+    tgt for travel order.  Unreached targets emit nothing.
+
+    Shape: the walker set (one row per unfinished target) broadcasts
+    against the persisted parent table each hop — the parent table
+    never shuffles, and per-round cost is one in-memory scan.  Total
+    cost is O(longest path x parent-table scan): bound the target
+    set (the ``per_source`` contract); for whole-graph closures use
+    the pointer-doubling machinery (``raster.flow_accumulation``)
+    instead.  Raises past `max_hops` — zero-weight cycles can
+    produce parent cycles (see sssp), and a walk that long means the
+    input was not a converged label table.
+    """
+    par = labels.select(
+        F.col("node").alias("p_node"), F.col("par").alias("p_par")
+    ).persist()
+    walker = (
+        targets.select(F.col(node_col).cast("long").alias("tgt"))
+        .distinct()
+        .join(par, F.col("tgt") == F.col("p_node"))
+        .select(
+            "tgt",
+            F.col("tgt").alias("node"),
+            F.lit(0).cast("long").alias("seq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = walker
+    hops = 0
+    while True:
+        step = (
+            F.broadcast(walker)
+            .join(par, walker["node"] == par["p_node"])
+            .filter(F.col("p_par") != F.col("node"))
+            .select(
+                "tgt",
+                F.col("p_par").alias("node"),
+                (F.col("seq") + 1).alias("seq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if step.count() == 0:
+            break
+        hops += 1
+        if hops > max_hops:
+            par.unpersist()
+            raise RuntimeError(
+                f"shortest_paths exceeded max_hops={max_hops}: "
+                "parent cycle (zero-weight edges) or an unconverged "
+                "label table"
+            )
+        out = out.unionByName(step).localCheckpoint(eager=False)
+        walker = step
+    par.unpersist()
+    return out

@@ -212,3 +212,75 @@ def test_sssp_plan_has_no_cartesian(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+def _dijkstra_paths(edges, sources):
+    """Independent oracle for (dist, src, par): full label-correcting
+    with the engine's offer model — par = min node id among ALL
+    offers of the final (dist, src) value across synchronous rounds."""
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+    best = {s: (0, s, s) for s in set(sources)}
+    while True:
+        offers = {}
+        for u, (du, su, _) in best.items():
+            for v, w in adj.get(u, []):
+                cand = (du + w, su, u)
+                if v not in offers or cand < offers[v]:
+                    offers[v] = cand
+        nxt = dict(best)
+        for v, cand in offers.items():
+            if v not in nxt or cand < nxt[v]:
+                nxt[v] = cand
+        if nxt == best:
+            return best
+        best = nxt
+
+
+def test_sssp_parents_and_paths(spark):
+    from geomesa_spark.operators.route import shortest_paths
+
+    labels = sssp(
+        _edges_df(spark), _src_df(spark, [1, 7]), return_parent=True
+    )
+    got = {
+        r["node"]: (r["dist"], r["src"], r["par"])
+        for r in labels.collect()
+    }
+    want = _dijkstra_paths(EDGES, [1, 7])
+    assert got == want
+    # sources point at themselves
+    assert got[1][2] == 1 and got[7][2] == 7
+
+    paths = shortest_paths(labels, _src_df(spark, [5, 8, 6]))
+    rows = {}
+    for r in paths.collect():
+        rows.setdefault(r["tgt"], {})[r["seq"]] = r["node"]
+    # unreached target 6 emits nothing
+    assert set(rows) == {5, 8}
+    p5 = [rows[5][i] for i in range(len(rows[5]))]
+    assert p5 == [5, 3, 2, 1]  # the cost-6 route, target-first
+    assert [rows[8][i] for i in range(len(rows[8]))] == [8, 7]
+    # path validity: consecutive pairs are edges, weights sum to dist
+    ew = {(s, d): w for s, d, w in EDGES}
+    assert sum(ew[(p5[i + 1], p5[i])] for i in range(3)) == got[5][0]
+
+
+def test_shortest_paths_guards(spark):
+    from geomesa_spark.operators.route import shortest_paths
+
+    chain = [(i, i + 1, 1) for i in range(1, 6)]
+    labels = sssp(
+        _edges_df(spark, chain), _src_df(spark, [1]), return_parent=True
+    )
+    with pytest.raises(RuntimeError, match="max_hops"):
+        shortest_paths(labels, _src_df(spark, [6]), max_hops=2)
+    # per_source mode carries parents too
+    ps = sssp(
+        _edges_df(spark), _src_df(spark, [1, 5]),
+        per_source=True, return_parent=True,
+    )
+    got = {
+        (r["src"], r["node"]): r["par"] for r in ps.collect()
+    }
+    assert got[(1, 3)] == 2 and got[(5, 3)] == 5

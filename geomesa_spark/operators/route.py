@@ -200,6 +200,7 @@ def sssp(
     rounds: int | None = None,
     max_rounds: int = 100,
     return_parent: bool = False,
+    sync_every: int = 4,
 ) -> DataFrame:
     """Multi-source shortest-path distances by frontier Bellman-Ford.
 
@@ -224,6 +225,15 @@ def sssp(
     optimal paths by one edge — the textbook Bellman-Ford
     invariant); `rounds=None` iterates to convergence and RAISES if
     `max_rounds` arrives while labels still change.
+
+    `sync_every` batches the convergence probe: K rounds build
+    lazily, then ONE count materializes all K pending checkpoints in
+    a single job — the driver round trips drop K-fold.  Results are
+    IDENTICAL for any value (rounds are fully synchronous
+    regardless; labels are a fixed point once converged, so overshot
+    rounds relax an empty frontier at near-zero cost); only the
+    wall-clock sync overhead changes.  `max_rounds` still bounds the
+    TOTAL rounds run (rounded up to the batch edge).
 
     `return_parent=True` adds `par` — the node's predecessor on an
     optimal path (= itself at sources), feeding ``shortest_paths``.
@@ -269,7 +279,7 @@ def sssp(
     # relaxation round, not two.  Fixed-rounds mode has no per-round
     # read at all: the whole R-round chain runs as one job, with ONE
     # eager materialization at loop exit before the edge cache drops.
-    for _ in range(n_rounds):
+    for i in range(n_rounds):
         frontier = labels.filter("chg")
         relaxed = frontier.join(e, frontier["node"] == e["e_src"]).select(
             F.col("e_dst").alias("node"),
@@ -316,7 +326,9 @@ def sssp(
             .localCheckpoint(eager=False)
         )
         labels = new_labels
-        if rounds is None:
+        if rounds is None and (
+            (i + 1) % max(1, int(sync_every)) == 0 or i + 1 == n_rounds
+        ):
             if labels.filter("chg").count() == 0:
                 converged = True
                 break

@@ -400,6 +400,7 @@ def shortest_paths(
     *,
     node_col: str = "node",
     max_hops: int = 10_000,
+    sync_every: int = 8,
 ) -> DataFrame:
     """Materialize optimal source->target routes by walking the
     `par` pointers of ``sssp(..., return_parent=True)`` output.
@@ -414,9 +415,12 @@ def shortest_paths(
     cost is O(longest path x parent-table scan): bound the target
     set (the ``per_source`` contract); for whole-graph closures use
     the pointer-doubling machinery (``raster.flow_accumulation``)
-    instead.  Raises past `max_hops` — zero-weight cycles can
-    produce parent cycles (see sssp), and a walk that long means the
-    input was not a converged label table.
+    instead.  `sync_every` hops build lazily between termination
+    probes (the sssp convention — one materializing count per batch;
+    finished walkers produce empty steps, so overshoot is free).
+    Raises past `max_hops` — zero-weight cycles can produce parent
+    cycles (see sssp), and a walk that long means the input was not
+    a converged label table.
     """
     par = labels.select(
         F.col("node").alias("p_node"), F.col("par").alias("p_par")
@@ -434,21 +438,28 @@ def shortest_paths(
     )
     out = walker
     hops = 0
+    batch = max(1, int(sync_every))
     while True:
-        step = (
-            F.broadcast(walker)
-            .join(par, walker["node"] == par["p_node"])
-            .filter(F.col("p_par") != F.col("node"))
-            .select(
-                "tgt",
-                F.col("p_par").alias("node"),
-                (F.col("seq") + 1).alias("seq"),
+        # probe exactly at the max_hops boundary so the guard fires
+        # before running meaningfully past it
+        for _ in range(max(1, min(batch, max_hops + 1 - hops))):
+            step = (
+                F.broadcast(walker)
+                .join(par, walker["node"] == par["p_node"])
+                .filter(F.col("p_par") != F.col("node"))
+                .select(
+                    "tgt",
+                    F.col("p_par").alias("node"),
+                    (F.col("seq") + 1).alias("seq"),
+                )
+                .localCheckpoint(eager=False)
             )
-            .localCheckpoint(eager=True)
-        )
-        if step.count() == 0:
+            out = out.unionByName(step).localCheckpoint(eager=False)
+            walker = step
+            hops += 1
+        # ONE job materializes the whole batch's pending checkpoints
+        if walker.count() == 0:
             break
-        hops += 1
         if hops > max_hops:
             par.unpersist()
             raise RuntimeError(
@@ -456,7 +467,7 @@ def shortest_paths(
                 "parent cycle (zero-weight edges) or an unconverged "
                 "label table"
             )
-        out = out.unionByName(step).localCheckpoint(eager=False)
-        walker = step
+    # materialize `out` while `par` is still cached
+    out = out.localCheckpoint(eager=True)
     par.unpersist()
     return out

@@ -42,7 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["convex_hull", "hull_edges"]
+__all__ = ["convex_hull", "hull_edges", "polygon_area"]
 
 
 def _chain(pts: list[tuple[int, int]]) -> list[tuple[int, int]]:
@@ -173,4 +173,68 @@ def hull_edges(
     )
     return a.join(b, [*keys, "_j"]).select(
         *user_keys, "ax", "ay", "bx", "by_"
+    )
+
+
+# shoelace over DIRECTED CCW edges: an order-free SUM of exact
+# decimal(38,0) cross terms — one division of canonical integers at
+# the end.  An OPEN single segment (2-vertex degenerate hull) does
+# not telescope, so the sum only counts for closed rings (>= 3 edges).
+HULL_AREA_SQL = (
+    "CAST({a2} AS DOUBLE) / (2.0 * {fp} * {fp})"
+)
+
+
+def polygon_area(
+    edges: DataFrame,
+    *,
+    by: list[str] | None = None,
+    fp_scale: int = 10_000_000,
+) -> DataFrame:
+    """Exact polygon area from DIRECTED CCW edges (``hull_edges``
+    output, or any simple CCW ring in the same (ax, ay, bx, by_)
+    shape): the shoelace sum Σ(ax·by − bx·ay) is per-edge
+    independent, so it is ONE partial-aggregated groupBy — no vertex
+    ordering is ever reconstructed.
+
+    Coordinates re-quantize to fp int64 (exact: edge coordinates are
+    de-quantized multiples of 1/fp_scale, and round() recovers the
+    integer) and the cross terms accumulate as decimal(38,0) — raw
+    (untranslated) shoelace terms reach coord² ≈ 1e19 at world scale,
+    past int64; decimal keeps every term and the sum exact (the
+    centrography convention).  `area` is ONE decimal→double cast +
+    division of the canonical integer.  Degenerate hulls (a single
+    OPEN segment from a 2-vertex hull — shoelace doesn't telescope)
+    report area 0 via the n_edges >= 3 ring gate.
+
+    Returns (by..., n_edges, area2_fp decimal(38,0), area)."""
+    keys = list(by) if by else []
+    fp = float(fp_scale)
+
+    def q(c):
+        return (
+            F.round(F.col(c) * F.lit(fp))
+            .cast("long")
+            .cast("decimal(19,0)")
+        )
+
+    cross = q("ax") * q("by_") - q("bx") * q("ay")
+    out = (
+        edges.select(*keys, cross.alias("_c"))
+        .groupBy(*keys)
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.sum("_c").cast("decimal(38,0)").alias("_s"),
+        )
+        .select(
+            *keys,
+            "n_edges",
+            F.when(F.col("n_edges") >= 3, F.col("_s"))
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+            .alias("area2_fp"),
+        )
+    )
+    return out.withColumn(
+        "area",
+        F.expr(HULL_AREA_SQL.format(a2="area2_fp", fp=repr(fp))),
     )

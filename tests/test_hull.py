@@ -138,3 +138,63 @@ def test_hull_plan_is_two_pandas_stages(spark):
         .executedPlan().toString()
     assert plan.count("FlatMapGroupsInPandas") == 2
     assert "CartesianProduct" not in plan
+
+def test_polygon_area(spark):
+    from geomesa_spark.operators.hull import polygon_area
+
+    # unit square + interior noise -> exact area 1; collinear -> 0
+    rng = np.random.default_rng(4)
+    sq = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)] + [
+        tuple(p) for p in rng.uniform(0.01, 0.99, (100, 2))
+    ]
+    ln = [(0.0, 0.0), (1.0, 1.0), (2.0, 2.0)]
+    xy = sq + ln
+    grp = ["sq"] * len(sq) + ["ln"] * len(ln)
+    edges = hull_edges(
+        convex_hull(_pts(spark, xy, grp), by=["g"]), by=["g"]
+    )
+    got = {r.g: r for r in polygon_area(edges, by=["g"]).collect()}
+    assert got["sq"].area == 1.0
+    assert got["sq"].area2_fp == 2 * FP * FP
+    assert got["sq"].n_edges == 4
+    assert got["ln"].area == 0.0 and got["ln"].n_edges == 1
+
+    # random cloud: matches the numpy shoelace of the oracle hull
+    xy2 = rng.normal(0, 5, (400, 2))
+    e2 = hull_edges(convex_hull(_pts(spark, xy2)))
+    a = polygon_area(e2).collect()[0]
+    verts = sorted(_oracle_vertices(xy2))
+    import math
+    cx = sum(x for x, _ in verts) / len(verts)
+    cy = sum(y for _, y in verts) / len(verts)
+    ring = sorted(verts, key=lambda p: math.atan2(p[1]-cy, p[0]-cx))
+    s = sum(ring[i][0]*ring[(i+1) % len(ring)][1]
+            - ring[(i+1) % len(ring)][0]*ring[i][1]
+            for i in range(len(ring)))
+    assert a.area2_fp == abs(s)
+
+
+def test_polygon_area_overflow_and_open_segment(spark):
+    """Two defects the first cut had: raw shoelace terms at
+    world-offset coordinates exceed int64 (decimal(38,0) now), and a
+    2-vertex degenerate hull's single OPEN segment doesn't telescope
+    (a segment off the origin has a nonzero raw cross term — the
+    n_edges >= 3 ring gate reports 0)."""
+    from geomesa_spark.operators.hull import polygon_area
+
+    # unit square translated far from the origin: each cross term is
+    # ~(300*FP)^2 = 9e18 > 2^63, but the exact area is still 1.
+    off = 300.0
+    sq = [(off, off), (off + 1, off), (off + 1, off + 1), (off, off + 1)]
+    # collinear segment NOT through the origin: raw cross != 0
+    ln = [(5.0, 7.0), (6.0, 8.0), (7.0, 9.0)]
+    xy = sq + ln
+    grp = ["sq"] * len(sq) + ["ln"] * len(ln)
+    edges = hull_edges(
+        convex_hull(_pts(spark, xy, grp), by=["g"]), by=["g"]
+    )
+    got = {r.g: r for r in polygon_area(edges, by=["g"]).collect()}
+    assert got["sq"].area == 1.0
+    assert got["sq"].area2_fp == 2 * FP * FP
+    assert got["ln"].n_edges == 1
+    assert got["ln"].area2_fp == 0 and got["ln"].area == 0.0

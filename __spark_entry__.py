@@ -2910,6 +2910,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["convex_hull"] = convex_hull_gate
 
+    def hull_moments_gate(spark, sf):
+        """Footprint moments (hull.polygon_moments) over the same
+        per-event_type hulls as the convex_hull gate: area (shoelace),
+        perimeter (per-edge fp-quantized lengths — cast/sqrt/floor are
+        IEEE-exact in both engines), and the Green's-theorem centroid
+        — every moment a per-edge-independent term in ONE
+        partial-aggregated groupBy.  The oracle reuses the O(n³)
+        directed hull-edge characterization and recomputes the moments
+        in HUGEINT; the decimal→double casts compare bit-exact (the
+        sd_ellipse precedent)."""
+        from geomesa_spark.operators.hull import (
+            convex_hull, hull_edges, polygon_moments,
+        )
+
+        pts = geo_events(spark, sf).filter(F.col("event_id") % 37 == 0)
+        edges = hull_edges(
+            convex_hull(pts, by=["event_type"]), by=["event_type"]
+        )
+        out = polygon_moments(edges, by=["event_type"])
+        return out.select(
+            "event_type",
+            "n_edges",
+            F.col("area2_fp").cast("double").alias("area2_d"),
+            F.col("perim_fp").cast("double").alias("perim_d"),
+            "area",
+            "perimeter",
+            "cx",
+            "cy",
+        )
+
+    q["hull_moments"] = hull_moments_gate
+
     def ripley_cross_gate(spark, sf):
         """Bivariate Ripley's K (pointpat.ripley_cross_k): do click
         events cluster around purchase events?  Blob corpus with
@@ -6680,6 +6712,85 @@ WHERE NOT EXISTS (
       )
     )
 )
+"""
+
+    # hull_moments: the convex_hull edge characterization as a CTE,
+    # then the per-edge-independent moments in HUGEINT; emissions via
+    # the shared HULL_* strings (verbatim what polygon_moments emits)
+    from geomesa_spark.operators.hull import (
+        HULL_AREA_SQL as _HM_AREA,
+        HULL_CENTROID_SQL as _HM_CEN,
+        HULL_PERIM_SQL as _HM_PERIM,
+    )
+
+    _hm_fp = repr(10_000_000.0)
+    o["hull_moments"] = f"""
+WITH tq AS (
+  SELECT DISTINCT event_type AS g,
+         CAST(round(((event_id*9973 % 36000)/100.0 - 180.0)
+              * 10000000.0) AS BIGINT) AS xq,
+         CAST(round(((event_id*7919 % 18000)/100.0 - 90.0)
+              * 10000000.0) AS BIGINT) AS yq
+  FROM events WHERE event_id % 37 = 0
+),
+he AS (
+  SELECT c.g, c.ax, c.ay, c.bx, c.by2
+  FROM (
+    SELECT a.g, a.xq AS ax, a.yq AS ay, b.xq AS bx, b.yq AS by2
+    FROM tq a JOIN tq b
+      ON a.g = b.g AND (a.xq <> b.xq OR a.yq <> b.yq)
+  ) c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM tq p
+    WHERE p.g = c.g
+      AND NOT (
+        (c.bx - c.ax) * (p.yq - c.ay)
+          - (c.by2 - c.ay) * (p.xq - c.ax) > 0
+        OR (
+          (c.bx - c.ax) * (p.yq - c.ay)
+            - (c.by2 - c.ay) * (p.xq - c.ax) = 0
+          AND p.xq BETWEEN least(c.ax, c.bx) AND greatest(c.ax, c.bx)
+          AND p.yq BETWEEN least(c.ay, c.by2)
+                       AND greatest(c.ay, c.by2)
+        )
+      )
+  )
+),
+em AS (
+  SELECT g,
+    CAST(ax AS HUGEINT) * by2 - CAST(bx AS HUGEINT) * ay AS cr,
+    (CAST(ax AS HUGEINT) + bx)
+      * (CAST(ax AS HUGEINT) * by2 - CAST(bx AS HUGEINT) * ay) AS sx,
+    (CAST(ay AS HUGEINT) + by2)
+      * (CAST(ax AS HUGEINT) * by2 - CAST(bx AS HUGEINT) * ay) AS sy,
+    CAST(floor(sqrt(CAST(
+          CAST(bx - ax AS HUGEINT) * (bx - ax)
+          + CAST(by2 - ay AS HUGEINT) * (by2 - ay) AS DOUBLE))
+        + 0.5) AS BIGINT) AS elen
+  FROM he
+),
+mg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_edges,
+         sum(cr) AS a2r, sum(sx) AS sxr, sum(sy) AS syr,
+         CAST(sum(elen) AS HUGEINT) AS perim_fp
+  FROM em GROUP BY g
+),
+mz AS (
+  SELECT g, n_edges,
+    CASE WHEN n_edges >= 3 THEN a2r ELSE 0 END AS area2_fp,
+    CASE WHEN n_edges >= 3 THEN sxr ELSE 0 END AS sx_fp,
+    CASE WHEN n_edges >= 3 THEN syr ELSE 0 END AS sy_fp,
+    perim_fp
+  FROM mg
+)
+SELECT g AS event_type, n_edges,
+  CAST(area2_fp AS DOUBLE) AS area2_d,
+  CAST(perim_fp AS DOUBLE) AS perim_d,
+  {_HM_AREA.format(a2="area2_fp", fp=_hm_fp)} AS area,
+  {_HM_PERIM.format(pf="perim_fp", fp=_hm_fp)} AS perimeter,
+  {_HM_CEN.format(sx="sx_fp", a2="area2_fp", fp=_hm_fp)} AS cx,
+  {_HM_CEN.format(sx="sy_fp", a2="area2_fp", fp=_hm_fp)} AS cy
+FROM mz
 """
 
     # quadrat: occupied-cell counts over the window grid + the

@@ -148,6 +148,7 @@ HEADLINE = [
     "sd_ellipse",
     "quadrat",
     "convex_hull",
+    "hull_moments",
 ]
 
 

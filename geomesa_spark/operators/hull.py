@@ -42,7 +42,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["convex_hull", "hull_edges", "polygon_area"]
+__all__ = [
+    "convex_hull",
+    "hull_edges",
+    "polygon_area",
+    "polygon_moments",
+]
 
 
 def _chain(pts: list[tuple[int, int]]) -> list[tuple[int, int]]:
@@ -237,4 +242,112 @@ def polygon_area(
     return out.withColumn(
         "area",
         F.expr(HULL_AREA_SQL.format(a2="area2_fp", fp=repr(fp))),
+    )
+
+
+# centroid component: two divisions of canonical integers — sx is in
+# fp³ units and area2 in fp², so /(3·area2) yields fp units and /fp
+# yields degrees.  NULL for degenerate (zero-area) rings.
+HULL_CENTROID_SQL = (
+    "CASE WHEN {a2} <> 0 THEN CAST({sx} AS DOUBLE) "
+    "/ (3.0 * CAST({a2} AS DOUBLE)) / {fp} END"
+)
+
+# perimeter: ONE division of the canonical integer length sum
+HULL_PERIM_SQL = "CAST({pf} AS DOUBLE) / {fp}"
+
+
+def polygon_moments(
+    edges: DataFrame,
+    *,
+    by: list[str] | None = None,
+    fp_scale: int = 10_000_000,
+) -> DataFrame:
+    """Area + perimeter + centroid from DIRECTED CCW edges — every
+    moment is per-edge independent, so the whole surface is ONE
+    partial-aggregated groupBy (the ``polygon_area`` contract,
+    widened):
+
+    - ``area2_fp``   = Σ(ax·by − bx·ay)            (shoelace, exact)
+    - ``sx_fp/sy_fp`` = Σ(ax+bx)·cross, Σ(ay+by)·cross (Green's-
+      theorem centroid numerators, exact decimal(38,0))
+    - ``perim_fp``   = Σ round(|edge|·fp)           (per-edge length
+      quantized to fp units: cast/sqrt/floor are all IEEE-exact and
+      identical across engines, so the int64 sum is order-free; the
+      quantization error is ≤ one fp unit per edge, documented)
+    - ``cx/cy``      = sx/(3·area2)/fp via HULL_CENTROID_SQL (NULL
+      for degenerate rings), ``area``/``perimeter`` one division each
+
+    Open single segments (2-vertex hulls) zero the ring moments via
+    the n_edges >= 3 gate but keep their true perimeter (the segment
+    length).  Returns (by..., n_edges, area2_fp, area, perim_fp,
+    perimeter, cx, cy)."""
+    keys = list(by) if by else []
+    fp = float(fp_scale)
+
+    def q(c):
+        return (
+            F.round(F.col(c) * F.lit(fp))
+            .cast("long")
+            .cast("decimal(19,0)")
+        )
+
+    ax, ay, bx, by2 = q("ax"), q("ay"), q("bx"), q("by_")
+    cross = ax * by2 - bx * ay
+    dx, dy = bx - ax, by2 - ay
+    d2 = (dx * dx + dy * dy).cast("decimal(38,0)")
+    # sqrt(d2) ≤ 5.1e9 fp units (world diagonal) < 2^53, so +0.5 and
+    # floor are exact; the decimal→double cast is correctly rounded
+    edge_len = F.floor(F.sqrt(d2.cast("double")) + F.lit(0.5)).cast(
+        "long"
+    )
+    out = (
+        edges.select(
+            *keys,
+            cross.alias("_c"),
+            ((ax + bx) * cross).alias("_sx"),
+            ((ay + by2) * cross).alias("_sy"),
+            edge_len.alias("_l"),
+        )
+        .groupBy(*keys)
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.sum("_c").cast("decimal(38,0)").alias("_a2"),
+            F.sum("_sx").cast("decimal(38,0)").alias("_sxs"),
+            F.sum("_sy").cast("decimal(38,0)").alias("_sys"),
+            F.sum("_l").cast("decimal(38,0)").alias("perim_fp"),
+        )
+    )
+    ring = F.col("n_edges") >= 3
+    zero = F.lit(0).cast("decimal(38,0)")
+    out = out.select(
+        *keys,
+        "n_edges",
+        F.when(ring, F.col("_a2")).otherwise(zero).alias("area2_fp"),
+        F.when(ring, F.col("_sxs")).otherwise(zero).alias("sx_fp"),
+        F.when(ring, F.col("_sys")).otherwise(zero).alias("sy_fp"),
+        "perim_fp",
+    )
+    fp_r = repr(fp)
+    return out.select(
+        *keys,
+        "n_edges",
+        "area2_fp",
+        "perim_fp",
+        F.expr(HULL_AREA_SQL.format(a2="area2_fp", fp=fp_r)).alias(
+            "area"
+        ),
+        F.expr(HULL_PERIM_SQL.format(pf="perim_fp", fp=fp_r)).alias(
+            "perimeter"
+        ),
+        F.expr(
+            HULL_CENTROID_SQL.format(
+                sx="sx_fp", a2="area2_fp", fp=fp_r
+            )
+        ).alias("cx"),
+        F.expr(
+            HULL_CENTROID_SQL.format(
+                sx="sy_fp", a2="area2_fp", fp=fp_r
+            )
+        ).alias("cy"),
     )

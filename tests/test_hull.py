@@ -198,3 +198,52 @@ def test_polygon_area_overflow_and_open_segment(spark):
     assert got["sq"].area2_fp == 2 * FP * FP
     assert got["ln"].n_edges == 1
     assert got["ln"].area2_fp == 0 and got["ln"].area == 0.0
+
+
+def test_polygon_moments(spark):
+    """Area/perimeter/centroid vs direct python over the oracle hull:
+    unit square (known closed forms), segment degenerate (perimeter
+    kept, ring moments zeroed), random cloud vs exact shoelace."""
+    from geomesa_spark.operators.hull import polygon_moments
+
+    sq = [(2.0, 3.0), (4.0, 3.0), (4.0, 5.0), (2.0, 5.0), (3.0, 4.0)]
+    ln = [(5.0, 7.0), (6.0, 8.0), (7.0, 9.0)]
+    xy = sq + ln
+    grp = ["sq"] * len(sq) + ["ln"] * len(ln)
+    edges = hull_edges(
+        convex_hull(_pts(spark, xy, grp), by=["g"]), by=["g"]
+    )
+    got = {r.g: r for r in polygon_moments(edges, by=["g"]).collect()}
+    s = got["sq"]
+    assert s.area == 4.0 and s.n_edges == 4
+    assert s.perimeter == 8.0
+    assert s.cx == 3.0 and s.cy == 4.0
+    l = got["ln"]
+    assert l.n_edges == 1 and l.area == 0.0 and l.cx is None
+    # open segment keeps its length: sqrt(8) quantized to fp units
+    import math
+    assert l.perim_fp == int(math.floor(
+        math.sqrt(float((2 * FP) ** 2 + (2 * FP) ** 2)) + 0.5))
+
+    # random cloud: moments match python ints over the oracle hull
+    rng = np.random.default_rng(11)
+    xy2 = rng.normal(50, 20, (300, 2))
+    e2 = hull_edges(convex_hull(_pts(spark, xy2)))
+    m = polygon_moments(e2).collect()[0]
+    verts = sorted(_oracle_vertices(xy2))
+    cx = sum(x for x, _ in verts) / len(verts)
+    cy = sum(y for _, y in verts) / len(verts)
+    ring = sorted(verts, key=lambda p: math.atan2(p[1]-cy, p[0]-cx))
+    a2 = sx = sy = 0
+    pf = 0
+    for i in range(len(ring)):
+        (ax, ay), (bx, by) = ring[i], ring[(i+1) % len(ring)]
+        c = ax*by - bx*ay
+        a2 += c
+        sx += (ax+bx)*c
+        sy += (ay+by)*c
+        pf += int(math.floor(math.sqrt(float(
+            (bx-ax)**2 + (by-ay)**2)) + 0.5))
+    assert m.area2_fp == a2 and m.perim_fp == pf
+    assert m.cx == float(sx) / (3.0 * float(a2)) / FP
+    assert m.cy == float(sy) / (3.0 * float(a2)) / FP

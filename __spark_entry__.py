@@ -2337,6 +2337,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["watershed"] = watershed_gate
 
+    def region_group_gate(spark, sf):
+        """Region grouping (raster.region_group): the synthetic
+        elevation surface banded into ~9 classes (quant = 2e12 fp
+        units over the 2^24-scale tile bases), then equal-class
+        4-connected components labeled by pointer jumping — tile
+        interiors are uniform (the intra-tile gradient is ~5 orders
+        below the band width), so every region merge the gate
+        exercises crosses a tile boundary.  Oracle = the same
+        lattice + banding, closure by recursive CTE, label = min
+        packed pixel id."""
+        from geomesa_spark.operators.raster import (
+            region_group, synth_tiles,
+        )
+
+        tiles = synth_tiles(spark, 4, px=8, py=8, limit_cells=256)
+        return region_group(tiles, 4, quant=2_000_000_000_000)
+
+    q["region_group"] = region_group_gate
+
     def cost_distance_gate(spark, sf):
         """Cost-distance over the event-count surface
         (operators/route.py): the 8x8 occupied-cell lattice becomes
@@ -5210,6 +5229,45 @@ SELECT d.gx, d.gy,
        CAST(coalesce(o.out_gy, d.gy) AS BIGINT) AS out_gy
 FROM dirs d LEFT JOIN outs o
   ON o.src_gx = d.gx AND o.src_gy = d.gy
+"""
+
+    # region_group: same lattice, sign-safe banding, undirected
+    # same-class adjacency, transitive closure by recursive CTE,
+    # label = min packed pixel id (self when isolated)
+    _rg_q = 2_000_000_000_000
+    o["region_group"] = f"""
+WITH RECURSIVE {_ras_pix},
+rg AS (
+  SELECT gx, gy, v_fp,
+         (v_fp - ((v_fp % {_rg_q} + {_rg_q}) % {_rg_q})) // {_rg_q}
+           AS vq,
+         (gx << 32) + gy AS nid
+  FROM pix
+),
+redges AS (
+  SELECT a.nid AS na, b.nid AS nb
+  FROM rg a JOIN rg b
+    ON b.vq = a.vq
+   AND ((b.gx = a.gx + 1 AND b.gy = a.gy)
+     OR (b.gx = a.gx AND b.gy = a.gy + 1))
+),
+bedges AS (
+  SELECT na, nb FROM redges
+  UNION ALL
+  SELECT nb AS na, na AS nb FROM redges
+),
+walk AS (
+  SELECT na AS src, nb AS reach FROM bedges
+  UNION
+  SELECT w.src, e.nb FROM walk w JOIN bedges e ON e.na = w.reach
+),
+lab AS (SELECT src, min(reach) AS canon FROM walk GROUP BY src)
+SELECT r.gx, r.gy, r.v_fp, r.vq,
+       CAST(least(coalesce(l.canon, r.nid), r.nid) AS BIGINT)
+         AS region,
+       region // 4294967296 AS rx,
+       region % 4294967296 AS ry
+FROM rg r LEFT JOIN lab l ON l.src = r.nid
 """
 
     # cost_distance: 16 unrolled Bellman-Ford stages.  (dist, src)

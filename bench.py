@@ -149,6 +149,7 @@ HEADLINE = [
     "quadrat",
     "convex_hull",
     "hull_moments",
+    "region_group",
 ]
 
 

@@ -1576,3 +1576,115 @@ def viewshed(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# region group (connected-component labeling of equal-class regions)
+# ---------------------------------------------------------------------------
+
+
+def region_group(
+    tiles: DataFrame,
+    res_bits: int,
+    *,
+    fp_scale: int = 1_000_000,
+    tile_px: int | None = None,
+    tile_py: int | None = None,
+    quant: int = 1,
+    connectivity: int = 4,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Region grouping (the classic RegionGroup map-algebra op):
+    label every pixel with the connected region of EQUAL-CLASS
+    pixels it belongs to, where class = floor(v_fp / quant) —
+    ``quant=1`` groups exact fixed-point values (a categorical
+    raster), larger quanta band a continuous surface first (the
+    reclassify-then-group idiom).
+
+    Distributed shape: the global pixel lattice (`_pixel_lattice` —
+    NULL holes behave like missing tiles and never join regions),
+    same-class adjacency mined as HALF-WINDOW equi-joins on the
+    pixel key (E and S offsets for 4-connectivity, +SE/NE for 8 —
+    each undirected edge emitted exactly once, the eps_pairs
+    single-meeting contract), then min-label connected components by
+    pointer jumping (`dedup.dup_components`, O(log diameter)
+    driver-synced rounds).  Pixels with no same-class neighbor label
+    themselves.  Exactness: the class is an exact integer floor
+    division (pmod form — sign-safe in both engines) and the label
+    is the minimum packed pixel id, so the result is deterministic
+    under any partitioning.
+
+    Pixel ids pack as gx·2^32 + gy (lattices beyond 2^31 pixels per
+    axis would need a wider packing — far past any real zoom).
+    Returns (gx, gy, v_fp, vq, region, rx, ry) where region is the
+    packed minimum pixel id of the region and (rx, ry) its decode.
+    Eager (the component loop is driver-synchronized); the result is
+    localCheckpointed and intermediate caches released."""
+    if connectivity not in (4, 8):
+        raise ValueError("connectivity must be 4 or 8")
+    from geomesa_spark.operators.dedup import dup_components
+
+    pixels, _, _ = _pixel_lattice(
+        tiles, res_bits, fp_scale, tile_px, tile_py
+    )
+    q = int(quant)
+    if q <= 0:
+        raise ValueError("quant must be positive")
+    vq = F.expr(f"(v_fp - pmod(v_fp, {q})) div {q}")
+    nid = F.shiftleft(F.col("gx"), 32) + F.col("gy")
+    base = pixels.select(
+        "gx", "gy", "v_fp", vq.alias("vq"), nid.alias("nid")
+    ).persist()
+
+    offs = [(1, 0), (0, 1)]
+    if connectivity == 8:
+        offs += [(1, 1), (1, -1)]
+    right = base.select(
+        F.col("gx").alias("_bx"),
+        F.col("gy").alias("_by"),
+        F.col("vq").alias("_bq"),
+        F.col("nid").alias("nb"),
+    )
+    edge_parts = []
+    for dx, dy in offs:
+        a = base.select(
+            (F.col("gx") + dx).alias("_bx"),
+            (F.col("gy") + dy).alias("_by"),
+            F.col("vq").alias("_bq"),
+            F.col("nid").alias("na"),
+        )
+        edge_parts.append(
+            a.join(right, ["_bx", "_by", "_bq"]).select("na", "nb")
+        )
+    pairs = edge_parts[0]
+    for p in edge_parts[1:]:
+        pairs = pairs.unionByName(p)
+
+    comp = dup_components(
+        pairs,
+        max_iter=max_iter,
+        a_col="na",
+        b_col="nb",
+        unique_pairs=True,
+    )
+    region = F.least(
+        F.coalesce(F.col("canon"), F.col("nid")), F.col("nid")
+    )
+    out = (
+        base.join(comp, base["nid"] == comp["doc"], "left")
+        .select(
+            "gx",
+            "gy",
+            "v_fp",
+            "vq",
+            region.alias("region"),
+        )
+        .select(
+            "*",
+            F.shiftrightunsigned(F.col("region"), 32).alias("rx"),
+            (F.col("region") % F.lit(4294967296)).alias("ry"),
+        )
+        .localCheckpoint()
+    )
+    base.unpersist()
+    return out

@@ -724,3 +724,88 @@ def test_hydrology_cycle_detection(spark):
     acc = {(r.gx, r.gy): r.acc
            for r in flow_accumulation(chain, method="linear").collect()}
     assert acc[(70, 0)] == 71 and acc[(0, 0)] == 1
+
+
+def test_region_group(spark):
+    """Connected-component region labeling vs an independent python
+    flood fill: categorical lattice with regions crossing tile
+    boundaries, 4 vs 8 connectivity (diagonal-only blobs split/merge),
+    quant banding, isolated pixels self-labeled, NULL holes split."""
+    from geomesa_spark.operators.raster import TILE_SCHEMA, region_group
+
+    BITS, PX, PY, FP = 1, 4, 4, 1_000_000
+    n = 1 << BITS
+    rng = np.random.default_rng(7)
+    # small categorical world: 3 classes, plus a NULL hole
+    world = rng.integers(0, 3, (n * PY, n * PX)).astype(float)
+    world[3, 3] = np.nan  # hole: must split regions, never join
+    rows = []
+    for cix in range(n):
+        for ciy in range(n):
+            cell = int(C.z2_encode_np(
+                np.asarray([cix]), np.asarray([ciy]))[0])
+            t = world[ciy*PY:(ciy+1)*PY, cix*PX:(cix+1)*PX]
+            rows.append((BITS, cell, PX, PY,
+                         [None if np.isnan(v) else float(v)
+                          for v in t.ravel()]))
+    tiles = spark.createDataFrame(rows, TILE_SCHEMA)
+
+    def flood(conn):
+        H, W = world.shape
+        lab = {}
+        for sy in range(H):
+            for sx in range(W):
+                if np.isnan(world[sy, sx]) or (sx, sy) in lab:
+                    continue
+                stack, comp = [(sx, sy)], []
+                seen = {(sx, sy)}
+                while stack:
+                    x, y = stack.pop()
+                    comp.append((x, y))
+                    offs = [(1,0),(-1,0),(0,1),(0,-1)]
+                    if conn == 8:
+                        offs += [(1,1),(1,-1),(-1,1),(-1,-1)]
+                    for dx, dy in offs:
+                        nx, ny = x+dx, y+dy
+                        if (0 <= nx < W and 0 <= ny < H
+                                and (nx, ny) not in seen
+                                and not np.isnan(world[ny, nx])
+                                and world[ny, nx] == world[y, x]):
+                            seen.add((nx, ny))
+                            stack.append((nx, ny))
+                rid = min((x << 32) + y for x, y in comp)
+                for p in comp:
+                    lab[p] = rid
+        return lab
+
+    for conn in (4, 8):
+        got = {(r.gx, r.gy): r.region
+               for r in region_group(
+                   tiles, BITS, fp_scale=FP, connectivity=conn
+               ).collect()}
+        want = flood(conn)
+        assert got == want, conn
+        # hole emitted nowhere
+        assert (3, 3) not in got
+
+    # quant banding: values {0,1} -> one band, {2} -> another
+    got_q = {(r.gx, r.gy): (r.vq, r.region)
+             for r in region_group(
+                 tiles, BITS, fp_scale=FP, quant=2 * FP
+             ).collect()}
+    w2 = np.where(np.isnan(world), np.nan,
+                  np.floor(world * FP) // (2 * FP))
+    world_save = world.copy()
+    try:
+        world[:] = w2
+        want_q = flood(4)
+    finally:
+        world[:] = world_save
+    assert {k: v[1] for k, v in got_q.items()} == want_q
+    # decode columns are consistent
+    out = region_group(tiles, BITS, fp_scale=FP).collect()
+    for r in out:
+        assert (r.rx << 32) + r.ry == r.region
+
+    with pytest.raises(ValueError):
+        region_group(tiles, BITS, connectivity=6)

@@ -1897,6 +1897,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["idw_surface"] = idw_gate
 
+    def distance_surface_gate(spark, sf):
+        """Euclidean distance + allocation surface
+        (interp.distance_surface): every 97th geo event is a target;
+        each cell within ring=2 of any target reports the exact
+        planar wrapped-lon d² to the nearest one and its id (total
+        (d², id) tie order) — the EucDistance / EucAllocation /
+        discrete-Voronoi triple in one bounded-scatter
+        min(struct)."""
+        from geomesa_spark.operators.interp import distance_surface
+
+        pts = geo_events(spark, sf).filter(
+            F.col("event_id") % 97 == 0
+        )
+        return distance_surface(pts, "event_id", bits=6, ring=2)
+
+    q["distance_surface"] = distance_surface_gate
+
     def snap_gate(spark, sf):
         """Nearest-segment snap (operators/snap.py): the map-matching
         primitive — segments scatter to expanded-bbox cells, points
@@ -5709,6 +5726,50 @@ SELECT x, y, n_samples, den, num,
        CASE WHEN den > 0
             THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS value
 FROM agg
+"""
+
+    # distance_surface: the idw scatter with a row_number winner —
+    # d2 text identical to the engine's IEEE sequence, ties (d2, id)
+    o["distance_surface"] = """
+WITH pts AS (
+  SELECT event_id AS tid,
+         (event_id*9973 % 36000)/100.0 - 180.0 AS lon,
+         (event_id*7919 % 18000)/100.0 - 90.0 AS lat
+  FROM events WHERE event_id % 97 = 0
+),
+hx AS (
+  SELECT tid, lon, lat,
+         CAST(greatest(0, least(63, floor((lon+180.0)/360.0*64.0))) AS BIGINT) AS x,
+         CAST(greatest(0, least(63, floor((lat+90.0)/180.0*64.0))) AS BIGINT) AS y
+  FROM pts
+),
+sc AS (
+  SELECT ((x + dx.k + 64) % 64) AS tx, (y + dy.k) AS ty, tid, lon, lat
+  FROM hx,
+       UNNEST(generate_series(-2, 2)) dx(k),
+       UNNEST(generate_series(-2, 2)) dy(k)
+  WHERE y + dy.k BETWEEN 0 AND 63
+),
+cand AS (
+  SELECT tx, ty, tid,
+         least(abs(lon - ((tx+0.5)*5.625 - 180.0)),
+               360.0 - abs(lon - ((tx+0.5)*5.625 - 180.0)))
+         * least(abs(lon - ((tx+0.5)*5.625 - 180.0)),
+                 360.0 - abs(lon - ((tx+0.5)*5.625 - 180.0)))
+         + (lat - ((ty+0.5)*2.8125 - 90.0))
+         * (lat - ((ty+0.5)*2.8125 - 90.0)) AS d2
+  FROM sc
+),
+win AS (
+  SELECT tx, ty, tid, d2,
+         count(*) OVER (PARTITION BY tx, ty) AS nc,
+         row_number() OVER (PARTITION BY tx, ty
+                            ORDER BY d2, tid) AS rk
+  FROM cand
+)
+SELECT tx AS x, ty AS y, CAST(nc AS BIGINT) AS n_candidates,
+       d2, sqrt(d2) AS dist, tid AS nearest_id
+FROM win WHERE rk = 1
 """
 
     # snap_nearest: the gate-line constants mirrored arithmetically

@@ -150,6 +150,7 @@ HEADLINE = [
     "convex_hull",
     "hull_moments",
     "region_group",
+    "distance_surface",
 ]
 
 

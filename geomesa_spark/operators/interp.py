@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from geomesa_spark.functions import cells as C
 
-__all__ = ["idw_grid"]
+__all__ = ["idw_grid", "distance_surface", "areal_interpolate"]
 
 
 def idw_grid(
@@ -270,4 +270,92 @@ def areal_interpolate(
             "value",
             F.expr(AREAL_VALUE_SQL.format(S="total_fp", fp=fp_scale)),
         )
+    )
+
+
+def distance_surface(
+    df: DataFrame,
+    id_col: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    bits: int = 6,
+    ring: int = 2,
+) -> DataFrame:
+    """Euclidean distance + allocation surface (the EucDistance /
+    EucAllocation map-algebra pair, discrete Voronoi within reach):
+    for every grid cell within `ring` cells of ANY target, the
+    distance from the cell center to the nearest target and that
+    target's id.
+
+    Same bounded-scatter shape as `idw_grid`: each TARGET scatters to
+    its (2·ring+1)² neighbor cells (x wraps at the antimeridian, y
+    clamps at the poles), then ONE partial-aggregated min(struct)
+    per cell — cost is targets × window, output bounded by 4^bits,
+    no Python, no cartesian.  Cells farther than `ring` cells from
+    every target are ABSENT (the documented reach bound; widen the
+    ring or coarsen bits for full coverage).
+
+    Determinism: d² is the planar wrapped-longitude squared-degree
+    form (every operation IEEE-exact and identical across engines —
+    the idw_grid convention), and the winner is the total
+    (d², id) struct minimum, so ties break to the smallest target
+    id.  `dist` = one sqrt of the canonical d².
+
+    Returns (x, y, n_candidates, d2, dist, nearest_id)."""
+    n = 1 << bits
+    cw = 360.0 / n
+    ch = 180.0 / n
+    offsets = [
+        (dx, dy)
+        for dx in range(-ring, ring + 1)
+        for dy in range(-ring, ring + 1)
+    ]
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(lon_col).alias("_lon"),
+        F.col(lat_col).alias("_lat"),
+        C.lon_to_x(F.col(lon_col), bits).alias("_x"),
+        C.lat_to_y(F.col(lat_col), bits).alias("_y"),
+    )
+    scattered = base.select(
+        "_id", "_lon", "_lat",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.pmod(F.col("_x") + F.lit(dx), F.lit(n)).alias("tx"),
+                        (F.col("_y") + F.lit(dy)).alias("ty"),
+                    )
+                    for dx, dy in offsets
+                ]
+            )
+        ).alias("t"),
+    ).select(
+        "_id", "_lon", "_lat",
+        F.col("t.tx").alias("x"), F.col("t.ty").alias("y"),
+    ).filter((F.col("y") >= 0) & (F.col("y") < n))
+    clon = (F.col("x") + F.lit(0.5)) * F.lit(cw) - F.lit(180.0)
+    clat = (F.col("y") + F.lit(0.5)) * F.lit(ch) - F.lit(90.0)
+    dl = F.abs(F.col("_lon") - clon)
+    dl = F.least(dl, F.lit(360.0) - dl)
+    dy_ = F.col("_lat") - clat
+    d2 = dl * dl + dy_ * dy_
+    agg = (
+        scattered.select(
+            "x", "y",
+            F.struct(
+                d2.alias("d2"), F.col("_id").alias("nearest_id")
+            ).alias("_s"),
+        )
+        .groupBy("x", "y")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.min("_s").alias("_w"),
+        )
+    )
+    return agg.select(
+        "x", "y", "n_candidates",
+        F.col("_w.d2").alias("d2"),
+        F.sqrt(F.col("_w.d2")).alias("dist"),
+        F.col("_w.nearest_id").alias("nearest_id"),
     )

@@ -200,3 +200,60 @@ def test_areal_interpolate_vs_brute(spark):
             spark,
             [("a", rings and zones[0][1], 1.0),
              ("a", zones[1][1], 2.0)], BITS)
+
+
+def test_distance_surface(spark):
+    """EucDistance/EucAllocation vs a brute numpy oracle over all
+    cells within the ring: exact d2/winner (total (d2, id) ties),
+    dateline wrap continuity, absent-beyond-ring contract."""
+    import numpy as np
+
+    from geomesa_spark.operators.interp import distance_surface
+
+    BITS, RING = 4, 2
+    n = 1 << BITS
+    cw, ch = 360.0 / n, 180.0 / n
+    rng = np.random.default_rng(9)
+    lon = rng.uniform(-180, 180, 60)
+    lat = rng.uniform(-90, 90, 60)
+    # dateline straddler + an exact duplicate position (tie -> min id)
+    lon[0], lat[0] = 179.9, 10.0
+    lon[1], lat[1] = -179.9, 10.0
+    lon[2], lat[2] = lon[3], lat[3] = 42.0, -31.0
+    rows = [(int(i), float(lon[i]), float(lat[i]))
+            for i in range(len(lon))]
+    df = spark.createDataFrame(rows, "tid long, lon double, lat double")
+    got = {(r.x, r.y): r for r in distance_surface(
+        df, "tid", bits=BITS, ring=RING).collect()}
+
+    want = {}
+    for i in range(len(lon)):
+        x = min(n - 1, max(0, int(np.floor((lon[i] + 180.0) / 360.0 * n))))
+        y = min(n - 1, max(0, int(np.floor((lat[i] + 90.0) / 180.0 * n))))
+        for dx in range(-RING, RING + 1):
+            for dy in range(-RING, RING + 1):
+                tx, ty = (x + dx) % n, y + dy
+                if not (0 <= ty < n):
+                    continue
+                clon = (tx + 0.5) * cw - 180.0
+                clat = (ty + 0.5) * ch - 90.0
+                dl = abs(lon[i] - clon)
+                dl = min(dl, 360.0 - dl)
+                dyv = lat[i] - clat
+                d2 = dl * dl + dyv * dyv
+                k = (tx, ty)
+                cur = want.get(k)
+                cand = (d2, i)
+                if cur is None or cand < (cur[0], cur[1]):
+                    want[k] = (d2, i, want[k][2] + 1 if cur else 1)
+                elif cur is not None:
+                    want[k] = (cur[0], cur[1], cur[2] + 1)
+    assert set(got) == set(want)
+    for k, r in got.items():
+        d2, tid, nc = want[k]
+        assert r.d2 == d2 and r.nearest_id == tid, k
+        assert r.n_candidates == nc
+        assert r.dist == np.sqrt(d2)
+    # the duplicate position tie broke to the smaller id somewhere
+    assert any(r.nearest_id == 2 for r in got.values())
+    assert not any(r.nearest_id == 3 for r in got.values())

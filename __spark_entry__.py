@@ -1720,6 +1720,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emerging_hotspots"] = emerging_gate
 
+    def sen_slope_gate(spark, sf):
+        """Theil-Sen trend magnitude (hotspot.sen_slope) per cell of
+        the bits=4 space-time cube: median pairwise slope of the
+        daily bin weights — the robust rate that pairs with
+        emerging_hotspots' Mann-Kendall direction.  Every slope is
+        one double division of exact int64 deltas; the median is an
+        order statistic (ranks (m+1)//2 .. m//2+1 averaged), so the
+        doubles hash-compare."""
+        from geomesa_spark.operators.hotspot import (
+            hotspot_cells_st, sen_slope,
+        )
+
+        bins = hotspot_cells_st(
+            geo_events(spark, sf), "dtg", bits=4, ring=1,
+            time_bucket_s=86400, time_ring=1,
+        )
+        return sen_slope(bins, ["x", "y"], "tb", "w")
+
+    q["sen_slope"] = sen_slope_gate
+
     def _cooc_pts(spark, sf):
         return (
             _load(spark, sf, "events")
@@ -6094,7 +6114,45 @@ FROM cells c JOIN nbr USING (x, y, tb), st
     from geomesa_spark.operators.hotspot import (
         MK_Z_SQL as _MK_Z,
         PATTERN_SQL as _PAT,
+        SEN_SQL as _SEN,
     )
+
+    # sen_slope: the bits=4 space-time bins + pairwise slopes + the
+    # order-statistic median via the shared SEN_SQL division
+    o["sen_slope"] = f"""
+WITH tp AS (
+  SELECT (event_id*9973 % 36000)/100.0 - 180.0 AS lon,
+         (event_id*7919 % 18000)/100.0 - 90.0 AS lat,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+g AS (
+  SELECT CAST(greatest(0, least(15, floor((lon+180.0)/360.0*16.0))) AS BIGINT) AS x,
+         CAST(greatest(0, least(15, floor((lat+90.0)/180.0*16.0))) AS BIGINT) AS y,
+         CAST(floor(CAST(es AS DOUBLE) / 86400.0) AS BIGINT) AS tb
+  FROM tp
+),
+cells AS (
+  SELECT x, y, tb, CAST(count(*) AS BIGINT) AS w FROM g GROUP BY x, y, tb
+),
+pr AS (
+  SELECT a.x, a.y, (b.w - a.w) / (b.tb - a.tb) AS s
+  FROM cells a JOIN cells b
+    ON a.x = b.x AND a.y = b.y AND a.tb < b.tb
+),
+rnk AS (
+  SELECT x, y, s,
+         row_number() OVER (PARTITION BY x, y ORDER BY s) AS r,
+         count(*) OVER (PARTITION BY x, y) AS m
+  FROM pr
+),
+mid AS (
+  SELECT * FROM rnk WHERE r >= (m + 1) // 2 AND r <= m // 2 + 1
+)
+SELECT x, y, CAST(max(m) AS BIGINT) AS n_pairs,
+       {_SEN.format(ss="sum(s)", cnt="count(*)")} AS sen
+FROM mid GROUP BY x, y
+"""
 
     # emerging_hotspots gate: the hotspot_st pipeline at bits=4, then
     # per-cell Mann-Kendall on bin weights + classification — the MK z

@@ -151,6 +151,7 @@ HEADLINE = [
     "hull_moments",
     "region_group",
     "distance_surface",
+    "sen_slope",
 ]
 
 

@@ -41,7 +41,8 @@ from geomesa_spark.functions import cells as C
 __all__ = [
     "hotspot_cells", "hotspot_cells_st", "hotspot_st_from_bins",
     "hotspot_hex", "GI_STAR_SQL",
-    "mann_kendall", "emerging_hotspots", "MK_Z_SQL", "PATTERN_SQL",
+    "mann_kendall", "sen_slope", "emerging_hotspots",
+    "MK_Z_SQL", "PATTERN_SQL", "SEN_SQL",
 ]
 
 # (S - mean*n) / (s * sqrt((N*n - n^2) / (N-1))) with
@@ -458,4 +459,77 @@ def hotspot_hex(
         .crossJoin(stats)
         .withColumn("gi_star", F.expr(gi_star_expr()))
         .select("hq", "hr", "w", "nbr_n", "nbr_sum", "gi_star")
+    )
+
+
+# Sen estimate = the mean of the one or two middle order statistics
+# of the pairwise slopes: one division of a 1-2-term double sum by
+# its exact count (addition of two doubles is commutative, so the
+# merge order never shows)
+SEN_SQL = "CAST({ss} AS DOUBLE) / CAST({cnt} AS DOUBLE)"
+
+
+def sen_slope(
+    df: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    v_col: str,
+) -> DataFrame:
+    """Theil–Sen slope per key: the median of all pairwise slopes
+    (v_j − v_i)/(t_j − t_i) over t_i < t_j — the robust trend
+    MAGNITUDE that pairs with ``mann_kendall``'s trend *direction*
+    in emerging-hotspot analysis (Sen 1968; ESRI reports both).
+
+    Scale shape: the same per-key pair equi-join as ``mann_kendall``
+    — O(T²) with T = bins per key, caller-bounded, never corpus².
+    Every slope is ONE double division of two exact int64 deltas
+    (identical IEEE result in any engine); the median is an order
+    statistic — rank (m+1)//2, averaged with rank m//2+1 when m is
+    even — so the result is deterministic under any partitioning
+    (equal-slope rank ties select equal values).
+
+    Returns key_cols + (n_pairs, sen); keys with no strictly-ordered
+    pair are absent (nothing to estimate)."""
+    b = df.select(
+        *key_cols,
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(v_col).cast("long").alias("_v"),
+    )
+    li = b.select(*key_cols, F.col("_t").alias("_ti"),
+                  F.col("_v").alias("_vi"))
+    rj = b.select(*key_cols, F.col("_t").alias("_tj"),
+                  F.col("_v").alias("_vj"))
+    slopes = (
+        li.join(rj, key_cols)
+        .filter(F.col("_ti") < F.col("_tj"))
+        .select(
+            *key_cols,
+            (
+                (F.col("_vj") - F.col("_vi"))
+                / (F.col("_tj") - F.col("_ti"))
+            ).alias("_s"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols)
+    ranked = slopes.select(
+        *key_cols,
+        "_s",
+        F.row_number().over(w.orderBy("_s")).alias("_rk"),
+        F.count("*").over(w).alias("_m"),
+    )
+    mid = ranked.filter(
+        (F.col("_rk") >= F.expr("(_m + 1) div 2"))
+        & (F.col("_rk") <= F.expr("_m div 2 + 1"))
+    )
+    agg = mid.groupBy(*key_cols).agg(
+        F.max("_m").cast("long").alias("n_pairs"),
+        F.sum("_s").alias("_ss"),
+        F.count("*").cast("long").alias("_cnt"),
+    )
+    return agg.select(
+        *key_cols,
+        "n_pairs",
+        F.expr(SEN_SQL.format(ss="_ss", cnt="_cnt")).alias("sen"),
     )

@@ -328,3 +328,48 @@ def test_emerging_plan_no_python(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan
+
+
+def test_sen_slope(spark):
+    """Theil-Sen vs a brute python median of pairwise slopes: odd
+    and even pair counts, ties, a single-bin key (NULL), and exact
+    engineered slopes."""
+    import numpy as np
+
+    from geomesa_spark.operators.hotspot import sen_slope
+
+    rows = []
+    # key a: strict linear trend v = 3t -> sen exactly 3
+    for t in range(6):
+        rows.append(("a", t, 3 * t))
+    # key b: noisy with duplicates/ties
+    rng = np.random.default_rng(5)
+    for t in range(9):
+        rows.append(("b", t, int(rng.integers(0, 7))))
+    # key c: two bins (one pair, even-median trivial)
+    rows += [("c", 0, 10), ("c", 5, 0)]
+    # key d: single bin -> no pair -> absent
+    rows += [("d", 3, 1)]
+    df = spark.createDataFrame(rows, "k string, tb long, w long")
+    got = {r.k: r for r in sen_slope(df, ["k"], "tb", "w").collect()}
+
+    def brute(kv):
+        sl = sorted(
+            (vj - vi) / (tj - ti)
+            for i, (ti, vi) in enumerate(kv)
+            for tj, vj in kv
+            if tj > ti
+        )
+        m = len(sl)
+        return (sl[m // 2] if m % 2 else
+                (sl[m // 2 - 1] + sl[m // 2]) / 2.0), m
+
+    data = {}
+    for k, t, v in rows:
+        data.setdefault(k, []).append((t, v))
+    for k in ("a", "b", "c"):
+        want, m = brute(data[k])
+        assert got[k].n_pairs == m, k
+        assert got[k].sen == want, (k, got[k].sen, want)
+    assert got["a"].sen == 3.0
+    assert "d" not in got

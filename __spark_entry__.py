@@ -2393,6 +2393,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["region_group"] = region_group_gate
 
+    def pagerank_gate(spark, sf):
+        """Integer PageRank (operators/graph.pagerank) over a
+        synthesized 997-node link graph (src = event_id mod 997,
+        dst = 31·event_id mod 997, deduped): 6 fixed synchronous
+        rounds of exact int64 teleport + damped integer-share
+        inflow — bit-replayable, so the oracle unrolls the SAME six
+        rounds as materialized CTE stages (the cost_distance
+        convention)."""
+        from geomesa_spark.operators.graph import pagerank
+
+        edges = (
+            _load(spark, sf, "events")
+            .selectExpr(
+                "event_id % 997 AS src",
+                "(event_id * 31) % 997 AS dst",
+            )
+            .distinct()
+        )
+        return pagerank(edges, rounds=6)
+
+    q["pagerank"] = pagerank_gate
+
     def cost_distance_gate(spark, sf):
         """Cost-distance over the event-count surface
         (operators/route.py): the 8x8 occupied-cell lattice becomes
@@ -5305,6 +5327,49 @@ SELECT r.gx, r.gy, r.v_fp, r.vq,
        region // 4294967296 AS rx,
        region % 4294967296 AS ry
 FROM rg r LEFT JOIN lab l ON l.src = r.nid
+"""
+
+    # pagerank: 6 unrolled integer rounds via the shared update form
+    from geomesa_spark.operators.graph import PR_RANK_SQL as _PR_RANK
+
+    _pr_scale = 1_000_000_000
+    _pr_t = _pr_scale * 15 // 100
+    _pr_rounds = "\n".join(
+        f"""r{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST({_pr_t} + (85 * coalesce(c.s, 0)) // 100 AS BIGINT)
+           AS r
+  FROM pr_nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.r // e.od) AS s
+    FROM pr_ew e JOIN r{i - 1} r ON r.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+),"""
+        for i in range(1, 7)
+    )
+    o["pagerank"] = f"""
+WITH el AS (
+  SELECT DISTINCT event_id % 997 AS src,
+         (event_id * 31) % 997 AS dst
+  FROM events
+),
+pr_nodes AS (
+  SELECT src AS node FROM el UNION SELECT dst FROM el
+),
+pr_deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS od FROM el GROUP BY src
+),
+pr_ew AS (
+  SELECT e.src, e.dst, d.od FROM el e JOIN pr_deg d USING (src)
+),
+r0 AS MATERIALIZED (
+  SELECT node, CAST({_pr_scale} AS BIGINT) AS r FROM pr_nodes
+),
+{_pr_rounds}
+fin AS (SELECT node, r FROM r6)
+SELECT node, r AS rank_fp,
+       {_PR_RANK.format(r="r", scale=repr(float(_pr_scale)))} AS rank
+FROM fin
 """
 
     # cost_distance: 16 unrolled Bellman-Ford stages.  (dist, src)

@@ -152,6 +152,7 @@ HEADLINE = [
     "region_group",
     "distance_surface",
     "sen_slope",
+    "pagerank",
 ]
 
 

@@ -2415,6 +2415,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank"] = pagerank_gate
 
+    def triangles_gate(spark, sf):
+        """Triangle counts + local clustering (graph.triangle_counts)
+        over the undirected view of the pagerank gate's 997-node
+        link graph: degree-ordered orientation so each triangle is
+        found exactly once with O(√m)-bounded wedge fan-out; the
+        oracle counts triangles the brute way (neighbor-pair +
+        closing-edge existence), proving the orientation loses
+        nothing."""
+        from geomesa_spark.operators.graph import triangle_counts
+
+        edges = _load(spark, sf, "events").selectExpr(
+            "event_id % 997 AS src",
+            "(event_id * 31) % 997 AS dst",
+        )
+        return triangle_counts(edges)
+
+    q["triangles"] = triangles_gate
+
     def cost_distance_gate(spark, sf):
         """Cost-distance over the event-count surface
         (operators/route.py): the 8x8 occupied-cell lattice becomes
@@ -5370,6 +5388,45 @@ fin AS (SELECT node, r FROM r6)
 SELECT node, r AS rank_fp,
        {_PR_RANK.format(r="r", scale=repr(float(_pr_scale)))} AS rank
 FROM fin
+"""
+
+    # triangles: brute neighbor-pair + closing-edge oracle (no
+    # orientation trick — independence from the engine's shape);
+    # clustering via the shared string
+    from geomesa_spark.operators.graph import (
+        CLUSTERING_SQL as _TRI_C,
+    )
+
+    o["triangles"] = f"""
+WITH el AS (
+  SELECT event_id % 997 AS src, (event_id * 31) % 997 AS dst
+  FROM events
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM el WHERE src <> dst
+),
+adj AS (
+  SELECT a AS v, b AS n FROM und
+  UNION ALL
+  SELECT b AS v, a AS n FROM und
+),
+deg AS (
+  SELECT v AS node, CAST(count(*) AS BIGINT) AS degree
+  FROM adj GROUP BY v
+),
+tric AS (
+  SELECT x.v AS node, CAST(count(*) AS BIGINT) AS t
+  FROM adj x
+  JOIN adj y ON y.v = x.v AND x.n < y.n
+  JOIN und e ON e.a = x.n AND e.b = y.n
+  GROUP BY x.v
+)
+SELECT d.node, d.degree,
+       CAST(coalesce(t.t, 0) AS BIGINT) AS triangles,
+       {_TRI_C.format(d="d.degree", t="coalesce(t.t, 0)")}
+         AS clustering
+FROM deg d LEFT JOIN tric t ON t.node = d.node
 """
 
     # cost_distance: 16 unrolled Bellman-Ford stages.  (dist, src)

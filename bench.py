@@ -153,6 +153,7 @@ HEADLINE = [
     "distance_surface",
     "sen_slope",
     "pagerank",
+    "triangles",
 ]
 
 

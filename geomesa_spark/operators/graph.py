@@ -47,7 +47,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "PR_RANK_SQL"]
+__all__ = [
+    "pagerank", "PR_RANK_SQL",
+    "triangle_counts", "transitivity", "CLUSTERING_SQL",
+    "TRANSITIVITY_SQL",
+]
 
 # the emitted double: one division of the canonical integer rank
 PR_RANK_SQL = "CAST({r} AS DOUBLE) / {scale}"
@@ -133,3 +137,133 @@ def pagerank(
     nodes.unpersist()
     ew.unpersist()
     return out
+
+
+# local clustering coefficient: 2·tri / (deg·(deg−1)) — one shared
+# double form over exact int64 counts; NULL below degree 2
+CLUSTERING_SQL = (
+    "CASE WHEN {d} >= 2 THEN 2.0 * CAST({t} AS DOUBLE)"
+    " / (CAST({d} AS DOUBLE) * (CAST({d} AS DOUBLE) - 1.0)) END"
+)
+
+# global transitivity: 3·triangles / wedges (NULL on a wedge-free
+# graph)
+TRANSITIVITY_SQL = (
+    "CASE WHEN {w} > 0 THEN 3.0 * CAST({t} AS DOUBLE)"
+    " / CAST({w} AS DOUBLE) END"
+)
+
+
+def _undirected(edges: DataFrame, src_col: str, dst_col: str):
+    """Canonical undirected simple edges (a < b): self-loops dropped,
+    direction and duplicates folded."""
+    s, d = F.col(src_col), F.col(dst_col)
+    return (
+        edges.filter(s != d)
+        .select(
+            F.least(s, d).alias("a"), F.greatest(s, d).alias("b")
+        )
+        .distinct()
+    )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over
+    the undirected simple graph (direction/duplicates folded,
+    self-loops dropped).
+
+    The degree-ordering orientation (the classic O(m^1.5) bound):
+    every edge orients from its lower-(degree, id) endpoint to the
+    higher, so each triangle has exactly ONE wedge node with two
+    out-edges — the wedge self-join on that node, filtered to the
+    (rank_v < rank_w) half, plus one closing-edge equi-join counts
+    each triangle exactly once, and the wedge fan-out per node is
+    bounded by its ORIENTED out-degree, O(√m) on any graph (no
+    hub-squared blowup).  Two shuffles on the wedge key + one on the
+    closing key; all exact int64.
+
+    Returns (node, degree, triangles, clustering) for every node of
+    the graph — ``clustering`` via ``CLUSTERING_SQL`` (NULL below
+    degree 2)."""
+    und = _undirected(edges, src_col, dst_col)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    da = deg.select(
+        F.col("node").alias("a"), F.col("degree").alias("_da")
+    )
+    db = deg.select(
+        F.col("node").alias("b"), F.col("degree").alias("_db")
+    )
+    a_lower = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    ori = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_lower, F.col("a")).otherwise(F.col("b"))
+            .alias("u"),
+            F.when(a_lower, F.col("b")).otherwise(F.col("a"))
+            .alias("v"),
+            F.when(a_lower, F.col("_db")).otherwise(F.col("_da"))
+            .alias("_dv"),
+        )
+    )
+    e1 = ori.select("u", F.col("v").alias("v1"),
+                    F.col("_dv").alias("_d1"))
+    e2 = ori.select("u", F.col("v").alias("v2"),
+                    F.col("_dv").alias("_d2"))
+    wedge_half = (F.col("_d1") < F.col("_d2")) | (
+        (F.col("_d1") == F.col("_d2")) & (F.col("v1") < F.col("v2"))
+    )
+    wedges = e1.join(e2, "u").filter(wedge_half).select(
+        "u", "v1", "v2"
+    )
+    closing = ori.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tri = wedges.join(closing, ["v1", "v2"])
+    per_node = (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    out = deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long")
+        .alias("triangles"),
+    )
+    return out.withColumn(
+        "clustering",
+        F.expr(CLUSTERING_SQL.format(d="degree", t="triangles")),
+    )
+
+
+def transitivity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Global clustering (transitivity): ONE row
+    (n_triangles, n_wedges, transitivity) — 3·tri/wedges over exact
+    int64 totals (each triangle closes 3 of the Σ deg·(deg−1)/2
+    wedges)."""
+    tc = triangle_counts(edges, src_col, dst_col)
+    return tc.agg(
+        F.expr("sum(triangles) div 3").alias("n_triangles"),
+        F.expr("sum(degree * (degree - 1)) div 2").alias("n_wedges"),
+    ).withColumn(
+        "transitivity",
+        F.expr(
+            TRANSITIVITY_SQL.format(t="n_triangles", w="n_wedges")
+        ),
+    )

@@ -61,3 +61,61 @@ def test_pagerank_structure(spark):
         pagerank(_edges(spark, chain), rounds=0)
     with pytest.raises(ValueError):
         pagerank(_edges(spark, chain), damping_num=100)
+
+
+def test_triangle_counts(spark):
+    """Triangles/clustering vs a brute python enumeration: random
+    graph, complete K5 (every node C(4,2)=6 triangles, clustering
+    1), path (0 triangles), direction/dup/self-loop folding."""
+    from geomesa_spark.operators.graph import (
+        transitivity, triangle_counts,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 60
+    pairs = {(int(rng.integers(0, n)), int(rng.integers(0, n)))
+             for _ in range(500)}
+    # noise: duplicates both directions + self loops
+    raw = sorted(pairs) + [(b, a) for a, b in sorted(pairs)][:50] \
+        + [(3, 3), (7, 7)]
+    got = {r.node: r for r in triangle_counts(
+        _edges(spark, raw)).collect()}
+
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {v: 0 for v in adj}
+    n_tri = 0
+    for a, b in und:
+        # count each triangle once: (a, b) with a < b plus c > b
+        for c in (adj[a] & adj[b]):
+            if a < b < c:
+                n_tri += 1
+                for v in (a, b, c):
+                    tri[v] += 1
+    assert set(got) == set(adj)
+    for v in adj:
+        assert got[v].degree == len(adj[v]), v
+        assert got[v].triangles == tri[v], v
+        d = len(adj[v])
+        want_c = (2.0 * tri[v] / (d * (d - 1.0))) if d >= 2 else None
+        assert got[v].clustering == want_c, v
+    t = transitivity(_edges(spark, raw)).collect()[0]
+    assert t.n_triangles == n_tri
+    assert t.n_wedges == sum(
+        d * (d - 1) // 2 for d in map(len, adj.values()))
+
+    # K5: all triangles, clustering exactly 1
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    g5 = {r.node: r for r in triangle_counts(_edges(spark, k5)).collect()}
+    assert all(r.triangles == 6 and r.clustering == 1.0
+               for r in g5.values())
+    # path: no triangles
+    path = [(i, i + 1) for i in range(6)]
+    gp = transitivity(_edges(spark, path)).collect()[0]
+    assert gp.n_triangles == 0 and gp.transitivity == 0.0
+    # wedge-free graph (one edge): transitivity undefined -> NULL
+    ge = transitivity(_edges(spark, [(0, 1)])).collect()[0]
+    assert ge.n_wedges == 0 and ge.transitivity is None

@@ -2395,8 +2395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def pagerank_gate(spark, sf):
         """Integer PageRank (operators/graph.pagerank) over a
-        synthesized 997-node link graph (src = event_id mod 997,
-        dst = 31·event_id mod 997, deduped): 6 fixed synchronous
+        synthesized 997-node link graph (src = event_id mod 997, dst
+        mixes an independent digit plane — a pure function of src
+        would make the graph a degree-2 permutation): 6 fixed
+        synchronous
         rounds of exact int64 teleport + damped integer-share
         inflow — bit-replayable, so the oracle unrolls the SAME six
         rounds as materialized CTE stages (the cost_distance
@@ -2407,7 +2409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _load(spark, sf, "events")
             .selectExpr(
                 "event_id % 997 AS src",
-                "(event_id * 31) % 997 AS dst",
+                "(event_id div 997 * 131 + event_id * 31) % 997"
+                " AS dst",
             )
             .distinct()
         )
@@ -2427,11 +2430,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         edges = _load(spark, sf, "events").selectExpr(
             "event_id % 997 AS src",
-            "(event_id * 31) % 997 AS dst",
+            "(event_id div 997 * 131 + event_id * 31) % 997 AS dst",
         )
         return triangle_counts(edges)
 
     q["triangles"] = triangles_gate
+
+    def k_core_gate(spark, sf):
+        """k-core peel (graph.k_core, k=19) over the link graph
+        augmented with a dense 23-node block (every 11th event also
+        links two low-modulus digit planes): the near-regular bulk
+        (deg ~20) avalanches away over 5 synchronous rounds while
+        the embedded K23 (degree 22) survives — a nontrivial fixed
+        point.  Oracle = 8 unrolled keep/filter stages (one spare
+        beyond observed convergence; synchronous deletion is
+        schedule-independent, so the replay is exact)."""
+        from geomesa_spark.operators.graph import k_core
+
+        ev = _load(spark, sf, "events")
+        bulk = ev.selectExpr(
+            "event_id % 997 AS src",
+            "(event_id div 997 * 131 + event_id * 31) % 997 AS dst",
+        )
+        dense = ev.filter(F.expr("event_id % 11 = 0")).selectExpr(
+            "event_id % 23 AS src",
+            "(event_id div 253) % 23 AS dst",
+        )
+        return k_core(bulk.unionByName(dense), 19)
+
+    q["k_core"] = k_core_gate
 
     def cost_distance_gate(spark, sf):
         """Cost-distance over the event-count surface
@@ -5368,7 +5395,7 @@ FROM rg r LEFT JOIN lab l ON l.src = r.nid
     o["pagerank"] = f"""
 WITH el AS (
   SELECT DISTINCT event_id % 997 AS src,
-         (event_id * 31) % 997 AS dst
+         (event_id // 997 * 131 + event_id * 31) % 997 AS dst
   FROM events
 ),
 pr_nodes AS (
@@ -5399,7 +5426,8 @@ FROM fin
 
     o["triangles"] = f"""
 WITH el AS (
-  SELECT event_id % 997 AS src, (event_id * 31) % 997 AS dst
+  SELECT event_id % 997 AS src,
+         (event_id // 997 * 131 + event_id * 31) % 997 AS dst
   FROM events
 ),
 und AS (
@@ -5427,6 +5455,39 @@ SELECT d.node, d.degree,
        {_TRI_C.format(d="d.degree", t="coalesce(t.t, 0)")}
          AS clustering
 FROM deg d LEFT JOIN tric t ON t.node = d.node
+"""
+
+    # k_core: 8 unrolled synchronous peel stages (keep = degree >= k
+    # among survivors, then both-endpoint filter)
+    _kc_stages = "\n".join(
+        f"""keep{i} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT a AS node FROM s{i - 1}
+    UNION ALL
+    SELECT b AS node FROM s{i - 1}
+  ) GROUP BY node HAVING count(*) >= 19
+),
+s{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM s{i - 1} e
+  JOIN keep{i} ka ON ka.node = e.a
+  JOIN keep{i} kb ON kb.node = e.b
+),"""
+        for i in range(1, 9)
+    )
+    o["k_core"] = f"""
+WITH s0 AS MATERIALIZED (
+  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM (
+    SELECT event_id % 997 AS s,
+           (event_id // 997 * 131 + event_id * 31) % 997 AS d
+    FROM events
+    UNION ALL
+    SELECT event_id % 23 AS s, (event_id // 253) % 23 AS d
+    FROM events WHERE event_id % 11 = 0
+  ) WHERE s <> d
+),
+{_kc_stages}
+fin AS (SELECT a, b FROM s8)
+SELECT a, b FROM fin
 """
 
     # cost_distance: 16 unrolled Bellman-Ford stages.  (dist, src)

@@ -154,6 +154,7 @@ HEADLINE = [
     "sen_slope",
     "pagerank",
     "triangles",
+    "k_core",
 ]
 
 

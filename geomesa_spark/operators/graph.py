@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "pagerank", "PR_RANK_SQL",
-    "triangle_counts", "transitivity", "CLUSTERING_SQL",
+    "triangle_counts", "transitivity", "k_core", "CLUSTERING_SQL",
     "TRANSITIVITY_SQL",
 ]
 
@@ -266,4 +266,57 @@ def transitivity(
         F.expr(
             TRANSITIVITY_SQL.format(t="n_triangles", w="n_wedges")
         ),
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    max_iter: int = 100,
+) -> DataFrame:
+    """The k-core: the maximal subgraph of the undirected simple
+    graph in which every node has degree >= k — the classic
+    link-spam / noise peel (and the engine's fourth graph primitive
+    after distances, components, and triangles).
+
+    Synchronous peeling: each round drops every node whose degree
+    within the SURVIVING subgraph is < k, until a fixed point.  One
+    degree groupBy + one semi-join per round over the surviving
+    edges (localCheckpointed — the sssp lineage contract); rounds
+    are data-bounded (the degeneracy ordering's depth, typically
+    single digits) and a non-converged loop raises at ``max_iter``
+    rather than returning a partial core.  Synchronous deletion is
+    deterministic under any partitioning — the surviving set after
+    each round is schedule-independent, so an oracle can replay the
+    rounds exactly.
+
+    Returns the surviving undirected canonical edges
+    (a, b) with a < b; an empty frame when the k-core is empty."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cur = _undirected(edges, src_col, dst_col).localCheckpoint()
+    for _ in range(max_iter):
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .unionByName(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").cast("long").alias("_d"))
+        )
+        keep = deg.filter(F.col("_d") >= k).select("node")
+        nxt = (
+            cur.join(
+                keep.withColumnRenamed("node", "a"), "a", "semi"
+            )
+            .join(keep.withColumnRenamed("node", "b"), "b", "semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        if nxt.count() == cur.count():
+            return nxt
+        cur = nxt
+    raise RuntimeError(
+        f"k_core did not converge within max_iter={max_iter} rounds"
     )

@@ -119,3 +119,44 @@ def test_triangle_counts(spark):
     # wedge-free graph (one edge): transitivity undefined -> NULL
     ge = transitivity(_edges(spark, [(0, 1)])).collect()[0]
     assert ge.n_wedges == 0 and ge.transitivity is None
+
+
+def test_k_core(spark):
+    """k-core peeling vs brute python peeling (the k-core is unique
+    regardless of deletion order): K4 with pendant tails, random
+    graph at several k, empty core, k validation."""
+    from geomesa_spark.operators.graph import k_core
+
+    def brute(pairs, k):
+        und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+        while True:
+            deg = {}
+            for a, b in und:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            drop = {v for v, d in deg.items() if d < k}
+            if not drop:
+                return und
+            und = {(a, b) for a, b in und
+                   if a not in drop and b not in drop}
+
+    # K4 (0-3) + tail 3-10-11 + pendant 0-20
+    g = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    g += [(3, 10), (10, 11), (0, 20)]
+    for k in (1, 2, 3, 4):
+        got = {(r.a, r.b) for r in k_core(_edges(spark, g), k).collect()}
+        assert got == brute(g, k), k
+    assert k_core(_edges(spark, g), 3).count() == 6  # K4 only
+    assert k_core(_edges(spark, g), 4).count() == 0
+
+    rng = np.random.default_rng(23)
+    pairs = sorted({(int(rng.integers(0, 80)), int(rng.integers(0, 80)))
+                    for _ in range(300)})
+    for k in (2, 4, 6):
+        got = {(r.a, r.b)
+               for r in k_core(_edges(spark, pairs), k).collect()}
+        assert got == brute(pairs, k), k
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        k_core(_edges(spark, g), 0)

@@ -2436,6 +2436,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["triangles"] = triangles_gate
 
+    def trustrank_gate(spark, sf):
+        """Seeded-teleport PageRank (TrustRank, pagerank(sources=)):
+        teleport restricted to the 100 seed nodes (node % 10 == 0);
+        non-seeds start at 0 and earn rank only via damped inflow.
+        Oracle = the same 6 unrolled rounds with the seed CASE in
+        start and teleport."""
+        from geomesa_spark.operators.graph import pagerank
+
+        edges = (
+            _load(spark, sf, "events")
+            .selectExpr(
+                "event_id % 997 AS src",
+                "(event_id div 997 * 131 + event_id * 31) % 997"
+                " AS dst",
+            )
+            .distinct()
+        )
+        seeds = spark.range(0, 997, 10).selectExpr("id AS seed")
+        return pagerank(edges, rounds=6, sources=seeds)
+
+    q["trustrank"] = trustrank_gate
+
     def k_core_gate(spark, sf):
         """k-core peel (graph.k_core, k=19) over the link graph
         augmented with a dense 23-node block (every 11th event also
@@ -5412,6 +5434,49 @@ r0 AS MATERIALIZED (
 ),
 {_pr_rounds}
 fin AS (SELECT node, r FROM r6)
+SELECT node, r AS rank_fp,
+       {_PR_RANK.format(r="r", scale=repr(float(_pr_scale)))} AS rank
+FROM fin
+"""
+
+    # trustrank: the pagerank rounds with the seed CASE (node % 10
+    # = 0) in the start vector and teleport term
+    _tr_rounds = "\n".join(
+        f"""t{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(CASE WHEN n.node % 10 = 0 THEN {_pr_t} ELSE 0 END
+              + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+  FROM pr_nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.r // e.od) AS s
+    FROM pr_ew e JOIN t{i - 1} r ON r.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+),"""
+        for i in range(1, 7)
+    )
+    o["trustrank"] = f"""
+WITH el AS (
+  SELECT DISTINCT event_id % 997 AS src,
+         (event_id // 997 * 131 + event_id * 31) % 997 AS dst
+  FROM events
+),
+pr_nodes AS (
+  SELECT src AS node FROM el UNION SELECT dst FROM el
+),
+pr_deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS od FROM el GROUP BY src
+),
+pr_ew AS (
+  SELECT e.src, e.dst, d.od FROM el e JOIN pr_deg d USING (src)
+),
+t0 AS MATERIALIZED (
+  SELECT node,
+         CAST(CASE WHEN node % 10 = 0 THEN {_pr_scale} ELSE 0 END
+              AS BIGINT) AS r
+  FROM pr_nodes
+),
+{_tr_rounds}
+fin AS (SELECT node, r FROM t6)
 SELECT node, r AS rank_fp,
        {_PR_RANK.format(r="r", scale=repr(float(_pr_scale)))} AS rank
 FROM fin

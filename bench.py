@@ -155,6 +155,7 @@ HEADLINE = [
     "pagerank",
     "triangles",
     "k_core",
+    "trustrank",
 ]
 
 

@@ -66,12 +66,20 @@ def pagerank(
     damping_num: int = 85,
     damping_den: int = 100,
     r_scale: int = 1_000_000_000,
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-round integer PageRank.  Returns (node, rank_fp, rank)
     where rank_fp is the exact int64 fixed-point score after
     ``rounds`` synchronous iterations from the uniform start
     r_0 = r_scale, and rank = rank_fp / r_scale (``PR_RANK_SQL``).
-    """
+
+    ``sources=`` restricts the teleport to a seed node set (one
+    column, any name) — personalized PageRank / TrustRank: seeds
+    start at r_scale and keep the teleport income, every other node
+    starts at 0 and earns rank only through damped inflow from the
+    seed-reachable web (the seed-quality-propagation crawl filter,
+    Gyöngyi et al. 2004).  The seed flag rides the node frame, so
+    the per-round cost is unchanged."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     if not (0 < damping_num < damping_den):
@@ -83,9 +91,18 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .repartition(F.col("node"))
-        .persist()
     )
+    if sources is not None:
+        seed = sources.select(
+            F.col(sources.columns[0]).alias("node"),
+            F.lit(True).alias("_seed"),
+        ).distinct()
+        nodes = nodes.join(seed, "node", "left").select(
+            "node", F.coalesce(F.col("_seed"), F.lit(False)).alias("_seed")
+        )
+    else:
+        nodes = nodes.select("node", F.lit(True).alias("_seed"))
+    nodes = nodes.repartition(F.col("node")).persist()
     deg = e.groupBy("src").agg(F.count("*").cast("long").alias("_od"))
     ew = (
         e.join(deg, "src")
@@ -94,7 +111,9 @@ def pagerank(
     )
     t_fp = int(r_scale) * (damping_den - damping_num) // damping_den
     ranks = nodes.select(
-        "node", F.lit(int(r_scale)).cast("long").alias("rank_fp")
+        "node",
+        F.when(F.col("_seed"), F.lit(int(r_scale)))
+        .otherwise(F.lit(0)).cast("long").alias("rank_fp"),
     ).localCheckpoint()
     for _ in range(rounds):
         contrib = (
@@ -118,7 +137,8 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(t_fp)
+                    F.when(F.col("_seed"), F.lit(t_fp))
+                    .otherwise(F.lit(0))
                     + F.expr(
                         f"({damping_num} * coalesce(_in, 0L))"
                         f" div {damping_den}"

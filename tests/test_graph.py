@@ -160,3 +160,38 @@ def test_k_core(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         k_core(_edges(spark, g), 0)
+
+
+def test_trustrank_sources(spark):
+    """Seeded teleport (TrustRank): exact python replay; nodes
+    unreachable from the seed set stay at exactly 0."""
+    from geomesa_spark.operators.graph import pagerank
+
+    rng = np.random.default_rng(41)
+    # two components: 0-39 (contains seeds), 100-119 (seedless)
+    pairs = {(int(rng.integers(0, 40)), int(rng.integers(0, 40)))
+             for _ in range(200)}
+    pairs |= {(int(rng.integers(100, 120)), int(rng.integers(100, 120)))
+              for _ in range(60)}
+    pairs = sorted(pairs)
+    seeds = [0, 1, 2, 3]
+    sdf = spark.createDataFrame([(s,) for s in seeds], "seed long")
+    got = {r.node: r.rank_fp for r in pagerank(
+        _edges(spark, pairs), rounds=7, sources=sdf).collect()}
+
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    od = {}
+    for a, _ in pairs:
+        od[a] = od.get(a, 0) + 1
+    scale, num, den = 10**9, 85, 100
+    t = scale * (den - num) // den
+    r = {v: (scale if v in seeds else 0) for v in nodes}
+    for _ in range(7):
+        inn = {v: 0 for v in nodes}
+        for a, b in pairs:
+            inn[b] += r[a] // od[a]
+        r = {v: (t if v in seeds else 0) + (num * inn[v]) // den
+             for v in nodes}
+    assert got == r
+    assert all(got[v] == 0 for v in nodes if v >= 100)
+    assert all(got[s] > 0 for s in seeds)

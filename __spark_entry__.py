@@ -2482,6 +2482,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["k_core"] = k_core_gate
 
+    def wcc_gate(spark, sf):
+        """Weakly connected components on a GENERIC graph
+        (dedup.dup_components — until now gated only through its
+        near-dup composition): a sparse 30011-modulus link graph
+        (~16k nodes, ~6.5k components, largest ~11) labeled by
+        min-id pointer jumping.  Oracle = recursive-CTE closure
+        (the region_group pattern)."""
+        from geomesa_spark.operators.dedup import dup_components
+
+        edges = (
+            _load(spark, sf, "events")
+            .selectExpr(
+                "event_id % 30011 AS src",
+                "(event_id div 30011 * 131 + event_id * 31) % 30011"
+                " AS dst",
+            )
+            .filter("src <> dst")
+        )
+        return dup_components(edges, a_col="src", b_col="dst")
+
+    q["wcc"] = wcc_gate
+
+    def link_predict_gate(spark, sf):
+        """Link-prediction scoring (graph.neighbor_overlap) of ~10k
+        candidate pairs against the 997-node link graph:
+        common-neighbor counts via two explicit-equi-key adjacency
+        joins (cost bounded by candidate degrees, never all-pairs)
+        and the exact-int Jaccard via shared JACCARD_SQL."""
+        from geomesa_spark.operators.graph import neighbor_overlap
+
+        ev = _load(spark, sf, "events")
+        edges = ev.selectExpr(
+            "event_id % 997 AS src",
+            "(event_id div 997 * 131 + event_id * 31) % 997 AS dst",
+        )
+        cand = ev.selectExpr(
+            "event_id % 997 AS u",
+            "(event_id div 997 * 17 + event_id * 13 + 5) % 997 AS v",
+        ).filter("u <> v").distinct()
+        return neighbor_overlap(edges, cand)
+
+    q["link_predict"] = link_predict_gate
+
     def cost_distance_gate(spark, sf):
         """Cost-distance over the event-count surface
         (operators/route.py): the 8x8 occupied-cell lattice becomes
@@ -5437,6 +5480,82 @@ fin AS (SELECT node, r FROM r6)
 SELECT node, r AS rank_fp,
        {_PR_RANK.format(r="r", scale=repr(float(_pr_scale)))} AS rank
 FROM fin
+"""
+
+    # link_predict: brute set-intersection oracle over the adjacency
+    from geomesa_spark.operators.graph import (
+        JACCARD_SQL as _LP_J,
+    )
+
+    o["link_predict"] = f"""
+WITH el AS (
+  SELECT event_id % 997 AS src,
+         (event_id // 997 * 131 + event_id * 31) % 997 AS dst
+  FROM events
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM el WHERE src <> dst
+),
+adj AS (
+  SELECT a AS n0, b AS nb FROM und
+  UNION ALL
+  SELECT b AS n0, a AS nb FROM und
+),
+dg AS (
+  SELECT n0, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY n0
+),
+cand AS (
+  SELECT DISTINCT event_id % 997 AS u,
+         (event_id // 997 * 17 + event_id * 13 + 5) % 997 AS v
+  FROM events
+  WHERE event_id % 997
+        <> (event_id // 997 * 17 + event_id * 13 + 5) % 997
+),
+cnc AS (
+  SELECT c.u, c.v, CAST(count(*) AS BIGINT) AS cn
+  FROM cand c
+  JOIN adj x ON x.n0 = c.u
+  JOIN adj y ON y.n0 = c.v AND y.nb = x.nb
+  GROUP BY c.u, c.v
+)
+SELECT c.u, c.v,
+       CAST(coalesce(n.cn, 0) AS BIGINT) AS cn,
+       du.d AS deg_u, dv.d AS deg_v,
+       {_LP_J.format(du="du.d", dv="dv.d", cn="coalesce(n.cn, 0)")}
+         AS jaccard
+FROM cand c
+LEFT JOIN cnc n ON n.u = c.u AND n.v = c.v
+LEFT JOIN dg du ON du.n0 = c.u
+LEFT JOIN dg dv ON dv.n0 = c.v
+"""
+
+    # wcc: recursive-CTE transitive closure, label = min reachable
+    # id (self when isolated — but every node here has an edge)
+    o["wcc"] = """
+WITH RECURSIVE wel AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT event_id % 30011 AS src,
+           (event_id // 30011 * 131 + event_id * 31) % 30011 AS dst
+    FROM events
+  ) WHERE src <> dst
+),
+bed AS (
+  SELECT src AS a, dst AS b FROM wel
+  UNION ALL
+  SELECT dst AS a, src AS b FROM wel
+),
+walk AS (
+  SELECT a AS src, b AS reach FROM bed
+  UNION
+  SELECT w.src, e.b FROM walk w JOIN bed e ON e.a = w.reach
+),
+lab AS (SELECT src, min(reach) AS canon FROM walk GROUP BY src),
+nodes AS (SELECT DISTINCT a AS node FROM bed)
+SELECT n.node AS doc,
+       CAST(least(coalesce(l.canon, n.node), n.node) AS BIGINT)
+         AS canon
+FROM nodes n LEFT JOIN lab l ON l.src = n.node
 """
 
     # trustrank: the pagerank rounds with the seed CASE (node % 10

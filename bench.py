@@ -156,6 +156,8 @@ HEADLINE = [
     "triangles",
     "k_core",
     "trustrank",
+    "wcc",
+    "link_predict",
 ]
 
 

@@ -258,6 +258,49 @@ def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
         n = texts.count()
         spark.stop()
         return wall, n
+    if kind == "graph":
+        # iterative-join family on pure graph shape: fixed-round
+        # integer PageRank over a synthesized 500k-node / 4M-edge
+        # hub-skewed link graph (build untimed) — each round is ONE
+        # edge-by-rank join + ONE partial-aggregated inflow groupBy +
+        # an eager localCheckpoint barrier, with NO driver
+        # convergence scalar (rounds are fixed), so this row isolates
+        # the per-round shuffle+checkpoint cost that the cluster
+        # row mixes with driver-barrier counts.
+        from geomesa_spark.operators.graph import pagerank
+
+        E, NN = 4_000_000, 500_000
+        ids = spark.range(0, E, 1, 64)
+        sid = F.col("id").cast("string")
+        hub = F.pmod(
+            F.crc32(F.concat(sid, F.lit("h"))), F.lit(100)
+        ) < 15
+        src = F.pmod(F.crc32(sid), F.lit(NN))
+        dst_raw = F.pmod(
+            F.crc32(F.concat(sid, F.lit("d"))), F.lit(NN)
+        )
+        gedges = ids.select(
+            src.alias("src"),
+            F.when(hub, F.pmod(dst_raw, F.lit(50)))
+            .otherwise(dst_raw).alias("dst"),
+        ).localCheckpoint(eager=True)  # input build untimed
+
+        def pipeline():
+            # the per-round checkpoints are eager, so the rounds run
+            # inside this call — the write is just the final drain
+            out = pagerank(gedges, rounds=8)
+            out.write.format("noop").mode("overwrite").save()
+
+        pipeline()  # warm-up
+        wall = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            pipeline()
+            wall = min(wall, time.time() - t0)
+        n = gedges.count()
+        spark.stop()
+        return wall, n
+
     docs = spark.read.parquet(CORPUS)
     polys_df = spark.createDataFrame(POLYS, "poly_id string, geom_wkt string")
     if kind in ("geom", "knn"):
@@ -451,13 +494,13 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
     VALID_KINDS = (
         "broadcast", "shuffle", "bucketed", "geom", "knn", "dedup", "clean",
-        "ann", "tracks", "cluster",
+        "ann", "tracks", "cluster", "graph",
     )
     kinds = [
         k.strip()
         for k in os.environ.get(
             "SPARK_GRAFT_SCALING_KINDS",
-            "broadcast,shuffle,bucketed,geom,knn,dedup,clean,ann,tracks,cluster",
+            "broadcast,shuffle,bucketed,geom,knn,dedup,clean,ann,tracks,cluster,graph",
         ).split(",")
         if k.strip()
     ]
@@ -525,6 +568,13 @@ def main() -> None:
     }
     os.makedirs("BENCH", exist_ok=True)
     kind_desc = {
+        "graph": "fixed-round integer PageRank (8 synchronous rounds) "
+                 "over a synthesized 500k-node / 4M-edge hub-skewed "
+                 "link graph (build untimed): per round one edge-by-"
+                 "rank join + one partial-aggregated inflow groupBy + "
+                 "an eager localCheckpoint barrier, NO driver "
+                 "convergence scalar — isolates the per-round shuffle/"
+                 "checkpoint cost of the iterative-join family",
         "broadcast": "span->geometry extraction, Z2 encode, salted "
                      "BROADCAST PIP join vs 3 polygons, tile assignment "
                      "(the shuffle-free headline path)",

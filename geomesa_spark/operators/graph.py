@@ -49,7 +49,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "pagerank", "PR_RANK_SQL",
-    "triangle_counts", "transitivity", "k_core", "CLUSTERING_SQL",
+    "triangle_counts", "transitivity", "k_core", "neighbor_overlap",
+    "CLUSTERING_SQL", "JACCARD_SQL",
     "TRANSITIVITY_SQL",
 ]
 
@@ -339,4 +340,80 @@ def k_core(
         cur = nxt
     raise RuntimeError(
         f"k_core did not converge within max_iter={max_iter} rounds"
+    )
+
+
+# Jaccard neighbor overlap: cn / (du + dv − cn) — exact ints, ONE
+# division; NULL when either endpoint is absent from the graph
+JACCARD_SQL = (
+    "CASE WHEN {du} IS NOT NULL AND {dv} IS NOT NULL"
+    " AND {du} + {dv} - {cn} > 0"
+    " THEN CAST({cn} AS DOUBLE)"
+    " / CAST({du} + {dv} - {cn} AS DOUBLE) END"
+)
+
+
+def neighbor_overlap(
+    edges: DataFrame,
+    pairs: DataFrame,
+    u_col: str = "u",
+    v_col: str = "v",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Link-prediction scores for CANDIDATE pairs: common-neighbor
+    count and Jaccard overlap of the two neighborhoods over the
+    undirected simple graph — the caller bounds the pair set (the
+    hausdorff_join contract: candidates from an LSH bucket, a
+    wedge sample, a recommender shortlist — never all-pairs).
+
+    Shape: two adjacency equi-joins land each pair's common
+    neighbors (cost Σ deg(u) over candidates), ONE partial-
+    aggregated groupBy counts them, one degree join each side.
+    All exact int64; jaccard = one division (``JACCARD_SQL``),
+    NULL for endpoints absent from the graph.
+
+    Returns (u, v, cn, deg_u, deg_v, jaccard)."""
+    und = _undirected(edges, src_col, dst_col)
+    adj = und.select(
+        F.col("a").alias("_n0"), F.col("b").alias("_nb")
+    ).unionByName(
+        und.select(F.col("b").alias("_n0"), F.col("a").alias("_nb"))
+    )
+    deg = adj.groupBy("_n0").agg(
+        F.count("*").cast("long").alias("_d")
+    )
+    p = pairs.select(
+        F.col(u_col).alias("u"), F.col(v_col).alias("v")
+    )
+    cn = (
+        p.join(adj.withColumnRenamed("_n0", "u"), "u")
+        .join(
+            adj.select(F.col("_n0").alias("v"), "_nb"),
+            ["v", "_nb"],
+        )
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("cn"))
+    )
+    out = (
+        p.join(cn, ["u", "v"], "left")
+        .join(
+            deg.select(F.col("_n0").alias("u"),
+                       F.col("_d").alias("deg_u")),
+            "u", "left",
+        )
+        .join(
+            deg.select(F.col("_n0").alias("v"),
+                       F.col("_d").alias("deg_v")),
+            "v", "left",
+        )
+        .select(
+            "u", "v",
+            F.coalesce(F.col("cn"), F.lit(0)).cast("long").alias("cn"),
+            "deg_u", "deg_v",
+        )
+    )
+    return out.withColumn(
+        "jaccard",
+        F.expr(JACCARD_SQL.format(du="deg_u", dv="deg_v", cn="cn")),
     )

@@ -195,3 +195,37 @@ def test_trustrank_sources(spark):
     assert got == r
     assert all(got[v] == 0 for v in nodes if v >= 100)
     assert all(got[s] > 0 for s in seeds)
+
+
+def test_neighbor_overlap(spark):
+    """Common-neighbor / Jaccard scores vs brute python sets: known
+    K4 overlaps, zero-overlap pairs, absent-node NULLs."""
+    from geomesa_spark.operators.graph import neighbor_overlap
+
+    rng = np.random.default_rng(47)
+    pairs_g = sorted({(int(rng.integers(0, 50)), int(rng.integers(0, 50)))
+                      for _ in range(220)})
+    edges = _edges(spark, pairs_g)
+    adj = {}
+    for a, b in pairs_g:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    cand = [(i, (i * 7 + 3) % 50) for i in range(50)]
+    cand += [(0, 999)]  # absent node
+    cdf = spark.createDataFrame(cand, "u long, v long")
+    got = {(r.u, r.v): r for r in neighbor_overlap(edges, cdf).collect()}
+    assert len(got) == len(set(cand))
+    for u, v in set(cand):
+        r = got[(u, v)]
+        nu, nv = adj.get(u), adj.get(v)
+        if nu is None or nv is None:
+            missing = (nu is None and u == 999) or v == 999
+            assert r.jaccard is None
+            continue
+        cn = len(nu & nv)
+        assert r.cn == cn, (u, v)
+        assert r.deg_u == len(nu) and r.deg_v == len(nv)
+        want_j = (float(cn) / float(len(nu) + len(nv) - cn)
+                  if len(nu) + len(nv) - cn > 0 else None)
+        assert r.jaccard == want_j, (u, v)

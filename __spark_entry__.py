@@ -2525,6 +2525,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["link_predict"] = link_predict_gate
 
+    def hits_gate(spark, sf):
+        """HITS hubs/authorities (graph.hits) over the directed 997
+        link graph: 4 unnormalized exact-integer double-steps
+        (authority = Σ hub in-links, hub = Σ authority out-links)
+        from h=1, then one max-normalization division per column —
+        replayable, so the oracle unrolls the same 8 half-rounds."""
+        from geomesa_spark.operators.graph import hits
+
+        edges = _load(spark, sf, "events").selectExpr(
+            "event_id % 997 AS src",
+            "(event_id div 997 * 131 + event_id * 31) % 997 AS dst",
+        )
+        return hits(edges, rounds=4)
+
+    q["hits"] = hits_gate
+
     def cost_distance_gate(spark, sf):
         """Cost-distance over the event-count surface
         (operators/route.py): the 8x8 occupied-cell lattice becomes
@@ -5528,6 +5544,55 @@ FROM cand c
 LEFT JOIN cnc n ON n.u = c.u AND n.v = c.v
 LEFT JOIN dg du ON du.n0 = c.u
 LEFT JOIN dg dv ON dv.n0 = c.v
+"""
+
+    # hits: 4 unrolled double-step rounds + max-normalized emission
+    from geomesa_spark.operators.graph import (
+        HITS_NORM_SQL as _HITS_N,
+    )
+
+    _hits_rounds = "\n".join(
+        f"""ha{i} AS MATERIALIZED (
+  SELECT n.node, CAST(coalesce(c.s, 0) AS BIGINT) AS a
+  FROM pr_nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(h.h) AS s
+    FROM hel e JOIN hh{i - 1} h ON h.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+),
+hh{i} AS MATERIALIZED (
+  SELECT n.node, CAST(coalesce(c.s, 0) AS BIGINT) AS h
+  FROM pr_nodes n LEFT JOIN (
+    SELECT e.src AS node, sum(a.a) AS s
+    FROM hel e JOIN ha{i} a ON a.node = e.dst
+    GROUP BY e.src
+  ) c ON c.node = n.node
+),"""
+        for i in range(1, 5)
+    )
+    o["hits"] = f"""
+WITH hel AS (
+  SELECT DISTINCT event_id % 997 AS src,
+         (event_id // 997 * 131 + event_id * 31) % 997 AS dst
+  FROM events
+  WHERE event_id % 997
+        <> (event_id // 997 * 131 + event_id * 31) % 997
+),
+pr_nodes AS (
+  SELECT src AS node FROM hel UNION SELECT dst FROM hel
+),
+hh0 AS MATERIALIZED (
+  SELECT node, CAST(1 AS BIGINT) AS h FROM pr_nodes
+),
+{_hits_rounds}
+hmx AS (
+  SELECT (SELECT max(a) FROM ha4) AS ma,
+         (SELECT max(h) FROM hh4) AS mh
+)
+SELECT a.node, a.a AS auth_fp, h.h AS hub_fp,
+       {_HITS_N.format(x="a.a", mx="m.ma")} AS authority,
+       {_HITS_N.format(x="h.h", mx="m.mh")} AS hub
+FROM ha4 a JOIN hh4 h ON h.node = a.node, hmx m
 """
 
     # wcc: recursive-CTE transitive closure, label = min reachable

@@ -158,6 +158,7 @@ HEADLINE = [
     "trustrank",
     "wcc",
     "link_predict",
+    "hits",
 ]
 
 

@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "pagerank", "PR_RANK_SQL",
     "triangle_counts", "transitivity", "k_core", "neighbor_overlap",
+    "hits", "HITS_NORM_SQL",
     "CLUSTERING_SQL", "JACCARD_SQL",
     "TRANSITIVITY_SQL",
 ]
@@ -417,3 +418,97 @@ def neighbor_overlap(
         "jaccard",
         F.expr(JACCARD_SQL.format(du="deg_u", dv="deg_v", cn="cn")),
     )
+
+
+# normalized emission: one division of the exact integer score by
+# the exact integer maximum (NULL-safe on the empty graph)
+HITS_NORM_SQL = (
+    "CASE WHEN {mx} > 0 THEN CAST({x} AS DOUBLE)"
+    " / CAST({mx} AS DOUBLE) END"
+)
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    rounds: int = 4,
+) -> DataFrame:
+    """HITS hubs and authorities (Kleinberg 1999) over the DIRECTED
+    simple graph: ``rounds`` synchronous unnormalized integer
+    iterations from h_0 = 1 — authority = Σ hub over in-links, hub =
+    Σ authority over out-links — then ONE normalization division per
+    column on output (max-normalized doubles; the exact int64
+    iterates are also returned).
+
+    Unnormalized integer rounds keep every value exact and make the
+    iteration SQL-replayable with no per-round scalar; the price is
+    growth ~ (max degree)² per round, so values must satisfy
+    (2·max_deg)^(2·rounds) < 2^63 — four rounds on a web-ish graph.
+    Under ANSI mode an overflow raises loudly rather than wrapping;
+    raise ``rounds`` only for low-degree graphs.  Per round: two
+    edge-by-score joins + two partial-aggregated groupBys (the
+    pagerank contract; edges persisted once per direction).
+
+    Returns (node, auth_fp, hub_fp, authority, hub)."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = edges.filter(F.col(src_col) != F.col(dst_col)).select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    fwd = e.repartition(F.col("src")).persist()
+    rev = e.repartition(F.col("dst")).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    hub = nodes.select(
+        "node", F.lit(1).cast("long").alias("h")
+    ).localCheckpoint()
+    auth = None
+    for _ in range(rounds):
+        auth = (
+            rev.join(
+                hub.select(F.col("node").alias("src"), "h"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+            .withColumnRenamed("dst", "node")
+        )
+        auth = nodes.join(auth, "node", "left").select(
+            "node", F.coalesce(F.col("a"), F.lit(0)).alias("a")
+        ).localCheckpoint()
+        hub = (
+            fwd.join(
+                auth.select(F.col("node").alias("dst"), "a"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+            .withColumnRenamed("src", "node")
+        )
+        hub = nodes.join(hub, "node", "left").select(
+            "node", F.coalesce(F.col("h"), F.lit(0)).alias("h")
+        ).localCheckpoint()
+    mx = F.broadcast(
+        hub.join(auth, "node").agg(
+            F.max("a").alias("_ma"), F.max("h").alias("_mh")
+        )
+    )
+    out = (
+        auth.withColumnRenamed("a", "auth_fp")
+        .join(hub.withColumnRenamed("h", "hub_fp"), "node")
+        .crossJoin(mx)
+        .select(
+            "node", "auth_fp", "hub_fp",
+            F.expr(HITS_NORM_SQL.format(x="auth_fp", mx="_ma"))
+            .alias("authority"),
+            F.expr(HITS_NORM_SQL.format(x="hub_fp", mx="_mh"))
+            .alias("hub"),
+        )
+    )
+    for fr in (fwd, rev, nodes):
+        fr.unpersist()
+    return out

@@ -229,3 +229,39 @@ def test_neighbor_overlap(spark):
         want_j = (float(cn) / float(len(nu) + len(nv) - cn)
                   if len(nu) + len(nv) - cn > 0 else None)
         assert r.jaccard == want_j, (u, v)
+
+
+def test_hits(spark):
+    """HITS vs exact python replay: bipartite hub/authority
+    separation, directed semantics (reversal swaps roles)."""
+    from geomesa_spark.operators.graph import hits
+
+    rng = np.random.default_rng(53)
+    # hubs 0..4 point at authorities 100..109, plus noise
+    pairs = {(h, a) for h in range(5) for a in range(100, 110)
+             if rng.random() < 0.8}
+    pairs |= {(int(rng.integers(200, 240)), int(rng.integers(200, 240)))
+              for _ in range(60)}
+    pairs = sorted({(a, b) for a, b in pairs if a != b})
+    got = {r.node: r for r in hits(_edges(spark, pairs), rounds=4).collect()}
+
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    h = {v: 1 for v in nodes}
+    for _ in range(4):
+        a = {v: 0 for v in nodes}
+        for s, d in pairs:
+            a[d] += h[s]
+        h = {v: 0 for v in nodes}
+        for s, d in pairs:
+            h[s] += a[d]
+    ma, mh = max(a.values()), max(h.values())
+    for v in nodes:
+        r = got[v]
+        assert (r.auth_fp, r.hub_fp) == (a[v], h[v]), v
+        assert r.authority == (float(a[v]) / ma if ma > 0 else None)
+        assert r.hub == (float(h[v]) / mh if mh > 0 else None)
+    # hubs have hub score, no authority; authorities the reverse
+    assert all(got[v].auth_fp == 0 for v in range(5))
+    assert all(got[v].hub_fp == 0 for v in range(100, 110))
+    top_auth = max(nodes, key=lambda v: got[v].auth_fp)
+    assert 100 <= top_auth < 110

@@ -7321,6 +7321,18 @@ WHERE NOT EXISTS (
       )
     )
 )
+-- degenerate (all-collinear) groups qualify in BOTH directions while
+-- hull_edges emits the single open segment once; keep the ascending
+-- direction only when the whole group is collinear
+AND NOT (
+  (c.ax, c.ay) > (c.bx, c.by2)
+  AND NOT EXISTS (
+    SELECT 1 FROM tq p2
+    WHERE p2.g = c.g
+      AND (c.bx - c.ax) * (p2.yq - c.ay)
+          - (c.by2 - c.ay) * (p2.xq - c.ax) <> 0
+  )
+)
 """
 
     # hull_moments: the convex_hull edge characterization as a CTE,
@@ -7363,6 +7375,15 @@ he AS (
                        AND greatest(c.ay, c.by2)
         )
       )
+  )
+  AND NOT (
+    (c.ax, c.ay) > (c.bx, c.by2)
+    AND NOT EXISTS (
+      SELECT 1 FROM tq p2
+      WHERE p2.g = c.g
+        AND (c.bx - c.ax) * (p2.yq - c.ay)
+            - (c.by2 - c.ay) * (p2.xq - c.ax) <> 0
+    )
   )
 ),
 em AS (

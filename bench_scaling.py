@@ -260,8 +260,11 @@ def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
         return wall, n
     if kind == "graph":
         # iterative-join family on pure graph shape: fixed-round
-        # integer PageRank over a synthesized 500k-node / 4M-edge
-        # hub-skewed link graph (build untimed) — each round is ONE
+        # integer PageRank over a synthesized 4M-node / 32M-edge
+        # hub-skewed link graph (build untimed; the first 4M-edge
+        # sizing ran ~13 s at N and its ratio measured per-round
+        # fixed overhead, not the operator — the bucketed-row
+        # lesson) — each round is ONE
         # edge-by-rank join + ONE partial-aggregated inflow groupBy +
         # an eager localCheckpoint barrier, with NO driver
         # convergence scalar (rounds are fixed), so this row isolates
@@ -269,7 +272,7 @@ def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
         # row mixes with driver-barrier counts.
         from geomesa_spark.operators.graph import pagerank
 
-        E, NN = 4_000_000, 500_000
+        E, NN = 32_000_000, 4_000_000
         ids = spark.range(0, E, 1, 64)
         sid = F.col("id").cast("string")
         hub = F.pmod(
@@ -569,7 +572,7 @@ def main() -> None:
     os.makedirs("BENCH", exist_ok=True)
     kind_desc = {
         "graph": "fixed-round integer PageRank (8 synchronous rounds) "
-                 "over a synthesized 500k-node / 4M-edge hub-skewed "
+                 "over a synthesized 4M-node / 32M-edge hub-skewed "
                  "link graph (build untimed): per round one edge-by-"
                  "rank join + one partial-aggregated inflow groupBy + "
                  "an eager localCheckpoint barrier, NO driver "

@@ -194,6 +194,14 @@ def bpe_encode(
         + [T.StructField(out_col, T.ArrayType(T.StringType()))]
     )
 
+    import re
+
+    # the SAME word boundary as word_counts' Java regex \s+: Java's
+    # \s is the ASCII class [ \t\n\x0b\f\r] (python str.split()
+    # and python \s are Unicode-aware and would split e.g. NBSP,
+    # silently dropping characters the trainer learned merges over)
+    _ws = re.compile("[ \t\n\x0b\f\r]+")
+
     def enc(batches):
         memo: dict[str, list[str]] = {}
 
@@ -201,7 +209,9 @@ def bpe_encode(
             out: list[str] = []
             if text is None:
                 return out
-            for w in text.split():
+            for w in _ws.split(text):
+                if not w:
+                    continue
                 t = memo.get(w)
                 if t is None:
                     t = _encode_word(w, ranked, eow)

@@ -384,9 +384,12 @@ def neighbor_overlap(
     deg = adj.groupBy("_n0").agg(
         F.count("*").cast("long").alias("_d")
     )
+    # duplicate candidate rows would multiply cn (and re-expand on
+    # the final join), so the pair set dedups here — bounded by the
+    # candidate count the caller already owns
     p = pairs.select(
         F.col(u_col).alias("u"), F.col(v_col).alias("v")
-    )
+    ).distinct()
     cn = (
         p.join(adj.withColumnRenamed("_n0", "u"), "u")
         .join(
@@ -456,9 +459,11 @@ def hits(
         raise ValueError("rounds must be >= 1")
     e = edges.filter(F.col(src_col) != F.col(dst_col)).select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
-    fwd = e.repartition(F.col("src")).persist()
-    rev = e.repartition(F.col("dst")).persist()
+    ).distinct().localCheckpoint()  # one filter+distinct, reused 3x
+    # each persisted frame is partitioned on the key its round JOINS
+    # on, so the edge side of every round is shuffle-free
+    by_src = e.repartition(F.col("src")).persist()
+    by_dst = e.repartition(F.col("dst")).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -471,7 +476,7 @@ def hits(
     auth = None
     for _ in range(rounds):
         auth = (
-            rev.join(
+            by_src.join(
                 hub.select(F.col("node").alias("src"), "h"), "src"
             )
             .groupBy("dst")
@@ -482,7 +487,7 @@ def hits(
             "node", F.coalesce(F.col("a"), F.lit(0)).alias("a")
         ).localCheckpoint()
         hub = (
-            fwd.join(
+            by_dst.join(
                 auth.select(F.col("node").alias("dst"), "a"), "dst"
             )
             .groupBy("src")
@@ -509,6 +514,6 @@ def hits(
             .alias("hub"),
         )
     )
-    for fr in (fwd, rev, nodes):
+    for fr in (by_src, by_dst, nodes):
         fr.unpersist()
     return out

@@ -490,6 +490,15 @@ def sen_slope(
 
     Returns key_cols + (n_pairs, sen); keys with no strictly-ordered
     pair are absent (nothing to estimate)."""
+    for c, role in ((t_col, "t_col"), (v_col, "v_col")):
+        if dict(df.dtypes)[c] not in (
+            "bigint", "int", "smallint", "tinyint"
+        ):
+            raise ValueError(
+                f"sen_slope: {role} {c!r} must be integral — a cast "
+                "would silently truncate; pre-scale floats with "
+                "floor(v * scale) (the idw_grid fixed-mode contract)"
+            )
     b = df.select(
         *key_cols,
         F.col(t_col).cast("long").alias("_t"),

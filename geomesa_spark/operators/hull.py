@@ -181,6 +181,17 @@ def hull_edges(
     )
 
 
+def _q_fp(c: str, fp: float):
+    """Re-quantize a de-quantized edge coordinate to fp decimal(19,0)
+    — ONE definition shared by polygon_area and polygon_moments so
+    their area2_fp can never desynchronize."""
+    return (
+        F.round(F.col(c) * F.lit(fp))
+        .cast("long")
+        .cast("decimal(19,0)")
+    )
+
+
 # shoelace over DIRECTED CCW edges: an order-free SUM of exact
 # decimal(38,0) cross terms — one division of canonical integers at
 # the end.  An OPEN single segment (2-vertex degenerate hull) does
@@ -215,15 +226,9 @@ def polygon_area(
     Returns (by..., n_edges, area2_fp decimal(38,0), area)."""
     keys = list(by) if by else []
     fp = float(fp_scale)
-
-    def q(c):
-        return (
-            F.round(F.col(c) * F.lit(fp))
-            .cast("long")
-            .cast("decimal(19,0)")
-        )
-
-    cross = q("ax") * q("by_") - q("bx") * q("ay")
+    cross = _q_fp("ax", fp) * _q_fp("by_", fp) - _q_fp(
+        "bx", fp
+    ) * _q_fp("ay", fp)
     out = (
         edges.select(*keys, cross.alias("_c"))
         .groupBy(*keys)
@@ -284,15 +289,10 @@ def polygon_moments(
     perimeter, cx, cy)."""
     keys = list(by) if by else []
     fp = float(fp_scale)
-
-    def q(c):
-        return (
-            F.round(F.col(c) * F.lit(fp))
-            .cast("long")
-            .cast("decimal(19,0)")
-        )
-
-    ax, ay, bx, by2 = q("ax"), q("ay"), q("bx"), q("by_")
+    ax, ay, bx, by2 = (
+        _q_fp("ax", fp), _q_fp("ay", fp),
+        _q_fp("bx", fp), _q_fp("by_", fp),
+    )
     cross = ax * by2 - bx * ay
     dx, dy = bx - ax, by2 - ay
     d2 = (dx * dx + dy * dy).cast("decimal(38,0)")

@@ -301,8 +301,16 @@ def distance_surface(
     (d², id) struct minimum, so ties break to the smallest target
     id.  `dist` = one sqrt of the canonical d².
 
-    Returns (x, y, n_candidates, d2, dist, nearest_id)."""
+    Returns (x, y, n_candidates, d2, dist, nearest_id).  Requires
+    2·ring < 2^bits: on a narrower grid the wrapped dx offsets
+    collapse onto the same cell and would double-count
+    n_candidates."""
     n = 1 << bits
+    if 2 * ring >= n:
+        raise ValueError(
+            f"distance_surface: 2*ring ({2 * ring}) must be < "
+            f"2^bits ({n}) — wrapped offsets would collide"
+        )
     cw = 360.0 / n
     ch = 180.0 / n
     offsets = [

@@ -109,3 +109,18 @@ def test_bpe_encode_matches_reference(spark):
     assert m == [("a", "a")]
     out = bpe_encode(tri, m, eow=None).collect()[0].bpe_tokens
     assert list(out) == ["aa", "a"] * 3
+
+
+def test_bpe_unicode_whitespace_boundary(spark):
+    """Review fix: the encoder must use the SAME ASCII whitespace
+    class as the trainer's Java \\s+ — a NBSP-joined token is ONE
+    word on both sides (python str.split() would split it and
+    silently drop the NBSP)."""
+    docs = [(0, "aa bb aa bb aa bb")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    wc = {r.word: r["count"] for r in word_counts(df).collect()}
+    assert wc == {"aa bb": 3}
+    merges = bpe_train(df, n_merges=3, eow=None)
+    enc = bpe_encode(df, merges, eow=None).collect()[0].bpe_tokens
+    # round-trip: no characters were dropped
+    assert "".join(enc) == "aa bb" * 3

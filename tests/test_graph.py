@@ -265,3 +265,20 @@ def test_hits(spark):
     assert all(got[v].hub_fp == 0 for v in range(100, 110))
     top_auth = max(nodes, key=lambda v: got[v].auth_fp)
     assert 100 <= top_auth < 110
+
+
+def test_neighbor_overlap_duplicate_candidates(spark):
+    """Review fix: duplicate candidate rows must not multiply cn or
+    re-expand the output."""
+    from geomesa_spark.operators.graph import neighbor_overlap
+
+    g = [(0, 1), (0, 2), (3, 1), (3, 2), (0, 3)]
+    cand = [(0, 3)] * 4  # heavily duplicated
+    out = neighbor_overlap(
+        _edges(spark, g),
+        spark.createDataFrame(cand, "u long, v long"),
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.cn == 2  # common neighbors {1, 2}
+    assert r.jaccard == 2.0 / (3 + 3 - 2)

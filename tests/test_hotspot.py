@@ -373,3 +373,14 @@ def test_sen_slope(spark):
         assert got[k].sen == want, (k, got[k].sen, want)
     assert got["a"].sen == 3.0
     assert "d" not in got
+
+
+def test_sen_slope_rejects_float_values(spark):
+    """Review fix: a float value column would silently truncate —
+    raise instead (the idw_grid fixed-mode contract)."""
+    from geomesa_spark.operators.hotspot import sen_slope
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.5), ("a", 1, 2.5)], "k string, tb long, w double")
+    with pytest.raises(ValueError, match="integral"):
+        sen_slope(df, ["k"], "tb", "w")

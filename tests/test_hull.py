@@ -247,3 +247,55 @@ def test_polygon_moments(spark):
     assert m.area2_fp == a2 and m.perim_fp == pf
     assert m.cx == float(sx) / (3.0 * float(a2)) / FP
     assert m.cy == float(sy) / (3.0 * float(a2)) / FP
+
+
+def test_oracle_edge_characterization_degenerate_dedup():
+    """Review fix (oracle-side): the O(n³) directed hull-edge
+    characterization qualifies BOTH directions of an all-collinear
+    group's segment, while hull_edges emits it once — the gate
+    oracles now keep only the ascending direction for degenerate
+    groups.  Pinned here directly in DuckDB on a fabricated group."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("""CREATE TABLE tq AS SELECT * FROM (VALUES
+        ('d', 0, 0), ('d', 10, 10), ('d', 20, 20),
+        ('t', 0, 0), ('t', 10, 0), ('t', 0, 10)) v(g, xq, yq)""")
+    q = """
+SELECT c.g, c.ax, c.ay, c.bx, c.by2
+FROM (
+  SELECT a.g, a.xq AS ax, a.yq AS ay, b.xq AS bx, b.yq AS by2
+  FROM tq a JOIN tq b
+    ON a.g = b.g AND (a.xq <> b.xq OR a.yq <> b.yq)
+) c
+WHERE NOT EXISTS (
+  SELECT 1 FROM tq p
+  WHERE p.g = c.g
+    AND NOT (
+      (c.bx - c.ax) * (p.yq - c.ay)
+        - (c.by2 - c.ay) * (p.xq - c.ax) > 0
+      OR (
+        (c.bx - c.ax) * (p.yq - c.ay)
+          - (c.by2 - c.ay) * (p.xq - c.ax) = 0
+        AND p.xq BETWEEN least(c.ax, c.bx) AND greatest(c.ax, c.bx)
+        AND p.yq BETWEEN least(c.ay, c.by2) AND greatest(c.ay, c.by2)
+      )
+    )
+)
+AND NOT (
+  (c.ax, c.ay) > (c.bx, c.by2)
+  AND NOT EXISTS (
+    SELECT 1 FROM tq p2
+    WHERE p2.g = c.g
+      AND (c.bx - c.ax) * (p2.yq - c.ay)
+          - (c.by2 - c.ay) * (p2.xq - c.ax) <> 0
+  )
+)
+"""
+    rows = con.execute(q).fetchall()
+    deg = [r for r in rows if r[0] == "d"]
+    tri = [r for r in rows if r[0] == "t"]
+    # degenerate group: exactly ONE ascending segment (hull_edges
+    # parity); triangle group: its 3 CCW edges, untouched
+    assert deg == [("d", 0, 0, 20, 20)]
+    assert len(tri) == 3

@@ -257,3 +257,16 @@ def test_distance_surface(spark):
     # the duplicate position tie broke to the smaller id somewhere
     assert any(r.nearest_id == 2 for r in got.values())
     assert not any(r.nearest_id == 3 for r in got.values())
+
+
+def test_distance_surface_narrow_grid_raises(spark):
+    """Review fix: 2*ring >= 2^bits would wrap offsets onto the same
+    cell and double-count n_candidates — refuse."""
+    import pytest
+
+    from geomesa_spark.operators.interp import distance_surface
+
+    df = spark.createDataFrame([(0, 0.0, 0.0)],
+                               "tid long, lon double, lat double")
+    with pytest.raises(ValueError, match="ring"):
+        distance_surface(df, "tid", bits=2, ring=2)

@@ -3242,6 +3242,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["colocation"] = colocation_gate
 
+    def mst_gate(spark, sf):
+        """Borůvka minimum spanning forest (graph.boruvka_mst) over
+        a weighted 997-node link graph (w mixes independent digit
+        planes; multi-edges fold to min(w) identically in both
+        engines): synchronous cheapest-outgoing-edge hooking, then
+        pointer-jumped merging over the COMPONENT graph.  The
+        unique (w, a, b) total order makes the forest unique and
+        rounds past the fixed point idempotent, so the oracle
+        replays unrolled rounds (observed convergence + spares),
+        each with a recursive-CTE closure over the ≤-one-edge-per-
+        component merge graph."""
+        from geomesa_spark.operators.graph import boruvka_mst
+
+        edges = _load(spark, sf, "events").selectExpr(
+            "event_id % 997 AS src",
+            "(event_id div 997 * 131 + event_id * 31) % 997 AS dst",
+            "(event_id * 37 + event_id div 31) % 9973 + 1 AS w",
+        )
+        return boruvka_mst(edges)
+
+    q["mst"] = mst_gate
+
+    def closeness_gate(spark, sf):
+        """Closeness centrality + eccentricity (graph.closeness) for
+        27 pivot sources (node % 37 == 0) over the undirected 997
+        link graph — per-source unit-weight BFS through
+        route.sssp(per_source=True), then one exact-int fold per
+        source; closeness = (n_reached-1)/Σdist via the shared
+        CLOSENESS_SQL.  Oracle = an INDEPENDENT algorithm: a
+        hop-capped recursive-CTE walk taking min hop distance per
+        (source, node)."""
+        from geomesa_spark.operators.graph import closeness
+
+        edges = _load(spark, sf, "events").selectExpr(
+            "event_id % 997 AS src",
+            "(event_id div 997 * 131 + event_id * 31) % 997 AS dst",
+        )
+        sources = spark.range(0, 997, 37).selectExpr("id AS node")
+        return closeness(edges, sources)
+
+    q["closeness"] = closeness_gate
+
+    def communities_gate(spark, sf):
+        """Synchronous label propagation (graph.label_propagation,
+        4 fixed rounds) over the undirected 997 link graph: each
+        node adopts its neighbors' most frequent label (ties -> min
+        label) simultaneously — exact int64 votes, so the oracle
+        unrolls the same 4 rounds with the identical
+        (count DESC, label) argmax."""
+        from geomesa_spark.operators.graph import label_propagation
+
+        edges = _load(spark, sf, "events").selectExpr(
+            "event_id % 997 AS src",
+            "(event_id div 997 * 131 + event_id * 31) % 997 AS dst",
+        )
+        return label_propagation(edges, rounds=4)
+
+    q["communities"] = communities_gate
+
+    def assortativity_gate(spark, sf):
+        """Degree assortativity (graph.assortativity) of the
+        undirected 997 link graph: Pearson correlation of endpoint
+        degrees over the 2m edge stubs — all four sums exact
+        decimal(38,0) (HUGEINT in the oracle), ONE double division
+        via the shared ASSORTATIVITY_SQL; decimal→double casts
+        compare bit-exact (the hull_moments precedent)."""
+        from geomesa_spark.operators.graph import assortativity
+
+        edges = _load(spark, sf, "events").selectExpr(
+            "event_id % 997 AS src",
+            "(event_id div 997 * 131 + event_id * 31) % 997 AS dst",
+        )
+        out = assortativity(edges)
+        return out.select(
+            "m",
+            F.col("s1").cast("double").alias("s1_d"),
+            F.col("s2").cast("double").alias("s2_d"),
+            F.col("sxy").cast("double").alias("sxy_d"),
+            "assortativity",
+        )
+
+    q["assortativity"] = assortativity_gate
+
     return q
 
 
@@ -7658,6 +7741,212 @@ SELECT cat_a, cat_b, sa.n_cat AS n_a, sb.n_cat AS n_b,
 FROM fwd JOIN rev USING (cat_a, cat_b)
 JOIN sizes sa ON sa.cat = cat_a
 JOIN sizes sb ON sb.cat = cat_b
+"""
+
+    # mst: unrolled Borůvka rounds — per round the per-component
+    # cheapest crossing edge (the unique (w, a, b) total order), the
+    # engine's dedup, then a recursive-CTE closure over the merge
+    # graph relabeling every old component to its min component id
+    # (exactly dup_components' fixed point).  7 rounds = observed
+    # convergence (5) + 2 idempotent spares.
+    _mst_rounds = "\n".join(
+        f"""cr{i} AS MATERIALIZED (
+  SELECT e.a, e.b, e.w, la.c AS ca, lb.c AS cb
+  FROM me e
+  JOIN mlab{i - 1} la ON la.node = e.a
+  JOIN mlab{i - 1} lb ON lb.node = e.b
+  WHERE la.c <> lb.c
+),
+pk{i} AS (
+  SELECT * FROM (
+    SELECT comp, a, b, w, ca, cb,
+           row_number() OVER (
+             PARTITION BY comp ORDER BY w, a, b
+           ) AS rn
+    FROM (
+      SELECT ca AS comp, a, b, w, ca, cb FROM cr{i}
+      UNION ALL
+      SELECT cb AS comp, a, b, w, ca, cb FROM cr{i}
+    )
+  ) WHERE rn = 1
+),
+sel{i} AS MATERIALIZED (
+  SELECT DISTINCT a, b, w, ca, cb FROM pk{i}
+),
+bed{i} AS (
+  SELECT ca AS x, cb AS y FROM sel{i}
+  UNION ALL
+  SELECT cb AS x, ca AS y FROM sel{i}
+),
+wk{i} AS (
+  SELECT x AS s, y AS r FROM bed{i}
+  UNION
+  SELECT k.s, e.y FROM wk{i} k JOIN bed{i} e ON e.x = k.r
+),
+mp{i} AS (
+  SELECT s, least(s, min(r)) AS nc FROM wk{i} GROUP BY s
+),
+mlab{i} AS MATERIALIZED (
+  SELECT l.node, coalesce(m.nc, l.c) AS c
+  FROM mlab{i - 1} l LEFT JOIN mp{i} m ON m.s = l.c
+),"""
+        for i in range(1, 8)
+    )
+    _mst_emit = "\nUNION ALL\n".join(
+        f"SELECT a, b, w, CAST({i} AS INTEGER) AS round FROM sel{i}"
+        for i in range(1, 8)
+    )
+    o["mst"] = f"""
+WITH RECURSIVE me AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         min(w) AS w
+  FROM (
+    SELECT event_id % 997 AS src,
+           (event_id // 997 * 131 + event_id * 31) % 997 AS dst,
+           (event_id * 37 + event_id // 31) % 9973 + 1 AS w
+    FROM events
+  ) WHERE src <> dst
+  GROUP BY 1, 2
+),
+mlab0 AS MATERIALIZED (
+  SELECT node, node AS c FROM (
+    SELECT a AS node FROM me UNION SELECT b FROM me
+  )
+),
+{_mst_rounds}
+fin AS ({_mst_emit})
+SELECT a, b, w, round FROM fin
+"""
+
+    # closeness: INDEPENDENT oracle — hop-capped recursive walk, min
+    # hop distance per (source, node); the link graph's observed
+    # eccentricity is 4, so cap 10 is converged with margin
+    from geomesa_spark.operators.graph import (
+        CLOSENESS_SQL as _CLO_SQL,
+    )
+
+    o["closeness"] = f"""
+WITH RECURSIVE cel AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT event_id % 997 AS src,
+           (event_id // 997 * 131 + event_id * 31) % 997 AS dst
+    FROM events
+  ) WHERE src <> dst
+),
+cbed AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM cel
+  UNION
+  SELECT dst AS a, src AS b FROM cel
+),
+csrc AS (SELECT CAST(range AS BIGINT) AS s FROM range(0, 997, 37)),
+cwk AS (
+  SELECT s, s AS n, 0 AS d FROM csrc
+  UNION
+  SELECT k.s, e.b, k.d + 1
+  FROM cwk k JOIN cbed e ON e.a = k.n
+  WHERE k.d < 10
+),
+cdm AS (SELECT s, n, min(d) AS d FROM cwk GROUP BY s, n),
+cag AS (
+  SELECT s AS src,
+         CAST(count(*) AS BIGINT) AS n_reached,
+         CAST(sum(d) AS BIGINT) AS total_dist,
+         CAST(max(d) AS BIGINT) AS eccentricity
+  FROM cdm GROUP BY s
+)
+SELECT src, n_reached, total_dist, eccentricity,
+       {_CLO_SQL.format(nr="n_reached", td="total_dist")} AS closeness
+FROM cag
+"""
+
+    # communities: 4 unrolled synchronous LPA rounds — the identical
+    # (count DESC, label) argmax tiebreak
+    _lpa_rounds = "\n".join(
+        f"""cl{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT a.n AS node, l.label,
+           row_number() OVER (
+             PARTITION BY a.n
+             ORDER BY count(*) DESC, l.label
+           ) AS rn
+    FROM cadj a JOIN cl{i - 1} l ON l.node = a.nb
+    GROUP BY a.n, l.label
+  ) WHERE rn = 1
+),"""
+        for i in range(1, 5)
+    )
+    o["communities"] = f"""
+WITH lel AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT event_id % 997 AS src,
+           (event_id // 997 * 131 + event_id * 31) % 997 AS dst
+    FROM events
+  ) WHERE src <> dst
+),
+lund AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM lel
+),
+cadj AS MATERIALIZED (
+  SELECT a AS n, b AS nb FROM lund
+  UNION ALL
+  SELECT b AS n, a AS nb FROM lund
+),
+cl0 AS MATERIALIZED (
+  SELECT DISTINCT n AS node, n AS label FROM cadj
+),
+{_lpa_rounds}
+fin AS (SELECT node, label FROM cl4)
+SELECT node, label FROM fin
+"""
+
+    # assortativity: HUGEINT stub sums, the shared division form
+    from geomesa_spark.operators.graph import (
+        ASSORTATIVITY_SQL as _ASSORT_SQL,
+    )
+
+    _as_m = "(CAST(2 AS HUGEINT) * CAST(m AS HUGEINT))"
+    o["assortativity"] = f"""
+WITH ael AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT event_id % 997 AS src,
+           (event_id // 997 * 131 + event_id * 31) % 997 AS dst
+    FROM events
+  ) WHERE src <> dst
+),
+aund AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ael
+),
+astub AS (
+  SELECT a AS x, b AS y FROM aund
+  UNION ALL
+  SELECT b AS x, a AS y FROM aund
+),
+adeg AS (
+  SELECT x AS n, CAST(count(*) AS BIGINT) AS d
+  FROM astub GROUP BY x
+),
+aj AS (
+  SELECT dx.d AS dx, dy.d AS dy
+  FROM astub s
+  JOIN adeg dx ON dx.n = s.x
+  JOIN adeg dy ON dy.n = s.y
+),
+aag AS (
+  SELECT CAST(count(*) // 2 AS BIGINT) AS m,
+         sum(CAST(dx AS HUGEINT)) AS s1,
+         sum(CAST(dx AS HUGEINT) * dx) AS s2,
+         sum(CAST(dx AS HUGEINT) * dy) AS sxy
+  FROM aj
+)
+SELECT m,
+       CAST(s1 AS DOUBLE) AS s1_d,
+       CAST(s2 AS DOUBLE) AS s2_d,
+       CAST(sxy AS DOUBLE) AS sxy_d,
+       {_ASSORT_SQL.format(m=_as_m, s1="s1", s2="s2", sxy="sxy")}
+         AS assortativity
+FROM aag
 """
 
     return o

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from geomesa_spark.operators import text as X
+from geomesa_spark.session import local_checkpoint as _lckpt
 
 # MinHash parameters: h(shingle) = 32-bit integer from md5 prefix;
 # minhash_j = min((A_j * h + B_j) mod P). P prime > 2^32; A_j small
@@ -643,8 +644,10 @@ def dup_components(
         # propagated labels, which would double the logical plan tree
         # every round — unbounded lineage OOMs the driver's optimizer
         # after ~8 rounds. Checkpointing truncates lineage so each
-        # round's plan stays O(1).
-        prop = (
+        # round's plan stays O(1).  The stats-reset wrapper keeps the
+        # carried size-in-bytes stat O(1) too — the self-join doubles
+        # its bit-length per round otherwise (see reset_plan_stats).
+        prop = _lckpt(
             labels.join(neigh, "doc", "left")
             .select(
                 "doc",
@@ -652,8 +655,8 @@ def dup_components(
                 F.least(
                     F.col("canon"), F.coalesce(F.col("n_canon"), F.col("canon"))
                 ).alias("canon"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            eager=True,
         )
         # pointer jump: canon <- canon's canon (every canon value is
         # itself a doc in the label table, so the lookup always hits)
@@ -661,14 +664,14 @@ def dup_components(
             F.col("doc").alias("p_doc"), F.col("canon").alias("p_canon")
         )
         final_canon = F.coalesce(F.col("p_canon"), F.col("canon"))
-        new_labels = (
+        new_labels = _lckpt(
             prop.join(parents, prop["canon"] == parents["p_doc"], "left")
             .select(
                 "doc",
                 final_canon.alias("canon"),
                 (final_canon != F.col("old_canon")).alias("chg"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            eager=True,
         )
         # convergence = a plain scan of the just-checkpointed blocks
         # (the chg flag rides along); the old form re-joined the new

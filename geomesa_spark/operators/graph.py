@@ -47,10 +47,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from geomesa_spark.session import local_checkpoint as _lckpt
+
 __all__ = [
     "pagerank", "PR_RANK_SQL",
     "triangle_counts", "transitivity", "k_core", "neighbor_overlap",
     "hits", "HITS_NORM_SQL",
+    "boruvka_mst", "single_linkage",
+    "closeness", "CLOSENESS_SQL",
+    "label_propagation",
+    "assortativity", "ASSORTATIVITY_SQL",
     "CLUSTERING_SQL", "JACCARD_SQL",
     "TRANSITIVITY_SQL",
 ]
@@ -319,7 +325,7 @@ def k_core(
     (a, b) with a < b; an empty frame when the k-core is empty."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    cur = _undirected(edges, src_col, dst_col).localCheckpoint()
+    cur = _lckpt(_undirected(edges, src_col, dst_col))
     for _ in range(max_iter):
         deg = (
             cur.select(F.col("a").alias("node"))
@@ -334,8 +340,8 @@ def k_core(
             )
             .join(keep.withColumnRenamed("node", "b"), "b", "semi")
             .select("a", "b")
-            .localCheckpoint()
         )
+        nxt = _lckpt(nxt)
         if nxt.count() == cur.count():
             return nxt
         cur = nxt
@@ -517,3 +523,352 @@ def hits(
     for fr in (by_src, by_dst, nodes):
         fr.unpersist()
     return out
+
+
+def boruvka_mst(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+    *,
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Minimum spanning forest by synchronous Borůvka rounds — the
+    bulk-synchronous MST every distributed graph system uses (each
+    round every component hooks its cheapest outgoing edge, then
+    components merge; the component count at least halves, so
+    O(log n) rounds).  Spatial use: single-linkage clustering of a
+    kNN/Delaunay-ish neighbor graph (``single_linkage``); network
+    use: backbone extraction from ``route.edges_from_segments``
+    weights.
+
+    Weights must be an integer type (the engine-wide fixed-point
+    convention — quantize floats upstream); multi-edges fold to
+    their minimum weight and the undirected canonical (a < b) form
+    dedups direction.  Ties break on the total (w, a, b) order, and
+    since each canonical edge's (w, a, b) key is distinct the
+    spanning forest is UNIQUE — any correct MST algorithm agrees,
+    which is what the pytest oracle (an independent Kruskal)
+    checks; the SQL gate replays the rounds exactly.
+
+    Per round: one label join per endpoint, one per-component
+    min-struct aggregate (partial-aggregated) to pick hook edges,
+    then `dedup.dup_components` pointer jumping over the COMPONENT
+    graph (≤ one edge per component, shrinking geometrically) to
+    merge labels — never over the full edge list.  Labels are
+    localCheckpointed per round (the sssp lineage contract).
+
+    Returns (a, b, w, round) — the forest edges with the 1-based
+    round that added them (deterministic; rounds past the fixed
+    point add nothing, so replaying extra rounds is idempotent).
+    """
+    from .dedup import dup_components
+
+    wt = edges.schema[w_col].dataType.simpleString()
+    if wt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"boruvka_mst requires an integer weight column, got "
+            f"{w_col}:{wt} — fixed-point-scale floats upstream "
+            "(multiply + cast to long) so ties and sums stay exact"
+        )
+    s, d = F.col(src_col), F.col(dst_col)
+    ce = (
+        edges.filter(s != d)
+        .select(
+            F.least(s, d).alias("a"),
+            F.greatest(s, d).alias("b"),
+            F.col(w_col).cast("long").alias("w"),
+        )
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+    )
+    ce = _lckpt(ce, eager=True)
+    labels = (
+        ce.select(F.col("a").alias("node"))
+        .unionByName(ce.select(F.col("b").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+    )
+    labels = _lckpt(labels, eager=True)
+    spark = edges.sparkSession
+    mst = spark.createDataFrame(
+        [], "a long, b long, w long, round int"
+    )
+    for rnd in range(1, max_rounds + 1):
+        la = labels.select(
+            F.col("node").alias("a"), F.col("comp").alias("ca")
+        )
+        lb = labels.select(
+            F.col("node").alias("b"), F.col("comp").alias("cb")
+        )
+        cross = (
+            ce.join(la, "a")
+            .join(lb, "b")
+            .filter(F.col("ca") != F.col("cb"))
+        )
+        cross = _lckpt(cross, eager=True)
+        if cross.limit(1).count() == 0:
+            return mst
+        both = cross.select(
+            F.col("ca").alias("_comp"), "a", "b", "w", "ca", "cb"
+        ).unionByName(
+            cross.select(
+                F.col("cb").alias("_comp"), "a", "b", "w", "ca", "cb"
+            )
+        )
+        # cheapest outgoing edge per component: ONE min-struct on the
+        # unique total order (w, a, b); ca/cb ride along
+        sel = (
+            both.groupBy("_comp")
+            .agg(F.min(F.struct("w", "a", "b", "ca", "cb")).alias("_m"))
+            .select(
+                F.col("_m.a").alias("a"),
+                F.col("_m.b").alias("b"),
+                F.col("_m.w").alias("w"),
+                F.col("_m.ca").alias("ca"),
+                F.col("_m.cb").alias("cb"),
+            )
+            # both endpoints of a mutual cheapest edge pick the same
+            # (a, b) row — one forest edge, not two
+            .dropDuplicates(["a", "b"])
+        )
+        sel = _lckpt(sel, eager=True)
+        mst = _lckpt(
+            mst.unionByName(
+                sel.select("a", "b", "w", F.lit(rnd).alias("round"))
+            ),
+            eager=True,
+        )
+        # merge on the COMPONENT graph (≤ one edge per component):
+        # min-label pointer jumping relabels every old component to
+        # the minimum component id of its merge tree
+        remap = dup_components(
+            sel.select("ca", "cb"), a_col="ca", b_col="cb"
+        ).select(F.col("doc").alias("comp"), F.col("canon").alias("_nc"))
+        labels = _lckpt(
+            labels.join(remap, "comp", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_nc"), F.col("comp")).alias("comp"),
+            ),
+            eager=True,
+        )
+    raise RuntimeError(
+        f"boruvka_mst did not converge in {max_rounds} rounds — "
+        "components halve per round, so this graph would need "
+        f"> 2^{max_rounds} nodes"
+    )
+
+
+def single_linkage(
+    msf: DataFrame,
+    threshold: int,
+) -> DataFrame:
+    """Single-linkage clusters at distance ``threshold`` from a
+    stored ``boruvka_mst`` forest: clusters = connected components
+    of the forest edges with w <= threshold (the classic dendrogram
+    cut — the MSF is the single-linkage dendrogram, so ONE stored
+    forest serves every threshold without touching the full graph
+    again).  Returns (node, cluster) with cluster = min member id;
+    nodes whose every incident forest edge exceeds the threshold are
+    absent (singletons — union the node frame back if needed)."""
+    from .dedup import dup_components
+
+    cut = msf.filter(F.col("w") <= F.lit(int(threshold)))
+    return dup_components(cut, a_col="a", b_col="b").select(
+        F.col("doc").alias("node"), F.col("canon").alias("cluster")
+    )
+
+
+# closeness: (n_reached - 1) / Σdist — exact ints, ONE division;
+# NULL for an isolated source (nothing reached beyond itself)
+CLOSENESS_SQL = (
+    "CASE WHEN {td} > 0 THEN (CAST({nr} AS DOUBLE) - 1.0)"
+    " / CAST({td} AS DOUBLE) END"
+)
+
+
+def closeness(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    directed: bool = False,
+    max_rounds: int = 100,
+) -> DataFrame:
+    """Closeness centrality + eccentricity for a BOUNDED source set
+    — the sampled-pivot form every large-graph system uses (exact
+    all-nodes closeness is n BFS sweeps; picking the pivots is the
+    caller's sampling policy, e.g. ``sample.hash_sample`` over the
+    node frame).  State is O(|sources| x reached) per the
+    ``route.sssp(per_source=True)`` contract.
+
+    Runs unit-weight per-source BFS through ``route.sssp`` (frontier
+    Bellman-Ford, exact integer hop distances, schedule-independent)
+    and folds each source's distance vector into the classic
+    centrality summary.
+
+    Returns one row per source node:
+    (src, n_reached, total_dist, eccentricity, closeness) where
+    n_reached INCLUDES the source itself, total_dist = Σ hop
+    distances (exact int64), eccentricity = max hop distance, and
+    closeness = (n_reached - 1) / total_dist (``CLOSENESS_SQL`` —
+    the component-local convention; multiply by (n_reached - 1)/(n - 1)
+    for Wasserman-Faust normalization if the caller knows n).
+    NULL closeness for sources that reach nothing.
+    """
+    from .route import sssp
+
+    e = edges.filter(F.col(src_col) != F.col(dst_col)).select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct().withColumn("w", F.lit(1).cast("long"))
+    src = sources.select(
+        F.col(sources.columns[0]).cast("long").alias("node")
+    ).distinct()
+    d = sssp(e, src, per_source=True, max_rounds=max_rounds)
+    out = d.groupBy(F.col("src")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+        F.sum("dist").cast("long").alias("total_dist"),
+        F.max("dist").cast("long").alias("eccentricity"),
+    )
+    return out.withColumn(
+        "closeness",
+        F.expr(CLOSENESS_SQL.format(nr="n_reached", td="total_dist")),
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    rounds: int = 4,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the undirected simple graph: every node starts
+    as its own community, then each round SIMULTANEOUSLY adopts the
+    most frequent label among its neighbors (ties -> minimum label;
+    isolated labels keep themselves).  The round count is FIXED —
+    synchronous LPA has no convergence guarantee (bipartite-ish
+    regions oscillate), so the fixed-round form is the well-defined
+    deterministic quantity (the ``pagerank(rounds=)`` precedent) and
+    the SQL oracle replays the same rounds exactly.
+
+    Per round: one adjacency join + one (node, label) count groupBy
+    + one per-node min-struct argmax — all partial-aggregated exact
+    int64, bit-identical under any partitioning (the (-count, label)
+    struct is a total order).  Adjacency is repartitioned on the
+    join key once and persisted (the pagerank edge contract).
+
+    Returns (node, label) after ``rounds`` rounds — label = the
+    community id (a member node id).
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    und = _undirected(edges, src_col, dst_col)
+    adj = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("_nb"))
+        .unionByName(
+            und.select(F.col("b").alias("node"), F.col("a").alias("_nb"))
+        )
+        .repartition(F.col("_nb"))
+        .persist()
+    )
+    labels = _lckpt(
+        adj.select("node").distinct().select(
+            "node", F.col("node").alias("label")
+        ),
+        eager=True,
+    )
+    for _ in range(rounds):
+        votes = (
+            adj.join(
+                labels.select(
+                    F.col("node").alias("_nb"), "label"
+                ),
+                "_nb",
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(F.struct((-F.col("_c")).alias("_nc"), "label"))
+                .alias("_m")
+            )
+            .select("node", F.col("_m.label").alias("label"))
+        )
+        labels = _lckpt(labels, eager=True)
+    adj.unpersist()
+    return labels
+
+
+# degree assortativity (Newman 2002, eq. 4): the Pearson correlation
+# of endpoint degrees over all 2m directed edge stubs — every sum is
+# an exact integer (decimal 38,0), ONE double division at the end;
+# NULL when the denominator is 0 (degree-regular graph)
+ASSORTATIVITY_SQL = (
+    "CASE WHEN {m} * {s2} - {s1} * {s1} <> 0"
+    " THEN CAST({m} * {sxy} - {s1} * {s1} AS DOUBLE)"
+    " / CAST({m} * {s2} - {s1} * {s1} AS DOUBLE) END"
+)
+
+
+def assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree assortativity of the undirected simple graph: the
+    Pearson correlation of the degrees at either end of an edge
+    (positive = hubs link hubs, negative = hub-and-spoke — the
+    classic web/social topology diagnostic, Newman 2002).
+
+    Over the 2m directed stubs (x = source-end degree, y = other-end
+    degree; symmetric, so Σx = Σy and Σx² = Σy²) the coefficient is
+    r = (2m·Σxy − (Σx)²) / (2m·Σx² − (Σx)²).  All four sums are
+    exact decimal(38,0) aggregates (degree products overflow int64
+    on web-scale hub graphs) from ONE degree join + ONE aggregate;
+    the division is the only double op (``ASSORTATIVITY_SQL``).
+
+    Returns ONE row (m, s1, s2, sxy, assortativity) — m = undirected
+    edge count; NULL assortativity on degree-regular graphs (zero
+    variance)."""
+    und = _undirected(edges, src_col, dst_col)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    )
+    stubs = und.select(
+        F.col("a").alias("_x"), F.col("b").alias("_y")
+    ).unionByName(
+        und.select(F.col("b").alias("_x"), F.col("a").alias("_y"))
+    )
+    dx = deg.select(F.col("node").alias("_x"), F.col("_d").alias("_dx"))
+    dy = deg.select(F.col("node").alias("_y"), F.col("_d").alias("_dy"))
+    j = stubs.join(dx, "_x").join(dy, "_y")
+    dec = "decimal(38,0)"
+    agg = j.agg(
+        F.expr("CAST(count(1) div 2 AS BIGINT)").alias("m"),
+        F.sum(F.col("_dx").cast(dec)).alias("s1"),
+        # cast BEFORE multiplying: long·long raises on ANSI overflow
+        # for web-scale hub degrees; decimal(38,0) products are exact
+        F.sum(F.col("_dx").cast(dec) * F.col("_dx").cast(dec)).alias("s2"),
+        F.sum(F.col("_dx").cast(dec) * F.col("_dy").cast(dec)).alias("sxy"),
+    )
+    two_m = "(CAST(2 AS decimal(38,0)) * CAST(m AS decimal(38,0)))"
+    return agg.withColumn(
+        "assortativity",
+        F.expr(
+            ASSORTATIVITY_SQL.format(m=two_m, s1="s1", s2="s2", sxy="sxy")
+        ),
+    )

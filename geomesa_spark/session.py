@@ -63,6 +63,47 @@ def package_zip(dest_dir: str = "/tmp") -> str:
     return out
 
 
+def reset_plan_stats(df):
+    """Rewrap a (checkpointed) DataFrame as a bare LogicalRDD scan,
+    dropping the origin plan's size-in-bytes statistics.
+
+    ``localCheckpoint`` truncates LINEAGE but carries the origin
+    plan's Catalyst stats forward, and the non-CBO size estimator
+    multiplies child sizes through every join — so an iterative
+    operator that self-joins its own checkpointed state DOUBLES the
+    stat's bit-length per round.  The products become million-bit
+    BigIntegers within ~10 rounds and Catalyst spends minutes in
+    BigInteger.multiply during planning (observed as a "hang" in
+    boruvka_mst, and latent in any dup_components run that needs
+    >~12 pointer-jump rounds).  Rewrapping the checkpoint RDD resets
+    the node to defaultSizeInBytes (conservative = no plan-time
+    auto-broadcast for the loop state; AQE still broadcasts from
+    ACTUAL runtime sizes, so join strategy is unaffected in
+    practice).
+
+    Classic sessions only (py4j); on Connect sessions this returns
+    the input unchanged — the stats blowup is a driver-side planner
+    cost that Connect servers would need the same fix for.
+    """
+    try:
+        jdf = df._jdf
+        jspark = jdf.sparkSession()
+        rdd = jdf.queryExecution().toRdd()
+        new_jdf = jspark.internalCreateDataFrame(rdd, jdf.schema(), False)
+        from pyspark.sql import DataFrame as _DF
+
+        return _DF(new_jdf, df.sparkSession)
+    except Exception:
+        return df
+
+
+def local_checkpoint(df, eager: bool = True):
+    """`df.localCheckpoint(eager)` + `reset_plan_stats` — the
+    checkpoint form every iterative self-joining loop must use (see
+    `reset_plan_stats` for why)."""
+    return reset_plan_stats(df.localCheckpoint(eager=eager))
+
+
 def get_spark(
     app_name: str = "geomesa_spark",
     master: str | None = None,

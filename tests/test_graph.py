@@ -282,3 +282,262 @@ def test_neighbor_overlap_duplicate_candidates(spark):
     r = out[0]
     assert r.cn == 2  # common neighbors {1, 2}
     assert r.jaccard == 2.0 / (3 + 3 - 2)
+
+
+def _kruskal(canon_edges):
+    """Independent MSF oracle: Kruskal with union-find over the
+    unique (w, a, b) total order."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = set()
+    for w, a, b in sorted(
+        (w, a, b) for (a, b), w in canon_edges.items()
+    ):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            out.add((a, b, w))
+    return out
+
+
+def _canon(weighted):
+    canon = {}
+    for a, b, w in weighted:
+        if a == b:
+            continue
+        k = (min(a, b), max(a, b))
+        canon[k] = min(canon.get(k, w), w)
+    return canon
+
+
+def test_boruvka_mst_matches_kruskal(spark):
+    """Random weighted graph (duplicate edges, both directions,
+    self-loops): the Borůvka forest equals an independent Kruskal —
+    the (w, a, b) total order makes the forest unique."""
+    from geomesa_spark.operators.graph import boruvka_mst
+
+    rng = np.random.default_rng(23)
+    n = 150
+    weighted = [
+        (int(rng.integers(0, n)), int(rng.integers(0, n)),
+         int(rng.integers(1, 50)))
+        for _ in range(900)
+    ] + [(5, 5, 1), (9, 9, 2)]
+    df = spark.createDataFrame(weighted, "src long, dst long, w long")
+    got = boruvka_mst(df)
+    rows = got.collect()
+    assert {(r.a, r.b, r.w) for r in rows} == _kruskal(_canon(weighted))
+    # forest invariant: |edges| = n_nodes - n_components, no dups
+    assert len(rows) == len({(r.a, r.b) for r in rows})
+    # rounds are 1-based and small (components halve per round)
+    assert all(1 <= r.round <= 10 for r in rows)
+
+
+def test_boruvka_mst_disconnected_and_chain(spark):
+    """Two disconnected cliques -> spanning forest of both; a long
+    chain exercises multi-round component merging (chained hooks)."""
+    from geomesa_spark.operators.graph import boruvka_mst
+
+    tri = [(0, 1, 5), (1, 2, 3), (0, 2, 4),
+           (10, 11, 7), (11, 12, 2), (10, 12, 9)]
+    df = spark.createDataFrame(tri, "src long, dst long, w long")
+    got = {(r.a, r.b, r.w) for r in boruvka_mst(df).collect()}
+    assert got == {(1, 2, 3), (0, 2, 4), (11, 12, 2), (10, 11, 7)}
+
+    chain = [(i, i + 1, 100 + i) for i in range(64)]
+    df2 = spark.createDataFrame(chain, "src long, dst long, w long")
+    rows = boruvka_mst(df2).collect()
+    # every chain edge is a bridge -> all 64 in the forest
+    assert {(r.a, r.b, r.w) for r in rows} == {
+        (a, b, w) for a, b, w in chain
+    }
+
+    with pytest.raises(ValueError):
+        boruvka_mst(
+            spark.createDataFrame(
+                [(0, 1, 1.5)], "src long, dst long, w double"
+            )
+        )
+
+
+def test_single_linkage_cut(spark):
+    """Dendrogram cut: two tight pairs bridged by an expensive edge
+    split at a threshold between the two scales."""
+    from geomesa_spark.operators.graph import boruvka_mst, single_linkage
+
+    e = [(0, 1, 2), (2, 3, 3), (1, 2, 50)]
+    msf = boruvka_mst(
+        spark.createDataFrame(e, "src long, dst long, w long")
+    )
+    lo = {(r.node, r.cluster)
+          for r in single_linkage(msf, 10).collect()}
+    assert lo == {(0, 0), (1, 0), (2, 2), (3, 2)}
+    hi = {(r.node, r.cluster)
+          for r in single_linkage(msf, 100).collect()}
+    assert hi == {(0, 0), (1, 0), (2, 0), (3, 0)}
+
+
+def _bfs(adj, s):
+    dist = {s: 0}
+    frontier = [s]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+def test_closeness_vs_bfs(spark):
+    """Closeness/eccentricity for 12 pivot sources vs a python BFS
+    on a random undirected graph with an unreachable island."""
+    from geomesa_spark.operators.graph import closeness
+
+    rng = np.random.default_rng(31)
+    n = 80
+    pairs = sorted({
+        (int(rng.integers(0, n)), int(rng.integers(0, n)))
+        for _ in range(200)
+    }) + [(200, 201), (201, 202)]  # island
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    srcs = sorted(adj)[::7]
+    got = {r.src: r for r in closeness(
+        spark.createDataFrame(pairs, "src long, dst long"),
+        spark.createDataFrame([(s,) for s in srcs], "node long"),
+    ).collect()}
+    assert set(got) == set(srcs)
+    for s in srcs:
+        d = _bfs(adj, s)
+        r = got[s]
+        assert r.n_reached == len(d)
+        assert r.total_dist == sum(d.values())
+        assert r.eccentricity == max(d.values())
+        if sum(d.values()) > 0:
+            assert r.closeness == (len(d) - 1) / float(sum(d.values()))
+        else:
+            assert r.closeness is None
+
+
+def test_closeness_directed(spark):
+    """directed=True follows edge direction: a one-way chain reaches
+    forward only."""
+    from geomesa_spark.operators.graph import closeness
+
+    chain = [(0, 1), (1, 2), (2, 3)]
+    got = {r.src: r for r in closeness(
+        spark.createDataFrame(chain, "src long, dst long"),
+        spark.createDataFrame([(0,), (3,)], "node long"),
+        directed=True,
+    ).collect()}
+    assert (got[0].n_reached, got[0].total_dist,
+            got[0].eccentricity) == (4, 6, 3)
+    assert (got[3].n_reached, got[3].total_dist) == (1, 0)
+    assert got[3].closeness is None
+
+
+def _lpa_brute(pairs, rounds):
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {u: u for u in adj}
+    for _ in range(rounds):
+        new = {}
+        for u in adj:
+            cnt = {}
+            for v in adj[u]:
+                cnt[lab[v]] = cnt.get(lab[v], 0) + 1
+            new[u] = min(cnt, key=lambda l: (-cnt[l], l))
+        lab = new
+    return lab
+
+
+def test_label_propagation_replay_and_structure(spark):
+    """Fixed-round synchronous LPA vs a python replay; two cliques
+    joined by one bridge edge resolve to two communities."""
+    from geomesa_spark.operators.graph import label_propagation
+
+    rng = np.random.default_rng(41)
+    n = 70
+    pairs = sorted({
+        (int(rng.integers(0, n)), int(rng.integers(0, n)))
+        for _ in range(260)
+    })
+    got = {r.node: r.label for r in label_propagation(
+        spark.createDataFrame(pairs, "src long, dst long"), rounds=4
+    ).collect()}
+    assert got == _lpa_brute(pairs, 4)
+
+    cl = [(a, b) for base in (0, 100)
+          for a in range(base, base + 8)
+          for b in range(a + 1, base + 8)] + [(7, 100)]
+    got2 = {r.node: r.label for r in label_propagation(
+        spark.createDataFrame(cl, "src long, dst long"), rounds=6
+    ).collect()}
+    assert all(got2[u] == got2[0] for u in range(8))
+    assert all(got2[u] == got2[100] for u in range(100, 108))
+    assert got2[0] != got2[100]
+
+    with pytest.raises(ValueError):
+        label_propagation(
+            spark.createDataFrame(cl, "src long, dst long"), rounds=0
+        )
+
+
+def test_assortativity(spark):
+    """Star (negative, exactly -1), clique path... vs the numpy
+    Pearson of endpoint degrees over the stub list."""
+    from geomesa_spark.operators.graph import assortativity
+
+    def brute(pairs):
+        canon = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+        deg = {}
+        for a, b in canon:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        xs, ys = [], []
+        for a, b in canon:
+            xs += [deg[a], deg[b]]
+            ys += [deg[b], deg[a]]
+        return np.corrcoef(xs, ys)[0, 1]
+
+    star = [(0, i) for i in range(1, 9)] + [(1, 2)]
+    r = assortativity(
+        spark.createDataFrame(star, "src long, dst long")
+    ).collect()[0]
+    assert r.m == 9
+    assert abs(r.assortativity - brute(star)) < 1e-12
+
+    rng = np.random.default_rng(53)
+    pairs = sorted({
+        (int(rng.integers(0, 40)), int(rng.integers(0, 40)))
+        for _ in range(150)
+    })
+    r2 = assortativity(
+        spark.createDataFrame(pairs, "src long, dst long")
+    ).collect()[0]
+    assert abs(r2.assortativity - brute(pairs)) < 1e-12
+
+    # 3-regular graph (K4): zero degree variance -> NULL
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    r3 = assortativity(
+        spark.createDataFrame(k4, "src long, dst long")
+    ).collect()[0]
+    assert r3.assortativity is None

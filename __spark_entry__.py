@@ -3325,6 +3325,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["assortativity"] = assortativity_gate
 
+    def hybrid_search_gate(spark, sf):
+        """Hybrid retrieval (ann.rrf_fuse): the BM25 keyword lists
+        (bm25_topk, fixed-point scoring) fused with exact dense
+        cosine lists (cosine_topk over the embeddings, query vectors
+        1-3 relabeled q1-q3) by reciprocal-rank fusion — score =
+        Σ 1/(60+rank) as a fixed left-to-right IEEE expression over
+        the shared RRF_TERM_SQL, full-outer candidate union, ties on
+        doc_id.  The oracle REUSES the bm25_topk and ann_bruteforce
+        oracle SQL verbatim as CTEs, so the fused gate inherits both
+        upstream rankings bit-for-bit."""
+        from geomesa_spark.operators.ann import cosine_topk, rrf_fuse
+        from geomesa_spark.operators.text import bm25_topk
+
+        docs = _load(spark, sf, "documents")
+        emb = _load(spark, sf, "embeddings")
+        sparse = bm25_topk(docs, BM25_QUERIES, k=10).select(
+            F.col("query_id").alias("qid"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "rank",
+        )
+        dense = cosine_topk(
+            emb, emb.filter(F.col("vec_id").isin(1, 2, 3)), ANN_K
+        ).select(
+            F.concat(F.lit("q"), F.col("qid").cast("string")).alias("qid"),
+            F.col("vec_id").cast("long").alias("doc_id"),
+            "rank",
+        )
+        return rrf_fuse([sparse, dense], topk=15)
+
+    q["hybrid_search"] = hybrid_search_gate
+
     return q
 
 
@@ -7947,6 +7978,47 @@ SELECT m,
        {_ASSORT_SQL.format(m=_as_m, s1="s1", s2="s2", sxy="sxy")}
          AS assortativity
 FROM aag
+"""
+
+    # hybrid_search: the bm25_topk and ann_bruteforce oracles reused
+    # verbatim as CTEs, then the shared-RRF_TERM_SQL fixed-order
+    # fusion expression + (rrf DESC, doc_id) window
+    from geomesa_spark.operators.ann import RRF_TERM_SQL as _RRF_T
+
+    _rrf0 = _RRF_T.format(k=60, r="rank_0")
+    _rrf1 = _RRF_T.format(k=60, r="rank_1")
+    o["hybrid_search"] = f"""
+WITH bm AS ({o["bm25_topk"]}),
+ce AS ({o["ann_bruteforce"]}),
+hla AS (
+  SELECT query_id AS qid, CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(min("rank") AS BIGINT) AS rank_0
+  FROM bm GROUP BY 1, 2
+),
+hlb AS (
+  SELECT 'q' || CAST(qid AS VARCHAR) AS qid,
+         CAST(vec_id AS BIGINT) AS doc_id,
+         CAST(min("rank") AS BIGINT) AS rank_1
+  FROM ce WHERE qid IN (1, 2, 3) GROUP BY 1, 2
+),
+hfo AS (
+  SELECT coalesce(a.qid, b.qid) AS qid,
+         coalesce(a.doc_id, b.doc_id) AS doc_id,
+         a.rank_0, b.rank_1
+  FROM hla a FULL OUTER JOIN hlb b
+    ON b.qid = a.qid AND b.doc_id = a.doc_id
+),
+hsc AS (
+  SELECT qid, doc_id, rank_0, rank_1,
+         {_rrf0} + {_rrf1} AS rrf
+  FROM hfo
+)
+SELECT qid, doc_id, rank_0, rank_1, rrf, "rank" FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY qid ORDER BY rrf DESC, doc_id
+  ) AS INTEGER) AS "rank"
+  FROM hsc
+) WHERE "rank" <= 15
 """
 
     return o

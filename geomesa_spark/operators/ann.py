@@ -1014,3 +1014,85 @@ def rerank_exact(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval — reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+# one fused term: 1/(k + rank), 0 when the list lacks the doc.  The
+# CAST-to-double form keeps both engines off their decimal-literal
+# parse (1.0/x is DECIMAL division in Spark AND DuckDB).
+RRF_TERM_SQL = (
+    "coalesce(CAST(1 AS DOUBLE) / CAST({k} + {r} AS DOUBLE),"
+    " CAST(0 AS DOUBLE))"
+)
+
+
+def rrf_fuse(
+    ranked: list,
+    *,
+    k: int = 60,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked
+    retrieval lists — the standard hybrid-search combiner for a
+    sparse (BM25 `text.bm25_topk`) + dense (`cosine_topk` /
+    `ivf_topk`) stack: score(q, d) = Σ_lists 1/(k + rank_list(q, d)),
+    summed only over lists that returned the doc.
+
+    Each input frame must carry columns (qid, doc_id, rank) —
+    pre-rename upstream (the explicit-contract convention).  Ranks
+    are 1-based; duplicate (qid, doc_id) rows within one list fold
+    to their best (minimum) rank.
+
+    Exactness: each term is one IEEE division (shared RRF_TERM_SQL)
+    and the fused score adds the per-list terms in LIST ORDER — a
+    fixed left-to-right expression, not a merge-order aggregate — so
+    results are bit-identical under any partitioning and an SQL
+    oracle reproduces them exactly.  Ties break on doc_id.
+
+    Scale: one groupBy per list (bounded by that list's top-k
+    output), then N-1 full-outer joins on (qid, doc_id) — candidate
+    volume is Σ list sizes, never corpus-sized; AQE broadcasts the
+    small side.  The final window partitions by qid (the knn
+    contract).
+
+    Returns (qid, doc_id, rank_0..rank_{N-1}, rrf, rank) where
+    rank_i is the doc's rank in list i (NULL if absent) and rank is
+    the fused 1-based order.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked frame")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    base = None
+    for i, df in enumerate(ranked):
+        d = (
+            df.select(
+                F.col("qid"),
+                F.col("doc_id"),
+                F.col("rank").cast("long").alias(f"rank_{i}"),
+            )
+            .groupBy("qid", "doc_id")
+            .agg(F.min(f"rank_{i}").alias(f"rank_{i}"))
+        )
+        base = d if base is None else base.join(
+            d, ["qid", "doc_id"], "full_outer"
+        )
+    score = F.expr(RRF_TERM_SQL.format(k=int(k), r="rank_0"))
+    for i in range(1, len(ranked)):
+        score = score + F.expr(RRF_TERM_SQL.format(k=int(k), r=f"rank_{i}"))
+    out = base.select(
+        "qid",
+        "doc_id",
+        *[f"rank_{i}" for i in range(len(ranked))],
+        score.alias("rrf"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    out = out.withColumn("rank", F.row_number().over(w).cast("int"))
+    if topk is not None:
+        out = out.where(F.col("rank") <= int(topk))
+    return out

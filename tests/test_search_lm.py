@@ -199,3 +199,97 @@ def test_bm25_query_dataframe_input(spark):
     assert [(r.doc_id, r.score_fp) for r in got1] == [
         (r.doc_id, r.score_fp) for r in got2
     ]
+
+
+def test_rrf_fuse(spark):
+    """Reciprocal-rank fusion vs a brute python fold: overlap and
+    disjoint docs, duplicate rows folding to best rank, topk cut,
+    and the (rrf DESC, doc_id) tie order."""
+    from geomesa_spark.operators.ann import rrf_fuse
+
+    la = [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3),
+          ("q2", 20, 1), ("q2", 21, 2),
+          ("q2", 21, 5)]  # duplicate -> min rank 2
+    lb = [("q1", 11, 1), ("q1", 13, 2),
+          ("q2", 22, 1), ("q2", 20, 2)]
+    fa = spark.createDataFrame(la, "qid string, doc_id long, rank int")
+    fb = spark.createDataFrame(lb, "qid string, doc_id long, rank int")
+    got = rrf_fuse([fa, fb]).collect()
+
+    def brute():
+        ra, rb = {}, {}
+        for q, d, r in la:
+            ra[(q, d)] = min(ra.get((q, d), 10**9), r)
+        for q, d, r in lb:
+            rb[(q, d)] = min(rb.get((q, d), 10**9), r)
+        out = {}
+        for (q, d) in set(ra) | set(rb):
+            s = 0.0
+            s += 1.0 / (60 + ra[(q, d)]) if (q, d) in ra else 0.0
+            s = s + (1.0 / (60 + rb[(q, d)]) if (q, d) in rb else 0.0)
+            out[(q, d)] = s
+        return out
+
+    want = brute()
+    assert {(r.qid, r.doc_id): r.rrf for r in got} == want
+    # per-query rank order is (rrf desc, doc_id)
+    for q in ("q1", "q2"):
+        rows = sorted([r for r in got if r.qid == q],
+                      key=lambda r: r.rank)
+        assert [ (r.doc_id,) for r in rows ] == [
+            (d,) for (qq, d), s in sorted(
+                want.items(), key=lambda kv: (-kv[1], kv[0][1])
+            ) if qq == q
+        ]
+    # rank_i columns surface the per-list provenance
+    r11 = {r.doc_id: (r.rank_0, r.rank_1) for r in got if r.qid == "q1"}
+    assert r11[11] == (2, 1) and r11[10] == (1, None) \
+        and r11[13] == (None, 2)
+    # topk cut
+    cut = rrf_fuse([fa, fb], topk=2).collect()
+    assert all(r.rank <= 2 for r in cut)
+    assert len([r for r in cut if r.qid == "q1"]) == 2
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+    with pytest.raises(ValueError):
+        rrf_fuse([fa], k=0)
+
+
+def test_rrf_fuse_hybrid_composition(spark):
+    """End-to-end hybrid stack: BM25 + dense cosine fused — a doc
+    ranked mid-tier by both lists overtakes docs that only one list
+    returned (the RRF consensus effect)."""
+    from geomesa_spark.operators.ann import cosine_topk, rrf_fuse
+
+    docs = [
+        (0, "spark joins tables fast"),
+        (1, "spark query engine"),
+        (2, "cats and dogs"),
+        (3, "spark spark spark query"),
+        (4, "unrelated text entirely"),
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    sparse = X.bm25_topk(ddf, {"q0": ["spark", "query"]}, k=4).select(
+        F.col("query_id").alias("qid"), F.col("doc_id"), "rank"
+    )
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=8)
+    vecs = [
+        (100, [float(x) for x in base + rng.normal(scale=2.0, size=8)]),
+        (0, [float(x) for x in base + rng.normal(scale=0.4, size=8)]),
+        (1, [float(x) for x in base + rng.normal(scale=0.1, size=8)]),
+        (2, [float(x) for x in -base]),
+        (3, [float(x) for x in base + rng.normal(scale=0.2, size=8)]),
+        (4, [float(x) for x in rng.normal(size=8)]),
+    ]
+    edf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    dense = cosine_topk(
+        edf, edf.filter(F.col("vec_id") == 100), 4,
+    ).select(
+        F.lit("q0").alias("qid"), F.col("vec_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse([sparse, dense], topk=5).collect()
+    by_rank = [r.doc_id for r in sorted(fused, key=lambda r: r.rank)]
+    # docs 1 and 3 appear high in BOTH lists; doc 2 (dense-only,
+    # anti-correlated) and doc 4 must not beat them
+    assert set(by_rank[:2]) == {1, 3}

@@ -1,0 +1,297 @@
+"""Vector-tile cutting: clip polygon layers into web-mercator XYZ
+tiles — the MVT-shaped pipeline (project → tile cover →
+Sutherland–Hodgman clip → integer tile-local quantization) that
+turns the engine's tile addressing (`functions/tiles.py`,
+`analytics.tile_pyramid`) into per-tile GEOMETRY payloads, the way a
+vector-tile server (tippecanoe / GeoServer VectorTileOutputFormat —
+the reference's geoserver plugin surface serves the raster analog,
+geomesa-raster's tile responses) cuts a layer for z/x/y delivery.
+
+Shape per stage (all JVM higher-order functions — no Python, no
+Arrow round trip, the `geom_table_native` contract):
+
+1. parse POLYGON WKT to rings and project every vertex to mercator
+   unit space (lon linear; lat through the shared `tiles.py`
+   stretch, same constants) behind ONE Generate barrier;
+2. cover: each polygon explodes to the tile range of its projected
+   bbox (two `sequence` explodes) — bounded by ``max_tiles_per_geom``
+   (loud `raise_error`, the DATA_CELL_BUDGET convention: a
+   continent-sized polygon at z=14 is a caller error, cut the parent
+   zoom and descend instead);
+3. clip: each ring against the tile's dyadic box (tx/2^z bounds are
+   EXACT doubles) — four Sutherland–Hodgman half-plane passes, each
+   an `aggregate` fold over the ring (open form, WKT closing vertex
+   stripped); intersections are single IEEE expressions, so the
+   python oracle reproduces them bit-for-bit;
+4. quantize: tile-local integer coordinates in a ``4096``-cell
+   extent (the MVT default), `floor(v + 0.5)` rounding (the
+   embed_quantize convention).
+
+Rings survive only with >= 3 vertices after clipping; a tile row
+survives only with >= 1 surviving ring (interior tiles of a large
+polygon keep the full-extent box ring the clip produces).  Holes
+clip independently of their shells (the standard cutter
+simplification — renderers pair them by even-odd winding).
+
+Scale: fan-out is Σ per-geometry covered tiles (budget-bounded), the
+clip is per-row compute with no shuffle; `repartition(tx, ty)` the
+output for locality when writing a tile pyramid.  At 10^12 docs the
+tile id is the natural bucket/sort key (the pip_bucketed layout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from geomesa_spark.functions.tiles import (
+    DEG2RAD, MAX_MERC_LAT, PI, PI_4,
+)
+
+__all__ = ["tile_cut", "clip_ring_box", "mercator_xy"]
+
+_EMPTY_RING = "array<struct<x:double,y:double>>"
+
+
+def mercator_xy(lon: Column, lat: Column) -> tuple[Column, Column]:
+    """Web-mercator unit coordinates in [0, 1] — the same expression
+    text as `tiles.tile_sql` before the tile floor, so a point's
+    tile via `tile_cols` and via `floor(mx * 2^z)` agree."""
+    clat = F.greatest(
+        F.lit(-MAX_MERC_LAT), F.least(F.lit(MAX_MERC_LAT), lat)
+    )
+    mx = (lon + F.lit(180.0)) / F.lit(360.0)
+    my = (
+        F.lit(1.0)
+        - F.log(F.tan(F.lit(PI_4) + (clat * F.lit(DEG2RAD)) / F.lit(2.0)))
+        / F.lit(PI)
+    ) / F.lit(2.0)
+    return mx, my
+
+
+def _half_plane(
+    pts: Column, axis: str, bound: Column | float, keep_le: bool
+) -> Column:
+    """One Sutherland–Hodgman pass of an OPEN ring against
+    ``axis <= bound`` (or >=): emits, per directed edge (prev → cur),
+    the crossing intersection and/or cur by the classic 4-case rule.
+    The fold is an `aggregate` over 1-based positions with an array
+    accumulator — O(ring²) element copies, fine for cartographic
+    ring sizes (simplify upstream for pathological ones)."""
+    n = F.size(pts)
+    bnd = bound if isinstance(bound, Column) else F.lit(float(bound))
+
+    def coord(p):
+        return p["x"] if axis == "x" else p["y"]
+
+    def inside(p):
+        return coord(p) <= bnd if keep_le else coord(p) >= bnd
+
+    def inter(a, b):
+        t = (bnd - coord(a)) / (coord(b) - coord(a))
+        if axis == "x":
+            ix = bnd
+            iy = a["y"] + t * (b["y"] - a["y"])
+        else:
+            ix = a["x"] + t * (b["x"] - a["x"])
+            iy = bnd
+        return F.struct(ix.alias("x"), iy.alias("y"))
+
+    def step(acc, i):
+        cur = F.element_at(pts, i)
+        prv = F.element_at(pts, F.when(i == 1, n).otherwise(i - 1))
+        c_in, p_in = inside(cur), inside(prv)
+        return (
+            F.when(c_in & p_in, F.concat(acc, F.array(cur)))
+            .when(c_in & ~p_in,
+                  F.concat(acc, F.array(inter(prv, cur), cur)))
+            .when(~c_in & p_in, F.concat(acc, F.array(inter(prv, cur))))
+            .otherwise(acc)
+        )
+
+    empty = F.array().cast(_EMPTY_RING)
+    return F.when(n < 3, empty).otherwise(
+        F.aggregate(F.sequence(F.lit(1), n), empty, step)
+    )
+
+
+def clip_ring_box(
+    pts: Column,
+    xmin: Column | float,
+    ymin: Column | float,
+    xmax: Column | float,
+    ymax: Column | float,
+) -> Column:
+    """Clip an OPEN ring (array<struct<x,y>>) to an axis box: four
+    half-plane passes (left, right, bottom, top — fixed order, so
+    output vertices are a deterministic IEEE expression of the
+    input).  Returns the clipped open ring (possibly < 3 points —
+    degenerate; callers filter)."""
+    out = pts
+    for axis, bound, keep_le in (
+        ("x", xmin, False),
+        ("x", xmax, True),
+        ("y", ymin, False),
+        ("y", ymax, True),
+    ):
+        out = _half_plane(out, axis, bound, keep_le)
+    return out
+
+
+def tile_cut(
+    df: DataFrame,
+    zoom: int,
+    wkt_col: str = "geom_wkt",
+    id_col: str = "geom_id",
+    *,
+    extent: int = 4096,
+    max_tiles_per_geom: int = 4096,
+) -> DataFrame:
+    """Cut a POLYGON layer into z/x/y vector tiles (module
+    docstring).  Returns one row per (geometry, tile, ring):
+
+    (id_col, z, tx, ty, ring_i, n_pts,
+     pts: array<struct<px int, py int>>)
+
+    where (px, py) are tile-local integer coordinates in
+    ``[0, extent]`` (y grows south, the tile/MVT convention) and
+    ring_i is the source ring index (0 = shell, >0 = holes).
+    """
+    if not (0 <= zoom <= 30):
+        raise ValueError(f"zoom must be in [0, 30], got {zoom}")
+    n = 1 << zoom
+    s = F.trim(F.col(wkt_col))
+    kind = F.upper(F.regexp_extract(s, r"^\s*([A-Za-z]+)", 1))
+    body = F.regexp_extract(s, r"(?s)\((.*)\)", 1)
+    rings = F.split(
+        F.regexp_replace(body, r"^\s*\(|\)\s*$", ""), r"\)\s*,\s*\("
+    )
+
+    def ring_pts(r):
+        def pt(p):
+            lon = F.element_at(F.split(F.trim(p), r"\s+"), 1).cast("double")
+            lat = F.element_at(F.split(F.trim(p), r"\s+"), 2).cast("double")
+            mx, my = mercator_xy(lon, lat)
+            return F.struct(mx.alias("x"), my.alias("y"))
+
+        pts = F.transform(F.split(F.trim(r), r"\s*,\s*"), pt)
+        # strip the WKT closing duplicate -> open ring
+        m = F.size(pts)
+        closed = (m > 1) & (
+            (F.element_at(pts, 1)["x"] == F.element_at(pts, m)["x"])
+            & (F.element_at(pts, 1)["y"] == F.element_at(pts, m)["y"])
+        )
+        return F.when(closed, F.slice(pts, 1, m - 1)).otherwise(pts)
+
+    ringpts = F.when(
+        kind == "POLYGON", F.transform(rings, ring_pts)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("tile_cut supports POLYGON WKT only, got "), kind
+            )
+        )
+    )
+    allpts = F.flatten(ringpts)
+    xs = F.transform(allpts, lambda p: p["x"])
+    ys = F.transform(allpts, lambda p: p["y"])
+    fn = float(n)
+    clampi = lambda c: F.greatest(  # noqa: E731
+        F.lit(0), F.least(F.lit(n - 1), c.cast("long"))
+    )
+    g = F.struct(
+        ringpts.alias("rings"),
+        clampi(F.floor(F.array_min(xs) * fn)).alias("tx0"),
+        clampi(F.floor(F.array_max(xs) * fn)).alias("tx1"),
+        clampi(F.floor(F.array_min(ys) * fn)).alias("ty0"),
+        clampi(F.floor(F.array_max(ys) * fn)).alias("ty1"),
+    )
+    parsed = df.select(
+        F.col(id_col), F.explode(F.array(g)).alias("_g")
+    ).select(id_col, "_g.*")
+    n_tiles = (F.col("tx1") - F.col("tx0") + 1) * (
+        F.col("ty1") - F.col("ty0") + 1
+    )
+    # the budget check rides the exploded range START — a standalone
+    # checked column would be pruned away (and with it the raise)
+    guard_tx0 = F.when(
+        n_tiles <= max_tiles_per_geom, F.col("tx0")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"tile_cut: geometry covers more than "
+                    f"{max_tiles_per_geom} tiles at z={zoom} "
+                    "(cut a parent zoom and descend) — id "
+                ),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("long")
+    )
+    tiled = parsed.select(
+        id_col,
+        "rings",
+        F.explode(F.sequence(guard_tx0, F.col("tx1"))).alias("tx"),
+        "ty0", "ty1",
+    ).select(
+        id_col,
+        "rings",
+        "tx",
+        F.explode(F.sequence("ty0", "ty1")).alias("ty"),
+    )
+    # dyadic tile bounds: tx * 2^-z is exact in doubles
+    inv = 1.0 / fn
+    bx0 = F.col("tx").cast("double") * F.lit(inv)
+    by0 = F.col("ty").cast("double") * F.lit(inv)
+    bx1 = (F.col("tx") + 1).cast("double") * F.lit(inv)
+    by1 = (F.col("ty") + 1).cast("double") * F.lit(inv)
+    ext = float(extent)
+
+    # one ring per row, then each half-plane pass lands behind its
+    # own explode(array(...)) Generate barrier: each pass references
+    # its input ~4x, so letting CollapseProject inline the four
+    # passes multiplies the expression tree ~4^4 per quant reference
+    # — the un-barriered form OOMed the driver during ANALYSIS
+    cur = tiled.select(
+        id_col, "tx", "ty",
+        F.posexplode("rings").alias("ring_i", "_r"),
+    )
+    for axis, bound, keep_le in (
+        ("x", bx0, False),
+        ("x", bx1, True),
+        ("y", by0, False),
+        ("y", by1, True),
+    ):
+        cur = cur.select(
+            id_col, "tx", "ty", "ring_i",
+            F.explode(
+                F.array(_half_plane(F.col("_r"), axis, bound, keep_le))
+            ).alias("_r"),
+        )
+
+    def quant(v, b0):
+        return F.floor((v - b0) * F.lit(fn) * F.lit(ext) + F.lit(0.5)) \
+            .cast("int")
+
+    clipped = cur.select(
+        id_col,
+        "tx",
+        "ty",
+        "ring_i",
+        F.transform(
+            F.col("_r"),
+            lambda p: F.struct(
+                quant(p["x"], bx0).alias("px"),
+                quant(p["y"], by0).alias("py"),
+            ),
+        ).alias("pts"),
+    )
+    return clipped.where(F.size("pts") >= 3).select(
+        F.col(id_col),
+        F.lit(zoom).cast("int").alias("z"),
+        F.col("tx"),
+        F.col("ty"),
+        F.col("ring_i").cast("int").alias("ring_i"),
+        F.size("pts").alias("n_pts"),
+        "pts",
+    )

@@ -1,0 +1,173 @@
+"""Vector-tile cutting vs an exact python Sutherland–Hodgman mirror
+(identical IEEE expression order, so quantized integers match
+exactly away from half-quantum boundaries)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators.tilecut import tile_cut
+
+DEG2RAD = 0.017453292519943295
+PI_4 = math.pi / 4.0
+MAXLAT = 85.05112878
+
+
+def merc(lon, lat):
+    clat = max(-MAXLAT, min(MAXLAT, lat))
+    mx = (lon + 180.0) / 360.0
+    my = (1.0 - math.log(math.tan(PI_4 + (clat * DEG2RAD) / 2.0))
+          / math.pi) / 2.0
+    return mx, my
+
+
+def clip_pass(pts, axis, bound, keep_le):
+    if len(pts) < 3:
+        return []
+    out = []
+    for i in range(len(pts)):
+        cur, prv = pts[i], pts[i - 1]
+        c = cur[0] if axis == "x" else cur[1]
+        p = prv[0] if axis == "x" else prv[1]
+        cin = c <= bound if keep_le else c >= bound
+        pin = p <= bound if keep_le else p >= bound
+
+        def inter():
+            t = (bound - p) / (c - p)
+            if axis == "x":
+                return (bound, prv[1] + t * (cur[1] - prv[1]))
+            return (prv[0] + t * (cur[0] - prv[0]), bound)
+
+        if cin and pin:
+            out.append(cur)
+        elif cin and not pin:
+            out.append(inter())
+            out.append(cur)
+        elif pin:
+            out.append(inter())
+    return out
+
+
+def brute_tiles(rings_ll, z, extent=4096):
+    n = 1 << z
+    rings = [[merc(x, y) for (x, y) in r[:-1] if True] for r in rings_ll]
+    # strip closing dup like the engine
+    rings = []
+    for r in rings_ll:
+        pts = [merc(x, y) for (x, y) in r]
+        if len(pts) > 1 and pts[0] == pts[-1]:
+            pts = pts[:-1]
+        rings.append(pts)
+    allp = [p for r in rings for p in r]
+    xs = [p[0] for p in allp]
+    ys = [p[1] for p in allp]
+    cl = lambda v: max(0, min(n - 1, int(math.floor(v))))  # noqa: E731
+    tx0, tx1 = cl(min(xs) * n), cl(max(xs) * n)
+    ty0, ty1 = cl(min(ys) * n), cl(max(ys) * n)
+    out = {}
+    for tx in range(tx0, tx1 + 1):
+        for ty in range(ty0, ty1 + 1):
+            bx0, by0 = tx * (1.0 / n), ty * (1.0 / n)
+            bx1, by1 = (tx + 1) * (1.0 / n), (ty + 1) * (1.0 / n)
+            for ri, r in enumerate(rings):
+                c = r
+                for axis, bound, keep in (("x", bx0, False),
+                                          ("x", bx1, True),
+                                          ("y", by0, False),
+                                          ("y", by1, True)):
+                    c = clip_pass(c, axis, bound, keep)
+                if len(c) >= 3:
+                    q = [
+                        (int(math.floor((x - bx0) * n * extent + 0.5)),
+                         int(math.floor((y - by0) * n * extent + 0.5)))
+                        for (x, y) in c
+                    ]
+                    out[(tx, ty, ri)] = q
+    return out
+
+
+def _wkt(rings):
+    return "POLYGON (" + ", ".join(
+        "(" + ", ".join(f"{x} {y}" for x, y in r) + ")" for r in rings
+    ) + ")"
+
+
+def _run(spark, rings_list, z):
+    df = spark.createDataFrame(
+        [(i, _wkt(r)) for i, r in enumerate(rings_list)],
+        "geom_id long, geom_wkt string",
+    )
+    got = {}
+    for row in tile_cut(df, z).collect():
+        got[(row.geom_id, row.tx, row.ty, row.ring_i)] = [
+            (p.px, p.py) for p in row.pts
+        ]
+        assert row.z == z and row.n_pts == len(row.pts)
+    return got
+
+
+def test_tile_cut_multi_tile_square(spark):
+    """A mid-latitude box spanning a 3x3-ish tile range at z=3:
+    every emitted tile ring matches the python mirror exactly, and
+    interior tiles carry the full-extent box."""
+    sq = [[(-50.3, -20.7), (61.2, -20.7), (61.2, 41.9),
+           (-50.3, 41.9), (-50.3, -20.7)]]
+    got = _run(spark, [sq], 3)
+    want = brute_tiles(sq, 3)
+    assert {(0, tx, ty, ri): q for (tx, ty, ri), q in want.items()} == got
+    assert len(want) >= 6
+    # an interior tile is the full extent box
+    interior = [q for q in want.values()
+                if all(p in ((0, 0), (4096, 0), (4096, 4096), (0, 4096))
+                       for p in q)]
+    assert interior, "expected at least one full-extent interior tile"
+
+
+def test_tile_cut_hole_and_inside(spark):
+    """Shell + hole clip independently (ring_i 0/1); a triangle fully
+    inside one tile round-trips; sub-3-vertex clips drop."""
+    poly = [
+        [(-10.0, -10.0), (30.0, -10.0), (30.0, 30.0), (-10.0, 30.0),
+         (-10.0, -10.0)],
+        [(5.0, 5.0), (15.0, 5.0), (15.0, 15.0), (5.0, 15.0), (5.0, 5.0)],
+    ]
+    tri = [[(100.1, 40.2), (100.9, 40.2), (100.5, 40.8), (100.1, 40.2)]]
+    got = _run(spark, [poly, tri], 5)
+    want0 = brute_tiles(poly, 5)
+    want1 = brute_tiles(tri, 5)
+    assert got == {
+        **{(0, tx, ty, ri): q for (tx, ty, ri), q in want0.items()},
+        **{(1, tx, ty, ri): q for (tx, ty, ri), q in want1.items()},
+    }
+    assert any(ri == 1 for (_, _, _, ri) in got)  # hole rings present
+    assert len([k for k in got if k[0] == 1]) == 1  # tri in ONE tile
+
+
+def test_tile_cut_guards(spark):
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame(
+        [(0, "POINT (1 2)")], "geom_id long, geom_wkt string"
+    )
+    with pytest.raises(Exception):
+        tile_cut(df, 3).collect()
+    big = spark.createDataFrame(
+        [(0, _wkt([[(-179.0, -80.0), (179.0, -80.0), (179.0, 80.0),
+                    (-179.0, 80.0), (-179.0, -80.0)]]))],
+        "geom_id long, geom_wkt string",
+    )
+    with pytest.raises((Exception, Py4JJavaError)):
+        tile_cut(big, 10, max_tiles_per_geom=100).collect()
+    with pytest.raises(ValueError):
+        tile_cut(big, 40)
+
+
+def test_tile_cut_plan_no_python(spark):
+    df = spark.createDataFrame(
+        [(0, _wkt([[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)]]))],
+        "geom_id long, geom_wkt string",
+    )
+    plan = tile_cut(df, 4)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -48,7 +48,7 @@ from geomesa_spark.functions.tiles import (
     DEG2RAD, MAX_MERC_LAT, PI, PI_4,
 )
 
-__all__ = ["tile_cut", "clip_ring_box", "mercator_xy"]
+__all__ = ["tile_cut", "tile_cut_lines", "clip_ring_box", "mercator_xy"]
 
 _EMPTY_RING = "array<struct<x:double,y:double>>"
 
@@ -294,4 +294,239 @@ def tile_cut(
         F.col("ring_i").cast("int").alias("ring_i"),
         F.size("pts").alias("n_pts"),
         "pts",
+    )
+
+
+def _lb_clip(x0, y0, x1, y1, bx0, by0, bx1, by1):
+    """Liang–Barsky parametric clip of one segment against a box:
+    returns (keep, t0, t1) Columns — keep=false for no overlap
+    (parallel-outside or t0 >= t1; boundary-riding segments with
+    p=0, q=0 survive).  Fixed constraint order (left, right, bottom,
+    top), each a single IEEE division — python-mirrorable."""
+    dx, dy = x1 - x0, y1 - y0
+    t0, t1 = F.lit(0.0), F.lit(1.0)
+    reject = F.lit(False)
+    for p, q in (
+        (-dx, x0 - bx0),
+        (dx, bx1 - x0),
+        (-dy, y0 - by0),
+        (dy, by1 - y0),
+    ):
+        r = q / p
+        reject = reject | ((p == 0) & (q < 0))
+        t0 = F.when(p < 0, F.greatest(t0, r)).otherwise(t0)
+        t1 = F.when(p > 0, F.least(t1, r)).otherwise(t1)
+    keep = ~reject & (t0 < t1)
+    return keep, t0, t1
+
+
+def tile_cut_lines(
+    df: DataFrame,
+    zoom: int,
+    wkt_col: str = "geom_wkt",
+    id_col: str = "geom_id",
+    *,
+    extent: int = 4096,
+    max_tiles_per_segment: int = 4096,
+) -> DataFrame:
+    """Cut a LINESTRING layer (tracks, roads) into z/x/y vector
+    tiles — the polyline half of the MVT cutter (`tile_cut` is the
+    polygon half): per-SEGMENT Liang–Barsky clip against each
+    bbox-covered tile, then consecutive clipped segments whose
+    endpoints coincide exactly re-chain into maximal parts (a track
+    leaving and re-entering a tile yields separate parts, the MVT
+    MULTILINESTRING model).
+
+    Chaining is exact by construction: a segment fully inside the
+    tile enters at t0=0, so its entry point is the SAME double as
+    the previous segment's t1=1 exit — no tolerance needed.
+
+    Scale: fan-out is per-segment bbox tiles (usually 1-2; a single
+    segment spanning more than ``max_tiles_per_segment`` raises),
+    one shuffle on (id, tile) to re-chain, per-tile fold bounded by
+    that tile's own segments.  All JVM expressions — no Python.
+
+    Returns (id_col, z, tx, ty, part_i, n_pts,
+    pts: array<struct<px int, py int>>) with tile-local integer
+    coordinates in [0, extent]."""
+    if not (0 <= zoom <= 30):
+        raise ValueError(f"zoom must be in [0, 30], got {zoom}")
+    n = 1 << zoom
+    fn = float(n)
+    s = F.trim(F.col(wkt_col))
+    kind = F.upper(F.regexp_extract(s, r"^\s*([A-Za-z]+)", 1))
+    body = F.regexp_extract(s, r"(?s)\((.*)\)", 1)
+
+    def pt(p):
+        lon = F.element_at(F.split(F.trim(p), r"\s+"), 1).cast("double")
+        lat = F.element_at(F.split(F.trim(p), r"\s+"), 2).cast("double")
+        mx, my = mercator_xy(lon, lat)
+        return F.struct(mx.alias("x"), my.alias("y"))
+
+    pts = F.when(
+        kind == "LINESTRING",
+        F.transform(F.split(F.trim(body), r"\s*,\s*"), pt),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("tile_cut_lines supports LINESTRING WKT only,"
+                      " got "),
+                kind,
+            )
+        )
+    )
+    m = F.size(pts)
+    segs = F.zip_with(
+        F.slice(pts, 1, m - 1),
+        F.slice(pts, 2, m - 1),
+        lambda a, b: F.struct(
+            a["x"].alias("x0"), a["y"].alias("y0"),
+            b["x"].alias("x1"), b["y"].alias("y1"),
+        ),
+    )
+    seg_rows = df.select(
+        F.col(id_col),
+        # Generate barrier: the parse executes once per row
+        F.explode(F.array(segs)).alias("_segs"),
+    ).select(
+        F.col(id_col),
+        F.posexplode("_segs").alias("seg_i", "_s"),
+    ).select(
+        id_col, "seg_i",
+        F.col("_s.x0").alias("x0"), F.col("_s.y0").alias("y0"),
+        F.col("_s.x1").alias("x1"), F.col("_s.y1").alias("y1"),
+    )
+    clampi = lambda c: F.greatest(  # noqa: E731
+        F.lit(0), F.least(F.lit(n - 1), c.cast("long"))
+    )
+    tx0 = clampi(F.floor(F.least("x0", "x1") * fn))
+    tx1 = clampi(F.floor(F.greatest("x0", "x1") * fn))
+    ty0 = clampi(F.floor(F.least("y0", "y1") * fn))
+    ty1 = clampi(F.floor(F.greatest("y0", "y1") * fn))
+    n_tiles = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+    guard_tx0 = F.when(n_tiles <= max_tiles_per_segment, tx0).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"tile_cut_lines: one segment covers more than "
+                    f"{max_tiles_per_segment} tiles at z={zoom} — id "
+                ),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("long")
+    )
+    tiled = seg_rows.select(
+        id_col, "seg_i", "x0", "y0", "x1", "y1",
+        F.explode(F.sequence(guard_tx0, tx1)).alias("tx"),
+        ty0.alias("_ty0"), ty1.alias("_ty1"),
+    ).select(
+        id_col, "seg_i", "x0", "y0", "x1", "y1", "tx",
+        F.explode(F.sequence("_ty0", "_ty1")).alias("ty"),
+    )
+    inv = 1.0 / fn
+    bx0 = F.col("tx").cast("double") * F.lit(inv)
+    by0 = F.col("ty").cast("double") * F.lit(inv)
+    bx1 = (F.col("tx") + 1).cast("double") * F.lit(inv)
+    by1 = (F.col("ty") + 1).cast("double") * F.lit(inv)
+    keep, t0, t1 = _lb_clip(
+        F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"),
+        bx0, by0, bx1, by1,
+    )
+    clipped = tiled.select(
+        id_col, "seg_i", "tx", "ty",
+        F.explode(
+            F.array(
+                F.struct(
+                    keep.alias("k"),
+                    (F.col("x0") + t0 * (F.col("x1") - F.col("x0")))
+                    .alias("cx0"),
+                    (F.col("y0") + t0 * (F.col("y1") - F.col("y0")))
+                    .alias("cy0"),
+                    (F.col("x0") + t1 * (F.col("x1") - F.col("x0")))
+                    .alias("cx1"),
+                    (F.col("y0") + t1 * (F.col("y1") - F.col("y0")))
+                    .alias("cy1"),
+                )
+            )
+        ).alias("_c"),
+    ).where(F.col("_c.k")).select(
+        id_col, "seg_i", "tx", "ty",
+        F.col("_c.cx0").alias("cx0"), F.col("_c.cy0").alias("cy0"),
+        F.col("_c.cx1").alias("cx1"), F.col("_c.cy1").alias("cy1"),
+    )
+    # re-chain: per (id, tile), fold segments in order; extend the
+    # open part while indices are consecutive AND the entry point is
+    # bit-equal to the previous exit
+    segarr = clipped.groupBy(id_col, "tx", "ty").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("seg_i", "cx0", "cy0", "cx1", "cy1")
+            )
+        ).alias("_ss")
+    )
+    acc_t = (
+        "struct<parts:array<array<struct<x:double,y:double>>>,"
+        "li:bigint,lx:double,ly:double>"
+    )
+
+    def fold(acc, sgm):
+        p0 = F.struct(sgm["cx0"].alias("x"), sgm["cy0"].alias("y"))
+        p1 = F.struct(sgm["cx1"].alias("x"), sgm["cy1"].alias("y"))
+        parts = acc["parts"]
+        extend = (
+            (acc["li"] == sgm["seg_i"] - 1)
+            & (acc["lx"] == sgm["cx0"])
+            & (acc["ly"] == sgm["cy0"])
+        )
+        np_ = F.size(parts)
+        extended = F.concat(
+            F.slice(parts, 1, np_ - 1),
+            F.array(
+                F.concat(F.element_at(parts, np_), F.array(p1))
+            ),
+        )
+        opened = F.concat(parts, F.array(F.array(p0, p1)))
+        return F.struct(
+            F.when(extend, extended).otherwise(opened).alias("parts"),
+            sgm["seg_i"].cast("long").alias("li"),
+            sgm["cx1"].alias("lx"),
+            sgm["cy1"].alias("ly"),
+        )
+
+    init = F.struct(
+        F.array().cast("array<array<struct<x:double,y:double>>>")
+        .alias("parts"),
+        F.lit(-10).cast("long").alias("li"),
+        F.lit(0.0).alias("lx"),
+        F.lit(0.0).alias("ly"),
+    ).cast(acc_t)
+    parts = segarr.select(
+        id_col, "tx", "ty",
+        F.explode(
+            F.array(F.aggregate(F.col("_ss"), init, fold)["parts"])
+        ).alias("_p"),
+    ).select(
+        id_col, "tx", "ty",
+        F.posexplode("_p").alias("part_i", "pts_m"),
+    )
+    ext = float(extent)
+
+    def quant(v, b0):
+        return F.floor((v - b0) * F.lit(fn) * F.lit(ext) + F.lit(0.5)) \
+            .cast("int")
+
+    return parts.select(
+        F.col(id_col),
+        F.lit(zoom).cast("int").alias("z"),
+        F.col("tx"),
+        F.col("ty"),
+        F.col("part_i").cast("int").alias("part_i"),
+        F.size("pts_m").alias("n_pts"),
+        F.transform(
+            F.col("pts_m"),
+            lambda p: F.struct(
+                quant(p["x"], bx0).alias("px"),
+                quant(p["y"], by0).alias("py"),
+            ),
+        ).alias("pts"),
     )

@@ -171,3 +171,118 @@ def test_tile_cut_plan_no_python(spark):
     plan = tile_cut(df, 4)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def lb_clip(x0, y0, x1, y1, bx0, by0, bx1, by1):
+    dx, dy = x1 - x0, y1 - y0
+    t0, t1 = 0.0, 1.0
+    for p, q in ((-dx, x0 - bx0), (dx, bx1 - x0),
+                 (-dy, y0 - by0), (dy, by1 - y0)):
+        if p == 0:
+            if q < 0:
+                return None
+            continue
+        r = q / p
+        if p < 0:
+            t0 = max(t0, r)
+        else:
+            t1 = min(t1, r)
+    if not (t0 < t1):
+        return None
+    return (x0 + t0 * dx, y0 + t0 * dy, x0 + t1 * dx, y0 + t1 * dy)
+
+
+def brute_line_tiles(coords_ll, z, extent=4096):
+    n = 1 << z
+    pts = [merc(x, y) for (x, y) in coords_ll]
+    segs = list(zip(pts[:-1], pts[1:]))
+    cl = lambda v: max(0, min(n - 1, int(math.floor(v))))  # noqa: E731
+    per_tile = {}
+    for si, ((x0, y0), (x1, y1)) in enumerate(segs):
+        for tx in range(cl(min(x0, x1) * n), cl(max(x0, x1) * n) + 1):
+            for ty in range(cl(min(y0, y1) * n), cl(max(y0, y1) * n) + 1):
+                b = (tx * (1.0 / n), ty * (1.0 / n),
+                     (tx + 1) * (1.0 / n), (ty + 1) * (1.0 / n))
+                c = lb_clip(x0, y0, x1, y1, *b)
+                if c is not None:
+                    per_tile.setdefault((tx, ty), []).append((si, c))
+    out = {}
+    for (tx, ty), ss in per_tile.items():
+        ss.sort()
+        parts, li, last = [], -10, None
+        for si, (cx0, cy0, cx1, cy1) in ss:
+            if li == si - 1 and last == (cx0, cy0):
+                parts[-1].append((cx1, cy1))
+            else:
+                parts.append([(cx0, cy0), (cx1, cy1)])
+            li, last = si, (cx1, cy1)
+        bx0, by0 = tx * (1.0 / n), ty * (1.0 / n)
+        for pi, part in enumerate(parts):
+            out[(tx, ty, pi)] = [
+                (int(math.floor((x - bx0) * n * extent + 0.5)),
+                 int(math.floor((y - by0) * n * extent + 0.5)))
+                for (x, y) in part
+            ]
+    return out
+
+
+def test_tile_cut_lines_vs_mirror(spark):
+    """Random walks crossing many tiles at z=6: every emitted part
+    matches the python Liang–Barsky + re-chain mirror exactly,
+    including re-entry (multiple parts per tile)."""
+    import numpy as np
+
+    from geomesa_spark.operators.tilecut import tile_cut_lines
+
+    rng = np.random.default_rng(11)
+    lines = []
+    for i in range(25):
+        x = float(rng.uniform(-150, 150))
+        y = float(rng.uniform(-60, 60))
+        pts = [(x, y)]
+        for _ in range(int(rng.integers(3, 30))):
+            x += float(rng.uniform(-6, 6))
+            y += float(rng.uniform(-6, 6))
+            pts.append((max(-179.9, min(179.9, x)),
+                        max(-84.0, min(84.0, y))))
+        lines.append(pts)
+    df = spark.createDataFrame(
+        [(i, "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in c) + ")")
+         for i, c in enumerate(lines)],
+        "geom_id long, geom_wkt string",
+    )
+    got = {}
+    for r in tile_cut_lines(df, 6).collect():
+        assert r.z == 6 and r.n_pts == len(r.pts) >= 2
+        got[(r.geom_id, r.tx, r.ty, r.part_i)] = [
+            (p.px, p.py) for p in r.pts
+        ]
+    want = {}
+    for i, c in enumerate(lines):
+        for (tx, ty, pi), q in brute_line_tiles(c, 6).items():
+            want[(i, tx, ty, pi)] = q
+    assert got == want
+    # nontrivial chaining somewhere: at least one part with > 2 pts
+    assert any(len(v) > 2 for v in want.values())
+
+
+def test_tile_cut_lines_chaining_and_guards(spark):
+    from geomesa_spark.operators.tilecut import tile_cut_lines
+
+    # a 3-segment chain inside ONE tile -> one 4-point part
+    c = [(10.0, 10.0), (10.2, 10.1), (10.4, 10.3), (10.6, 10.2)]
+    df = spark.createDataFrame(
+        [(7, "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in c) + ")")],
+        "geom_id long, geom_wkt string",
+    )
+    rows = tile_cut_lines(df, 4).collect()
+    assert len(rows) == 1 and rows[0].n_pts == 4 and rows[0].part_i == 0
+    # POLYGON input raises; zoom out of range raises
+    bad = spark.createDataFrame(
+        [(0, "POLYGON ((0 0, 1 0, 1 1, 0 0))")],
+        "geom_id long, geom_wkt string",
+    )
+    with pytest.raises(Exception):
+        tile_cut_lines(bad, 4).collect()
+    with pytest.raises(ValueError):
+        tile_cut_lines(df, 31)

@@ -1,0 +1,258 @@
+"""Mapbox Vector Tile (MVT 2.1) binary encoding — the sink half of
+the vector-tile cutter: `operators/tilecut.tile_cut` /
+`tile_cut_lines` produce per-tile integer rings/parts; this module
+packs each (z, tx, ty) group into one spec-compliant protobuf tile
+blob, the bytes a slippy-map client (MapLibre, OpenLayers) consumes
+directly.  Completes the export family (`sources/export.py` writes
+CSV/GeoJSON/BIN/SHP/GML; this is the tiled binary analog of the
+reference's raster tile responses, geomesa-raster).
+
+The wire format is implemented from the PUBLIC vector-tile-spec
+(protobuf varint/zigzag + the MoveTo/LineTo/ClosePath command
+stream) in ~80 lines of pure python — no protobuf dependency.
+Encoding runs as ``applyInPandas`` over (z, tx, ty) groups (the
+documented codec boundary, the `bpe_encode` precedent: byte-level
+packing is the one job HOF expressions can't express) — one group =
+one output row, cost bounded by that tile's own features.
+
+Determinism: features sort by (geom id, ring/part index), rings by
+their stored order, every varint is a pure function of the inputs —
+byte-identical output under any partitioning (pytest pins a golden
+hash and a full decode round-trip).
+
+Simplifications vs a full tippecanoe (documented): one layer per
+tile (``layer_name``), no attribute key/value tables (tag the
+feature id only), rings keep cutter orientation (renderers pair
+holes by even-odd winding; run a ring-orientation pass upstream for
+strict v2 winding).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+__all__ = ["mvt_encode", "encode_tile", "decode_tile"]
+
+GEOM_LINESTRING = 2
+GEOM_POLYGON = 3
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _key(tag: int, wire: int) -> bytes:
+    return _varint((tag << 3) | wire)
+
+
+def _len_field(tag: int, payload: bytes) -> bytes:
+    return _key(tag, 2) + _varint(len(payload)) + payload
+
+
+def _geometry(parts: list[list[tuple[int, int]]], closed: bool) -> bytes:
+    """The command stream: per part MoveTo(1)x1 + LineTo(2)x(n-1)
+    [+ ClosePath(7) when closed], coordinates as zigzag deltas from
+    the running cursor (which persists ACROSS parts, per spec)."""
+    cmds: list[int] = []
+    cx = cy = 0
+    for pts in parts:
+        cmds.append((1) | (1 << 3))  # MoveTo, count 1
+        x, y = pts[0]
+        cmds += [_zigzag(x - cx), _zigzag(y - cy)]
+        cx, cy = x, y
+        rest = pts[1:]
+        if rest:
+            cmds.append((2) | (len(rest) << 3))  # LineTo
+            for x, y in rest:
+                cmds += [_zigzag(x - cx), _zigzag(y - cy)]
+                cx, cy = x, y
+        if closed:
+            cmds.append((7) | (1 << 3))  # ClosePath
+    return b"".join(_varint(c) for c in cmds)
+
+
+def encode_tile(
+    features: list[tuple[int, int, list[list[tuple[int, int]]]]],
+    *,
+    layer_name: str = "layer",
+    extent: int = 4096,
+) -> bytes:
+    """One tile blob from [(feature_id, geom_type, parts)] — parts
+    are ordered integer rings (POLYGON, implicit close) or line
+    parts (LINESTRING)."""
+    feats = b""
+    for fid, gtype, parts in features:
+        geom = _geometry(parts, closed=gtype == GEOM_POLYGON)
+        body = (
+            _key(1, 0) + _varint(int(fid))      # id
+            + _key(3, 0) + _varint(int(gtype))  # type
+            + _len_field(4, geom)               # geometry
+        )
+        feats += _len_field(2, body)
+    layer = (
+        _key(15, 0) + _varint(2)                            # version
+        + _len_field(1, layer_name.encode("utf-8"))         # name
+        + feats
+        + _key(5, 0) + _varint(int(extent))                 # extent
+    )
+    return _len_field(3, layer)
+
+
+def mvt_encode(
+    df: DataFrame,
+    *,
+    kind: str = "polygon",
+    id_col: str = "geom_id",
+    part_col: str | None = None,
+    layer_name: str = "layer",
+    extent: int = 4096,
+) -> DataFrame:
+    """Pack `tile_cut` (kind="polygon") or `tile_cut_lines`
+    (kind="line") output into one MVT blob per tile.
+
+    Input rows: (id_col, z, tx, ty, <ring_i|part_i>, pts).  A
+    polygon feature folds ALL of one geometry's rings in a tile
+    (shell + holes) into one feature; line parts likewise.  Output:
+    (z, tx, ty, n_features, mvt binary).
+    """
+    if kind not in ("polygon", "line"):
+        raise ValueError(f"kind must be polygon|line, got {kind}")
+    gtype = GEOM_POLYGON if kind == "polygon" else GEOM_LINESTRING
+    pc = part_col or ("ring_i" if kind == "polygon" else "part_i")
+    schema = T.StructType([
+        T.StructField("z", T.IntegerType()),
+        T.StructField("tx", T.LongType()),
+        T.StructField("ty", T.LongType()),
+        T.StructField("n_features", T.IntegerType()),
+        T.StructField("mvt", T.BinaryType()),
+    ])
+    cols = df.select(
+        "z", "tx", "ty",
+        df[id_col].cast("long").alias("_fid"),
+        df[pc].cast("int").alias("_pi"),
+        "pts",
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        z = int(pdf["z"].iloc[0])
+        tx = int(pdf["tx"].iloc[0])
+        ty = int(pdf["ty"].iloc[0])
+        by_feat: dict[int, list[tuple[int, list]]] = {}
+        for fid, pi, pts in zip(pdf["_fid"], pdf["_pi"], pdf["pts"]):
+            by_feat.setdefault(int(fid), []).append(
+                (int(pi), [(int(p["px"]), int(p["py"])) for p in pts])
+            )
+        feats = [
+            (fid, gtype, [p for _, p in sorted(parts)])
+            for fid, parts in sorted(by_feat.items())
+        ]
+        blob = encode_tile(
+            feats, layer_name=layer_name, extent=extent
+        )
+        return pd.DataFrame(
+            [(z, tx, ty, len(feats), blob)],
+            columns=["z", "tx", "ty", "n_features", "mvt"],
+        )
+
+    return cols.groupBy("z", "tx", "ty").applyInPandas(pack, schema)
+
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    v = s = 0
+    while True:
+        b = buf[i]
+        i += 1
+        v |= (b & 0x7F) << s
+        if not b & 0x80:
+            return v, i
+        s += 7
+
+
+def decode_tile(blob: bytes) -> dict:
+    """Minimal independent MVT reader (tests + debugging): returns
+    {"name", "extent", "version", "features":
+    [{"id", "type", "parts": [[(x, y), ...], ...]}]}."""
+    i = 0
+    out: dict = {"features": []}
+    while i < len(blob):
+        key, i = _read_varint(blob, i)
+        tag, wire = key >> 3, key & 7
+        assert tag == 3 and wire == 2, "expected layer field"
+        ln, i = _read_varint(blob, i)
+        layer = blob[i:i + ln]
+        i += ln
+        j = 0
+        while j < len(layer):
+            key, j = _read_varint(layer, j)
+            tag, wire = key >> 3, key & 7
+            if wire == 0:
+                v, j = _read_varint(layer, j)
+                if tag == 15:
+                    out["version"] = v
+                elif tag == 5:
+                    out["extent"] = v
+            else:
+                ln, j = _read_varint(layer, j)
+                payload = layer[j:j + ln]
+                j += ln
+                if tag == 1:
+                    out["name"] = payload.decode("utf-8")
+                elif tag == 2:
+                    out["features"].append(_decode_feature(payload))
+    return out
+
+
+def _decode_feature(buf: bytes) -> dict:
+    f: dict = {"parts": []}
+    i = 0
+    while i < len(buf):
+        key, i = _read_varint(buf, i)
+        tag, wire = key >> 3, key & 7
+        if wire == 0:
+            v, i = _read_varint(buf, i)
+            if tag == 1:
+                f["id"] = v
+            elif tag == 3:
+                f["type"] = v
+        else:
+            ln, i = _read_varint(buf, i)
+            geom = buf[i:i + ln]
+            i += ln
+            j = 0
+            cx = cy = 0
+            cur: list | None = None
+            while j < len(geom):
+                cmd, j = _read_varint(geom, j)
+                cid, cnt = cmd & 7, cmd >> 3
+                if cid == 1:  # MoveTo
+                    for _ in range(cnt):
+                        dx, j = _read_varint(geom, j)
+                        dy, j = _read_varint(geom, j)
+                        cx += (dx >> 1) ^ -(dx & 1)
+                        cy += (dy >> 1) ^ -(dy & 1)
+                        cur = [(cx, cy)]
+                        f["parts"].append(cur)
+                elif cid == 2:  # LineTo
+                    for _ in range(cnt):
+                        dx, j = _read_varint(geom, j)
+                        dy, j = _read_varint(geom, j)
+                        cx += (dx >> 1) ^ -(dx & 1)
+                        cy += (dy >> 1) ^ -(dy & 1)
+                        cur.append((cx, cy))
+                elif cid == 7:  # ClosePath
+                    pass
+    return f

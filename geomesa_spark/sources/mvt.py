@@ -35,6 +35,8 @@ from pyspark.sql import types as T
 
 __all__ = ["mvt_encode", "encode_tile", "decode_tile"]
 
+GEOM_POINT = 1
+
 GEOM_LINESTRING = 2
 GEOM_POLYGON = 3
 
@@ -121,17 +123,19 @@ def mvt_encode(
     layer_name: str = "layer",
     extent: int = 4096,
 ) -> DataFrame:
-    """Pack `tile_cut` (kind="polygon") or `tile_cut_lines`
-    (kind="line") output into one MVT blob per tile.
+    """Pack `tile_cut` (kind="polygon"), `tile_cut_lines`
+    (kind="line"), or `tile_cut_points` (kind="point") output into
+    one MVT blob per tile.
 
     Input rows: (id_col, z, tx, ty, <ring_i|part_i>, pts).  A
     polygon feature folds ALL of one geometry's rings in a tile
     (shell + holes) into one feature; line parts likewise.  Output:
     (z, tx, ty, n_features, mvt binary).
     """
-    if kind not in ("polygon", "line"):
-        raise ValueError(f"kind must be polygon|line, got {kind}")
-    gtype = GEOM_POLYGON if kind == "polygon" else GEOM_LINESTRING
+    if kind not in ("polygon", "line", "point"):
+        raise ValueError(f"kind must be polygon|line|point, got {kind}")
+    gtype = {"polygon": GEOM_POLYGON, "line": GEOM_LINESTRING,
+             "point": GEOM_POINT}[kind]
     pc = part_col or ("ring_i" if kind == "polygon" else "part_i")
     schema = T.StructType([
         T.StructField("z", T.IntegerType()),

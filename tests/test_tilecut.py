@@ -286,3 +286,60 @@ def test_tile_cut_lines_chaining_and_guards(spark):
         tile_cut_lines(bad, 4).collect()
     with pytest.raises(ValueError):
         tile_cut_lines(df, 31)
+
+
+def test_enforce_winding(spark):
+    from geomesa_spark.operators.tilecut import enforce_winding
+
+    def area2(pts):
+        s = 0
+        for i in range(len(pts)):
+            x0, y0 = pts[i]
+            x1, y1 = pts[(i + 1) % len(pts)]
+            s += x0 * y1 - x1 * y0
+        return s
+
+    shell_ccw = [(0, 0), (0, 100), (100, 100), (100, 0)]   # 2A < 0
+    hole_cw = [(10, 10), (10, 20), (20, 20), (20, 10)][::-1]
+    rows = [(0, 0, shell_ccw), (0, 1, hole_cw),
+            (1, 0, shell_ccw[::-1])]  # already CW -> untouched
+    df = spark.createDataFrame(
+        [(g, r, [{"px": x, "py": y} for x, y in p]) for g, r, p in rows],
+        "geom_id long, ring_i int, "
+        "pts array<struct<px:int,py:int>>",
+    )
+    got = {(r.geom_id, r.ring_i): [(p.px, p.py) for p in r.pts]
+           for r in enforce_winding(df).collect()}
+    assert area2(got[(0, 0)]) > 0 and area2(got[(0, 1)]) < 0
+    assert got[(1, 0)] == shell_ccw[::-1]
+    assert got[(0, 0)] == shell_ccw[::-1]
+
+
+def test_tile_cut_points_and_mvt(spark):
+    from geomesa_spark.operators.tilecut import tile_cut_points
+    from geomesa_spark.sources.mvt import decode_tile, mvt_encode
+
+    pts = [(1, 10.0, 20.0), (2, 10.3, 20.2), (3, -100.0, -45.0)]
+    df = spark.createDataFrame(pts, "geom_id long, lon double, lat double")
+    cut = tile_cut_points(df, 6)
+    rows = {r.geom_id: r for r in cut.collect()}
+    n = 1 << 6
+    for gid, lon, lat in pts:
+        mx, my = merc(lon, lat)
+        r = rows[gid]
+        assert (r.tx, r.ty) == (int(mx * n), int(my * n))
+        bx0, by0 = r.tx / n, r.ty / n
+        assert [(p.px, p.py) for p in r.pts] == [
+            (int(math.floor((mx - bx0) * n * 4096 + 0.5)),
+             int(math.floor((my - by0) * n * 4096 + 0.5)))
+        ]
+        assert r.n_pts == 1 and r.part_i == 0
+    tiles = mvt_encode(cut, kind="point").collect()
+    decoded = {}
+    for t in tiles:
+        d = decode_tile(bytes(t.mvt))
+        for f in d["features"]:
+            assert f["type"] == 1
+            decoded[f["id"]] = f["parts"]
+    assert set(decoded) == {1, 2, 3}
+    assert decoded[1] == [[(p.px, p.py) for p in rows[1].pts]]

@@ -106,6 +106,7 @@ HEADLINE = [
     "snap_nearest",
     "morans_i",
     "tile_pyramid",
+    "tile_cut_mvt",
     "hausdorff",
     "zonal_stats",
     "hex_density",
@@ -159,6 +160,13 @@ HEADLINE = [
     "wcc",
     "link_predict",
     "hits",
+    # seventeenth-session operators (graph completion + retrieval
+    # fusion + vector tiles)
+    "mst",
+    "closeness",
+    "communities",
+    "assortativity",
+    "hybrid_search",
 ]
 
 
@@ -187,10 +195,38 @@ def extra_queries():
     def simhash_hamming(spark, sf):
         return D.simhash_neardup_pairs(_docs(spark, sf))
 
+    def tile_cut_mvt(spark, sf):
+        # the vector-tile pipeline end-to-end: per-event triangle
+        # polygons -> z=7 Sutherland-Hodgman cut -> v2 winding ->
+        # MVT protobuf blobs (pytest-verified; no SQL oracle, the
+        # mercator ln/tan is libm)
+        from geomesa_spark.operators.tilecut import (
+            enforce_winding, tile_cut,
+        )
+        from geomesa_spark.sources.mvt import mvt_encode
+
+        from pyspark.sql import functions as F
+
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        tris = (
+            E._gate_tris(
+                E.geo_events(spark, sf).filter(
+                    F.col("event_id") % 3 == 0
+                )
+            )
+            .withColumnRenamed("gid", "geom_id")
+            # the cut is per-row interpreted-HOF compute: spread it
+            # (the source is one parquet file at small sf)
+            .repartition(2 * cpus)
+        )
+        cut = enforce_winding(tile_cut(tris, 7))
+        return mvt_encode(cut, kind="polygon")
+
     return {
         "minhash_lsh_xx": minhash_lsh_xx,
         "simhash64": simhash64_q,
         "simhash_hamming": simhash_hamming,
+        "tile_cut_mvt": tile_cut_mvt,
     }
 
 

@@ -3250,7 +3250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pointer-jumped merging over the COMPONENT graph.  The
         unique (w, a, b) total order makes the forest unique and
         rounds past the fixed point idempotent, so the oracle
-        replays unrolled rounds (observed convergence + spares),
+        replays 10 unrolled rounds (the ceil(log2 n) hard bound),
         each with a recursive-CTE closure over the ≤-one-edge-per-
         component merge graph."""
         from geomesa_spark.operators.graph import boruvka_mst
@@ -3270,9 +3270,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         link graph — per-source unit-weight BFS through
         route.sssp(per_source=True), then one exact-int fold per
         source; closeness = (n_reached-1)/Σdist via the shared
-        CLOSENESS_SQL.  Oracle = an INDEPENDENT algorithm: a
-        hop-capped recursive-CTE walk taking min hop distance per
-        (source, node)."""
+        CLOSENESS_SQL.  rounds=16 pins the EXACTLY-16-hop bounded
+        form (the cost_distance precedent — well-defined at any sf,
+        where a convergence race against a fixed oracle cap is not);
+        observed eccentricity is 4, so the bounded and converged
+        forms coincide at sf0.01.  Oracle = an INDEPENDENT
+        algorithm: a 16-hop recursive-CTE walk taking min hop
+        distance per (source, node)."""
         from geomesa_spark.operators.graph import closeness
 
         edges = _load(spark, sf, "events").selectExpr(
@@ -3280,7 +3284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "(event_id div 997 * 131 + event_id * 31) % 997 AS dst",
         )
         sources = spark.range(0, 997, 37).selectExpr("id AS node")
-        return closeness(edges, sources)
+        return closeness(edges, sources, rounds=16)
 
     q["closeness"] = closeness_gate
 
@@ -7778,8 +7782,10 @@ JOIN sizes sb ON sb.cat = cat_b
     # cheapest crossing edge (the unique (w, a, b) total order), the
     # engine's dedup, then a recursive-CTE closure over the merge
     # graph relabeling every old component to its min component id
-    # (exactly dup_components' fixed point).  7 rounds = observed
-    # convergence (5) + 2 idempotent spares.
+    # (exactly dup_components' fixed point).  10 unrolled rounds is
+    # the HARD bound for 997 nodes (components at least halve per
+    # round, ceil(log2 997) = 10); rounds past the fixed point are
+    # idempotent (observed convergence: 5).
     _mst_rounds = "\n".join(
         f"""cr{i} AS MATERIALIZED (
   SELECT e.a, e.b, e.w, la.c AS ca, lb.c AS cb
@@ -7821,11 +7827,11 @@ mlab{i} AS MATERIALIZED (
   SELECT l.node, coalesce(m.nc, l.c) AS c
   FROM mlab{i - 1} l LEFT JOIN mp{i} m ON m.s = l.c
 ),"""
-        for i in range(1, 8)
+        for i in range(1, 11)
     )
     _mst_emit = "\nUNION ALL\n".join(
         f"SELECT a, b, w, CAST({i} AS INTEGER) AS round FROM sel{i}"
-        for i in range(1, 8)
+        for i in range(1, 11)
     )
     o["mst"] = f"""
 WITH RECURSIVE me AS MATERIALIZED (
@@ -7849,9 +7855,9 @@ fin AS ({_mst_emit})
 SELECT a, b, w, round FROM fin
 """
 
-    # closeness: INDEPENDENT oracle — hop-capped recursive walk, min
-    # hop distance per (source, node); the link graph's observed
-    # eccentricity is 4, so cap 10 is converged with margin
+    # closeness: INDEPENDENT oracle — 16-hop recursive walk, min
+    # hop distance per (source, node), matching the gate's
+    # rounds=16 bounded-hop form exactly at ANY sf
     from geomesa_spark.operators.graph import (
         CLOSENESS_SQL as _CLO_SQL,
     )
@@ -7875,7 +7881,7 @@ cwk AS (
   UNION
   SELECT k.s, e.b, k.d + 1
   FROM cwk k JOIN cbed e ON e.a = k.n
-  WHERE k.d < 10
+  WHERE k.d < 16
 ),
 cdm AS (SELECT s, n, min(d) AS d FROM cwk GROUP BY s, n),
 cag AS (

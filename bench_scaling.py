@@ -304,6 +304,54 @@ def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
         spark.stop()
         return wall, n
 
+    if kind == "tilecut":
+        # per-row-compute family: the vector-tile pipeline (WKT parse
+        # + mercator + S-H clip + winding + batched MVT packing) over
+        # 48k synthesized triangles at z=7 — embarrassingly parallel
+        # row work plus ONE pinned-width shuffle into the packer, so
+        # this row evidences the cutter's scale path directly (the
+        # "tile assignments" half of the headline metric).  Input
+        # build untimed.
+        from geomesa_spark.operators.tilecut import (
+            enforce_winding, tile_cut,
+        )
+        from geomesa_spark.sources.mvt import mvt_encode
+
+        NT = int(os.environ.get("SPARK_GRAFT_SCALE_TRIS", "48000"))
+        ids = spark.range(0, NT, 1, 64)
+        fx = (F.pmod(F.crc32(F.col("id").cast("string")), F.lit(33000))
+              / F.lit(100.0) - F.lit(170.0))
+        fy = (F.pmod(F.crc32(F.concat(F.col("id").cast("string"),
+                                      F.lit("y"))), F.lit(15000))
+              / F.lit(100.0) - F.lit(75.0))
+        wkt = F.concat(
+            F.lit("POLYGON (("),
+            fx, F.lit(" "), fy, F.lit(", "),
+            fx + F.lit(2.004), F.lit(" "), fy + F.lit(0.504),
+            F.lit(", "),
+            fx + F.lit(1.002), F.lit(" "), fy + F.lit(1.506),
+            F.lit(", "), fx, F.lit(" "), fy, F.lit("))"),
+        )
+        tris = ids.select(
+            F.col("id").alias("geom_id"), wkt.alias("geom_wkt")
+        ).localCheckpoint(eager=True)  # input build untimed
+
+        def pipeline():
+            out = mvt_encode(
+                enforce_winding(tile_cut(tris, 7)), kind="polygon"
+            )
+            out.write.format("noop").mode("overwrite").save()
+
+        pipeline()  # warm-up
+        wall = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            pipeline()
+            wall = min(wall, time.time() - t0)
+        n = tris.count()
+        spark.stop()
+        return wall, n
+
     docs = spark.read.parquet(CORPUS)
     polys_df = spark.createDataFrame(POLYS, "poly_id string, geom_wkt string")
     if kind in ("geom", "knn"):
@@ -497,7 +545,7 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
     VALID_KINDS = (
         "broadcast", "shuffle", "bucketed", "geom", "knn", "dedup", "clean",
-        "ann", "tracks", "cluster", "graph",
+        "ann", "tracks", "cluster", "graph", "tilecut",
     )
     kinds = [
         k.strip()

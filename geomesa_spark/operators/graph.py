@@ -696,6 +696,7 @@ def closeness(
     *,
     directed: bool = False,
     max_rounds: int = 100,
+    rounds: int | None = None,
 ) -> DataFrame:
     """Closeness centrality + eccentricity for a BOUNDED source set
     — the sampled-pivot form every large-graph system uses (exact
@@ -717,6 +718,11 @@ def closeness(
     the component-local convention; multiply by (n_reached - 1)/(n - 1)
     for Wasserman-Faust normalization if the caller knows n).
     NULL closeness for sources that reach nothing.
+
+    ``rounds=R`` computes the EXACTLY-R-hop bounded form (the
+    ``sssp(rounds=)`` precedent — a well-defined quantity of its
+    own, and the form a hop-capped SQL oracle can replay); the
+    default iterates to convergence.
     """
     from .route import sssp
 
@@ -731,7 +737,9 @@ def closeness(
     src = sources.select(
         F.col(sources.columns[0]).cast("long").alias("node")
     ).distinct()
-    d = sssp(e, src, per_source=True, max_rounds=max_rounds)
+    d = sssp(
+        e, src, per_source=True, max_rounds=max_rounds, rounds=rounds
+    )
     out = d.groupBy(F.col("src")).agg(
         F.count(F.lit(1)).cast("long").alias("n_reached"),
         F.sum("dist").cast("long").alias("total_dist"),
@@ -837,6 +845,9 @@ def assortativity(
     exact decimal(38,0) aggregates (degree products overflow int64
     on web-scale hub graphs) from ONE degree join + ONE aggregate;
     the division is the only double op (``ASSORTATIVITY_SQL``).
+    Exactness bound: the final products need (Σx²)² < 10^38, i.e.
+    Σ deg² < 10^19 — beyond that (10^10+ stubs of 10^4+ mean degree)
+    the decimal caps and the result is NULL, not silently wrong.
 
     Returns ONE row (m, s1, s2, sxy, assortativity) — m = undirected
     edge count; NULL assortativity on degree-regular graphs (zero

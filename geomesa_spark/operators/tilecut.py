@@ -562,8 +562,14 @@ def enforce_winding(
     )
     want_pos = F.col(ring_col) == 0
     flip = F.when(want_pos, area2 < 0).otherwise(area2 > 0)
+    # n < 3 short-circuits BEFORE area2: sequence(1, 0) descends to
+    # [1, 0] and element_at(pts, 0) raises — degenerate rings have
+    # no winding and pass through untouched
     return df.withColumn(
-        pts_col, F.when(flip, F.reverse(pts)).otherwise(pts)
+        pts_col,
+        F.when(F.size(pts) < 3, pts)
+        .when(flip, F.reverse(pts))
+        .otherwise(pts),
     )
 
 

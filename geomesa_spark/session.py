@@ -81,6 +81,15 @@ def reset_plan_stats(df):
     ACTUAL runtime sizes, so join strategy is unaffected in
     practice).
 
+    Trade-off: the rewrap also drops the checkpoint's
+    outputPartitioning metadata (UnknownPartitioning).  That is
+    deliberate and harmless in the loops that use this helper —
+    their state frames alternate join keys between rounds
+    (doc→canon, a→b, comp→node), so the next round re-shuffles the
+    state either way; the frames that must NOT re-shuffle (the big
+    edge tables) are persisted with an explicit repartition and
+    never pass through here.
+
     Classic sessions only (py4j); on Connect sessions this returns
     the input unchanged — the stats blowup is a driver-side planner
     cost that Connect servers would need the same fix for.

@@ -46,6 +46,11 @@ GEOM_POLYGON = 3
 
 
 def _varint(v: int) -> bytes:
+    if v < 0:
+        # python's arithmetic shift never reaches 0 for negatives —
+        # the loop would hang the executor, so fail loudly (protobuf
+        # varints here are always non-negative by construction)
+        raise ValueError(f"varint requires a non-negative int, got {v}")
     out = bytearray()
     while True:
         b = v & 0x7F
@@ -69,12 +74,25 @@ def _len_field(tag: int, payload: bytes) -> bytes:
     return _key(tag, 2) + _varint(len(payload)) + payload
 
 
-def _geometry(parts: list[list[tuple[int, int]]], closed: bool) -> bytes:
+def _geometry(
+    parts: list[list[tuple[int, int]]],
+    closed: bool,
+    point: bool = False,
+) -> bytes:
     """The command stream: per part MoveTo(1)x1 + LineTo(2)x(n-1)
     [+ ClosePath(7) when closed], coordinates as zigzag deltas from
-    the running cursor (which persists ACROSS parts, per spec)."""
+    the running cursor (which persists ACROSS parts, per spec).
+    POINT geometry (spec 4.3.4.2) is ONE MoveTo whose count is the
+    total point count — never repeated MoveTo commands."""
     cmds: list[int] = []
     cx = cy = 0
+    if point:
+        flat = [pt for pts in parts for pt in pts]
+        cmds.append((1) | (len(flat) << 3))
+        for x, y in flat:
+            cmds += [_zigzag(x - cx), _zigzag(y - cy)]
+            cx, cy = x, y
+        return b"".join(_varint(c) for c in cmds)
     for pts in parts:
         cmds.append((1) | (1 << 3))  # MoveTo, count 1
         x, y = pts[0]
@@ -102,7 +120,13 @@ def encode_tile(
     parts (LINESTRING)."""
     feats = b""
     for fid, gtype, parts in features:
-        geom = _geometry(parts, closed=gtype == GEOM_POLYGON)
+        if fid < 0:
+            raise ValueError(
+                f"MVT feature ids must be non-negative, got {fid} — "
+                "remap hashed ids (e.g. abs or a dense rank) upstream"
+            )
+        geom = _geometry(parts, closed=gtype == GEOM_POLYGON,
+                         point=gtype == GEOM_POINT)
         body = (
             _key(1, 0) + _varint(int(fid))      # id
             + _key(3, 0) + _varint(int(gtype))  # type

@@ -78,3 +78,21 @@ def test_mvt_encode_lines_multi_feature(spark):
     assert t["features"][1]["parts"] == [n_src[2]]
     with pytest.raises(ValueError):
         mvt_encode(cut, kind="nope")
+
+
+def test_mvt_point_command_shape_and_negative_id():
+    """Spec 4.3.4.2: multi-point features are ONE MoveTo with count =
+    n (never repeated MoveTos); negative ids raise instead of
+    hanging the varint loop."""
+    from geomesa_spark.sources.mvt import _geometry
+
+    blob = encode_tile(
+        [(5, 1, [[(10, 20)], [(30, 40)]])], layer_name="pts"
+    )
+    t = decode_tile(blob)
+    assert t["features"][0]["parts"] == [[(10, 20)], [(30, 40)]]
+    geom = _geometry([[(10, 20)], [(30, 40)]], closed=False, point=True)
+    # first byte: command id 1 (MoveTo), count 2 -> (2 << 3) | 1 = 17
+    assert geom[0] == 17
+    with pytest.raises(ValueError):
+        encode_tile([(-3, 1, [[(0, 0)]])])

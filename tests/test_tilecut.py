@@ -51,7 +51,6 @@ def clip_pass(pts, axis, bound, keep_le):
 
 def brute_tiles(rings_ll, z, extent=4096):
     n = 1 << z
-    rings = [[merc(x, y) for (x, y) in r[:-1] if True] for r in rings_ll]
     # strip closing dup like the engine
     rings = []
     for r in rings_ll:

@@ -551,7 +551,7 @@ def main() -> None:
         k.strip()
         for k in os.environ.get(
             "SPARK_GRAFT_SCALING_KINDS",
-            "broadcast,shuffle,bucketed,geom,knn,dedup,clean,ann,tracks,cluster,graph",
+            "broadcast,shuffle,bucketed,geom,knn,dedup,clean,ann,tracks,cluster,graph,tilecut",
         ).split(",")
         if k.strip()
     ]
@@ -626,6 +626,14 @@ def main() -> None:
                  "an eager localCheckpoint barrier, NO driver "
                  "convergence scalar — isolates the per-round shuffle/"
                  "checkpoint cost of the iterative-join family",
+        "tilecut": "vector-tile pipeline (WKT parse + mercator "
+                   "projection + Sutherland-Hodgman clip + v2 winding "
+                   "+ batched MVT protobuf packing) over 48k synthetic "
+                   "triangles at z=7 (input build untimed): per-row "
+                   "JVM-HOF compute plus ONE pinned-width shuffle into "
+                   "the mapInPandas packer — the per-row-compute "
+                   "family, evidencing the cutter half of the "
+                   "tile-assignments metric",
         "broadcast": "span->geometry extraction, Z2 encode, salted "
                      "BROADCAST PIP join vs 3 polygons, tile assignment "
                      "(the shuffle-free headline path)",

@@ -3360,6 +3360,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hybrid_search"] = hybrid_search_gate
 
+    def tile_cut_gate(spark, sf):
+        """Vector-tile cutting end-to-end (tilecut.tile_cut +
+        enforce_winding): the per-event triangles (1/7 subset)
+        mercator-projected, bbox-covered at z=6, Sutherland-Hodgman
+        clipped to each tile's dyadic box, quantized to extent-4096
+        integers, v2-wound, posexploded to scalar (pos, px, py)
+        rows.  Bit-exact cross-engine because the WKT round-trip is
+        value-exact, the mercator text matches the gate-proven
+        quadkey_tiles expressions, and every clip intersection is a
+        single shared-form IEEE expression; the oracle replays the
+        identical four passes as MATERIALIZED list-lambda CTEs (the
+        un-materialized form re-inlines each pass ~8x per reference
+        — the same blowup Catalyst's stats estimator had)."""
+        from geomesa_spark.operators.tilecut import (
+            enforce_winding, tile_cut,
+        )
+
+        tris = _gate_tris(
+            geo_events(spark, sf).filter(F.col("event_id") % 7 == 0)
+        ).withColumnRenamed("gid", "geom_id")
+        cut = enforce_winding(tile_cut(tris, 6))
+        return cut.select(
+            "geom_id", "z", "tx", "ty", "ring_i",
+            F.posexplode("pts").alias("pos", "_p"),
+        ).select(
+            "geom_id", "z", "tx", "ty", "ring_i",
+            F.col("pos").cast("int").alias("pos"),
+            F.col("_p.px").alias("px"),
+            F.col("_p.py").alias("py"),
+        )
+
+    q["tile_cut"] = tile_cut_gate
+
     return q
 
 
@@ -8025,6 +8058,133 @@ SELECT qid, doc_id, rank_0, rank_1, rrf, "rank" FROM (
   ) AS INTEGER) AS "rank"
   FROM hsc
 ) WHERE "rank" <= 15
+"""
+
+    # tile_cut: the four Sutherland-Hodgman passes as MATERIALIZED
+    # list-lambda CTE stages over the mercator-projected gate
+    # triangles; every stage mirrors the engine expression-for-
+    # expression (see the gate docstring)
+    def _tc_pass(src, axis, bound, keep_le):
+        c = f"{src}[i].{axis}"
+        pidx = f"CASE WHEN i = 1 THEN len({src}) ELSE i - 1 END"
+        pc = f"{src}[{pidx}].{axis}"
+        op = "<=" if keep_le else ">="
+        cur = f"{src}[i]"
+        prv = f"{src}[{pidx}]"
+        t = f"(({bound} - {pc}) / ({c} - {pc}))"
+        if axis == "x":
+            inter = (f"{{'x': {bound}, "
+                     f"'y': {prv}.y + {t} * ({cur}.y - {prv}.y)}}")
+        else:
+            inter = (f"{{'x': {prv}.x + {t} * ({cur}.x - {prv}.x), "
+                     f"'y': {bound}}}")
+        return f"""CASE WHEN len({src}) < 3
+    THEN CAST([] AS STRUCT(x DOUBLE, y DOUBLE)[])
+    ELSE flatten(list_transform(range(1, len({src}) + 1), i ->
+      CASE
+        WHEN {c} {op} {bound} AND {pc} {op} {bound} THEN [{cur}]
+        WHEN {c} {op} {bound} THEN [{inter}, {cur}]
+        WHEN {pc} {op} {bound} THEN [{inter}]
+        ELSE CAST([] AS STRUCT(x DOUBLE, y DOUBLE)[])
+      END))
+  END"""
+
+    from geomesa_spark.functions.tiles import (
+        DEG2RAD as _TCD, MAX_MERC_LAT as _TCM, PI as _TCPI,
+        PI_4 as _TCP4,
+    )
+
+    def _tc_mx(v):
+        return f"(({v} + 180.0) / 360.0)"
+
+    def _tc_my(v):
+        cl = f"greatest(-{_TCM!r}, least({_TCM!r}, {v}))"
+        return (f"((1.0 - ln(tan({_TCP4!r} + ({cl} * {_TCD!r}) / 2.0))"
+                f" / {_TCPI!r}) / 2.0)")
+
+    _tc_qx = ("CAST(floor(((p.x - bx0) * 64.0) * 4096.0 + 0.5)"
+              " AS INTEGER)")
+    _tc_qy = ("CAST(floor(((p.y - by0) * 64.0) * 4096.0 + 0.5)"
+              " AS INTEGER)")
+    o["tile_cut"] = f"""
+WITH tc_pts AS (
+  SELECT event_id,
+         (event_id*9973 % 36000)/100.0 - 180.0 AS lon,
+         (event_id*7919 % 18000)/100.0 - 90.0 AS lat
+  FROM events WHERE event_id % 7 = 0
+),
+tc_tri AS (
+  SELECT event_id AS geom_id, lon*0.96 AS ax, lat*0.9 AS ay
+  FROM tc_pts
+),
+tc_ring AS MATERIALIZED (
+  SELECT geom_id,
+    [ {{'x': {_tc_mx("ax")}, 'y': {_tc_my("ay")}}},
+      {{'x': {_tc_mx("(ax + 2.004)")}, 'y': {_tc_my("(ay + 0.504)")}}},
+      {{'x': {_tc_mx("(ax + 1.002)")}, 'y': {_tc_my("(ay + 1.506)")}}} ]
+    AS r0
+  FROM tc_tri
+),
+tc_cover AS (
+  SELECT geom_id, r0,
+    greatest(0, least(63, CAST(floor(least(r0[1].x, r0[2].x, r0[3].x)
+      * 64.0) AS BIGINT))) AS tx0,
+    greatest(0, least(63, CAST(floor(greatest(r0[1].x, r0[2].x, r0[3].x)
+      * 64.0) AS BIGINT))) AS tx1,
+    greatest(0, least(63, CAST(floor(least(r0[1].y, r0[2].y, r0[3].y)
+      * 64.0) AS BIGINT))) AS ty0,
+    greatest(0, least(63, CAST(floor(greatest(r0[1].y, r0[2].y, r0[3].y)
+      * 64.0) AS BIGINT))) AS ty1
+  FROM tc_ring
+),
+tc_txe AS (
+  SELECT geom_id, r0, ty0, ty1,
+         unnest(range(tx0, tx1 + 1)) AS tx
+  FROM tc_cover
+),
+tc_tye AS (
+  SELECT geom_id, r0, tx,
+         unnest(range(ty0, ty1 + 1)) AS ty,
+         CAST(tx AS DOUBLE) * 0.015625 AS bx0,
+         CAST(tx + 1 AS DOUBLE) * 0.015625 AS bx1
+  FROM tc_txe
+),
+tc_tiles AS MATERIALIZED (
+  SELECT geom_id, r0, tx, ty, bx0, bx1,
+         CAST(ty AS DOUBLE) * 0.015625 AS by0,
+         CAST(ty + 1 AS DOUBLE) * 0.015625 AS by1
+  FROM tc_tye
+),
+tc_c1 AS MATERIALIZED (SELECT geom_id, tx, ty, bx0, by0, bx1, by1,
+  {_tc_pass("r0", "x", "bx0", False)} AS r1 FROM tc_tiles),
+tc_c2 AS MATERIALIZED (SELECT geom_id, tx, ty, bx0, by0, bx1, by1,
+  {_tc_pass("r1", "x", "bx1", True)} AS r2 FROM tc_c1),
+tc_c3 AS MATERIALIZED (SELECT geom_id, tx, ty, bx0, by0, bx1, by1,
+  {_tc_pass("r2", "y", "by0", False)} AS r3 FROM tc_c2),
+tc_c4 AS MATERIALIZED (SELECT geom_id, tx, ty, bx0, by0,
+  {_tc_pass("r3", "y", "by1", True)} AS r4 FROM tc_c3),
+tc_q AS MATERIALIZED (
+  SELECT geom_id, tx, ty,
+    list_transform(r4, p -> {{'px': {_tc_qx}, 'py': {_tc_qy}}}) AS q
+  FROM tc_c4 WHERE len(r4) >= 3
+),
+tc_w AS MATERIALIZED (
+  SELECT geom_id, tx, ty,
+    CASE WHEN list_sum(list_transform(range(1, len(q) + 1), i ->
+        CAST(q[i].px AS BIGINT)
+          * q[CASE WHEN i = len(q) THEN 1 ELSE i + 1 END].py
+        - CAST(q[CASE WHEN i = len(q) THEN 1 ELSE i + 1 END].px
+               AS BIGINT) * q[i].py)) < 0
+      THEN list_reverse(q) ELSE q END AS q2
+  FROM tc_q
+)
+SELECT geom_id, CAST(6 AS INTEGER) AS z, tx, ty,
+       CAST(0 AS INTEGER) AS ring_i,
+       CAST(u.pos AS INTEGER) AS pos, u.px, u.py
+FROM tc_w,
+     UNNEST(list_transform(range(1, len(q2) + 1),
+            i -> {{'pos': i - 1, 'px': q2[i].px, 'py': q2[i].py}}))
+       AS t(u)
 """
 
     return o

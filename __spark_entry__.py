@@ -3393,6 +3393,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tile_cut"] = tile_cut_gate
 
+    def tile_lines_gate(spark, sf):
+        """Line-string tile cutting end-to-end (tilecut.
+        tile_cut_lines): the gate polylines (1/7 subset, 2 segments
+        each) Liang-Barsky-clipped against their z=6 bbox tiles and
+        re-chained on bit-equal endpoints, posexploded to scalar
+        (part_i, pos, px, py) rows.  The oracle replays the clip as
+        chained lateral-alias t0/t1 columns (the engine's exact
+        constraint order) and the re-chaining as window lag/sum —
+        no lambda fold needed SQL-side."""
+        from geomesa_spark.operators.tilecut import tile_cut_lines
+
+        lines = _gate_lines(
+            geo_events(spark, sf).filter(F.col("event_id") % 7 == 0)
+        ).withColumnRenamed("gid", "geom_id")
+        cut = tile_cut_lines(lines, 6)
+        return cut.select(
+            "geom_id", "z", "tx", "ty", "part_i",
+            F.posexplode("pts").alias("pos", "_p"),
+        ).select(
+            "geom_id", "z", "tx", "ty", "part_i",
+            F.col("pos").cast("int").alias("pos"),
+            F.col("_p.px").alias("px"),
+            F.col("_p.py").alias("py"),
+        )
+
+    q["tile_lines"] = tile_lines_gate
+
     return q
 
 
@@ -8185,6 +8212,137 @@ FROM tc_w,
      UNNEST(list_transform(range(1, len(q2) + 1),
             i -> {{'pos': i - 1, 'px': q2[i].px, 'py': q2[i].py}}))
        AS t(u)
+"""
+
+    # tile_lines: Liang-Barsky as chained lateral-alias columns in
+    # the engine's constraint order; window-lag re-chaining; shared
+    # mercator/quant text with the tile_cut oracle
+    _tl_lb = """
+  (x1 - x0) AS dx, (y1 - y0) AS dy,
+  ((-dx = 0 AND x0 - bx0 < 0) OR (dx = 0 AND bx1 - x0 < 0)
+   OR (-dy = 0 AND y0 - by0 < 0) OR (dy = 0 AND by1 - y0 < 0))
+    AS reject,
+  CASE WHEN -dx < 0 THEN greatest(0.0, (x0 - bx0) / (-dx))
+       ELSE 0.0 END AS t0a,
+  CASE WHEN dx < 0 THEN greatest(t0a, (bx1 - x0) / dx)
+       ELSE t0a END AS t0b,
+  CASE WHEN -dy < 0 THEN greatest(t0b, (y0 - by0) / (-dy))
+       ELSE t0b END AS t0c,
+  CASE WHEN dy < 0 THEN greatest(t0c, (by1 - y0) / dy)
+       ELSE t0c END AS t0,
+  CASE WHEN -dx > 0 THEN least(1.0, (x0 - bx0) / (-dx))
+       ELSE 1.0 END AS t1a,
+  CASE WHEN dx > 0 THEN least(t1a, (bx1 - x0) / dx)
+       ELSE t1a END AS t1b,
+  CASE WHEN -dy > 0 THEN least(t1b, (y0 - by0) / (-dy))
+       ELSE t1b END AS t1c,
+  CASE WHEN dy > 0 THEN least(t1c, (by1 - y0) / dy)
+       ELSE t1c END AS t1,
+  (NOT reject) AND t0 < t1 AS keep
+"""
+    o["tile_lines"] = f"""
+WITH tl_p AS (
+  SELECT event_id,
+         (event_id*9973 % 36000)/100.0 - 180.0 AS lon,
+         (event_id*7919 % 18000)/100.0 - 90.0 AS lat
+  FROM events WHERE event_id % 7 = 0
+),
+tl_v AS (
+  SELECT event_id AS geom_id, lon*0.96 AS ax, lat*0.9 AS ay FROM tl_p
+),
+tl_segs AS MATERIALIZED (
+  SELECT geom_id, 0 AS seg_i,
+         {_tc_mx("ax")} AS x0, {_tc_my("ay")} AS y0,
+         {_tc_mx("(ax + 3.007)")} AS x1, {_tc_my("(ay + 1.003)")} AS y1
+  FROM tl_v
+  UNION ALL
+  SELECT geom_id, 1,
+         {_tc_mx("(ax + 3.007)")}, {_tc_my("(ay + 1.003)")},
+         {_tc_mx("(ax + 6.014)")}, {_tc_my("(ay - 1.003)")}
+  FROM tl_v
+),
+tl_cov AS (
+  SELECT *,
+    greatest(0, least(63, CAST(floor(least(x0, x1) * 64.0)
+      AS BIGINT))) AS tx0,
+    greatest(0, least(63, CAST(floor(greatest(x0, x1) * 64.0)
+      AS BIGINT))) AS tx1,
+    greatest(0, least(63, CAST(floor(least(y0, y1) * 64.0)
+      AS BIGINT))) AS ty0,
+    greatest(0, least(63, CAST(floor(greatest(y0, y1) * 64.0)
+      AS BIGINT))) AS ty1
+  FROM tl_segs
+),
+tl_txe AS (
+  SELECT geom_id, seg_i, x0, y0, x1, y1, ty0, ty1,
+         unnest(range(tx0, tx1 + 1)) AS tx
+  FROM tl_cov
+),
+tl_tye AS MATERIALIZED (
+  SELECT geom_id, seg_i, x0, y0, x1, y1, tx,
+         unnest(range(ty0, ty1 + 1)) AS ty
+  FROM tl_txe
+),
+tl_b AS (
+  SELECT *,
+         CAST(tx AS DOUBLE) * 0.015625 AS bx0,
+         CAST(ty AS DOUBLE) * 0.015625 AS by0,
+         CAST(tx + 1 AS DOUBLE) * 0.015625 AS bx1,
+         CAST(ty + 1 AS DOUBLE) * 0.015625 AS by1
+  FROM tl_tye
+),
+tl_lb AS MATERIALIZED (
+  SELECT geom_id, seg_i, tx, ty, bx0, by0, x0, y0, x1, y1,
+  {_tl_lb}
+  FROM tl_b
+),
+tl_clip AS MATERIALIZED (
+  SELECT geom_id, seg_i, tx, ty, bx0, by0,
+         x0 + t0 * (x1 - x0) AS cx0,
+         y0 + t0 * (y1 - y0) AS cy0,
+         x0 + t1 * (x1 - x0) AS cx1,
+         y0 + t1 * (y1 - y0) AS cy1
+  FROM tl_lb WHERE keep
+),
+tl_chain AS (
+  SELECT *,
+    CASE WHEN lag(seg_i) OVER w IS NULL THEN 1
+         WHEN lag(seg_i) OVER w <> seg_i - 1 THEN 1
+         WHEN lag(cx1) OVER w <> cx0 THEN 1
+         WHEN lag(cy1) OVER w <> cy0 THEN 1
+         ELSE 0 END AS is_new
+  FROM tl_clip
+  WINDOW w AS (PARTITION BY geom_id, tx, ty ORDER BY seg_i)
+),
+tl_parts AS MATERIALIZED (
+  SELECT *,
+    CAST(sum(is_new) OVER (PARTITION BY geom_id, tx, ty
+                           ORDER BY seg_i) - 1 AS INTEGER) AS part_i
+  FROM tl_chain
+),
+tl_emit AS (
+  SELECT geom_id, tx, ty, part_i,
+         CAST(row_number() OVER (
+           PARTITION BY geom_id, tx, ty, part_i ORDER BY seg_i
+         ) AS INTEGER) AS rn,
+         is_new, cx0, cy0, cx1, cy1, bx0, by0
+  FROM tl_parts
+),
+tl_pe AS (
+  SELECT geom_id, tx, ty, part_i, 0 AS pos,
+         cx0 AS px_m, cy0 AS py_m, bx0, by0
+  FROM tl_emit WHERE is_new = 1
+  UNION ALL
+  SELECT geom_id, tx, ty, part_i, rn, cx1, cy1, bx0, by0
+  FROM tl_emit
+)
+SELECT geom_id, CAST(6 AS INTEGER) AS z, tx, ty, part_i,
+       CAST(pos AS INTEGER) AS pos,
+       CAST(floor(((px_m - bx0) * 64.0) * 4096.0 + 0.5) AS INTEGER)
+         AS px,
+       CAST(floor(((py_m - by0) * 64.0) * 4096.0 + 0.5) AS INTEGER)
+         AS py
+FROM tl_pe
 """
 
     return o

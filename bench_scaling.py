@@ -48,7 +48,7 @@ POLYS = [
 def session(cpus: int):
     from pyspark.sql import SparkSession
 
-    return (
+    spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"scaling-{cpus}")
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
@@ -58,6 +58,13 @@ def session(cpus: int):
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    # ship the engine to python workers (the spark-submit --py-files
+    # story): pandas-UDF closures reference geomesa_spark modules,
+    # which only resolved by accident when the cwd WAS the repo
+    from geomesa_spark.session import package_zip
+
+    spark.sparkContext.addPyFile(package_zip())
+    return spark
 
 
 def build_corpus(n_docs: int) -> None:
@@ -307,7 +314,9 @@ def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
     if kind == "tilecut":
         # per-row-compute family: the vector-tile pipeline (WKT parse
         # + mercator + S-H clip + winding + batched MVT packing) over
-        # 48k synthesized triangles at z=7 — embarrassingly parallel
+        # 320k synthesized triangles at z=7 — embarrassingly parallel
+        # (sized ~90 s at N so fixed overhead is not the measurement
+        # — the bucketed-row lesson; the first 48k sizing ran 13 s)
         # row work plus ONE pinned-width shuffle into the packer, so
         # this row evidences the cutter's scale path directly (the
         # "tile assignments" half of the headline metric).  Input
@@ -317,7 +326,7 @@ def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
         )
         from geomesa_spark.sources.mvt import mvt_encode
 
-        NT = int(os.environ.get("SPARK_GRAFT_SCALE_TRIS", "48000"))
+        NT = int(os.environ.get("SPARK_GRAFT_SCALE_TRIS", "320000"))
         ids = spark.range(0, NT, 1, 64)
         fx = (F.pmod(F.crc32(F.col("id").cast("string")), F.lit(33000))
               / F.lit(100.0) - F.lit(170.0))
@@ -628,7 +637,7 @@ def main() -> None:
                  "checkpoint cost of the iterative-join family",
         "tilecut": "vector-tile pipeline (WKT parse + mercator "
                    "projection + Sutherland-Hodgman clip + v2 winding "
-                   "+ batched MVT protobuf packing) over 48k synthetic "
+                   "+ batched MVT protobuf packing) over 320k synthetic "
                    "triangles at z=7 (input build untimed): per-row "
                    "JVM-HOF compute plus ONE pinned-width shuffle into "
                    "the mapInPandas packer — the per-row-compute "

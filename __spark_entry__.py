@@ -3420,6 +3420,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tile_lines"] = tile_lines_gate
 
+    def tile_points_gate(spark, sf):
+        """Point tile cutting (tilecut.tile_cut_points): every geo
+        event assigned to its z=7 tile with extent-4096 tile-local
+        integer coordinates — the shuffle-free point third of the
+        cutter family (same mercator text as the gate-proven
+        quadkey_tiles; quantization is the shared floor(v+0.5)
+        form)."""
+        from geomesa_spark.operators.tilecut import tile_cut_points
+
+        pts = geo_events(spark, sf).filter(
+            F.col("event_id") % 3 == 0
+        ).select(F.col("event_id").alias("geom_id"), "lon", "lat")
+        cut = tile_cut_points(pts, 7)
+        return cut.select(
+            "geom_id", "z", "tx", "ty",
+            F.element_at("pts", 1)["px"].alias("px"),
+            F.element_at("pts", 1)["py"].alias("py"),
+        )
+
+    q["tile_points"] = tile_points_gate
+
     return q
 
 
@@ -8343,6 +8364,32 @@ SELECT geom_id, CAST(6 AS INTEGER) AS z, tx, ty, part_i,
        CAST(floor(((py_m - by0) * 64.0) * 4096.0 + 0.5) AS INTEGER)
          AS py
 FROM tl_pe
+"""
+
+    # tile_points: shared mercator + clamp + quant text, no clip
+    o["tile_points"] = f"""
+WITH tp AS (
+  SELECT event_id AS geom_id,
+         (event_id*9973 % 36000)/100.0 - 180.0 AS lon,
+         (event_id*7919 % 18000)/100.0 - 90.0 AS lat
+  FROM events WHERE event_id % 3 = 0
+),
+tm AS (
+  SELECT geom_id, {_tc_mx("lon")} AS mx, {_tc_my("lat")} AS my
+  FROM tp
+),
+tt AS (
+  SELECT geom_id, mx, my,
+    greatest(0, least(127, CAST(floor(mx * 128.0) AS BIGINT))) AS tx,
+    greatest(0, least(127, CAST(floor(my * 128.0) AS BIGINT))) AS ty
+  FROM tm
+)
+SELECT geom_id, CAST(7 AS INTEGER) AS z, tx, ty,
+  CAST(floor(((mx - CAST(tx AS DOUBLE) * 0.0078125) * 128.0)
+       * 4096.0 + 0.5) AS INTEGER) AS px,
+  CAST(floor(((my - CAST(ty AS DOUBLE) * 0.0078125) * 128.0)
+       * 4096.0 + 0.5) AS INTEGER) AS py
+FROM tt
 """
 
     return o

@@ -633,8 +633,9 @@ def dup_components(
         .withColumn("canon", F.col("doc"))
         .persist()
     )
-    changed = 0
-    for _ in range(max_iter):
+    changed = 1
+    first = labels
+    for rnd in range(1, max_iter + 1):
         neigh = (
             edges.join(labels, edges["src"] == labels["doc"])
             .groupBy(F.col("dst").alias("doc"))
@@ -647,6 +648,13 @@ def dup_components(
         # round's plan stays O(1).  The stats-reset wrapper keeps the
         # carried size-in-bytes stat O(1) too — the self-join doubles
         # its bit-length per round otherwise (see reset_plan_stats).
+        # Checkpoints are LAZY (the sssp sync_every contract): two
+        # rounds build deferred, then ONE full-count probe both
+        # materializes the pending chain and reads the chg flag —
+        # the driver round trips halve vs the eager-per-round form,
+        # and the result is identical (rounds are deterministic
+        # functions of the previous labels regardless of when the
+        # driver looks).
         prop = _lckpt(
             labels.join(neigh, "doc", "left")
             .select(
@@ -656,7 +664,7 @@ def dup_components(
                     F.col("canon"), F.coalesce(F.col("n_canon"), F.col("canon"))
                 ).alias("canon"),
             ),
-            eager=True,
+            eager=False,
         )
         # pointer jump: canon <- canon's canon (every canon value is
         # itself a doc in the label table, so the lookup always hits)
@@ -664,23 +672,25 @@ def dup_components(
             F.col("doc").alias("p_doc"), F.col("canon").alias("p_canon")
         )
         final_canon = F.coalesce(F.col("p_canon"), F.col("canon"))
-        new_labels = _lckpt(
+        # probe rounds checkpoint EAGERLY (the sssp probe contract):
+        # one job materializes the pending two-round chain with full
+        # parallelism and caches it for the chg count and the next
+        # batch's reads
+        is_probe = rnd % 2 == 0 or rnd == max_iter
+        labels = _lckpt(
             prop.join(parents, prop["canon"] == parents["p_doc"], "left")
             .select(
                 "doc",
                 final_canon.alias("canon"),
                 (final_canon != F.col("old_canon")).alias("chg"),
             ),
-            eager=True,
+            eager=is_probe,
         )
-        # convergence = a plain scan of the just-checkpointed blocks
-        # (the chg flag rides along); the old form re-joined the new
-        # labels against the old — one extra shuffle join per round.
-        changed = new_labels.filter("chg").limit(1).count()
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+        if is_probe:
+            changed = labels.filter("chg").count()
+            if changed == 0:
+                break
+    first.unpersist()
     edges.unpersist()
     if changed != 0:
         raise RuntimeError(

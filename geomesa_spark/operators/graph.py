@@ -153,8 +153,11 @@ def pagerank(
                     )
                 ).cast("long").alias("rank_fp"),
             )
-            .localCheckpoint()
+            # LAZY: the fixed-round chain materializes as ONE job at
+            # the eager checkpoint below (sssp fixed-rounds contract)
+            .localCheckpoint(eager=False)
         )
+    ranks = ranks.localCheckpoint(eager=True)
     out = ranks.select(
         "node",
         "rank_fp",
@@ -491,7 +494,7 @@ def hits(
         )
         auth = nodes.join(auth, "node", "left").select(
             "node", F.coalesce(F.col("a"), F.lit(0)).alias("a")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         hub = (
             by_dst.join(
                 auth.select(F.col("node").alias("dst"), "a"), "dst"
@@ -502,7 +505,11 @@ def hits(
         )
         hub = nodes.join(hub, "node", "left").select(
             "node", F.coalesce(F.col("h"), F.lit(0)).alias("h")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
+    # materialize the lazy round chain (one job each) while the edge
+    # caches are alive; rounds ran fully lazily above
+    hub = hub.localCheckpoint(eager=True)
+    auth = auth.localCheckpoint(eager=True)
     mx = F.broadcast(
         hub.join(auth, "node").agg(
             F.max("a").alias("_ma"), F.max("h").alias("_mh")
@@ -553,17 +560,17 @@ def boruvka_mst(
 
     Per round: one label join per endpoint, one per-component
     min-struct aggregate (partial-aggregated) to pick hook edges,
-    then `dedup.dup_components` pointer jumping over the COMPONENT
-    graph (≤ one edge per component, shrinking geometrically) to
-    merge labels — never over the full edge list.  Labels are
-    localCheckpointed per round (the sssp lineage contract).
+    then pointer DOUBLING over the hook forest (one row per active
+    component; the unique edge order makes its only cycles mutual
+    2-cycles, broken toward the smaller id) to merge labels — never
+    over the full edge list.  Labels are localCheckpointed per round
+    (the sssp lineage contract), checkpoints lazy with eager probes
+    (the sssp sync_every contract).
 
     Returns (a, b, w, round) — the forest edges with the 1-based
     round that added them (deterministic; rounds past the fixed
     point add nothing, so replaying extra rounds is idempotent).
     """
-    from .dedup import dup_components
-
     wt = edges.schema[w_col].dataType.simpleString()
     if wt not in ("tinyint", "smallint", "int", "bigint"):
         raise ValueError(
@@ -606,8 +613,12 @@ def boruvka_mst(
             .join(lb, "b")
             .filter(F.col("ca") != F.col("cb"))
         )
-        cross = _lckpt(cross, eager=True)
-        if cross.limit(1).count() == 0:
+        # LAZY checkpoint + FULL count: one job both materializes the
+        # round's pending chain (last round's labels/mst ride in) and
+        # answers the termination probe — the eager-per-frame form
+        # cost four driver-synchronized jobs per round
+        cross = _lckpt(cross, eager=False)
+        if cross.count() == 0:
             return mst
         both = cross.select(
             F.col("ca").alias("_comp"), "a", "b", "w", "ca", "cb"
@@ -618,40 +629,92 @@ def boruvka_mst(
         )
         # cheapest outgoing edge per component: ONE min-struct on the
         # unique total order (w, a, b); ca/cb ride along
-        sel = (
+        pick = _lckpt(
             both.groupBy("_comp")
             .agg(F.min(F.struct("w", "a", "b", "ca", "cb")).alias("_m"))
             .select(
+                "_comp",
                 F.col("_m.a").alias("a"),
                 F.col("_m.b").alias("b"),
                 F.col("_m.w").alias("w"),
                 F.col("_m.ca").alias("ca"),
                 F.col("_m.cb").alias("cb"),
-            )
-            # both endpoints of a mutual cheapest edge pick the same
-            # (a, b) row — one forest edge, not two
-            .dropDuplicates(["a", "b"])
+            ),
+            eager=False,
         )
-        sel = _lckpt(sel, eager=True)
+        # both endpoints of a mutual cheapest edge pick the same
+        # (a, b, w) edge — full-row distinct folds it to ONE forest
+        # edge (deterministic, unlike a keyed dropDuplicates over
+        # rows that differ in _comp)
+        sel = pick.select("a", "b", "w").distinct()
         mst = _lckpt(
             mst.unionByName(
                 sel.select("a", "b", "w", F.lit(rnd).alias("round"))
             ),
+            eager=False,
+        )
+        # merge via the HOOK FOREST: parent(comp) = the opposite
+        # component of its own cheapest edge.  Under the unique
+        # (w, a, b) total order the pointer graph's only cycles are
+        # MUTUAL pairs (Borůvka's classic invariant), broken toward
+        # the smaller id so each merge tree has exactly one
+        # self-rooted node; pointer DOUBLING (par <- par∘par) then
+        # reaches the root in O(log depth) single-self-join rounds —
+        # a third of the shuffles of the general min-label
+        # connected-components loop this replaces, on a frame with
+        # exactly one row per active component.
+        par = pick.select(
+            "_comp",
+            F.when(F.col("ca") == F.col("_comp"), F.col("cb"))
+            .otherwise(F.col("ca")).alias("_par"),
+        )
+        p2 = par.select(
+            F.col("_comp").alias("_pc"), F.col("_par").alias("_pp")
+        )
+        par = _lckpt(
+            par.join(p2, par["_par"] == p2["_pc"], "left")
+            .select(
+                "_comp",
+                F.when(
+                    F.col("_pp") == F.col("_comp"),
+                    F.least(F.col("_comp"), F.col("_par")),
+                )
+                .otherwise(F.col("_par")).alias("_par"),
+            ),
             eager=True,
         )
-        # merge on the COMPONENT graph (≤ one edge per component):
-        # min-label pointer jumping relabels every old component to
-        # the minimum component id of its merge tree
-        remap = dup_components(
-            sel.select("ca", "cb"), a_col="ca", b_col="cb"
-        ).select(F.col("doc").alias("comp"), F.col("canon").alias("_nc"))
+        for dbl in range(1, 65):
+            p2 = par.select(
+                F.col("_comp").alias("_pc"), F.col("_par").alias("_pp")
+            )
+            new_par = F.coalesce(F.col("_pp"), F.col("_par"))
+            is_probe = dbl % 2 == 0
+            par = _lckpt(
+                par.join(p2, par["_par"] == p2["_pc"], "left")
+                .select(
+                    "_comp",
+                    new_par.alias("_par"),
+                    (new_par != F.col("_par")).alias("_chg"),
+                ),
+                eager=is_probe,
+            )
+            if is_probe and par.filter("_chg").count() == 0:
+                break
+        else:
+            raise RuntimeError(
+                "boruvka_mst merge did not converge — hook-chain "
+                "depth exceeds 2^64, impossible"
+            )
+        remap = par.select(
+            F.col("_comp").alias("comp"), F.col("_par").alias("_nc")
+        )
         labels = _lckpt(
             labels.join(remap, "comp", "left")
             .select(
                 "node",
                 F.coalesce(F.col("_nc"), F.col("comp")).alias("comp"),
             ),
-            eager=True,
+            eager=False,
         )
     raise RuntimeError(
         f"boruvka_mst did not converge in {max_rounds} rounds — "
@@ -813,7 +876,13 @@ def label_propagation(
             )
             .select("node", F.col("_m.label").alias("label"))
         )
-        labels = _lckpt(labels, eager=True)
+        # LAZY: the fixed-round chain runs as ONE job at the final
+        # eager materialization (the sssp fixed-rounds contract) —
+        # per-round eager checkpoints cost a driver sync each
+        labels = _lckpt(labels, eager=False)
+    # materialize while the adjacency cache is alive, so unpersist
+    # can't force a rounds-deep recompute later
+    labels = labels.localCheckpoint(eager=True)
     adj.unpersist()
     return labels
 

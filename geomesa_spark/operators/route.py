@@ -220,11 +220,13 @@ def sssp(
     O(nodes x sources); bound the source set accordingly (documented
     scale contract, like `hausdorff_join`'s candidate bound).
 
-    `rounds=R` runs exactly R relaxation rounds with no convergence
-    exit and returns R-hop-bounded distances (each round extends
+    `rounds=R` returns R-hop-bounded distances (each round extends
     optimal paths by one edge — the textbook Bellman-Ford
-    invariant); `rounds=None` iterates to convergence and RAISES if
-    `max_rounds` arrives while labels still change.
+    invariant); once labels stop changing the remaining rounds are
+    the identity, so the loop exits early with a bit-identical
+    result when a probe sees an empty frontier.  `rounds=None`
+    iterates to convergence and RAISES if `max_rounds` arrives while
+    labels still change.
 
     `sync_every` batches the convergence probe: K rounds build
     lazily, then ONE count materializes all K pending checkpoints in
@@ -276,59 +278,76 @@ def sssp(
     # convergence probe below is a FULL count (not limit(1)) so it
     # both reads the chg flag and materializes every partition of the
     # checkpoint in the same single job — one driver round trip per
-    # relaxation round, not two.  Fixed-rounds mode has no per-round
-    # read at all: the whole R-round chain runs as one job, with ONE
-    # eager materialization at loop exit before the edge cache drops.
+    # sync_every relaxation rounds, not one per round.  Fixed-rounds
+    # mode probes too: once no label changed, every remaining round
+    # relaxes an EMPTY frontier and min-merges each label with only
+    # itself — the identity — so breaking early returns a result
+    # bit-identical to running all R rounds while skipping their
+    # stage chains (closeness(rounds=16) on an eccentricity-4 graph
+    # runs ~8 rounds of stages, not 16).
+    old_t = "struct<dist:bigint,s_src:bigint>"
+    # the frontier is the STREAM side of the relax join whenever the
+    # edge table broadcasts, and each label checkpoint is AQE-coalesced
+    # to a handful of partitions (its BYTES are tiny) — but the join
+    # EXPANDS it by the mean degree, so streaming those few partitions
+    # serializes millions of offer rows through one or two tasks
+    # (observed: a 7 s single-task SortAggregate at mean degree ~190).
+    # An explicit width-pinned repartition on the join key costs one
+    # tiny-frame shuffle and IS the join's required distribution, so a
+    # shuffle join gets it for free and a broadcast-edges join streams
+    # at full width.
+    n_wide = labels.sparkSession.sparkContext.defaultParallelism
     for i in range(n_rounds):
-        frontier = labels.filter("chg")
+        frontier = labels.filter("chg").repartition(
+            n_wide, F.col("node")
+        )
         relaxed = frontier.join(e, frontier["node"] == e["e_src"]).select(
             F.col("e_dst").alias("node"),
             (F.col("dist") + F.col("e_w")).alias("dist"),
             "s_src",
             # the offer's parent is the OFFERING node itself
             F.col("e_src").alias("par"),
+            F.lit(None).cast(old_t).alias("_old"),
+        )
+        # the incumbent label rides the union tagged with its own
+        # (dist, s_src) so ONE groupBy yields both the min-merge and
+        # the change flag — each key holds at most one incumbent, so
+        # max(_old) IS it (NULL for first-reached nodes); the
+        # old-vs-new join this replaces was a full extra shuffle of
+        # the label frame every round
+        cur = labels.select(
+            "node", "dist", "s_src", "par",
+            F.struct("dist", "s_src").cast(old_t).alias("_old"),
         )
         merged = (
-            labels.select("node", "dist", "s_src", "par")
-            .unionByName(relaxed)
+            cur.unionByName(relaxed)
             .groupBy(*keys)
-            .agg(F.min(F.struct("dist", "s_src", "par")).alias("_m"))
+            .agg(
+                F.min(F.struct("dist", "s_src", "par")).alias("_m"),
+                F.max("_old").alias("_o"),
+            )
         )
-        old = labels.select(
-            F.col("node").alias("o_node"),
-            F.col("dist").alias("o_dist"),
-            F.col("s_src").alias("o_s_src"),
-        )
-        newm = merged.select(
+        is_probe = (i + 1) % max(1, int(sync_every)) == 0 or i + 1 == n_rounds
+        # probe rounds checkpoint EAGERLY: the one materialization job
+        # computes the whole pending batch with full stage parallelism
+        # and caches it, so the chg count (and the next batch's double
+        # read of the label frame) scan cached blocks — a LAZY probe
+        # chain instead materializes inside AQE's broadcast-collect
+        # thread, single-threaded and re-derived per consumer
+        labels = merged.select(
             "node",
             F.col("_m.dist").alias("dist"),
             F.col("_m.s_src").alias("s_src"),
             F.col("_m.par").alias("par"),
-        )
-        cond = newm["node"] == old["o_node"]
-        if per_source:
-            cond = cond & (newm["s_src"] == old["o_s_src"])
-        new_labels = (
-            newm.join(old, cond, "left")
-            .select(
-                "node",
-                "dist",
-                "s_src",
-                "par",
-                # parent-only changes deliberately excluded: a node's
-                # offers carry its own id, never its parent
-                (
-                    F.col("o_dist").isNull()
-                    | (F.col("dist") != F.col("o_dist"))
-                    | (F.col("s_src") != F.col("o_s_src"))
-                ).alias("chg"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        labels = new_labels
-        if rounds is None and (
-            (i + 1) % max(1, int(sync_every)) == 0 or i + 1 == n_rounds
-        ):
+            # parent-only changes deliberately excluded: a node's
+            # offers carry its own id, never its parent
+            (
+                F.col("_o").isNull()
+                | (F.col("_m.dist") != F.col("_o.dist"))
+                | (F.col("_m.s_src") != F.col("_o.s_src"))
+            ).alias("chg"),
+        ).localCheckpoint(eager=is_probe)
+        if is_probe:
             if labels.filter("chg").count() == 0:
                 converged = True
                 break

@@ -64,6 +64,7 @@ def eps_pairs(
     t_col: str | None = None,
     eps_t: float | None = None,
     with_dt: bool = False,
+    cell_budget: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) within eps — each pair exactly once.
 
@@ -81,7 +82,21 @@ def eps_pairs(
     `dt` (space_time_k consumes it).  `t_col` WITHOUT `eps_t` is the
     carry-only mode: no time key dimension and no time filter, just
     the dt output column (knox_test's single-pass mining).
-    Returns (id_a, id_b, dist2 | dist_m [, dt])."""
+    Returns (id_a, id_b, dist2 | dist_m [, dt]).
+
+    ``cell_budget`` is the hot-cell guard (the `spatial_join.
+    hot_cell_salts` precedent for the SELF-join shape): when set,
+    one cheap pre-aggregate finds the densest home cell n_max and
+    the call RAISES if n_max² exceeds the budget — a duplicate-
+    coordinate POI with 10⁵ co-located points yields 10¹⁰ true
+    pairs no matter how the mining is partitioned (the OUTPUT is
+    quadratic, so sub-gridding cannot help), and a loud error
+    beats an executor-OOM hours into a 100 TB run.  Remedies the
+    message points to: collapse exact-duplicate coordinates first
+    (``dbscan`` does this automatically; co-located points share
+    every neighborhood), shrink eps, or raise the budget when the
+    quadratic output is genuinely wanted.  Costs one counting
+    aggregate over the point table; default None = off."""
     if eps <= 0:
         raise ValueError("eps must be positive")
     if metric not in ("planar", "haversine"):
@@ -138,6 +153,24 @@ def eps_pairs(
         base = base.withColumn(
             "ct", F.floor(F.col("t") / F.lit(float(eps_t))).cast("long")
         )
+    if cell_budget is not None:
+        cell_cols = ["cx", "cy"] + (["ct"] if t_keyed else [])
+        row = (
+            base.groupBy(*cell_cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n").alias("_mx"))
+            .first()
+        )
+        n_max = row["_mx"] or 0
+        if n_max * n_max > int(cell_budget):
+            raise ValueError(
+                f"eps_pairs hot-cell budget exceeded: densest cell "
+                f"holds {n_max} points -> up to {n_max * n_max} "
+                f"candidate pairs > cell_budget={cell_budget}. The "
+                "pair OUTPUT of a co-located hot spot is quadratic; "
+                "collapse duplicate coordinates first (dbscan does), "
+                "shrink eps, or raise cell_budget deliberately."
+            )
     dts = (-1, 0, 1) if t_keyed else (0,)
     keys = ["kx", "ky"] + (["kt"] if t_keyed else [])
     left = base.select(
@@ -238,14 +271,41 @@ def dbscan(
     the result back and treat NULL cluster as noise).  min_pts
     counts the point itself (sklearn min_samples convention).
 
+    Hot-spot guard (the duplicate-coordinate quadratic): exact-
+    duplicate coordinates (lon, lat[, t]) COLLAPSE to one weighted
+    representative before pair mining, so a POI with 10⁵ check-ins
+    at one coordinate contributes ONE mining row instead of 10¹⁰
+    pairs.  This is exact, not approximate: co-located points have
+    identical eps-neighborhoods, hence identical core-ness, the
+    same component (they are mutual neighbors once any is core,
+    and min_pts duplicates make all of them core), and the same
+    border attachment; the representative id is the location's
+    minimum point id, so the min-id cluster labels are unchanged.
+    The per-point neighbor count becomes (cnt_self - 1) + Σ
+    neighbor-rep counts.  The quadratic mining term is therefore
+    bounded by the densest cell's DISTINCT-coordinate count.
+
     Eager: the component pass is a driver-side loop, so the result
     materializes inside this call (localCheckpointed — O(1) lineage,
     intermediate caches released before returning)."""
     if min_pts < 1:
         raise ValueError("min_pts must be >= 1")
+    tsel = [F.col(t_col).alias("t")] if t_col is not None else []
+    gcols = ["lon", "lat"] + (["t"] if t_col is not None else [])
+    pts = df.select(
+        F.col(id_col).alias("id"),
+        F.col(lon_col).alias("lon"),
+        F.col(lat_col).alias("lat"),
+        *tsel,
+    )
+    reps = (
+        pts.groupBy(*gcols)
+        .agg(F.min("id").alias("rid"), F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
     pairs = eps_pairs(
-        df, eps, id_col, lon_col, lat_col, metric, dist_m,
-        t_col=t_col, eps_t=eps_t,
+        reps, eps, "rid", "lon", "lat", metric, dist_m,
+        t_col=("t" if t_col is not None else None), eps_t=eps_t,
     ).select("id_a", "id_b").persist()
     # both directions once; reused for degree AND border attach
     both = pairs.unionByName(
@@ -253,15 +313,26 @@ def dbscan(
             F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
         )
     )
-    deg = both.groupBy(F.col("id_a").alias("id")).agg(
-        F.count("*").alias("n_neigh")
+    wts = reps.select(
+        F.col("rid").alias("id_b"), F.col("cnt").alias("_w")
     )
-    core = deg.filter(
-        F.col("n_neigh") + F.lit(1) >= F.lit(int(min_pts))
-    ).select("id")
+    deg = (
+        both.join(wts, "id_b")
+        .groupBy(F.col("id_a").alias("rid"))
+        .agg(F.sum("_w").alias("_nb"))
+    )
+    core = (
+        reps.join(deg, "rid", "left")
+        .filter(
+            F.coalesce(F.col("_nb"), F.lit(0))
+            + F.col("cnt") - F.lit(1) + F.lit(1)
+            >= F.lit(int(min_pts))
+        )
+        .select(F.col("rid").alias("id"))
+    )
     if min_pts <= 1:
         # every point is core, including isolated ones outside `deg`
-        core = df.select(F.col(id_col).alias("id")).distinct()
+        core = reps.select(F.col("rid").alias("id"))
     core = core.persist()
 
     core_edges = (
@@ -291,11 +362,18 @@ def dbscan(
         .groupBy(F.col("id_a").alias("id"))
         .agg(F.min("nb_cluster").alias("cluster"))
     )
+    rep_out = core_labels.withColumn("is_core", F.lit(True)).unionByName(
+        border.withColumn("is_core", F.lit(False))
+    )
+    # expand representatives back to every original point: same
+    # coordinate -> same cluster/is_core (the collapse equivalence)
     out = (
-        core_labels.withColumn("is_core", F.lit(True))
-        .unionByName(border.withColumn("is_core", F.lit(False)))
+        pts.join(reps.select(*gcols, "rid"), gcols)
+        .join(rep_out.withColumnRenamed("id", "rid"), "rid")
+        .select("id", "cluster", "is_core")
         .localCheckpoint(eager=True)
     )
+    reps.unpersist()
     pairs.unpersist()
     core.unpersist()
     core_labels.unpersist()

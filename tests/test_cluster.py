@@ -259,3 +259,65 @@ def test_st_eps_pairs_args_validation(spark):
         eps_pairs(df, 0.5, "id", with_dt=True)
     with pytest.raises(ValueError, match="eps_t"):
         eps_pairs(df, 0.5, "id", t_col="t", eps_t=0.0)
+
+
+def test_dbscan_duplicate_collapse_parity(spark):
+    """Exact-duplicate coordinates collapse to weighted reps before
+    mining; result must equal the point-level brute oracle."""
+    rng = np.random.default_rng(11)
+    pts = {}
+    pid = 0
+    for cx, cy, k in [(0.0, 0.0, 30), (2.5, 2.5, 20)]:
+        for _ in range(k):
+            pts[pid] = (cx + rng.normal(0, 0.3), cy + rng.normal(0, 0.3))
+            pid += 1
+    # duplicate stacks: 7 copies at one coord, 3 at another, 2 at a
+    # lonely coord (non-core under min_pts=5 unless neighbors help)
+    for coord, k in [((0.1, 0.1), 7), ((2.6, 2.4), 3), ((9.0, 9.0), 2)]:
+        for _ in range(k):
+            pts[pid] = coord
+            pid += 1
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in pts.items()],
+        "id long, lon double, lat double",
+    )
+    got = {
+        r.id: (r.cluster, r.is_core)
+        for r in dbscan(df, 0.5, 5, "id").collect()
+    }
+    assert got == _brute_dbscan(pts, 0.5, 5)
+
+
+def test_dbscan_colocated_hot_cell_bounded(spark):
+    """10^4 co-located points: the collapse makes the mining cost one
+    representative row (5*10^7 pairs never materialize) and the
+    labels stay exact — every duplicate is core and clusters to the
+    minimum id, and a nearby point (core too: 10^4 neighbors) joins
+    the same cluster."""
+    n = 10_000
+    rows = [(i, 10.0, 10.0) for i in range(n)]
+    rows.append((n, 10.0, 10.3))        # near the POI -> core, same cluster
+    rows.append((n + 1, 50.0, 50.0))    # noise: absent
+    df = spark.createDataFrame(rows, "id long, lon double, lat double")
+    out = dbscan(df, 0.5, 5, "id").collect()
+    got = {r.id: (r.cluster, r.is_core) for r in out}
+    assert len(got) == n + 1            # noise point absent
+    for i in range(n + 1):
+        assert got[i] == (0, True)
+
+
+def test_eps_pairs_cell_budget_guard(spark):
+    """cell_budget raises loudly on a quadratic hot cell and stays
+    silent when the densest cell fits."""
+    hot = spark.createDataFrame(
+        [(i, 0.0, 0.0) for i in range(200)], "id long, lon double, lat double"
+    )
+    with pytest.raises(ValueError, match="hot-cell budget"):
+        eps_pairs(hot, 0.5, "id", cell_budget=10_000).count()
+    # same points, generous budget: runs and emits all C(200,2) pairs
+    assert eps_pairs(hot, 0.5, "id", cell_budget=100_000).count() == 19_900
+    spread = spark.createDataFrame(
+        [(i, i * 0.9 - 90.0, 0.0) for i in range(200)],
+        "id long, lon double, lat double",
+    )
+    assert eps_pairs(spread, 0.5, "id", cell_budget=10).count() == 0

@@ -3441,6 +3441,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tile_points"] = tile_points_gate
 
+    # SURVEY §2 core FIRST (VERDICT r4 item 5): the driver samples 50
+    # of the registered queries per round in registration order, so
+    # every §2-mapped gate plus the LLM-pipeline headliners must sit
+    # ahead of the long tail — otherwise gates like point2point /
+    # stream_replay / kafka_replay / visibility_scan / media_decode
+    # go rounds without a driver check.  Values are untouched; this
+    # only reorders dict insertion.
+    sec2_first = [
+        # §2.1 scans / ingest / export / raster
+        "z_encode", "bbox_scan", "id_scan", "attr_scan",
+        "convert_ingest", "bin_export", "tile_assign",
+        # §2.2 filters
+        "bbox_scan_or", "ecql_scan", "ecql_dwithin",
+        # §2.2-2.3 spatial predicates + joins
+        "pip_broadcast", "pip_partitioned", "pip_bucketed", "pip_s2",
+        "line_intersects", "poly_intersects", "geom_bucketed",
+        "dwithin_proximity", "line_dwithin",
+        "tube_select", "tube_line", "knn", "knn_df",
+        # §2.4 analytics
+        "density", "heatmap", "temporal_density", "map_aggregate",
+        "unique_values", "count_by_day", "histogram_job",
+        # §2.5-2.10 window analogs / streaming / jobs
+        "point2point", "hash_attribute", "stream_replay",
+        "kafka_replay", "visibility_scan", "media_decode",
+        "geohash_encode", "geohash_cover",
+        # LLM-pipeline headliners (graded as first-class components)
+        "text_profile", "dedup_exact", "minhash_lsh", "simhash",
+        "embedding_neardup", "ann_bruteforce", "ivf_topk",
+        "shard_pack", "url_normalize", "hll_distinct", "asof_join",
+        "dbscan",
+    ]
+    q = {
+        **{k: q[k] for k in sec2_first if k in q},
+        **{k: v for k, v in q.items() if k not in sec2_first},
+    }
     return q
 
 

@@ -265,6 +265,12 @@ def main() -> None:
     # load inflates single runs by up to ~40%, and the minimum is the
     # least-contaminated estimate when iterating locally
     min_of = max(1, int(os.environ.get("BENCH_MIN_OF", "1")))
+    # exchange-bound geometry-layer joins measure 6.7-10.6 s across
+    # paired runs of IDENTICAL code on this shared VM (NOTES_r4), and
+    # text_profile swings 0.7-2.5 s — for these, a single sample
+    # cannot distinguish a regression from co-tenant noise, so the
+    # recorded number is min-of-3 BY PROTOCOL (VERDICT r4 items 4/6)
+    MIN_OF_3 = {"line_intersects", "poly_intersects", "text_profile"}
     times: dict[str, float] = {}
     import gc
 
@@ -281,7 +287,7 @@ def main() -> None:
     for name in names:
         fn = queries[name]
         best = float("inf")
-        for _ in range(min_of):
+        for _ in range(max(min_of, 3 if name in MIN_OF_3 else 1)):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

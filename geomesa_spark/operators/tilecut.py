@@ -175,8 +175,30 @@ def tile_cut(
         def pt(p):
             lon = F.element_at(F.split(F.trim(p), r"\s+"), 1).cast("double")
             lat = F.element_at(F.split(F.trim(p), r"\s+"), 2).cast("double")
+            # loud-error convention (matches the kind and tile-budget
+            # checks): under non-ANSI sessions an unparseable
+            # coordinate casts to NULL, and NULL would slide through
+            # mercator's null-skipping least/greatest lat clamp into
+            # a valid-looking y, poison the bbox via clampi, and
+            # silently DROP or misplace the geometry (ANSI sessions
+            # raise at the cast itself)
+            bad = lon.isNull() | lat.isNull()
             mx, my = mercator_xy(lon, lat)
-            return F.struct(mx.alias("x"), my.alias("y"))
+            return F.struct(
+                F.when(
+                    bad,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "tile_cut: NULL vertex after WKT parse "
+                                "(unparseable coordinate) in "
+                            ),
+                            F.trim(p),
+                        )
+                    ),
+                ).otherwise(mx).alias("x"),
+                my.alias("y"),
+            )
 
         pts = F.transform(F.split(F.trim(r), r"\s*,\s*"), pt)
         # strip the WKT closing duplicate -> open ring

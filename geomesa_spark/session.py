@@ -63,6 +63,9 @@ def package_zip(dest_dir: str = "/tmp") -> str:
     return out
 
 
+_STATS_RESET_WARNED = False
+
+
 def reset_plan_stats(df):
     """Rewrap a (checkpointed) DataFrame as a bare LogicalRDD scan,
     dropping the origin plan's size-in-bytes statistics.
@@ -102,7 +105,26 @@ def reset_plan_stats(df):
         from pyspark.sql import DataFrame as _DF
 
         return _DF(new_jdf, df.sparkSession)
-    except Exception:
+    except Exception as exc:  # py4j raises Py4JError subclasses;
+        # Connect raises AttributeError on _jdf — both must fall back
+        # the py4j call into private internalCreateDataFrame can break
+        # on a Spark upgrade (or a Connect session, which has no
+        # _jdf); falling back silently would reintroduce the
+        # BigInteger stats-blowup planner hang this wrapper exists to
+        # fix, so make the degradation VISIBLE once per process
+        global _STATS_RESET_WARNED
+        if not _STATS_RESET_WARNED:
+            _STATS_RESET_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "reset_plan_stats fell back to the unwrapped "
+                f"DataFrame ({type(exc).__name__}: {exc}) — iterative "
+                "self-joining loops may hit the Catalyst BigInteger "
+                "stats blowup; check Spark version compatibility",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return df
 
 

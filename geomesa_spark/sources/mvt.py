@@ -200,6 +200,12 @@ def mvt_encode(
         ):
             by_feat: dict[int, list[tuple[int, list]]] = {}
             for fid, pi, pts in zip(g["_fid"], g["_pi"], g["pts"]):
+                if pd.isna(fid):
+                    raise ValueError(
+                        "mvt_encode: id column cast to NULL long — "
+                        "ids must be castable to non-negative long; "
+                        "remap hashed/string ids upstream"
+                    )
                 by_feat.setdefault(int(fid), []).append(
                     (int(pi),
                      [(int(p["px"]), int(p["py"])) for p in pts])

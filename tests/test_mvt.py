@@ -96,3 +96,28 @@ def test_mvt_point_command_shape_and_negative_id():
     assert geom[0] == 17
     with pytest.raises(ValueError):
         encode_tile([(-3, 1, [[(0, 0)]])])
+
+
+def test_mvt_encode_null_id_raises(spark):
+    """A non-numeric id casts to NULL long; the packer must raise a
+    clear remap-upstream error instead of an opaque int(nan) crash."""
+    from geomesa_spark.operators.tilecut import tile_cut_points
+
+    pts = spark.createDataFrame(
+        [("doc-x", 10.0, 10.0)], "geom_id string, lon double, lat double"
+    )
+    cut = tile_cut_points(pts, 3)
+    # ANSI (Spark 4 default): the cast itself raises; non-ANSI: the
+    # cast yields NULL and the packer's pd.isna guard raises the
+    # clear remap-upstream message — both loud, neither opaque
+    with pytest.raises(
+        Exception, match="CAST_INVALID_INPUT|non-negative long"
+    ):
+        mvt_encode(cut, kind="point").collect()
+    ansi0 = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="non-negative long"):
+            mvt_encode(tile_cut_points(pts, 3), kind="point").collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi0)

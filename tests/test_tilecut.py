@@ -342,3 +342,24 @@ def test_tile_cut_points_and_mvt(spark):
             decoded[f["id"]] = f["parts"]
     assert set(decoded) == {1, 2, 3}
     assert decoded[1] == [[(p.px, p.py) for p in rows[1].pts]]
+
+
+def test_tile_cut_null_vertex_raises(spark):
+    """An unparseable vertex must raise loudly, not clamp the bbox
+    and silently drop the geometry.  Under ANSI (the Spark 4
+    default) the CAST itself raises; under non-ANSI sessions the
+    cast yields NULL and the explicit NULL-vertex guard must fire —
+    both paths are loud, neither drops."""
+    df = spark.createDataFrame(
+        [(7, "POLYGON ((0 0, 1 abc, 1 1, 0 0))")],
+        "geom_id long, geom_wkt string",
+    )
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT|NULL vertex"):
+        tile_cut(df, 3).collect()
+    ansi0 = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="NULL vertex"):
+            tile_cut(df, 3).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi0)

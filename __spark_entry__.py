@@ -3441,6 +3441,133 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tile_points"] = tile_points_gate
 
+    # --- streaming composites replayed as deterministic batch folds
+    # (VERDICT r4 item 8): each gate drives the STREAMING module's
+    # per-micro-batch step function over three event-time-ordered
+    # batches threading state exactly as foreachBatch does, so the
+    # driver's oracle now checks the stream-path code itself.  The
+    # oracle is split-agnostic: the pytest batch-twin theorems
+    # (test_stop_stream / test_hotspot_stream / test_geofence_stream)
+    # prove closed+flushed output equals the batch operator on the
+    # full corpus for ANY event-time split, and the batch operators
+    # already have SQL oracles.
+
+    def _es_tertiles(pts, es_col="es"):
+        """Three event-time-ordered micro-batches: filter by the
+        corpus es tertiles (one bounded scalar collect — the same
+        driver-side fold foreachBatch itself is)."""
+        row = pts.agg(
+            F.expr(
+                f"percentile_approx({es_col}, array(0.34, 0.67), 10000)"
+            ).alias("q")
+        ).first()["q"]
+        b0, b1 = float(row[0]), float(row[1])
+        e = F.col(es_col)
+        return [
+            pts.filter(e < F.lit(b0)),
+            pts.filter((e >= F.lit(b0)) & (e < F.lit(b1))),
+            pts.filter(e >= F.lit(b1)),
+        ]
+
+    def stop_stream_twin_gate(spark, sf):
+        """streaming/stops.py replay: three _batch_stops steps with
+        carried open-segment state, then the end-of-stream flush —
+        closed ∪ flushed == tracks.stop_detect on the full corpus
+        (the test_stop_stream parity theorem), so the oracle is the
+        stop_detect SQL minus its stop_id."""
+        from geomesa_spark.streaming.stops import _batch_stops, _stop_row
+
+        pts = _cooc_pts(spark, sf)
+        state, outs = None, []
+        for batch in _es_tertiles(pts):
+            stops, state, shared = _batch_stops(
+                batch, state, 0.2, 600, "user_id", "ts",
+                "lon", "lat", "planar", "event_id",
+            )
+            stops = stops.localCheckpoint(eager=True)
+            state = state.localCheckpoint(eager=True)
+            shared.unpersist()
+            outs.append(stops)
+        flushed = state.select("track", *_stop_row()).filter(
+            F.col("duration_s") >= F.lit(600)
+        )
+        out = outs[0]
+        for fr in outs[1:] + [flushed]:
+            out = out.unionByName(fr)
+        return out
+
+    q["stop_stream_twin"] = stop_stream_twin_gate
+
+    def hotspot_stream_twin_gate(spark, sf):
+        """streaming/hotspot.py replay: three _batch_bins deltas
+        merged through the stream's full_outer bin-state fold, then
+        the shared Gi* statistic over the committed bins — equals
+        hotspot_cells_st on the full corpus exactly (integer sums
+        commute; the test_hotspot_stream live==twin theorem)."""
+        from geomesa_spark.operators.hotspot import hotspot_st_from_bins
+        from geomesa_spark.streaming.hotspot import _batch_bins
+
+        pts = geo_events(spark, sf).withColumn(
+            "es", F.unix_timestamp("dtg")
+        )
+        merged = None
+        for batch in _es_tertiles(pts):
+            delta = _batch_bins(
+                batch, 6, 86400, "dtg", "lon", "lat", None
+            )
+            if merged is None:
+                merged = delta
+            else:
+                merged = (
+                    merged.withColumnRenamed("w", "_pw")
+                    .join(
+                        delta.withColumnRenamed("w", "_dw"),
+                        ["x", "y", "tb"], "full_outer",
+                    )
+                    .select(
+                        "x", "y", "tb",
+                        (
+                            F.coalesce(F.col("_pw"), F.lit(0))
+                            + F.coalesce(F.col("_dw"), F.lit(0))
+                        ).cast("long").alias("w"),
+                    )
+                )
+            merged = merged.localCheckpoint(eager=True)
+        return hotspot_st_from_bins(merged, 6, ring=1, time_ring=1)
+
+    q["hotspot_stream_twin"] = hotspot_stream_twin_gate
+
+    def geofence_stream_twin_gate(spark, sf):
+        """streaming/geofence.py replay: three _batch_transitions
+        steps threading inside-state — the emitted enter/exit events
+        equal geofence_events on the full corpus (the
+        test_geofence_stream batch-twin theorem), so the oracle is
+        the geofence SQL minus its seq column."""
+        from geomesa_spark.streaming.geofence import _batch_transitions
+
+        pts = geo_events(spark, sf).withColumn(
+            "es", F.unix_timestamp("dtg")
+        )
+        state, outs = None, []
+        for batch in _es_tertiles(pts):
+            events, state, shared = _batch_transitions(
+                batch, _polys, state, "user_id", "es", "lon", "lat",
+                "cell", C.XY_BITS, "event_id", 8,
+            )
+            events = events.localCheckpoint(eager=True)
+            state = state.localCheckpoint(eager=True)
+            shared.unpersist()
+            outs.append(events)
+        out = outs[0]
+        for fr in outs[1:]:
+            out = out.unionByName(fr)
+        return out.select(
+            F.col("track").alias("user_id"), "fence_id", "event",
+            F.col("ts").alias("es"),
+        )
+
+    q["geofence_stream_twin"] = geofence_stream_twin_gate
+
     # SURVEY §2 core FIRST (VERDICT r4 item 5): the driver samples 50
     # of the registered queries per round in registration order, so
     # every §2-mapped gate plus the LLM-pipeline headliners must sit
@@ -8426,5 +8553,19 @@ SELECT geom_id, CAST(7 AS INTEGER) AS z, tx, ty,
        * 4096.0 + 0.5) AS INTEGER) AS py
 FROM tt
 """
+
+    # streaming-twin gates: the stream replay equals the batch
+    # operator on the full corpus (the pytest batch-twin theorems),
+    # so the oracles are the batch SQLs — minus per-row columns the
+    # stream path does not emit (stop_id / seq)
+    o["stop_stream_twin"] = (
+        "SELECT track, start_ts, end_ts, duration_s, n_points, "
+        "center_lon, center_lat FROM (" + o["stop_detect"] + ")"
+    )
+    o["hotspot_stream_twin"] = o["hotspot_st"]
+    o["geofence_stream_twin"] = (
+        "SELECT user_id, fence_id, event, es FROM ("
+        + o["geofence"] + ")"
+    )
 
     return o

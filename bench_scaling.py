@@ -48,7 +48,7 @@ POLYS = [
 def session(cpus: int):
     from pyspark.sql import SparkSession
 
-    spark = (
+    b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"scaling-{cpus}")
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
@@ -56,8 +56,18 @@ def session(cpus: int):
         .config("spark.driver.memory", "48g")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    evdir = os.environ.get("SPARK_GRAFT_SCALE_EVLOG")
+    if evdir:
+        # scripts/scaling_breakdown.py parses the stage/task metrics
+        # of the TIMED jobs into the compute-vs-exchange attribution
+        b = (
+            b.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", evdir)
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.rolling.enabled", "false")
+        )
+    spark = b.getOrCreate()
     # ship the engine to python workers (the spark-submit --py-files
     # story): pandas-UDF closures reference geomesa_spark modules,
     # which only resolved by accident when the cwd WAS the repo
@@ -178,6 +188,23 @@ def build_emb_corpus(n_vecs: int) -> None:
     spark.stop()
 
 
+def _timed_min3(spark, pipeline) -> float:
+    """One tagged WARMUP run, then min-of-3 runs tagged TIMED — the
+    description rides every job so the breakdown parser can separate
+    the measured pipeline from corpus builds and warm-up."""
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.job.description", "WARMUP")
+    pipeline()
+    sc.setLocalProperty("spark.job.description", "TIMED")
+    wall = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        pipeline()
+        wall = min(wall, time.time() - t0)
+    sc.setLocalProperty("spark.job.description", None)
+    return wall
+
+
 def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
     """The measured job. kind='broadcast': extract -> encode -> salted
     broadcast PIP join + tiles (the shuffle-free headline path).
@@ -232,12 +259,7 @@ def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
             out = ivf_pq_topk(emb, queries, 10, cents, cb, n_probes=2)
             out.write.format("noop").mode("overwrite").save()
 
-        pipeline()  # warm-up
-        wall = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            pipeline()
-            wall = min(wall, time.time() - t0)
+        wall = _timed_min3(spark, pipeline)
         n = emb.count()
         spark.stop()
         return wall, n
@@ -256,12 +278,7 @@ def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
                 out = substring_dedup(texts, length=8, min_count=2)
             out.write.format("noop").mode("overwrite").save()
 
-        pipeline()  # warm-up
-        wall = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            pipeline()
-            wall = min(wall, time.time() - t0)
+        wall = _timed_min3(spark, pipeline)
         n = texts.count()
         spark.stop()
         return wall, n
@@ -279,7 +296,12 @@ def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
         # row mixes with driver-barrier counts.
         from geomesa_spark.operators.graph import pagerank
 
-        E, NN = 32_000_000, 4_000_000
+        # SPARK_GRAFT_SCALE_EDGES sizes the amortization runs (the
+        # VERDICT r4 item-1 protocol: the same job at 4x the corpus
+        # shows how much of the N->4N deficit is fixed per-round
+        # cost); nodes scale with edges to keep mean degree 8
+        E = int(os.environ.get("SPARK_GRAFT_SCALE_EDGES", 32_000_000))
+        NN = max(1, E // 8)
         ids = spark.range(0, E, 1, 64)
         sid = F.col("id").cast("string")
         hub = F.pmod(
@@ -301,12 +323,7 @@ def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
             out = pagerank(gedges, rounds=8)
             out.write.format("noop").mode("overwrite").save()
 
-        pipeline()  # warm-up
-        wall = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            pipeline()
-            wall = min(wall, time.time() - t0)
+        wall = _timed_min3(spark, pipeline)
         n = gedges.count()
         spark.stop()
         return wall, n
@@ -351,12 +368,7 @@ def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
             )
             out.write.format("noop").mode("overwrite").save()
 
-        pipeline()  # warm-up
-        wall = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            pipeline()
-            wall = min(wall, time.time() - t0)
+        wall = _timed_min3(spark, pipeline)
         n = tris.count()
         spark.stop()
         return wall, n
@@ -381,10 +393,16 @@ def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
         # are the honest Amdahl fraction of this family.
         from geomesa_spark.operators.cluster import dbscan
 
+        # SPARK_GRAFT_SCALE_CLUSTER_DIV widens the corpus for the
+        # amortization runs (div 64 -> 250k pts default; div 16 ->
+        # 1M); blob count scales to keep ~20 points per blob so the
+        # mining density and round count stay comparable
+        cdiv = int(os.environ.get("SPARK_GRAFT_SCALE_CLUSTER_DIV", 64))
         base = docs.filter(
-            F.pmod(F.crc32(F.col("doc_id")), F.lit(64)) == 0
+            F.pmod(F.crc32(F.col("doc_id")), F.lit(cdiv)) == 0
         ).select("doc_id")
-        blob = F.pmod(F.crc32(F.col("doc_id")), F.lit(12_500))
+        nblobs = 12_500 * max(1, 64 // cdiv)
+        blob = F.pmod(F.crc32(F.col("doc_id")), F.lit(nblobs))
         jx = (F.pmod(F.crc32(F.concat(F.col("doc_id"), F.lit("x"))),
                      F.lit(2001)) - F.lit(1000)) / F.lit(100_000.0)
         jy = (F.pmod(F.crc32(F.concat(F.col("doc_id"), F.lit("y"))),
@@ -402,12 +420,7 @@ def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
             out.write.format("noop").mode("overwrite").save()
             out.unpersist()
 
-        pipeline()  # warm-up
-        wall = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            pipeline()
-            wall = min(wall, time.time() - t0)
+        wall = _timed_min3(spark, pipeline)
         n = cpts.count()
         spark.stop()
         return wall, n
@@ -503,15 +516,10 @@ def run_job(cpus: int, kind: str = "broadcast") -> tuple[float, int]:
             out = joined.select("doc_id", "poly_id", "tile")
         out.write.format("noop").mode("overwrite").save()
 
-    pipeline()  # warm-up: codegen compile, page cache, worker spin-up
-    # min-of-3: this sandbox is a shared VM with heavy run-to-run
-    # interference at high thread counts; the minimum is the least
-    # contaminated estimate of the engine's own cost
-    wall = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        pipeline()
-        wall = min(wall, time.time() - t0)
+    # min-of-3 (inside _timed_min3): this sandbox is a shared VM with
+    # heavy run-to-run interference at high thread counts; the minimum
+    # is the least contaminated estimate of the engine's own cost
+    wall = _timed_min3(spark, pipeline)
     if kind == "bucketed":
         n = spark.table(ptbl).count()  # the replicated stored layout
     else:

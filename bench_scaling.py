@@ -197,7 +197,10 @@ def _timed_min3(spark, pipeline) -> float:
     pipeline()
     sc.setLocalProperty("spark.job.description", "TIMED")
     wall = float("inf")
-    for _ in range(3):
+    # SPARK_GRAFT_SCALE_RUNS trims the in-process min-of-3 for the
+    # expensive amortization sizes (the minimum over fewer runs is a
+    # noisier but unbiased-upward wall — noted where used)
+    for _ in range(int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))):
         t0 = time.time()
         pipeline()
         wall = min(wall, time.time() - t0)

@@ -44,7 +44,7 @@ up exactly like the PIP hot cells (smaller eps + AQE skew join);
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from geomesa_spark.functions import geometry_sql as GS
@@ -298,10 +298,19 @@ def dbscan(
         F.col(lat_col).alias("lat"),
         *tsel,
     )
-    reps = (
-        pts.groupBy(*gcols)
-        .agg(F.min("id").alias("rid"), F.count(F.lit(1)).alias("cnt"))
-        .persist()
+    # ONE coordinate-keyed window assigns every point its
+    # representative id and duplicate count — cheaper than a
+    # groupBy + coordinate-equality expand join (one wide shuffle
+    # instead of two, and the final expand becomes a long-key join)
+    wdup = Window.partitionBy(*gcols)
+    pts_r = pts.select(
+        "id",
+        F.min("id").over(wdup).alias("rid"),
+        F.count(F.lit(1)).over(wdup).alias("cnt"),
+        *gcols,
+    ).persist()
+    reps = pts_r.filter(F.col("id") == F.col("rid")).select(
+        *gcols, "rid", "cnt"
     )
     pairs = eps_pairs(
         reps, eps, "rid", "lon", "lat", metric, dist_m,
@@ -366,14 +375,16 @@ def dbscan(
         border.withColumn("is_core", F.lit(False))
     )
     # expand representatives back to every original point: same
-    # coordinate -> same cluster/is_core (the collapse equivalence)
+    # coordinate -> same cluster/is_core (the collapse equivalence);
+    # the window above already stamped each point's rid, so this is
+    # one long-key join, not a coordinate-equality join
     out = (
-        pts.join(reps.select(*gcols, "rid"), gcols)
+        pts_r.select("id", "rid")
         .join(rep_out.withColumnRenamed("id", "rid"), "rid")
         .select("id", "cluster", "is_core")
         .localCheckpoint(eager=True)
     )
-    reps.unpersist()
+    pts_r.unpersist()
     pairs.unpersist()
     core.unpersist()
     core_labels.unpersist()
